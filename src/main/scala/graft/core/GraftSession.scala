@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the session concerns of the reference
+  * (`/root/reference/src/etl/bronze_to_silver.py:21-29`: appName + object-store
+  * config) but tuned for Spark 4.x analytics at scale:
+  *   - AQE on (runtime coalescing / skew-join splitting — essential on real
+  *     clusters where per-partition sizes are unknowable at plan time),
+  *   - UTC session timezone + CORRECTED time parser (locale-stable parsing of
+  *     the reference's `yyyy-MMM-dd HH:mm` timestamps),
+  *   - nested-schema pruning (the reference projects 4-deep JSON paths;
+  *     pruning keeps the parquet/JSON scan narrow),
+  *   - shuffle partitions sized for the local harness via `SPARK_GRAFT_CPUS`
+  *     (a real deployment would size this to ~2-3x total executor cores).
+  */
+object GraftSession {
+
+  def defaultParallelism: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  /** Apply engine defaults onto an arbitrary builder (so Verify/Bench can
+    * keep their own master/memory settings). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+      // events.parquet stamps ts as INT64 TIMESTAMP(NANOS) which Spark's
+      // reader rejects; read as long nanos and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
+    val spark = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

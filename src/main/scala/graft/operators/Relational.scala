@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** The engine's relational operator surface, exercised as named queries over
+  * the driver testdata (TESTDATA.md star schema).
+  *
+  * Each query maps to rows of the SURVEY.md §2 inventory (reference file:line
+  * cited per query). Spark-first discipline:
+  *   - plans are declarative DataFrame expressions → Catalyst pushes filters
+  *     and prunes columns into the parquet scans;
+  *   - every double SUM is cast to decimal(30,6) per-row before aggregation so
+  *     the result is order-independent (exact decimal accumulation) — at
+  *     1000-executor scale partial-aggregate ordering is nondeterministic and
+  *     raw double sums would not reproduce;
+  *   - every query ends in a deterministic total order (unique sort key,
+  *     explicit null ordering) so results are stable across engines/runs;
+  *   - dims join via broadcast (Catalyst picks it under the threshold; these
+  *     dims stay small at any scale because they are bounded categoricals).
+  */
+object Relational {
+
+  /** Decimal-cast a double expression so SUM is exact and order-independent. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  // ---------------------------------------------------------------------------
+  // q01 — grouped aggregation (TPC-H Q1 shape). SURVEY §2.4: the reference has
+  // only dropDuplicates as aggregate; this is the engine's general hash-agg
+  // surface (partial+final, map-side combine — one shuffle on the group keys).
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // q02 — filter + projection; predicates and the 4-column read schema reach
+  // the parquet scan (PushedFilters). SURVEY §2.2 (P1/P4/P6 generalized).
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_quantity") > lit(45.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // q03 — 3-way join + agg + top-N (TPC-H Q3 shape). customer is broadcast;
+  // orders⋈lineitem shuffles on the order key. SURVEY §2.3 generalized.
+  def q03TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === lit("BUILDING"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // q04 — left equi-join with null-producing right side (J1 expression form,
+  // silver_to_gold.py:64): null keys/no-match → null columns, SQL semantics.
+  def q04LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val rich = Tables.customer(s, dir).filter(col("c_acctbal") > lit(5000.0))
+    o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left")
+      .select(col("o_orderkey"), col("c_name"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q05 — left-semi join (EXISTS). SURVEY §2.3 "free from Spark".
+  def q05SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val r = Tables.lineitem(s, dir).filter(col("l_returnflag") === lit("R"))
+    o.join(r, o("o_orderkey") === r("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q06 — left-anti join (NOT EXISTS).
+  def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= lit(48.0))
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q07 — deterministic keyed dedup (A1/A2, silver_to_gold.py:47): the
+  // reference's dropDuplicates keeps an arbitrary row; we keep first-by-order
+  // via row_number window so the result is reproducible at any parallelism.
+  def q07DedupFirst(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data — order
+    // by enough columns that the surviving row is fully determined.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === lit(1))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  // q08 — window functions: rank + running sum per supplier. SURVEY §2.5
+  // (none in reference; engine surface). Unique order key (shipdate, orderkey,
+  // linenumber) → deterministic frames; decimal running sum → exact.
+  def q08WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(30,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("rn") <= lit(5))
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  // q09 — dim_date build (F9-F11, silver_to_gold.py:49-56): smart int key
+  // yyyyMMdd, calendar attributes, weekday abbreviation (locale-pinned UTC).
+  def q09DateDim(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("date_day"))
+      .distinct()
+      .select(
+        date_format(col("date_day"), "yyyyMMdd").cast("int").as("date_id"),
+        // emit as timestamp: DATE-typed outputs round-trip differently through
+        // pandas (datetime.date vs datetime64) and would break the hash compare
+        col("date_day").cast("timestamp").as("date_day"),
+        year(col("date_day")).as("year"),
+        month(col("date_day")).as("month"),
+        dayofmonth(col("date_day")).as("day"),
+        date_format(col("date_day"), "E").as("weekday"))
+      .orderBy(col("date_id"))
+
+  // q10 — deterministic surrogate-key dim (replaces A3's
+  // monotonically_increasing_id, silver_to_gold.py:58-61, whose ids are
+  // partition-dependent; dense_rank over the natural key is reproducible).
+  def q10SurrogateDim(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment")).distinct()
+      .select(
+        dense_rank().over(Window.orderBy(col("c_mktsegment"))).cast("bigint").as("segment_id"),
+        col("c_mktsegment"))
+      .orderBy(col("segment_id"))
+
+  // q11 — star-schema fact build (the reference's silver→gold core: J1
+  // expression join + J2 USING join + column pruning, silver_to_gold.py:63-79)
+  // transposed onto the testdata star. Both dims broadcast.
+  def q11StarFact(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val dimDate = q09DateDim(s, dir).select(col("date_id"), col("date_day"))
+    val dimSeg = q10SurrogateDim(s, dir)
+    o.withColumn("date_day", to_date(col("o_orderdate")))
+      .join(broadcast(dimDate), Seq("date_day"), "left")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(dimSeg), Seq("c_mktsegment"), "left")
+      .select(col("o_orderkey").as("order_event_id"), col("date_id"),
+        col("segment_id"), col("o_totalprice"))
+      .orderBy(col("order_event_id"))
+  }
+
+  // q12 — rollup with grouping id (engine agg surface beyond reference).
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
+
+  // q13 — set operations: INTERSECT / EXCEPT / UNION ALL, tagged.
+  def q13SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y95 = o.filter(year(col("o_orderdate")) === lit(1995)).select(col("o_custkey"))
+    val y96 = o.filter(year(col("o_orderdate")) === lit(1996)).select(col("o_custkey"))
+    val both = y95.intersect(y96).withColumn("tag", lit("both"))
+    val only95 = y95.except(y96).withColumn("tag", lit("only95"))
+    both.unionByName(only95)
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  // q14 — JSON extraction from a string column (engine analog of the
+  // reference's reader-level JSON handling, SURVEY §2.6 note: from_json /
+  // get_json_object over an ingested string column).
+  def q14JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("sum_k"))
+      .orderBy(col("event_type"))
+
+  // q15 — tumbling-window aggregation over the events table: the batch
+  // equivalent of the Structured Streaming path (SURVEY §2.7); window() start
+  // aligns to the epoch, matching DuckDB time_bucket.
+  def q15EventWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  // q16 — scalar-function surface (SURVEY §2.6): string ops, conditional,
+  // math; all codegen'd builtins, no UDFs.
+  def q16Scalars(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("seg_key"),
+        when(col("c_acctbal") < lit(0.0), lit("negative"))
+          .when(col("c_acctbal") < lit(5000.0), lit("mid"))
+          .otherwise(lit("high")).as("bal_band"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        floor(col("c_acctbal")).cast("bigint").as("floor_bal"))
+      .orderBy(col("c_custkey"))
+
+  // q17 — correlated-style aggregate filter (HAVING): orders whose line count
+  // and revenue exceed thresholds. One shuffle (groupBy o_orderkey).
+  def q17HavingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("gross"))
+      .filter(col("n_lines") >= lit(6))
+      .orderBy(col("l_orderkey"))
+
+  /** Engine-side catalog surface (C1-C4, gold_catalog.py:52-84): register the
+    * testdata as views and answer ad-hoc SQL — the reference's demo query
+    * transposed. Verified rows-only (DuckDB SHOW/DESCRIBE differ in shape). */
+  def q18CatalogSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_top_revenue" -> q03TopRevenue _,
+    "q04_left_join" -> q04LeftJoin _,
+    "q05_semi_join" -> q05SemiJoin _,
+    "q06_anti_join" -> q06AntiJoin _,
+    "q07_dedup_first" -> q07DedupFirst _,
+    "q08_window_running" -> q08WindowRunning _,
+    "q09_date_dim" -> q09DateDim _,
+    "q10_surrogate_dim" -> q10SurrogateDim _,
+    "q11_star_fact" -> q11StarFact _,
+    "q12_rollup" -> q12Rollup _,
+    "q13_set_ops" -> q13SetOps _,
+    "q14_json_extract" -> q14JsonExtract _,
+    "q15_event_windows" -> q15EventWindows _,
+    "q16_scalars" -> q16Scalars _,
+    "q17_having_agg" -> q17HavingAgg _,
+    "q18_catalog_sql" -> q18CatalogSql _
+  )
+
+  /** DuckDB-dialect oracle SQL, value- and name-aligned with the Spark side. */
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_left_join" ->
+      """SELECT o_orderkey, c_name, COALESCE(c_mktsegment, 'UNKNOWN') AS segment
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q07_dedup_first" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_partkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q08_window_running" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity, running_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (
+        |      PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) t WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q09_date_dim" ->
+      """SELECT CAST(strftime(date_day, '%Y%m%d') AS INT) AS date_id,
+        |  CAST(date_day AS TIMESTAMP) AS date_day,
+        |  CAST(year(date_day) AS INT) AS year,
+        |  CAST(month(date_day) AS INT) AS month,
+        |  CAST(day(date_day) AS INT) AS day,
+        |  strftime(date_day, '%a') AS weekday
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders) d
+        |ORDER BY date_id""".stripMargin,
+    "q10_surrogate_dim" ->
+      """SELECT CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_id,
+        |  c_mktsegment
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) t
+        |ORDER BY segment_id""".stripMargin,
+    "q11_star_fact" ->
+      """WITH dim_date AS (
+        |  SELECT CAST(strftime(date_day, '%Y%m%d') AS INT) AS date_id, date_day
+        |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders) d),
+        |dim_seg AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_id,
+        |    c_mktsegment
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer) t)
+        |SELECT o_orderkey AS order_event_id, dd.date_id, ds.segment_id, o_totalprice
+        |FROM orders o
+        |LEFT JOIN dim_date dd ON CAST(o.o_orderdate AS DATE) = dd.date_day
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN dim_seg ds ON c.c_mktsegment = ds.c_mktsegment
+        |ORDER BY order_event_id""".stripMargin,
+    "q12_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q13_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) a
+        |UNION ALL
+        |SELECT 'only95' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) b
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q15_event_windows" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q16_scalars" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS seg_key,
+        |  CASE WHEN c_acctbal < 0.0 THEN 'negative'
+        |       WHEN c_acctbal < 5000.0 THEN 'mid'
+        |       ELSE 'high' END AS bal_band,
+        |  abs(c_acctbal) AS abs_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_having_agg" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS gross
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING COUNT(*) >= 6
+        |ORDER BY l_orderkey""".stripMargin,
+    "q18_catalog_sql" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin
+  )
+}
