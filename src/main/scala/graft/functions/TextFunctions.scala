@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the dedup / text-analysis operators — all composed
+  * from codegen'd builtins and higher-order functions (no UDFs, SURVEY §4.3):
+  * the expressions stay inside whole-stage codegen and are pushed/pruned by
+  * Catalyst like any other builtin.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization: `\s+` split of the trimmed text. DuckDB twin:
+    * `regexp_split_to_array(trim(text), '\s+')`. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles ("a b c" strings). Empty array when the
+    * document has fewer than n tokens (guards `sequence`'s descending-step
+    * surprise). DuckDB twin: list comprehension over `w[i:i+n-1]`. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(t) - lit(n)),
+          i => array_join(slice(t, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the canonical "document fingerprint" for near-identical layout
+    * variants. DuckDB twin: `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))`. */
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit content fingerprint (xxhash64 of normalized text) — cheaper than
+    * md5 at scale (8-byte key vs 32-char string for the dedup shuffle). */
+  def contentKey64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

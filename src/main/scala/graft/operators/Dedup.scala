@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for a training-data pipeline over the `documents`
+  * and `embeddings` tables (north-star extension; BASELINE.json).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is one hash-shuffle on a 64-bit content key — never on the
+  *     raw text (8-byte shuffle keys, not document bodies);
+  *   - n-gram Jaccard pairs use an inverted shingle index join (pairs are
+  *     generated only for docs sharing >=1 shingle — no cartesian product);
+  *     this is the *exact* engine, quadratic in the worst case;
+  *   - MinHash+LSH is the scale path: fixed-width signatures (64 hashes),
+  *     banded bucketing (16 bands x 4 rows), candidate pairs only within
+  *     buckets, then exact-Jaccard verification of candidates. Cost is
+  *     O(docs x signature) + O(bucket collisions), independent of pair count;
+  *   - SimHash gives 8-bytes-per-doc near-dup keys; candidate pairs via
+  *     pigeonhole chunk match (4 x 16-bit chunks → hamming<=3 has a matching
+  *     chunk), verified by bit_count(xor);
+  *   - embedding near-dup: exact pairwise cosine via the native codegen'd
+  *     CosineSimilarity expression (broadcast nested-loop; the LSH-bucketed
+  *     variant in Similarity.scala is the 100 TB candidate generator).
+  */
+object Dedup {
+
+  val ShingleN = 3
+
+  /** Exact duplicate groups: every doc whose full text appears more than
+    * once, with the canonical keeper (min doc_id) per group.
+    * One shuffle on md5(text); at scale swap md5 for contentKey64. */
+  def exactDupGroups(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_fp"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("n_dups", count(lit(1)).over(w).cast("bigint"))
+      .filter(col("n_dups") > 1)
+      .select(col("doc_id"), col("content_fp"), col("keep_id"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct word-trigram shingle sets per doc. */
+  def shingled(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private def jaccardOf(inter: Column, na: Column, nb: Column): Column =
+    inter.cast("double") / (na + nb - inter).cast("double")
+
+  /** Exact n-gram Jaccard near-dup pairs (jaccard >= threshold) via an
+    * inverted shingle index: explode shingles, equi-join postings on the
+    * shingle, count shared shingles per pair, compute |A∩B|/|A∪B|. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", jaccardOf(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures: for seed i, sig[i] = min over shingles of
+    * xxhash64(i, shingle). One groupBy over the posting list computes all
+    * `numHashes` mins in a single partial+final hash aggregate. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    posting.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    * Bands of r=numHashes/bands rows; docs sharing any band bucket become
+    * candidates; candidates are verified with true Jaccard >= threshold, so
+    * the output is a (high-recall) subset of jaccardPairs. With 16x4 banding,
+    * recall at j=0.9 is 1-(1-0.9^4)^16 ≈ 1-1e-16. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingled(docs).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        jaccardOf(col("inter"), size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    verified
+  }
+
+  /** 64-bit SimHash per document: token-frequency-weighted bit votes over
+    * xxhash64(token). All 64 bit-sums aggregate in one pass. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("w"))
+      .withColumn("th", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b$j")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming <= maxHamming. Candidates come from
+    * exact-matching any of 8 8-bit chunks — pigeonhole-complete for
+    * hamming <= 7 (empirically the planted near-dups land at hamming 0-5 on
+    * this corpus; short documents flip more simhash bits per edit than long
+    * ones, so the radius is wider than the classic 64-bit/hamming-3 setup). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hs = simhash(docs).cache()
+    val chunks = hs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 8).map(k =>
+        shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL)): _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk")
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact embedding near-dup pairs: cosine >= threshold over all id<id
+    * pairs via broadcast nested-loop + the codegen'd cosine expression.
+    * Exact and fine to ~10^4 vectors per block; beyond that, generate
+    * candidates with Similarity.lshBuckets first. */
+  def embeddingNearDup(spark: SparkSession, embs: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    VectorFunctions.register(spark)
+    val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> ((s, d) => exactDupGroups(Tables.documents(s, d))),
+    "q21_dedup_jaccard" -> ((s, d) => jaccardPairs(Tables.documents(s, d))),
+    "q22_dedup_minhash" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
+    "q23_dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
+    "q24_embed_neardup" -> ((s, d) => embeddingNearDup(s, Tables.embeddings(s, d)))
+  )
+
+  /** DuckDB oracles. q22 shares q21's oracle: verified-candidate output
+    * equals the exact pair set (recall ~1 at the data's jaccard gap; the
+    * planted near-dups sit at >=0.97 vs background <0.3). q23 has no oracle
+    * (hash-function-dependent). */
+  private val jaccardOracle =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM w WHERE len(w) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT doc_id, content_fp, keep_id, n_dups FROM (
+        |  SELECT doc_id, md5(text) AS content_fp,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+        |    count(*) OVER (PARTITION BY md5(text)) AS n_dups
+        |  FROM documents) t
+        |WHERE n_dups > 1
+        |ORDER BY doc_id""".stripMargin,
+    "q21_dedup_jaccard" -> jaccardOracle,
+    "q22_dedup_minhash" -> jaccardOracle,
+    // DuckDB's list_cosine_similarity over DOUBLE[] matches the engine's
+    // sequential-accumulation cosine bit-exactly (verified empirically).
+    "q24_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(a.e, b.e) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

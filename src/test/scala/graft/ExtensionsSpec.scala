@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{GraftSession, Tables}
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Dedup / similarity / text-analysis operator semantics at sf0.001-0.01. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("ext-spec", cores = 4)
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native cosine expression == builtin zip_with/aggregate composition") {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(50).cache()
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        VectorFunctions.cosineSim(col("ea"), col("eb")).as("native"),
+        VectorFunctions.cosineSimBuiltin(col("ea"), col("eb")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
+  test("minhash+LSH pairs == exact jaccard pairs on this corpus") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs).select("doc_a", "doc_b").collect().toSet
+    val lsh = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs cover the high-jaccard planted near-dups") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, maxHamming = 6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8x8-bit chunk candidates are pigeonhole-complete for hamming<=7; the
+    // planted near-dups (j>=0.9) land at hamming 0-5 on this corpus
+    assert(exact.subsetOf(sim), s"missed: ${exact.diff(sim)}")
+  }
+
+  test("LSH ANN candidates achieve usable recall vs brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(spark, embs, queryMaxId = 10, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, embs, queryMaxId = 10, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed") // approximate by design
+    assert(lsh.size <= brute.size)
+  }
+
+  test("exact dedup groups: empty at sf0.01 (no planted exact dups), keys stable") {
+    assert(Dedup.exactDupGroups(Tables.documents(spark, sf)).count() == 0)
+    val sf01 = "/root/testdata/sf0.1"
+    val groups = Dedup.exactDupGroups(Tables.documents(spark, sf01))
+    assert(groups.count() > 0) // sf0.1 has planted exact dups
+    assert(groups.filter(col("doc_id") === col("keep_id") && col("n_dups") === 1).count() == 0)
+  }
+
+  test("language id is deterministic and covers every doc") {
+    val out = TextAnalysis.langId(Tables.documents(spark, sf)).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("lang_guess").isNull).count() == 0)
+  }
+}
