@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+      Similarity.queries ++ Multimodal.queries ++ EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
+    Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ EventsStream.oracles
 }

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Structured Streaming over the `events` table (north-star extension;
+  * the reference is daily batch only — SURVEY §2.7).
+  *
+  * Batch/stream parity by construction: every streaming aggregation here has
+  * a batch twin built from the same expressions, and the specs assert
+  * equality under `Trigger.AvailableNow` (the streaming engine replays the
+  * parquet as micro-batches and must converge to the batch answer).
+  */
+object EventsStream {
+
+  /** Parquet schema of events.parquet as written by the driver (ts is
+    * INT64 TIMESTAMP(NANOS), read as long under nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (nanos → micros, same as the
+    * batch loader). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      // FileStreamSource needs a directory; glob-filter to the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling-window counts with a watermark — the streaming twin of
+    * Relational.q15EventWindows. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Run a streaming frame to completion against the finite parquet input
+    * (AvailableNow) and return the materialized result. */
+  def runToBatch(spark: SparkSession, streamDf: DataFrame, name: String,
+                 outputMode: String = "append"): DataFrame = {
+    val q = streamDf.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ------------------------------------------------------------------ //
+  // Sessionization: 30-minute-gap sessions per user.
+
+  val GapMinutes = 30
+
+  /** Batch/stream twin via the built-in session_window (works in both
+    * modes; in streaming, watermark closes sessions). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$GapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** The same sessions via lag + cumulative-sum windows — the pure-SQL
+    * formulation (this is the DuckDB oracle's shape). */
+  def sessionizeSql(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > GapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Custom-state sessionization via KeyValueGroupedDataset.flatMapGroups —
+    * the hand-rolled-state surface (in streaming the same body runs under
+    * flatMapGroupsWithState with an event-time timeout closing sessions). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  def sessionizeTyped(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = GapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+        if (evs.isEmpty) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var start = evs.head.ts; var end = evs.head.ts
+          var n = 0L; var sum = BigDecimal(0)
+          for (e <- evs) {
+            val gap = micros(e.ts) - micros(end)
+            if (n > 0 && gap > gapMicros) {
+              out += Session(uid, start, end, n, sum.toDouble)
+              start = e.ts; n = 0; sum = BigDecimal(0)
+            }
+            end = e.ts; n += 1
+            sum += BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }
+          out += Session(uid, start, end, n, sum.toDouble)
+          out.iterator
+        }
+      }
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_sessionize" -> ((s, d) => sessionWindows(Tables.events(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q19_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Multimodal, Relational}
+import graft.streaming.EventsStream
+
+/** Streaming/batch parity + multimodal plumbing at sf0.001. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("stream-spec", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("streaming windowed counts (AvailableNow) == batch q15 aggregation") {
+    val stream = EventsStream.windowedCounts(EventsStream.readStream(spark, sf))
+    // complete mode: append would hold back windows newer than the final
+    // watermark, which a finite replay never advances past
+    val got = EventsStream.runToBatch(spark, stream, "win_counts", outputMode = "complete")
+    val want = Relational.q15EventWindows(spark, sf)
+    assert(asSet(got) == asSet(want))
+    assert(got.count() > 0)
+  }
+
+  test("streaming session_window (AvailableNow) == batch sessionization") {
+    val stream = EventsStream.sessionWindows(
+      EventsStream.readStream(spark, sf).withWatermark("ts", "1 hour"))
+    val got = EventsStream.runToBatch(spark, stream, "sessions", outputMode = "complete")
+    val want = EventsStream.sessionWindows(Tables.events(spark, sf))
+    assert(asSet(got) == asSet(want))
+  }
+
+  test("session_window == lag/cumsum SQL twin == typed flatMapGroups state machine") {
+    val ev = Tables.events(spark, sf)
+    val viaWindow = EventsStream.sessionWindows(ev)
+    val viaSql = EventsStream.sessionizeSql(ev)
+    val viaTyped = EventsStream.sessionizeTyped(spark, ev).toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+    assert(asSet(viaWindow) == asSet(viaSql))
+    assert(asSet(viaSql) == asSet(viaTyped))
+    assert(viaSql.count() > 0)
+  }
+
+  test("multimodal: feature extraction batches per partition with typed schema") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media).cache()
+    assert(feats.count() == media.count())
+    val f = feats.filter(col("doc_id") === 0).collect().head
+    assert(f.feature.length == 4)
+    assert(f.n_bytes > 0 && f.width == f.n_bytes % 640)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, media)
+      .filter(col("doc_id") === 0).collect().head
+    assert(f.feature.sameElements(again.feature))
+  }
+
+  test("multimodal: frame sampling explodes deterministically") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(Tables.documents(spark, sf)))
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(frames.filter(col("byte_offset") % 100 =!= 0).count() == 0)
+    assert(perDoc.filter(col("count") < 1).count() == 0)
+  }
+}
