@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventsStream.queries
+      Similarity.queries ++ Multimodal.queries ++ EventsStream.queries ++
+      AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ EventsStream.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ EventsStream.oracles ++
+      AsOfJoin.oracles
 }

@@ -244,6 +244,17 @@ object Relational {
       .filter(col("n_lines") >= lit(6))
       .orderBy(col("l_orderkey"))
 
+  // q28 — exact distinct aggregation (expand + two-phase agg under the hood;
+  // approx_count_distinct (HLL++) is the sketch alternative, not oracle-able).
+  def q28DistinctStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Engine-side catalog surface (C1-C4, gold_catalog.py:52-84): register the
     * testdata as views and answer ad-hoc SQL — the reference's demo query
     * transposed. Verified rows-only (DuckDB SHOW/DESCRIBE differ in shape). */
@@ -272,7 +283,8 @@ object Relational {
     "q15_event_windows" -> q15EventWindows _,
     "q16_scalars" -> q16Scalars _,
     "q17_having_agg" -> q17HavingAgg _,
-    "q18_catalog_sql" -> q18CatalogSql _
+    "q18_catalog_sql" -> q18CatalogSql _,
+    "q28_distinct_stats" -> q28DistinctStats _
   )
 
   /** DuckDB-dialect oracle SQL, value- and name-aligned with the Spark side. */
@@ -424,6 +436,12 @@ object Relational {
         |ORDER BY l_orderkey""".stripMargin,
     "q18_catalog_sql" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
-        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin
+        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin,
+    "q28_distinct_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
