@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{CosineSimilarity, HashedWordShingles, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions installer: makes the engine's native expressions
+  * available in ANY session (including pure-SQL users) via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * so `SELECT cosine_sim(a.embedding, b.embedding) ...` works from SQL with
+  * no Scala imports. The same functions are also registered imperatively by
+  * `VectorFunctions.register` for programmatic sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_word_shingles"),
+      new ExpressionInfo(classOf[HashedWordShingles].getName, "hashed_word_shingles"),
+      (exprs: Seq[Expression]) => HashedWordShingles(exprs(0), litInt(exprs(1)))))
+  }
+}
