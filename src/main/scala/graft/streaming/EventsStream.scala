@@ -135,6 +135,61 @@ object EventsStream {
       }
   }
 
+  /** Open-session state carried between micro-batches (micros + exact sum). */
+  case class SessState(startUs: Long, endUs: Long, n: Long, sum: BigDecimal)
+
+  /** STREAMING custom-state sessionization: flatMapGroupsWithState with an
+    * event-time timeout. Sessions closed by a later event emit immediately;
+    * trailing open sessions emit when the watermark passes end + gap.
+    * Same session boundaries and sums as the batch twins (sessionizeSql /
+    * sessionWindows) — the spec checks emitted rows against them. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = GapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt); t
+    }
+    def dec(v: Double): BigDecimal = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def emit(uid: Long, s: SessState): Session =
+      Session(uid, tsOf(s.startUs), tsOf(s.endUs), s.n, s.sum.toDouble)
+
+    events.withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator.single(emit(uid, s))
+          } else {
+            val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- evs) {
+              val m = micros(e.ts)
+              cur = cur match {
+                case Some(s) if m - s.endUs > gapUs =>
+                  closed ::= emit(uid, s)
+                  Some(SessState(m, m, 1, dec(e.value)))
+                case Some(s) =>
+                  Some(SessState(s.startUs, m, s.n + 1, s.sum + dec(e.value)))
+                case None =>
+                  Some(SessState(m, m, 1, dec(e.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + GapMinutes * 60L * 1000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -49,6 +49,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.count() > 0)
   }
 
+  test("streaming flatMapGroupsWithState sessionize emits exact batch sessions") {
+    val stream = EventsStream.sessionizeStream(spark, EventsStream.readStream(spark, sf)).toDF()
+    val got = EventsStream.runToBatch(spark, stream, "state_sessions")
+    val batch = EventsStream.sessionizeSql(Tables.events(spark, sf))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    val gotSet = asSet(got.select("user_id", "session_start", "session_end", "n_events", "sum_value"))
+    val batchSet = asSet(batch)
+    // every emitted session is byte-identical to a batch session
+    assert(gotSet.subsetOf(batchSet), s"phantom sessions: ${gotSet.diff(batchSet).take(3)}")
+    // sessions that closed well before the final watermark horizon all emitted
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - (10 + 30 + 1) * 60 * 1000)
+    val mustEmit = asSet(batch.filter(col("session_end") < lit(horizon)))
+    assert(mustEmit.subsetOf(gotSet),
+      s"missing closed sessions: ${mustEmit.diff(gotSet).take(3)}")
+    assert(gotSet.nonEmpty)
+  }
+
   test("multimodal: feature extraction batches per partition with typed schema") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     assert(media.schema("content").dataType.typeName == "binary")
