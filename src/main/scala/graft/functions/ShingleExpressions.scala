@@ -83,6 +83,73 @@ case class HashedWordShingles(child: Expression, n: Int) extends ShingleBase {
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * public algorithm): rolling polynomial hash over character k-grams of the
+  * normalized text, then the minimum hash of each sliding window of w
+  * consecutive k-gram hashes is selected (rightmost-min tiebreak). Output:
+  * sorted distinct selected hashes — a position-robust fingerprint set whose
+  * overlap measures near-duplication. O(len) per row, array<long> out.
+  */
+case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val Base = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    // normalize: lowercase, collapse whitespace runs to single space
+    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val sb = new java.lang.StringBuilder(raw.length)
+    var prevSpace = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (!prevSpace && sb.length > 0) sb.append(' '); prevSpace = true }
+      else { sb.append(c); prevSpace = false }
+      i += 1
+    }
+    val s = sb.toString.stripTrailing()
+    if (s.length < k) return new GenericArrayData(Array.empty[Any])
+    // rolling hash per k-gram
+    val nGrams = s.length - k + 1
+    val hs = new Array[Long](nGrams)
+    var h = 0L; var pow = 1L
+    var j = 0
+    while (j < k) { h = h * Base + s.charAt(j); if (j < k - 1) pow *= Base; j += 1 }
+    hs(0) = h
+    var p = 1
+    while (p < nGrams) {
+      h = (h - s.charAt(p - 1) * pow) * Base + s.charAt(p + k - 1)
+      hs(p) = h; p += 1
+    }
+    // winnow: min of each window of w hashes, rightmost-min tiebreak
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var m = hs(0); var mi = 0; var q = 1
+      while (q < nGrams) { if (hs(q) <= m) { m = hs(q); mi = q }; q += 1 }
+      selected.add(m)
+    } else {
+      var q = 0
+      while (q + w <= nGrams) {
+        var m = hs(q); var x = q + 1
+        while (x < q + w) { if (hs(x) <= m) m = hs(x); x += 1 }
+        selected.add(m)
+        q += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator(); var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
   /** ArrayData helper for tests. */
   def toSeq(a: ArrayData): Seq[Any] = a.toObjectArray(StringType).toSeq

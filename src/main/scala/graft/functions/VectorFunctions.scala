@@ -104,6 +104,9 @@ object VectorFunctions {
       "word_shingles", exprs => WordShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "hashed_word_shingles", exprs => HashedWordShingles(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprint",
+      exprs => WinnowedFingerprint(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
   }
 
   /** Column handles for the native expressions (require register()). */
@@ -112,6 +115,8 @@ object VectorFunctions {
     call_function("word_shingles", text, lit(n))
   def hashedWordShingles(text: Column, n: Int): Column =
     call_function("hashed_word_shingles", text, lit(n))
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fingerprint", text, lit(k), lit(w))
 
   /** Builtin-composed equivalent (zip_with + aggregate fold; same
     * left-to-right double accumulation — used to cross-check the native

@@ -177,6 +177,33 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing near-dup pairs: docs sharing >= minShared selected k-gram
+    * rolling hashes (Schleimer et al. winnowing; character-level, robust to
+    * word-boundary edits unlike word shingles). Same inverted-index pair
+    * generation as jaccardPairs — one shuffle on the fingerprint hash. */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                  minOverlap: Double = 0.6): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    val fp = docs.select(col("doc_id"),
+      VectorFunctions.winnowFingerprint(col("text"), k, w).as("fp"))
+      .filter(size(col("fp")) > 0)
+    val sizes = fp.select(col("doc_id"), size(col("fp")).as("n_fp"))
+    val posting = fp.select(col("doc_id"), explode(col("fp")).as("h"))
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), "doc_b")
+      // overlap coefficient: shared / smaller fingerprint set
+      .withColumn("overlap",
+        col("shared_fp").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"), col("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact embedding near-dup pairs: cosine >= threshold over all id<id
     * pairs via broadcast nested-loop + the codegen'd cosine expression.
     * Exact and fine to ~10^4 vectors per block; beyond that, generate
@@ -200,7 +227,8 @@ object Dedup {
     "q21_dedup_jaccard" -> ((s, d) => jaccardPairs(Tables.documents(s, d))),
     "q22_dedup_minhash" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q23_dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
-    "q24_embed_neardup" -> ((s, d) => embeddingNearDup(s, Tables.embeddings(s, d)))
+    "q24_embed_neardup" -> ((s, d) => embeddingNearDup(s, Tables.embeddings(s, d))),
+    "q34_dedup_winnow" -> ((s, d) => winnowPairs(Tables.documents(s, d)))
   )
 
   /** DuckDB oracles. q22 shares q21's oracle: verified-candidate output

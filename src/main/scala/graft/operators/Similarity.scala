@@ -96,11 +96,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * partitions the corpus into nlist cells; a query scores only the
+    * vectors in its nprobe nearest cells (exact cosine re-rank inside).
+    *
+    * At 100 TB the assigned corpus is written partitioned by cell id, so a
+    * query touches nprobe partitions — the classic IVF index expressed as
+    * Spark partition pruning. Training samples the corpus; assignment is one
+    * broadcast map-side pass (centroids are tiny). */
+  def ivfTopK(spark: SparkSession, embs: DataFrame, queryMaxId: Long = 10,
+              k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.register(spark)
+    val vecs = embs.select(col("vec_id"), col("embedding"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("prediction").as("cell"))
+    // centroid table (tiny, broadcast): query → nprobe nearest cells
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val q = embs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorFunctions.cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_brute" -> ((s, d) => bruteForceTopK(s, Tables.embeddings(s, d))),
-    "q26_ann_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d)))
+    "q26_ann_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
+    "q29_ann_ivf" -> ((s, d) => ivfTopK(s, Tables.embeddings(s, d)))
   )
 
   /** Oracle for the exact path only (q26 is approximate by construction). */

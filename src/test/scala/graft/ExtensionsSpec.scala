@@ -60,12 +60,43 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.size <= brute.size)
   }
 
+  test("IVF ANN: nprobe cells achieve usable recall vs brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(spark, embs, queryMaxId = 10, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, embs, queryMaxId = 10, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed") // random vectors: cells carry little signal
+    assert(ivf.size <= brute.size)
+  }
+
   test("exact dedup groups: empty at sf0.01 (no planted exact dups), keys stable") {
     assert(Dedup.exactDupGroups(Tables.documents(spark, sf)).count() == 0)
     val sf01 = "/root/testdata/sf0.1"
     val groups = Dedup.exactDupGroups(Tables.documents(spark, sf01))
     assert(groups.count() > 0) // sf0.1 has planted exact dups
     assert(groups.filter(col("doc_id") === col("keep_id") && col("n_dups") === 1).count() == 0)
+  }
+
+  test("winnowing fingerprints: identical normalized text == identical set; near-dups overlap") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select(graft.functions.VectorFunctions.winnowFingerprint(col("text"), 8, 4).as("fp"))
+      .collect().head.getSeq[Long](0)
+    val a = fp("the quick brown fox jumps over the lazy dog again and again")
+    val b = fp("THE  quick   brown fox jumps over the lazy dog again and again") // case+ws normalize
+    assert(a == b)
+    val c = fp("completely different content with nothing shared at all here")
+    assert(a.toSet.intersect(c.toSet).size < a.size / 4)
+    // planted near-dups in the corpus surface as high-overlap pairs
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.winnowPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Dedup.jaccardPairs(docs, 0.95).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(pairs), s"missed: ${planted.diff(pairs).take(3)}")
   }
 
   test("language id is deterministic and covers every doc") {
