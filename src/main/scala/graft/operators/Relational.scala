@@ -255,6 +255,28 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  // q35 — 5-way star join (TPC-H Q5 shape): region → nation → customer →
+  // orders → lineitem. Catalyst reorders; region/nation/customer broadcast;
+  // the single shuffle pair is orders⋈lineitem on the order key.
+  def q35RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Engine-side catalog surface (C1-C4, gold_catalog.py:52-84): register the
     * testdata as views and answer ad-hoc SQL — the reference's demo query
     * transposed. Verified rows-only (DuckDB SHOW/DESCRIBE differ in shape). */
@@ -284,7 +306,8 @@ object Relational {
     "q16_scalars" -> q16Scalars _,
     "q17_having_agg" -> q17HavingAgg _,
     "q18_catalog_sql" -> q18CatalogSql _,
-    "q28_distinct_stats" -> q28DistinctStats _
+    "q28_distinct_stats" -> q28DistinctStats _,
+    "q35_region_revenue" -> q35RegionRevenue _
   )
 
   /** DuckDB-dialect oracle SQL, value- and name-aligned with the Spark side. */
@@ -442,6 +465,19 @@ object Relational {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin
   )
 }
