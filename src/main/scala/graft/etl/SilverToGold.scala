@@ -56,12 +56,14 @@ object SilverToGold {
         date_format(col("approach_date"), "E").as("weekday"))
 
   /** A3: dim_celestial_body — deterministic surrogate key (vs the reference's
-    * partition-dependent monotonically_increasing_id, `:58-61`). */
+    * partition-dependent monotonically_increasing_id, `:58-61`). Content-
+    * derived (xxhash64 of the natural key) rather than rank-derived: ranks
+    * shift as new bodies appear in later batches, hashes never do — required
+    * for cross-day dim merging (writeMerged). */
   def dimCelestialBody(silver: DataFrame): DataFrame =
     silver.select(col("approaching_body")).na.drop().distinct()
       .select(
-        dense_rank().over(Window.orderBy(col("approaching_body")))
-          .cast("bigint").as("celestial_body_id"),
+        abs(xxhash64(col("approaching_body"))).as("celestial_body_id"),
         col("approaching_body"))
 
   /** J1 + J2 + P4: fact — silver ⋈ dim_date (expression join) ⋈
@@ -101,6 +103,41 @@ object SilverToGold {
     g.dimDate.write.mode(mode).parquet(s"$goldDir/dim_date")
     g.dimCelestialBody.write.mode(mode).parquet(s"$goldDir/dim_celestial_body")
     g.fact.write.mode(mode).parquet(s"$goldDir/fact_asteroid_approach")
+  }
+
+  /** Idempotent dim maintenance (the warehouse-correct alternative to the
+    * reference's append duplication, SURVEY §7): union the incoming dim with
+    * the stored one, keep a deterministic winner per natural key, then
+    * atomically swap via staging-dir rename (never overwrite a path that is
+    * an input of the running plan). */
+  def mergeDim(spark: SparkSession, incoming: DataFrame, path: String,
+               keyCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new Path(path)))
+        spark.read.parquet(path).unionByName(incoming)
+      else incoming
+    val orderCols: Seq[org.apache.spark.sql.Column] = {
+      val rest = merged.columns.filterNot(keyCols.contains).map(asc_nulls_last).toSeq
+      if (rest.nonEmpty) rest else Seq(asc_nulls_last(keyCols.head))
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val deduped = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val staging = new Path(path + ".__staging")
+    deduped.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val target = new Path(path)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
+  /** Merge-mode gold write: dims stay unique across daily runs, fact appends. */
+  def writeMerged(spark: SparkSession, g: Gold, goldDir: String): Unit = {
+    mergeDim(spark, g.dimAsteroid, s"$goldDir/dim_asteroid", Seq("asteroid_id"))
+    mergeDim(spark, g.dimDate, s"$goldDir/dim_date", Seq("date_id"))
+    mergeDim(spark, g.dimCelestialBody, s"$goldDir/dim_celestial_body", Seq("approaching_body"))
+    g.fact.write.mode(SaveMode.Append).parquet(s"$goldDir/fact_asteroid_approach")
   }
 
   /** Read one processing-date partition of silver via a partition-pruning

@@ -287,6 +287,54 @@ object Relational {
         |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin)
   }
 
+  // q36 — correlated scalar subquery (Catalyst decorrelates into an agg+join;
+  // SURVEY §4.2 "subquery decorrelation available but unexercised").
+  def q36ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2.0 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  // q37 — IN + NOT EXISTS subqueries (semi/anti via the SQL surface).
+  def q37InExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  // q38 — pivot: order counts per priority spread across status columns
+  // (expressed as conditional aggregation — identical semantics in any SQL).
+  def q38Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  // q39 — exact percentiles (sort-based; both engines interpolate
+  // (a+b)/2-style on the same doubles → deterministic).
+  def q39Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -307,7 +355,11 @@ object Relational {
     "q17_having_agg" -> q17HavingAgg _,
     "q18_catalog_sql" -> q18CatalogSql _,
     "q28_distinct_stats" -> q28DistinctStats _,
-    "q35_region_revenue" -> q35RegionRevenue _
+    "q35_region_revenue" -> q35RegionRevenue _,
+    "q36_scalar_subquery" -> q36ScalarSubquery _,
+    "q37_in_exists" -> q37InExists _,
+    "q38_pivot" -> q38Pivot _,
+    "q39_percentiles" -> q39Percentiles _
   )
 
   /** DuckDB-dialect oracle SQL, value- and name-aligned with the Spark side. */
@@ -478,6 +530,33 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY r_name, n_name
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q36_scalar_subquery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2.0 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q37_in_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q38_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -50,4 +50,34 @@ class MultiDayPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       processingDate = "2026-08-15", batchId = 300L)
     assert(spark.read.parquet(layout.silver).count() == 8)
   }
+
+  test("merge-mode gold keeps dims unique across days") {
+    val wh = Files.createTempDirectory("graft_wh3").toString
+    val layout = Pipeline.Layout(wh)
+
+    def runDay(fixtureName: String, date: String, batch: Long): Unit = {
+      val silverDf = BronzeToSilver.transform(
+        BronzeToSilver.readBronze(spark, fixture(fixtureName)), batch,
+        Some(java.time.LocalDate.parse(date)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+      BronzeToSilver.write(silverDf, layout.silver)
+      val g = SilverToGold.build(
+        SilverToGold.readSilverPartition(spark, layout.silver, date))
+      SilverToGold.writeMerged(spark, g, layout.gold)
+    }
+    runDay("feed_basic.json", "2026-08-14", 100L)
+    runDay("feed_edge_cases.json", "2026-08-15", 200L)
+    runDay("feed_edge_cases.json", "2026-08-15", 201L) // re-run same day
+
+    val bodies = spark.read.parquet(s"${layout.gold}/dim_celestial_body")
+    assert(bodies.count() == bodies.select("approaching_body").distinct().count())
+    assert(bodies.filter(col("approaching_body") === "Earth").count() == 1)
+    val asteroids = spark.read.parquet(s"${layout.gold}/dim_asteroid")
+    assert(asteroids.count() ==
+      asteroids.select("asteroid_id").distinct().count())
+    val dates = spark.read.parquet(s"${layout.gold}/dim_date")
+    assert(dates.count() == dates.select("date_id").distinct().count())
+    // fact keeps appending (3 batches: 3 + 5 + 5 rows)
+    assert(spark.read.parquet(s"${layout.gold}/fact_asteroid_approach").count() == 13)
+  }
 }

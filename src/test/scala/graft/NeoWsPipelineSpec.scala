@@ -93,11 +93,14 @@ class NeoWsPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.dimAsteroid.filter(col("asteroid_id") === "9000001").count() == 1)
     // null approach dates dropped (9000002 empty, 9000004 missing date)
     assert(g.dimDate.collect().map(_.getAs[Int]("date_id")).toSet == Set(20260814))
-    // body dim: dense_rank over name → Earth=1, Venus would only appear via
-    // approach[0]; ids deterministic
+    // body dim: content-hash ids — only Earth survives approach[0]; the id
+    // is a pure function of the name (stable across batches/rebuilds)
     val bodies = g.dimCelestialBody.collect()
       .map(r => r.getAs[String]("approaching_body") -> r.getAs[Long]("celestial_body_id")).toMap
-    assert(bodies == Map("Earth" -> 1L))
+    assert(bodies.keySet == Set("Earth"))
+    val again = SilverToGold.dimCelestialBody(silverEdge).collect()
+      .map(r => r.getAs[String]("approaching_body") -> r.getAs[Long]("celestial_body_id")).toMap
+    assert(bodies == again)
   }
 
   test("gold fact: left joins keep null-date rows; referential integrity (J1/J2)") {
