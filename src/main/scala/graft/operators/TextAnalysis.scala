@@ -88,9 +88,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking: split each document into token windows of
+    * `chunkTokens` with `overlap` tokens of overlap — the standard prep step
+    * for embedding/attention-window pipelines. Declarative: one posexplode
+    * over the window starts, chunk text rebuilt with slice+array_join (few
+    * chunks per doc, so the HOF cost is per-chunk, not per-token). */
+  def chunk(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens)
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      // window starts: 0, stride, 2*stride, ... while start < n_tok
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), greatest((col("n_tok") - lit(1)) / lit(stride), lit(0)).cast("int"))))
+      .withColumn("start", col("chunk_idx") * lit(stride))
+      .filter(col("start") < col("n_tok"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"), col("start") + lit(1), lit(chunkTokens)), " ").as("chunk_text"),
+        least(col("n_tok") - col("start"), lit(chunkTokens)).cast("int").as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Corpus-relative term relevance (tf/df — the idf-free integer-exact
+    * variant of tf-idf): document frequency over the corpus, term frequency
+    * per doc, top-3 terms per doc by tf/df. Two shuffles total: the df
+    * aggregate (broadcast back) and the per-doc window. */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
+    "q43_top_terms" -> ((s, d) => topTerms(Tables.documents(s, d))),
     "q30_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q31_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q32_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -112,6 +156,34 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    "q42_text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, len(w) AS n, CAST(i AS INT) AS chunk_idx,
+        |    CAST(i * 24 AS INT) AS start
+        |  FROM t, unnest(range(0, (len(w)-1)//24 + 1)) AS r(i)
+        |  WHERE i * 24 < len(w))
+        |SELECT doc_id, chunk_idx,
+        |  list_aggr(w[start+1 : start+32], 'string_agg', ' ') AS chunk_text,
+        |  CAST(least(n - start, 32) AS INT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q43_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |j AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+        |  FROM tf t JOIN df d USING (term)),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INT) AS rank FROM j)
+        |SELECT doc_id, rank, term, tf, df, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q30_text_langid" -> {
       val langs = stopwords.keys.toSeq.sorted
       s"""WITH t AS (
