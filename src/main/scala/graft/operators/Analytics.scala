@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Corpus/product analytics operators rounding out the engine surface:
+  * embedding pooling, event funnels, and dataset profiling.
+  */
+object Analytics {
+
+  /** Per-label embedding centroids in long form (label, dim_idx, centroid):
+    * element-wise mean via posexplode + exact decimal accumulation. Linear
+    * in corpus size; the (label, dim) aggregate is one shuffle of
+    * rows x dim compact tuples — the standard class-centroid / avg-pool op. */
+  def labelCentroids(embs: DataFrame): DataFrame =
+    embs.select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(
+        (sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim_idx"))
+
+  /** Signup→purchase funnel: per user, first signup and the first purchase
+    * AFTER it, with the conversion delay. Expressed as two min-aggregates
+    * and one broadcastable join — no window over the full event stream. */
+  def funnel(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    signup.join(purchases, Seq("user_id"), "left")
+      .filter(col("purchase_ts").isNull || col("purchase_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("purchase_ts")).as("first_purchase_ts"))
+      // integer div (not `/`: double division then cast) — matches `//`
+      .withColumn("seconds_to_convert",
+        expr("(unix_micros(first_purchase_ts) - unix_micros(signup_ts)) div 1000000"))
+      .select(col("user_id"), col("signup_ts"), col("first_purchase_ts"),
+        col("seconds_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Column profile of lineitem: null count, distinct count, min/max per
+    * numeric column — the generated-per-column data-quality pass (schema-
+    * driven; one scan, one aggregate row per metric set). */
+  def profileLineitem(li: DataFrame): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
+    "q45_event_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q46_profile" -> ((s, d) => profileLineitem(Tables.lineitem(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q44_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, CAST(r.i AS INT) AS dim_idx, embedding[r.i + 1] AS v
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS r(i))
+        |SELECT label, dim_idx,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS centroid,
+        |  COUNT(*) AS n
+        |FROM u GROUP BY label, dim_idx
+        |ORDER BY label, dim_idx""".stripMargin,
+    "q45_event_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, ts AS purchase_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_ts,
+        |  min(p.purchase_ts) AS first_purchase_ts,
+        |  CAST((epoch_us(min(p.purchase_ts)) - epoch_us(s.signup_ts)) // 1000000
+        |    AS BIGINT) AS seconds_to_convert
+        |FROM s LEFT JOIN p
+        |  ON s.user_id = p.user_id AND p.purchase_ts >= s.signup_ts
+        |GROUP BY s.user_id, s.signup_ts
+        |ORDER BY s.user_id""".stripMargin,
+    "q46_profile" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS l_quantity_distinct,
+        |  MIN(l_quantity) AS l_quantity_min, MAX(l_quantity) AS l_quantity_max,
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
+        |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS l_extendedprice_distinct,
+        |  MIN(l_extendedprice) AS l_extendedprice_min, MAX(l_extendedprice) AS l_extendedprice_max,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_nulls,
+        |  CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS l_discount_distinct,
+        |  MIN(l_discount) AS l_discount_min, MAX(l_discount) AS l_discount_max,
+        |  CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_tax_nulls,
+        |  CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS l_tax_distinct,
+        |  MIN(l_tax) AS l_tax_min, MAX(l_tax) AS l_tax_max
+        |FROM lineitem""".stripMargin
+  )
+}
