@@ -57,15 +57,31 @@ object Analytics {
     li.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic corpus sample: order by a content-independent hash of the
+    * key and take n — a reproducible "random" sample (same rows on every
+    * engine/run/partitioning), the right primitive for training-data
+    * subset selection. TABLESAMPLE/rand() are nondeterministic across
+    * engines; hash-ordering is not. */
+  def deterministicSample(docs: DataFrame, n: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      md5(col("doc_id").cast("string")).as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(n)
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_sample" -> ((s, d) => deterministicSample(Tables.documents(s, d))),
     "q44_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
     "q45_event_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q46_profile" -> ((s, d) => profileLineitem(Tables.lineitem(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
+    "q48_sample" ->
+      """SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+        |FROM documents
+        |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
     "q44_label_centroids" ->
       """WITH u AS (
         |  SELECT label, CAST(r.i AS INT) AS dim_idx, embedding[r.i + 1] AS v

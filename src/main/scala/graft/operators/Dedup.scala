@@ -88,12 +88,26 @@ object Dedup {
     * `numHashes` mins in a single partial+final hash aggregate. */
   /** Expects a pre-hashed shingle column (array<long>). The per-seed hash
     * family derives from the 8-byte shingle hash — re-hashing the shingle
-    * STRING numHashes times per posting row would dominate at corpus scale. */
+    * STRING numHashes times per posting row would dominate at corpus scale.
+    * Returns (doc_id, sig array<long>). */
   def minhashSignatures(sh64: DataFrame, numHashes: Int): DataFrame = {
     val posting = sh64.select(col("doc_id"), explode(col("sh")).as("s64"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s64"))).as(s"h$i"))
     posting.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Same signature shape via the typed MinHashAggregator (one array buffer
+    * per key instead of numHashes aggregate columns). */
+  def minhashSignaturesTyped(sh64: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh64.sparkSession
+    import spark.implicits._
+    sh64.select(col("doc_id"), explode(col("sh")).as("s64"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.MinHashAggregator(numHashes).toColumn.name("sig"))
+      .toDF("doc_id", "sig")
   }
 
   /** MinHash + LSH near-dup pairs, exact-verified.
@@ -109,13 +123,16 @@ object Dedup {
     * Verification intersects the HASHED shingle sets (array<long>) — same
     * jaccard as the string sets up to 2^-64 collisions, far cheaper. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
-                   numHashes: Int = 60, bands: Int = 10): DataFrame = {
+                   numHashes: Int = 60, bands: Int = 10,
+                   typedAggregator: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = shingledHashed(docs).cache()
-    val sig = minhashSignatures(sh, numHashes)
+    val sig =
+      if (typedAggregator) minhashSignaturesTyped(sh, numHashes)
+      else minhashSignatures(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
-      xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
+      xxhash64((b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1)): _*)
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bucket")

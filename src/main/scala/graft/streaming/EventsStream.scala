@@ -135,6 +135,26 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * view events in the preceding hour. Both sides watermarked; the time
+    * bound lets the engine discard state past the interval — the canonical
+    * streaming enrichment join. Works identically on batch frames. */
+  def viewToPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("view_ts"))
+  }
+
   /** Open-session state carried between micro-batches (micros + exact sum). */
   case class SessState(startUs: Long, endUs: Long, n: Long, sum: BigDecimal)
 
@@ -193,10 +213,23 @@ object EventsStream {
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q19_sessionize" -> ((s, d) => sessionWindows(Tables.events(s, d)))
+    "q19_sessionize" -> ((s, d) => sessionWindows(Tables.events(s, d))),
+    "q47_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      viewToPurchaseJoin(ev, ev)
+        .orderBy(col("user_id"), col("purchase_ts"), col("view_ts"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
+    "q47_interval_join" ->
+      """SELECT p.user_id AS user_id, p.ts AS purchase_ts,
+        |  p.value AS purchase_value, v.ts AS view_ts
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id, purchase_ts, view_ts""".stripMargin,
     "q19_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

@@ -34,6 +34,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lsh = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect().toSet
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
     assert(lsh == exact)
+    // typed-Aggregator signature path converges to the same verified pairs
+    val typed = Dedup.minhashPairs(docs, typedAggregator = true)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(typed == exact)
   }
 
   test("simhash pairs cover the high-jaccard planted near-dups") {

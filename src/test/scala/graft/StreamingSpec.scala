@@ -49,6 +49,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.count() > 0)
   }
 
+  test("stream-stream interval join (AvailableNow) == batch join") {
+    val s1 = EventsStream.readStream(spark, sf)
+    val s2 = EventsStream.readStream(spark, sf)
+    val got = EventsStream.runToBatch(spark,
+      EventsStream.viewToPurchaseJoin(s1, s2), "vp_join")
+    val ev = Tables.events(spark, sf)
+    val want = EventsStream.viewToPurchaseJoin(ev, ev)
+    assert(asSet(got) == asSet(want))
+    assert(got.count() > 0)
+  }
+
   test("streaming flatMapGroupsWithState sessionize emits exact batch sessions") {
     val stream = EventsStream.sessionizeStream(spark, EventsStream.readStream(spark, sf)).toDF()
     val got = EventsStream.runToBatch(spark, stream, "state_sessions")
