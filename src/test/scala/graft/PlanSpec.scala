@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.GraftSession
+
+/** Plan-shape regression tests: the perf-by-construction properties the
+  * engine claims (pushdown, broadcast dims, partial aggregation) must be
+  * visible in the physical plan, not just hoped for. String-level checks on
+  * explain output — cheap, and they fail loudly if a refactor silently
+  * de-optimizes a plan (e.g. a UDF blocking pushdown). */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("plan-spec", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    // read schema carries only the 4 projected + filter columns
+    assert(!p.contains("l_returnflag"), "scan should not read unused columns")
+  }
+
+  test("q03: dims join via broadcast, no shuffle on the dim sides") {
+    val p = plan("q03_top_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    // (codegen spans are only annotated in the finalized AQE plan, so the
+    // shape check stops at the partial/final aggregate pair)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial and final HashAggregate")
+  }
+
+  test("q11: star fact build broadcasts every dim") {
+    val p = plan("q11_star_fact")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "all three dims should broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q25: cosine expression stays inside whole-stage codegen") {
+    val p = plan("q25_ann_brute")
+    assert(p.toLowerCase.contains("cosine"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set should broadcast")
+  }
+}
