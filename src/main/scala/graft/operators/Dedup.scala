@@ -248,6 +248,42 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components over a pair list by iterative min-label
+    * propagation: every node's label converges to the smallest doc_id in its
+    * component (the canonical keeper). Driver-side loop bounded by graph
+    * diameter, one shuffle per iteration — the standard scalable pattern for
+    * transitive dedup closure (near-dup pairs are sparse; components are
+    * short chains, so few iterations). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      next.count()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,7 +292,9 @@ object Dedup {
     "q22_dedup_minhash" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q23_dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q24_embed_neardup" -> ((s, d) => embeddingNearDup(s, Tables.embeddings(s, d))),
-    "q34_dedup_winnow" -> ((s, d) => winnowPairs(Tables.documents(s, d)))
+    "q34_dedup_winnow" -> ((s, d) => winnowPairs(Tables.documents(s, d))),
+    "q49_dup_clusters" -> ((s, d) =>
+      connectedComponents(jaccardPairs(Tables.documents(s, d))))
   )
 
   /** DuckDB oracles. q22 shares q21's oracle: verified-candidate output
@@ -291,6 +329,32 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_jaccard" -> jaccardOracle,
     "q22_dedup_minhash" -> jaccardOracle,
+    // transitive closure of the near-dup pairs via recursive CTE
+    "q49_dup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a AS src, a AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
     // DuckDB's list_cosine_similarity over DOUBLE[] matches the engine's
     // sequential-accumulation cosine bit-exactly (verified empirically).
     "q24_embed_neardup" ->
