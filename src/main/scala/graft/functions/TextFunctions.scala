@@ -14,10 +14,11 @@ object TextFunctions {
     * `regexp_split_to_array(trim(text), '\s+')`. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles ("a b c" strings) from a tokens column.
-    * Built with element_at + concat_ws rather than slice + array_join: the
-    * per-shingle array allocation of slice() dominated the corpus scan
-    * (measured 6s -> ~1s over 5k docs). Empty array when the document has
+  /** Distinct word n-gram shingles ("a b c" strings) from a tokens column —
+    * the pure-builtin (HOF) reference implementation, kept as the
+    * cross-check twin for the native `WordShingles` expression (which is
+    * ~30x faster: interpreted lambdas pay per-SHINGLE overhead, the
+    * expression loops once per row). Empty array when the document has
     * fewer than n tokens (guards `sequence`'s descending-step surprise).
     * DuckDB twin: list comprehension over `w[i:i+n-1]`. */
   def shinglesFromTokens(t: Column, n: Int): Column =
@@ -30,22 +31,6 @@ object TextFunctions {
 
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
-  /** xxhash64 of each token (pair with hashedShinglesFromTokenHashes —
-    * materialize this as its own projected column first, or the hash array
-    * re-evaluates per shingle inside the nested lambda). */
-  def tokenHashes(t: Column): Column = transform(t, tok => xxhash64(tok))
-
-  /** Distinct HASHED n-gram shingles (array<long>) from a PRE-COMPUTED
-    * token-hash array: combines n consecutive token hashes per shingle — no
-    * string materialization at all. Set-equivalent to `shingles` up to 2^-64
-    * collisions; this is the form the MinHash path consumes. */
-  def hashedShinglesFromTokenHashes(th: Column, n: Int): Column =
-    when(size(th) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(th) - lit(n)),
-          i => xxhash64((1 to n).map(k => element_at(th, i + lit(k))): _*))))
-      .otherwise(array().cast("array<bigint>"))
 
   /** Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the canonical "document fingerprint" for near-identical layout

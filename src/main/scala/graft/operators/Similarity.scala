@@ -33,7 +33,7 @@ object Similarity {
   }
 
   private def dotLit(emb: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit): _*)
+    val planeCol = array(plane.toIndexedSeq.map(lit): _*)
     aggregate(
       zip_with(emb, planeCol, (x, p) => x.cast("double") * p),
       lit(0.0), (acc, x) => acc + x)

@@ -28,6 +28,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.filter(col("native") =!= col("builtin")).count() == 0)
   }
 
+  test("native WordShingles expression == builtin HOF shingle composition") {
+    import graft.functions.{TextFunctions, VectorFunctions}
+    VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(100)
+    val both = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"),
+        VectorFunctions.wordShingles(col("text"), 3).as("native"))
+      .select(col("doc_id"), col("native"),
+        TextFunctions.shinglesFromTokens(col("toks"), 3).as("hof"))
+      // set equality: sort both (distinct arrays, order may differ)
+      .filter(array_sort(col("native")) =!= array_sort(col("hof")))
+    assert(both.count() == 0)
+  }
+
   test("minhash+LSH pairs == exact jaccard pairs on this corpus") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs).select("doc_a", "doc_b").collect().toSet
