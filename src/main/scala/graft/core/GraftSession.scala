@@ -35,6 +35,10 @@ object GraftSession {
       // reader rejects; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // split-size ceiling: with executor memory sized for ~4 concurrent
+      // 128 MB columnar batches per core, scans neither spill nor starve
+      // parallelism at 100 TB (tune with executor memory, not per query)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

@@ -68,9 +68,22 @@ object Analytics {
       .orderBy(col("sample_key"), col("doc_id"))
       .limit(n)
 
+  /** Salted-join demonstration on the verified surface: lineitem (suppkey
+    * is the skew-prone key at scale) joined to supplier through
+    * Skew.saltedJoin — results must be identical to the plain join, which
+    * is exactly what the oracle asserts. */
+  def saltedSupplierJoin(s: SparkSession, d: String): DataFrame =
+    graft.core.Skew.saltedJoin(
+      Tables.lineitem(s, d), Tables.supplier(s, d),
+      bigKey = "l_suppkey", smallKey = "s_suppkey",
+      bigRowId = col("l_orderkey") * lit(16) + col("l_linenumber"), n = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_salted_join" -> (saltedSupplierJoin _),
     "q48_sample" -> ((s, d) => deterministicSample(Tables.documents(s, d))),
     "q44_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
     "q45_event_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -78,6 +91,10 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q50_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, s_name""".stripMargin,
     "q48_sample" ->
       """SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
         |FROM documents
