@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: keeps the queries/oracleSql maps from
+  * drifting as operators are added in later rounds. */
+class ContractSpec extends AnyFunSuite {
+
+  /** Approximate operators with hash-dependent output — intentionally
+    * rows-only (no oracle). Additions must be deliberate. */
+  val rowsOnly: Set[String] = Set(
+    "q23_dedup_simhash", "q26_ann_lsh", "q29_ann_ivf", "q34_dedup_winnow")
+
+  test("every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("every query is oracle-backed or explicitly rows-only") {
+    val unaccounted = SparkEntry.queries.keySet
+      .diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
+    assert(unaccounted.isEmpty,
+      s"queries with neither oracle nor rows-only waiver: $unaccounted")
+  }
+
+  test("query names are unique across operator modules (no silent overwrite)") {
+    import graft.operators._
+    import graft.streaming.EventsStream
+    val parts = Seq(Relational.queries, Dedup.queries, TextAnalysis.queries,
+      Similarity.queries, Multimodal.queries, EventsStream.queries,
+      AsOfJoin.queries, Analytics.queries)
+    assert(parts.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name collapsed during map concatenation")
+  }
+
+  test("oracle SQL has no tab/CR characters (driver JSON escaping hazard)") {
+    val bad = SparkEntry.oracleSql.filter { case (_, sql) => sql.exists(c => c == '\t' || c == '\r') }
+    assert(bad.isEmpty, s"control chars in: ${bad.keys}")
+  }
+}
