@@ -244,6 +244,46 @@ object Relational {
       .filter(col("n_lines") >= lit(6))
       .orderBy(col("l_orderkey"))
 
+  // q51 — ntile bucketing: quartiles of customers by balance per segment.
+  def q51Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  // q52 — sliding-frame moving average (3 preceding .. current) per supplier.
+  def q52MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (sum(col("l_quantity").cast("decimal(30,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("qty_ma4"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // q53 — lag/lead deltas: order-to-order totalprice change per customer.
+  def q53LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // q54 — ordered string aggregation (listagg within group).
+  def q54ListAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .groupBy(col("n_regionkey"))
+      // collect_list order is partition-dependent; sort before joining so
+      // the aggregation is deterministic (== string_agg ... ORDER BY)
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("n_regionkey"))
+
   // q28 — exact distinct aggregation (expand + two-phase agg under the hood;
   // approx_count_distinct (HLL++) is the sketch alternative, not oracle-able).
   def q28DistinctStats(s: SparkSession, dir: String): DataFrame =
@@ -359,7 +399,11 @@ object Relational {
     "q36_scalar_subquery" -> q36ScalarSubquery _,
     "q37_in_exists" -> q37InExists _,
     "q38_pivot" -> q38Pivot _,
-    "q39_percentiles" -> q39Percentiles _
+    "q39_percentiles" -> q39Percentiles _,
+    "q51_ntile" -> q51Ntile _,
+    "q52_moving_avg" -> q52MovingAvg _,
+    "q53_lag_lead" -> q53LagLead _,
+    "q54_listagg" -> q54ListAgg _
   )
 
   /** DuckDB-dialect oracle SQL, value- and name-aligned with the Spark side. */
@@ -557,6 +601,33 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
         |  quantile_cont(l_extendedprice, 0.95) AS p95_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q51_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |FROM customer
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q52_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER w AS DOUBLE) /
+        |  CAST(COUNT(*) OVER w AS DOUBLE) AS qty_ma4
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q53_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q54_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
   )
 }
