@@ -84,11 +84,17 @@ case class HashedWordShingles(child: Expression, n: Int) extends ShingleBase {
 }
 
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
-  * public algorithm): rolling polynomial hash over character k-grams of the
-  * normalized text, then the minimum hash of each sliding window of w
-  * consecutive k-gram hashes is selected (rightmost-min tiebreak). Output:
-  * sorted distinct selected hashes — a position-robust fingerprint set whose
-  * overlap measures near-duplication. O(len) per row, array<long> out.
+  * public algorithm): hash each character k-gram of the normalized text,
+  * then the minimum hash of each sliding window of w consecutive k-gram
+  * hashes is selected. Output: sorted distinct selected hashes — a
+  * position-robust fingerprint set whose overlap measures near-duplication.
+  *
+  * The k-gram hash is the cross-engine md5-derived 60-bit value
+  * (TextFunctions.h60 semantics: first 15 md5 hex chars as a long), NOT a
+  * rolling polynomial: md5 costs more per gram but makes the whole operator
+  * reproducible in any engine with md5 — the DuckDB oracle recomputes
+  * identical fingerprints from `substr`+`md5`. O(len) per row, one tight
+  * loop, array<long> out.
   */
 case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -97,10 +103,9 @@ case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  private val Base = 1000003L
-
   override def nullSafeEval(input: Any): Any = {
-    // normalize: lowercase, collapse whitespace runs to single space
+    // normalize: lowercase, collapse whitespace runs to single space —
+    // equals regexp_replace(lower(trim(s)), '\s+', ' ', 'g') on ASCII
     val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
     val sb = new java.lang.StringBuilder(raw.length)
     var prevSpace = false
@@ -113,19 +118,22 @@ case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
     }
     val s = sb.toString.stripTrailing()
     if (s.length < k) return new GenericArrayData(Array.empty[Any])
-    // rolling hash per k-gram
     val nGrams = s.length - k + 1
     val hs = new Array[Long](nGrams)
-    var h = 0L; var pow = 1L
-    var j = 0
-    while (j < k) { h = h * Base + s.charAt(j); if (j < k - 1) pow *= Base; j += 1 }
-    hs(0) = h
-    var p = 1
+    val md = WinnowedFingerprint.digest.get()
+    var p = 0
     while (p < nGrams) {
-      h = (h - s.charAt(p - 1) * pow) * Base + s.charAt(p + k - 1)
-      hs(p) = h; p += 1
+      md.reset()
+      md.update(s.substring(p, p + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      // first 15 hex chars of the md5 = big-endian first-8-bytes >>> 4
+      var l = 0L
+      var b = 0
+      while (b < 8) { l = (l << 8) | (d(b) & 0xffL); b += 1 }
+      hs(p) = l >>> 4
+      p += 1
     }
-    // winnow: min of each window of w hashes, rightmost-min tiebreak
+    // winnow: min of each window of w hashes (set output — ties collapse)
     val selected = new java.util.TreeSet[java.lang.Long]()
     if (nGrams <= w) {
       var m = hs(0); var mi = 0; var q = 1
@@ -148,6 +156,13 @@ case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object WinnowedFingerprint {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 object ShingleExpressions {

@@ -42,4 +42,14 @@ object TextFunctions {
     * md5 at scale (8-byte key vs 32-char string for the dedup shuffle). */
   def contentKey64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Cross-engine 60-bit hash: the first 15 hex chars of md5 as a BIGINT
+    * (always >= 0; top 4 bits clear). Every engine with md5 computes the
+    * identical value — DuckDB twin:
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)` — which makes
+    * hash-dependent operators (SimHash, winnowing) oracle-checkable
+    * bit-for-bit. Use xxhash64 instead when no cross-engine oracle is
+    * needed (one codegen'd pass vs md5's digest + hex + parse). */
+  def h60(x: Column): Column =
+    conv(substring(md5(x), 1, 15), 16, 10).cast("long")
 }

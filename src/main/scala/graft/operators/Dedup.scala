@@ -12,9 +12,10 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * Scale design (the part that matters at 100 TB):
   *   - exact dedup is one hash-shuffle on a 64-bit content key — never on the
   *     raw text (8-byte shuffle keys, not document bodies);
-  *   - n-gram Jaccard pairs use an inverted shingle index join (pairs are
-  *     generated only for docs sharing >=1 shingle — no cartesian product);
-  *     this is the *exact* engine, quadratic in the worst case;
+  *   - n-gram Jaccard pairs use df-ordered prefix filtering (AllPairs):
+  *     candidates are generated only for docs sharing a RARE shingle in
+  *     their similarity prefixes — exact at the given threshold, and the
+  *     posting join never touches high-df shingles;
   *   - MinHash+LSH is the scale path: fixed-width signatures (64 hashes),
   *     banded bucketing (16 bands x 4 rows), candidate pairs only within
   *     buckets, then exact-Jaccard verification of candidates. Cost is
@@ -62,10 +63,53 @@ object Dedup {
   private def jaccardOf(inter: Column, na: Column, nb: Column): Column =
     inter.cast("double") / (na + nb - inter).cast("double")
 
-  /** Exact n-gram Jaccard near-dup pairs (jaccard >= threshold) via an
-    * inverted shingle index: explode shingles, equi-join postings on the
-    * shingle, count shared shingles per pair, compute |A∩B|/|A∪B|. */
+  /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the AllPairs
+    * family, Bayardo et al. WWW'07): order each doc's shingles by global
+    * document frequency (rarest first, ties by hash), keep only the first
+    * `n - ceil(t*n) + 1` as the doc's prefix, and self-join prefixes.
+    *
+    * Exactness: if J(A,B) >= t then |A∩B| >= ceil(t*|A|); the first common
+    * shingle in the global order sits within both prefixes (all earlier
+    * elements of A are A-only, of which there are at most |A| - |A∩B|), so
+    * the prefix join loses no qualifying pair. Candidates are then verified
+    * with true Jaccard over the full hashed shingle sets.
+    *
+    * Scale: the prefix keeps the RAREST ~(1-t) fraction of each doc's
+    * shingles, so the posting self-join runs on low-df keys — both ~25x
+    * fewer posting rows (t=0.8) and ~no high-df collision blowup, vs the
+    * full inverted-index join which is quadratic in per-shingle df. Shuffles:
+    * df count (agg on shingle), prefix ranking (window by doc_id), the
+    * candidate join (on shingle), verification joins (on doc id). */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingledHashed(docs)
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = posting.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        jaccardOf(col("inter"), size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The pure inverted-index exact engine (explode all shingles, equi-join
+    * postings, count shared per pair) — kept as the cross-check twin for
+    * `jaccardPairs`: simpler, same output, quadratic in per-shingle df. */
+  def jaccardPairsInverted(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(docs)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -154,19 +198,21 @@ object Dedup {
     verified
   }
 
-  /** 64-bit SimHash per document: token-frequency-weighted bit votes over
-    * xxhash64(token). All 64 bit-sums aggregate in one pass. */
+  /** 60-bit SimHash per document: token-frequency-weighted bit votes over
+    * the cross-engine md5-derived hash (TextFunctions.h60 — chosen over
+    * xxhash64 so the DuckDB oracle reproduces the exact same fingerprints).
+    * All 60 bit-sums aggregate in one pass. */
   def simhash(docs: DataFrame): DataFrame = {
     // vote ±1 per token OCCURRENCE — identical to frequency-weighted votes
     // over distinct tokens, without the (doc_id, token) pre-count shuffle
     val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("th"))
-    val bitSums = (0 until 64).map { j =>
+      .select(col("doc_id"), TextFunctions.h60(col("t")).as("th"))
+    val bitSums = (0 until 60).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, lit(1L))
         .otherwise(lit(-1L))).as(s"b$j")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { j =>
+    val hash = (0 until 60).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     sums.select(col("doc_id"), hash.as("simhash"))
@@ -174,9 +220,12 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming <= maxHamming. Candidates come from
     * exact-matching any of 8 8-bit chunks — pigeonhole-complete for
-    * hamming <= 7 (empirically the planted near-dups land at hamming 0-5 on
-    * this corpus; short documents flip more simhash bits per edit than long
-    * ones, so the radius is wider than the classic 64-bit/hamming-3 setup). */
+    * hamming <= 7 (the 60-bit hash occupies chunks 0-7 with the top nibble
+    * always clear), so for maxHamming <= 7 the output EQUALS the brute-force
+    * all-pairs hamming join — which is what the DuckDB oracle computes.
+    * Empirically the planted near-dups land at hamming 0-5 on this corpus;
+    * short documents flip more simhash bits per edit than long ones, so the
+    * radius is wider than the classic 64-bit/hamming-3 setup. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val hs = simhash(docs).cache()
     val chunks = hs.select(col("doc_id"), col("simhash"),
@@ -188,7 +237,7 @@ object Dedup {
         col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -255,9 +304,11 @@ object Dedup {
     * transitive dedup closure (near-dup pairs are sparse; components are
     * short chains, so few iterations). */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+    // cache the EDGE list (one materialization of the upstream pair query —
+    // sym reads it twice per iteration, and recomputing a near-dup join per
+    // CC round would dominate the whole operator)
+    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .cache()
@@ -268,18 +319,18 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // one action per iteration: materialize next AND count label changes
+      // in the same pass (the old label rides along instead of re-joining)
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .cache()
-      next.count()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      changed = next.filter(col("label") =!= col("old_label")).count()
       labels.unpersist()
       labels = next
       iter += 1
     }
-    sym.unpersist()
+    e.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -299,8 +350,9 @@ object Dedup {
 
   /** DuckDB oracles. q22 shares q21's oracle: verified-candidate output
     * equals the exact pair set (recall ~1 at the data's jaccard gap; the
-    * planted near-dups sit at >=0.97 vs background <0.3). q23 has no oracle
-    * (hash-function-dependent). */
+    * planted near-dups sit at >=0.97 vs background <0.3). q23's oracle is
+    * the brute-force all-pairs hamming join over the same md5-derived
+    * 60-bit simhash — equal to the chunked engine output by pigeonhole. */
   private val jaccardOracle =
     """WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -329,6 +381,25 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_jaccard" -> jaccardOracle,
     "q22_dedup_minhash" -> jaccardOracle,
+    // brute-force O(n^2) hamming join — fine as an oracle, not as the engine
+    "q23_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT d.doc_id, CAST(('0x' || substr(md5(t.t), 1, 15)) AS BIGINT) AS th
+        |  FROM documents d, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(t)),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN range(60) r(j)
+        |  GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure of the near-dup pairs via recursive CTE
     "q49_dup_clusters" ->
       """WITH RECURSIVE
@@ -355,6 +426,39 @@ object Dedup {
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin,
+    // winnowing, recomputed from first principles: positions -> md5-60bit
+    // k-gram hashes -> window mins -> distinct fingerprint set -> all-pairs
+    // overlap. The engine's maxDf candidate pruning loses no pair on this
+    // corpus (every qualifying pair shares at least one sub-maxDf
+    // fingerprint) — asserted by this oracle, not assumed.
+    "q34_dedup_winnow" ->
+      """WITH nt AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, s, len(s) - 8 + 1 AS ng,
+        |         CAST(unnest(range(1, len(s) - 8 + 2)) AS INT) AS i
+        |  FROM nt WHERE len(s) >= 8),
+        |g AS (
+        |  SELECT doc_id, i, ng,
+        |         CAST(('0x' || substr(md5(substr(s, i, 8)), 1, 15)) AS BIGINT) AS h
+        |  FROM pos),
+        |wm AS (
+        |  SELECT doc_id, i, ng,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g),
+        |fps AS (
+        |  SELECT doc_id, list(DISTINCT mh) AS fp
+        |  FROM wm WHERE i <= greatest(1, ng - 4 + 1) GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.fp, b.fp)) AS BIGINT) AS shared_fp,
+        |  CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE) /
+        |    CAST(least(len(a.fp), len(b.fp)) AS DOUBLE) AS overlap
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE) /
+        |      CAST(least(len(a.fp), len(b.fp)) AS DOUBLE) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // DuckDB's list_cosine_similarity over DOUBLE[] matches the engine's
     // sequential-accumulation cosine bit-exactly (verified empirically).
     "q24_embed_neardup" ->

@@ -15,36 +15,54 @@ import graft.functions.VectorFunctions
   *     top-k per query via window. Cost O(|corpus| x |queries| x dim) but
   *     embarrassingly parallel and scan-bound: the right baseline, and the
   *     right *answer* when queries are few.
-  *   - `lshTopK` — the scale path: random-hyperplane sketches (seeded,
-  *     deterministic) bucket the corpus; a query only scores candidates
-  *     sharing at least one sketch band (partition-local candidate join on
-  *     the band key instead of an all-pairs product). Approximate: recall
-  *     depends on band geometry; exact cosine re-ranks candidates.
+  *   - `lshTopK` — the scale path: sign-random-projection sketches bucket
+  *     the corpus; a query only scores candidates sharing at least one
+  *     sketch band (partition-local candidate join on the band key instead
+  *     of an all-pairs product). Approximate: recall depends on band
+  *     geometry; exact cosine re-ranks candidates.
+  *
+  * Determinism contract (what makes the DuckDB oracles possible): the
+  * hyperplanes are ±1 sign matrices derived from md5 parity (any engine
+  * recomputes them), and projections sum INTEGER-quantized terms
+  * floor(v[i] * 2^20) — float x 2^20 is exact, so the sum is
+  * order-independent and bit-identical on every engine; no float-summation
+  * rounding can flip a bucket bit. The coarse IVF quantizer is the first
+  * `nlist` corpus vectors (the deterministic degenerate case of sampled
+  * centroids — a k-means-trained quantizer drops into the same plan).
   */
 object Similarity {
 
   val Dim = 64
 
-  /** Deterministic pseudo-Gaussian hyperplanes (fixed seed — sketches must
-    * be reproducible across runs/executors). */
-  def hyperplanes(nPlanes: Int, dim: Int = Dim, seed: Long = 42L): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  /** ±1 hyperplane signs from md5 parity: the low bit of the cross-engine
+    * 60-bit hash of "p-i" (TextFunctions.h60 semantics, computed here at
+    * plan-build time). DuckDB twin:
+    * `CASE WHEN CAST(('0x' || substr(md5(p || '-' || i), 1, 15)) AS BIGINT) & 1 = 1
+    *  THEN 1 ELSE -1 END`. */
+  def planeSign(p: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$p-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var l = 0L
+    var b = 0
+    while (b < 8) { l = (l << 8) | (d(b) & 0xffL); b += 1 }
+    if (((l >>> 4) & 1L) == 1L) 1 else -1
   }
 
-  private def dotLit(emb: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+  /** Signed integer-quantized projection: sum_i sign(p,i) * floor(v[i]*2^20)
+    * as a long — exact, order-free, cross-engine-reproducible. */
+  private def quantProj(emb: Column, p: Int, dim: Int): Column = {
+    val signs = array((0 until dim).map(i => lit(planeSign(p, i).toLong)): _*)
     aggregate(
-      zip_with(emb, planeCol, (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, x) => acc + x)
+      zip_with(emb, signs,
+        (x, s) => floor(x.cast("double") * lit(1048576.0)).cast("long") * s),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Sign-sketch bands: nBands band columns, bitsPerBand planes each. */
-  def bandedSketch(emb: Column, nBands: Int, bitsPerBand: Int, seed: Long = 42L): Seq[Column] = {
-    val planes = hyperplanes(nBands * bitsPerBand, seed = seed)
+  def bandedSketch(emb: Column, nBands: Int, bitsPerBand: Int, dim: Int = Dim): Seq[Column] = {
     (0 until nBands).map { b =>
       (0 until bitsPerBand).map { i =>
-        when(dotLit(emb, planes(b * bitsPerBand + i)) > 0, lit(1 << i)).otherwise(lit(0))
+        when(quantProj(emb, b * bitsPerBand + i, dim) > 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
     }
   }
@@ -96,30 +114,32 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
-    * partitions the corpus into nlist cells; a query scores only the
-    * vectors in its nprobe nearest cells (exact cosine re-rank inside).
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    * the corpus into nlist cells; a query scores only the vectors in its
+    * nprobe nearest cells (exact cosine re-rank inside).
+    *
+    * The quantizer is the first `nlist` corpus vectors by vec_id — the
+    * deterministic degenerate case of "centroids sampled from the corpus",
+    * which keeps the whole operator recomputable by the DuckDB oracle.
+    * A k-means-trained centroid table drops into the exact same plan
+    * (broadcast centroids → one map-side argmax assignment pass).
     *
     * At 100 TB the assigned corpus is written partitioned by cell id, so a
     * query touches nprobe partitions — the classic IVF index expressed as
-    * Spark partition pruning. Training samples the corpus; assignment is one
-    * broadcast map-side pass (centroids are tiny). */
+    * Spark partition pruning. */
   def ivfTopK(spark: SparkSession, embs: DataFrame, queryMaxId: Long = 10,
               k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     VectorFunctions.register(spark)
-    val vecs = embs.select(col("vec_id"), col("embedding"),
-      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(vecs)
-    val assigned = model.transform(vecs)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-        col("prediction").as("cell"))
-    // centroid table (tiny, broadcast): query → nprobe nearest cells
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
+    val centroids = embs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // assignment: argmax cosine over the broadcast centroid table (ties to
+    // the lowest cell id) — one map-side pass + a per-vector top-1 window
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))
+    val assigned = embs.crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorFunctions.cosineSim(col("embedding"), col("centroid")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cell"))
     val q = embs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -147,8 +167,69 @@ object Similarity {
     "q29_ann_ivf" -> ((s, d) => ivfTopK(s, Tables.embeddings(s, d)))
   )
 
-  /** Oracle for the exact path only (q26 is approximate by construction). */
+  /** All three paths have full oracles: the approximate engines (q26/q29)
+    * are approximate w.r.t. the true neighbors but fully DETERMINISTIC in
+    * their candidate geometry, so DuckDB recomputes the same sketches /
+    * cell assignments from first principles and must agree bit-for-bit. */
   def oracles: Map[String, String] = Map(
+    "q26_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pl AS (
+        |  SELECT CAST(p AS INT) AS p,
+        |         [CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
+        |               THEN 1 ELSE -1 END for i in range(64)] AS signs
+        |  FROM range(32) r(p)),
+        |proj AS (
+        |  SELECT v.vec_id, pl.p,
+        |         list_sum([CAST(floor(e[CAST(i AS INT)+1] * 1048576) AS BIGINT) * signs[CAST(i AS INT)+1]
+        |                   for i in range(64)]) AS proj
+        |  FROM v CROSS JOIN pl),
+        |buckets AS (
+        |  SELECT vec_id, CAST(p // 4 AS INT) AS band,
+        |         sum(CASE WHEN proj > 0 THEN (1 << CAST(p % 4 AS INT)) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id, p // 4),
+        |cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets qb JOIN buckets cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+        |s AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(qv.e, nv.e) AS cosine
+        |  FROM cand c JOIN v qv ON c.query_id = qv.vec_id JOIN v nv ON c.neighbor_id = nv.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q29_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 16),
+        |ar AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.e, cent.c) DESC, cent.cell) AS arank
+        |  FROM v CROSS JOIN cent),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ar WHERE arank = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT q.query_id, cent.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.neighbor_id),
+        |s AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(qv.e, nv.e) AS cosine
+        |  FROM cand c JOIN v qv ON c.query_id = qv.vec_id JOIN v nv ON c.neighbor_id = nv.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q25_ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
