@@ -6,10 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * drifting as operators are added in later rounds. */
 class ContractSpec extends AnyFunSuite {
 
-  /** Approximate operators with hash-dependent output — intentionally
-    * rows-only (no oracle). Additions must be deliberate. */
-  val rowsOnly: Set[String] = Set(
-    "q23_dedup_simhash", "q26_ann_lsh", "q29_ann_ivf", "q34_dedup_winnow")
+  /** Operators intentionally without a DuckDB oracle (rows-only check).
+    * Empty since round 2: every operator's randomness derives from md5 or
+    * deterministic corpus seeds, so even the approximate engines are
+    * recomputable in SQL. Additions must be deliberate. */
+  val rowsOnly: Set[String] = Set.empty
 
   test("every oracle key has a query") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
@@ -28,7 +29,7 @@ class ContractSpec extends AnyFunSuite {
     import graft.streaming.EventsStream
     val parts = Seq(Relational.queries, Dedup.queries, TextAnalysis.queries,
       Similarity.queries, Multimodal.queries, EventsStream.queries,
-      AsOfJoin.queries, Analytics.queries)
+      AsOfJoin.queries, Analytics.queries, Extended.queries)
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name collapsed during map concatenation")
   }
