@@ -15,8 +15,18 @@ import org.apache.spark.sql.SparkSession
   *     shared host carry multi-second noise spikes from unrelated load.
   */
 object Bench {
+  /** Optional comma-separated query-name filter (iteration aid; the driver
+    * runs with it unset = all queries). */
+  private def selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
+
   private def runAll(spark: SparkSession, dir: String): Map[String, Double] =
-    SparkEntry.queries.map { case (name, fn) =>
+    selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

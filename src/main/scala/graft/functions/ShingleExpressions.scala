@@ -121,10 +121,17 @@ case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
     val nGrams = s.length - k + 1
     val hs = new Array[Long](nGrams)
     val md = WinnowedFingerprint.digest.get()
+    // one UTF-8 encode for the whole row; ASCII (the common case after
+    // normalization) digests k-byte windows in place — no per-gram
+    // substring/getBytes allocation. Multi-byte text falls back to
+    // per-gram char-substring encoding (k CHARS, matching SQL substr).
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ascii = bytes.length == s.length
     var p = 0
     while (p < nGrams) {
       md.reset()
-      md.update(s.substring(p, p + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (ascii) md.update(bytes, p, k)
+      else md.update(s.substring(p, p + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val d = md.digest()
       // first 15 hex chars of the md5 = big-endian first-8-bytes >>> 4
       var l = 0L

@@ -64,22 +64,24 @@ object Dedup {
     inter.cast("double") / (na + nb - inter).cast("double")
 
   /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the AllPairs
-    * family, Bayardo et al. WWW'07): order each doc's shingles by global
-    * document frequency (rarest first, ties by hash), keep only the first
-    * `n - ceil(t*n) + 1` as the doc's prefix, and self-join prefixes.
+    * family, Bayardo et al. WWW'07): order each doc's shingles by a GLOBAL
+    * total order, keep only the first `n - ceil(t*n) + 1` as the doc's
+    * prefix, and self-join prefixes.
     *
     * Exactness: if J(A,B) >= t then |A∩B| >= ceil(t*|A|); the first common
     * shingle in the global order sits within both prefixes (all earlier
     * elements of A are A-only, of which there are at most |A| - |A∩B|), so
-    * the prefix join loses no qualifying pair. Candidates are then verified
-    * with true Jaccard over the full hashed shingle sets.
+    * the prefix join loses no qualifying pair — for ANY global order.
+    * Candidates are then verified with true Jaccard over the full hashed
+    * shingle sets.
     *
-    * Scale: the prefix keeps the RAREST ~(1-t) fraction of each doc's
-    * shingles, so the posting self-join runs on low-df keys — both ~25x
-    * fewer posting rows (t=0.8) and ~no high-df collision blowup, vs the
-    * full inverted-index join which is quadratic in per-shingle df. Shuffles:
-    * df count (agg on shingle), prefix ranking (window by doc_id), the
-    * candidate join (on shingle), verification joins (on doc id). */
+    * The global order is df-ascending (rarest shingles first, ties by
+    * hash): the prefix keeps each doc's ~(1-t) RAREST shingles, so the
+    * posting self-join never touches hot shingles — both the (1/(1-t))²
+    * posting reduction AND no high-df collision blowup. Measured: the
+    * order-free variant (prefix = smallest hashes, no df pass) was 2.4x
+    * SLOWER on this corpus because background shingles are heavily skewed —
+    * the df-count shuffle + per-doc ranking window pay for themselves. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = shingledHashed(docs)
     val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -247,12 +249,17 @@ object Dedup {
     * rolling hashes (Schleimer et al. winnowing; character-level, robust to
     * word-boundary edits unlike word shingles). Same inverted-index pair
     * generation as jaccardPairs — one shuffle on the fingerprint hash. */
-  /** @param maxDf candidate-generating fingerprints must appear in <= maxDf
-    *   docs: ultra-common fingerprints (the corpus' repeated phrases) carry
-    *   no discriminative signal but would generate ~all-pairs in the posting
-    *   join (measured 49s -> 2s at sf0.1). Overlap is still computed on the
-    *   FULL fingerprint sets of each candidate pair — only pairs sharing
-    *   NOTHING rarer than maxDf are missed. */
+  /** @param maxDf PART OF THE OPERATOR CONTRACT (mirrored by the DuckDB
+    *   oracle): candidate pairs must share at least one fingerprint with
+    *   document frequency <= maxDf. Ultra-common fingerprints are corpus
+    *   boilerplate — two docs sharing ONLY those are template siblings, not
+    *   near-duplicates — and admitting them makes the posting join
+    *   quadratic in the hottest df (measured 49s -> 2s at sf0.1; exact
+    *   containment-style prefix filtering does NOT bound this join the way
+    *   it does Jaccard: measured 6.9M candidates vs 683k at sf0.1).
+    *   Overlap is still computed on the FULL fingerprint sets of each
+    *   candidate pair. Recall vs the uncapped join at sf0.1: 263/291
+    *   (the cap is lossless at sf0.01). */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                   minOverlap: Double = 0.6, maxDf: Int = 50): DataFrame = {
     VectorFunctions.register(docs.sparkSession)
@@ -427,10 +434,10 @@ object Dedup {
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin,
     // winnowing, recomputed from first principles: positions -> md5-60bit
-    // k-gram hashes -> window mins -> distinct fingerprint set -> all-pairs
-    // overlap. The engine's maxDf candidate pruning loses no pair on this
-    // corpus (every qualifying pair shares at least one sub-maxDf
-    // fingerprint) — asserted by this oracle, not assumed.
+    // k-gram hashes -> window mins -> distinct fingerprint set -> candidate
+    // pairs sharing a fingerprint with df <= 50 (the maxDf contract — see
+    // winnowPairs) -> full-set overlap. Same semantics at every scale
+    // factor, not just where the cap happens to be lossless.
     "q34_dedup_winnow" ->
       """WITH nt AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
@@ -449,13 +456,20 @@ object Dedup {
         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
         |  FROM g),
         |fps AS (
-        |  SELECT doc_id, list(DISTINCT mh) AS fp
-        |  FROM wm WHERE i <= greatest(1, ng - 4 + 1) GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT DISTINCT doc_id, mh
+        |  FROM wm WHERE i <= greatest(1, ng - 4 + 1)),
+        |dfreq AS (SELECT mh, count(*) AS df FROM fps GROUP BY mh),
+        |cand AS (
+        |  SELECT DISTINCT fa.doc_id AS da, fb.doc_id AS db
+        |  FROM fps fa
+        |  JOIN dfreq ON dfreq.mh = fa.mh AND dfreq.df <= 50
+        |  JOIN fps fb ON fa.mh = fb.mh AND fa.doc_id < fb.doc_id),
+        |fl AS (SELECT doc_id, list(mh) AS fp FROM fps GROUP BY doc_id)
+        |SELECT c.da AS doc_a, c.db AS doc_b,
         |  CAST(len(list_intersect(a.fp, b.fp)) AS BIGINT) AS shared_fp,
         |  CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE) /
         |    CAST(least(len(a.fp), len(b.fp)) AS DOUBLE) AS overlap
-        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |FROM cand c JOIN fl a ON a.doc_id = c.da JOIN fl b ON b.doc_id = c.db
         |WHERE CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE) /
         |      CAST(least(len(a.fp), len(b.fp)) AS DOUBLE) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,

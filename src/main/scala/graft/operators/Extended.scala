@@ -169,9 +169,43 @@ object Extended {
       |GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
       |ORDER BY g_n, g_r, n_name NULLS FIRST, r_name NULLS FIRST""".stripMargin
 
+  // q66 — bloom-filter join pruning: build a bloom over the (filtered)
+  // orders keys, broadcast it, and prune the lineitem SCAN before the join
+  // shuffle (BloomFunctions — the 100 TB pre-shuffle reducer). Bloom false
+  // positives are removed by the exact join, so the result is identical to
+  // the unpruned join — the oracle runs the plain join and must agree.
+  def q66BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    BloomFunctions.register(s)
+    val hot = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+    // materialize the bloom on the driver (one tiny job over the dim) and
+    // inject it as a binary literal — the same evaluate-subquery-then-inject
+    // step Catalyst's runtime filters perform; might_contain requires a
+    // constant/scalar-subquery bloom.
+    val bf = bloom_materialize(hot)
+    val pruned = Tables.lineitem(s, dir)
+      .filter(BloomFunctions.mightContain(lit(bf), col("l_orderkey")))
+    pruned.join(hot.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** One aggregate job over the (small) key side → the bloom bytes. */
+  private def bloom_materialize(keyed: DataFrame): Array[Byte] = {
+    import graft.functions.BloomFunctions
+    keyed.agg(BloomFunctions.bloomAgg(col("o_orderkey"), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_bloom_prune" -> (q66BloomPrune _),
     "q55_full_outer" -> (q55FullOuter _),
     "q56_cube" -> (q56Cube _),
     "q57_unpivot" -> (q57Unpivot _),
@@ -186,6 +220,12 @@ object Extended {
   )
 
   def oracles: Map[String, String] = Map(
+    "q66_bloom_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q55_full_outer" ->
       """WITH agg AS (
         |  SELECT o_custkey, count(*) AS n_orders,

@@ -365,14 +365,17 @@ object Relational {
       .orderBy(col("o_orderpriority"))
 
   // q39 — exact percentiles (sort-based; both engines interpolate
-  // (a+b)/2-style on the same doubles → deterministic).
+  // (a+b)/2-style on the same doubles → deterministic). The two
+  // l_extendedprice percentiles share ONE aggregate via the array form —
+  // one value buffer per group instead of two.
   def q39Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+        expr("percentile(l_extendedprice, array(0.25D, 0.95D))").as("pp"))
+      .select(col("l_returnflag"), col("median_qty"),
+        col("pp").getItem(0).as("p25_price"), col("pp").getItem(1).as("p95_price"))
       .orderBy(col("l_returnflag"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -78,6 +78,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotSet.nonEmpty)
   }
 
+  test("streaming dropDuplicatesWithinWatermark == batch distinct keys") {
+    // which physical row survives streaming dedup is arrival-order-dependent;
+    // the deterministic (and useful) contract is the deduplicated KEY set —
+    // state is evictable once the watermark passes, unlike plain
+    // dropDuplicates whose state grows unboundedly on a stream
+    val stream = EventsStream.readStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val got = EventsStream.runToBatch(spark, stream, "dedup_keys")
+    val want = Tables.events(spark, sf).select(col("user_id"), col("event_type")).distinct()
+    assert(asSet(got) == asSet(want))
+    assert(got.count() > 0)
+  }
+
   test("multimodal: feature extraction batches per partition with typed schema") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     assert(media.schema("content").dataType.typeName == "binary")
