@@ -14,6 +14,10 @@ Test / fork := true
 // parallel suites in one JVM would race on the active session.
 Test / parallelExecution := false
 run / fork := true
+// Bench/Verify print a machine-parsed JSON line; sbt's default LoggedOutput
+// prefixes forked stdout with "[info] ", which broke the driver's parse of
+// BENCH_r01.json. Pass the child's streams through untouched instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -107,6 +107,9 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "winnow_fingerprint",
       exprs => WinnowedFingerprint(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column handles for the native expressions (require register()). */
@@ -117,6 +120,8 @@ object VectorFunctions {
     call_function("hashed_word_shingles", text, lit(n))
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     call_function("winnow_fingerprint", text, lit(k), lit(w))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 
   /** Builtin-composed equivalent (zip_with + aggregate fold; same
     * left-to-right double accumulation — used to cross-check the native

@@ -279,7 +279,10 @@ object Dedup {
     cand
       .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
       .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
-      .withColumn("shared_fp", size(array_intersect(col("fp_a"), col("fp_b"))).cast("bigint"))
+      // fingerprint sets are sorted+distinct: one merge walk per pair
+      // instead of array_intersect's per-row hash set
+      .withColumn("shared_fp",
+        VectorFunctions.sortedIntersectCount(col("fp_a"), col("fp_b")))
       .withColumn("overlap",
         col("shared_fp").cast("double") /
           least(size(col("fp_a")), size(col("fp_b"))).cast("double"))
@@ -310,11 +313,20 @@ object Dedup {
     * diameter, one shuffle per iteration — the standard scalable pattern for
     * transitive dedup closure (near-dup pairs are sparse; components are
     * short chains, so few iterations). */
+  /** Adaptive cutoff: below this many edges the component structure fits
+    * trivially on the driver and a union-find beats paying Spark's
+    * per-action latency once per propagation round (the same adaptivity
+    * argument as the broadcast-join threshold). Near-dup graphs are sparse
+    * — even a 10^10-doc corpus with 0.1% dups stays under a few 10^7
+    * edges — but the distributed loop remains the over-threshold path. */
+  val DriverCcMaxEdges = 1000000L
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     // cache the EDGE list (one materialization of the upstream pair query —
-    // sym reads it twice per iteration, and recomputing a near-dup join per
-    // CC round would dominate the whole operator)
+    // the label loop/union-find reads it repeatedly, and recomputing a
+    // near-dup join per CC round would dominate the whole operator)
     val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    if (e.count() <= DriverCcMaxEdges) return connectedComponentsDriver(e)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -339,6 +351,36 @@ object Dedup {
     }
     e.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver union-find over a collected (small) edge list; every node's
+    * cluster id is the MINIMUM doc_id in its component — identical output
+    * to the distributed min-label loop. */
+  private def connectedComponentsDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    e.unpersist()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // union-by-min keeps roots minimal, so find(x) IS the component min
+    parent.keys.toSeq.sorted
+      .map(x => (x, find(x)))
+      .toDF("doc_id", "cluster_id")
       .orderBy(col("doc_id"))
   }
 

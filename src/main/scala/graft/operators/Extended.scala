@@ -195,6 +195,49 @@ object Extended {
       .orderBy(col("o_orderpriority"))
   }
 
+  // q67 — BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2, b=0.75)
+  // for a fixed query-term set, per (doc, term) — the retrieval-quality
+  // primitive of a training-data search index. Corpus stats (N, avg dl, df)
+  // are one agg each over the token explode; all per-row arithmetic is a
+  // deterministic double chain (no cross-row float summation), and the
+  // oracle recomputes it exactly (ln agrees within the 1e-9 compare).
+  def q67Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "table")
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avg_dl"))
+    val tf = tok.filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df_t"))
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    tf.join(dlen, "doc_id").join(broadcast(dft), "t").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + k1 * (lit(1.0) - b + b * col("dl").cast("double") / col("avg_dl"))))
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  // q68 — int8 embedding quantization (max-abs scaling), the standard
+  // vector-compression step before indexing at corpus scale: 4x smaller
+  // than float32, error bounded by scale/2. Scan-local (no shuffle).
+  def q68EmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    Tables.embeddings(s, dir)
+      .withColumn("max_abs", maxAbs)
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("max_abs")))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * col("scale")).cast("int")).as("qvec"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One aggregate job over the (small) key side → the bloom bytes. */
   private def bloom_materialize(keyed: DataFrame): Array[Byte] = {
     import graft.functions.BloomFunctions
@@ -206,6 +249,8 @@ object Extended {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_bloom_prune" -> (q66BloomPrune _),
+    "q67_bm25" -> (q67Bm25 _),
+    "q68_embed_quant" -> (q68EmbedQuant _),
     "q55_full_outer" -> (q55FullOuter _),
     "q56_cube" -> (q56Cube _),
     "q57_unpivot" -> (q57Unpivot _),
@@ -220,6 +265,34 @@ object Extended {
   )
 
   def oracles: Map[String, String] = Map(
+    "q67_bm25" ->
+      """WITH tok AS (
+        |  SELECT d.doc_id, t.t
+        |  FROM documents d, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(t)),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_dl
+        |  FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'table') GROUP BY doc_id, t),
+        |dft AS (SELECT t, count(*) AS df_t FROM tf GROUP BY t)
+        |SELECT tf.doc_id, tf.t AS term, tf.tf,
+        |  ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avg_dl)) AS score
+        |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (t) CROSS JOIN stats
+        |ORDER BY doc_id, term""".stripMargin,
+    "q68_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale,
+        |  list_transform(e, x -> CAST(round(x * (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)) AS INT)) AS qvec
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q66_bloom_prune" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue

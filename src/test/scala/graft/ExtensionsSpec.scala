@@ -54,6 +54,37 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed == exact)
   }
 
+  test("inlined single-block md5 == MessageDigest on 8-byte inputs") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val bytes = Array.fill(8)((rnd.nextInt(94) + 33).toByte) // printable
+      md.reset()
+      val d = md.digest(bytes)
+      var l = 0L
+      (0 until 8).foreach(b => l = (l << 8) | (d(b) & 0xffL))
+      val want = l >>> 4
+      def le(o: Int) = (bytes(o) & 0xff) | (bytes(o + 1) & 0xff) << 8 |
+        (bytes(o + 2) & 0xff) << 16 | (bytes(o + 3) & 0xff) << 24
+      val got = graft.functions.WinnowedFingerprint.md5h60of8(le(0), le(4))
+      assert(got == want, s"md5 mismatch on ${new String(bytes)}")
+    }
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on fingerprints") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val fp = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), VectorFunctions.winnowFingerprint(col("text"), 8, 4).as("fp"))
+      .filter(size(col("fp")) > 0)
+    val mismatch = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        VectorFunctions.sortedIntersectCount(col("a.fp"), col("b.fp")).as("fast"),
+        size(array_intersect(col("a.fp"), col("b.fp"))).cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(mismatch.count() == 0)
+  }
+
   test("simhash pairs cover most high-jaccard planted near-dups") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, threshold = 0.9)
