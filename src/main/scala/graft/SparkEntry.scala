@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Dedup, Extended, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Extended, Lakehouse, Mining, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventsStream.queries ++
-      AsOfJoin.queries ++ Analytics.queries ++ Extended.queries
+      AsOfJoin.queries ++ Analytics.queries ++ Extended.queries ++
+      Mining.queries ++ Lakehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EventsStream.oracles ++
-      AsOfJoin.oracles ++ Analytics.oracles ++ Extended.oracles
+      AsOfJoin.oracles ++ Analytics.oracles ++ Extended.oracles ++
+      Mining.oracles ++ Lakehouse.oracles
 }

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Warehouse-maintenance operators: the write-side patterns a lakehouse
+  * engine needs beyond queries — slowly-changing-dimension history, MERGE
+  * upsert, incremental aggregate maintenance, multi-dimensional (Z-order)
+  * layout, and profiling aggregates (histogram, exact-moment correlation).
+  *
+  * The reference's gold build is append-only with per-batch dedup
+  * (`/root/reference/src/etl/silver_to_gold.py:82-96` — duplicates
+  * accumulate across days, see SURVEY §7 "hard parts"); q73/q74/q75 are the
+  * three standard repairs: versioned history, keyed upsert, and incremental
+  * state merge. All are expressed as plain joins/windows so every one has a
+  * DuckDB oracle.
+  */
+object Lakehouse {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  // q73 — SCD Type-2 dimension build: per customer, the history of
+  // o_orderpriority as validity intervals. One window (lag to detect
+  // changes), a filter, and a second bounded window (lead for valid_to,
+  // row_number for version) — two sorts over one shuffle on custkey; no
+  // self-join. At 100 TB the change rows are a tiny fraction of the fact,
+  // so the second window runs on the reduced set.
+  def q73Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(s, dir)
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    val wc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(wc))
+      .withColumn("version", row_number().over(wc).cast("int"))
+      .select(col("o_custkey"), col("o_orderpriority"), col("valid_from"),
+        col("valid_to"), col("version"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  // q74 — MERGE upsert semantics as a full-outer join: target = customers
+  // of nations 0-12, source = nations 10-24 with adjusted balances.
+  // matched → update, source-only → insert, target-only → retain. This is
+  // exactly the Delta/Iceberg MERGE plan shape (outer join on the key, one
+  // branch per clause); on a partitioned table only touched partitions
+  // would be rewritten.
+  def q74MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.customer(s, dir).filter(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_name").as("t_name"),
+        col("c_acctbal").as("t_bal"), lit(1).as("t_m"))
+    val src = Tables.customer(s, dir).filter(col("c_nationkey") >= 10)
+      .select(col("c_custkey"), col("c_name").as("s_name"),
+        (col("c_acctbal") + lit(100.0)).as("s_bal"), lit(1).as("s_m"))
+    t.join(src, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        coalesce(col("s_name"), col("t_name")).as("c_name"),
+        coalesce(col("s_bal"), col("t_bal")).as("c_acctbal"),
+        when(col("t_m").isNotNull && col("s_m").isNotNull, lit("updated"))
+          .when(col("s_m").isNotNull, lit("inserted"))
+          .otherwise(lit("retained")).as("merge_action"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // q75 — incremental aggregate maintenance: a materialized per-status
+  // revenue rollup kept current by merging yesterday's state with the new
+  // partition's delta. Both sides aggregate DECIMAL (exact, associative),
+  // so state + delta == full recompute bit-for-bit — the invariant the
+  // oracle asserts by computing the full aggregate. At 100 TB this is the
+  // difference between scanning one day and scanning the whole fact.
+  def q75IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val orders = Tables.orders(s, dir)
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(30,6)")).as("rev"))
+    val state = rollup(orders.filter(col("o_orderdate") < cutoff))
+      .select(col("o_orderstatus"), col("n").as("n_a"), col("rev").as("rev_a"))
+    val delta = rollup(orders.filter(col("o_orderdate") >= cutoff))
+      .select(col("o_orderstatus"), col("n").as("n_b"), col("rev").as("rev_b"))
+    state.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_orders"),
+        (coalesce(col("rev_a"), lit(0).cast("decimal(30,6)")) +
+          coalesce(col("rev_b"), lit(0).cast("decimal(30,6)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Morton spread: interleave zeros between the low 16 bits of `c`
+    * (standard magic-number bit spread; public domain bit-twiddling). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  // q76 — Z-order (Morton) clustering key over (partkey, suppkey): the
+  // multi-dimensional layout primitive — writing the fact sorted by zval
+  // (repartitionByRange(zval) + sortWithinPartitions) gives min/max file
+  // pruning for predicates on EITHER key, which one-column sorting cannot.
+  // Pure integer bit-twiddling: deterministic in any engine.
+  def q76ZOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_orderkey") <= 400)
+      .withColumn("zval",
+        spread16(pmod(col("l_partkey"), lit(65536L)))
+          .bitwiseOR(shiftleft(spread16(pmod(col("l_suppkey"), lit(65536L))), 1)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+
+  // q77 — fixed-width histogram of l_extendedprice: bucket id from integer
+  // floor division — scan-local, partial-agg to ~20 groups, near-zero
+  // shuffle. The profiling primitive that actually scales (vs sorting for
+  // exact quantiles).
+  def q77Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("bucket", floor(col("l_extendedprice") / lit(6000.0)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+
+  // q78 — Pearson correlation from exact decimal moments, per returnflag.
+  // Spark's corr() streams doubles (partition-order-dependent rounding);
+  // here every sum is DECIMAL — exact and associative, so the final double
+  // formula is bit-identical at any parallelism AND in any engine. The
+  // moments are one partial+final aggregate over the scan.
+  def q78CorrExact(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("double")
+    val y = col("l_extendedprice").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(30,6)")).as("sx"),
+        sum(y.cast("decimal(30,6)")).as("sy"),
+        sum((x * x).cast("decimal(38,6)")).as("sxx"),
+        sum((y * y).cast("decimal(38,6)")).as("syy"),
+        sum((x * y).cast("decimal(38,6)")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_scd2" -> (q73Scd2 _),
+    "q74_merge_upsert" -> (q74MergeUpsert _),
+    "q75_incremental_agg" -> (q75IncrementalAgg _),
+    "q76_zorder" -> (q76ZOrder _),
+    "q77_histogram" -> (q77Histogram _),
+    "q78_corr_exact" -> (q78CorrExact _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q73_scd2" ->
+      """WITH lagged AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |changes AS (
+        |  SELECT * FROM lagged
+        |  WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS version
+        |FROM changes
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q74_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_name AS t_name, c_acctbal AS t_bal
+        |  FROM customer WHERE c_nationkey < 13),
+        |s AS (
+        |  SELECT c_custkey, c_name AS s_name, c_acctbal + 100.0 AS s_bal
+        |  FROM customer WHERE c_nationkey >= 10)
+        |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+        |  COALESCE(s_name, t_name) AS c_name,
+        |  COALESCE(s_bal, t_bal) AS c_acctbal,
+        |  CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN 'updated'
+        |       WHEN s.c_custkey IS NOT NULL THEN 'inserted'
+        |       ELSE 'retained' END AS merge_action
+        |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q75_incremental_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q76_zorder" ->
+      """WITH s0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0
+        |  FROM lineitem WHERE l_orderkey <= 400),
+        |s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+        |               (y0 | (y0 << 8)) & 16711935 AS y1 FROM s0),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(x4 | (y4 << 1) AS BIGINT) AS zval
+        |FROM s4
+        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+    "q77_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 6000.0) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q78_corr_exact" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+        |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Corpus-mining operators on top of the dedup/similarity kernels: the steps
+  * that turn raw documents + embeddings into a curated training set —
+  * canonical-document selection after near-dup clustering, TF-IDF term
+  * weighting, compressed-index ANN with full-precision re-ranking, and a
+  * bigram language model.
+  *
+  * Same determinism discipline as the rest of the engine: integer counts,
+  * quantized vectors, explicit tie-breaks in every rank, so every operator
+  * has a full DuckDB oracle.
+  */
+object Mining {
+
+  // q69 — canonical-document selection: the final step of the dedup
+  // pipeline. Near-dup clusters (q21 pairs → q49 components) collapse to
+  // their minimum-doc_id representative; the output is the SURVIVING corpus
+  // with the number of removed duplicates carried on each canonical doc.
+  // At 100 TB: pairs are sparse (prefix-filtered join), components tiny
+  // (union-find under the adaptive cutoff), and the survivor anti-join is
+  // one broadcast of the (small) removed-id set against the corpus scan.
+  def q69DedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cc = Dedup.connectedComponents(Dedup.jaccardPairs(docs))
+    val removed = cc.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val clusterSz = cc.groupBy(col("cluster_id"))
+      .agg((count(lit(1)) - lit(1L)).as("n_dups_removed"))
+      .withColumnRenamed("cluster_id", "doc_id")
+    docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .join(broadcast(clusterSz), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_dups_removed"), lit(0L)).as("n_dups_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q70 — TF-IDF top terms per document (tf * ln(N/df), ties by term): the
+  // classic term-weighting pass. One token explode → (doc,term) counts →
+  // document frequencies (broadcast: |vocab| << |corpus|) → bounded window.
+  // At scale the only big shuffle is the (doc_id, term) partial+final
+  // count; df and N are second-order aggregates of that result.
+  def q70Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // q72 — two-stage ANN: int8-quantized shortlist + full-precision re-rank,
+  // the standard compressed-index retrieval shape (a 4x-smaller index scans
+  // the corpus; only `shortlist` candidates per query touch the float32
+  // vectors). Quantization is q68's max-abs int8 (round(x*127/max|x|)) —
+  // integer-valued, so quantized dot products are exact and the approximate
+  // score is bit-deterministic. At 100 TB stage 1 reads ONLY the quantized
+  // column (columnar pruning pays the 4x), stage 2 re-reads full vectors
+  // for |queries| x shortlist rows.
+  def q72AnnRerank(s: SparkSession, dir: String, queryMaxId: Long = 10,
+                   shortlist: Int = 30, k: Int = 10): DataFrame = {
+    VectorFunctions.register(s)
+    def quantized(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val maxAbs = array_max(transform(emb, x => abs(x.cast("double"))))
+      val scale = when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+      transform(emb, x => round(x.cast("double") * scale).cast("double"))
+    }
+    val c = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        quantized(col("embedding")).as("n_q"))
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        quantized(col("embedding")).as("q_q"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc_nulls_last, col("neighbor_id"))
+    val shortlisted = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", VectorFunctions.cosineSim(col("q_q"), col("n_q")))
+      .withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= shortlist)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    shortlisted
+      .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // q80 — bigram language model: P(w2|w1) over the corpus, top-50 bigrams.
+  // Token positions come from one posexplode; the successor is a lead()
+  // within the document (one shuffle on doc_id — adjacent tokens co-reside
+  // by construction). Counts are integers; ties rank lexicographically.
+  def q80Bigrams(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tok.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val cnt = big.groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+    cnt.join(broadcast(tot), Seq("w1"))
+      .withColumn("p", col("n").cast("double") / col("n_w1").cast("double"))
+      .select(col("w1"), col("w2"), col("n"), col("n_w1"), col("p"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_dedup_canonical" -> (q69DedupCanonical _),
+    "q70_tfidf" -> (q70Tfidf _),
+    "q72_ann_rerank" -> ((s, d) => q72AnnRerank(s, d)),
+    "q80_bigrams" -> (q80Bigrams _)
+  )
+
+  /** DuckDB oracles. q69 recomputes the whole pipeline (shingles → pairs →
+    * recursive-CTE closure → survivor join); q72 recomputes the int8
+    * quantization and both ranking stages from first principles. */
+  def oracles: Map[String, String] = Map(
+    "q69_dedup_canonical" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a AS src, a AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |nrem AS (
+        |  SELECT cluster_id, CAST(count(*) - 1 AS BIGINT) AS n_dups_removed
+        |  FROM cc GROUP BY cluster_id)
+        |SELECT d.doc_id, d.lang, d.source,
+        |  COALESCE(nrem.n_dups_removed, 0) AS n_dups_removed
+        |FROM documents d LEFT JOIN nrem ON d.doc_id = nrem.cluster_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q70_tfidf" ->
+      """WITH tok AS (
+        |  SELECT d.doc_id, t.t AS term
+        |  FROM documents d, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(t)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, term, tf, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q72_ann_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, e,
+        |    list_transform(e, x -> CAST(round(x *
+        |      (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)) AS DOUBLE)) AS q
+        |  FROM v),
+        |s1 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    a.e AS qe, b.e AS ne,
+        |    list_cosine_similarity(a.q, b.q) AS approx
+        |  FROM qv a JOIN qv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id, qe, ne FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx DESC NULLS LAST, neighbor_id) AS arank
+        |    FROM s1) WHERE arank <= 30),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe, ne) AS cosine
+        |  FROM short),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC NULLS LAST, neighbor_id) AS INT) AS rank
+        |  FROM r)
+        |SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q80_bigrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+        |                 for i in range(1, len(ws))]) AS s
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n FROM b GROUP BY s.w1, s.w2),
+        |tt AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM c GROUP BY w1)
+        |SELECT c.w1, c.w2, c.n, tt.n_w1,
+        |  CAST(c.n AS DOUBLE) / CAST(tt.n_w1 AS DOUBLE) AS p
+        |FROM c JOIN tt USING (w1)
+        |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Lakehouse, Mining, Similarity}
+
+/** Invariants of the mining / lakehouse-maintenance operators beyond the
+  * DuckDB hash gate: conservation laws (dedup survivors), algebraic
+  * equivalence (incremental == full), bijectivity (Z-order), and retrieval
+  * quality (rerank recall vs the exact engine). */
+class MiningLakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("mine-spec", cores = 4)
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q69: survivors + removed duplicates account for every document") {
+    val docs = Tables.documents(spark, sf)
+    val out = Mining.q69DedupCanonical(spark, sf).cache()
+    val nDocs = docs.count()
+    val survivors = out.count()
+    val removed = out.agg(sum(col("n_dups_removed"))).head.getLong(0)
+    assert(survivors + removed == nDocs)
+    // every canonical doc with dups removed is the min id of its cluster:
+    // its own id never appears as a removed member (removal = id > cluster min)
+    assert(out.filter(col("n_dups_removed") < 0).count() == 0)
+  }
+
+  test("q75: incremental state+delta merge == full recompute (exact decimal)") {
+    val merged = Lakehouse.q75IncrementalAgg(spark, sf)
+    val full = Tables.orders(spark, sf).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+    assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
+  }
+
+  test("q76: z-value is a bijection (distinct keys -> distinct zvals)") {
+    val z = Lakehouse.q76ZOrder(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("zval")).distinct().cache()
+    assert(z.select(col("zval")).distinct().count() ==
+      z.select(col("l_partkey"), col("l_suppkey")).distinct().count())
+    // interleave bound: zval < 2^32 for 16-bit inputs
+    assert(z.filter(col("zval") >= (1L << 32) || col("zval") < 0).count() == 0)
+  }
+
+  test("q72: quantized-shortlist rerank recalls >=80% of exact top-10") {
+    val exact = Similarity.bruteForceTopK(spark, Tables.embeddings(spark, sf))
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Mining.q72AnnRerank(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = exact.intersect(approx).count()
+    val total = exact.count()
+    assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
+  }
+
+  test("q73: SCD2 intervals tile each customer's history without overlap") {
+    val scd = Lakehouse.q73Scd2(spark, sf).cache()
+    // version numbers are contiguous from 1 per customer
+    val bad = scd.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), max(col("version")).as("vmax"), min(col("version")).as("vmin"))
+      .filter(col("vmax") =!= col("n") || col("vmin") =!= 1)
+    assert(bad.count() == 0)
+    // intervals never invert (equal endpoints CAN occur: two same-timestamp
+    // orders with different priorities tie-break by orderkey — a zero-length
+    // version at the grain of the data), and exactly one open interval each
+    assert(scd.filter(col("valid_to").isNotNull && col("valid_from") > col("valid_to")).count() == 0)
+    val open = scd.filter(col("valid_to").isNull).groupBy(col("o_custkey")).count()
+    assert(open.filter(col("count") =!= 1).count() == 0)
+  }
+
+  test("q74: merge actions partition the key space correctly") {
+    val m = Lakehouse.q74MergeUpsert(spark, sf).cache()
+    val cust = Tables.customer(spark, sf).cache()
+    val nBoth = cust.filter(col("c_nationkey") >= 10 && col("c_nationkey") < 13).count()
+    val nInsert = cust.filter(col("c_nationkey") >= 13).count()
+    val nRetain = cust.filter(col("c_nationkey") < 10).count()
+    assert(m.filter(col("merge_action") === "updated").count() == nBoth)
+    assert(m.filter(col("merge_action") === "inserted").count() == nInsert)
+    assert(m.filter(col("merge_action") === "retained").count() == nRetain)
+  }
+}
