@@ -48,7 +48,10 @@ object Mining {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // persist: df is a second-order aggregate OF tf — without materializing,
+    // Catalyst re-executes the corpus scan + (doc,term) shuffle for each
+    // consumer (no DAG sharing across sibling subtrees)
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -121,13 +124,83 @@ object Mining {
       .limit(50)
   }
 
+  // q81 — deterministic per-group (stratified, fixed-n) sampling: the top-20
+  // docs per language by content-independent md5 rank — a reproducible
+  // "random" n-per-stratum subset for eval-set carving. Spark 4 plans the
+  // rank as WindowGroupLimit: each partition keeps <=n rows per group BEFORE
+  // the shuffle, so at 100 TB the exchange carries ~n x |groups| x
+  // |partitions| rows, not the corpus.
+  def q81GroupSample(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("sample_key"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= n)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  // q82 — CDC snapshot diff: orders before/after a date cutoff keyed by
+  // custkey (per-customer order count + revenue), classified added /
+  // removed / changed. The full-outer join on the aggregate keys is the
+  // standard snapshot-compare plan; at scale both sides partial-aggregate
+  // before one co-partitioned shuffle.
+  def q82CdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val orders = Tables.orders(s, dir)
+    def snap(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).as("rev"))
+    val a = snap(orders.filter(col("o_orderdate") < cutoff))
+      .select(col("o_custkey"), col("n").as("n_old"), col("rev").as("rev_old"))
+    val b = snap(orders)
+      .select(col("o_custkey"), col("n").as("n_new"), col("rev").as("rev_new"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .when(col("n_old") =!= col("n_new") || col("rev_old") =!= col("rev_new"),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("o_custkey"), col("change_type"),
+        col("n_old"), col("n_new"),
+        col("rev_old").cast("double").as("rev_old"),
+        col("rev_new").cast("double").as("rev_new"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // q85 — kNN classification: label each query vector by majority vote of
+  // its exact top-k neighbors' labels (ties → smaller label). The vote is
+  // a count over the k-row-per-query top-k — the classify step is O(k) per
+  // query once retrieval (brute here; IVF/LSH at scale) hands back the
+  // neighbor set.
+  def q85KnnClassify(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val topk = Similarity.bruteForceTopK(s, Tables.embeddings(s, dir), k = k)
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = topk.join(broadcast(labels), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+      .orderBy(col("query_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_dedup_canonical" -> (q69DedupCanonical _),
     "q70_tfidf" -> (q70Tfidf _),
     "q72_ann_rerank" -> ((s, d) => q72AnnRerank(s, d)),
-    "q80_bigrams" -> (q80Bigrams _)
+    "q80_bigrams" -> (q80Bigrams _),
+    "q81_group_sample" -> ((s, d) => q81GroupSample(s, d)),
+    "q82_cdc_diff" -> (q82CdcDiff _),
+    "q85_knn_classify" -> ((s, d) => q85KnnClassify(s, d))
   )
 
   /** DuckDB oracles. q69 recomputes the whole pipeline (shingles → pairs →
@@ -214,6 +287,59 @@ object Mining {
         |  FROM r)
         |SELECT query_id, neighbor_id, cosine, rank FROM rr WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "q81_group_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
+    "q82_cdc_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey, count(*) AS n_old,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_old
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n_new,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_new
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |    n_old, n_new, rev_old, rev_new,
+        |    CASE WHEN n_old IS NULL THEN 'added'
+        |         WHEN n_new IS NULL THEN 'removed'
+        |         WHEN n_old <> n_new OR rev_old <> rev_new THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+        |SELECT o_custkey, change_type, n_old, n_new,
+        |  CAST(rev_old AS DOUBLE) AS rev_old, CAST(rev_new AS DOUBLE) AS rev_new
+        |FROM j WHERE change_type <> 'unchanged'
+        |ORDER BY o_custkey""".stripMargin,
+    "q85_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    list_cosine_similarity(qe, e) AS cosine
+        |  FROM q JOIN c ON query_id <> neighbor_id),
+        |topk AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM s) WHERE rank <= 10),
+        |v AS (
+        |  SELECT query_id, label, count(*) AS votes
+        |  FROM topk GROUP BY query_id, label)
+        |SELECT query_id, label AS predicted_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, label) AS rnk
+        |  FROM v) WHERE rnk = 1
+        |ORDER BY query_id""".stripMargin,
     "q80_bigrams" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
