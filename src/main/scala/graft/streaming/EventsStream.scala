@@ -210,6 +210,44 @@ object EventsStream {
       }
   }
 
+  /** Stream-static enrichment join: the streaming side joins a (broadcast)
+    * static dimension per micro-batch — no state, no watermark needed; the
+    * standard way to attach slowly-changing reference data to a stream.
+    * Works identically when `events` is a batch frame. */
+  def enrichWithTypes(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("category"), col("value"))
+
+  /** foreachBatch incremental rollup maintenance: each micro-batch's delta
+    * is partial-aggregated (count + exact DECIMAL sum per event_type) and
+    * merged into driver-held state — the same associative decimal-merge
+    * invariant as Lakehouse.q75IncrementalAgg, so the final state equals
+    * the batch aggregate bit-for-bit. In production the merge lands in a
+    * MERGE INTO against a table format; the state here is a map so the
+    * spec can assert the invariant. Returns the final state as a frame. */
+  def maintainRollup(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val state = scala.collection.mutable.Map.empty[String, (Long, BigDecimal)]
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(30,6)")).as("s"))
+          .collect().foreach { r =>
+            val k = r.getString(0)
+            val (n0, s0) = state.getOrElse(k, (0L, BigDecimal(0)))
+            state(k) = (n0 + r.getLong(1), s0 + BigDecimal(r.getDecimal(2)))
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.toSeq.map { case (k, (n, s)) => (k, n, s.toDouble) }
+      .toDF("event_type", "n", "sum_value")
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -93,6 +93,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() > 0)
   }
 
+  test("stream-static enrichment join (AvailableNow) == batch join") {
+    import spark.implicits._
+    val dim = Seq(("view", "engagement"), ("purchase", "revenue"),
+      ("signup", "growth")).toDF("event_type", "category")
+    val got = EventsStream.runToBatch(spark,
+      EventsStream.enrichWithTypes(EventsStream.readStream(spark, sf), dim), "enriched")
+    val want = EventsStream.enrichWithTypes(Tables.events(spark, sf), dim)
+    assert(asSet(got) == asSet(want))
+    assert(got.filter(col("category").isNull).count() ==
+      Tables.events(spark, sf)
+        .filter(!col("event_type").isin("view", "purchase", "signup")).count())
+  }
+
+  test("foreachBatch incremental rollup state == batch aggregate (exact decimal)") {
+    val got = EventsStream.maintainRollup(spark, EventsStream.readStream(spark, sf))
+    val want = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+    assert(asSet(got) == asSet(want))
+    assert(got.count() > 0)
+  }
+
   test("multimodal: feature extraction batches per partition with typed schema") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     assert(media.schema("content").dataType.typeName == "binary")
