@@ -29,7 +29,8 @@ class ContractSpec extends AnyFunSuite {
     import graft.streaming.EventsStream
     val parts = Seq(Relational.queries, Dedup.queries, TextAnalysis.queries,
       Similarity.queries, Multimodal.queries, EventsStream.queries,
-      AsOfJoin.queries, Analytics.queries, Extended.queries)
+      AsOfJoin.queries, Analytics.queries, Extended.queries,
+      Mining.queries, Lakehouse.queries)
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name collapsed during map concatenation")
   }
