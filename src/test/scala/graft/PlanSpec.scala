@@ -55,4 +55,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toLowerCase.contains("cosine"))
     assert(p.contains("BroadcastNestedLoopJoin"), "query set should broadcast")
   }
+
+  test("q70/q81: bounded ranks plan as partial+final WindowGroupLimit") {
+    for (q <- Seq("q70_tfidf", "q81_group_sample")) {
+      val p = plan(q)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$q: top-k should prune per-partition BEFORE the window shuffle")
+    }
+  }
+
+  test("q77: histogram aggregates scan-locally (partial+final, pruned scan)") {
+    val p = plan("q77_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("l_orderkey"), "scan should read only l_extendedprice")
+  }
+
+  test("q69: removed-id set and cluster sizes broadcast against the corpus scan") {
+    val p = plan("q69_dedup_canonical")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q78: exact-moment correlation is ONE aggregate pass (no Expand)") {
+    val p = plan("q78_corr_exact")
+    assert(!p.contains("Expand"), "six moments must share one scan, not expand")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
