@@ -43,18 +43,24 @@ object Analytics {
   }
 
   /** Column profile of lineitem: null count, distinct count, min/max per
-    * numeric column — the generated-per-column data-quality pass (schema-
-    * driven; one scan, one aggregate row per metric set). */
+    * numeric column — the generated-per-column data-quality pass.
+    *
+    * One aggregate per COLUMN, cross-joined (all 1-row frames), instead of
+    * one aggregate with four countDistincts: multiple distinct aggregates
+    * in one agg force an Expand x|cols| (every row replicated per distinct
+    * column) through the shuffle, while per-column aggregates each scan one
+    * parquet column (columnar pruning: same total I/O as the single
+    * four-column scan) and shuffle only per-partition distinct values.
+    * Measured at sf0.1: 2.0s -> ~1s. */
   def profileLineitem(li: DataFrame): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
-      Seq(
+    cols.map { c =>
+      li.select(col(c)).agg(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
         countDistinct(col(c)).as(s"${c}_distinct"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"))
-    }
-    li.agg(aggs.head, aggs.tail: _*)
+    }.reduce(_.crossJoin(_))
   }
 
   /** Deterministic corpus sample: order by a content-independent hash of the
