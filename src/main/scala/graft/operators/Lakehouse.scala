@@ -116,6 +116,20 @@ object Lakehouse {
         col("l_suppkey"), col("zval"))
       .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Write-side Z-order clustering: range-partition by zval and sort within
+    * partitions, so each output file covers a disjoint zval range — min/max
+    * footer stats then prune files for predicates on EITHER interleaved key.
+    * This (plus the q76 key) is the whole of "OPTIMIZE ZORDER BY": at 100 TB
+    * the range exchange samples boundaries, every executor writes locally
+    * sorted runs, and no global sort materializes. */
+  def writeZOrdered(li: DataFrame, out: String, nFiles: Int = 8): Unit =
+    li.withColumn("zval",
+      spread16(pmod(col("l_partkey"), lit(65536L)))
+        .bitwiseOR(shiftleft(spread16(pmod(col("l_suppkey"), lit(65536L))), 1)))
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(out)
+
   // q77 — fixed-width histogram of l_extendedprice: bucket id from integer
   // floor division — scan-local, partial-agg to ~20 groups, near-zero
   // shuffle. The profiling primitive that actually scales (vs sorting for

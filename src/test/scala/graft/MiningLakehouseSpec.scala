@@ -73,6 +73,19 @@ class MiningLakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(open.filter(col("count") =!= 1).count() == 0)
   }
 
+  test("z-ordered write produces files with disjoint zval ranges (file pruning)") {
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    Lakehouse.writeZOrdered(Tables.lineitem(spark, sf), out, nFiles = 8)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zval")).as("lo"), max(col("zval")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $hi1 > $lo2")
+    }
+  }
+
   test("q74: merge actions partition the key space correctly") {
     val m = Lakehouse.q74MergeUpsert(spark, sf).cache()
     val cust = Tables.customer(spark, sf).cache()
