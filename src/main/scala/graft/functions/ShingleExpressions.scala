@@ -58,8 +58,12 @@ case class WordShingles(child: Expression, n: Int) extends ShingleBase {
     copy(child = newChild)
 }
 
-/** array<long> of distinct xxhash64'd word n-grams — the MinHash input form;
-  * no shingle strings are retained. */
+/** array<long> of SORTED distinct xxhash64'd word n-grams — the MinHash
+  * input form; no shingle strings are retained. Sorted ascending so pair
+  * verification can use the allocation-free `SortedIntersectCount` merge
+  * walk instead of array_intersect's per-row hash set; every consumer
+  * (min-per-hash signatures, posting explode, set intersection) is
+  * order-independent. */
 case class HashedWordShingles(child: Expression, n: Int) extends ShingleBase {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -68,13 +72,16 @@ case class HashedWordShingles(child: Expression, n: Int) extends ShingleBase {
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = distinctShingles(toks)
-      val out = new Array[Any](seen.size)
+      val hs = new Array[Long](seen.size)
       val it = seen.iterator(); var i = 0
       while (it.hasNext) {
-        out(i) = java.lang.Long.valueOf(
-          XXH64.hashUTF8String(UTF8String.fromString(it.next()), 42L))
+        hs(i) = XXH64.hashUTF8String(UTF8String.fromString(it.next()), 42L)
         i += 1
       }
+      java.util.Arrays.sort(hs)
+      val out = new Array[Any](hs.length)
+      i = 0
+      while (i < hs.length) { out(i) = java.lang.Long.valueOf(hs(i)); i += 1 }
       new GenericArrayData(out)
     }
   }

@@ -100,7 +100,8 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // hashed shingle sets are sorted+distinct: merge walk, no per-row set
+      .withColumn("inter", VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         jaccardOf(col("inter"), size(col("sh_a")), size(col("sh_b"))))
       .filter(col("jaccard") >= threshold)
@@ -191,7 +192,8 @@ object Dedup {
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // hashed shingle sets are sorted+distinct: merge walk, no per-row set
+      .withColumn("inter", VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         jaccardOf(col("inter"), size(col("sh_a")), size(col("sh_b"))))
       .filter(col("jaccard") >= threshold)
