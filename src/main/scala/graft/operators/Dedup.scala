@@ -83,7 +83,10 @@ object Dedup {
     * SLOWER on this corpus because background shingles are heavily skewed —
     * the df-count shuffle + per-doc ranking window pay for themselves. */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingledHashed(docs)
+    // cache: consumed three times (posting explode + both verification
+    // joins) — uncached, the shingle expression re-runs over the corpus per
+    // consumer
+    val sh = shingledHashed(docs).cache()
     val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
