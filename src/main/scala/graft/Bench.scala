@@ -32,7 +32,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop per-query intermediate caches (shingle frames, CC edge lists,
+      // tf aggregates) so storage memory doesn't accumulate across the
+      // 80+-query session; untimed — the query's action already completed.
+      spark.catalog.clearCache()
+      name -> t
     }
 
   private def minByQuery(a: Map[String, Double], b: Map[String, Double]): Map[String, Double] =

@@ -180,6 +180,7 @@ object Extended {
     val hot = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .cache() // three consumers: bloom sizing count, bloom agg, join build side
     // materialize the bloom on the driver (one tiny job over the dim) and
     // inject it as a binary literal — the same evaluate-subquery-then-inject
     // step Catalyst's runtime filters perform; might_contain requires a
@@ -226,6 +227,9 @@ object Extended {
   // q68 — int8 embedding quantization (max-abs scaling), the standard
   // vector-compression step before indexing at corpus scale: 4x smaller
   // than float32, error bounded by scale/2. Scan-local (no shuffle).
+  // The quantized vector is emitted comma-joined (a string cell, still
+  // element-exact) because the verify harness hashes pandas frames, which
+  // cannot sort/factorize array-typed cells.
   def q68EmbedQuant(s: SparkSession, dir: String): DataFrame = {
     val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     Tables.embeddings(s, dir)
@@ -233,15 +237,22 @@ object Extended {
       .withColumn("scale",
         when(col("max_abs") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("max_abs")))
       .select(col("vec_id"), col("scale"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * col("scale")).cast("int")).as("qvec"))
+        array_join(transform(col("embedding"),
+          x => round(x.cast("double") * col("scale")).cast("int").cast("string")), ",")
+          .as("qvec"))
       .orderBy(col("vec_id"))
   }
 
-  /** One aggregate job over the (small) key side → the bloom bytes. */
+  /** One aggregate job over the (small) key side → the bloom bytes.
+    * Sized from the actual build-side key count (count + agg = two tiny
+    * jobs over the filtered dim) at ~8 bits/key (~2% fp with optimal k) —
+    * a fixed size would silently saturate into a pass-through at larger
+    * scale factors and lose the pre-shuffle pruning this operator exists
+    * for. Correctness never depends on the sizing (exact join follows). */
   private def bloom_materialize(keyed: DataFrame): Array[Byte] = {
     import graft.functions.BloomFunctions
-    keyed.agg(BloomFunctions.bloomAgg(col("o_orderkey"), 100000L, 800000L).as("bf"))
+    val items = math.max(keyed.count(), 1L)
+    keyed.agg(BloomFunctions.bloomAgg(col("o_orderkey"), items, items * 8L).as("bf"))
       .head().getAs[Array[Byte]]("bf")
   }
 
@@ -291,7 +302,7 @@ object Extended {
         |  FROM embeddings)
         |SELECT vec_id,
         |  CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale,
-        |  list_transform(e, x -> CAST(round(x * (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)) AS INT)) AS qvec
+        |  array_to_string(list_transform(e, x -> CAST(round(x * (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)) AS INT)), ',') AS qvec
         |FROM m ORDER BY vec_id""".stripMargin,
     "q66_bloom_prune" ->
       """SELECT o_orderpriority, count(*) AS n_lines,

@@ -237,7 +237,10 @@ object EventsStream {
           .collect().foreach { r =>
             val k = r.getString(0)
             val (n0, s0) = state.getOrElse(k, (0L, BigDecimal(0)))
-            state(k) = (n0 + r.getLong(1), s0 + BigDecimal(r.getDecimal(2)))
+            // sum() is null when every value in the batch group is null —
+            // merge as zero rather than NPE-ing the stream.
+            val delta = Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+            state(k) = (n0 + r.getLong(1), s0 + delta)
           }
         ()
       }
