@@ -14,8 +14,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Natural hash-partitioning key for the two corpus tables whose
+    * consumers run heavy per-row compute (shingle/fingerprint expressions,
+    * pairwise cosine) BEFORE any natural exchange — for those, scan
+    * parallelism is the whole game. The relational facts
+    * (lineitem/orders/events) are NOT spread: their pre-shuffle work is
+    * cheap casts/partial-aggs, so an extra exchange costs more than the
+    * single-threaded scan stage it parallelizes (measured at sf0.1:
+    * q39 percentile partial buffers got 1.6x slower when force-spread). */
+  private val spreadKeys: Map[String, String] = Map(
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Parallelism floor for pathological file layouts. Parquet splits align
+    * to row groups, so a single-row-group file scans as ONE task no matter
+    * how many cores the cluster has — and everything before the first
+    * exchange (partial aggregates, fingerprint/shingle expressions,
+    * broadcast-join stream sides) runs single-threaded. When the scan
+    * yields fewer partitions than the session's parallelism, insert one
+    * hash exchange on the table's natural key: deterministic (no
+    * round-robin local sort), skew-free (near-unique keys), and reusable —
+    * downstream joins/groupBys on the same key satisfy their required
+    * distribution without re-shuffling. On a healthy multi-file 100 TB
+    * table the guard sees >= cores partitions and this is a no-op; the
+    * driver-side partition-count probe plans the scan but runs no job. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    spreadKeys.get(name).map(spread(raw, _)).getOrElse(raw)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -48,16 +48,19 @@ object Dedup {
     * exact-jaccard path), via the native WordShingles expression. */
   def shingled(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     VectorFunctions.register(docs.sparkSession)
+    // no size()>0 filter: empty sets produce no posting rows and never
+    // reach verification anyway, while a filter on the computed column
+    // gets predicate-pushed below the corpus spread exchange — evaluating
+    // the whole shingle expression a second time, single-threaded.
     docs.select(col("doc_id"), VectorFunctions.wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
   }
 
   /** Distinct hashed-trigram shingle sets per doc (array<long> — the
     * MinHash path; no shingle strings leave the expression). */
   def shingledHashed(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     VectorFunctions.register(docs.sparkSession)
+    // no size()>0 filter — see shingled()
     docs.select(col("doc_id"), VectorFunctions.hashedWordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
   }
 
   private def jaccardOf(inter: Column, na: Column, nb: Column): Column =
@@ -270,8 +273,7 @@ object Dedup {
     VectorFunctions.register(docs.sparkSession)
     val fp = docs.select(col("doc_id"),
       VectorFunctions.winnowFingerprint(col("text"), k, w).as("fp"))
-      .filter(size(col("fp")) > 0)
-      .cache()
+      .cache() // no size()>0 filter — see shingled()
     val posting = fp.select(col("doc_id"), explode(col("fp")).as("h"))
     val rare = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("h"))

@@ -142,28 +142,42 @@ object Lakehouse {
         min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
       .orderBy(col("bucket"))
 
-  // q78 — Pearson correlation from exact decimal moments, per returnflag.
-  // Spark's corr() streams doubles (partition-order-dependent rounding);
-  // here every sum is DECIMAL — exact and associative, so the final double
-  // formula is bit-identical at any parallelism AND in any engine. The
-  // moments are one partial+final aggregate over the scan.
+  // q78 — Pearson correlation from exact moments, per returnflag. Spark's
+  // corr() streams doubles (partition-order-dependent rounding); here each
+  // per-row moment is rounded to fixed 6dp and accumulated as TWO long
+  // sums (integral part + 6dp fractional part) — exact, associative, and,
+  // unlike decimal(38,6) sums, long-backed all the way through the codegen
+  // hash aggregate (decimal sums whose unscaled totals exceed 2^63 fall
+  // back to per-row BigDecimal adds — measured 2x the whole-query time at
+  // sf0.1). Long headroom: integral parts sum to ~6e15 at sf0.1 per 6e5
+  // rows, so ~1e18 rows per group fit before overflow; shard the group key
+  // beyond that. The oracle mirrors the same hi/lo formulation, so the
+  // final double formula is bit-identical at any parallelism AND engine.
   def q78CorrExact(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast("double")
     val y = col("l_extendedprice").cast("double")
     def d(c: Column): Column = c.cast("double")
+    def hi(c: Column): Column = floor(c).cast("long")
+    // half-up via floor(v+0.5): pure IEEE ops (Spark's round() on double
+    // goes through per-row BigDecimal), values are non-negative here
+    def lo(c: Column): Column = floor((c - floor(c)) * 1e6 + 0.5).cast("long")
+    // moment value back in double: integral sum is exact below 2^53; the
+    // fractional sum contributes < 1e-9 relative — mirrored in the oracle.
+    def m(name: String): Column =
+      (col(s"${name}_hi").cast("double") + col(s"${name}_lo").cast("double") / 1e6)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(x.cast("decimal(30,6)")).as("sx"),
-        sum(y.cast("decimal(30,6)")).as("sy"),
-        sum((x * x).cast("decimal(38,6)")).as("sxx"),
-        sum((y * y).cast("decimal(38,6)")).as("syy"),
-        sum((x * y).cast("decimal(38,6)")).as("sxy"))
+        sum(hi(x)).as("sx_hi"), sum(lo(x)).as("sx_lo"),
+        sum(hi(y)).as("sy_hi"), sum(lo(y)).as("sy_lo"),
+        sum(hi(x * x)).as("sxx_hi"), sum(lo(x * x)).as("sxx_lo"),
+        sum(hi(y * y)).as("syy_hi"), sum(lo(y * y)).as("syy_lo"),
+        sum(hi(x * y)).as("sxy_hi"), sum(lo(x * y)).as("sxy_lo"))
       .select(col("l_returnflag"), col("n"),
-        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+        ((d(col("n")) * m("sxy") - m("sx") * m("sy")) /
+          (sqrt(d(col("n")) * m("sxx") - m("sx") * m("sx")) *
+            sqrt(d(col("n")) * m("syy") - m("sy") * m("sy"))))
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -242,17 +256,29 @@ object Lakehouse {
     "q78_corr_exact" ->
       """WITH m AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
-        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
-        |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
-        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) AS sx_hi,
+        |    sum(CAST(floor((l_quantity - floor(l_quantity)) * 1e6 + 0.5) AS BIGINT)) AS sx_lo,
+        |    sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sy_hi,
+        |    sum(CAST(floor((l_extendedprice - floor(l_extendedprice)) * 1e6 + 0.5) AS BIGINT)) AS sy_lo,
+        |    sum(CAST(floor(l_quantity * l_quantity) AS BIGINT)) AS sxx_hi,
+        |    sum(CAST(floor((l_quantity * l_quantity - floor(l_quantity * l_quantity)) * 1e6 + 0.5) AS BIGINT)) AS sxx_lo,
+        |    sum(CAST(floor(l_extendedprice * l_extendedprice) AS BIGINT)) AS syy_hi,
+        |    sum(CAST(floor((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 1e6 + 0.5) AS BIGINT)) AS syy_lo,
+        |    sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)) AS sxy_hi,
+        |    sum(CAST(floor((l_quantity * l_extendedprice - floor(l_quantity * l_extendedprice)) * 1e6 + 0.5) AS BIGINT)) AS sxy_lo
+        |  FROM lineitem GROUP BY l_returnflag),
+        |mm AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sx_hi AS DOUBLE) + CAST(sx_lo AS DOUBLE) / 1e6 AS sx,
+        |    CAST(sy_hi AS DOUBLE) + CAST(sy_lo AS DOUBLE) / 1e6 AS sy,
+        |    CAST(sxx_hi AS DOUBLE) + CAST(sxx_lo AS DOUBLE) / 1e6 AS sxx,
+        |    CAST(syy_hi AS DOUBLE) + CAST(syy_lo AS DOUBLE) / 1e6 AS syy,
+        |    CAST(sxy_hi AS DOUBLE) + CAST(sxy_lo AS DOUBLE) / 1e6 AS sxy
+        |  FROM m)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  AS corr_qty_price
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+        |FROM mm ORDER BY l_returnflag""".stripMargin
   )
 }
