@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -16,14 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * difference between a scan-bound and an expression-bound dedup pass at
   * corpus scale. Output order = first occurrence, same as array_distinct.
   */
-abstract class ShingleBase extends UnaryExpression with CodegenFallback {
+abstract class ShingleBase extends UnaryExpression {
   def n: Int
   override def nullIntolerant: Boolean = true
+}
 
-  protected def splitTokens(input: Any): Array[String] =
-    input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+/** Static shingling kernels, shared by interpreted eval and generated code
+  * (the codegen path emits one static call — the surrounding operators
+  * stay inside WholeStageCodegen instead of falling back to the
+  * interpreted-projection path CodegenFallback forces). */
+object ShingleCompute {
+  private def splitTokens(input: UTF8String): Array[String] =
+    input.toString.trim.split("\\s+")
 
-  protected def distinctShingles(toks: Array[String]): java.util.LinkedHashSet[String] = {
+  private def distinctShingles(toks: Array[String], n: Int): java.util.LinkedHashSet[String] = {
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i <= toks.length - n) {
@@ -35,6 +41,37 @@ abstract class ShingleBase extends UnaryExpression with CodegenFallback {
     }
     seen
   }
+
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(input)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = distinctShingles(toks, n)
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  def hashedWordShingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(input)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = distinctShingles(toks, n)
+      val hs = new Array[Long](seen.size)
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) {
+        hs(i) = XXH64.hashUTF8String(UTF8String.fromString(it.next()), 42L)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      val out = new Array[Any](hs.length)
+      i = 0
+      while (i < hs.length) { out(i) = java.lang.Long.valueOf(hs(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** array<string> of distinct word n-grams ("a b c"). Set-equal to the
@@ -42,17 +79,12 @@ abstract class ShingleBase extends UnaryExpression with CodegenFallback {
 case class WordShingles(child: Expression, n: Int) extends ShingleBase {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = splitTokens(input)
-    if (toks.length < n) new GenericArrayData(Array.empty[Any])
-    else {
-      val seen = distinctShingles(toks)
-      val out = new Array[Any](seen.size)
-      val it = seen.iterator(); var i = 0
-      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
-      new GenericArrayData(out)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleCompute.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleCompute.wordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,24 +99,12 @@ case class WordShingles(child: Expression, n: Int) extends ShingleBase {
 case class HashedWordShingles(child: Expression, n: Int) extends ShingleBase {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = splitTokens(input)
-    if (toks.length < n) new GenericArrayData(Array.empty[Any])
-    else {
-      val seen = distinctShingles(toks)
-      val hs = new Array[Long](seen.size)
-      val it = seen.iterator(); var i = 0
-      while (it.hasNext) {
-        hs(i) = XXH64.hashUTF8String(UTF8String.fromString(it.next()), 42L)
-        i += 1
-      }
-      java.util.Arrays.sort(hs)
-      val out = new Array[Any](hs.length)
-      i = 0
-      while (i < hs.length) { out(i) = java.lang.Long.valueOf(hs(i)); i += 1 }
-      new GenericArrayData(out)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleCompute.hashedWordShingles(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleCompute.hashedWordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -104,16 +124,29 @@ case class HashedWordShingles(child: Expression, n: Int) extends ShingleBase {
   * loop, array<long> out.
   */
 case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 2 && w >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    WinnowedFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowedFingerprint.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowedFingerprint {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
     // normalize: lowercase, collapse whitespace runs to single space —
     // equals regexp_replace(lower(trim(s)), '\s+', ' ', 'g') on ASCII
-    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val raw = input.toString.toLowerCase
     val sb = new java.lang.StringBuilder(raw.length)
     var prevSpace = false
     var i = 0
@@ -177,11 +210,6 @@ case class WinnowedFingerprint(child: Expression, k: Int, w: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object WinnowedFingerprint {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -255,7 +283,7 @@ object WinnowedFingerprint {
   * sets the merge walk is allocation-free. Both inputs MUST be sorted
   * ascending and duplicate-free (WinnowedFingerprint emits exactly that). */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -276,6 +304,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     java.lang.Long.valueOf(n)
   }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $acc++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
