@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Training-data curation operators — the corpus-assembly passes that sit
+  * between dedup/quality scoring and the tokenizer in an LLM data
+  * pipeline: sequence packing, benchmark-contamination checks, repetition
+  * scoring, and mixture balancing. All four are oracle-checked.
+  *
+  * (The reference pipeline stops at gold tables —
+  * `/root/reference/src/etl/silver_to_gold.py` — these extend the same
+  * engine surface to corpus curation, per the build brief's north-star.)
+  */
+object Curation {
+
+  // q86 — sequence packing (concat-and-chunk): assign documents to fixed
+  // token-budget bins per language, in deterministic doc_id order — the
+  // standard pretraining step that concatenates a shard's documents and
+  // slices context windows. bin = floor(tokens_before / budget) via one
+  // running sum per lang partition: a single shuffle on lang, and each
+  // bin boundary is derivable without materializing the packed text. At
+  // 100 TB the partition key would be (lang, shard) so no single language
+  // serializes through one task; the arithmetic is unchanged.
+  def q86PackSequences(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      // exact: token counts are < 2^53, so the double division is exact
+      // enough for floor and identical cross-engine
+      .withColumn("bin",
+        floor((col("cum_after") - col("n_tokens")) / lit(budget.toDouble)).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q87 — benchmark contamination: for every training document (doc_id >=
+  // evalMax), the fraction of each eval document's (doc_id < evalMax)
+  // distinct trigram shingles it contains. The eval set is small BY
+  // CONSTRUCTION (that is what makes contamination checks tractable), so
+  // it broadcasts and the scan stays one pass over the corpus — linear in
+  // corpus size at any scale. Containment (|T∩E| / |E|), not Jaccard:
+  // a long training doc that embeds a whole benchmark item must score ~1
+  // even though its Jaccard is diluted.
+  def q87Contamination(s: SparkSession, dir: String,
+                       evalMax: Long = 100, minContain: Double = 0.5): DataFrame = {
+    VectorFunctions.register(s)
+    val sh = Dedup.shingledHashed(Tables.documents(s, dir))
+    val evalSh = sh.filter(col("doc_id") < evalMax)
+      .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
+    val trainSh = sh.filter(col("doc_id") >= evalMax)
+      .select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
+    trainSh.join(broadcast(evalSh), size(col("sh_e")) > 0)
+      // hashed shingle sets are sorted: allocation-free merge walk per pair
+      .withColumn("inter", VectorFunctions.sortedIntersectCount(col("sh_t"), col("sh_e")))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("sh_e")).cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("train_id"), col("eval_id"), col("containment"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  // q88 — intra-document repetition ratio: 1 - distinct/total trigrams,
+  // the cheap detector for looped or boilerplate-stuffed text (a standard
+  // quality-filter signal). Entirely scan-local — no shuffle, no join;
+  // at 100 TB this runs at parquet-scan speed.
+  def q88Repetition(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val nTok = size(TextFunctions.tokens(col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(nTok - lit(2), lit(0)).cast("bigint").as("n_ngrams"),
+        size(VectorFunctions.wordShingles(col("text"), 3)).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  // q89 — mixture balancing: downsample each source to the smallest
+  // source's TOKEN budget (doc counts are uniform in this corpus; token
+  // budgets are what a training mixture actually allocates). The keep
+  // decision is a deterministic per-doc md5 coin (the cross-engine 60-bit
+  // bridge / 2^60 as uniform [0,1)) against the source's rate — so the
+  // sample is reproducible at any parallelism, and at 100 TB the rates are
+  // a broadcast of |sources| rows joined into one corpus scan.
+  def q89MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val budgets = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val minB = budgets.agg(min(col("src_tokens")).as("min_tokens"))
+    val rates = budgets.crossJoin(broadcast(minB))
+      .select(col("source"),
+        (col("min_tokens").cast("double") / col("src_tokens").cast("double")).as("rate"))
+    val u = TextFunctions.h60(col("doc_id").cast("string")).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    docs.join(broadcast(rates), "source")
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_pack_sequences" -> ((s, d) => q86PackSequences(s, d)),
+    "q87_contamination" -> ((s, d) => q87Contamination(s, d)),
+    "q88_repetition" -> (q88Repetition _),
+    "q89_mixture_sample" -> (q89MixtureSample _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q86_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_after
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum_after - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q87_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) /
+        |    CAST(len(e.s) AS DOUBLE) AS containment
+        |FROM sh t JOIN sh e ON t.doc_id >= 100 AND e.doc_id < 100
+        |WHERE CAST(len(list_intersect(t.s, e.s)) AS DOUBLE) /
+        |      CAST(len(e.s) AS DOUBLE) >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q88_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+        |    CAST(CASE WHEN len(w) >= 3
+        |      THEN len(list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                              for i in range(1, len(w)-1)]))
+        |      ELSE 0 END AS BIGINT) AS n_distinct
+        |  FROM w)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |  CASE WHEN n_ngrams > 0
+        |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q89_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT source, sum(n_tokens) AS src_tokens FROM t GROUP BY source),
+        |r AS (
+        |  SELECT source,
+        |    CAST((SELECT min(src_tokens) FROM b) AS DOUBLE) /
+        |      CAST(src_tokens AS DOUBLE) AS rate
+        |  FROM b)
+        |SELECT t.doc_id, t.source, t.n_tokens, r.rate
+        |FROM t JOIN r ON t.source = r.source
+        |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < r.rate
+        |ORDER BY t.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{GraftSession, Tables}
+import graft.operators.Curation
+
+/** Invariants of the corpus-curation operators beyond the DuckDB hash gate:
+  * packing continuity, containment bounds, ratio bounds, and mixture-budget
+  * convergence. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("curation-spec", cores = 4)
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q86: bins are contiguous from 0 per lang and fill monotonically") {
+    val out = Curation.q86PackSequences(spark, sf).cache()
+    // per lang: bin ids form 0..max with no gaps (concat-and-chunk never
+    // skips a window), and bins are non-decreasing in doc_id order
+    val perLang = out.groupBy(col("lang"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        countDistinct(col("bin")).as("n"))
+    assert(perLang.filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val nonMono = out.withColumn("prev", lag(col("bin"), 1).over(w))
+      .filter(col("prev").isNotNull && col("bin") < col("prev"))
+    assert(nonMono.count() == 0)
+    out.unpersist()
+  }
+
+  test("q87: containment is within (0,1] and eval ids are all < 100") {
+    val out = Curation.q87Contamination(spark, sf).cache()
+    assert(out.count() > 0) // planted near-dup pairs straddle the id split
+    assert(out.filter(col("containment") <= 0 || col("containment") > 1.0).count() == 0)
+    assert(out.filter(col("eval_id") >= 100 || col("train_id") < 100).count() == 0)
+    out.unpersist()
+  }
+
+  test("q88: rep_ratio bounded in [0,1) and zero iff all trigrams distinct") {
+    val out = Curation.q88Repetition(spark, sf).cache()
+    assert(out.filter(col("rep_ratio") < 0 || col("rep_ratio") >= 1.0).count() == 0)
+    assert(out.filter((col("n_distinct") === col("n_ngrams")) =!=
+      (col("rep_ratio") === 0.0)).count() == 0)
+    out.unpersist()
+  }
+
+  test("q89: kept token budget per source lands near the smallest source") {
+    val out = Curation.q89MixtureSample(spark, sf).cache()
+    val budgets = Tables.documents(spark, sf)
+      .select(col("source"), size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("bigint").as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val minBudget = budgets.agg(min(col("src_tokens"))).head.getLong(0)
+    val kept = out.groupBy(col("source")).agg(sum(col("n_tokens")).as("kept_tokens"))
+    // md5-coin sampling at rate min/src converges to the min budget; with
+    // only ~25 docs/source at sf0.01 allow a wide band (0.4x..1.6x)
+    val off = kept.filter(col("kept_tokens") < minBudget * 0.4 ||
+      col("kept_tokens") > minBudget * 1.6)
+    assert(off.count() == 0, s"sources outside band: ${off.collect().mkString}")
+    // determinism: second run is identical
+    val again = Curation.q89MixtureSample(spark, sf)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+}
