@@ -86,6 +86,57 @@ object Analytics {
       .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("s_name"))
 
+  // q90 — time-range join, equi-ized by binning: views by the same user in
+  // the hour before each purchase. A naive range join is a broadcast
+  // nested loop (O(|P|x|V|) — unrunnable at 100 TB); because the window
+  // length equals the bin width, each purchase's window touches at most 2
+  // hour bins, so exploding purchases x2 and equi-joining on (user_id,
+  // bin) + exact refine gives the same rows with ONE hash join whose key
+  // cardinality scales with users x hours. This is the standard
+  // interval-binning rewrite (same trick q47's stream-stream join gets
+  // from watermark buckets).
+  def q90RangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        (unix_micros(col("ts")) / hourUs).cast("long").as("bin"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+      .withColumn("bin",
+        explode(array_distinct(array(
+          ((unix_micros(col("pts")) - hourUs) / hourUs).cast("long"),
+          (unix_micros(col("pts")) / hourUs).cast("long")))))
+    val matched = purchases.join(views, Seq("user_id", "bin"))
+      .filter(col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("vts") < col("pts"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_views"))
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy(col("event_id"))
+  }
+
+  // q91 — trailing-7-day distinct users per active day: each event
+  // contributes to the 7 window-end days it falls in (explode x7), then
+  // one distinct-count per day — no range join, and the explode factor is
+  // the window length, not the data size. Days with no events emit no row
+  // (the window-end set is the distinct active days).
+  def q91SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+    val activeDays = ev.select(col("d")).distinct()
+    val contributions = ev.withColumn("day_out",
+      explode(sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))))
+    contributions
+      .join(activeDays.select(col("d").as("day_out")), Seq("day_out"))
+      .groupBy(col("day_out"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+      .orderBy(col("day_out"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,10 +144,31 @@ object Analytics {
     "q48_sample" -> ((s, d) => deterministicSample(Tables.documents(s, d))),
     "q44_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
     "q45_event_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
-    "q46_profile" -> ((s, d) => profileLineitem(Tables.lineitem(s, d)))
+    "q46_profile" -> ((s, d) => profileLineitem(Tables.lineitem(s, d))),
+    "q90_range_join_binned" -> (q90RangeJoinBinned _),
+    "q91_sliding_distinct" -> (q91SlidingDistinct _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q90_range_join_binned" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  CAST(count(v.ts) AS BIGINT) AS n_views
+        |FROM events p
+        |LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q91_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM e)
+        |SELECT days.d AS day_out,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS u7
+        |FROM days JOIN e
+        |  ON e.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        |GROUP BY days.d ORDER BY day_out""".stripMargin,
     "q50_salted_join" ->
       """SELECT l_orderkey, l_linenumber, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -80,4 +80,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Expand"), "six moments must share one scan, not expand")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q90: binned range join is a hash join, never a nested loop") {
+    val p = plan("q90_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval binning must equi-ize the range join")
+    assert(p.contains("Join"), "the equi-join on (user_id, bin) must survive")
+  }
+
+  test("q88: repetition scoring is scan-local (no exchange before the sort)") {
+    val p = plan("q88_repetition")
+    // one exchange for the corpus spread + one for the final sort; no
+    // join/aggregate exchanges in between
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+  }
 }
