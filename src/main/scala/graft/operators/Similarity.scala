@@ -130,16 +130,8 @@ object Similarity {
   def ivfTopK(spark: SparkSession, embs: DataFrame, queryMaxId: Long = 10,
               k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     VectorFunctions.register(spark)
-    val centroids = embs.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    // assignment: argmax cosine over the broadcast centroid table (ties to
-    // the lowest cell id) — one map-side pass + a per-vector top-1 window
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))
-    val assigned = embs.crossJoin(broadcast(centroids))
-      .withColumn("cdist", VectorFunctions.cosineSim(col("embedding"), col("centroid")))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cell"))
+    val centroids = ivfCentroids(embs, nlist)
+    val assigned = ivfAssign(spark, embs, nlist)
     val q = embs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -151,6 +143,66 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def ivfCentroids(embs: DataFrame, nlist: Int): DataFrame =
+    embs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+
+  /** Cell assignment for every corpus vector (argmax centroid cosine, ties
+    * to the lowest cell id) — one broadcast + one map-side pass. */
+  private def ivfAssign(spark: SparkSession, embs: DataFrame, nlist: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))
+    embs.crossJoin(broadcast(ivfCentroids(embs, nlist)))
+      .withColumn("cdist", VectorFunctions.cosineSim(col("embedding"), col("centroid")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cell"))
+  }
+
+  /** Materialize the IVF index on disk: corpus vectors written hive-
+    * partitioned by cell id. This is the storage half of the IVF promise —
+    * a probe then reads `nprobe` directories out of `nlist` via Spark
+    * partition pruning, not the whole corpus. */
+  def writeIvfIndex(spark: SparkSession, embs: DataFrame, out: String,
+                    nlist: Int = 16): Unit =
+    ivfAssign(spark, embs, nlist)
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+
+  /** ANN top-k over a materialized IVF index. The probe cells for the
+    * query batch are evaluated first (tiny: |queries| x nlist against the
+    * broadcast centroid table) and injected as a partition-column IN
+    * filter — the same evaluate-then-inject step as q66's bloom, and the
+    * scan's PartitionFilters prove only nprobe cells per query are read.
+    * Identical output to the in-memory `ivfTopK` by construction. */
+  def ivfTopKFromIndex(spark: SparkSession, embs: DataFrame, indexDir: String,
+                       queryMaxId: Long = 10, k: Int = 10, nlist: Int = 16,
+                       nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(spark)
+    val centroids = ivfCentroids(embs, nlist)
+    val q = embs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorFunctions.cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+      .cache()
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val indexed = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probedCells: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))

@@ -125,6 +125,29 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size <= brute.size)
   }
 
+  test("IVF index on disk: pruned-partition read == in-memory path") {
+    val embs = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      Similarity.writeIvfIndex(spark, embs, dir)
+      val fromIndex = Similarity.ivfTopKFromIndex(spark, embs, dir)
+      val inMemory = Similarity.ivfTopK(spark, embs)
+      assert(fromIndex.exceptAll(inMemory).count() == 0 &&
+        inMemory.exceptAll(fromIndex).count() == 0)
+      // the probe-cell IN filter must prune at the partition level: the
+      // executed scan lists PartitionFilters on cell, and reads fewer
+      // partition directories than nlist
+      fromIndex.write.format("noop").mode("overwrite").save()
+      val scans = fromIndex.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains(dir))
+      assert(scans.nonEmpty)
+      assert(scans.exists(s => s.contains("PartitionFilters") && s.contains("cell")),
+        s"no partition filter on cell in:\n${scans.mkString("\n")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("exact dedup groups: empty at sf0.01 (no planted exact dups), keys stable") {
     assert(Dedup.exactDupGroups(Tables.documents(spark, sf)).count() == 0)
     val sf01 = "/root/testdata/sf0.1"
