@@ -86,6 +86,21 @@ object Analytics {
       .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("s_name"))
 
+  /** The 100 TB quantile path: approx_percentile (Greenwald-Khanna / KLL
+    * mergeable sketch) — one partial+final aggregate, O(accuracy) state per
+    * group instead of q39's exact percentile buffering every value. Rank
+    * error is bounded by n/accuracy; the spec asserts the observed value
+    * error against the exact q39 result. Not oracle-checked (DuckDB's
+    * approx sketch differs); the exact twin q39 carries the hash gate. */
+  def approxPercentiles(li: DataFrame, accuracy: Int = 10000): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5D, $accuracy)").as("median_qty"),
+        expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.95D), $accuracy)").as("pp"))
+      .select(col("l_returnflag"), col("median_qty"),
+        col("pp").getItem(0).as("p25_price"), col("pp").getItem(1).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+
   // q90 — time-range join, equi-ized by binning: views by the same user in
   // the hour before each purchase. A naive range join is a broadcast
   // nested loop (O(|P|x|V|) — unrunnable at 100 TB); because the window

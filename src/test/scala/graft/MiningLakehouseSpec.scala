@@ -48,6 +48,20 @@ class MiningLakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.filter(col("zval") >= (1L << 32) || col("zval") < 0).count() == 0)
   }
 
+  test("approx percentiles track the exact q39 values within 1%") {
+    import graft.operators.{Analytics, Relational}
+    val exact = Relational.q39Percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Analytics.approxPercentiles(Tables.lineitem(spark, sf)).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (mq, p25, p95) = exact(r.getString(0))
+      def near(a: Double, b: Double) = math.abs(a - b) <= 0.01 * math.max(math.abs(b), 1.0)
+      assert(near(r.getDouble(1), mq) && near(r.getDouble(2), p25) && near(r.getDouble(3), p95),
+        s"approx ${r} vs exact ($mq,$p25,$p95)")
+    }
+  }
+
   test("q72: quantized-shortlist rerank recalls >=80% of exact top-10") {
     val exact = Similarity.bruteForceTopK(spark, Tables.embeddings(spark, sf))
       .select(col("query_id"), col("neighbor_id"))
