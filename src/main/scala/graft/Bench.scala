@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *     time a different (cheaper) plan than the one users run;
   *   - one untimed warmup pass at sf0.001 first: JIT + codegen compilation
   *     otherwise lands entirely on the first timed query;
-  *   - two timed passes, per-query MIN reported: single-shot timings on a
+  *   - three timed passes, per-query MIN reported: single-shot timings on a
   *     shared host carry multi-second noise spikes from unrelated load.
   */
 object Bench {
@@ -53,7 +53,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) runAll(spark, warmDir)
-    val results = minByQuery(runAll(spark, sfDir), runAll(spark, sfDir))
+    // three timed passes, per-query MIN: the host carries multi-second
+    // background-load spikes (load avg ~4 from unrelated processes), and
+    // min-of-N is the consistent estimator of the true cost under
+    // additive noise
+    val results = (1 to 3).map(_ => runAll(spark, sfDir)).reduce(minByQuery)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
