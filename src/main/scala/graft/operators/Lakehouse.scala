@@ -130,6 +130,27 @@ object Lakehouse {
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(out)
 
+  /** Small-file compaction (the lakehouse OPTIMIZE primitive): rewrite a
+    * directory of many small parquet files into size-targeted files. File
+    * count is derived from the MEASURED input bytes (Hadoop FS listing —
+    * a driver-side metadata call, no data read), and the rewrite is one
+    * round-robin-free `repartitionByRange` on the sort key so compacted
+    * files keep disjoint key ranges (min/max footer pruning survives
+    * compaction). The small-files problem is the dominant metadata tax of
+    * an append-heavy 100 TB table — the reference's per-day appends
+    * (silver_to_gold.py append mode) produce exactly this layout. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              sortKey: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
+    val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartitionByRange(nFiles, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   // q77 — fixed-width histogram of l_extendedprice: bucket id from integer
   // floor division — scan-local, partial-agg to ~20 groups, near-zero
   // shuffle. The profiling primitive that actually scales (vs sorting for

@@ -48,6 +48,46 @@ class MiningLakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.filter(col("zval") >= (1L << 32) || col("zval") < 0).count() == 0)
   }
 
+  test("compact: many small files -> size-targeted sorted files, same rows") {
+    val li = Tables.lineitem(spark, sf)
+    val dirIn = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val dirOut = java.nio.file.Files.createTempDirectory("compact_out").toString
+    try {
+      // simulate an append-heavy layout: 64 tiny files
+      li.repartition(64).write.mode("overwrite").parquet(dirIn)
+      def parquetFiles(d: String) =
+        new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(dirIn) == 64)
+      Lakehouse.compact(spark, dirIn, dirOut, sortKey = "l_orderkey",
+        targetBytes = 8L * 1024 * 1024)
+      assert(parquetFiles(dirOut) < 8, s"still ${parquetFiles(dirOut)} files")
+      val a = spark.read.parquet(dirIn)
+      val b = spark.read.parquet(dirOut)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirIn))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirOut))
+    }
+  }
+
+  test("schema evolution: appended column reads via mergeSchema, old rows null") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    try {
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.parquet(s"$dir/day=1")
+      Seq((3L, "c", 7.5), (4L, "d", 8.5)).toDF("id", "v", "score")
+        .write.parquet(s"$dir/day=2")
+      val unified = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(unified.columns.toSet == Set("id", "v", "score", "day"))
+      assert(unified.count() == 4)
+      assert(unified.filter(col("day") === 1 && col("score").isNull).count() == 2)
+      assert(unified.filter(col("score").isNotNull).count() == 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("approx percentiles track the exact q39 values within 1%") {
     import graft.operators.{Analytics, Relational}
     val exact = Relational.q39Percentiles(spark, sf).collect()
