@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: parallelize compute-heavy projections over small
+    // relations (see ParallelizeExpensiveProjection scaladoc)
+    ext.injectOptimizerRule(graft.plans.ParallelizeExpensiveProjection.apply)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

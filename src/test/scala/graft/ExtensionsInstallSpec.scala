@@ -29,6 +29,26 @@ class ExtensionsInstallSpec extends AnyFunSuite {
       assert(r.getDouble(1) == 0.0)
       assert(r.getInt(2) == 2)
       assert(r.getInt(3) == 2)
+
+      // optimizer rule: a shingle projection over the (tiny) documents
+      // relation gains a repartition below the project...
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .createOrReplaceTempView("docs_ext")
+      val small = spark.sql(
+        "SELECT doc_id, hashed_word_shingles(text, 3) AS sh FROM docs_ext")
+      val smallPlan = small.queryExecution.optimizedPlan.toString
+      assert(smallPlan.contains("Repartition"),
+        s"rule did not fire on a small relation:\n$smallPlan")
+      assert(small.count() > 0)
+      // ...but a plain projection (no expensive expression) does not
+      val cheap = spark.sql("SELECT doc_id, length(text) AS n FROM docs_ext")
+      assert(!cheap.queryExecution.optimizedPlan.toString.contains("Repartition"))
+      // ...and a relation above the size threshold is left alone
+      spark.conf.set("spark.graft.parallelize.maxBytes", "1024")
+      val big = spark.sql(
+        "SELECT doc_id, hashed_word_shingles(text, 3) AS sh FROM docs_ext")
+      assert(!big.queryExecution.optimizedPlan.toString.contains("Repartition"))
+      spark.conf.unset("spark.graft.parallelize.maxBytes")
     } finally spark.stop()
   }
 }
