@@ -108,16 +108,70 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // q92 — LM-likelihood quality score (the CCNet-style perplexity filter):
+  // per-document mean log-probability under the corpus's own bigram LM.
+  // Train (two count aggregates over one bigram explode, LM broadcast —
+  // vocab << corpus) and score (one join + one per-doc aggregate) in a
+  // single plan. No smoothing needed: the LM is trained on the scored
+  // corpus, so every observed bigram has count >= 1. At 100 TB the LM
+  // table is still |vocab|^2-bounded (tiny); only the bigram explode
+  // scales with data. Per-bigram ln p is cast to decimal(25,15) before
+  // the sum so the per-doc mean is order-independent (double ln values
+  // agree cross-engine within 1 ulp; the decimal sum keeps partitioning
+  // out of the result).
+  def q92LmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tok.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+    val lm = cnt.join(broadcast(tot), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log(col("n").cast("double") / col("n_w1").cast("double")).as("logp"))
+    big.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp").cast("decimal(25,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_pack_sequences" -> ((s, d) => q86PackSequences(s, d)),
     "q87_contamination" -> ((s, d) => q87Contamination(s, d)),
     "q88_repetition" -> (q88Repetition _),
-    "q89_mixture_sample" -> (q89MixtureSample _)
+    "q89_mixture_sample" -> (q89MixtureSample _),
+    "q92_lm_score" -> (q92LmScore _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q92_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+        |            for i in range(1, len(ws))]) AS s
+        |  FROM w WHERE len(ws) >= 2),
+        |bb AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM b),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bb GROUP BY w1, w2),
+        |tt AS (SELECT w1, sum(n) AS n_w1 FROM c GROUP BY w1),
+        |lm AS (
+        |  SELECT c.w1, c.w2,
+        |    ln(CAST(c.n AS DOUBLE) / CAST(tt.n_w1 AS DOUBLE)) AS logp
+        |  FROM c JOIN tt USING (w1))
+        |SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(lm.logp AS DECIMAL(25,15))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS avg_logp
+        |FROM bb JOIN lm USING (w1, w2)
+        |GROUP BY bb.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q86_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
