@@ -66,6 +66,37 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          n_bytes_in: Int, checksum: Long)
+
+  /** Partition-batched resize: binary → fixed-dims binary. The STUB
+    * "resample" nearest-neighbor-samples source bytes onto a width x height
+    * grid (`??? real pixel resample goes here`); the plumbing — typed
+    * partition iterator, per-partition codec scope, fixed output schema
+    * with a content checksum for verification — is the real part. */
+  def resize(spark: SparkSession, media: DataFrame,
+             width: Int = 8, height: Int = 8): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // real resampler init would happen here, once per partition
+        rows.map { r =>
+          val n = r.content.length
+          val px = width * height
+          // ??? real codec+resample; deterministic nearest-neighbor stand-in
+          val stride = math.max(1, n / px)
+          var checksum = 0L
+          var i = 0
+          while (i < px) {
+            if (n > 0) checksum += (r.content((i * stride) % n) & 0xff).toLong
+            i += 1
+          }
+          ResizedMedia(r.doc_id, width, height, n, checksum)
+        }
+      }
+  }
+
   /** Frame sampling: one row per sampled frame (every `stride` bytes stands
     * in for every Nth video frame). Declarative explode — no UDF. */
   def sampleFrames(media: DataFrame, stride: Int = 100): DataFrame =
@@ -86,7 +117,15 @@ object Multimodal {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
         .orderBy(col("doc_id"))
     }),
-    "q41_media_frames" -> ((s, d) => sampleFrames(mediaTable(Tables.documents(s, d))))
+    "q41_media_frames" -> ((s, d) => sampleFrames(mediaTable(Tables.documents(s, d)))),
+    "q93_media_resize" -> ((s, d) => {
+      import s.implicits._
+      resize(s, mediaTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes_in"), col("checksum"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Oracles mirror the deterministic stub arithmetic (the plumbing — binary
@@ -103,6 +142,20 @@ object Multimodal {
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |  CAST(f * 100 AS BIGINT) AS byte_offset
         |FROM documents, unnest(range(0, (octet_length(encode(text)) - 1) // 100 + 1)) AS t(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // nearest-neighbor stub resample onto an 8x8 grid: byte at
+    // (i*stride) % n for pixel i, stride = max(1, n div 64); ASCII corpus
+    // so ord(char) == byte value
+    "q93_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |    greatest(1, octet_length(encode(text)) // 64) AS stride
+        |  FROM documents)
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(n AS INT) AS n_bytes_in,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |    list_sum([ord(substr(text, ((i * stride) % n) + 1, 1))
+        |              for i in range(0, 64)]) END AS BIGINT) AS checksum
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }
