@@ -78,6 +78,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotSet.nonEmpty)
   }
 
+  test("event-time timeout closes a silent user's session once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime + min * 60000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event]
+    val out = EventsStream.sessionizeStream(spark, ms.toDF()).toDF()
+    val q = out.writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has a two-event session [00:00, 00:01], then goes
+      // silent forever
+      ms.addData(EventsStream.Event(1L, t(0), 1L, 1.0),
+        EventsStream.Event(2L, t(1), 1L, 2.0))
+      q.processAllAvailable()
+      // batch 2: only user 2, far in the future — advances the watermark
+      // (60min - 10min delay = 00:50) past user 1's timeout (00:01 + 30min)
+      ms.addData(EventsStream.Event(3L, t(60), 2L, 1.0))
+      q.processAllAvailable()
+      // batch 3: the timeout fires against the batch-2 watermark
+      ms.addData(EventsStream.Event(4L, t(61), 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("timeout_sessions")
+        .filter(col("user_id") === 1L).collect()
+      assert(rows.length == 1, s"expected exactly one timed-out session, got ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[java.sql.Timestamp]("session_start") == t(0))
+      assert(r.getAs[java.sql.Timestamp]("session_end") == t(1))
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicatesWithinWatermark == batch distinct keys") {
     // which physical row survives streaming dedup is arrival-order-dependent;
     // the deterministic (and useful) contract is the deduplicated KEY set —
