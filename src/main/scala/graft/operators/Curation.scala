@@ -139,6 +139,27 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // q94 — blocked fuzzy (edit-distance) join: near-identical part names,
+  // the record-linkage primitive (catalog/entity dedup). Naive fuzzy join
+  // is O(n^2) levenshtein; BLOCKING on a cheap key (first token) bounds
+  // each comparison set — the same candidate-then-verify shape as every
+  // near-dup operator here. levenshtein() is an integer metric, exact and
+  // engine-independent, so the whole operator is oracle-checkable.
+  // Dedup to distinct names first: the metric only depends on the name,
+  // so the quadratic stage runs on |distinct names|, not |rows|.
+  def q94FuzzyJoin(s: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
+      .distinct()
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,10 +167,20 @@ object Curation {
     "q87_contamination" -> ((s, d) => q87Contamination(s, d)),
     "q88_repetition" -> (q88Repetition _),
     "q89_mixture_sample" -> (q89MixtureSample _),
-    "q92_lm_score" -> (q92LmScore _)
+    "q92_lm_score" -> (q92LmScore _),
+    "q94_fuzzy_join" -> ((s, d) => q94FuzzyJoin(s, d))
   )
 
   def oracles: Map[String, String] = Map(
+    "q94_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
     "q92_lm_score" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
