@@ -151,6 +151,39 @@ object Lakehouse {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  // q95 — data-quality constraint report (the dbt-test / Deequ primitive):
+  // one row per declared constraint with its violation count. Each check
+  // is its own aggregate over the narrowest possible scan (count of
+  // violations, never the violating rows themselves), unioned into one
+  // small report — at 100 TB each check is a scan-local partial count and
+  // the report is |checks| rows. Checks: key uniqueness (exact
+  // count-distinct vs count), not-null, referential integrity (anti-join
+  // count), and domain/range predicates.
+  def q95DqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check"),
+        col("violations").cast("bigint").as("violations"))
+    val pkUnique = check("orders_pk_unique",
+      orders.agg((count(col("o_orderkey")) -
+        countDistinct(col("o_orderkey"))).as("violations")))
+    val notNull = check("orders_custkey_not_null",
+      orders.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("violations")))
+    val fkOrphans = check("lineitem_fk_orders",
+      li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val range = check("lineitem_quantity_range",
+      li.agg(sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)).as("violations")))
+    val sign = check("orders_totalprice_positive",
+      orders.agg(sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("violations")))
+    pkUnique.union(notNull).union(fkOrphans).union(range).union(sign)
+      .orderBy(col("check"))
+  }
+
   // q77 — fixed-width histogram of l_extendedprice: bucket id from integer
   // floor division — scan-local, partial-agg to ~20 groups, near-zero
   // shuffle. The profiling primitive that actually scales (vs sorting for
@@ -211,10 +244,33 @@ object Lakehouse {
     "q75_incremental_agg" -> (q75IncrementalAgg _),
     "q76_zorder" -> (q76ZOrder _),
     "q77_histogram" -> (q77Histogram _),
-    "q78_corr_exact" -> (q78CorrExact _)
+    "q78_corr_exact" -> (q78CorrExact _),
+    "q95_dq_checks" -> (q95DqChecks _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q95_dq_checks" ->
+      """SELECT 'orders_pk_unique' AS "check",
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_custkey_not_null',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders',
+        |  CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range',
+        |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_totalprice_positive',
+        |  CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |ORDER BY "check"""".stripMargin,
     "q73_scd2" ->
       """WITH lagged AS (
         |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
