@@ -18,6 +18,10 @@ run / fork := true
 // prefixes forked stdout with "[info] ", which broke the driver's parse of
 // BENCH_r01.json. Pass the child's streams through untouched instead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's trailing "[success] Total time: ..." line lands AFTER the
+// JSON, so a parser reading the last stdout line still fails (BENCH_r02:
+// "parsed": null). Suppress the success banner entirely.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
