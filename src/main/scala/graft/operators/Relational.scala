@@ -378,6 +378,94 @@ object Relational {
         col("pp").getItem(0).as("p25_price"), col("pp").getItem(1).as("p95_price"))
       .orderBy(col("l_returnflag"))
 
+  // q71 — bi-national volume shipping (TPC-H Q7 shape): lineitem joined to
+  // BOTH its supplier's and its customer's nation, restricted to one nation
+  // pair in either direction. Scale shape: the two big-table joins
+  // (lineitem⋈orders) shuffle on the order key once; supplier/customer/nation
+  // are bounded dims → broadcast, so adding three more dims costs zero extra
+  // exchanges. The nation-pair filter lands on the broadcast build sides.
+  def q71VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val c = Tables.customer(s, dir)
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), sup("s_nationkey") === n1("s_nkey"))
+      .join(broadcast(n2), c("c_nationkey") === n2("c_nkey"))
+      .filter((col("supp_nation") === lit("NATION_1") && col("cust_nation") === lit("NATION_2")) ||
+              (col("supp_nation") === lit("NATION_2") && col("cust_nation") === lit("NATION_1")))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  // q79 — market share (TPC-H Q8 shape): a conditional-aggregate ratio —
+  // one pass computes both the nation's revenue and total revenue per year;
+  // the share divides the two exact decimal sums as doubles (deterministic,
+  // no per-row double accumulation).
+  def q79MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(s, dir).filter(col("p_type") === lit("PROMO"))
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(broadcast(promo), l("l_partkey") === promo("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        dsum(when(col("n_name") === lit("NATION_3"), rev).otherwise(lit(0.0))).as("nation_rev"),
+        dsum(rev).as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  // q83 — product-line profit (TPC-H Q9 shape, adapted: no partsupp table in
+  // the testdata, so supply cost is modeled as 10% of p_retailprice). The
+  // LIKE filter prunes part BEFORE the broadcast; profit is summed exactly.
+  def q83ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val bolts = Tables.part(s, dir).filter(col("p_name").like("%bolt%"))
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")
+    l.join(broadcast(bolts), l("l_partkey") === bolts("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  // q84 — customer order-count distribution (TPC-H Q13 shape): LEFT join with
+  // an extra join-side predicate (priority filter belongs in the ON clause,
+  // not WHERE — WHERE would turn the outer join inner), then a two-level
+  // aggregation. Both aggs are simple hash-aggs; the second one is tiny.
+  def q84OrderDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= lit("1-URGENT"))
+    val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -403,6 +491,10 @@ object Relational {
     "q37_in_exists" -> q37InExists _,
     "q38_pivot" -> q38Pivot _,
     "q39_percentiles" -> q39Percentiles _,
+    "q71_volume_shipping" -> q71VolumeShipping _,
+    "q79_market_share" -> q79MarketShare _,
+    "q83_product_profit" -> q83ProductProfit _,
+    "q84_order_dist" -> q84OrderDist _,
     "q51_ntile" -> q51Ntile _,
     "q52_moving_avg" -> q52MovingAvg _,
     "q53_lag_lead" -> q53LagLead _,
@@ -605,6 +697,58 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
         |  quantile_cont(l_extendedprice, 0.95) AS p95_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q71_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q79_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_3'
+        |    THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_3'
+        |    THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q83_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) - 0.1*p_retailprice*l_quantity
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q84_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q51_ntile" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment

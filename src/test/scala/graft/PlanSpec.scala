@@ -88,6 +88,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join"), "the equi-join on (user_id, bin) must survive")
   }
 
+  test("q71/q79/q83: TPC-H-shape star joins broadcast every dim (one fact shuffle)") {
+    for (q <- Seq("q71_volume_shipping", "q79_market_share", "q83_product_profit")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"$q: supplier/customer/part/nation are bounded dims and must broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: only lineitem⋈orders may shuffle; no dim may sort-merge")
+    }
+  }
+
+  test("q84: priority filter stays in the outer join's ON side") {
+    val p = plan("q84_order_dist")
+    // the anti-priority predicate must prune orders BEFORE the join (scan
+    // pushdown), never filter the join output (which would drop customers
+    // with zero surviving orders)
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      "priority predicate should push into the orders scan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("q88: repetition scoring is scan-local (no exchange before the sort)") {
     val p = plan("q88_repetition")
     // one exchange for the corpus spread + one for the final sort; no
