@@ -160,6 +160,67 @@ object Curation {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  // q96 — deterministic shard assignment + manifest: the last step of a
+  // training-data pipeline assigns every document to one of N output shards.
+  // The assignment is a pure function of doc_id (md5 60-bit bridge mod N) —
+  // reproducible at any parallelism, no global sort, no coordination — and
+  // the manifest (docs/chars/id-range per shard) is one partial+final
+  // aggregate. At 100 TB, writing becomes `.partitionBy("shard")` with this
+  // same column (see writeShards), and the manifest doubles as the
+  // completeness check readers validate against.
+  def shardAssign(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.withColumn("shard",
+      (TextFunctions.h60(col("doc_id").cast("string")) % nShards).cast("int"))
+
+  def q96ShardManifest(s: SparkSession, dir: String, nShards: Int = 16): DataFrame =
+    shardAssign(Tables.documents(s, dir), nShards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  /** Materialize the sharded corpus: one hive partition per shard. Returns
+    * the manifest aggregated FROM the written files (not the input), so a
+    * spec can assert write completeness. */
+  def writeShards(docs: DataFrame, out: String, nShards: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    shardAssign(docs, nShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("shard"))
+  }
+
+  // q97 — cross-document repeated-span fraction (the line/paragraph-level
+  // dedup signal of CCNet/C4, over trigram spans since this corpus has no
+  // line structure): for each document, the fraction of its distinct
+  // trigrams that also occur in at least one OTHER document. Shape: explode
+  // hashed shingles (long, sorted-distinct per doc) → df per shingle (one
+  // shuffle, map-side combine) → join back → per-doc aggregate. The join is
+  // shingle-keyed on both sides of the SAME exploded frame, so it reuses
+  // the shuffle partitioning; at 100 TB this is the canonical two-pass
+  // "span df" job and nothing about the plan changes.
+  def q97SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val ex = Dedup.shingledHashed(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .cache()
+    val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // (cache freed by the harness's per-query clearCache, like every other
+    // multi-consumer cache in Dedup/Mining)
+    ex.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_spans").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -168,7 +229,9 @@ object Curation {
     "q88_repetition" -> (q88Repetition _),
     "q89_mixture_sample" -> (q89MixtureSample _),
     "q92_lm_score" -> (q92LmScore _),
-    "q94_fuzzy_join" -> ((s, d) => q94FuzzyJoin(s, d))
+    "q94_fuzzy_join" -> ((s, d) => q94FuzzyJoin(s, d)),
+    "q96_shard_manifest" -> ((s, d) => q96ShardManifest(s, d)),
+    "q97_span_dedup" -> (q97SpanDedup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -263,6 +326,36 @@ object Curation {
         |FROM t JOIN r ON t.source = r.source
         |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |      / 1152921504606846976.0 < r.rate
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+    "q96_shard_manifest" ->
+      """SELECT
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 16 AS INT) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // string shingles here vs xxhash64'd longs in the engine: every output
+    // value is a COUNT over distinct shingles, which is identical under any
+    // per-corpus-injective hash (same equivalence q21/q22's oracle uses)
+    "q97_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                          for i in range(1, len(w)-1)])) AS h
+        |  FROM w WHERE len(w) >= 3),
+        |d AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS shared_frac
+        |FROM sh JOIN d USING (h)
+        |GROUP BY sh.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

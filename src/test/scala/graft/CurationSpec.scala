@@ -49,6 +49,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("q96/writeShards: sharded write is complete and partition-pruned") {
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      val written = Curation.writeShards(docs, out)
+      // every input doc landed in exactly one shard; totals conserved
+      val manifest = Curation.q96ShardManifest(spark, sf)
+        .select(col("shard"), col("n_docs"), col("total_chars"))
+      assert(written.exceptAll(manifest).count() == 0 &&
+        manifest.exceptAll(written).count() == 0)
+      // shard column is a hive partition → a one-shard read prunes at the
+      // file listing (PartitionFilters), touching 1/16th of the files
+      val one = spark.read.parquet(out).filter(col("shard") === 3)
+      val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("shard"))
+      assert(one.count() ==
+        manifest.filter(col("shard") === 3).head.getLong(1))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("q97: span fractions bounded; planted near-dup docs score ~1") {
+    val out = Curation.q97SpanDedup(spark, sf).cache()
+    assert(out.filter(col("shared_frac") < 0 || col("shared_frac") > 1.0).count() == 0)
+    assert(out.filter(col("n_shared") > col("n_spans")).count() == 0)
+    // the corpus plants 25 near-dup pairs (jaccard >= 0.97): each member
+    // shares most of its trigrams with its twin (a handful of edit sites
+    // keep a few docs just under 0.9, so bound at 0.85)
+    assert(out.filter(col("shared_frac") > 0.85).count() >= 50)
+    out.unpersist()
+  }
+
   test("q89: kept token budget per source lands near the smallest source") {
     val out = Curation.q89MixtureSample(spark, sf).cache()
     val budgets = Tables.documents(spark, sf)
