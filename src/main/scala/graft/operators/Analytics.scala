@@ -152,6 +152,27 @@ object Analytics {
       .orderBy(col("day_out"))
   }
 
+  // q98 — weekly cohort retention: users grouped by first-active week, and
+  // per (cohort, week-offset) the distinct users still active. Shape: one
+  // distinct on (user, week), a min-per-user aggregate, a user-keyed join,
+  // and a distinct count — three shuffles, all on the user key, so at
+  // cluster scale the exchange partitioning is computed once and reused
+  // (distinct on (user, week) hash-partitions by both columns, but the
+  // min-agg and join both repartition to user_id and AQE coalesces them).
+  // The classic product-analytics matrix, fully oracle-checkable.
+  def q98Retention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week").cast("date"), col("cohort_week").cast("date")) / 7)
+          .cast("int").as("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_k"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,7 +182,8 @@ object Analytics {
     "q45_event_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q46_profile" -> ((s, d) => profileLineitem(Tables.lineitem(s, d))),
     "q90_range_join_binned" -> (q90RangeJoinBinned _),
-    "q91_sliding_distinct" -> (q91SlidingDistinct _)
+    "q91_sliding_distinct" -> (q91SlidingDistinct _),
+    "q98_retention" -> (q98Retention _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -184,6 +206,17 @@ object Analytics {
         |FROM days JOIN e
         |  ON e.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
         |GROUP BY days.d ORDER BY day_out""".stripMargin,
+    "q98_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(datediff('day', CAST(c.cohort_week AS DATE), CAST(uw.week AS DATE)) // 7
+        |    AS INT) AS week_k,
+        |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q50_salted_join" ->
       """SELECT l_orderkey, l_linenumber, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

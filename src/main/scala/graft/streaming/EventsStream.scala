@@ -155,6 +155,30 @@ object EventsStream {
         col("purchase_value"), col("view_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: as viewToPurchaseJoin, but a
+    * purchase with no qualifying view still emits (null view columns). The
+    * engine can emit such a row only once the watermark PROVES no matching
+    * view can still arrive — outer results trail the inner ones by the
+    * state-retention horizon (watermark delay + join interval). On batch
+    * frames this is a plain left join with no horizon; the spec pins the
+    * correspondence between the two. */
+  def viewToPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("view_ts"))
+  }
+
   /** Open-session state carried between micro-batches (micros + exact sum). */
   case class SessState(startUs: Long, endUs: Long, n: Long, sum: BigDecimal)
 

@@ -60,6 +60,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: matched rows == batch; outer rows only when provably unmatched") {
+    val s1 = EventsStream.readStream(spark, sf)
+    val s2 = EventsStream.readStream(spark, sf)
+    val got = EventsStream.runToBatch(spark,
+      EventsStream.viewToPurchaseJoinOuter(s1, s2), "vp_outer_join")
+    val ev = Tables.events(spark, sf)
+    val batch = EventsStream.viewToPurchaseJoinOuter(ev, ev)
+    // matched rows are identical to the batch left join's matched rows
+    assert(asSet(got.filter(col("view_ts").isNotNull)) ==
+      asSet(batch.filter(col("view_ts").isNotNull)))
+    // every streamed outer (null-view) row is a batch outer row...
+    val gotOuter = asSet(got.filter(col("view_ts").isNull))
+    val batchOuter = asSet(batch.filter(col("view_ts").isNull))
+    assert(gotOuter.subsetOf(batchOuter),
+      s"phantom outer rows: ${gotOuter.diff(batchOuter).take(3)}")
+    // ...and outer rows whose retention horizon (2h watermark delay + 1h
+    // interval + slack) closed before end-of-stream all emitted
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - (2 + 1 + 1) * 3600 * 1000L)
+    val mustEmit = asSet(batch.filter(col("view_ts").isNull && col("purchase_ts") < lit(horizon)))
+    assert(mustEmit.subsetOf(gotOuter),
+      s"missing settled outer rows: ${mustEmit.diff(gotOuter).take(3)}")
+    assert(gotOuter.nonEmpty && mustEmit.nonEmpty)
+  }
+
   test("streaming flatMapGroupsWithState sessionize emits exact batch sessions") {
     val stream = EventsStream.sessionizeStream(spark, EventsStream.readStream(spark, sf)).toDF()
     val got = EventsStream.runToBatch(spark, stream, "state_sessions")
