@@ -123,9 +123,13 @@ object Curation {
     val tok = Tables.documents(s, dir).select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // cached: BOTH the LM-training aggregate and the scoring join consume
+    // this frame, and the posexplode + per-doc lead window behind it is
+    // the query's dominant cost (harness clearCache frees it per query)
     val big = tok.withColumn("w2", lead(col("w"), 1).over(w))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      .cache()
     val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
     val lm = cnt.join(broadcast(tot), Seq("w1"))

@@ -93,7 +93,7 @@ object Extended {
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     val w = Window.partitionBy(col("s_nationkey"))
       .orderBy(col("revenue").desc, col("s_suppkey"))
-    rev.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+    rev.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("revenue"))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= 3)

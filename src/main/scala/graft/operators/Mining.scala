@@ -181,7 +181,10 @@ object Mining {
     val topk = Similarity.bruteForceTopK(s, Tables.embeddings(s, dir), k = k)
     val labels = Tables.embeddings(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("label"))
-    val votes = topk.join(broadcast(labels), Seq("neighbor_id"))
+    // broadcast the |queries|*k top-k set, NOT the corpus-sized label table
+    // — the labeled corpus grows with SF; the retrieved neighbor set is
+    // bounded by the query batch
+    val votes = broadcast(topk).join(labels, Seq("neighbor_id"))
       .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label"))

@@ -52,14 +52,22 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  // q03 — 3-way join + agg + top-N (TPC-H Q3 shape). customer is broadcast;
-  // orders⋈lineitem shuffles on the order key. SURVEY §2.3 generalized.
+  // q03 — 3-way join + agg + top-N (TPC-H Q3 shape). orders⋈lineitem
+  // shuffles on the order key. SURVEY §2.3 generalized.
+  //
+  // Broadcast policy (applies to every query here): explicit broadcast()
+  // hints ONLY on relations bounded at any scale (nation/region/segment
+  // dims, calendar dates, query/eval sets, vocab-bounded aggregates).
+  // SF-PROPORTIONAL tables (customer, supplier, part) get NO hint — at
+  // test scale the size threshold broadcasts them anyway, and at 100 TB,
+  // where they are billions of rows, AQE demotes the join to a shuffle
+  // instead of a forced-broadcast OOM.
   def q03TopRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === lit("BUILDING"))
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -71,7 +79,7 @@ object Relational {
   def q04LeftJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val rich = Tables.customer(s, dir).filter(col("c_acctbal") > lit(5000.0))
-    o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left")
+    o.join(rich, o("o_custkey") === rich("c_custkey"), "left")
       .select(col("o_orderkey"), col("c_name"),
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .orderBy(col("o_orderkey"))
@@ -166,7 +174,7 @@ object Relational {
     val dimSeg = q10SurrogateDim(s, dir)
     o.withColumn("date_day", to_date(col("o_orderdate")))
       .join(broadcast(dimDate), Seq("date_day"), "left")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(dimSeg), Seq("c_mktsegment"), "left")
       .select(col("o_orderkey").as("order_event_id"), col("date_id"),
         col("segment_id"), col("o_totalprice"))
@@ -307,7 +315,7 @@ object Relational {
               col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -396,8 +404,8 @@ object Relational {
     val n2 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n1), sup("s_nationkey") === n1("s_nkey"))
       .join(broadcast(n2), c("c_nationkey") === n2("c_nkey"))
       .filter((col("supp_nation") === lit("NATION_1") && col("cust_nation") === lit("NATION_2")) ||
@@ -419,9 +427,9 @@ object Relational {
     val sup = Tables.supplier(s, dir)
     val n = Tables.nation(s, dir)
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    l.join(broadcast(promo), l("l_partkey") === promo("p_partkey"))
+    l.join(promo, l("l_partkey") === promo("p_partkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(
@@ -442,9 +450,9 @@ object Relational {
     val n = Tables.nation(s, dir)
     val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
       lit(0.1) * col("p_retailprice") * col("l_quantity")
-    l.join(broadcast(bolts), l("l_partkey") === bolts("p_partkey"))
+    l.join(bolts, l("l_partkey") === bolts("p_partkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(dsum(profit).as("sum_profit"))

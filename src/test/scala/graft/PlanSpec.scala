@@ -108,6 +108,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("scale simulation: star joins survive broadcast demotion unchanged") {
+    // At 100 TB customer/supplier/part outgrow the broadcast threshold and
+    // their joins demote to shuffle joins. Simulate by disabling size-based
+    // broadcast (the explicit hints on bounded dims still apply) and assert
+    // bit-identical results through the demoted plan.
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect().toSeq
+    val before = Seq("q03_top_revenue", "q35_region_revenue", "q71_volume_shipping")
+      .map(q => q -> rows(q)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((q, want) <- before) {
+        val p = plan(q)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q: expected a demoted (non-broadcast) join under threshold=-1")
+        assert(rows(q) == want, s"$q: demoted plan changed the result")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q88: repetition scoring is scan-local (no exchange before the sort)") {
     val p = plan("q88_repetition")
     // one exchange for the corpus spread + one for the final sort; no
