@@ -23,8 +23,11 @@ object Mining {
   // their minimum-doc_id representative; the output is the SURVIVING corpus
   // with the number of removed duplicates carried on each canonical doc.
   // At 100 TB: pairs are sparse (prefix-filtered join), components tiny
-  // (union-find under the adaptive cutoff), and the survivor anti-join is
-  // one broadcast of the (small) removed-id set against the corpus scan.
+  // (union-find under the adaptive cutoff), and the survivor anti-join
+  // broadcasts the removed-id set against the corpus scan while it fits —
+  // no forced hint: the dup set is duplicate-count-proportional, so the
+  // size threshold decides, and a heavily-duplicated corpus demotes to a
+  // shuffled semi/anti join instead of an OOM.
   def q69DedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cc = Dedup.connectedComponents(Dedup.jaccardPairs(docs))
@@ -32,8 +35,8 @@ object Mining {
     val clusterSz = cc.groupBy(col("cluster_id"))
       .agg((count(lit(1)) - lit(1L)).as("n_dups_removed"))
       .withColumnRenamed("cluster_id", "doc_id")
-    docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
-      .join(broadcast(clusterSz), Seq("doc_id"), "left")
+    docs.join(removed, Seq("doc_id"), "left_anti")
+      .join(clusterSz, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         coalesce(col("n_dups_removed"), lit(0L)).as("n_dups_removed"))
       .orderBy(col("doc_id"))
