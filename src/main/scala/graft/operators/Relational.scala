@@ -474,6 +474,31 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  // q99 — co-purchase pair counting (the support-counting pass of frequent
+  // itemset mining): distinct parts per order, self-joined within the order
+  // to emit each unordered pair once, counted, top-50. Scale shape: the
+  // pair blowup is quadratic in BASKET size (~6 items → ~15 pairs), linear
+  // in order count — safe at any corpus scale; the self-join reuses the
+  // (orderkey) shuffle of the distinct, and the count is partial+final on
+  // the pair key. The classic retail-analytics first pass.
+  def q99Copurchase(s: SparkSession, dir: String): DataFrame = {
+    // baskets via collect_set (distinct-within-order for free, ONE shuffle
+    // on the order key), then the pair expansion is two scan-local
+    // generators — no self-join re-shuffle. Two exchanges total: baskets +
+    // pair count.
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -503,6 +528,7 @@ object Relational {
     "q79_market_share" -> q79MarketShare _,
     "q83_product_profit" -> q83ProductProfit _,
     "q84_order_dist" -> q84OrderDist _,
+    "q99_copurchase" -> q99Copurchase _,
     "q51_ntile" -> q51Ntile _,
     "q52_moving_avg" -> q52MovingAvg _,
     "q53_lag_lead" -> q53LagLead _,
@@ -757,6 +783,15 @@ object Relational {
         |  GROUP BY c_custkey) t
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q99_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
     "q51_ntile" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
