@@ -238,6 +238,53 @@ object Lakehouse {
 
   // --------------------------------------------------------------------- //
 
+  // q100 — order-independent table checksum: per group, row count + the
+  // SUM of a per-row content hash. Two replicas (or a pre/post-migration
+  // pair) compare equal iff counts and checksums match per group — the
+  // reconciliation primitive that verifies 100 TB of copied data without
+  // moving any of it. Sum (not xor) so the checksum also catches duplicated
+  // rows; decimal(38,0) accumulation so no overflow at any row count; the
+  // hash is the md5 60-bit bridge over a canonical serialization (doubles
+  // decimal-cast, timestamps as epoch micros — both engines format those
+  // identically, unlike raw double/timestamp strings).
+  def q100TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val row = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast("decimal(12,2)"),
+      col("l_extendedprice").cast("decimal(14,2)"),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_micros(col("l_shipdate").cast("timestamp")))
+    val li = Tables.lineitem(s, dir)
+    // the per-row md5 is the dominant cost and runs BEFORE the group-by
+    // exchange; on a pathological single-split layout (one row group) that
+    // is one task, so spread on the order key first — same guard as
+    // Tables.spread, a no-op on healthy multi-file tables. The sum is
+    // order-independent, so any partitioning is correct.
+    val spread =
+      if (li.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        li.repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      else li
+    // q78's lesson: summing 2^60-sized values as decimal leaves the
+    // compact-long decimal path (per-row BigDecimal adds). Split the hash
+    // into three 20-bit chunks, sum each as a plain long (codegen fast
+    // path, overflow-safe to 2^43 rows per group), recombine in decimal
+    // once per group — identical to the oracle's straight decimal sum.
+    val h = graft.functions.TextFunctions.h60(row)
+    val mask = lit(1048575L) // 2^20 - 1
+    spread
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(shiftright(h, 40)).as("sa"),
+        sum(shiftright(h, 20).bitwiseAND(mask)).as("sb"),
+        sum(h.bitwiseAND(mask)).as("sc"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("sa").cast("decimal(38,0)") * lit(1099511627776L) +
+          col("sb").cast("decimal(38,0)") * lit(1048576L) +
+          col("sc").cast("decimal(38,0)")).cast("string").as("checksum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_scd2" -> (q73Scd2 _),
     "q74_merge_upsert" -> (q74MergeUpsert _),
@@ -245,10 +292,22 @@ object Lakehouse {
     "q76_zorder" -> (q76ZOrder _),
     "q77_histogram" -> (q77Histogram _),
     "q78_corr_exact" -> (q78CorrExact _),
-    "q95_dq_checks" -> (q95DqChecks _)
+    "q95_dq_checks" -> (q95DqChecks _),
+    "q100_table_checksum" -> (q100TableChecksum _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q100_table_checksum" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(('0x' || substr(md5(concat_ws('|',
+        |      l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |      CAST(l_quantity AS DECIMAL(12,2)),
+        |      CAST(l_extendedprice AS DECIMAL(14,2)),
+        |      l_returnflag, l_linestatus,
+        |      epoch_us(l_shipdate))), 1, 15)) AS BIGINT) AS DECIMAL(38,0)))
+        |    AS VARCHAR) AS checksum
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_dq_checks" ->
       """SELECT 'orders_pk_unique' AS "check",
         |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
