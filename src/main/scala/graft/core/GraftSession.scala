@@ -35,6 +35,13 @@ object GraftSession {
       // reader rejects; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // streaming state on RocksDB: the default HDFS-backed provider keeps
+      // every key in executor heap — at 100 TB-scale state (stream-stream
+      // join buffers, session maps) that is an OOM, RocksDB spills to
+      // local disk with changelog checkpointing. All streaming parity
+      // specs run on this provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // split-size ceiling: with executor memory sized for ~4 concurrent
       // 128 MB columnar batches per core, scans neither spill nor starve
       // parallelism at 100 TB (tune with executor memory, not per query)
