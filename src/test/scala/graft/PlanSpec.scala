@@ -108,6 +108,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("whole-surface plan hygiene: no cartesian products, BNLJ only where designed") {
+    // BroadcastNestedLoopJoin is legitimate ONLY where a side is bounded by
+    // construction: ANN/all-pairs theta joins over a broadcast query set,
+    // and single-row / stats-table cross joins. Everything else must plan
+    // as a hash or sort-merge join; a CartesianProduct anywhere is a bug.
+    val bnljByDesign = Set(
+      "q24_embed_neardup", "q25_ann_brute", "q29_ann_ivf", "q72_ann_rerank",
+      "q85_knn_classify", "q87_contamination", // query/eval set broadcast
+      "q46_profile", "q67_bm25", "q70_tfidf", "q89_mixture_sample") // 1-row/stats cross joins
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p = plan(n)
+      val bad =
+        (if (p.contains("CartesianProduct")) Seq(s"$n:cartesian") else Nil) ++
+        (if (p.contains("BroadcastNestedLoopJoin") && !bnljByDesign(n))
+          Seq(s"$n:bnlj") else Nil)
+      bad
+    }
+    assert(offenders.isEmpty, s"unplanned quadratic joins: $offenders")
+  }
+
   test("scale simulation: star joins survive broadcast demotion unchanged") {
     // At 100 TB customer/supplier/part outgrow the broadcast threshold and
     // their joins demote to shuffle joins. Simulate by disabling size-based
