@@ -115,6 +115,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental exact near-dup: pairs of a NEW batch (doc_id >= newMin)
+    * against the full corpus — the daily-pipeline shape (the reference runs
+    * daily batches: bronze_ingest.py start_date = end_date = today), where
+    * history×history must never be recompared. Because emitted pairs are
+    * ordered doc_a < doc_b and batch ids exceed history ids, a pair touches
+    * the batch iff its b side does — so ONLY the b-side posting is
+    * restricted. Candidate-generation cost is batch-prefix × index, linear
+    * in the batch; prefix completeness is per-pair symmetric, so the
+    * restriction loses nothing (same AllPairs exactness as jaccardPairs).
+    * At 100 TB the ranked prefix index is the persisted artifact and each
+    * day's batch probes it. */
+  def jaccardPairsIncremental(docs: DataFrame, newMin: Long,
+                              threshold: Double = 0.8): DataFrame = {
+    val sh = shingledHashed(docs).cache()
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = posting.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = ranked.as("a")
+      .join(ranked.filter(col("doc_id") >= newMin).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        jaccardOf(col("inter"), size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The pure inverted-index exact engine (explode all shingles, equi-join
     * postings, count shared per pair) — kept as the cross-check twin for
     * `jaccardPairs`: simpler, same output, quadratic in per-shingle df. */
@@ -401,7 +439,9 @@ object Dedup {
     "q24_embed_neardup" -> ((s, d) => embeddingNearDup(s, Tables.embeddings(s, d))),
     "q34_dedup_winnow" -> ((s, d) => winnowPairs(Tables.documents(s, d))),
     "q49_dup_clusters" -> ((s, d) =>
-      connectedComponents(jaccardPairs(Tables.documents(s, d))))
+      connectedComponents(jaccardPairs(Tables.documents(s, d)))),
+    "q101_dedup_incremental" -> ((s, d) =>
+      jaccardPairsIncremental(Tables.documents(s, d), newMin = 250L))
   )
 
   /** DuckDB oracles. q22 shares q21's oracle: verified-candidate output
@@ -437,6 +477,11 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_jaccard" -> jaccardOracle,
     "q22_dedup_minhash" -> jaccardOracle,
+    // incremental = exact pairs restricted to those touching the new batch
+    // (doc_b >= 250 suffices: pairs are ordered and batch ids are highest)
+    "q101_dedup_incremental" ->
+      jaccardOracle.replace("ON a.doc_id < b.doc_id",
+        "ON a.doc_id < b.doc_id AND b.doc_id >= 250"),
     // brute-force O(n^2) hamming join — fine as an oracle, not as the engine
     "q23_dedup_simhash" ->
       """WITH tok AS (

@@ -82,6 +82,17 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("q101: incremental dedup == full pair set restricted to the batch") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val inc = Dedup.jaccardPairsIncremental(docs, newMin = 250L)
+    val full = Dedup.jaccardPairs(docs).filter(col("doc_b") >= 250L)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    assert(inc.count() > 0)
+    // and nothing history x history leaks through
+    assert(inc.filter(col("doc_a") >= 250L && col("doc_b") < 250L).count() == 0)
+  }
+
   test("q89: kept token budget per source lands near the smallest source") {
     val out = Curation.q89MixtureSample(spark, sf).cache()
     val budgets = Tables.documents(spark, sf)
