@@ -225,6 +225,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed corpus-curation pipeline — the operators above in the
+    * order a pretraining data build runs them: quality filter → near-dup
+    * removal (canonical survivors) → token-budget mixture balancing →
+    * sequence packing → shard assignment. One DataFrame in, one packed /
+    * sharded manifest out; every stage is the same oracle-verified operator
+    * exposed individually, so the composition inherits their determinism
+    * (identical output at any parallelism). Returns (doc_id, lang, source,
+    * n_tokens, bin, shard). */
+  def curationPipeline(s: SparkSession, dir: String,
+                       minQuality: Double = 0.5, budget: Int = 2048,
+                       nShards: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // 1. quality gate (deterministic composite score)
+    val ok = TextAnalysis.quality(docs)
+      .filter(col("quality_score") >= minQuality).select(col("doc_id"))
+    // 2. near-dup removal: canonical survivor per duplicate cluster
+    val survivors = Mining.q69DedupCanonical(s, dir).select(col("doc_id"))
+    // 3. mixture balance (md5-coin at per-source token rates)
+    val mixed = q89MixtureSample(s, dir)
+      .join(ok, Seq("doc_id"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // 4. pack into token-budget bins per lang (deterministic doc order)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    mixed
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_after") - col("n_tokens")) / lit(budget.toDouble)).cast("bigint"))
+      // 5. shard assignment (md5 bridge mod N)
+      .withColumn("shard",
+        (graft.functions.TextFunctions.h60(col("doc_id").cast("string")) % nShards).cast("int"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("bin"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

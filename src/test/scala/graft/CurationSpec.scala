@@ -82,6 +82,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("curationPipeline: composed stages agree with their standalone operators") {
+    import graft.operators.{Mining, TextAnalysis}
+    val out = Curation.curationPipeline(spark, sf).cache()
+    assert(out.count() > 0)
+    // every emitted doc passed each gate the standalone operators define
+    val okIds = TextAnalysis.quality(Tables.documents(spark, sf))
+      .filter(col("quality_score") >= 0.5).select(col("doc_id"))
+    val survivors = Mining.q69DedupCanonical(spark, sf).select(col("doc_id"))
+    val mixed = Curation.q89MixtureSample(spark, sf).select(col("doc_id"))
+    for ((gate, name) <- Seq((okIds, "quality"), (survivors, "dedup"), (mixed, "mixture")))
+      assert(out.join(gate, Seq("doc_id"), "left_anti").count() == 0,
+        s"pipeline emitted a doc failing the $name gate")
+    // deterministic: a second run is identical
+    val again = Curation.curationPipeline(spark, sf)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // shard bounded; bins non-negative
+    assert(out.filter(col("shard") < 0 || col("shard") >= 16 || col("bin") < 0).count() == 0)
+    out.unpersist()
+  }
+
   test("q101: incremental dedup == full pair set restricted to the batch") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
