@@ -58,12 +58,28 @@ object Bench {
     // min-of-N is the consistent estimator of the true cost under
     // additive noise
     val results = (1 to 3).map(_ => runAll(spark, sfDir)).reduce(minByQuery)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full-name per-query timings go to a repo-side file: the harness keeps
+    // only the last 2000 chars of stdout, which a 101-entry full-name map
+    // overflows (rounds 1-3 all recorded parsed:null because the metrics
+    // line itself was front-truncated out of the capture window).
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val detail = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_DETAIL.json")
+      try w.println(s"""{"sf": "$sfDir", "total_sec": ${sec(total)}, "queries_sec": $detail}""")
+      finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // The parsed stdout line stays under the 2000-char capture: short qNN
+    // keys (the numeric prefix is unique across the surface) and 3-decimal
+    // seconds (bench noise floor is ~±0.05 s, so no information is lost).
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
+      .mkString("{", ",", "}")
     // stop() BEFORE printing: Spark's shutdown logging must not trail the
     // JSON metrics line — the driver parses the last line of stdout.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

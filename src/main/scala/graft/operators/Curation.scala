@@ -14,6 +14,12 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * (The reference pipeline stops at gold tables —
   * `/root/reference/src/etl/silver_to_gold.py` — these extend the same
   * engine surface to corpus curation, per the build brief's north-star.)
+  *
+  * CACHE CONTRACT: q92LmScore and q97SpanDedup `.cache()` a corpus-scale
+  * intermediate (bigram frame / exploded shingle postings) that two sibling
+  * subtrees of the returned plan consume; release it after the consuming
+  * action via `spark.catalog.clearCache()` (what Verify/Bench do per query)
+  * or by unpersisting. Same contract as graft.operators.Dedup.
   */
 object Curation {
 
@@ -42,25 +48,34 @@ object Curation {
 
   // q87 — benchmark contamination: for every training document (doc_id >=
   // evalMax), the fraction of each eval document's (doc_id < evalMax)
-  // distinct trigram shingles it contains. The eval set is small BY
-  // CONSTRUCTION (that is what makes contamination checks tractable), so
-  // it broadcasts and the scan stays one pass over the corpus — linear in
-  // corpus size at any scale. Containment (|T∩E| / |E|), not Jaccard:
-  // a long training doc that embeds a whole benchmark item must score ~1
-  // even though its Jaccard is diluted.
+  // distinct trigram shingles it contains. Containment (|T∩E| / |E|), not
+  // Jaccard: a long training doc that embeds a whole benchmark item must
+  // score ~1 even though its Jaccard is diluted.
+  //
+  // Shape: because both shingle columns are DISTINCT sets, |T∩E| is exactly
+  // the number of matches of a shingle-keyed equi-join — so the operator is
+  // one corpus-linear explode, a broadcast hash join against the eval
+  // postings (the eval set is bounded by construction), and one
+  // (train_id, eval_id) count aggregate. Join output — and therefore
+  // shuffle volume — is proportional to the ACTUAL shingle overlap, not to
+  // |train|×|eval| the way the earlier broadcast-nested-loop form was, so
+  // raising evalMax costs only what the extra eval postings actually match.
   def q87Contamination(s: SparkSession, dir: String,
                        evalMax: Long = 100, minContain: Double = 0.5): DataFrame = {
-    VectorFunctions.register(s)
+    // pairs sharing zero shingles never leave the join, so a non-positive
+    // threshold (accept-everything) would need the old all-pairs shape
+    require(minContain > 0.0, "q87 containment threshold must be positive")
     val sh = Dedup.shingledHashed(Tables.documents(s, dir))
-    val evalSh = sh.filter(col("doc_id") < evalMax)
-      .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
-    val trainSh = sh.filter(col("doc_id") >= evalMax)
-      .select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
-    trainSh.join(broadcast(evalSh), size(col("sh_e")) > 0)
-      // hashed shingle sets are sorted: allocation-free merge walk per pair
-      .withColumn("inter", VectorFunctions.sortedIntersectCount(col("sh_t"), col("sh_e")))
+    val evalPost = sh.filter(col("doc_id") < evalMax)
+      .select(col("doc_id").as("eval_id"), size(col("sh")).cast("long").as("n_e"),
+        explode(col("sh")).as("h"))
+    val trainPost = sh.filter(col("doc_id") >= evalMax)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+    trainPost.join(broadcast(evalPost), Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"), col("n_e"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("containment",
-        col("inter").cast("double") / size(col("sh_e")).cast("double"))
+        col("inter").cast("double") / col("n_e").cast("double"))
       .filter(col("containment") >= minContain)
       .select(col("train_id"), col("eval_id"), col("containment"))
       .orderBy(col("train_id"), col("eval_id"))

@@ -26,6 +26,16 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *   - embedding near-dup: exact pairwise cosine via the native codegen'd
   *     CosineSimilarity expression (broadcast nested-loop; the LSH-bucketed
   *     variant in Similarity.scala is the 100 TB candidate generator).
+  *
+  * CACHE CONTRACT: the candidate-then-verify operators here (jaccardPairs,
+  * jaccardPairsIncremental, winnowPairs, simhashPairs, dupClusters) `.cache()`
+  * their shingle/fingerprint frame because 2-3 sibling subtrees of the SAME
+  * returned plan consume it and Catalyst has no DAG sharing — dropping the
+  * cache would re-run the corpus-wide shingle expression per consumer. The
+  * cache belongs to the returned DataFrame's lifetime: after the consuming
+  * action, release it with `spark.catalog.clearCache()` (what Verify/Bench
+  * do per query) or by unpersisting the frame. Callers composing several of
+  * these in one session should clear between corpus-scale stages.
   */
 object Dedup {
 

@@ -191,14 +191,20 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probePlan = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", VectorFunctions.cosineSim(col("q_emb"), col("centroid")))
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-      .cache()
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // the probe set is |queries|×nprobe rows — bounded by construction — so
+    // collect it ONCE and rebuild a local relation: the partition IN-list
+    // and the probe join both read the collected rows, with no cached
+    // intermediate left pinned in storage memory after the query finishes
+    // (this method used to .cache() here and rely on the caller to clear)
+    val probeRows = probePlan.collect()
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.sorted
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
     val indexed = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))

@@ -162,37 +162,52 @@ private[sources] class NeoWsScan(path: String, required: StructType)
     val fs = p.getFileSystem(hconf)
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-          .filter(!_.startsWith("_")).sorted
+        fs.listStatus(p).filter(_.isFile)
+          // skip metadata/hidden files by FILE NAME (_SUCCESS, _metadata,
+          // .crc…), matching Spark's default PathFilter; the full URI
+          // (file:/dir/_SUCCESS) never starts with '_', so a path-string
+          // prefix test would let them through to the JSON parser
+          .filter { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(_.getPath.toString).sorted
       else Array(path)
     files.map(f => NeoWsInputPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // capture the session's Hadoop conf on the driver: executors must open
+    // files with the user's fs.* options (S3 credentials, endpoints), not a
+    // default Configuration() — same contract as Spark's file-based DSv2
     new NeoWsReaderFactory(NeoWsSource.schema.fieldNames.zipWithIndex.toMap,
-      required.fieldNames)
+      required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] case class NeoWsInputPartition(file: String) extends InputPartition
 
 private[sources] class NeoWsReaderFactory(
-    fullIndex: Map[String, Int], requiredFields: Array[String])
+    fullIndex: Map[String, Int], requiredFields: Array[String],
+    hconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[NeoWsInputPartition].file
-    new NeoWsPartitionReader(file, requiredFields.map(fullIndex))
+    new NeoWsPartitionReader(file, requiredFields.map(fullIndex), hconf.value)
   }
 }
 
 /** Streams one feed document: Jackson tree parse (feed files are single
   * multiline JSON documents, so a whole-doc parse is the unit of work),
   * then an iterator over `near_earth_objects.{date}[*]` across ALL dates. */
-private[sources] class NeoWsPartitionReader(file: String, projection: Array[Int])
+private[sources] class NeoWsPartitionReader(
+    file: String, projection: Array[Int], hconf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val asteroids: Iterator[JsonNode] = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf)
     val in = fs.open(p)
     val root = try new ObjectMapper().readTree(in) finally in.close()
     val neo = root.get("near_earth_objects")
