@@ -346,16 +346,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact embedding near-dup pairs: cosine >= threshold over all id<id
-    * pairs via broadcast nested-loop + the codegen'd cosine expression.
-    * Exact and fine to ~10^4 vectors per block; beyond that, generate
-    * candidates with Similarity.lshBuckets first. */
+  /** Above this many corpus vectors the exact all-pairs product is no
+    * longer sane — the broadcast side outgrows executor memory and the
+    * compare count goes quadratic — so `embeddingNearDup` routes through
+    * the banded sign-sketch candidate join instead. Test-scale corpora
+    * (500–2000 vectors) stay on the exact path, which is what the q24
+    * oracle verifies; the guard is what makes the operator safe to point
+    * at a 100 TB embedding table. */
+  val ExactEmbeddingPairsMaxVectors = 100000L
+
+  /** Embedding near-dup pairs: cosine >= threshold over all id<id pairs.
+    *
+    * Exact path (corpus <= `exactMaxVectors`): broadcast nested-loop +
+    * the codegen'd cosine expression — the right answer when the block
+    * fits in memory. Above the guard the operator switches to
+    * [[embeddingNearDupLsh]]: sign-sketch bucketed candidates + exact
+    * cosine verify, the same candidate geometry as Similarity.lshTopK.
+    * Same output schema either way. */
   def embeddingNearDup(spark: SparkSession, embs: DataFrame,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       exactMaxVectors: Long = ExactEmbeddingPairsMaxVectors): DataFrame = {
     VectorFunctions.register(spark)
+    // one metadata-cheap count decides the route (same adaptivity argument
+    // as the connected-components driver cutoff below)
+    if (embs.count() > exactMaxVectors)
+      return embeddingNearDupLsh(spark, embs, threshold)
     val a = embs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = embs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Scale path for embedding near-dup: candidates are pairs sharing at
+    * least one sign-sketch band (Similarity.bandedSketch — deterministic
+    * md5-parity hyperplanes), verified with exact cosine. No side is
+    * broadcast and no all-pairs product exists: the candidate join is a
+    * shuffle hash join on (band, bucket), cost ∝ bucket co-occupancy.
+    *
+    * Approximate by construction: a pair colliding in zero of the
+    * `nBands` bands is missed. With the default 16 bands × 4 bits
+    * (64 hyperplanes) the miss probability at cosine 0.9 is
+    * (1 - (1 - acos(0.9)/π)^4)^16 ≈ 4e-6 — recall ~1 for actual
+    * near-duplicates; borderline-threshold pairs (cosine ≈ 0.5) are
+    * where the approximation spends its error budget. */
+  def embeddingNearDupLsh(spark: SparkSession, embs: DataFrame,
+                          threshold: Double = 0.5,
+                          nBands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    VectorFunctions.register(spark)
+    val sketch = Similarity.bandedSketch(col("embedding"), nBands, bitsPerBand)
+    val banded = embs.select(col("vec_id"),
+      posexplode(array(sketch: _*)).as(Seq("band", "bucket")))
+    // candidates on ids only — the 64-dim vectors do NOT ride through the
+    // exploded join; they re-join once per verified candidate side
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(embs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(embs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("cosine", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
