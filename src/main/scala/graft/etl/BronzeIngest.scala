@@ -37,14 +37,27 @@ object BronzeIngest {
     s"$bronzeDir/JSON/nasa-asteroid-data-$date.json"
 
   /** Land raw JSON bytes at the bronze path (overwrite, idempotent like the
-    * reference's put_object). */
-  def land(json: String, destPath: String, hadoopConf: Configuration = new Configuration()): Unit = {
+    * reference's put_object).
+    *
+    * The Hadoop conf defaults to the ACTIVE session's `newHadoopConf()`, so
+    * session-level `fs.*` options (S3 credentials, endpoint overrides — the
+    * reference's MinIO config) reach the filesystem without every caller
+    * having to plumb them; a bare `new Configuration()` would silently drop
+    * them. Falls back to a fresh Configuration only when no session exists
+    * (pure driver-side utility use). */
+  def land(json: String, destPath: String,
+           hadoopConf: Configuration = sessionHadoopConf()): Unit = {
     val path = new Path(destPath)
     val fs = path.getFileSystem(hadoopConf)
     val out = fs.create(path, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   /** Full ingest for one feed day: GET → land. */
   def ingest(date: String, apiKey: String, bronzeDir: String): String = {

@@ -160,18 +160,40 @@ object Curation {
 
   // q94 — blocked fuzzy (edit-distance) join: near-identical part names,
   // the record-linkage primitive (catalog/entity dedup). Naive fuzzy join
-  // is O(n^2) levenshtein; BLOCKING on a cheap key (first token) bounds
-  // each comparison set — the same candidate-then-verify shape as every
-  // near-dup operator here. levenshtein() is an integer metric, exact and
-  // engine-independent, so the whole operator is oracle-checkable.
+  // is O(n^2) levenshtein; BLOCKING bounds each comparison set — the same
+  // candidate-then-verify shape as every near-dup operator here.
+  // levenshtein() is an integer metric, exact and engine-independent, so
+  // the whole operator is oracle-checkable.
+  //
+  // Two blocking keys, both lossless:
+  //  - first token (cheap semantic key);
+  //  - LENGTH BAND: edit distance <= d implies |len(a)-len(b)| <= d, so with
+  //    band width d+1 the a-side emits its one band and the b-side emits
+  //    every band overlapping [len_b - d, len_b + d] (at most 3). A skewed
+  //    first-token block therefore shatters by length instead of going
+  //    quadratic — the equality key the shuffle hashes on is (blk, band),
+  //    and a pair is compared at most once (the a-side holds one band).
   // Dedup to distinct names first: the metric only depends on the name,
   // so the quadratic stage runs on |distinct names|, not |rows|.
-  def q94FuzzyJoin(s: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
-    val names = Tables.part(s, dir)
-      .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
+  def q94FuzzyJoin(s: SparkSession, dir: String, maxDist: Int = 4): DataFrame =
+    fuzzyJoinBlocked(
+      Tables.part(s, dir).select(col("p_name")), maxDist)
+
+  /** Blocked fuzzy self-join over a 1-column `p_name` frame (factored out so
+    * specs can drive skewed fixtures through the exact production path). */
+  def fuzzyJoinBlocked(parts: DataFrame, maxDist: Int): DataFrame = {
+    val w = maxDist + 1
+    val names = parts
+      .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"),
+        length(col("p_name")).as("len"))
       .distinct()
-    names.as("a").join(names.as("b"),
-        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+    val a = names.withColumn("band", floor(col("len") / w))
+    val b = names.withColumn("band",
+      explode(sequence(floor((col("len") - maxDist) / w),
+        floor((col("len") + maxDist) / w))))
+    a.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+          col("a.p_name") < col("b.p_name"))
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
       .filter(col("dist") <= maxDist)
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),

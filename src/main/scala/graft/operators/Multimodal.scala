@@ -14,9 +14,12 @@ import graft.core.Tables
   * decoder would amortize model/codec init per partition, not per row), and
   * deterministic output schema for downstream relational ops.
   *
-  * The actual byte decode is a STUB — image/audio codecs are not in this
-  * container. `FakeDecoder` derives deterministic pseudo-features from the
-  * bytes; swap its body for a real codec without touching any plumbing.
+  * Codecs are pluggable behind [[MediaCodec]]: [[ImageIoCodec]] is a real
+  * image decoder (javax.imageio — JVM-native, PNG/JPEG/GIF/BMP), used when
+  * the binary column holds actual images; [[FakeDecoder]] derives
+  * deterministic pseudo-features from raw bytes and is the fixture codec for
+  * the text-as-bytes test corpus (and the default, so oracle arithmetic is
+  * reproducible in SQL).
   */
 object Multimodal {
 
@@ -24,14 +27,24 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                            feature: Array[Float])
   case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long)
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          n_bytes_in: Int, checksum: Long)
 
-  /** STUB decoder — deterministic fake standing in for an image/audio codec.
-    * Real implementation would parse `content` (e.g. JPEG/PNG headers for
-    * width/height, pixel decode for features). */
-  object FakeDecoder {
+  /** A per-partition media codec. Implementations must be Serializable
+    * (instantiated on the driver, shipped to executors) and total: corrupt
+    * or undecodable payloads yield a sentinel row (width/height = -1), not
+    * an exception — at 100 TB a single bad image must not kill the job. */
+  trait MediaCodec extends Serializable {
+    def decode(r: MediaRow): MediaFeatures
+    def resample(r: MediaRow, width: Int, height: Int): ResizedMedia
+  }
+
+  /** Deterministic fixture codec — derives pseudo-features from raw bytes.
+    * Default codec for the test corpus (documents.text cast to binary),
+    * where its arithmetic is exactly reproducible by the SQL oracles. */
+  object FakeDecoder extends MediaCodec {
     def decode(r: MediaRow): MediaFeatures = {
       val n = r.content.length
-      // ??? real codec goes here; deterministic stand-ins below
       val width = n % 640
       val height = (n * 7) % 480
       val feature = Array.tabulate(4) { i =>
@@ -40,6 +53,90 @@ object Multimodal {
       }
       MediaFeatures(r.doc_id, n, width, height, feature)
     }
+
+    /** Nearest-neighbor "resample" of source bytes onto a width x height
+      * grid; checksum = sum of sampled unsigned bytes. */
+    def resample(r: MediaRow, width: Int, height: Int): ResizedMedia = {
+      val n = r.content.length
+      val px = width * height
+      val stride = math.max(1, n / px)
+      var checksum = 0L
+      var i = 0
+      while (i < px) {
+        if (n > 0) checksum += (r.content((i * stride) % n) & 0xff).toLong
+        i += 1
+      }
+      ResizedMedia(r.doc_id, width, height, n, checksum)
+    }
+  }
+
+  /** Real image codec over javax.imageio (public JVM API; PNG, JPEG, GIF,
+    * BMP readers ship with the JDK). Feature vector is (mean R, mean G,
+    * mean B, mean luma) in [0,1] — a cheap, deterministic image signature
+    * suitable for the embedding-dedup operators downstream. Undecodable
+    * payloads (ImageIO.read == null or a codec exception) yield the -1
+    * sentinel so the pipeline stays total. */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    private def read(content: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    def decode(r: MediaRow): MediaFeatures = read(r.content) match {
+      case None =>
+        MediaFeatures(r.doc_id, r.content.length, -1, -1, Array.empty[Float])
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val px = (w.toLong * h).toFloat * 255f
+        val mr = sr / px; val mg = sg / px; val mb = sb / px
+        val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
+        MediaFeatures(r.doc_id, r.content.length, w, h, Array(mr, mg, mb, luma))
+    }
+
+    /** Real pixel resample: draw onto a width x height canvas with Java2D
+      * bilinear interpolation; checksum = sum of output luma bytes (a
+      * deterministic content digest of the resized pixels). */
+    def resample(r: MediaRow, width: Int, height: Int): ResizedMedia =
+      read(r.content) match {
+        case None => ResizedMedia(r.doc_id, -1, -1, r.content.length, -1L)
+        case Some(img) =>
+          val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
+          var checksum = 0L
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val rgb = out.getRGB(x, y)
+              val rr = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff
+              val bb = rgb & 0xff
+              checksum += (0.299 * rr + 0.587 * gg + 0.114 * bb).toLong
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMedia(r.doc_id, width, height, r.content.length, checksum)
+      }
   }
 
   /** Model a media table: text bytes stand in for image payloads; metadata
@@ -53,47 +150,32 @@ object Multimodal {
         length(col("text").cast("binary")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
-  /** Partition-batched decode: binary → features. One decoder instance per
-    * partition (init cost amortized), streaming iterator (no partition
+  /** Partition-batched decode: binary → features. One codec instance per
+    * partition scope (init cost amortized), streaming iterator (no partition
     * materialization), typed output schema. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      codec: MediaCodec = FakeDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // real codec init would happen here, once per partition
-        rows.map(FakeDecoder.decode)
+        // per-partition codec scope: heavier codecs hook init here
+        rows.map(codec.decode)
       }
   }
 
-  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
-                          n_bytes_in: Int, checksum: Long)
-
-  /** Partition-batched resize: binary → fixed-dims binary. The STUB
-    * "resample" nearest-neighbor-samples source bytes onto a width x height
-    * grid (`??? real pixel resample goes here`); the plumbing — typed
-    * partition iterator, per-partition codec scope, fixed output schema
-    * with a content checksum for verification — is the real part. */
+  /** Partition-batched resize: binary → fixed-dims pixels, digested to a
+    * checksum. Same typed-iterator plumbing as extractFeatures; the pixel
+    * work lives in the codec ([[ImageIoCodec.resample]] is a real Java2D
+    * bilinear resample). */
   def resize(spark: SparkSession, media: DataFrame,
-             width: Int = 8, height: Int = 8): Dataset[ResizedMedia] = {
+             width: Int = 8, height: Int = 8,
+             codec: MediaCodec = FakeDecoder): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // real resampler init would happen here, once per partition
-        rows.map { r =>
-          val n = r.content.length
-          val px = width * height
-          // ??? real codec+resample; deterministic nearest-neighbor stand-in
-          val stride = math.max(1, n / px)
-          var checksum = 0L
-          var i = 0
-          while (i < px) {
-            if (n > 0) checksum += (r.content((i * stride) % n) & 0xff).toLong
-            i += 1
-          }
-          ResizedMedia(r.doc_id, width, height, n, checksum)
-        }
+        rows.map(codec.resample(_, width, height))
       }
   }
 

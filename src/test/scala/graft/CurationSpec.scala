@@ -131,4 +131,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     out.unpersist()
   }
+
+  test("q94: length-band blocking shatters a skewed block without losing pairs") {
+    import spark.implicits._
+    // Skewed fixture: 600 names ALL sharing the first token ("acme"), spread
+    // over lengths 10..70 — under first-token-only blocking this is one
+    // quadratic 600-name block (~180k comparisons).
+    val names = (0 until 600).map { i =>
+      val pad = "x" * (i % 60)
+      s"acme $pad${i / 60}"
+    }.toDF("p_name")
+    val maxDist = 4
+
+    // 1) lossless: banded result == brute-force (no blocking at all)
+    val banded = Curation.fuzzyJoinBlocked(names, maxDist)
+    val all = names.as("a").join(names.as("b"), $"a.p_name" < $"b.p_name")
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
+      .filter($"dist" <= maxDist)
+      .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        $"dist".cast("int").as("dist"))
+    assert(banded.exceptAll(all).count() == 0 && all.exceptAll(banded).count() == 0)
+    assert(banded.count() > 0, "fixture should contain close pairs")
+
+    // 2) the (blk, band) key the shuffle hashes on caps the comparison set:
+    // largest a-side block under banding vs the single 600-name block
+    val w = maxDist + 1
+    val blocks = names
+      .select(split($"p_name", " ").getItem(0).as("blk"),
+        floor(length($"p_name") / w).as("band"))
+      .groupBy($"blk", $"band").count()
+    val maxBlock = blocks.agg(max($"count")).head.getLong(0)
+    assert(maxBlock <= 60,
+      s"length banding should cap the skewed block (max block = $maxBlock)")
+  }
 }

@@ -9,6 +9,13 @@ import graft.core.GraftSession
 import graft.etl._
 import graft.model.NeoWs
 
+/** Local filesystem under a session-conf-only scheme — exists so the land
+  * spec can prove BronzeIngest.land resolves schemes via the session Hadoop
+  * conf rather than a bare `new Configuration()`. */
+class GraftLandFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftland:///")
+}
+
 /** Reference-parity tests over the authored NeoWs fixtures (FIXTURES.md §A):
   * silver schema/values, edge semantics (first-approach-only, empty approach,
   * bad numerics, null dates, duplicate asteroids), gold star build, catalog. */
@@ -144,5 +151,24 @@ class NeoWsPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("explicit feed schema reads without inference and is date-key independent") {
     val raw = BronzeToSilver.readBronze(spark, fixture("feed_basic.json"))
     assert(raw.schema == NeoWs.feed)
+  }
+
+  test("land honors session fs.* conf by default (S3-creds bug class)") {
+    // Register a scheme that exists ONLY in the session Hadoop conf. If
+    // `land` built a bare `new Configuration()` (the round-4 defect), the
+    // scheme would be unknown and the write would fail; resolving it proves
+    // the default conf is the session's newHadoopConf().
+    val tmp = Files.createTempDirectory("graft-land-conf").toFile
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftland.impl", classOf[GraftLandFs].getName)
+    try {
+      val dest = s"graftland://${tmp.getAbsolutePath}/bronze/JSON/doc.json"
+      BronzeIngest.land("""{"ok":true}""", dest)
+      val f = new java.io.File(tmp, "bronze/JSON/doc.json")
+      assert(f.exists(), "landed file should exist via the session-registered scheme")
+      assert(scala.io.Source.fromFile(f).mkString == """{"ok":true}""")
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftland.impl")
+    }
   }
 }
