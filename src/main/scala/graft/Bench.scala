@@ -66,14 +66,22 @@ object Bench {
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
+    val detailPath = sys.env.get("SPARK_GRAFT_OUT_DIR")
+      .orElse(sys.props.get("user.dir"))
+      .getOrElse("/root/repo") + "/BENCH_DETAIL.json"
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_DETAIL.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(s"""{"sf": "$sfDir", "total_sec": ${sec(total)}, "queries_sec": $detail}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The parsed stdout line stays under the 2000-char capture: short qNN
     // keys (the numeric prefix is unique across the surface) and 3-decimal
     // seconds (bench noise floor is ~±0.05 s, so no information is lost).
+    // A duplicate prefix would silently drop a timing at JSON-parse time —
+    // fail loudly instead.
+    val prefixes = results.keys.toSeq.map(_.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate query-name prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec(v) }
       .mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheScope, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Training-data curation operators — the corpus-assembly passes that sit
@@ -15,11 +15,14 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * `/root/reference/src/etl/silver_to_gold.py` — these extend the same
   * engine surface to corpus curation, per the build brief's north-star.)
   *
-  * CACHE CONTRACT: q92LmScore and q97SpanDedup `.cache()` a corpus-scale
+  * CACHE CONTRACT: q92LmScore and q97SpanDedup cache a corpus-scale
   * intermediate (bigram frame / exploded shingle postings) that two sibling
-  * subtrees of the returned plan consume; release it after the consuming
-  * action via `spark.catalog.clearCache()` (what Verify/Bench do per query)
-  * or by unpersisting. Same contract as graft.operators.Dedup.
+  * subtrees of the returned plan consume — registered via
+  * [[graft.core.CacheScope.cached]], so a composing caller that consumes
+  * inside `CacheScope.scoped { ... }` releases them deterministically.
+  * Outside a scope, release after the consuming action via
+  * `spark.catalog.clearCache()` (what Verify/Bench do per query) or by
+  * unpersisting. Same contract as graft.operators.Dedup.
   */
 object Curation {
 
@@ -141,10 +144,9 @@ object Curation {
     // cached: BOTH the LM-training aggregate and the scoring join consume
     // this frame, and the posexplode + per-doc lead window behind it is
     // the query's dominant cost (harness clearCache frees it per query)
-    val big = tok.withColumn("w2", lead(col("w"), 1).over(w))
+    val big = CacheScope.cached(tok.withColumn("w2", lead(col("w"), 1).over(w))
       .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2"))
-      .cache()
+      .select(col("doc_id"), col("w").as("w1"), col("w2")))
     val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
     val lm = cnt.join(broadcast(tot), Seq("w1"))
@@ -246,9 +248,8 @@ object Curation {
   // the shuffle partitioning; at 100 TB this is the canonical two-pass
   // "span df" job and nothing about the plan changes.
   def q97SpanDedup(s: SparkSession, dir: String): DataFrame = {
-    val ex = Dedup.shingledHashed(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .cache()
+    val ex = CacheScope.cached(Dedup.shingledHashed(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("h")))
     val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // (cache freed by the harness's per-query clearCache, like every other
     // multi-consumer cache in Dedup/Mining)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheScope, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Deduplication operators for a training-data pipeline over the `documents`
@@ -28,14 +28,16 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *     variant in Similarity.scala is the 100 TB candidate generator).
   *
   * CACHE CONTRACT: the candidate-then-verify operators here (jaccardPairs,
-  * jaccardPairsIncremental, winnowPairs, simhashPairs, dupClusters) `.cache()`
+  * jaccardPairsIncremental, winnowPairs, simhashPairs, dupClusters) cache
   * their shingle/fingerprint frame because 2-3 sibling subtrees of the SAME
   * returned plan consume it and Catalyst has no DAG sharing — dropping the
   * cache would re-run the corpus-wide shingle expression per consumer. The
-  * cache belongs to the returned DataFrame's lifetime: after the consuming
-  * action, release it with `spark.catalog.clearCache()` (what Verify/Bench
-  * do per query) or by unpersisting the frame. Callers composing several of
-  * these in one session should clear between corpus-scale stages.
+  * cache belongs to the returned DataFrame's lifetime; every such site goes
+  * through [[graft.core.CacheScope.cached]], so callers composing several
+  * corpus-scale stages release deterministically by consuming inside
+  * `CacheScope.scoped { ... }` (spec: CacheScopeSpec). Outside a scope,
+  * release after the consuming action with `spark.catalog.clearCache()`
+  * (what Verify/Bench do per query) or by unpersisting the frame.
   */
 object Dedup {
 
@@ -99,7 +101,7 @@ object Dedup {
     // cache: consumed three times (posting explode + both verification
     // joins) — uncached, the shingle expression re-runs over the corpus per
     // consumer
-    val sh = shingledHashed(docs).cache()
+    val sh = CacheScope.cached(shingledHashed(docs))
     val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -138,7 +140,7 @@ object Dedup {
     * day's batch probes it. */
   def jaccardPairsIncremental(docs: DataFrame, newMin: Long,
                               threshold: Double = 0.8): DataFrame = {
-    val sh = shingledHashed(docs).cache()
+    val sh = CacheScope.cached(shingledHashed(docs))
     val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -228,7 +230,7 @@ object Dedup {
                    typedAggregator: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingledHashed(docs).cache()
+    val sh = CacheScope.cached(shingledHashed(docs))
     val sig =
       if (typedAggregator) minhashSignaturesTyped(sh, numHashes)
       else minhashSignatures(sh, numHashes)
@@ -285,7 +287,7 @@ object Dedup {
     * short documents flip more simhash bits per edit than long ones, so the
     * radius is wider than the classic 64-bit/hamming-3 setup. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val hs = simhash(docs).cache()
+    val hs = CacheScope.cached(simhash(docs))
     val chunks = hs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(k =>
         shiftright(col("simhash"), k * 8).bitwiseAND(0xFFL)): _*)))
@@ -319,9 +321,9 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                   minOverlap: Double = 0.6, maxDf: Int = 50): DataFrame = {
     VectorFunctions.register(docs.sparkSession)
-    val fp = docs.select(col("doc_id"),
+    val fp = CacheScope.cached(docs.select(col("doc_id"),
       VectorFunctions.winnowFingerprint(col("text"), k, w).as("fp"))
-      .cache() // no size()>0 filter — see shingled()
+      ) // no size()>0 filter — see shingled()
     val posting = fp.select(col("doc_id"), explode(col("fp")).as("h"))
     val rare = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("h"))
@@ -433,12 +435,11 @@ object Dedup {
     // cache the EDGE list (one materialization of the upstream pair query —
     // the label loop/union-find reads it repeatedly, and recomputing a
     // near-dup join per CC round would dominate the whole operator)
-    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    val e = CacheScope.cached(edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     if (e.count() <= DriverCcMaxEdges) return connectedComponentsDriver(e)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .cache()
+    var labels = CacheScope.cached(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -448,10 +449,11 @@ object Dedup {
         .agg(min(col("dst_label")).as("nbr_label"))
       // one action per iteration: materialize next AND count label changes
       // in the same pass (the old label rides along instead of re-joining)
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      // registered with the scope too: the LAST round's cache backs the
+      // returned plan and outlives this call (earlier rounds self-release)
+      val next = CacheScope.cached(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels.unpersist()
       labels = next

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheScope, Tables}
 
 /** Round-2 widening of the relational surface: the operator families a user
   * of a general lakehouse SQL engine reaches for next — full outer joins,
@@ -177,10 +177,10 @@ object Extended {
   def q66BloomPrune(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.BloomFunctions
     BloomFunctions.register(s)
-    val hot = Tables.orders(s, dir)
+    // three consumers: bloom sizing count, bloom agg, join build side
+    val hot = CacheScope.cached(Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
-        col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
-      .cache() // three consumers: bloom sizing count, bloom agg, join build side
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp")))
     // materialize the bloom on the driver (one tiny job over the dim) and
     // inject it as a binary literal — the same evaluate-subquery-then-inject
     // step Catalyst's runtime filters perform; might_contain requires a
