@@ -179,6 +179,75 @@ object Multimodal {
       }
   }
 
+  // ------------------------------ audio ------------------------------- //
+
+  case class AudioFeatures(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                           n_samples: Long, rms: Double, zcr: Double,
+                           peak: Double)
+
+  /** Per-partition audio codec; same totality contract as [[MediaCodec]]
+    * (undecodable → -1 sentinels). */
+  trait AudioCodec extends Serializable {
+    def decode(r: MediaRow): AudioFeatures
+  }
+
+  /** Real audio decoder over javax.sound.sampled (public JVM API; WAV/AIFF
+    * PCM readers ship with the JDK and work headless). Features are the
+    * classic cheap audio signature: RMS energy, zero-crossing rate (per
+    * sample), and absolute peak, over samples normalized to [-1, 1] from
+    * the first channel. */
+  object WavCodec extends AudioCodec {
+    import javax.sound.sampled.AudioSystem
+
+    def decode(r: MediaRow): AudioFeatures = {
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val fmt = in.getFormat
+        val frameSize = fmt.getFrameSize
+        require(fmt.getSampleSizeInBits == 16, "PCM16 expected")
+        val raw = in.readAllBytes(); in.close()
+        val nFrames = raw.length / frameSize
+        var i = 0; var sumSq = 0.0; var crossings = 0L
+        var peak = 0.0; var prevSign = 0
+        val big = fmt.isBigEndian
+        while (i < nFrames) {
+          val off = i * frameSize // first channel only
+          val lo = raw(off + (if (big) 1 else 0)) & 0xff
+          val hi = raw(off + (if (big) 0 else 1)).toInt
+          val s = ((hi << 8) | lo).toShort / 32768.0
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+          i += 1
+        }
+        val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
+        val zcr = if (nFrames <= 1) 0.0 else crossings.toDouble / (nFrames - 1)
+        AudioFeatures(r.doc_id, r.content.length, fmt.getSampleRate.toInt,
+          nFrames.toLong, rms, zcr, peak)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          AudioFeatures(r.doc_id, r.content.length, -1, -1L, -1.0, -1.0, -1.0)
+      }
+    }
+  }
+
+  /** Partition-batched audio decode — identical plumbing to
+    * [[extractFeatures]], with the WAV decoder as default (audio payloads
+    * are real, not corpus stand-ins, so there is no fixture arithmetic to
+    * preserve). */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame,
+                           codec: AudioCodec = WavCodec): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(codec.decode)
+      }
+  }
+
   /** Frame sampling: one row per sampled frame (every `stride` bytes stands
     * in for every Nth video frame). Declarative explode — no UDF. */
   def sampleFrames(media: DataFrame, stride: Int = 100): DataFrame =

@@ -97,6 +97,51 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resized(4L).width == -1 && resized(4L).checksum == -1L)
   }
 
+  /** Encode a mono PCM16 WAV of a pure sine at `hz`, amplitude `amp`. */
+  private def sineWav(hz: Double, seconds: Double, sampleRate: Int = 8000,
+                      amp: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (amp * math.sin(2 * math.Pi * hz * i / sampleRate) * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte       // little-endian lo
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WavCodec decodes real WAV audio: rate, samples, rms, zcr, peak") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, sineWav(440.0, 1.0), "audio/wav"),
+      (2L, sineWav(100.0, 0.5, amp = 0.9), "audio/wav"),
+      (3L, Array[Byte](9, 9, 9), "audio/wav") // not audio
+    ).toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).as("n_bytes"),
+          lit("fixture").as("origin")).as("meta"))
+    val f = Multimodal.extractAudioFeatures(spark, media)
+      .collect().map(a => a.doc_id -> a).toMap
+
+    assert(f(1L).sample_rate == 8000 && f(1L).n_samples == 8000L)
+    // pure sine: rms = amp/sqrt(2), peak ~ amp, zcr ~ 2*f/fs
+    assert(math.abs(f(1L).rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(1L).rms}")
+    assert(math.abs(f(1L).peak - 0.5) < 0.01)
+    assert(math.abs(f(1L).zcr - 2 * 440.0 / 8000) < 0.005, s"zcr ${f(1L).zcr}")
+    assert(math.abs(f(2L).zcr - 2 * 100.0 / 8000) < 0.005)
+    assert(math.abs(f(2L).peak - 0.9) < 0.01)
+    // corrupt payload → sentinel, job survives
+    assert(f(3L).sample_rate == -1 && f(3L).n_samples == -1L)
+  }
+
   test("default codec path (q40/q93 oracle arithmetic) is unchanged") {
     import spark.implicits._
     val textual = Seq((9L, "hello world".getBytes("UTF-8"), "text/plain"))
