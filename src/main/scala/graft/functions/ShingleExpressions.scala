@@ -54,6 +54,29 @@ object ShingleCompute {
     }
   }
 
+  /** ALL word n-grams in document order, WITH multiplicity (unlike
+    * wordShingles' distinct set) — the language-model counting form.
+    * Tokenization identical to TextFunctions.tokens (trim + \s+ split),
+    * so `explode(word_ngram_list(text, 2))` ≡ the posexplode + per-doc
+    * lead() window bigram construction, minus the doc_id shuffle + sort
+    * the window needs: n-gram assembly becomes scan-local. */
+  def wordNgramList(input: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(input)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   def hashedWordShingles(input: UTF8String, n: Int): ArrayData = {
     val toks = splitTokens(input)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
@@ -85,6 +108,22 @@ case class WordShingles(child: Expression, n: Int) extends ShingleBase {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.ShingleCompute.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> of ALL word n-grams in order, with multiplicity — the
+  * LM-counting twin of WordShingles. */
+case class WordNgramList(child: Expression, n: Int) extends ShingleBase {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleCompute.wordNgramList(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleCompute.wordNgramList($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

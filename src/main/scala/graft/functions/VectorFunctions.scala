@@ -105,6 +105,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "hashed_word_shingles", exprs => HashedWordShingles(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_ngram_list", exprs => WordNgramList(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "winnow_fingerprint",
       exprs => WinnowedFingerprint(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
@@ -118,6 +120,8 @@ object VectorFunctions {
     call_function("word_shingles", text, lit(n))
   def hashedWordShingles(text: Column, n: Int): Column =
     call_function("hashed_word_shingles", text, lit(n))
+  def wordNgramList(text: Column, n: Int): Column =
+    call_function("word_ngram_list", text, lit(n))
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     call_function("winnow_fingerprint", text, lit(k), lit(w))
   def sortedIntersectCount(a: Column, b: Column): Column =

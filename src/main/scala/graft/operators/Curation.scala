@@ -131,22 +131,32 @@ object Curation {
   // Train (two count aggregates over one bigram explode, LM broadcast —
   // vocab << corpus) and score (one join + one per-doc aggregate) in a
   // single plan. No smoothing needed: the LM is trained on the scored
-  // corpus, so every observed bigram has count >= 1. At 100 TB the LM
-  // table is still |vocab|^2-bounded (tiny); only the bigram explode
-  // scales with data. Per-bigram ln p is cast to decimal(25,15) before
+  // corpus, so every observed bigram has count >= 1.
+  //
+  // BROADCAST SIZE NOTE: the lm frame is |observed distinct bigrams|, not
+  // |corpus| — bounded by min(vocab², corpus tokens). On this corpus's
+  // word-soup vocab that is tiny; at a real 10⁶-word vocab observed
+  // bigrams can reach ~10⁸ (gigabytes) and the forced broadcast must be
+  // dropped — the scoring join then shuffles on (w1,w2), which REUSES the
+  // partitioning the cnt aggregate already produced, so the demotion
+  // costs one exchange of `big`, not a new LM pass. The `tot` broadcast
+  // (unigram totals, |vocab|-bounded) is safe at any scale. Per-bigram ln p is cast to decimal(25,15) before
   // the sum so the per-doc mean is order-independent (double ln values
   // agree cross-engine within 1 ulp; the decimal sum keeps partitioning
   // out of the result).
   def q92LmScore(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir).select(col("doc_id"),
-      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    VectorFunctions.register(s)
+    // bigrams scan-locally via the native WordNgramList expression (see
+    // q80Bigrams: the old posexplode + lead() window paid a doc_id
+    // shuffle + sort for pairs that are adjacent within the row).
     // cached: BOTH the LM-training aggregate and the scoring join consume
-    // this frame, and the posexplode + per-doc lead window behind it is
-    // the query's dominant cost (harness clearCache frees it per query)
-    val big = CacheScope.cached(tok.withColumn("w2", lead(col("w"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2")))
+    // this frame (harness clearCache frees it per query)
+    val big = CacheScope.cached(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2")))
     val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
     val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
     val lm = cnt.join(broadcast(tot), Seq("w1"))

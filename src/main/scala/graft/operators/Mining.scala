@@ -108,16 +108,20 @@ object Mining {
   }
 
   // q80 — bigram language model: P(w2|w1) over the corpus, top-50 bigrams.
-  // Token positions come from one posexplode; the successor is a lead()
-  // within the document (one shuffle on doc_id — adjacent tokens co-reside
-  // by construction). Counts are integers; ties rank lexicographically.
+  // Bigram assembly is SCAN-LOCAL via the native WordNgramList expression
+  // (all token 2-grams, with multiplicity, one tight loop per row) — the
+  // earlier posexplode + per-doc lead() window formulation paid a full
+  // doc_id shuffle + sort just to pair adjacent tokens that already sit
+  // adjacent in the row. First shuffle is now the (w1,w2) count itself
+  // (partial+final). Tokens are \s+-split so splitting the gram on its
+  // single space is exact; counts and ranking unchanged.
   def q80Bigrams(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir).select(col("doc_id"),
-      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = tok.withColumn("w2", lead(col("w"), 1).over(w))
-      .filter(col("w2").isNotNull)
-    val cnt = big.groupBy(col("w").as("w1"), col("w2"))
+    VectorFunctions.register(s)
+    val big = Tables.documents(s, dir)
+      .select(explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val cnt = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
     val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
     cnt.join(broadcast(tot), Seq("w1"))
