@@ -115,6 +115,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q80/q92: bigram assembly is scan-local (no window, no pre-agg exchange)") {
+    // WordNgramList replaced the posexplode + lead() window; a Window node
+    // reappearing means bigram pairing pays a doc_id shuffle + sort again
+    for (q <- Seq("q80_bigrams", "q92_lm_score")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not window to build bigrams")
+      assert(p.toLowerCase.contains("ngram"),
+        s"$q should assemble bigrams via the native WordNgramList expression")
+    }
+  }
+
   test("whole-surface plan hygiene: no cartesian products, BNLJ only where designed") {
     // BroadcastNestedLoopJoin is legitimate ONLY where a side is bounded by
     // construction: ANN/all-pairs theta joins over a broadcast query set,
