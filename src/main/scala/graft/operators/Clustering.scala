@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+
+/** Embedding-space clustering: deterministic Lloyd k-means and the
+  * SemDeDup-style semantic dedup built on it (Abbas et al. 2023, public:
+  * cluster the embedding space, then near-dup only WITHIN clusters — the
+  * cluster bound turns the quadratic pair stage into per-cluster blocks).
+  *
+  * Everything is deterministic and cross-engine reproducible, so both
+  * operators carry full DuckDB oracles:
+  *   - init: centroids = the k smallest vec_ids' embeddings (no RNG);
+  *   - assignment: max cosine (native codegen'd CosineSimilarity — the
+  *     same left-to-right double accumulation DuckDB's
+  *     list_cosine_similarity produces, proven by the q25 gate), ties to
+  *     the smallest cluster id via one max(struct(cos, -cluster))
+  *     aggregate — partial+final, NO window over the n×k frame;
+  *   - update: per-dim mean with exact decimal accumulation (q44's
+  *     formula), so the mean is partition-order independent; empty
+  *     clusters keep their previous centroid.
+  *
+  * Scale shape per iteration: one broadcast of k×dim doubles against a
+  * corpus scan (k rows — bounded by construction, the BNLJ whitelist case),
+  * one n-row shuffle for the argmax aggregate, one (k×dim)-group aggregate
+  * for the means, and a k×dim driver collect (bounded like the IVF probe
+  * set). Iterations are a driver loop over materialized centroids —
+  * re-broadcast per round, plan size constant in `iters`.
+  */
+object Clustering {
+
+  /** Run `iters` Lloyd rounds; returns the final centroids as driver rows
+    * (cluster -> dim array). Bounded: k×dim doubles. */
+  private def fitCentroids(s: SparkSession, embs: DataFrame,
+                           k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    VectorFunctions.register(s)
+    val e = embs.select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    var round = 0
+    while (round < iters) {
+      val assigned = assignTo(s, e, cents).select(col("vec_id"), col("cluster"))
+      val means = assigned.join(e, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+        .groupBy(col("cluster"), col("dim_idx"))
+        // q44's exact decimal mean: order-independent, DuckDB-identical
+        .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toMap
+      // empty clusters keep their previous centroid (deterministic)
+      cents = cents.map { case (cl, prev) => (cl, means.getOrElse(cl, prev)) }
+      round += 1
+    }
+    cents
+  }
+
+  /** Centroids as a k-row broadcastable frame. */
+  private def centroidFrame(s: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val rows = cents.map { case (cl, c) => Row(cl, c) }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("cluster", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cluster, cosine). One broadcast
+    * theta-join (k-row side) + one partial+final argmax aggregate. */
+  private def assignTo(s: SparkSession, e: DataFrame,
+                       cents: Seq[(Int, Seq[Double])]): DataFrame =
+    e.crossJoin(broadcast(centroidFrame(s, cents)))
+      .withColumn("cos", VectorFunctions.cosineSim(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      // max struct = max cosine, ties to the SMALLEST cluster via -cluster
+      .agg(max(struct(col("cos").as("c"), (-col("cluster")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("int").as("cluster"),
+        col("m.c").as("cosine"))
+
+  /** q102 — deterministic k-means assignment after `iters` Lloyd rounds. */
+  def kmeansAssign(s: SparkSession, embs: DataFrame,
+                   k: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = fitCentroids(s, embs, k, iters)
+    assignTo(s, embs.select(col("vec_id"), col("embedding")), cents)
+      .orderBy(col("vec_id"))
+  }
+
+  /** q103 — SemDeDup: near-dup pairs WITHIN k-means clusters. The cluster
+    * key bounds the quadratic stage (blocks of ~n/k), and real duplicates
+    * (cosine ≈ 1) share a nearest centroid by construction, so high-
+    * threshold recall matches the exact all-pairs scan (spec-pinned).
+    * The pair join is a shuffle hash join on cluster — no broadcast of the
+    * corpus, no all-pairs product. */
+  def semanticDupPairs(s: SparkSession, embs: DataFrame,
+                       threshold: Double = 0.5,
+                       k: Int = 8, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(s)
+    val assigned = kmeansAssign(s, embs, k, iters)
+      .select(col("vec_id"), col("cluster"))
+      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_kmeans_assign" -> ((s, d) => kmeansAssign(s, Tables.embeddings(s, d))),
+    "q103_semantic_dedup" -> ((s, d) => semanticDupPairs(s, Tables.embeddings(s, d)))
+  )
+
+  /** Unrolled-iteration DuckDB twins: same init, same cosine argmax (window
+    * formulation — identical result to the max-struct aggregate), same
+    * decimal means, same empty-cluster coalesce. */
+  private val kmeansCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cluster, e AS centroid
+      |  FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.e, c.centroid) DESC, c.cluster) AS rn
+      |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a1.cluster, r.i AS dim_idx,
+      |    CAST(SUM(CAST(e.e[CAST(r.i AS INT) + 1] AS DECIMAL(30,12))) AS DOUBLE)
+      |      / COUNT(*) AS v
+      |  FROM a1 JOIN e USING (vec_id), unnest(range(0, len(e.e))) AS r(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT c0.cluster,
+      |    COALESCE(m.centroid, c0.centroid) AS centroid
+      |  FROM c0 LEFT JOIN (
+      |    SELECT cluster, list(v ORDER BY dim_idx) AS centroid
+      |    FROM m1 GROUP BY 1) m USING (cluster)),
+      |a2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.e, c.centroid) DESC, c.cluster) AS rn
+      |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT a2.cluster, r.i AS dim_idx,
+      |    CAST(SUM(CAST(e.e[CAST(r.i AS INT) + 1] AS DECIMAL(30,12))) AS DOUBLE)
+      |      / COUNT(*) AS v
+      |  FROM a2 JOIN e USING (vec_id), unnest(range(0, len(e.e))) AS r(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT c1.cluster,
+      |    COALESCE(m.centroid, c1.centroid) AS centroid
+      |  FROM c1 LEFT JOIN (
+      |    SELECT cluster, list(v ORDER BY dim_idx) AS centroid
+      |    FROM m2 GROUP BY 1) m USING (cluster)),
+      |afinal AS (
+      |  SELECT vec_id, cluster, cos FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      list_cosine_similarity(e.e, c.centroid) AS cos,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.e, c.centroid) DESC, c.cluster) AS rn
+      |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q102_kmeans_assign" -> (kmeansCte +
+      """
+        |SELECT vec_id, CAST(cluster AS INT) AS cluster, cos AS cosine
+        |FROM afinal ORDER BY vec_id""".stripMargin),
+    "q103_semantic_dedup" -> (kmeansCte +
+      """
+        |SELECT a.cluster AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(ea.e, eb.e) AS cosine
+        |FROM afinal a JOIN afinal b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |JOIN e ea ON ea.vec_id = a.vec_id
+        |JOIN e eb ON eb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ea.e, eb.e) >= 0.5
+        |ORDER BY vec_a, vec_b""".stripMargin)
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Clustering, Dedup}
+
+/** Deterministic k-means + SemDeDup contracts. */
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("clustering-spec", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def asSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  /** Planted corpus: 80 seeded random 64-dim vectors + 20 exact duplicates
+    * at shifted ids (same construction as DedupScaleSpec). */
+  private lazy val planted: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 80L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dups = (0L until 20L).map { i => (1000L + i, base(i.toInt)._2.clone()) }
+    import spark.implicits._
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("kmeans: total deterministic partition of the corpus") {
+    val embs = Tables.embeddings(spark, sf)
+    val a = Clustering.kmeansAssign(spark, embs)
+    val n = embs.count()
+    assert(a.count() == n, "every vector assigned")
+    assert(a.select(col("vec_id")).distinct().count() == n, "exactly once")
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= 8).count() == 0)
+    // bit-identical on a second run (no RNG anywhere)
+    assert(asSet(Clustering.kmeansAssign(spark, embs)) == asSet(a))
+  }
+
+  test("kmeans: exact duplicates always share a cluster") {
+    val a = Clustering.kmeansAssign(spark, planted, k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (i <- 0L until 20L)
+      assert(a(i) == a(1000L + i),
+        s"identical embeddings $i / ${1000 + i} must share a nearest centroid")
+  }
+
+  test("semanticDupPairs == exact embeddingNearDup on planted duplicates") {
+    // exact duplicates share a cluster (above), so the within-cluster
+    // restriction loses none of them: SemDeDup recall = 1 on true dups
+    val sem = Clustering.semanticDupPairs(spark, planted, threshold = 0.9)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    val exact = Dedup.embeddingNearDup(spark, planted, threshold = 0.9,
+      exactMaxVectors = Long.MaxValue)
+    assert(asSet(sem) == asSet(exact))
+    assert(sem.count() == 20)
+  }
+
+  test("empty clusters keep their previous centroid (no NaN poisoning)") {
+    // k=8 over 9 near-identical vectors: most clusters go empty after one
+    // update round; the operator must stay total and deterministic
+    import spark.implicits._
+    val tiny = (0L until 9L).map { id =>
+      (id, Array.tabulate(64)(d => if (d == 0) 1f else id.toFloat * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val a = Clustering.kmeansAssign(spark, tiny, k = 8, iters = 2)
+    assert(a.count() == 9)
+    assert(a.filter(col("cosine").isNaN).count() == 0)
+    assert(asSet(Clustering.kmeansAssign(spark, tiny, k = 8, iters = 2)) == asSet(a))
+  }
+}

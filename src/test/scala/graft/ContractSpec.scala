@@ -30,7 +30,7 @@ class ContractSpec extends AnyFunSuite {
     val parts = Seq(Relational.queries, Dedup.queries, TextAnalysis.queries,
       Similarity.queries, Multimodal.queries, EventsStream.queries,
       AsOfJoin.queries, Analytics.queries, Extended.queries,
-      Mining.queries, Lakehouse.queries, Curation.queries)
+      Mining.queries, Lakehouse.queries, Curation.queries, Clustering.queries)
     assert(parts.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name collapsed during map concatenation")
   }
