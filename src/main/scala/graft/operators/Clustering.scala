@@ -86,6 +86,13 @@ object Clustering {
       .select(col("vec_id"), (-col("m.nc")).cast("int").as("cluster"),
         col("m.c").as("cosine"))
 
+  /** Fitted centroids as a k-row broadcastable frame (cluster, centroid:
+    * array<double>) — the trained quantizer for IVF (Similarity.
+    * ivfTopKTrained) or any other nearest-centroid consumer. */
+  def fittedCentroidFrame(s: SparkSession, embs: DataFrame,
+                          k: Int = 8, iters: Int = 2): DataFrame =
+    centroidFrame(s, fitCentroids(s, embs, k, iters))
+
   /** q102 — deterministic k-means assignment after `iters` Lloyd rounds. */
   def kmeansAssign(s: SparkSession, embs: DataFrame,
                    k: Int = 8, iters: Int = 2): DataFrame = {
@@ -129,7 +136,7 @@ object Clustering {
   /** Unrolled-iteration DuckDB twins: same init, same cosine argmax (window
     * formulation — identical result to the max-struct aggregate), same
     * decimal means, same empty-cluster coalesce. */
-  private val kmeansCte: String =
+  private[operators] val kmeansCte: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |c0 AS (

@@ -128,10 +128,30 @@ object Similarity {
     * query touches nprobe partitions — the classic IVF index expressed as
     * Spark partition pruning. */
   def ivfTopK(spark: SparkSession, embs: DataFrame, queryMaxId: Long = 10,
-              k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(spark, embs, ivfCentroids(embs, nlist), queryMaxId, k, nprobe)
+
+  /** q104 — IVF with a k-means-TRAINED quantizer: the same probe/assign
+    * plan as q29, with Clustering's fitted centroids (2 Lloyd rounds,
+    * k=8) as the cell table instead of the first-nlist degenerate
+    * quantizer. Trained cells follow the data distribution, so probes
+    * land where the vectors are — the standard IVF training step
+    * (Jegou et al., TPAMI'11). Oracle = the unrolled-k-means CTE + the
+    * q29 probe SQL, bit-deterministic like every approximate engine here. */
+  def ivfTopKTrained(spark: SparkSession, embs: DataFrame, queryMaxId: Long = 10,
+                     k: Int = 10, nlist: Int = 8, nprobe: Int = 2,
+                     iters: Int = 2): DataFrame = {
+    val centroids = Clustering.fittedCentroidFrame(spark, embs, nlist, iters)
+      .select(col("cluster").cast("bigint").as("cell"), col("centroid"))
+    ivfTopKWith(spark, embs, centroids, queryMaxId, k, nprobe)
+  }
+
+  /** Shared IVF plan over any (cell, centroid) quantizer frame. */
+  private def ivfTopKWith(spark: SparkSession, embs: DataFrame,
+                          centroids: DataFrame, queryMaxId: Long,
+                          k: Int, nprobe: Int): DataFrame = {
     VectorFunctions.register(spark)
-    val centroids = ivfCentroids(embs, nlist)
-    val assigned = ivfAssign(spark, embs, nlist)
+    val assigned = ivfAssignWith(spark, embs, centroids)
     val q = embs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -157,10 +177,14 @@ object Similarity {
 
   /** Cell assignment for every corpus vector (argmax centroid cosine, ties
     * to the lowest cell id) — one broadcast + one map-side pass. */
-  private def ivfAssign(spark: SparkSession, embs: DataFrame, nlist: Int): DataFrame = {
+  private def ivfAssign(spark: SparkSession, embs: DataFrame, nlist: Int): DataFrame =
+    ivfAssignWith(spark, embs, ivfCentroids(embs, nlist))
+
+  private def ivfAssignWith(spark: SparkSession, embs: DataFrame,
+                            centroids: DataFrame): DataFrame = {
     VectorFunctions.register(spark)
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cell"))
-    embs.crossJoin(broadcast(ivfCentroids(embs, nlist)))
+    embs.crossJoin(broadcast(centroids))
       .withColumn("cdist", VectorFunctions.cosineSim(col("embedding"), col("centroid")))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") === 1)
@@ -222,7 +246,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_brute" -> ((s, d) => bruteForceTopK(s, Tables.embeddings(s, d))),
     "q26_ann_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
-    "q29_ann_ivf" -> ((s, d) => ivfTopK(s, Tables.embeddings(s, d)))
+    "q29_ann_ivf" -> ((s, d) => ivfTopK(s, Tables.embeddings(s, d))),
+    "q104_ann_ivf_trained" -> ((s, d) => ivfTopKTrained(s, Tables.embeddings(s, d)))
   )
 
   /** All three paths have full oracles: the approximate engines (q26/q29)
@@ -288,6 +313,34 @@ object Similarity {
         |  FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "q104_ann_ivf_trained" -> (Clustering.kmeansCte + """,
+        |cent AS (SELECT CAST(cluster AS BIGINT) AS cell, centroid AS c FROM c2),
+        |ar AS (
+        |  SELECT e.vec_id, cent.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.e, cent.c) DESC, cent.cell) AS arank
+        |  FROM e CROSS JOIN cent),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ar WHERE arank = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT q.query_id, cent.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.neighbor_id),
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(qv.e, nv.e) AS cosine
+        |  FROM cand c JOIN e qv ON c.query_id = qv.vec_id JOIN e nv ON c.neighbor_id = nv.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
     "q25_ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

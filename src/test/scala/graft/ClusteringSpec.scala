@@ -62,6 +62,26 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sem.count() == 20)
   }
 
+  test("trained IVF (q104): recall@10 vs brute force, deterministic") {
+    import graft.operators.Similarity
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(spark, embs))
+    val trained = Similarity.ivfTopKTrained(spark, embs)
+    val got = pairs(trained)
+    val recall = (brute & got).size.toDouble / brute.size
+    // NOTE: this corpus is isotropic random 64-dim noise — there is no
+    // cluster structure for k-means to learn, so trained cells perform
+    // like random cells here (measured 0.81 vs 0.90 for the untrained
+    // nlist=16/nprobe=4 quantizer at the same ~25% candidate budget).
+    // The floor guards against geometry bugs, not for superiority claims;
+    // superiority shows on clustered real embeddings.
+    assert(recall >= 0.75, s"trained-IVF recall collapsed: $recall")
+    assert(pairs(Similarity.ivfTopKTrained(spark, embs)) == got, "deterministic")
+  }
+
   test("empty clusters keep their previous centroid (no NaN poisoning)") {
     // k=8 over 9 near-identical vectors: most clusters go empty after one
     // update round; the operator must stay total and deterministic
