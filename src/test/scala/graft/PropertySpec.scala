@@ -68,4 +68,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(salted == plain, s"trial $i (n=$n)")
     }
   }
+
+  test("WordNgramList == sliding-window reference on random texts") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // texts with messy whitespace: runs of spaces/tabs/newlines, leading and
+    // trailing padding, empty and single-token cases
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "bb", "ccc", "dddd"), Gen.oneOf(" ", "  ", "\t", "\n")))
+      .map(_.mkString)
+    val texts = samples(genText, 60) ++ Seq("", " ", "solo", "a b", "  a   b  c ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val got = df.select(col("id"),
+          graft.functions.VectorFunctions.wordNgramList(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      for ((t, i) <- texts.zipWithIndex) {
+        val toks = t.trim.split("\\s+")
+        val want =
+          if (toks.length < n) Seq.empty[String]
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got(i.toLong) == want, s"n=$n text=${t.replace("\n", "\\n")}")
+      }
+    }
+  }
 }
