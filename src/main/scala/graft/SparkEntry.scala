@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Clustering, Curation, Dedup, Extended, Lakehouse, Mining, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Clustering, Curation, Dedup, Extended, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventsStream.queries ++
       AsOfJoin.queries ++ Analytics.queries ++ Extended.queries ++
-      Mining.queries ++ Lakehouse.queries ++ Curation.queries ++ Clustering.queries
+      Mining.queries ++ Lakehouse.queries ++ Curation.queries ++ Clustering.queries ++
+      Search.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EventsStream.oracles ++
       AsOfJoin.oracles ++ Analytics.oracles ++ Extended.oracles ++
-      Mining.oracles ++ Lakehouse.oracles ++ Curation.oracles ++ Clustering.oracles
+      Mining.oracles ++ Lakehouse.oracles ++ Curation.oracles ++ Clustering.oracles ++
+      Search.oracles ++ Graph.oracles
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -128,9 +129,66 @@ object Clustering {
 
   // --------------------------------------------------------------------- //
 
+  /** q108 — product-quantization ANN (Jégou et al. TPAMI'11, public): split
+    * each embedding into `nSub` contiguous subvectors, learn a `codes`-entry
+    * codebook per subspace with the same deterministic Lloyd machinery as
+    * q102, store each vector as `nSub` small code ids, and answer queries
+    * against the codebook RECONSTRUCTION of each corpus vector.
+    *
+    * This is the canonical 100 TB memory story for vector search: a
+    * 64-dim float vector is 256 bytes, its PQ code is `nSub` bytes — the
+    * scored "index" shrinks ~64× and the scan reads codes + a broadcast
+    * codebook (nSub × codes × subDim doubles, a few KB) instead of raw
+    * vectors. The scoring pass here materializes the reconstruction from
+    * the broadcast codebook at scan time — shuffle-free, corpus-linear,
+    * exactly the asymmetric-distance shape (full-precision query vs
+    * quantized corpus). Training cost is nSub small k-means fits whose
+    * per-round state is codes × subDim doubles on the driver (bounded,
+    * same argument as q102).
+    *
+    * Deterministic end-to-end (sample init, cosine argmax with tie-to-
+    * smallest-code, exact decimal means), so DuckDB re-derives codebooks,
+    * codes, and reconstructions from first principles and must agree. */
+  def pqTopK(s: SparkSession, embs: DataFrame, nSub: Int = 4, codes: Int = 16,
+             iters: Int = 1, queryMaxId: Long = 10, k: Int = 10,
+             dim: Int = 64): DataFrame = {
+    VectorFunctions.register(s)
+    require(dim % nSub == 0, "dim must divide into nSub equal subspaces")
+    val subDim = dim / nSub
+    def sliced(m: Int): DataFrame = embs.select(col("vec_id"),
+      slice(col("embedding"), m * subDim + 1, subDim).as("embedding"))
+    // per-subspace codebooks + final code assignment (cluster id = code)
+    val books: Seq[(Int, Seq[(Int, Seq[Double])])] =
+      (0 until nSub).map(m => (m, fitCentroids(s, sliced(m), codes, iters)))
+    val encoded = books.map { case (m, cents) =>
+      assignTo(s, sliced(m), cents).select(col("vec_id"), col("cluster").as(s"code_$m"))
+    }.reduce(_.join(_, "vec_id"))
+    // reconstruction: per-subspace centroid lookup from the broadcast
+    // codebooks, concatenated in subspace order
+    val withCents = books.foldLeft(encoded) { case (acc, (m, cents)) =>
+      val bf = centroidFrame(s, cents)
+        .select(col("cluster").as(s"code_$m"), col("centroid").as(s"cent_$m"))
+      acc.join(broadcast(bf), Seq(s"code_$m"))
+    }
+    val recon = withCents
+      .withColumn("recon", concat((0 until nSub).map(m => col(s"cent_$m")): _*))
+      .select(col("vec_id").as("neighbor_id"), col("recon"))
+    val q = embs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    recon.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("recon")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_kmeans_assign" -> ((s, d) => kmeansAssign(s, Tables.embeddings(s, d))),
-    "q103_semantic_dedup" -> ((s, d) => semanticDupPairs(s, Tables.embeddings(s, d)))
+    "q103_semantic_dedup" -> ((s, d) => semanticDupPairs(s, Tables.embeddings(s, d))),
+    "q108_ann_pq" -> ((s, d) => pqTopK(s, Tables.embeddings(s, d)))
   )
 
   /** Unrolled-iteration DuckDB twins: same init, same cosine argmax (window
@@ -186,7 +244,73 @@ object Clustering {
       |        ORDER BY list_cosine_similarity(e.e, c.centroid) DESC, c.cluster) AS rn
       |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
+  /** Per-subspace PQ CTE chain: slice, sample-init codebook, one Lloyd
+    * round (decimal means, empty-code coalesce), final code assignment.
+    * Mirrors kmeansCte exactly, parameterized over the subspace index. */
+  private def pqSubCte(m: Int, subDim: Int = 16, codes: Int = 16): String = {
+    val lo = m * subDim + 1
+    val hi = (m + 1) * subDim
+    s"""em$m AS (
+       |  SELECT vec_id, e[$lo:$hi] AS se FROM e),
+       |c0_$m AS (
+       |  SELECT CAST(vec_id AS INT) AS code, se AS cent
+       |  FROM em$m WHERE vec_id < $codes),
+       |a1_$m AS (
+       |  SELECT vec_id, code FROM (
+       |    SELECT t.vec_id, c.code,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY list_cosine_similarity(t.se, c.cent) DESC, c.code) AS rn
+       |    FROM em$m t CROSS JOIN c0_$m c) WHERE rn = 1),
+       |m1_$m AS (
+       |  SELECT a.code, r.i AS dim_idx,
+       |    CAST(SUM(CAST(t.se[CAST(r.i AS INT) + 1] AS DECIMAL(30,12))) AS DOUBLE)
+       |      / COUNT(*) AS v
+       |  FROM a1_$m a JOIN em$m t USING (vec_id), unnest(range(0, len(t.se))) AS r(i)
+       |  GROUP BY 1, 2),
+       |c1_$m AS (
+       |  SELECT c0.code, COALESCE(mm.cent, c0.cent) AS cent
+       |  FROM c0_$m c0 LEFT JOIN (
+       |    SELECT code, list(v ORDER BY dim_idx) AS cent
+       |    FROM m1_$m GROUP BY 1) mm USING (code)),
+       |enc$m AS (
+       |  SELECT vec_id, code FROM (
+       |    SELECT t.vec_id, c.code,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY list_cosine_similarity(t.se, c.cent) DESC, c.code) AS rn
+       |    FROM em$m t CROSS JOIN c1_$m c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val pqOracle: String = {
+    val subs = (0 until 4).map(pqSubCte(_)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$subs,
+       |recon AS (
+       |  SELECT v.vec_id AS neighbor_id,
+       |    flatten([b0.cent, b1.cent, b2.cent, b3.cent]) AS recon
+       |  FROM e v
+       |  JOIN enc0 x0 ON x0.vec_id = v.vec_id JOIN c1_0 b0 ON b0.code = x0.code
+       |  JOIN enc1 x1 ON x1.vec_id = v.vec_id JOIN c1_1 b1 ON b1.code = x1.code
+       |  JOIN enc2 x2 ON x2.vec_id = v.vec_id JOIN c1_2 b2 ON b2.code = x2.code
+       |  JOIN enc3 x3 ON x3.vec_id = v.vec_id JOIN c1_3 b3 ON b3.code = x3.code),
+       |q AS (
+       |  SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_cosine_similarity(qe, recon) AS cosine
+       |  FROM q JOIN recon ON query_id <> neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q108_ann_pq" -> pqOracle,
     "q102_kmeans_assign" -> (kmeansCte +
       """
         |SELECT vec_id, CAST(cluster AS INT) AS cluster, cos AS cosine

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Iterative graph analytics over relational edge lists — the class of
+  * workload (power-method PageRank) that complements the connected-
+  * components loop in Dedup: fixed-iteration joins + aggregates, no graph
+  * library, pure DataFrame lineage.
+  */
+object Graph {
+
+  /** q109 — PageRank over the co-purchase graph (undirected, both edge
+    * directions materialized; same basket expansion as q99).
+    *
+    * Power method, `iters` fixed rounds, damping 0.85:
+    *   rank'(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank(u)/degree(u)
+    *
+    * Scale shape: the basket expansion is quadratic in BASKET size only
+    * (bounded ~6 items/order), linear in orders; each round is ONE join of
+    * the edge list against the current rank vector (broadcast — the rank
+    * vector is |nodes| rows, tiny next to the edge list) plus one
+    * partial+final aggregate on dst. The edge+degree frame is built once
+    * and cached across rounds, and each round's rank vector is
+    * localCheckpoint'ed: without that, round i's plan embeds rounds
+    * 1..i-1 as a tower of nested broadcast subtrees that AQE re-plans
+    * and re-executes level by level — measured 10×+ slower at sf0.1 than
+    * the checkpointed loop, and the gap grows with `iters`. With it,
+    * every round is the same flat two-table plan. The edge cache is
+    * released before returning (the checkpoint carries the result; no
+    * caller-side cache contract needed). The driver holds only N (one
+    * scalar count); ranks stay distributed.
+    *
+    * Cross-engine determinism: per-edge contributions are doubles
+    * (rank/degree — same IEEE ops both engines), then fixed-point scaled:
+    * floor(contrib * 1e18) is a BIGINT, so the per-node sum is pure long
+    * arithmetic — exact, partial-aggregation-order-free, and on the
+    * whole-stage-codegen fast path (a DECIMAL accumulator at this scale
+    * was measured ~10× slower: precision >18 forces per-row BigDecimal
+    * churn). No overflow: every contribution is strictly < 1 (rank < 1
+    * for any graph with ≥2 nodes, degree ≥ 1), so each per-node sum of
+    * scaled terms stays < 1e18 × (incoming mass ≤ 1) < Long.MaxValue.
+    * The 1e-18 truncation is far below the gate's round(9) float compare.
+    * All nodes are emitted (no top-N cut), so no selection boundary rides
+    * on a float comparison.
+    */
+  def pagerank(s: SparkSession, lineitem: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    // one shuffle on the order key; pair expansion is scan-local
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val pairs = baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // dedup + degree + edge list in ONE exchange on src: the per-src
+    // partner set both deduplicates and carries the degree, replacing a
+    // distinct-exchange + degree-exchange + join with a single shuffle.
+    // Safe because degree is bounded by co-purchase diversity (max 222 at
+    // sf0.1); a power-law web graph would use the two-level distinct +
+    // count formulation instead of per-key sets.
+    val edgesDeg = pairs.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), size(col("dsts")).cast("long").as("degree"),
+        explode(col("dsts")).as("dst"))
+      .cache()
+    // node set derived FROM the cached frame so neither the init ranks nor
+    // round 1 recomputes the basket pipeline
+    val nodes = edgesDeg.select(col("src")).distinct().cache()
+    val n = nodes.count() // bounded driver scalar: node count
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("src").as("node"), lit(1.0 / n).as("pagerank"))
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"),
+          (col("pagerank") / col("degree").cast("double")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + lit(damping) *
+          (sum(floor(col("contrib") * lit(1e18))).cast("double") / lit(1e18)))
+          .as("pagerank"))
+        .select(col("dst").as("node"), col("pagerank"))
+        .localCheckpoint() // flat plan per round; see scaladoc
+    }
+    nodes.unpersist()
+    edgesDeg.unpersist()
+    ranks.select(col("node").as("part"), col("pagerank")).orderBy(col("part"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_pagerank" -> ((s, d) => pagerank(s, Tables.lineitem(s, d)))
+  )
+
+  /** Unrolled 5-iteration DuckDB twin: same graph, same fixed-point-scaled
+    * power iteration. */
+  private val pagerankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM n) + CAST(0.85 AS DOUBLE) *
+         |      (CAST(SUM(CAST(floor(r.pagerank / d.degree * 1e18) AS BIGINT))
+         |        AS DOUBLE) / 1e18)
+         |      AS pagerank
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (
+       |  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS pagerank
+       |  FROM deg),
+       |$rounds
+       |SELECT node AS part, pagerank FROM r5 ORDER BY part""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q109_pagerank" -> pagerankOracle
+  )
+}

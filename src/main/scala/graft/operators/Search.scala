@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Corpus search + mixture operators for a training-data pipeline
+  * (north-star extension, same family as TextAnalysis/Curation):
+  *
+  *   - q105 phrase search: how often does an exact token phrase occur per
+  *     document — the support-counting primitive behind corpus search and
+  *     n-gram decontamination probes.
+  *   - q106 temperature mixture: per-domain sampling quotas proportional
+  *     to count^(1/2) — the "temperature" reweighting every multi-domain
+  *     pretraining mix uses (cf. multilingual sampling in public XLM-R /
+  *     Pile writeups) so small domains aren't drowned by big ones.
+  *   - q107 vocab growth: Heaps-law curve — cumulative distinct vocabulary
+  *     vs tokens seen at corpus checkpoints, the standard diversity
+  *     diagnostic for a growing corpus.
+  *
+  * All three are deterministic and DuckDB-oracled. Scale notes per op.
+  */
+object Search {
+
+  /** q105 — per-document occurrence count of an exact token phrase.
+    *
+    * Spark-first shape: the n-gram assembly runs scan-local through the
+    * native `WordNgramList` expression (one pass per row, codegen'd), and
+    * the count is a `size(filter(...))` over that row-local array — ZERO
+    * shuffles, no posting-list join, nothing but a scan. That is the right
+    * plan for corpus-wide phrase counting at 100 TB: throughput is bounded
+    * by parquet scan speed. (Point lookups — "which docs contain this
+    * phrase, fast" — are instead served by persisting the n-gram posting
+    * table bucketed by shingle, the same layout writeShards/q96 and the
+    * contamination probe q87 use; this operator is the full-corpus pass.)
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String] = Seq("table", "part")): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      "phrase must be non-empty whitespace-free tokens")
+    VectorFunctions.register(docs.sparkSession)
+    val n = phrase.length
+    val needle = phrase.mkString(" ")
+    docs.select(col("doc_id"),
+        size(filter(VectorFunctions.wordNgramList(col("text"), n),
+          g => g === lit(needle))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q106 — temperature-weighted mixture sample over `source` domains.
+    *
+    * Quota per domain s: floor(total * w_s / Σw) with w_s = sqrt(n_s),
+    * floored to ≥1 so no domain disappears. Integer-exact cross-engine:
+    * IEEE sqrt is correctly rounded (bit-identical in Spark and DuckDB),
+    * the weight is then floored to a BIGINT at 1e6 scale, and both the
+    * denominator sum and the quota division are pure integer arithmetic —
+    * no float summation order anywhere. Row selection inside a domain is
+    * the established md5(doc_id) ordering (q48/q63/q81): reproducible at
+    * any parallelism, any engine.
+    *
+    * Scale shape: one partial+final count per domain (domain cardinality
+    * is tiny — the 1-row denominator and the quota frame broadcast), then
+    * one window over the corpus partitioned BY SOURCE — the heavy sort is
+    * per-domain, parallel across domains. At 100 TB the win is that
+    * nothing global is sorted: each domain ranks its own hash keys.
+    */
+  def temperatureMix(docs: DataFrame, total: Int = 200): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val scaled = counts.withColumn("w_scaled",
+      floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    val denom = scaled.agg(sum(col("w_scaled")).as("w_total"))
+    val quotas = scaled.crossJoin(broadcast(denom))
+      .withColumn("quota",
+        greatest(lit(1L), expr(s"(CAST($total AS BIGINT) * w_scaled) div w_total")))
+      .select(col("source"), col("quota"))
+    val keyed = docs
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("sample_key", md5(col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("sample_key"), col("doc_id"))
+    keyed.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q107 — Heaps-law vocabulary growth at ten corpus checkpoints.
+    *
+    * Checkpoint k's boundary is an ARITHMETIC doc_id threshold
+    * (min_id + span*k/10, integer math from one min/max aggregate) — NOT a
+    * global row_number sort. vocab(k) counts tokens whose first occurrence
+    * (min doc_id, one shuffle keyed by token) falls at or below the
+    * boundary; tokens_seen(k) sums per-doc token counts below it. The
+    * whole thing is two aggregates plus a 10-row broadcast join — at
+    * 100 TB the token min-agg is the only corpus-sized shuffle, and it is
+    * partial+final on the token key.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val cps = broadcast(
+      bounds.crossJoin(checkpointIndex(d.sparkSession))
+        .select(col("k"),
+          (col("lo") + expr("((hi - lo + 1) * k) div 10") - lit(1)).as("cp_doc_id")))
+    val tokFirst = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val docSizes = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    val vocab = cps.join(tokFirst, tokFirst("first_doc") <= cps("cp_doc_id"))
+      .groupBy(col("k"), col("cp_doc_id"))
+      .agg(count(lit(1)).as("vocab"))
+    val seen = cps.join(docSizes, docSizes("doc_id") <= cps("cp_doc_id"))
+      .groupBy(col("k"), col("cp_doc_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens_seen"))
+    vocab.join(seen, Seq("k", "cp_doc_id"))
+      .select(col("k").cast("int").as("k"), col("cp_doc_id"), col("n_docs"),
+        col("tokens_seen"), col("vocab"))
+      .orderBy(col("k"))
+  }
+
+  /** 10-row checkpoint index frame (k = 1..10). */
+  private def checkpointIndex(s: SparkSession): DataFrame =
+    s.range(1, 11).select(col("id").as("k"))
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
+    "q106_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
+    "q107_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // position-join formulation — independent of the Spark n-gram path
+    "q105_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(r.i AS INT) AS pos, ws[CAST(r.i AS INT) + 1] AS w
+        |  FROM d, unnest(range(0, len(ws))) AS r(i))
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'table' AND b.w = 'part'
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+    "q106_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |scaled AS (
+        |  SELECT source,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w_scaled
+        |  FROM counts),
+        |quotas AS (
+        |  SELECT source,
+        |    CAST(greatest(CAST(1 AS BIGINT),
+        |      (CAST(200 AS BIGINT) * w_scaled) //
+        |        (SELECT sum(w_scaled) FROM scaled)) AS BIGINT) AS quota
+        |  FROM scaled),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source, q.quota,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN quotas q USING (source))
+        |SELECT doc_id, source, quota FROM ranked
+        |WHERE rn <= quota
+        |ORDER BY doc_id""".stripMargin,
+    "q107_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+        |cps AS (
+        |  SELECT CAST(r.k AS INT) AS k,
+        |    lo + ((hi - lo + 1) * r.k) // 10 - 1 AS cp_doc_id
+        |  FROM bounds, unnest(range(1, 11)) AS r(k)),
+        |tok_first AS (
+        |  SELECT t.tok AS token, min(d.doc_id) AS first_doc
+        |  FROM d, unnest(toks) AS t(tok)
+        |  GROUP BY t.tok),
+        |doc_sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+        |vocab AS (
+        |  SELECT c.k, c.cp_doc_id, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cps c JOIN tok_first t ON t.first_doc <= c.cp_doc_id
+        |  GROUP BY c.k, c.cp_doc_id),
+        |seen AS (
+        |  SELECT c.k, c.cp_doc_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(s.n_toks) AS BIGINT) AS tokens_seen
+        |  FROM cps c JOIN doc_sizes s ON s.doc_id <= c.cp_doc_id
+        |  GROUP BY c.k, c.cp_doc_id)
+        |SELECT v.k, v.cp_doc_id, s.n_docs, s.tokens_seen, v.vocab
+        |FROM vocab v JOIN seen s ON v.k = s.k AND v.cp_doc_id = s.cp_doc_id
+        |ORDER BY v.k""".stripMargin
+  )
+}

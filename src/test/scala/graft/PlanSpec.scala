@@ -133,9 +133,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // as a hash or sort-merge join; a CartesianProduct anywhere is a bug.
     val bnljByDesign = Set(
       "q24_embed_neardup", "q25_ann_brute", "q29_ann_ivf", "q72_ann_rerank",
-      "q85_knn_classify", // query set broadcast
+      "q85_knn_classify", "q108_ann_pq", // query set broadcast
       "q102_kmeans_assign", "q103_semantic_dedup", "q104_ann_ivf_trained", // k-row centroid broadcast
-      "q46_profile", "q67_bm25", "q70_tfidf", "q89_mixture_sample") // 1-row/stats cross joins
+      "q46_profile", "q67_bm25", "q70_tfidf", "q89_mixture_sample", // 1-row/stats cross joins
+      "q106_temperature_mix", // 1-row denominator cross join
+      "q107_vocab_growth") // 10-row checkpoint-frame theta join
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
