@@ -16,20 +16,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Single source of truth: one (queries, oracles) pair per operator
+    * module. `queries`/`oracleSql` below and ContractSpec's uniqueness
+    * test all consume THIS list, so registering a new module in one place
+    * cannot desync the others (the round-5 `sbt test` failure mode). */
+  def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Relational.queries, Relational.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles),
+      (EventsStream.queries, EventsStream.oracles),
+      (AsOfJoin.queries, AsOfJoin.oracles),
+      (Analytics.queries, Analytics.oracles),
+      (Extended.queries, Extended.oracles),
+      (Mining.queries, Mining.oracles),
+      (Lakehouse.queries, Lakehouse.oracles),
+      (Curation.queries, Curation.oracles),
+      (Clustering.queries, Clustering.oracles),
+      (Search.queries, Search.oracles),
+      (Graph.queries, Graph.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventsStream.queries ++
-      AsOfJoin.queries ++ Analytics.queries ++ Extended.queries ++
-      Mining.queries ++ Lakehouse.queries ++ Curation.queries ++ Clustering.queries ++
-      Search.queries ++ Graph.queries
+    modules.iterator.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ EventsStream.oracles ++
-      AsOfJoin.oracles ++ Analytics.oracles ++ Extended.oracles ++
-      Mining.oracles ++ Lakehouse.oracles ++ Curation.oracles ++ Clustering.oracles ++
-      Search.oracles ++ Graph.oracles
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }

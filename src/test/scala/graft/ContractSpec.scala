@@ -25,14 +25,15 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query names are unique across operator modules (no silent overwrite)") {
-    import graft.operators._
-    import graft.streaming.EventsStream
-    val parts = Seq(Relational.queries, Dedup.queries, TextAnalysis.queries,
-      Similarity.queries, Multimodal.queries, EventsStream.queries,
-      AsOfJoin.queries, Analytics.queries, Extended.queries,
-      Mining.queries, Lakehouse.queries, Curation.queries, Clustering.queries)
-    assert(parts.map(_.size).sum == SparkEntry.queries.size,
+    // derived from SparkEntry.modules — the same list the concatenation
+    // consumes — so a newly registered module is covered automatically
+    assert(SparkEntry.modules.map(_._1.size).sum == SparkEntry.queries.size,
       "duplicate query name collapsed during map concatenation")
+  }
+
+  test("oracle names are unique across operator modules (no silent overwrite)") {
+    assert(SparkEntry.modules.map(_._2.size).sum == SparkEntry.oracleSql.size,
+      "duplicate oracle name collapsed during map concatenation")
   }
 
   test("oracle SQL has no tab/CR characters (driver JSON escaping hazard)") {
