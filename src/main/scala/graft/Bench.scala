@@ -9,10 +9,23 @@ import org.apache.spark.sql.SparkSession
   *   - results go to the `noop` sink, not `.count()` — count() lets the
   *     optimizer prune every computed column and drop sorts, which would
   *     time a different (cheaper) plan than the one users run;
-  *   - one untimed warmup pass at sf0.001 first: JIT + codegen compilation
-  *     otherwise lands entirely on the first timed query;
-  *   - three timed passes, per-query MIN reported: single-shot timings on a
-  *     shared host carry multi-second noise spikes from unrelated load.
+  *   - NO separate warmup pass: pass 1 at the target sf is both the JIT/
+  *     codegen warmer and a timed pass, and per-query MIN over the passes
+  *     discards its compilation overhead (round 5 showed a dedicated
+  *     sf0.001 warmup pass no longer fits the driver's wall clock);
+  *   - per-query MIN over SPARK_GRAFT_BENCH_PASSES passes (default 2):
+  *     single-shot timings on a shared host carry multi-second noise
+  *     spikes from unrelated load, and min-of-N is the consistent
+  *     estimator of the true cost under additive noise;
+  *   - wall-clock budget SPARK_GRAFT_BENCH_BUDGET_S (default 420 s,
+  *     measured from main() entry): pass 1 ALWAYS completes (it is the
+  *     only guarantee that every query gets a number); each later pass
+  *     starts only if elapsed + the previous pass's cost fits the budget,
+  *     and aborts between queries once the budget is exhausted — min-so-far
+  *     is reported either way;
+  *   - BENCH_DETAIL.json is rewritten after EVERY pass, so a run killed by
+  *     the harness timeout still leaves current per-query diagnostics
+  *     instead of a stale file (the round-5 failure mode).
   */
 object Bench {
   /** Optional comma-separated query-name filter (iteration aid; the driver
@@ -25,8 +38,16 @@ object Bench {
       case None => SparkEntry.queries
     }
 
-  private def runAll(spark: SparkSession, dir: String): Map[String, Double] =
-    selected.map { case (name, fn) =>
+  /** One timed pass. `deadlineNs` (absolute nanoTime) aborts BETWEEN
+    * queries once exhausted — partial maps are fine for passes ≥ 2, whose
+    * only job is tightening the per-query min. */
+  private def runPass(spark: SparkSession, dir: String,
+                      deadlineNs: Option[Long]): Map[String, Double] = {
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    val it = selected.iterator
+    var cut = false
+    while (it.hasNext && !cut) {
+      val (name, fn) = it.next()
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -35,45 +56,73 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // drop per-query intermediate caches (shingle frames, CC edge lists,
       // tf aggregates) so storage memory doesn't accumulate across the
-      // 80+-query session; untimed — the query's action already completed.
+      // 100+-query session; untimed — the query's action already completed.
       spark.catalog.clearCache()
-      name -> t
+      out(name) = t
+      cut = deadlineNs.exists(System.nanoTime() > _)
     }
+    if (cut) System.err.println(s"[bench] pass aborted at budget after ${out.size} queries")
+    out.toMap
+  }
 
   private def minByQuery(a: Map[String, Double], b: Map[String, Double]): Map[String, Double] =
     a.map { case (k, v) => k -> math.min(v, b.getOrElse(k, v)) }
 
+  private def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Full-name per-query timings go to a repo-side file: the harness keeps
+    * only the last 2000 chars of stdout, which a 109-entry full-name map
+    * overflows. Rewritten after every pass (crash-tolerant). */
+  private def writeDetail(path: String, sfDir: String, passesDone: Int,
+                          elapsed: Double, results: Map[String, Double]): Unit = {
+    val detail = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
+    try {
+      val w = new java.io.PrintWriter(path)
+      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "queries_sec": $detail}""")
+      finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+  }
+
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - mainT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2).max(1)
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble).getOrElse(420.0)
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) runAll(spark, warmDir)
-    // three timed passes, per-query MIN: the host carries multi-second
-    // background-load spikes (load avg ~4 from unrelated processes), and
-    // min-of-N is the consistent estimator of the true cost under
-    // additive noise
-    val results = (1 to 3).map(_ => runAll(spark, sfDir)).reduce(minByQuery)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full-name per-query timings go to a repo-side file: the harness keeps
-    // only the last 2000 chars of stdout, which a 101-entry full-name map
-    // overflows (rounds 1-3 all recorded parsed:null because the metrics
-    // line itself was front-truncated out of the capture window).
-    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val detail = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
     val detailPath = sys.env.get("SPARK_GRAFT_OUT_DIR")
       .orElse(sys.props.get("user.dir"))
       .getOrElse("/root/repo") + "/BENCH_DETAIL.json"
-    try {
-      val w = new java.io.PrintWriter(detailPath)
-      try w.println(s"""{"sf": "$sfDir", "total_sec": ${sec(total)}, "queries_sec": $detail}""")
-      finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // pass 1: unbudgeted — every query MUST get a number
+    var results = runPass(spark, sfDir, None)
+    var passesDone = 1
+    writeDetail(detailPath, sfDir, passesDone, elapsedS, results)
+    var lastPassS = elapsedS
+    var stop = passesDone >= passes
+    while (!stop) {
+      // start the next pass only if its projected cost (≈ the previous
+      // pass, an overestimate once the JIT is warm) fits the budget
+      if (elapsedS + lastPassS > budgetS) {
+        System.err.println(f"[bench] stopping after pass $passesDone: " +
+          f"$elapsedS%.0f s elapsed + ~$lastPassS%.0f s projected > $budgetS%.0f s budget")
+        stop = true
+      } else {
+        val t0 = elapsedS
+        val deadline = mainT0 + (budgetS * 1e9).toLong
+        results = minByQuery(results, runPass(spark, sfDir, Some(deadline)))
+        passesDone += 1
+        lastPassS = elapsedS - t0
+        writeDetail(detailPath, sfDir, passesDone, elapsedS, results)
+        stop = passesDone >= passes
+      }
+    }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     // The parsed stdout line stays under the 2000-char capture: short qNN
     // keys (the numeric prefix is unique across the surface) and 3-decimal
     // seconds (bench noise floor is ~±0.05 s, so no information is lost).

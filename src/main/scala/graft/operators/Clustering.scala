@@ -34,36 +34,57 @@ import graft.functions.VectorFunctions
   */
 object Clustering {
 
+  /** q108's pinned parameters — shared by `pqTopK`'s defaults AND the
+    * generated `pqOracle` SQL, so the two cannot silently diverge (a
+    * non-default `pqTopK` call is a different query and needs its own
+    * oracle; the registered q108 uses exactly these). */
+  private[operators] val PqNSub = 4
+  private[operators] val PqCodes = 16
+  private[operators] val PqIters = 1
+  private[operators] val PqQueryMax = 10L
+  private[operators] val PqK = 10
+  private[operators] val PqDim = 64
+  private[operators] val PqSubDim: Int = PqDim / PqNSub
+
   /** Run `iters` Lloyd rounds; returns the final centroids as driver rows
-    * (cluster -> dim array). Bounded: k×dim doubles. */
+    * (cluster -> dim array). Bounded: k×dim doubles.
+    *
+    * The embeddings projection is cached for the fit's lifetime: every
+    * Lloyd round runs 1 + `iters`×2 scans of it (init collect, per-round
+    * assignment and means), and without the cache each action re-reads the
+    * corpus from parquet — invisible at sf0.1, avoidable extra corpus
+    * scans per round at 100 TB. Unpersisted before returning (the fit's
+    * result is a driver-side Seq; nothing downstream holds the frame). */
   private def fitCentroids(s: SparkSession, embs: DataFrame,
                            k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     VectorFunctions.register(s)
-    val e = embs.select(col("vec_id"), col("embedding"))
-    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
-      .orderBy(col("vec_id"))
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
-    var round = 0
-    while (round < iters) {
-      val assigned = assignTo(s, e, cents).select(col("vec_id"), col("cluster"))
-      val means = assigned.join(e, "vec_id")
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
-        .groupBy(col("cluster"), col("dim_idx"))
-        // q44's exact decimal mean: order-independent, DuckDB-identical
-        .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("c"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c")))),
-          x => x.getField("c")).as("centroid"))
+    val e = graft.core.CacheScope.cached(embs.select(col("vec_id"), col("embedding")))
+    try {
+      var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+        .orderBy(col("vec_id"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toMap
-      // empty clusters keep their previous centroid (deterministic)
-      cents = cents.map { case (cl, prev) => (cl, means.getOrElse(cl, prev)) }
-      round += 1
-    }
-    cents
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      var round = 0
+      while (round < iters) {
+        val assigned = assignTo(s, e, cents).select(col("vec_id"), col("cluster"))
+        val means = assigned.join(e, "vec_id")
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+          .groupBy(col("cluster"), col("dim_idx"))
+          // q44's exact decimal mean: order-independent, DuckDB-identical
+          .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("c"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c")))),
+            x => x.getField("c")).as("centroid"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toMap
+        // empty clusters keep their previous centroid (deterministic)
+        cents = cents.map { case (cl, prev) => (cl, means.getOrElse(cl, prev)) }
+        round += 1
+      }
+      cents
+    } finally e.unpersist()
   }
 
   /** Centroids as a k-row broadcastable frame. */
@@ -149,29 +170,84 @@ object Clustering {
     * Deterministic end-to-end (sample init, cosine argmax with tie-to-
     * smallest-code, exact decimal means), so DuckDB re-derives codebooks,
     * codes, and reconstructions from first principles and must agree. */
-  def pqTopK(s: SparkSession, embs: DataFrame, nSub: Int = 4, codes: Int = 16,
-             iters: Int = 1, queryMaxId: Long = 10, k: Int = 10,
-             dim: Int = 64): DataFrame = {
+  def pqTopK(s: SparkSession, embs: DataFrame, nSub: Int = PqNSub,
+             codes: Int = PqCodes, iters: Int = PqIters,
+             queryMaxId: Long = PqQueryMax, k: Int = PqK,
+             dim: Int = PqDim): DataFrame = {
     VectorFunctions.register(s)
     require(dim % nSub == 0, "dim must divide into nSub equal subspaces")
     val subDim = dim / nSub
-    def sliced(m: Int): DataFrame = embs.select(col("vec_id"),
-      slice(col("embedding"), m * subDim + 1, subDim).as("embedding"))
-    // per-subspace codebooks + final code assignment (cluster id = code)
-    val books: Seq[(Int, Seq[(Int, Seq[Double])])] =
-      (0 until nSub).map(m => (m, fitCentroids(s, sliced(m), codes, iters)))
-    val encoded = books.map { case (m, cents) =>
-      assignTo(s, sliced(m), cents).select(col("vec_id"), col("cluster").as(s"code_$m"))
-    }.reduce(_.join(_, "vec_id"))
-    // reconstruction: per-subspace centroid lookup from the broadcast
-    // codebooks, concatenated in subspace order
-    val withCents = books.foldLeft(encoded) { case (acc, (m, cents)) =>
-      val bf = centroidFrame(s, cents)
-        .select(col("cluster").as(s"code_$m"), col("centroid").as(s"cent_$m"))
-      acc.join(broadcast(bf), Seq(s"code_$m"))
+    // one (vec_id, sub, se) frame holds ALL subspaces: the nSub codebook
+    // fits run as ONE joint Lloyd loop keyed by `sub` — per round one
+    // broadcast of every codebook + one (sub, code, dim)-grouped means
+    // aggregate — instead of nSub sequential fits (round 5 paid 2×nSub
+    // actions/round; this is 1 init + 1/round regardless of nSub).
+    val subStructs = (0 until nSub).map(m =>
+      struct(lit(m).as("sub"), slice(col("embedding"), m * subDim + 1, subDim).as("se")))
+    def subFrame: DataFrame = embs
+      .select(col("vec_id"), explode(array(subStructs: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.se").as("se"))
+    // (sub, code, cent) codebook frame — nSub×codes rows, broadcastable
+    def codebookFrame(books: Map[Int, Seq[(Int, Seq[Double])]]): DataFrame = {
+      val rows = for ((m, cents) <- books.toSeq; (code, c) <- cents) yield Row(m, code, c)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("sub", IntegerType, nullable = false),
+          StructField("code", IntegerType, nullable = false),
+          StructField("cent", ArrayType(DoubleType, containsNull = false), nullable = false))))
     }
-    val recon = withCents
-      .withColumn("recon", concat((0 until nSub).map(m => col(s"cent_$m")): _*))
+    val sv = graft.core.CacheScope.cached(subFrame)
+    var books: Map[Int, Seq[(Int, Seq[Double])]] =
+      try {
+        // init: per subspace, codebook = the `codes` smallest vec_ids'
+        // subvectors (same no-RNG rule as fitCentroids) — ONE collect
+        var bs: Map[Int, Seq[(Int, Seq[Double])]] =
+          sv.filter(col("vec_id") < codes).orderBy(col("sub"), col("vec_id"))
+            .collect()
+            .map(r => (r.getInt(1), r.getLong(0).toInt,
+              r.getSeq[Float](2).map(_.toDouble).toSeq))
+            .groupBy(_._1).view
+            .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+        var round = 0
+        while (round < iters) {
+          val assigned = sv.join(broadcast(codebookFrame(bs)), "sub")
+            .withColumn("cos", VectorFunctions.cosineSim(col("se"), col("cent")))
+            .groupBy(col("sub"), col("vec_id"))
+            // same argmax as assignTo: max cosine, ties to smallest code
+            .agg(max(struct(col("cos").as("c"), (-col("code")).as("nc"))).as("m"))
+            .select(col("sub"), col("vec_id"), (-col("m.nc")).cast("int").as("code"))
+          val means = assigned.join(sv, Seq("sub", "vec_id"))
+            .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("dim_idx", "v")))
+            .groupBy(col("sub"), col("code"), col("dim_idx"))
+            // fitCentroids' exact decimal mean — order-independent
+            .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+              count(lit(1)).cast("double")).as("c"))
+            .groupBy(col("sub"), col("code"))
+            .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c")))),
+              x => x.getField("c")).as("cent"))
+            .collect()
+            .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
+          // empty codes keep their previous centroid (deterministic)
+          bs = bs.map { case (m, cents) =>
+            m -> cents.map { case (code, prev) => (code, means.getOrElse((m, code), prev)) } }
+          round += 1
+        }
+        bs
+      } finally sv.unpersist()
+    // encode + reconstruct in ONE plan: assign each subvector its nearest
+    // code (carrying the winning centroid through the argmax struct — the
+    // (cos, -code) prefix is unique per group so `cent` never orders),
+    // then reassemble the reconstruction in subspace order per vector.
+    val cbF = broadcast(codebookFrame(books))
+    val recon = subFrame.join(cbF, "sub")
+      .withColumn("cos", VectorFunctions.cosineSim(col("se"), col("cent")))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("code")).as("nc"),
+        col("cent").as("cent"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("m.cent").as("cent")))),
+        x => x.getField("cent"))).as("recon"))
       .select(col("vec_id").as("neighbor_id"), col("recon"))
     val q = embs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -247,7 +323,7 @@ object Clustering {
   /** Per-subspace PQ CTE chain: slice, sample-init codebook, one Lloyd
     * round (decimal means, empty-code coalesce), final code assignment.
     * Mirrors kmeansCte exactly, parameterized over the subspace index. */
-  private def pqSubCte(m: Int, subDim: Int = 16, codes: Int = 16): String = {
+  private def pqSubCte(m: Int, subDim: Int = PqSubDim, codes: Int = PqCodes): String = {
     val lo = m * subDim + 1
     val hi = (m + 1) * subDim
     s"""em$m AS (
@@ -281,20 +357,25 @@ object Clustering {
   }
 
   private val pqOracle: String = {
-    val subs = (0 until 4).map(pqSubCte(_)).mkString(",\n")
+    // generated from the SAME pinned constants pqTopK defaults to — the
+    // query and its oracle share one source of truth (oracle unrolls
+    // exactly PqIters=1 Lloyd round; changing PqIters requires re-
+    // generating the CTE chain depth too)
+    val subs = (0 until PqNSub).map(pqSubCte(_)).mkString(",\n")
+    val reconJoins = (0 until PqNSub).map(m =>
+      s"  JOIN enc$m x$m ON x$m.vec_id = v.vec_id JOIN c1_$m b$m ON b$m.code = x$m.code")
+      .mkString("\n")
+    val cents = (0 until PqNSub).map(m => s"b$m.cent").mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |$subs,
        |recon AS (
        |  SELECT v.vec_id AS neighbor_id,
-       |    flatten([b0.cent, b1.cent, b2.cent, b3.cent]) AS recon
+       |    flatten([$cents]) AS recon
        |  FROM e v
-       |  JOIN enc0 x0 ON x0.vec_id = v.vec_id JOIN c1_0 b0 ON b0.code = x0.code
-       |  JOIN enc1 x1 ON x1.vec_id = v.vec_id JOIN c1_1 b1 ON b1.code = x1.code
-       |  JOIN enc2 x2 ON x2.vec_id = v.vec_id JOIN c1_2 b2 ON b2.code = x2.code
-       |  JOIN enc3 x3 ON x3.vec_id = v.vec_id JOIN c1_3 b3 ON b3.code = x3.code),
+       |$reconJoins),
        |q AS (
-       |  SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+       |  SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < $PqQueryMax),
        |s AS (
        |  SELECT query_id, neighbor_id,
        |    list_cosine_similarity(qe, recon) AS cosine
@@ -305,7 +386,7 @@ object Clustering {
        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
        |  FROM s)
        |SELECT query_id, neighbor_id, cosine, rank
-       |FROM r WHERE rank <= 10
+       |FROM r WHERE rank <= $PqK
        |ORDER BY query_id, rank""".stripMargin
   }
 

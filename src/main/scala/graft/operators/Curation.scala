@@ -133,36 +133,52 @@ object Curation {
   // single plan. No smoothing needed: the LM is trained on the scored
   // corpus, so every observed bigram has count >= 1.
   //
-  // BROADCAST SIZE NOTE: the lm frame is |observed distinct bigrams|, not
+  // BROADCAST SIZE GUARD: the lm frame is |observed distinct bigrams|, not
   // |corpus| — bounded by min(vocab², corpus tokens). On this corpus's
   // word-soup vocab that is tiny; at a real 10⁶-word vocab observed
-  // bigrams can reach ~10⁸ (gigabytes) and the forced broadcast must be
-  // dropped — the scoring join then shuffles on (w1,w2), which REUSES the
+  // bigrams can reach ~10⁸ (gigabytes), where a forced broadcast OOMs the
+  // driver. The LM count aggregate is therefore cached and its EXACT row
+  // count measured (one bounded action on the frame that must be
+  // materialized anyway — it is the LM); above `lmBroadcastLimit` the
+  // scoring join shuffles on (w1,w2) instead, which REUSES the (w1,w2)
   // partitioning the cnt aggregate already produced, so the demotion
   // costs one exchange of `big`, not a new LM pass. The `tot` broadcast
   // (unigram totals, |vocab|-bounded) is safe at any scale. Per-bigram ln p is cast to decimal(25,15) before
   // the sum so the per-doc mean is order-independent (double ln values
   // agree cross-engine within 1 ulp; the decimal sum keeps partitioning
   // out of the result).
-  def q92LmScore(s: SparkSession, dir: String): DataFrame = {
+  def q92LmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(s, Tables.documents(s, dir))
+
+  /** Corpus-bigram-LM quality score over any (doc_id, text) frame.
+    * `lmBroadcastLimit` (entries): 2M × ~40 B/entry ≈ 80 MB serialized —
+    * the point where a forced broadcast stops beating one extra exchange
+    * of the bigram frame. Score values are identical on both paths; only
+    * the join strategy changes (spec-pinned). */
+  def lmScore(s: SparkSession, docs: DataFrame,
+              lmBroadcastLimit: Long = 2L * 1000 * 1000): DataFrame = {
     VectorFunctions.register(s)
     // bigrams scan-locally via the native WordNgramList expression (see
     // q80Bigrams: the old posexplode + lead() window paid a doc_id
     // shuffle + sort for pairs that are adjacent within the row).
     // cached: BOTH the LM-training aggregate and the scoring join consume
     // this frame (harness clearCache frees it per query)
-    val big = CacheScope.cached(Tables.documents(s, dir)
+    val big = CacheScope.cached(docs
       .select(col("doc_id"),
         explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
       .select(col("doc_id"),
         substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2")))
-    val cnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // cached: consumed by the size probe, the unigram totals, and the
+    // scoring join — one aggregate pass over `big`, three consumers
+    val cnt = CacheScope.cached(big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    val lmEntries = cnt.count()
     val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
     val lm = cnt.join(broadcast(tot), Seq("w1"))
       .select(col("w1"), col("w2"),
         log(col("n").cast("double") / col("n_w1").cast("double")).as("logp"))
-    big.join(broadcast(lm), Seq("w1", "w2"))
+    val lmSide = if (lmEntries <= lmBroadcastLimit) broadcast(lm) else lm
+    big.join(lmSide, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("logp").cast("decimal(25,15)")).cast("double") /

@@ -12,6 +12,12 @@ import graft.core.Tables
   */
 object Graph {
 
+  /** q109's pinned parameters — shared by `pagerank`'s defaults AND the
+    * generated oracle SQL (which unrolls exactly PrIters rounds), so the
+    * two cannot silently diverge. */
+  private[operators] val PrIters = 5
+  private[operators] val PrDamping = 0.85
+
   /** q109 — PageRank over the co-purchase graph (undirected, both edge
     * directions materialized; same basket expansion as q99).
     *
@@ -46,8 +52,8 @@ object Graph {
     * All nodes are emitted (no top-N cut), so no selection boundary rides
     * on a float comparison.
     */
-  def pagerank(s: SparkSession, lineitem: DataFrame, iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+  def pagerank(s: SparkSession, lineitem: DataFrame, iters: Int = PrIters,
+               damping: Double = PrDamping): DataFrame = {
     // one shuffle on the order key; pair expansion is scan-local
     val baskets = lineitem.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
@@ -94,13 +100,18 @@ object Graph {
     "q109_pagerank" -> ((s, d) => pagerank(s, Tables.lineitem(s, d)))
   )
 
-  /** Unrolled 5-iteration DuckDB twin: same graph, same fixed-point-scaled
-    * power iteration. */
+  /** Unrolled PrIters-iteration DuckDB twin: same graph, same fixed-point-
+    * scaled power iteration. The teleport base is emitted as
+    * `1 - PrDamping` — the SAME IEEE subtraction the Spark side computes —
+    * rather than a pre-evaluated 0.15 literal, which differs from
+    * (1.0 - 0.85) by one ulp and would start the two engines from
+    * different doubles. */
   private val pagerankOracle: String = {
-    val rounds = (1 to 5).map { i =>
+    val rounds = (1 to PrIters).map { i =>
       s"""r$i AS (
          |  SELECT e.dst AS node,
-         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM n) + CAST(0.85 AS DOUBLE) *
+         |    (CAST(1 AS DOUBLE) - CAST($PrDamping AS DOUBLE)) / (SELECT n FROM n)
+         |      + CAST($PrDamping AS DOUBLE) *
          |      (CAST(SUM(CAST(floor(r.pagerank / d.degree * 1e18) AS BIGINT))
          |        AS DOUBLE) / 1e18)
          |      AS pagerank
@@ -119,7 +130,7 @@ object Graph {
        |  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS pagerank
        |  FROM deg),
        |$rounds
-       |SELECT node AS part, pagerank FROM r5 ORDER BY part""".stripMargin
+       |SELECT node AS part, pagerank FROM r$PrIters ORDER BY part""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(

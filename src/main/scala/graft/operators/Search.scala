@@ -25,6 +25,10 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Search {
 
+  /** q106's pinned sample budget — shared by `temperatureMix`'s default
+    * AND the generated oracle SQL so they cannot silently diverge. */
+  private[operators] val MixTotal = 200
+
   /** q105 — per-document occurrence count of an exact token phrase.
     *
     * Spark-first shape: the n-gram assembly runs scan-local through the
@@ -67,7 +71,7 @@ object Search {
     * per-domain, parallel across domains. At 100 TB the win is that
     * nothing global is sorted: each domain ranks its own hash keys.
     */
-  def temperatureMix(docs: DataFrame, total: Int = 200): DataFrame = {
+  def temperatureMix(docs: DataFrame, total: Int = MixTotal): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val scaled = counts.withColumn("w_scaled",
       floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
@@ -92,36 +96,46 @@ object Search {
     * (min_id + span*k/10, integer math from one min/max aggregate) — NOT a
     * global row_number sort. vocab(k) counts tokens whose first occurrence
     * (min doc_id, one shuffle keyed by token) falls at or below the
-    * boundary; tokens_seen(k) sums per-doc token counts below it. The
-    * whole thing is two aggregates plus a 10-row broadcast join — at
-    * 100 TB the token min-agg is the only corpus-sized shuffle, and it is
-    * partial+final on the token key.
+    * boundary; tokens_seen(k) sums per-doc token counts below it.
+    *
+    * CONDITIONAL-SUM SHAPE: the k=1..10 checkpoints are evaluated as ten
+    * `sum(when(x <= cp_k, ...))` columns inside ONE aggregate per frame
+    * (the boundary expressions ride on a 1-row bounds attach), then a
+    * `stack` unpivot emits the 10-row curve. The earlier formulation
+    * theta-joined a 10-row checkpoint frame against the vocab frame —
+    * a 10× row-multiplying BroadcastNestedLoopJoin before the aggregate;
+    * this one scans each frame exactly once with zero row multiplication.
+    * At 100 TB the token min-agg is the only corpus-sized shuffle, and it
+    * is partial+final on the token key.
     */
   def vocabGrowth(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-    val cps = broadcast(
-      bounds.crossJoin(checkpointIndex(d.sparkSession))
-        .select(col("k"),
-          (col("lo") + expr("((hi - lo + 1) * k) div 10") - lit(1)).as("cp_doc_id")))
+    val bounds = broadcast(
+      d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")))
+    // checkpoint k's boundary, evaluated per-row from the attached bounds
+    def cp(k: Int) = col("lo") + expr(s"((hi - lo + 1) * $k) div 10") - lit(1L)
+    val ks = 1 to 10
     val tokFirst = d.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabAgg = tokFirst.crossJoin(bounds)
+      .agg(sum(when(col("first_doc") <= cp(ks.head), 1L)).as(s"vocab_${ks.head}"),
+        ks.tail.map(k => sum(when(col("first_doc") <= cp(k), 1L)).as(s"vocab_$k")): _*)
     val docSizes = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
-    val vocab = cps.join(tokFirst, tokFirst("first_doc") <= cps("cp_doc_id"))
-      .groupBy(col("k"), col("cp_doc_id"))
-      .agg(count(lit(1)).as("vocab"))
-    val seen = cps.join(docSizes, docSizes("doc_id") <= cps("cp_doc_id"))
-      .groupBy(col("k"), col("cp_doc_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens_seen"))
-    vocab.join(seen, Seq("k", "cp_doc_id"))
-      .select(col("k").cast("int").as("k"), col("cp_doc_id"), col("n_docs"),
-        col("tokens_seen"), col("vocab"))
+    val seenAgg = docSizes.crossJoin(bounds)
+      .agg(min(col("lo")).as("lo"), // constant within the 1-row group
+        min(col("hi")).as("hi") +:
+        ks.flatMap(k => Seq(
+          sum(when(col("doc_id") <= cp(k), 1L)).as(s"nd_$k"),
+          sum(when(col("doc_id") <= cp(k), col("n_toks"))).as(s"ts_$k"))): _*)
+    val stackArgs = ks.map(k => s"$k, nd_$k, ts_$k, vocab_$k").mkString(", ")
+    seenAgg.crossJoin(vocabAgg) // 1×1 row
+      .select(col("lo"), col("hi"),
+        expr(s"stack(${ks.size}, $stackArgs) AS (k, n_docs, tokens_seen, vocab)"))
+      .select(col("k").cast("int").as("k"),
+        (col("lo") + expr("((hi - lo + 1) * k) div 10") - lit(1L)).as("cp_doc_id"),
+        col("n_docs"), col("tokens_seen"), col("vocab"))
       .orderBy(col("k"))
   }
-
-  /** 10-row checkpoint index frame (k = 1..10). */
-  private def checkpointIndex(s: SparkSession): DataFrame =
-    s.range(1, 11).select(col("id").as("k"))
 
   // --------------------------------------------------------------------- //
 
@@ -146,7 +160,7 @@ object Search {
         |GROUP BY a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
     "q106_temperature_mix" ->
-      """WITH counts AS (
+      s"""WITH counts AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
         |scaled AS (
         |  SELECT source,
@@ -155,7 +169,7 @@ object Search {
         |quotas AS (
         |  SELECT source,
         |    CAST(greatest(CAST(1 AS BIGINT),
-        |      (CAST(200 AS BIGINT) * w_scaled) //
+        |      (CAST($MixTotal AS BIGINT) * w_scaled) //
         |        (SELECT sum(w_scaled) FROM scaled)) AS BIGINT) AS quota
         |  FROM scaled),
         |ranked AS (

@@ -71,6 +71,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q92/lmScore: oversized LM demotes the scoring join to a shuffle, same scores") {
+    import spark.implicits._
+    // adversarial vocab-explosion corpus: every bigram is unique, so the
+    // LM has |corpus bigrams| entries — the shape where a forced broadcast
+    // would OOM at scale
+    val docs = (0 until 300).map(i => (i.toLong, s"tok${i}a tok${i}b tok${i}c"))
+      .toDF("doc_id", "text")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // emulate scale: disable SIZE-based auto-broadcast (at 100 TB the LM's
+    // size estimate exceeds any threshold) so only lmScore's explicit
+    // hint decision is visible in the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bcast = Curation.lmScore(spark, docs) // 600 entries < default limit
+      val demoted = Curation.lmScore(spark, docs, lmBroadcastLimit = 100)
+      assert(planOf(bcast).contains("BroadcastHashJoin"),
+        "under the limit the scoring join must broadcast the LM")
+      val p = planOf(demoted)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "over the limit the scoring join must shuffle on (w1,w2), not broadcast")
+      assert(bcast.collect().toSeq == demoted.collect().toSeq,
+        "join strategy must not change scores")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q97: span fractions bounded; planted near-dup docs score ~1") {
     val out = Curation.q97SpanDedup(spark, sf).cache()
     assert(out.filter(col("shared_frac") < 0 || col("shared_frac") > 1.0).count() == 0)

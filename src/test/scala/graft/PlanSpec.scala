@@ -137,7 +137,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q102_kmeans_assign", "q103_semantic_dedup", "q104_ann_ivf_trained", // k-row centroid broadcast
       "q46_profile", "q67_bm25", "q70_tfidf", "q89_mixture_sample", // 1-row/stats cross joins
       "q106_temperature_mix", // 1-row denominator cross join
-      "q107_vocab_growth") // 10-row checkpoint-frame theta join
+      "q107_vocab_growth") // 1-row bounds attach (conditional-sum checkpoints)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
@@ -170,6 +170,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("q107: checkpoints are conditional sums, not a row-multiplying theta join") {
+    val p = plan("q107_vocab_growth")
+    // every BNLJ must be a 1-row bounds/combine attach (IdentityBroadcast
+    // of an aggregate), never a 10-row checkpoint frame joined on <=
+    // against the corpus-sized vocab frame
+    assert(p.contains("stack"), "checkpoint unpivot should plan as stack")
+    // the old formulation planned `first_doc <= cp_doc_id` as an INNER
+    // BNLJ; the only joins allowed now are condition-free Cross attaches
+    // of 1-row aggregates
+    assert(!p.contains("Join type: Inner") && !p.contains("Join condition: ("),
+      "no conditioned join may remain; checkpoints are evaluated per-row")
   }
 
   test("q88: repetition scoring is scan-local (no exchange before the sort)") {
