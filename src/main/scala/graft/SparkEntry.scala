@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Clustering, Curation, Dedup, Extended, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Clustering, Curation, Datasets, Dedup, Extended, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,7 +36,8 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (Clustering.queries, Clustering.oracles),
       (Search.queries, Search.oracles),
-      (Graph.queries, Graph.oracles))
+      (Graph.queries, Graph.oracles),
+      (Datasets.queries, Datasets.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{KmvAggregator, TextFunctions, VectorFunctions}
+
+/** Dataset assembly & profiling operators — the bookkeeping a training-data
+  * pipeline runs around the curation core: cardinality sketches for corpus
+  * accounting, deterministic split assignment, and cross-source leakage
+  * profiling. All deterministic, all DuckDB-oracled.
+  */
+object Datasets {
+
+  /** Pinned parameters shared by the queries' defaults AND the generated
+    * oracle SQL (one source of truth, per the round-5 advice pattern). */
+  private[operators] val KmvK = 64
+  private[operators] val ValFrac = 0.1
+  private[operators] val TestFrac = 0.2
+  private[operators] val OverlapN = 8
+  private val Pow60 = 1152921504606846976.0 // 2^60 as double (exact)
+
+  /** q110 — per-source distinct-content estimate via the KMV sketch.
+    *
+    * Scale shape: the ONLY corpus-sized work is one scan computing h60 per
+    * row; the aggregate's partial buffers are ≤ k longs per (partition,
+    * source), so the shuffle carries k longs per partition per source —
+    * compare `countDistinct`, whose partial state is the full per-partition
+    * distinct set. The estimate (k-1)/(h_(k)/2^60) is derived from the
+    * sketch alone; sketch_size < k means the sketch IS the exact distinct
+    * count. Deterministic: the k smallest distinct hashes are a set
+    * property (order- and partitioning-independent), and h60 is the
+    * cross-engine md5 prefix, so DuckDB re-derives the identical sketch
+    * from a window formulation. */
+  def kmvDistinct(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val kmv = udaf(new KmvAggregator(k), org.apache.spark.sql.Encoders.scalaLong)
+    docs
+      .select(col("source"), TextFunctions.h60(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), kmv(col("h")).as("sketch"))
+      .select(col("source"), col("n_docs"),
+        size(col("sketch")).as("sketch_size"),
+        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("sketch"), k).cast("double") / lit(Pow60)))
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** q111 — deterministic stratified train/val/test assignment.
+    *
+    * u = h60(doc_id)/2^60 ∈ [0,1): the SAME md5-keyed uniform the sampling
+    * family (q48/q63/q81/q89) uses, so assignment is reproducible at any
+    * parallelism, any engine, and STABLE under corpus growth — a doc's
+    * split never changes when other docs arrive (the property shuffling
+    * row numbers cannot give). Scan-local except the output sort: zero
+    * shuffles at 100 TB beyond the caller's sink. Thresholds are exact
+    * double literals; h60/2^60 is an exact power-of-two division, so the
+    * boundary compares are bit-identical cross-engine. */
+  def trainSplit(docs: DataFrame, valFrac: Double = ValFrac,
+                 testFrac: Double = TestFrac): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      "val/test fractions must be non-negative and sum below 1")
+    val u = TextFunctions.h60(col("doc_id").cast("string")).cast("double") / lit(Pow60)
+    docs.select(col("doc_id"), col("source"),
+        when(u < lit(1.0 - valFrac - testFrac), "train")
+          .when(u < lit(1.0 - testFrac), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q112 — cross-source n-gram overlap matrix (train/eval leakage
+    * profiling ACROSS domains — the symmetric, all-pairs-of-sources
+    * counterpart of q87's train→eval containment probe).
+    *
+    * Scale shape: shingle → h60 → distinct (source, gram) — the distinct
+    * aggregate is partial+final on the gram hash, vocab-bounded; the
+    * self-join shuffles on the gram key (bucketed by hash, no broadcast
+    * of the corpus) and emits |sources|² bounded rows. Gram hashing keeps
+    * the shuffle key 8 bytes instead of an n-word string. Jaccard is one
+    * exact integer division pair, deterministic cross-engine. */
+  def sourceOverlap(docs: DataFrame, n: Int = OverlapN): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col("source"),
+        explode(VectorFunctions.wordNgramList(col("text"), n)).as("g"))
+      .select(col("source"), TextFunctions.h60(col("g")).as("g"))
+      .distinct()
+    val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a").join(grams.as("b"), Seq("g"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n_grams").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n_grams").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("n_a"), col("n_b"),
+        (col("shared_grams").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_grams")).cast("double")).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.documents(s, d))),
+    "q111_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
+    "q112_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d)))
+  )
+
+  /** DuckDB h60 twin (TextFunctions.h60 scaladoc contract). */
+  private def h60sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  def oracles: Map[String, String] = Map(
+    "q110_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT source, ${h60sql("text")} AS h FROM documents),
+         |d AS (SELECT DISTINCT source, h FROM h),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM d),
+         |sk AS (
+         |  SELECT source, CAST(count(*) AS INT) AS sketch_size,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS kth
+         |  FROM r WHERE rn <= $KmvK GROUP BY source),
+         |n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+         |SELECT n.source, n.n_docs, sk.sketch_size,
+         |  CASE WHEN sk.sketch_size < $KmvK THEN CAST(sk.sketch_size AS DOUBLE)
+         |       ELSE CAST(${KmvK - 1} AS DOUBLE)
+         |         / (CAST(sk.kth AS DOUBLE) / 1152921504606846976.0)
+         |  END AS est_distinct
+         |FROM n JOIN sk USING (source)
+         |ORDER BY n.source""".stripMargin,
+    "q111_train_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE
+         |    WHEN ${h60sql("CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0
+         |      < ${1.0 - ValFrac - TestFrac} THEN 'train'
+         |    WHEN ${h60sql("CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0
+         |      < ${1.0 - TestFrac} THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q112_source_overlap" ->
+      s"""WITH w AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |    ${h60sql(s"list_aggregate(ws[CAST(r.i AS INT) + 1 : CAST(r.i AS INT) + $OverlapN], 'string_agg', ' ')")} AS g
+         |  FROM w, unnest(range(0, len(ws) - ${OverlapN - 1})) AS r(i)),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+         |s AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS shared_grams
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s.source_a, s.source_b, s.shared_grams, ca.n_grams AS n_a,
+         |  cb.n_grams AS n_b,
+         |  CAST(s.shared_grams AS DOUBLE)
+         |    / CAST(ca.n_grams + cb.n_grams - s.shared_grams AS DOUBLE) AS jaccard
+         |FROM s JOIN c ca ON ca.source = s.source_a
+         |JOIN c cb ON cb.source = s.source_b
+         |ORDER BY s.source_a, s.source_b""".stripMargin
+  )
+}
