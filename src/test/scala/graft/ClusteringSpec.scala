@@ -94,4 +94,15 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.filter(col("cosine").isNaN).count() == 0)
     assert(asSet(Clustering.kmeansAssign(spark, tiny, k = 8, iters = 2)) == asSet(a))
   }
+
+  test("pqTopK: fused joint fit is partitioning-independent") {
+    // the round-6 single-loop fit aggregates all nSub codebooks at once;
+    // its decimal means and argmax tie-breaks must keep the result
+    // bit-identical under any input partitioning (the property that made
+    // the per-subspace fits oracle-checkable)
+    val a = Clustering.pqTopK(spark, planted, queryMaxId = 5, k = 5)
+    assert(a.count() == 5 * 5, "5 queries x top-5")
+    val b = Clustering.pqTopK(spark, planted.repartition(7), queryMaxId = 5, k = 5)
+    assert(asSet(b) == asSet(a))
+  }
 }
