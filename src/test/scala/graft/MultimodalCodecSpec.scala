@@ -152,4 +152,94 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = Multimodal.extractFeatures(spark, textual).collect().head
     assert(f.n_bytes == 11 && f.width == 11 % 640 && f.height == (11 * 7) % 480)
   }
+
+  // ------------------------------ video ------------------------------- //
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** RIFF chunk: fourcc + LE size + payload, word-aligned. */
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(id.getBytes("US-ASCII")); out.write(le32(payload.length))
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0) // pad to even
+    out.toByteArray
+  }
+
+  private def list(listType: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+
+  /** Encode a solid-gray width x height JPEG to bytes. */
+  private def grayJpeg(width: Int, height: Int, g: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal Motion-JPEG AVI: RIFF('AVI ') { LIST hdrl { avih },
+    * LIST movi { 00dc frames } } — the structures AviMjpegCodec walks,
+    * written with the same public RIFF layout a capture tool produces. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    val avih = new ByteArrayOutputStream()
+    avih.write(le32(100000))        // dwMicroSecPerFrame (10 fps)
+    avih.write(le32(0)); avih.write(le32(0)); avih.write(le32(0))
+    avih.write(le32(frames.size))   // dwTotalFrames
+    avih.write(le32(0)); avih.write(le32(1)); avih.write(le32(0))
+    avih.write(le32(width)); avih.write(le32(height))
+    (0 until 4).foreach(_ => avih.write(le32(0)))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  test("AviMjpegCodec: real RIFF walk + JPEG frame decode, strided sampling") {
+    import spark.implicits._
+    // 5 frames at distinct gray levels; every=2 samples frames 0, 2, 4
+    val levels = Seq(40, 80, 120, 160, 200)
+    val avi = mjpegAvi(levels.map(grayJpeg(24, 16, _)), 24, 16)
+    val media = Seq((1L, avi, "video/x-msvideo"))
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).as("n_bytes"),
+          lit("fixture").as("origin")).as("meta"))
+    val frames = Multimodal.extractVideoFrames(spark, media, every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    frames.foreach { f =>
+      assert(f.width == 24 && f.height == 16)
+      // JPEG of a solid color round-trips within compression tolerance
+      assert(math.abs(f.mean_luma - levels(f.frame_idx) / 255.0) < 0.02,
+        s"frame ${f.frame_idx}: luma ${f.mean_luma}")
+    }
+  }
+
+  test("AviMjpegCodec: corrupt frame yields its sentinel, container survives") {
+    import spark.implicits._
+    val good = grayJpeg(8, 8, 100)
+    val avi = mjpegAvi(Seq(good, Array[Byte](9, 9, 9, 9, 9), good), 8, 8)
+    val media = Seq(
+        (1L, avi, "video/x-msvideo"),
+        (2L, Array[Byte](0, 1, 2, 3), "video/x-msvideo")) // not RIFF at all
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).as("n_bytes"),
+          lit("fixture").as("origin")).as("meta"))
+    val rows = Multimodal.extractVideoFrames(spark, media, every = 1).collect()
+    val v1 = rows.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(v1.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(v1(0).width == 8 && v1(2).width == 8, "good frames decode")
+    assert(v1(1).width == -1 && v1(1).mean_luma == -1.0, "bad frame sentinels")
+    val v2 = rows.filter(_.doc_id == 2L)
+    assert(v2.length == 1 && v2.head.frame_idx == -1, "non-container sentinels")
+  }
 }
