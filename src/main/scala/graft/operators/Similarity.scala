@@ -200,6 +200,26 @@ object Similarity {
     ivfAssign(spark, embs, nlist)
       .write.mode("overwrite").partitionBy("cell").parquet(out)
 
+  /** Incremental index maintenance — the daily-batch shape (q101's analog
+    * for ANN): assign ONLY the new vectors against the index's existing
+    * quantizer and append their rows into the cell partitions. Cost ∝
+    * batch (one nlist-row broadcast + one scan of the batch); existing
+    * index files are never rewritten (hive-partition append adds files
+    * inside cell directories). The quantizer is recovered FROM the index
+    * itself — its centroid vectors are the corpus rows with vec_id <
+    * nlist, which the index stores like any other vector — so append
+    * needs no access to the original corpus and the cell geometry is
+    * guaranteed identical to the one-shot build (spec: append == rebuild,
+    * row-for-row). */
+  def appendToIvfIndex(spark: SparkSession, newEmbs: DataFrame, indexDir: String,
+                       nlist: Int = 16): Unit = {
+    val centroids = spark.read.parquet(indexDir)
+      .filter(col("neighbor_id") < nlist)
+      .select(col("neighbor_id").as("cell"), col("n_emb").as("centroid"))
+    ivfAssignWith(spark, newEmbs, centroids)
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+  }
+
   /** ANN top-k over a materialized IVF index. The probe cells for the
     * query batch are evaluated first (tiny: |queries| x nlist against the
     * broadcast centroid table) and injected as a partition-column IN

@@ -148,6 +148,33 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF index append: batch-incremental index == one-shot rebuild") {
+    val embs = Tables.embeddings(spark, sf)
+    // split at an id ABOVE nlist so the quantizer vectors land in the
+    // initial build (the production invariant: the index is seeded with
+    // the corpus the quantizer came from)
+    val history = embs.filter(col("vec_id") < 400)
+    val batch = embs.filter(col("vec_id") >= 400)
+    val inc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    try {
+      Similarity.writeIvfIndex(spark, history, inc)
+      Similarity.appendToIvfIndex(spark, batch, inc)
+      Similarity.writeIvfIndex(spark, embs, full)
+      // identical index contents (cell geometry recovered from the index
+      // equals the one-shot quantizer), hence identical query results
+      val a = spark.read.parquet(inc).select("neighbor_id", "cell")
+      val b = spark.read.parquet(full).select("neighbor_id", "cell")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+      val qa = Similarity.ivfTopKFromIndex(spark, embs, inc)
+      val qb = Similarity.ivfTopKFromIndex(spark, embs, full)
+      assert(qa.exceptAll(qb).count() == 0 && qb.exceptAll(qa).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(inc))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(full))
+    }
+  }
+
   test("exact dedup groups: empty at sf0.01 (no planted exact dups), keys stable") {
     assert(Dedup.exactDupGroups(Tables.documents(spark, sf)).count() == 0)
     val sf01 = "/root/testdata/sf0.1"
