@@ -130,6 +130,132 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Merge-step count pinned for q113/q114 AND their generated oracle SQL
+    * (one source of truth, per the round-5 advice pattern). */
+  val BpeSteps = 5
+
+  /** BPE merge learning (Sennrich et al. 2016's vocabulary-driven
+    * formulation, public): represent each distinct word as a space-joined
+    * character-symbol string, then repeatedly (a) count adjacent symbol
+    * pairs weighted by word frequency and (b) merge the most frequent pair
+    * everywhere it occurs.
+    *
+    * Scale shape: the ONLY corpus-sized work is the one word-frequency
+    * aggregate (shuffle on the word key); every merge step runs on the
+    * cached vocab frame — bounded by |vocab|, not |corpus| — and costs ONE
+    * action (the argmax collect of a single (pair, freq) row). The driver
+    * holds k rows total. This is exactly how distributed BPE trainers
+    * decompose the problem: corpus → vocab once, Lloyd-style driver loop
+    * over the bounded vocab after.
+    *
+    * Merge application is `trim(replace(replace(' '||sym||' ', ' a b ',
+    * ' ab '), same, same))`: plain `replace` scans left-to-right over
+    * non-overlapping occurrences with identical semantics in Spark
+    * (UTF8String.replace), DuckDB, and java.lang.String — so the engine
+    * and the oracle compute the same merge everywhere, at any parallelism.
+    * Two passes reach a fixed point (pass 1 leaves leftover runs of ≤2
+    * unmerged symbols, pass 2 clears them and creates no new adjacency).
+    * Versus textbook greedy left-to-right BPE the result is identical for
+    * same-pair runs of length ≤4 and token-count-identical at 5; at runs
+    * ≥6 it deterministically under-merges (run of 6 → `aa a aa a`, 2
+    * merges vs greedy's 3). Real text doesn't produce such runs — the
+    * test corpus' max same-char run is 2, and BpeSpec pins that the whole
+    * 5-step learn EQUALS an imperative Sennrich reference there, plus the
+    * exact divergence shape on adversarial runs, so the trade
+    * (replace-chain scan-locality over exact long-run greedy semantics)
+    * is explicit and verified rather than latent.
+    *
+    * Pair counts use `WordNgramList` multiplicity (all adjacent pairs,
+    * overlapping runs counted naively) — the standard Sennrich counting
+    * convention. Ties break on pair string ascending: deterministic at any
+    * parallelism and identical to the oracle's ORDER BY f DESC, pair.
+    */
+  def learnBpeMerges(spark: SparkSession, docs: DataFrame,
+                     steps: Int = BpeSteps): Seq[(Int, String, String, Long)] = {
+    graft.functions.VectorFunctions.register(spark)
+    graft.core.CacheScope.scoped {
+      val vocab0 = graft.core.CacheScope.cached(
+        docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq")))
+      var vocab = vocab0
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= steps && !exhausted) {
+        val best = vocab
+          .select(explode(graft.functions.VectorFunctions.wordNgramList(col("sym"), 2)).as("pair"),
+            col("freq"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+          .orderBy(col("f").desc, col("pair"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val Array(lhs, rhs) = pair.split(" ", 2)
+          out += ((step, lhs, rhs, best(0).getLong(1)))
+          val pat = lit(" " + pair + " ")
+          val rep = lit(" " + lhs + rhs + " ")
+          val padded = concat(lit(" "), col("sym"), lit(" "))
+          vocab = vocab.select(
+            trim(call_function("replace",
+              call_function("replace", padded, pat, rep), pat, rep)).as("sym"),
+            col("freq"))
+          step += 1
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** q113 — the learned merge table as a DataFrame (step, lhs, rhs, merged,
+    * freq). Bounded output (`steps` rows); all distributed work happens in
+    * [[learnBpeMerges]]. */
+  def bpeMerges(spark: SparkSession, docs: DataFrame,
+                steps: Int = BpeSteps): DataFrame = {
+    import spark.implicits._
+    learnBpeMerges(spark, docs, steps)
+      .map { case (s, l, r, f) => (s, l, r, l + r, f) }
+      .toDF("step", "lhs", "rhs", "merged", "freq")
+      .orderBy(col("step"))
+  }
+
+  /** q114 — encode the corpus with the learned merges: per document, the
+    * character-symbol count and the BPE token count after applying the
+    * merge sequence to every word, plus the compression ratio.
+    *
+    * Scale shape: ZERO shuffles beyond q113's bounded learn phase — the
+    * merge list is a driver-side constant folded into a scan-local HOF
+    * chain (`transform` over the token array, five literal replaces per
+    * word), so corpus throughput is scan-bound like q105. The alternative
+    * (encode each DISTINCT word once, broadcast the vocab→length map,
+    * join) pays each word's replace chain once instead of once per
+    * occurrence but adds a vocab broadcast that dies when the vocab
+    * outgrows memory — the scan-local form has no such cliff. */
+  def bpeEncode(spark: SparkSession, docs: DataFrame,
+                steps: Int = BpeSteps): DataFrame = {
+    val merges = learnBpeMerges(spark, docs, steps)
+    def encodeWord(w: Column): Column = {
+      val sym0 = trim(regexp_replace(w, "(.)", "$1 "))
+      merges.foldLeft(sym0) { case (s, (_, lhs, rhs, _)) =>
+        val pat = lit(s" $lhs $rhs ")
+        val rep = lit(s" $lhs$rhs ")
+        val padded = concat(lit(" "), s, lit(" "))
+        trim(call_function("replace",
+          call_function("replace", padded, pat, rep), pat, rep))
+      }
+    }
+    docs.select(
+      col("doc_id"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("int").as("n_char_syms"),
+      aggregate(
+        transform(TextFunctions.tokens(col("text")), w => size(split(encodeWord(w), " "))),
+        lit(0), (acc, x) => acc + x).cast("int").as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_char_syms").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,8 +264,74 @@ object TextAnalysis {
     "q30_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q31_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q32_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
-    "q33_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d)))
+    "q33_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q113_bpe_merges" -> ((s, d) => bpeMerges(s, Tables.documents(s, d))),
+    "q114_bpe_encode" -> ((s, d) => bpeEncode(s, Tables.documents(s, d)))
   )
+
+  /** Chained-CTE DuckDB twin of the BPE learn loop: v0 = char-symbol vocab
+    * with corpus word frequencies, then per step i: pair counts p_i, argmax
+    * b_i (same f DESC, pair tiebreak), merged vocab v_i via the identical
+    * padded double-replace. */
+  private def bpeLearnCtes(steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |v0 AS (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM w GROUP BY 1)""".stripMargin)
+    for (i <- 1 to steps) {
+      val prev = s"v${i - 1}"
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT ws[CAST(r.i AS INT) + 1] || ' ' || ws[CAST(r.i AS INT) + 2] AS pair,
+        |    CAST(sum(freq) AS BIGINT) AS f
+        |  FROM (SELECT string_split(sym, ' ') AS ws, freq FROM $prev),
+        |    unnest(range(0, len(ws) - 1)) AS r(i)
+        |  GROUP BY 1),
+        |b$i AS (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1),
+        |v$i AS (
+        |  SELECT trim(replace(replace(' ' || sym || ' ',
+        |      ' ' || (SELECT pair FROM b$i) || ' ',
+        |      ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
+        |      ' ' || (SELECT pair FROM b$i) || ' ',
+        |      ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')) AS sym, freq
+        |  FROM $prev)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeMergesSql(steps: Int): String =
+    bpeLearnCtes(steps) + "\nSELECT * FROM (" +
+      (1 to steps).map(i =>
+        s"SELECT CAST($i AS INT) AS step, split_part(pair, ' ', 1) AS lhs, " +
+          s"split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged, " +
+          s"f AS freq FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+
+  private def bpeEncodeSql(steps: Int): String = {
+    val mcols = (1 to steps).map(i => s"(SELECT pair FROM b$i) AS pair$i").mkString(", ")
+    var enc = """trim(regexp_replace(w, '(.)', '\1 ', 'g'))"""
+    for (i <- 1 to steps) {
+      val p = s"' ' || pair$i || ' '"
+      val r = s"' ' || replace(pair$i, ' ', '') || ' '"
+      enc = s"trim(replace(replace(' ' || $enc || ' ', $p, $r), $p, $r))"
+    }
+    bpeLearnCtes(steps) + s""",
+      |m AS (SELECT $mcols)
+      |SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_char_syms,
+      |  CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      |    w -> len(string_split($enc, ' '))), 'sum') AS INT) AS n_bpe_tokens,
+      |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+      |    CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      |      w -> len(string_split($enc, ' '))), 'sum') AS DOUBLE) AS compression
+      |FROM documents, m
+      |ORDER BY doc_id""".stripMargin
+  }
 
   private val langCase: String = {
     val langs = stopwords.keys.toSeq.sorted
@@ -220,6 +412,8 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS fp_count
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q113_bpe_merges" -> bpeMergesSql(BpeSteps),
+    "q114_bpe_encode" -> bpeEncodeSql(BpeSteps)
   )
 }
