@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GramAggregator
+
+/** Embedding-corpus statistics — the moment profile a training pipeline
+  * computes before whitening, PCA, or distribution-shift checks: the exact
+  * second-moment (Gram) matrix / covariance of the embedding column, and a
+  * per-vector standardized outlier score derived from the same moments.
+  *
+  * Both queries ride ONE corpus scan through [[GramAggregator]] (partial
+  * state: a single ~2 KB array per partition — no row inflation, no
+  * d²-wide shuffle) and derive everything else from the exact integer
+  * sums, so the cross-engine contract is integer-exact up to the final
+  * closed-form double arithmetic, which both engines evaluate with the
+  * identical IEEE op sequence.
+  */
+object EmbeddingStats {
+
+  /** Pinned parameters shared by the queries' defaults AND the generated
+    * oracle SQL (one source of truth, per the round-5 advice pattern). */
+  private[operators] val EmbDim = 64
+  private[operators] val ScaleBits = 20
+  private val ScaleD = (1L << ScaleBits).toDouble          // 2^20
+  private val Pow2s2 = (1L << (2 * ScaleBits)).toDouble    // 2^40
+  private val tri = EmbDim * (EmbDim + 1) / 2
+
+  /** floor(x·2^20) quantization — exact in float, double, and DuckDB
+    * (power-of-two multiply only shifts the exponent), the same idiom the
+    * ANN family uses (Similarity.scala sign sketches). */
+  private def quantized(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * lit(ScaleD)).cast("long"))
+
+  /** One-pass, single-row moment aggregate: (n, [triangle ++ sums]). */
+  private def momentsRow(embs: DataFrame): DataFrame = {
+    val gram = udaf(new GramAggregator(EmbDim), ExpressionEncoder[Array[Long]]())
+    embs.agg(
+      count(lit(1)).cast("long").as("n"),
+      gram(quantized(col("embedding"))).as("m"))
+  }
+
+  /** q115 — exact Gram matrix + derived covariance, upper triangle.
+    *
+    * Scale shape: the corpus contributes exactly one scan (the aggregate
+    * above); the d(d+1)/2-row output is produced by crossing the bounded
+    * single-row aggregate with a driver-built (o,i,j) triangle-index
+    * frame — both sides of that join are O(d²), nothing corpus-sized
+    * moves. `gram` is the exact integer Σ q_i·q_j (bit-identical at any
+    * parallelism, see GramAggregator overflow bound); `cov` is the
+    * closed-form population covariance (Σqq - ΣqΣq/n)/n/2^40 evaluated in
+    * the same double op order as the oracle SQL. */
+  def gramMatrix(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val idx = (for (i <- 0 until EmbDim; j <- i until EmbDim) yield (i, j))
+      .zipWithIndex.map { case ((i, j), o) => (o, i, j) }
+      .toDF("o", "i", "j")
+    val nD = col("n").cast("double")
+    val si = element_at(col("m"), lit(tri) + col("i") + lit(1)).cast("double")
+    val sj = element_at(col("m"), lit(tri) + col("j") + lit(1)).cast("double")
+    idx.crossJoin(broadcast(momentsRow(embs)))
+      .select(col("i"), col("j"),
+        element_at(col("m"), col("o") + lit(1)).as("gram"),
+        ((element_at(col("m"), col("o") + lit(1)).cast("double") - si * sj / nD)
+          / nD / lit(Pow2s2)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** q116 — per-vector standardized outlier score: Mahalanobis-lite
+    * m_dist2 = Σ_k (q_k - μ_k)²/σ²_k over the quantized dims (the
+    * diagonal-covariance approximation data-cleaning pipelines use; the
+    * full-Σ version needs the q115 matrix inverse, a driver-side d×d
+    * problem).
+    *
+    * Scale shape: the moment fit is the one bounded aggregate; the scoring
+    * pass folds the d means/inverse-variances in as literals, so it is
+    * scan-local — zero shuffles beyond the output sort, no broadcast that
+    * grows with the corpus. The bounded single-row collect here is the
+    * same class as the IVF centroid collect (k·d doubles).
+    *
+    * DETERMINISM: μ and 1/σ² derive from exact integer sums with the same
+    * IEEE op sequence as the oracle; each score term is then bit-identical
+    * cross-engine and only the 64-term summation ORDER is engine-specific
+    * (~1e-13 absolute wiggle on an O(64) value) — round(6) on both sides
+    * puts the flip probability per value near 1e-8, the same class as the
+    * cosine family's accepted risk. */
+  def outlierScores(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val head: Row = momentsRow(embs).head()
+    val n = head.getLong(0)
+    val m = head.getSeq[Long](1)
+    val nD = n.toDouble
+    def diag(k: Int): Int = { // row-major upper-triangle offset of (k,k)
+      var o = 0; var i = 0
+      while (i < k) { o += EmbDim - i; i += 1 }
+      o
+    }
+    val mu = Array.tabulate(EmbDim)(k => m(tri + k).toDouble / nD)
+    val iv = Array.tabulate(EmbDim) { k =>
+      val vark = (m(diag(k)).toDouble - m(tri + k).toDouble * m(tri + k).toDouble / nD) / nD
+      if (vark > 1e-9) 1.0 / vark else 0.0
+    }
+    val q = quantized(col("embedding"))
+    val score = (0 until EmbDim).map { k =>
+      val d = element_at(q, k + 1).cast("double") - lit(mu(k))
+      d * d * lit(iv(k))
+    }.reduce(_ + _)
+    embs.select(col("vec_id"), round(score, 6).as("m_dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  // --------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_embedding_gram" -> ((s, d) => gramMatrix(s, Tables.embeddings(s, d))),
+    "q116_embedding_outliers" -> ((s, d) => outlierScores(s, Tables.embeddings(s, d)))
+  )
+
+  /** Shared moment CTEs: quantized per-(vec,dim) values, per-dim integer
+    * sums, corpus count — the SQL twin of GramAggregator's buffer. */
+  private val momentCtes: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, CAST(r.i AS INT) AS i,
+       |    CAST(floor(embedding[CAST(r.i AS INT) + 1] * ${1L << ScaleBits}) AS BIGINT) AS v
+       |  FROM embeddings, unnest(range(0, $EmbDim)) AS r(i)),
+       |d AS (
+       |  SELECT i, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv
+       |  FROM s GROUP BY i),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q115_embedding_gram" ->
+      s"""$momentCtes,
+         |g AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+         |  FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2)
+         |SELECT g.i, g.j, g.gram,
+         |  (CAST(g.gram AS DOUBLE) - CAST(da.sv AS DOUBLE) * CAST(db.sv AS DOUBLE)
+         |     / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE) / ${1L << (2 * ScaleBits)}.0 AS cov
+         |FROM g
+         |JOIN d da ON da.i = g.i
+         |JOIN d db ON db.i = g.j
+         |CROSS JOIN n
+         |ORDER BY g.i, g.j""".stripMargin,
+    "q116_embedding_outliers" ->
+      s"""$momentCtes,
+         |m AS (
+         |  SELECT d.i,
+         |    CAST(d.sv AS DOUBLE) / CAST(n.n AS DOUBLE) AS mu,
+         |    (CAST(d.svv AS DOUBLE) - CAST(d.sv AS DOUBLE) * CAST(d.sv AS DOUBLE)
+         |       / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE) AS vr
+         |  FROM d CROSS JOIN n),
+         |mi AS (
+         |  SELECT i, mu, CASE WHEN vr > 1e-9 THEN 1.0 / vr ELSE 0.0 END AS iv
+         |  FROM m)
+         |SELECT s.vec_id,
+         |  round(sum((CAST(s.v AS DOUBLE) - mi.mu) * (CAST(s.v AS DOUBLE) - mi.mu)
+         |    * mi.iv), 6) AS m_dist2
+         |FROM s JOIN mi ON mi.i = s.i
+         |GROUP BY s.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+  )
+}
