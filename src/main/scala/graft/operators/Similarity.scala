@@ -261,9 +261,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q117 — hard triplet mining for contrastive training (the FaceNet-style
+    * selection, Schroff et al. 2015, public): for each anchor in the query
+    * set, the hardest POSITIVE (same label, lowest cosine — the most
+    * distant example the model must pull in) and the hardest NEGATIVE
+    * (different label, highest cosine — the most confusable example it
+    * must push away), plus the triplet margin.
+    *
+    * Scale shape: one corpus scan against the broadcast anchor set (the
+    * same bounded product as q25), then ONE partial-aggregating groupBy —
+    * the per-anchor argmin/argmax ride min/max over (cosine, neighbor_id)
+    * structs, so every partition reduces to |anchors| rows map-side and
+    * the shuffle carries |anchors| structs per partition. No window, no
+    * corpus-sized sort. Struct ordering is lexicographic, so the
+    * neighbor_id component makes ties deterministic — the same (cosine,
+    * id) order the ANN family's rank windows pin. */
+  def hardTriplets(spark: SparkSession, embs: DataFrame,
+                   queryMaxId: Long = 10): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = embs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+      col("label").as("n_label"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("n_emb")))
+    val same = col("n_label") === col("q_label")
+    scored.groupBy(col("query_id"))
+      .agg(
+        min(when(same, struct(col("cosine"), col("neighbor_id")))).as("pos"),
+        max(when(!same, struct(col("cosine"), col("neighbor_id")))).as("neg"))
+      .select(col("query_id"),
+        col("pos.neighbor_id").as("pos_id"),
+        col("pos.cosine").as("pos_cosine"),
+        col("neg.neighbor_id").as("neg_id"),
+        col("neg.cosine").as("neg_cosine"),
+        (col("neg.cosine") - col("pos.cosine")).as("margin"))
+      .orderBy(col("query_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_hard_triplets" -> ((s, d) => hardTriplets(s, Tables.embeddings(s, d))),
     "q25_ann_brute" -> ((s, d) => bruteForceTopK(s, Tables.embeddings(s, d))),
     "q26_ann_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "q29_ann_ivf" -> ((s, d) => ivfTopK(s, Tables.embeddings(s, d))),
@@ -377,6 +417,31 @@ object Similarity {
         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Tie-break parity with the struct aggregates: min(struct) picks the
+    // SMALLER neighbor_id on a cosine tie (ASC, ASC), max(struct) the
+    // LARGER (DESC, DESC).
+    "q117_hard_triplets" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e, label AS nl
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, nid, nl, ql, list_cosine_similarity(qe, e) AS cosine
+        |  FROM q JOIN c ON query_id <> nid),
+        |p AS (
+        |  SELECT query_id, nid, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine ASC, nid ASC) AS rn
+        |  FROM s WHERE nl = ql),
+        |n AS (
+        |  SELECT query_id, nid, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nid DESC) AS rn
+        |  FROM s WHERE nl <> ql)
+        |SELECT p.query_id, p.nid AS pos_id, p.cosine AS pos_cosine,
+        |  n.nid AS neg_id, n.cosine AS neg_cosine,
+        |  n.cosine - p.cosine AS margin
+        |FROM p JOIN n ON p.query_id = n.query_id AND p.rn = 1 AND n.rn = 1
+        |ORDER BY p.query_id""".stripMargin
   )
 }

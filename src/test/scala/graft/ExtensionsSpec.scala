@@ -125,6 +125,46 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size <= brute.size)
   }
 
+  test("hard triplets == driver-side argmin/argmax reference; labels honored") {
+    val embs = Tables.embeddings(spark, sf)
+    val rows = Similarity.hardTriplets(spark, embs, queryMaxId = 10).collect()
+    assert(rows.length == 10)
+    // driver reference: exact cosine over collected vectors
+    val all = embs.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val labels = all.map(v => v._1 -> v._3).toMap
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val (_, qv, ql) = all.find(_._1 == qid).get
+      val scored = all.filter(_._1 != qid)
+        .map { case (id, v, l) => (id, l, cos(qv, v)) }
+      val (posId, _, posCos) =
+        scored.filter(_._2 == ql).minBy { case (id, _, c) => (c, id) }
+      val (negId, _, negCos) =
+        scored.filter(_._2 != ql).maxBy { case (id, _, c) => (c, id) }
+      assert(r.getLong(1) == posId && r.getLong(3) == negId,
+        s"anchor $qid picked (${r.getLong(1)},${r.getLong(3)}), want ($posId,$negId)")
+      assert(math.abs(r.getDouble(2) - posCos) < 1e-9)
+      assert(math.abs(r.getDouble(4) - negCos) < 1e-9)
+      assert(labels(r.getLong(1)) == ql && labels(r.getLong(3)) != ql)
+      assert(math.abs(r.getDouble(5) - (negCos - posCos)) < 1e-9)
+    }
+  }
+
+  test("hard triplets plan: no window — one partial-aggregating groupBy") {
+    val df = Similarity.hardTriplets(spark, Tables.embeddings(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "argmin/argmax must ride min/max aggregates")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
   test("IVF index on disk: pruned-partition read == in-memory path") {
     val embs = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString

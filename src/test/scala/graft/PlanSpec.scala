@@ -133,11 +133,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // as a hash or sort-merge join; a CartesianProduct anywhere is a bug.
     val bnljByDesign = Set(
       "q24_embed_neardup", "q25_ann_brute", "q29_ann_ivf", "q72_ann_rerank",
-      "q85_knn_classify", "q108_ann_pq", // query set broadcast
+      "q85_knn_classify", "q108_ann_pq", "q117_hard_triplets", // query set broadcast
       "q102_kmeans_assign", "q103_semantic_dedup", "q104_ann_ivf_trained", // k-row centroid broadcast
       "q46_profile", "q67_bm25", "q70_tfidf", "q89_mixture_sample", // 1-row/stats cross joins
       "q106_temperature_mix", // 1-row denominator cross join
-      "q107_vocab_growth") // 1-row bounds attach (conditional-sum checkpoints)
+      "q107_vocab_growth", // 1-row bounds attach (conditional-sum checkpoints)
+      "q115_embedding_gram") // 1-row moment aggregate crossed with d^2 index frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
