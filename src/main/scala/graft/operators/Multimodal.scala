@@ -30,6 +30,12 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           n_bytes_in: Int, checksum: Long)
 
+  /** 64-bit perceptual average-hash carried as two unsigned 32-bit halves
+    * (bits 0-31 in ph_lo, 32-63 in ph_hi, each in [0, 2^32)) — sidesteps
+    * the signed-shift overflow a single BIGINT bit 63 would hit in SQL,
+    * and gives the near-dup join natural 16-bit band boundaries. */
+  case class PHash(doc_id: Long, ph_hi: Long, ph_lo: Long)
+
   /** A per-partition media codec. Implementations must be Serializable
     * (instantiated on the driver, shipped to executors) and total: corrupt
     * or undecodable payloads yield a sentinel row (width/height = -1), not
@@ -37,6 +43,22 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(r: MediaRow): MediaFeatures
     def resample(r: MediaRow, width: Int, height: Int): ResizedMedia
+    def perceptualHash(r: MediaRow): PHash
+  }
+
+  /** Shared aHash finish: 64 grid samples → bit i set iff sample_i is
+    * strictly above the grid mean. The threshold compares b_i·64 > Σb —
+    * exact integer arithmetic, so every engine lands the same bits. */
+  private[operators] def averageHash(docId: Long, b: Array[Int]): PHash = {
+    require(b.length == 64)
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += b(i); i += 1 }
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < 32) { if (b(i) * 64L > total) lo |= (1L << i); i += 1 }
+    while (i < 64) { if (b(i) * 64L > total) hi |= (1L << (i - 32)); i += 1 }
+    PHash(docId, hi, lo)
   }
 
   /** Deterministic fixture codec — derives pseudo-features from raw bytes.
@@ -67,6 +89,17 @@ object Multimodal {
         i += 1
       }
       ResizedMedia(r.doc_id, width, height, n, checksum)
+    }
+
+    /** aHash over the same strided 8x8 byte grid `resample` walks —
+      * exactly reproducible in SQL over the text-as-bytes fixture. */
+    def perceptualHash(r: MediaRow): PHash = {
+      val n = r.content.length
+      val stride = math.max(1, n / 64)
+      val b = Array.tabulate(64) { i =>
+        if (n == 0) 0 else r.content((i * stride) % n) & 0xff
+      }
+      averageHash(r.doc_id, b)
     }
   }
 
@@ -137,6 +170,36 @@ object Multimodal {
           }
           ResizedMedia(r.doc_id, width, height, r.content.length, checksum)
       }
+
+    /** Real image aHash: bilinear 8x8 luma resample, mean threshold —
+      * the classic average-hash (scale/format-invariant by construction;
+      * undecodable → all-ones sentinel halves). */
+    def perceptualHash(r: MediaRow): PHash = read(r.content) match {
+      case None => PHash(r.doc_id, -1L, -1L)
+      case Some(img) =>
+        val out = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        val b = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val rgb = out.getRGB(x, y)
+            val rr = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff
+            val bb = rgb & 0xff
+            b(y * 8 + x) = (0.299 * rr + 0.587 * gg + 0.114 * bb).toInt
+            x += 1
+          }
+          y += 1
+        }
+        averageHash(r.doc_id, b)
+    }
   }
 
   /** Model a media table: text bytes stand in for image payloads; metadata
@@ -177,6 +240,66 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map(codec.resample(_, width, height))
       }
+  }
+
+  /** Partition-batched perceptual hashing: binary → 64-bit aHash halves.
+    * Same typed-iterator plumbing as extractFeatures. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame,
+                       codec: MediaCodec = FakeDecoder): Dataset[PHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(codec.perceptualHash)
+      }
+  }
+
+  /** q118 — perceptual-hash duplicate groups: each media row's aHash plus
+    * the size of its exact-hash group (the multimodal analog of q33's text
+    * fingerprints — content-based, so re-encoded/renamed copies of the
+    * same image collapse while metadata twins don't).
+    *
+    * Scale shape: one decode scan, one shuffle on the hash key for the
+    * group count. */
+  def phashGroups(spark: SparkSession, media: DataFrame,
+                  codec: MediaCodec = FakeDecoder): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    perceptualHashes(spark, media, codec).toDF()
+      .withColumn("phash_count",
+        count(lit(1)).over(Window.partitionBy(col("ph_hi"), col("ph_lo"))))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"), col("phash_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q119 — perceptual near-duplicate pairs at hamming <= maxHamming.
+    * Candidates exact-match one of four 16-bit hash bands — pigeonhole-
+    * complete for hamming <= 3 (4 bands, 3 flips: some band survives), so
+    * the output EQUALS the brute-force all-pairs hamming join the oracle
+    * computes. Same inverted-index shape as q23's SimHash banding: the
+    * corpus shuffles once on (band_idx, band), never all-pairs. */
+  def phashNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3,
+                        codec: MediaCodec = FakeDecoder): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding is only complete to hamming 3")
+    val hs = graft.core.CacheScope.cached(
+      perceptualHashes(spark, media, codec).toDF())
+    val bands = hs.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+      posexplode(array(
+        col("ph_lo").bitwiseAND(0xFFFFL),
+        shiftright(col("ph_lo"), 16).bitwiseAND(0xFFFFL),
+        col("ph_hi").bitwiseAND(0xFFFFL),
+        shiftright(col("ph_hi"), 16).bitwiseAND(0xFFFFL))))
+      .toDF("doc_id", "ph_hi", "ph_lo", "band_idx", "band")
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.ph_lo").bitwiseXOR(col("y.ph_lo"))) +
+          bit_count(col("x.ph_hi").bitwiseXOR(col("y.ph_hi")))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ------------------------------ audio ------------------------------- //
@@ -383,8 +506,31 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_bytes_in"), col("checksum"))
         .orderBy(col("doc_id"))
-    })
+    }),
+    "q118_media_phash" -> ((s, d) => phashGroups(s, mediaTable(Tables.documents(s, d)))),
+    "q119_media_neardup" -> ((s, d) => phashNearDupPairs(s, mediaTable(Tables.documents(s, d))))
   )
+
+  /** Shared aHash CTEs over the text-as-bytes fixture (the same strided
+    * 8x8 grid q93's oracle walks; ASCII corpus so ord(char) == byte). */
+  private val phashCtes: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    greatest(1, octet_length(encode(text)) // 64) AS stride
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n = 0 THEN [0 for i in range(64)]
+      |         ELSE [ord(substr(text, ((i * stride) % n) + 1, 1)) for i in range(64)]
+      |    END AS b
+      |  FROM m),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN b[i+1] * 64 > list_sum(b)
+      |      THEN CAST(1 AS BIGINT) << i ELSE 0 END for i in range(32)]) AS BIGINT) AS ph_lo,
+      |    CAST(list_sum([CASE WHEN b[i+33] * 64 > list_sum(b)
+      |      THEN CAST(1 AS BIGINT) << i ELSE 0 END for i in range(32)]) AS BIGINT) AS ph_hi
+      |  FROM g)""".stripMargin
 
   /** Oracles mirror the deterministic stub arithmetic (the plumbing — binary
     * length, partition-batched map, explode — is what's being verified;
@@ -414,6 +560,22 @@ object Multimodal {
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE
         |    list_sum([ord(substr(text, ((i * stride) % n) + 1, 1))
         |              for i in range(0, 64)]) END AS BIGINT) AS checksum
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q118_media_phash" ->
+      s"""$phashCtes
+         |SELECT doc_id, ph_hi, ph_lo,
+         |  CAST(count(*) OVER (PARTITION BY ph_hi, ph_lo) AS BIGINT) AS phash_count
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs hamming join — the banded engine must EQUAL it
+    // (pigeonhole completeness at hamming <= 3)
+    "q119_media_neardup" ->
+      s"""$phashCtes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(CAST(xor(a.ph_lo, b.ph_lo) AS BIGINT)) +
+         |    bit_count(CAST(xor(a.ph_hi, b.ph_hi) AS BIGINT)) AS hamming
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   )
 }

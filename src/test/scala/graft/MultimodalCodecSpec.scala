@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.GraftSession
+import graft.core.{GraftSession, Tables}
 import graft.operators.Multimodal
 
 /** Real-decode contract for the Multimodal operators (VERDICT r4 item 2):
@@ -116,6 +116,56 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** Left-half black / right-half white PNG — a pattern whose 8x8 aHash is
+    * scale-invariant when the split lands on the grid (sizes % 8 == 0). */
+  private def halfPng(size: Int): Array[Byte] = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        img.setRGB(x, y, if (x < size / 2) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec aHash: scale-invariant on pattern, 0 on flat, sentinel on corrupt") {
+    def ph(bytes: Array[Byte]) =
+      Multimodal.ImageIoCodec.perceptualHash(Multimodal.MediaRow(0L, bytes, "image/png"))
+    val small = ph(halfPng(16))
+    val large = ph(halfPng(64))
+    assert((small.ph_hi, small.ph_lo) == (large.ph_hi, large.ph_lo),
+      "same pattern at 16x16 and 64x64 must hash identically")
+    assert(small.ph_lo != 0L || small.ph_hi != 0L, "pattern must set bits")
+    val flat = ph(solidPng(16, 16, 0x808080))
+    assert((flat.ph_hi, flat.ph_lo) == (0L, 0L),
+      "flat image: no sample strictly above mean")
+    val bad = ph(Array[Byte](9, 9, 9))
+    assert((bad.ph_hi, bad.ph_lo) == (-1L, -1L))
+  }
+
+  test("banded phash near-dup pairs == brute-force hamming join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val media = Multimodal.mediaTable(docs)
+    val hs = Multimodal.perceptualHashes(spark, media).collect()
+    val brute = (for {
+      a <- hs; b <- hs if a.doc_id < b.doc_id
+      h = java.lang.Long.bitCount(a.ph_lo ^ b.ph_lo) +
+        java.lang.Long.bitCount(a.ph_hi ^ b.ph_hi)
+      if h <= 3
+    } yield (a.doc_id, b.doc_id, h)).toSet
+    val banded = Multimodal.phashNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"pigeonhole banding must be complete: missing ${brute.diff(banded)}, extra ${banded.diff(brute)}")
+    assert(brute.nonEmpty, "fixture corpus should contain phash near-dups")
   }
 
   test("WavCodec decodes real WAV audio: rate, samples, rms, zcr, peak") {
