@@ -111,11 +111,43 @@ object EmbeddingStats {
       .orderBy(col("vec_id"))
   }
 
+  /** q120 — per-label embedding mean/variance per dimension: the class
+    * distribution profile a labeled-corpus audit runs (are classes
+    * separable? did a source shift a class's centroid?).
+    *
+    * Scale shape: ONE grouped aggregate through GramAggregator — partial
+    * state is |labels| x ~2 KB per partition, shuffle carries the same;
+    * the 64-row dim expansion happens on the |labels|-row aggregate via a
+    * bounded broadcast cross join, never on the corpus. Mean/variance are
+    * the same closed-form exact-integer derivations as q115/q116. */
+  def labelMoments(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gram = udaf(new GramAggregator(EmbDim), ExpressionEncoder[Array[Long]]())
+    val agg = embs.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        gram(quantized(col("embedding"))).as("m"))
+    // (dim, row-major diagonal offset) — driver-built, d rows
+    val idx = (0 until EmbDim).map { k =>
+      var o = 0; var i = 0
+      while (i < k) { o += EmbDim - i; i += 1 }
+      (k, o)
+    }.toDF("i", "o")
+    val nD = col("n").cast("double")
+    val sv = element_at(col("m"), lit(tri) + col("i") + lit(1)).cast("double")
+    val svv = element_at(col("m"), col("o") + lit(1)).cast("double")
+    agg.crossJoin(broadcast(idx))
+      .select(col("label"), col("i"), col("n"),
+        (sv / nD / lit(ScaleD)).as("mean"),
+        ((svv - sv * sv / nD) / nD / lit(Pow2s2)).as("variance"))
+      .orderBy(col("label"), col("i"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_embedding_gram" -> ((s, d) => gramMatrix(s, Tables.embeddings(s, d))),
-    "q116_embedding_outliers" -> ((s, d) => outlierScores(s, Tables.embeddings(s, d)))
+    "q116_embedding_outliers" -> ((s, d) => outlierScores(s, Tables.embeddings(s, d))),
+    "q120_label_moments" -> ((s, d) => labelMoments(s, Tables.embeddings(s, d)))
   )
 
   /** Shared moment CTEs: quantized per-(vec,dim) values, per-dim integer
@@ -161,6 +193,20 @@ object EmbeddingStats {
          |    * mi.iv), 6) AS m_dist2
          |FROM s JOIN mi ON mi.i = s.i
          |GROUP BY s.vec_id
-         |ORDER BY s.vec_id""".stripMargin
+         |ORDER BY s.vec_id""".stripMargin,
+    "q120_label_moments" ->
+      s"""WITH s AS (
+         |  SELECT label, CAST(r.i AS INT) AS i,
+         |    CAST(floor(embedding[CAST(r.i AS INT) + 1] * ${1L << ScaleBits}) AS BIGINT) AS v
+         |  FROM embeddings, unnest(range(0, $EmbDim)) AS r(i)),
+         |d AS (
+         |  SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv
+         |  FROM s GROUP BY label, i)
+         |SELECT label, i, n,
+         |  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / ${1L << ScaleBits}.0 AS mean,
+         |  (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+         |     / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / ${1L << (2 * ScaleBits)}.0 AS variance
+         |FROM d ORDER BY label, i""".stripMargin
   )
 }

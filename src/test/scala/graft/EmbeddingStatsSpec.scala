@@ -79,13 +79,48 @@ class EmbeddingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "and by a wide margin")
   }
 
-  test("scale shape: no row-inflating explode in either plan") {
+  test("scale shape: no row-inflating explode in any moment plan") {
     val embs = Tables.embeddings(spark, sf)
     for (df <- Seq(EmbeddingStats.gramMatrix(spark, embs),
-                   EmbeddingStats.outlierScores(spark, embs))) {
+                   EmbeddingStats.outlierScores(spark, embs),
+                   EmbeddingStats.labelMoments(spark, embs))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Generate"),
         s"moment plans must not explode the corpus:\n$plan")
     }
+  }
+
+  test("q120: per-label mean/variance match naive per-label reference") {
+    val embs = Tables.embeddings(spark, sf)
+    val byLabel = embs.select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1048576.0).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = EmbeddingStats.labelMoments(spark, embs).collect()
+    assert(rows.length == byLabel.size * d)
+    rows.foreach { r =>
+      val (label, i, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val vs = byLabel(label)
+      assert(n == vs.length)
+      val sv = vs.map(_(i)).sum
+      val svv = vs.map(v => v(i) * v(i)).sum
+      val mean = sv.toDouble / n.toDouble / 1048576.0
+      val variance = (svv.toDouble - sv.toDouble * sv.toDouble / n.toDouble) /
+        n.toDouble / 1099511627776.0
+      assert(r.getDouble(3) == mean && r.getDouble(4) == variance,
+        s"label $label dim $i must be bit-identical to the exact-sum derivation")
+    }
+  }
+
+  test("sketch mergeability: per-shard GramAggregator buffers merge to the global buffer") {
+    // the property incremental corpus statistics rely on: moments of the
+    // union == elementwise sum of per-shard moments, with NO history rescan
+    val agg = new graft.functions.GramAggregator(4)
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(100)(Array.fill(4)(rnd.nextInt(2000).toLong - 1000L))
+    val whole = vecs.foldLeft(agg.zero)(agg.reduce)
+    val shards = vecs.grouped(17).map(_.foldLeft(agg.zero)(agg.reduce))
+    val merged = shards.reduce(agg.merge)
+    assert(merged.toSeq == whole.toSeq)
   }
 }

@@ -138,7 +138,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q46_profile", "q67_bm25", "q70_tfidf", "q89_mixture_sample", // 1-row/stats cross joins
       "q106_temperature_mix", // 1-row denominator cross join
       "q107_vocab_growth", // 1-row bounds attach (conditional-sum checkpoints)
-      "q115_embedding_gram") // 1-row moment aggregate crossed with d^2 index frame
+      "q115_embedding_gram", // 1-row moment aggregate crossed with d^2 index frame
+      "q120_label_moments") // |labels|-row aggregate crossed with d-row index frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
