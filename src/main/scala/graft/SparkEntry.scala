@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Clustering, Curation, Datasets, Dedup, EmbeddingStats, Extended, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Classify, Clustering, Curation, Datasets, Dedup, EmbeddingStats, Extended, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -38,7 +38,8 @@ object SparkEntry {
       (Search.queries, Search.oracles),
       (Graph.queries, Graph.oracles),
       (Datasets.queries, Datasets.oracles),
-      (EmbeddingStats.queries, EmbeddingStats.oracles))
+      (EmbeddingStats.queries, EmbeddingStats.oracles),
+      (Classify.queries, Classify.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{CacheScope, Tables}
+import graft.functions.TextFunctions
+
+/** Trainable corpus filters — the model-fitting layer a production
+  * training-data pipeline runs on top of the heuristic curation core
+  * (q30/q31): fit a multinomial Naive Bayes classifier on a labeled slice,
+  * score the whole corpus with it, evaluate the fit, and importance-resample
+  * toward a target distribution (the CCNet / DSIR recipe: Wenzek et al. 2020
+  * "CCNet"; Xie et al. 2023 "Data Selection for Language Models via
+  * Importance Resampling"). All four stages are deterministic and
+  * DuckDB-oracled — no RNG, no iterative solver; NB's closed-form counts and
+  * the hashed-Gumbel sampler make the entire family exact-reproducible at
+  * any parallelism.
+  *
+  * Reference anchor: the lakehouse curates by static column predicates only
+  * (reference include/src/silver_to_gold.py:40-66 keeps hazardous-asteroid
+  * flags); a trained relevance filter is the corpus-scale generalization.
+  *
+  * SCALE SHAPE (the 100 TB story, per operator):
+  *   - fit: two token-keyed aggregates (map-side partial combine, shuffle
+  *     carries one row per (label, token) / (token)) + one bounded
+  *     |labels| x |vocab| dense-model build. The dense model is the join
+  *     side for scoring, so its size is the knob: a binary quality
+  *     classifier over a 10^6-token vocab is 2x10^6 rows (~50 MB) —
+  *     broadcastable; past `modelBroadcastLimit` entries the scoring join
+  *     falls back to a token-keyed shuffle join (same values, spec-pinned
+  *     pattern shared with Curation.lmScore).
+  *   - score: ONE corpus scan (explode tokens), the model join, one
+  *     (doc_id, label) partial-agg shuffle, then a |labels|-wide window per
+  *     doc for the argmax. Nothing corpus-sized is ever broadcast or
+  *     collected.
+  *   - resample: Gumbel-top-k (Efraimidis-Spirakis weighted sampling) over
+  *     per-doc importance weights plans as TakeOrderedAndProject — each
+  *     partition keeps its local top k, the driver merges k-sized heaps; no
+  *     global sort at any scale.
+  */
+object Classify {
+
+  /** Pinned parameters: shared by the queries' defaults AND the generated
+    * oracle SQL (one source of truth — the round-5 advice pattern). */
+  private[operators] val TargetLang = "en"
+  private[operators] val ResampleK = 100
+  private val Pow60 = 1152921504606846976.0 // 2^60 as double (exact)
+
+  /** Entries above which the scoring join stops broadcasting the dense
+    * model: |labels| x |vocab| rows x ~40 B ≈ 80 MB at 2M — the same
+    * crossover Curation.lmScore measured for its bigram LM. */
+  private val ModelBroadcastLimit = 2L * 1000 * 1000
+
+  /** Whitespace token stream with multiplicity, keyed by doc and label —
+    * the repo-standard `regexp_split_to_array(trim(text), '\s+')` twin. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(split(trim(col("text")), "\\s+")).as("token"))
+
+  /** Laplace-smoothed multinomial NB token model, DENSE over
+    * |labels| x |vocab|: log_lik(c, t) = ln((n_ct + 1) / (n_c + V)).
+    * Dense (zero-count pairs materialized at the smoothed floor) so the
+    * scoring join is complete without a per-label OOV default path — and so
+    * the DuckDB oracle is a plain join. Bounded by construction:
+    * labels x vocab, never corpus-sized. */
+  private def nbModel(tok: DataFrame): DataFrame = {
+    val ct = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n_ct"))
+    val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
+    val voc = tok.select(col("token")).distinct()
+    val vcnt = voc.agg(count(lit(1)).as("v"))
+    tot.crossJoin(voc).crossJoin(broadcast(vcnt))
+      .join(ct, Seq("lang", "token"), "left")
+      .select(col("lang").as("label"), col("token"),
+        coalesce(col("n_ct"), lit(0L)).as("n_ct"),
+        log((coalesce(col("n_ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("n_c").cast("double") + col("v").cast("double"))).as("log_lik"))
+  }
+
+  /** ln class priors from document counts. |labels| rows. */
+  private def nbPriors(docs: DataFrame): DataFrame = {
+    val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nt = docs.agg(count(lit(1)).as("n"))
+    nd.crossJoin(broadcast(nt))
+      .select(col("lang").as("label"),
+        log(col("n_docs").cast("double") / col("n").cast("double")).as("log_prior"))
+  }
+
+  /** Frame-level fit (spec + composition entry): the dense NB model for any
+    * (doc_id, lang, text) frame. */
+  private[graft] def fitModel(docs: DataFrame): DataFrame =
+    nbModel(tokens(docs))
+
+  /** Per-(doc, label) posterior scores + argmax prediction. Score sums run
+    * through DECIMAL(25,15) so addition order (and therefore partitioning)
+    * cannot perturb the double — the q92 cross-engine pattern. Ties break
+    * to the lexicographically smallest label (explicit, both engines). */
+  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
+    val tok = CacheScope.cached(tokens(docs))
+    val model = CacheScope.cached(nbModel(tok))
+    val modelSide =
+      if (model.count() <= ModelBroadcastLimit) broadcast(model) else model
+    val scores = tok
+      .join(modelSide, Seq("token"))
+      .join(broadcast(nbPriors(docs)), Seq("label"))
+      .groupBy(col("doc_id"), col("label"), col("log_prior"))
+      .agg((sum(col("log_lik").cast("decimal(25,15)")).cast("double") +
+        col("log_prior")).as("score"))
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("label")))
+    scores.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"), col("score"))
+  }
+
+  /** q121 — NB fit: the (label, token) conditional log-likelihood table.
+    * This IS the model artifact a pipeline persists and ships to the
+    * scoring stage. */
+  def q121NbTrain(s: SparkSession, dir: String): DataFrame =
+    fitModel(Tables.documents(s, dir)).orderBy(col("label"), col("token"))
+
+  /** q122 — corpus scoring: argmax-label prediction per document. */
+  def q122NbClassify(s: SparkSession, dir: String): DataFrame =
+    nbPredictions(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** q123 — classifier evaluation: per-label support/prediction counts and
+    * precision / recall / F1 against the true label. (Training-set
+    * confusion here — the standard fit sanity readout; compose with the
+    * q111 split for held-out evaluation.) */
+  def q123ClassifierEval(s: SparkSession, dir: String): DataFrame =
+    classifierEval(Tables.documents(s, dir))
+
+  /** Frame-level eval (spec + composition entry). */
+  private[graft] def classifierEval(docs: DataFrame): DataFrame = {
+      // cached: BOTH the per-true-label and per-predicted-label aggregates
+      // consume the scored predictions (harness clearCache frees it)
+      val preds = CacheScope.cached(nbPredictions(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+      val agg = preds.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("pred_label") === col("lang"), 1L).otherwise(0L)).as("tp"))
+      val prd = preds.groupBy(col("pred_label")).agg(count(lit(1)).as("n_pred"))
+      val safeDiv = (n: Column, d: Column) =>
+        when(d > 0, n.cast("double") / d.cast("double")).otherwise(lit(0.0))
+      agg.join(prd, col("lang") === col("pred_label"), "left")
+        .select(col("lang").as("label"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"))
+        .withColumn("precision", safeDiv(col("tp"), col("n_pred")))
+        .withColumn("recall", safeDiv(col("tp"), col("n_true")))
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0.0,
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall"))).otherwise(lit(0.0)))
+        .orderBy(col("label"))
+  }
+
+  /** q124 — DSIR-style importance resampling toward the `TargetLang` slice.
+    *
+    * Importance weight per doc: logw = Σ_tokens [ln p_target(t) −
+    * ln p_background(t)] under Laplace-smoothed unigram LMs sharing the
+    * corpus vocab (target ⊆ corpus, so the background vocab covers it).
+    * Sampling ∝ exp(logw) without replacement via the Gumbel-top-k /
+    * Efraimidis-Spirakis reduction: key = logw − ln(−ln(u)) with
+    * u = (h60(doc_id)+0.5)/2^60 ∈ (0,1) — the repo's md5-keyed uniform, so
+    * the draw is a pure function of doc_id (reproducible cross-engine, at
+    * any parallelism, and stable under corpus growth of OTHER docs' keys).
+    * Top-k by key plans as TakeOrderedAndProject (per-partition heaps, no
+    * global sort). */
+  def q124ImportanceResample(s: SparkSession, dir: String): DataFrame =
+    importanceResample(Tables.documents(s, dir), TargetLang, ResampleK)
+
+  /** Frame-level resampler (spec + composition entry). */
+  private[graft] def importanceResample(docs: DataFrame, target: String,
+                                        k: Int): DataFrame = {
+      val tok = CacheScope.cached(tokens(docs))
+      val tTok = tok.filter(col("lang") === target)
+      val bct = tok.groupBy(col("token")).agg(count(lit(1)).as("n_b"))
+      val btot = tok.agg(count(lit(1)).as("nb"))
+      val tct = tTok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+      val ttot = tTok.agg(count(lit(1)).as("nt"))
+      val vcnt = tok.agg(count_distinct(col("token")).as("v"))
+      // per-token log-ratio: vocab-bounded, the broadcast side of scoring
+      val delta = bct
+        .crossJoin(broadcast(btot)).crossJoin(broadcast(ttot))
+        .crossJoin(broadcast(vcnt))
+        .join(tct, Seq("token"), "left")
+        .select(col("token"),
+          (log((coalesce(col("n_t"), lit(0L)).cast("double") + lit(1.0)) /
+               (col("nt").cast("double") + col("v").cast("double"))) -
+           log((col("n_b").cast("double") + lit(1.0)) /
+               (col("nb").cast("double") + col("v").cast("double")))).as("delta"))
+      val w = tok.join(broadcast(delta), Seq("token"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("delta").cast("decimal(25,15)")).cast("double").as("logw"))
+      val u = (TextFunctions.h60(col("doc_id").cast("string")) + lit(0.5)) /
+        lit(Pow60)
+      w.select(col("doc_id"), col("lang"), col("logw"),
+          (col("logw") - log(-log(u))).as("samp_key"))
+        .orderBy(col("samp_key").desc, col("doc_id"))
+        .limit(k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_nb_train" -> (q121NbTrain _),
+    "q122_nb_classify" -> (q122NbClassify _),
+    "q123_classifier_eval" -> (q123ClassifierEval _),
+    "q124_importance_resample" -> (q124ImportanceResample _))
+
+  private def h60sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shared CTE prefix: token stream + NB model + priors (the q121/q122
+    * fit, verbatim, so the three consumers cannot drift). */
+  private val FitCtes =
+    """tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |ct AS (SELECT lang, token, count(*) AS n_ct FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, count(*) AS n_c FROM tok GROUP BY 1),
+      |voc AS (SELECT DISTINCT token FROM tok),
+      |vc AS (SELECT count(*) AS v FROM voc),
+      |model AS (
+      |  SELECT tot.lang AS label, voc.token,
+      |    COALESCE(ct.n_ct, 0) AS n_ct,
+      |    ln((CAST(COALESCE(ct.n_ct, 0) AS DOUBLE) + 1.0) /
+      |       (CAST(tot.n_c AS DOUBLE) + CAST(vc.v AS DOUBLE))) AS log_lik
+      |  FROM tot CROSS JOIN voc CROSS JOIN vc
+      |  LEFT JOIN ct ON ct.lang = tot.lang AND ct.token = voc.token),
+      |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |nt AS (SELECT count(*) AS n FROM documents),
+      |pri AS (
+      |  SELECT lang AS label,
+      |    ln(CAST(n_docs AS DOUBLE) / CAST(nt.n AS DOUBLE)) AS log_prior
+      |  FROM nd CROSS JOIN nt),
+      |preds AS (
+      |  SELECT doc_id, label AS pred_label, score FROM (
+      |    SELECT t.doc_id, m.label, p.log_prior,
+      |      CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+      |        + p.log_prior AS score,
+      |      row_number() OVER (PARTITION BY t.doc_id
+      |        ORDER BY CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+      |          + p.log_prior DESC, m.label) AS rn
+      |    FROM tok t
+      |    JOIN model m ON m.token = t.token
+      |    JOIN pri p ON p.label = m.label
+      |    GROUP BY t.doc_id, m.label, p.log_prior)
+      |  WHERE rn = 1)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q121_nb_train" ->
+      s"""WITH $FitCtes
+         |SELECT label, token, CAST(n_ct AS BIGINT) AS n_ct, log_lik
+         |FROM model ORDER BY label, token""".stripMargin,
+    "q122_nb_classify" ->
+      s"""WITH $FitCtes
+         |SELECT doc_id, pred_label, score FROM preds ORDER BY doc_id""".stripMargin,
+    "q123_classifier_eval" ->
+      s"""WITH $FitCtes,
+         |p AS (
+         |  SELECT preds.doc_id, preds.pred_label, d.lang
+         |  FROM preds JOIN documents d USING (doc_id)),
+         |agg AS (
+         |  SELECT lang, count(*) AS n_true,
+         |    sum(CASE WHEN pred_label = lang THEN 1 ELSE 0 END) AS tp
+         |  FROM p GROUP BY 1),
+         |prd AS (SELECT pred_label, count(*) AS n_pred FROM p GROUP BY 1),
+         |m AS (
+         |  SELECT agg.lang AS label, agg.n_true,
+         |    COALESCE(prd.n_pred, 0) AS n_pred, agg.tp,
+         |    CASE WHEN COALESCE(prd.n_pred, 0) > 0
+         |      THEN CAST(agg.tp AS DOUBLE) / CAST(prd.n_pred AS DOUBLE)
+         |      ELSE 0.0 END AS precision,
+         |    CASE WHEN agg.n_true > 0
+         |      THEN CAST(agg.tp AS DOUBLE) / CAST(agg.n_true AS DOUBLE)
+         |      ELSE 0.0 END AS recall
+         |  FROM agg LEFT JOIN prd ON prd.pred_label = agg.lang)
+         |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  precision, recall,
+         |  CASE WHEN precision + recall > 0.0
+         |    THEN 2.0 * precision * recall / (precision + recall)
+         |    ELSE 0.0 END AS f1
+         |FROM m ORDER BY label""".stripMargin,
+    "q124_importance_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |bct AS (SELECT token, count(*) AS n_b FROM tok GROUP BY 1),
+         |btot AS (SELECT count(*) AS nb FROM tok),
+         |tct AS (
+         |  SELECT token, count(*) AS n_t FROM tok
+         |  WHERE lang = '$TargetLang' GROUP BY 1),
+         |ttot AS (SELECT count(*) AS nt FROM tok WHERE lang = '$TargetLang'),
+         |vc AS (SELECT count(DISTINCT token) AS v FROM tok),
+         |delta AS (
+         |  SELECT b.token,
+         |    ln((CAST(COALESCE(t.n_t, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(ttot.nt AS DOUBLE) + CAST(vc.v AS DOUBLE)))
+         |    - ln((CAST(b.n_b AS DOUBLE) + 1.0) /
+         |         (CAST(btot.nb AS DOUBLE) + CAST(vc.v AS DOUBLE))) AS delta
+         |  FROM bct b CROSS JOIN btot CROSS JOIN ttot CROSS JOIN vc
+         |  LEFT JOIN tct t ON t.token = b.token),
+         |w AS (
+         |  SELECT tok.doc_id, tok.lang,
+         |    CAST(sum(CAST(d.delta AS DECIMAL(25,15))) AS DOUBLE) AS logw
+         |  FROM tok JOIN delta d ON d.token = tok.token
+         |  GROUP BY tok.doc_id, tok.lang)
+         |SELECT doc_id, lang, logw,
+         |  logw - ln(-ln((${h60sql("CAST(doc_id AS VARCHAR)")} + 0.5)
+         |    / 1152921504606846976.0)) AS samp_key
+         |FROM w
+         |ORDER BY samp_key DESC, doc_id LIMIT $ResampleK""".stripMargin)
+}

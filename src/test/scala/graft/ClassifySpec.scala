@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.operators.Classify
+
+/** Trainable-filter contracts: the NB fit/score pair against an imperative
+  * driver reference, exact parallelism invariance of the decimal-summed
+  * scores, and the Gumbel-top-k resampler against a from-scratch
+  * reimplementation of the weight + key arithmetic. */
+class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("classify-spec", cores = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Two-lang fixture with a decisive vocabulary split plus shared filler,
+    * so the expected argmax is computable by hand yet smoothing and priors
+    * both matter (unbalanced classes, zero-count pairs). */
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the dog ate the bone"),
+      (2L, "en", "cat and dog and mat"),
+      (3L, "en", "the the the cat"),
+      (4L, "de", "der hund und die katze"),
+      (5L, "de", "die katze und der hund the"),
+      (6L, "en", "bone mat cat dog"),
+      (7L, "de", "der der die und katze hund")
+    ).toDF("doc_id", "lang", "text")
+  }
+
+  /** Imperative multinomial-NB reference: counts in Maps, Laplace over the
+    * joint vocab, ln-ratio scores, smallest-label tie-break. */
+  private def referenceNb(rows: Seq[(Long, String, String)])
+      : (Map[(String, String), Double], Map[Long, (String, Double)]) = {
+    val toks = rows.map { case (id, l, t) => (id, l, t.trim.split("\\s+").toSeq) }
+    val vocab = toks.flatMap(_._3).distinct.sorted
+    val labels = rows.map(_._2).distinct.sorted
+    val nC = labels.map(l => l -> toks.filter(_._2 == l).map(_._3.size).sum).toMap
+    val nCt = (for {
+      l <- labels; w <- vocab
+    } yield (l, w) -> toks.filter(_._2 == l).flatMap(_._3).count(_ == w)).toMap
+    val logLik = nCt.map { case ((l, w), n) =>
+      (l, w) -> StrictMath.log((n + 1.0) / (nC(l).toDouble + vocab.size)) }
+    val prior = labels.map(l =>
+      l -> StrictMath.log(rows.count(_._2 == l).toDouble / rows.size)).toMap
+    val preds = toks.map { case (id, _, ws) =>
+      val scored = labels.map { l =>
+        l -> (ws.map(w => logLik((l, w))).sum + prior(l)) }
+      val best = scored.minBy { case (l, s) => (-s, l) }
+      id -> best
+    }.toMap
+    (logLik, preds)
+  }
+
+  test("nb fit matches the imperative reference on every (label, token)") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (refLik, _) = referenceNb(rows)
+    val got = Classify.fitModel(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet == refLik.keySet, "dense model covers labels x vocab exactly")
+    got.foreach { case (k, v) =>
+      assert(v == refLik(k), s"log_lik mismatch at $k") // bit-exact: same ln on same doubles
+    }
+  }
+
+  test("nb predictions match the reference argmax (and its scores)") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (_, refPreds) = referenceNb(rows)
+    val got = Classify.nbPredictions(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got.keySet == refPreds.keySet)
+    got.foreach { case (id, (lab, score)) =>
+      assert(lab == refPreds(id)._1, s"label mismatch doc $id")
+      // decimal-summed Spark score vs naive double sum: equal to 1 ulp-ish
+      assert(math.abs(score - refPreds(id)._2) < 1e-12, s"score mismatch doc $id")
+    }
+  }
+
+  test("scores are bit-identical under repartitioning (decimal sums)") {
+    val a = Classify.nbPredictions(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val b = Classify.nbPredictions(docs.repartition(7, col("doc_id"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("importance resampler reproduces the reference weights, keys, and cut") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val toks = rows.map { case (id, l, t) => (id, l, t.trim.split("\\s+").toSeq) }
+    val vocab = toks.flatMap(_._3).distinct
+    val tTok = toks.filter(_._2 == "en").flatMap(_._3)
+    val bTok = toks.flatMap(_._3)
+    val nT = tTok.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val nB = bTok.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    def delta(w: String): Double =
+      StrictMath.log((nT.getOrElse(w, 0) + 1.0) / (tTok.size.toDouble + vocab.size)) -
+        StrictMath.log((nB(w) + 1.0) / (bTok.size.toDouble + vocab.size))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ref = toks.map { case (id, l, ws) =>
+      val logw = ws.map(w => BigDecimal(delta(w)).setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val u = (h60(id.toString) + 0.5) / 1152921504606846976.0
+      (id, l, logw, logw - StrictMath.log(-StrictMath.log(u)))
+    }.sortBy { case (id, _, _, key) => (-key, id) }.take(4)
+    val got = Classify.importanceResample(docs, "en", 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.map(_._1) == ref.map(_._1), "selected ids + order")
+    got.zip(ref).foreach { case ((_, _, gw, gk), (_, _, rw, rk)) =>
+      assert(math.abs(gw - rw) < 1e-12 && math.abs(gk - rk) < 1e-12)
+    }
+  }
+
+  test("q122/q123 internal consistency: eval counts re-derive from predictions") {
+    val preds = Classify.nbPredictions(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")).collect()
+      .map(r => (r.getString(1), r.getString(3))) // (pred, true)
+    val eval = Classify.classifierEval(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    eval.foreach { case (label, nTrue, nPred, tp) =>
+      assert(nTrue == preds.count(_._2 == label))
+      assert(nPred == preds.count(_._1 == label))
+      assert(tp == preds.count(p => p._1 == label && p._2 == label))
+    }
+    assert(eval.map(_._2).sum == preds.length, "every doc evaluated once")
+  }
+}

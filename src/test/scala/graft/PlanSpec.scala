@@ -139,7 +139,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q106_temperature_mix", // 1-row denominator cross join
       "q107_vocab_growth", // 1-row bounds attach (conditional-sum checkpoints)
       "q115_embedding_gram", // 1-row moment aggregate crossed with d^2 index frame
-      "q120_label_moments") // |labels|-row aggregate crossed with d-row index frame
+      "q120_label_moments", // |labels|-row aggregate crossed with d-row index frame
+      "q121_nb_train", "q122_nb_classify", "q123_classifier_eval", // labels x vocab dense-model build (1-row vocab-count / |labels|-row totals attaches)
+      "q124_importance_resample") // 1-row LM-total attaches on the vocab-bounded delta frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
