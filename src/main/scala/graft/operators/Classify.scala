@@ -31,7 +31,8 @@ import graft.functions.TextFunctions
   *     broadcastable; past `modelBroadcastLimit` entries the scoring join
   *     falls back to a token-keyed shuffle join (same values, spec-pinned
   *     pattern shared with Curation.lmScore).
-  *   - score: ONE corpus scan (explode tokens), the model join, one
+  *   - score: ONE corpus scan (explode tokens, occurrence-compressed to
+  *     distinct (doc, token) pairs with multiplicity), the model join, one
   *     (doc_id, label) partial-agg shuffle, then a |labels|-wide window per
   *     doc for the argmax. Nothing corpus-sized is ever broadcast or
   *     collected.
@@ -59,16 +60,27 @@ object Classify {
     docs.select(col("doc_id"), col("lang"),
       explode(split(trim(col("text")), "\\s+")).as("token"))
 
+  /** Occurrence-compressed token frame: one row per distinct (doc, token)
+    * with its in-doc multiplicity. Every downstream sum Σ_occurrences f(t)
+    * becomes Σ_pairs n·f(t) — EXACT in decimal arithmetic — so the model
+    * join and the per-doc score shuffle carry distinct pairs, not raw
+    * occurrences. On Zipf-distributed natural text that is the difference
+    * between shuffling every token of a 100 TB corpus and shuffling its
+    * per-doc vocabulary (~2-5x smaller, more under long repetition). */
+  private def docTokenCounts(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_tok"))
+
   /** Laplace-smoothed multinomial NB token model, DENSE over
     * |labels| x |vocab|: log_lik(c, t) = ln((n_ct + 1) / (n_c + V)).
     * Dense (zero-count pairs materialized at the smoothed floor) so the
     * scoring join is complete without a per-label OOV default path — and so
     * the DuckDB oracle is a plain join. Bounded by construction:
     * labels x vocab, never corpus-sized. */
-  private def nbModel(tok: DataFrame): DataFrame = {
-    val ct = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n_ct"))
-    val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
-    val voc = tok.select(col("token")).distinct()
+  private def nbModel(dtok: DataFrame): DataFrame = {
+    val ct = dtok.groupBy(col("lang"), col("token")).agg(sum(col("n_tok")).as("n_ct"))
+    val tot = dtok.groupBy(col("lang")).agg(sum(col("n_tok")).as("n_c"))
+    val voc = dtok.select(col("token")).distinct()
     val vcnt = voc.agg(count(lit(1)).as("v"))
     tot.crossJoin(voc).crossJoin(broadcast(vcnt))
       .join(ct, Seq("lang", "token"), "left")
@@ -90,22 +102,27 @@ object Classify {
   /** Frame-level fit (spec + composition entry): the dense NB model for any
     * (doc_id, lang, text) frame. */
   private[graft] def fitModel(docs: DataFrame): DataFrame =
-    nbModel(tokens(docs))
+    nbModel(docTokenCounts(docs))
 
   /** Per-(doc, label) posterior scores + argmax prediction. Score sums run
     * through DECIMAL(25,15) so addition order (and therefore partitioning)
     * cannot perturb the double — the q92 cross-engine pattern. Ties break
     * to the lexicographically smallest label (explicit, both engines). */
   private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
-    val tok = CacheScope.cached(tokens(docs))
-    val model = CacheScope.cached(nbModel(tok))
+    // cached: BOTH the fit aggregates and the scoring join consume it
+    val dtok = CacheScope.cached(docTokenCounts(docs))
+    val model = CacheScope.cached(nbModel(dtok))
     val modelSide =
       if (model.count() <= ModelBroadcastLimit) broadcast(model) else model
-    val scores = tok
+    // Σ_occurrences log_lik == Σ_pairs n_tok·log_lik, exactly:
+    // decimal(25,15) x decimal(10,0) = decimal(36,15) (no precision loss;
+    // n_tok < 10^10 per doc-token by corpus construction)
+    val scores = dtok
       .join(modelSide, Seq("token"))
       .join(broadcast(nbPriors(docs)), Seq("label"))
       .groupBy(col("doc_id"), col("label"), col("log_prior"))
-      .agg((sum(col("log_lik").cast("decimal(25,15)")).cast("double") +
+      .agg((sum(col("log_lik").cast("decimal(25,15)") *
+        col("n_tok").cast("decimal(10,0)")).cast("double") +
         col("log_prior")).as("score"))
     val rn = row_number().over(
       Window.partitionBy(col("doc_id"))
@@ -173,13 +190,14 @@ object Classify {
   /** Frame-level resampler (spec + composition entry). */
   private[graft] def importanceResample(docs: DataFrame, target: String,
                                         k: Int): DataFrame = {
-      val tok = CacheScope.cached(tokens(docs))
-      val tTok = tok.filter(col("lang") === target)
-      val bct = tok.groupBy(col("token")).agg(count(lit(1)).as("n_b"))
-      val btot = tok.agg(count(lit(1)).as("nb"))
-      val tct = tTok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
-      val ttot = tTok.agg(count(lit(1)).as("nt"))
-      val vcnt = tok.agg(count_distinct(col("token")).as("v"))
+      // cached: the two LM fits and the scoring join all consume it
+      val dtok = CacheScope.cached(docTokenCounts(docs))
+      val tDt = dtok.filter(col("lang") === target)
+      val bct = dtok.groupBy(col("token")).agg(sum(col("n_tok")).as("n_b"))
+      val btot = dtok.agg(sum(col("n_tok")).as("nb"))
+      val tct = tDt.groupBy(col("token")).agg(sum(col("n_tok")).as("n_t"))
+      val ttot = tDt.agg(sum(col("n_tok")).as("nt"))
+      val vcnt = dtok.agg(count_distinct(col("token")).as("v"))
       // per-token log-ratio: vocab-bounded, the broadcast side of scoring
       val delta = bct
         .crossJoin(broadcast(btot)).crossJoin(broadcast(ttot))
@@ -190,9 +208,10 @@ object Classify {
                (col("nt").cast("double") + col("v").cast("double"))) -
            log((col("n_b").cast("double") + lit(1.0)) /
                (col("nb").cast("double") + col("v").cast("double")))).as("delta"))
-      val w = tok.join(broadcast(delta), Seq("token"))
+      val w = dtok.join(broadcast(delta), Seq("token"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("delta").cast("decimal(25,15)")).cast("double").as("logw"))
+        .agg(sum(col("delta").cast("decimal(25,15)") *
+          col("n_tok").cast("decimal(10,0)")).cast("double").as("logw"))
       val u = (TextFunctions.h60(col("doc_id").cast("string")) + lit(0.5)) /
         lit(Pow60)
       w.select(col("doc_id"), col("lang"), col("logw"),
