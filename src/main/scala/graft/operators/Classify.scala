@@ -47,6 +47,13 @@ object Classify {
     * oracle SQL (one source of truth — the round-5 advice pattern). */
   private[operators] val TargetLang = "en"
   private[operators] val ResampleK = 100
+  private[operators] val TokenBudget = 2000L
+  private[operators] val PrCurvePcts: Seq[Double] = (1 to 9).map(_ / 10.0)
+  // the q111 split cuts, re-derived from Datasets' pinned fractions with the
+  // SAME double arithmetic (so the interpolated oracle literals are
+  // bit-identical to q111's)
+  private val TrainCut = 1.0 - Datasets.ValFrac - Datasets.TestFrac
+  private val ValCut = 1.0 - Datasets.TestFrac
   private val Pow60 = 1152921504606846976.0 // 2^60 as double (exact)
 
   /** Entries above which the scoring join stops broadcasting the dense
@@ -108,27 +115,41 @@ object Classify {
     * through DECIMAL(25,15) so addition order (and therefore partitioning)
     * cannot perturb the double — the q92 cross-engine pattern. Ties break
     * to the lexicographically smallest label (explicit, both engines). */
-  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
-    // cached: BOTH the fit aggregates and the scoring join consume it
-    val dtok = CacheScope.cached(docTokenCounts(docs))
-    val model = CacheScope.cached(nbModel(dtok))
+  /** Per-(doc, label) posterior: the model join + one decimal-summed
+    * partial aggregate. Σ_occurrences log_lik == Σ_pairs n_tok·log_lik,
+    * exactly: decimal(25,15) x decimal(10,0) = decimal(36,15) (no precision
+    * loss; n_tok < 10^10 per doc-token by corpus construction). The model
+    * and priors may be fit on a DIFFERENT frame than `dtok` (holdout
+    * scoring); tokens outside the model vocab drop at the inner join — the
+    * standard ignore-OOV NB choice, identical in the oracle. */
+  private def nbScores(model: DataFrame, priors: DataFrame,
+                       dtok: DataFrame): DataFrame = {
     val modelSide =
       if (model.count() <= ModelBroadcastLimit) broadcast(model) else model
-    // Σ_occurrences log_lik == Σ_pairs n_tok·log_lik, exactly:
-    // decimal(25,15) x decimal(10,0) = decimal(36,15) (no precision loss;
-    // n_tok < 10^10 per doc-token by corpus construction)
-    val scores = dtok
+    dtok
       .join(modelSide, Seq("token"))
-      .join(broadcast(nbPriors(docs)), Seq("label"))
+      .join(broadcast(priors), Seq("label"))
       .groupBy(col("doc_id"), col("label"), col("log_prior"))
       .agg((sum(col("log_lik").cast("decimal(25,15)") *
         col("n_tok").cast("decimal(10,0)")).cast("double") +
         col("log_prior")).as("score"))
+      .select(col("doc_id"), col("label"), col("score"))
+  }
+
+  /** Argmax decode over [[nbScores]]: a |labels|-wide window per doc. */
+  private def nbApply(model: DataFrame, priors: DataFrame,
+                      dtok: DataFrame): DataFrame = {
     val rn = row_number().over(
       Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("label")))
-    scores.withColumn("rn", rn).filter(col("rn") === 1)
+    nbScores(model, priors, dtok).withColumn("rn", rn).filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("pred_label"), col("score"))
+  }
+
+  private[graft] def nbPredictions(docs: DataFrame): DataFrame = {
+    // cached: BOTH the fit aggregates and the scoring join consume it
+    val dtok = CacheScope.cached(docTokenCounts(docs))
+    nbApply(CacheScope.cached(nbModel(dtok)), nbPriors(docs), dtok)
   }
 
   /** q121 — NB fit: the (label, token) conditional log-likelihood table.
@@ -149,11 +170,16 @@ object Classify {
     classifierEval(Tables.documents(s, dir))
 
   /** Frame-level eval (spec + composition entry). */
-  private[graft] def classifierEval(docs: DataFrame): DataFrame = {
+  private[graft] def classifierEval(docs: DataFrame): DataFrame =
+    evalFromPreds(nbPredictions(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+
+  /** Confusion-derived per-label metrics from a (doc_id, pred_label, score,
+    * lang) predictions frame. */
+  private def evalFromPreds(predsIn: DataFrame): DataFrame = {
       // cached: BOTH the per-true-label and per-predicted-label aggregates
       // consume the scored predictions (harness clearCache frees it)
-      val preds = CacheScope.cached(nbPredictions(docs)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+      val preds = CacheScope.cached(predsIn)
       val agg = preds.groupBy(col("lang")).agg(
         count(lit(1)).as("n_true"),
         sum(when(col("pred_label") === col("lang"), 1L).otherwise(0L)).as("tp"))
@@ -220,14 +246,168 @@ object Classify {
         .limit(k)
   }
 
+  /** q125 — held-out evaluation: fit on the q111 'train' split, evaluate on
+    * the 'val' split. The split is the SAME h60-uniform cut q111 emits, so
+    * this composes the split operator with the classifier family without
+    * materializing an intermediate. Val-set tokens missing from the train
+    * vocab drop at the scoring join (ignore-OOV NB); a val doc with NO
+    * in-vocab tokens would drop from the eval — the metrics cover scored
+    * docs, which both engines define identically. */
+  def q125HoldoutEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val u = TextFunctions.h60(col("doc_id").cast("string")).cast("double") /
+      lit(Pow60)
+    holdoutEval(docs.filter(u < lit(TrainCut)),
+      docs.filter(u >= lit(TrainCut) && u < lit(ValCut)))
+  }
+
+  /** Frame-level holdout eval (spec + composition entry). */
+  private[graft] def holdoutEval(train: DataFrame, eval: DataFrame): DataFrame = {
+    val trainDt = CacheScope.cached(docTokenCounts(train))
+    evalFromPreds(
+      nbApply(CacheScope.cached(nbModel(trainDt)), nbPriors(train),
+        docTokenCounts(eval))
+        .join(eval.select(col("doc_id"), col("lang")), Seq("doc_id")))
+  }
+
+  /** Binary (target-vs-rest) NB log-odds per document — the quality score
+    * the threshold ops consume. Labels collapse to {target, 'rest'} before
+    * the fit; logodds = score(target) − score(rest), both decimal-summed
+    * doubles, so the subtraction is deterministic. Precondition: the corpus
+    * contains both target and non-target docs (nulls propagate identically
+    * in both engines otherwise). */
+  private def binaryLogOdds(docs: DataFrame, target: String): DataFrame = {
+    val bin = docs.withColumn("lang",
+      when(col("lang") === target, target).otherwise(lit("rest")))
+    val dtok = CacheScope.cached(docTokenCounts(bin))
+    nbScores(CacheScope.cached(nbModel(dtok)), nbPriors(bin), dtok)
+      .groupBy(col("doc_id"))
+      .agg((max(when(col("label") === target, col("score"))) -
+            max(when(col("label") === "rest", col("score")))).as("logodds"))
+  }
+
+  /** q126 — precision/recall curve for the binary target-lang filter: sweep
+    * the NB log-odds threshold across its own deciles (exact percentile —
+    * the q39 convention; swap approx_percentile at 100 TB, documented
+    * there) and report the confusion metrics at each cut. The 9-row
+    * threshold frame broadcasts; the corpus side is ONE conditional-sum
+    * aggregate over a 9x row multiply — no per-threshold rescans. */
+  def q126PrCurve(s: SparkSession, dir: String): DataFrame =
+    prCurve(Tables.documents(s, dir), TargetLang)
+
+  /** Frame-level PR curve (spec + composition entry). */
+  private[graft] def prCurve(docs: DataFrame, target: String): DataFrame = {
+    // cached: consumed by the percentile aggregate AND the sweep aggregate
+    val scored = CacheScope.cached(binaryLogOdds(docs, target)
+      .join(docs.select(col("doc_id"), (col("lang") === target).as("is_t")),
+        Seq("doc_id")))
+    val pcts = PrCurvePcts.map(p => s"${p}D").mkString(", ")
+    val thr = scored
+      .agg(expr(s"percentile(logodds, array($pcts))").as("ts"))
+      .select(posexplode(col("ts")).as(Seq("i", "threshold")))
+      .select((col("i") + 1).as("pct10"), col("threshold"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy(col("pct10"), col("threshold"))
+      .agg(
+        sum(when(col("logodds") >= col("threshold"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("logodds") >= col("threshold") && col("is_t"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("pct10"), col("threshold"), col("n_pred_pos"), col("tp"),
+        when(col("n_pred_pos") > 0,
+          col("tp").cast("double") / col("n_pred_pos").cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_pos") > 0,
+          col("tp").cast("double") / col("n_pos").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy(col("pct10"))
+  }
+
+  /** q127 — budget-constrained greedy selection: within each source, take
+    * docs in descending target-lang log-odds order until the per-source
+    * token budget fills (cum-before-doc < budget, the q86 packing
+    * convention). The per-domain-quota x quality shape is how a mixture
+    * spec turns into an actual shard list. Scale: windows partition by
+    * source (domains at 100 TB — many and bounded); the score frame joins
+    * back to a scan-local token count. A pathologically large single
+    * source shatters the same way q106 documents (pre-bucket by score
+    * band, then one bounded window per band). */
+  def q127BudgetSelect(s: SparkSession, dir: String): DataFrame =
+    budgetSelect(Tables.documents(s, dir), TargetLang, TokenBudget)
+
+  /** Frame-level budget selector (spec + composition entry). */
+  private[graft] def budgetSelect(docs: DataFrame, target: String,
+                                  budget: Long): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val wnd = Window.partitionBy(col("source"))
+      .orderBy(col("logodds").desc, col("doc_id"))
+    base.join(binaryLogOdds(docs, target), Seq("doc_id"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(wnd) - col("n_tokens"))
+      .filter(col("cum_before") < lit(budget))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("logodds"),
+        col("cum_before"))
+      .orderBy(col("source"), col("cum_before"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_nb_train" -> (q121NbTrain _),
     "q122_nb_classify" -> (q122NbClassify _),
     "q123_classifier_eval" -> (q123ClassifierEval _),
-    "q124_importance_resample" -> (q124ImportanceResample _))
+    "q124_importance_resample" -> (q124ImportanceResample _),
+    "q125_holdout_eval" -> (q125HoldoutEval _),
+    "q126_pr_curve" -> (q126PrCurve _),
+    "q127_budget_select" -> (q127BudgetSelect _))
 
   private def h60sql(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shared CTE block for the binary target-vs-rest fit: ends in `scored`
+    * (doc_id, logodds, is_t, source, n_tokens) — the q126/q127 input. */
+  private def binCtes(target: String): String =
+    s"""btok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = '$target' THEN '$target' ELSE 'rest' END AS lang,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |bct AS (SELECT lang, token, count(*) AS n_ct FROM btok GROUP BY 1, 2),
+       |btotc AS (SELECT lang, count(*) AS n_c FROM btok GROUP BY 1),
+       |bvoc AS (SELECT DISTINCT token FROM btok),
+       |bvc AS (SELECT count(*) AS v FROM bvoc),
+       |bmodel AS (
+       |  SELECT btotc.lang AS label, bvoc.token,
+       |    ln((CAST(COALESCE(bct.n_ct, 0) AS DOUBLE) + 1.0) /
+       |       (CAST(btotc.n_c AS DOUBLE) + CAST(bvc.v AS DOUBLE))) AS log_lik
+       |  FROM btotc CROSS JOIN bvoc CROSS JOIN bvc
+       |  LEFT JOIN bct ON bct.lang = btotc.lang AND bct.token = bvoc.token),
+       |bnd AS (
+       |  SELECT CASE WHEN lang = '$target' THEN '$target' ELSE 'rest' END AS lang,
+       |    count(*) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |bnt AS (SELECT count(*) AS n FROM documents),
+       |bpri AS (
+       |  SELECT lang AS label,
+       |    ln(CAST(n_docs AS DOUBLE) / CAST(bnt.n AS DOUBLE)) AS log_prior
+       |  FROM bnd CROSS JOIN bnt),
+       |bsc AS (
+       |  SELECT t.doc_id, m.label,
+       |    CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+       |      + p.log_prior AS score
+       |  FROM btok t
+       |  JOIN bmodel m ON m.token = t.token
+       |  JOIN bpri p ON p.label = m.label
+       |  GROUP BY t.doc_id, m.label, p.log_prior),
+       |lo AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN label = '$target' THEN score END)
+       |      - max(CASE WHEN label = 'rest' THEN score END) AS logodds
+       |  FROM bsc GROUP BY doc_id),
+       |scored AS (
+       |  SELECT lo.doc_id, lo.logodds, (d.lang = '$target') AS is_t, d.source,
+       |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM lo JOIN documents d USING (doc_id))""".stripMargin
 
   /** Shared CTE prefix: token stream + NB model + priors (the q121/q122
     * fit, verbatim, so the three consumers cannot drift). */
@@ -331,5 +511,108 @@ object Classify {
          |  logw - ln(-ln((${h60sql("CAST(doc_id AS VARCHAR)")} + 0.5)
          |    / 1152921504606846976.0)) AS samp_key
          |FROM w
-         |ORDER BY samp_key DESC, doc_id LIMIT $ResampleK""".stripMargin)
+         |ORDER BY samp_key DESC, doc_id LIMIT $ResampleK""".stripMargin,
+    "q125_holdout_eval" -> {
+      val u = s"${h60sql("CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0"
+      s"""WITH tdocs AS (
+         |  SELECT * FROM documents WHERE $u < $TrainCut),
+         |vdocs AS (
+         |  SELECT * FROM documents WHERE $u >= $TrainCut AND $u < $ValCut),
+         |ttok AS (
+         |  SELECT doc_id, lang,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM tdocs),
+         |tc AS (SELECT lang, token, count(*) AS n_ct FROM ttok GROUP BY 1, 2),
+         |tt AS (SELECT lang, count(*) AS n_c FROM ttok GROUP BY 1),
+         |tvoc AS (SELECT DISTINCT token FROM ttok),
+         |tvc AS (SELECT count(*) AS v FROM tvoc),
+         |tmodel AS (
+         |  SELECT tt.lang AS label, tvoc.token,
+         |    ln((CAST(COALESCE(tc.n_ct, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(tt.n_c AS DOUBLE) + CAST(tvc.v AS DOUBLE))) AS log_lik
+         |  FROM tt CROSS JOIN tvoc CROSS JOIN tvc
+         |  LEFT JOIN tc ON tc.lang = tt.lang AND tc.token = tvoc.token),
+         |tnd AS (SELECT lang, count(*) AS n_docs FROM tdocs GROUP BY 1),
+         |tnt AS (SELECT count(*) AS n FROM tdocs),
+         |tpri AS (
+         |  SELECT lang AS label,
+         |    ln(CAST(n_docs AS DOUBLE) / CAST(tnt.n AS DOUBLE)) AS log_prior
+         |  FROM tnd CROSS JOIN tnt),
+         |vtok AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM vdocs),
+         |preds AS (
+         |  SELECT doc_id, label AS pred_label FROM (
+         |    SELECT t.doc_id, m.label, p.log_prior,
+         |      row_number() OVER (PARTITION BY t.doc_id
+         |        ORDER BY CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+         |          + p.log_prior DESC, m.label) AS rn
+         |    FROM vtok t
+         |    JOIN tmodel m ON m.token = t.token
+         |    JOIN tpri p ON p.label = m.label
+         |    GROUP BY t.doc_id, m.label, p.log_prior)
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT preds.doc_id, preds.pred_label, d.lang
+         |  FROM preds JOIN vdocs d USING (doc_id)),
+         |agg AS (
+         |  SELECT lang, count(*) AS n_true,
+         |    sum(CASE WHEN pred_label = lang THEN 1 ELSE 0 END) AS tp
+         |  FROM p GROUP BY 1),
+         |prd AS (SELECT pred_label, count(*) AS n_pred FROM p GROUP BY 1),
+         |met AS (
+         |  SELECT agg.lang AS label, agg.n_true,
+         |    COALESCE(prd.n_pred, 0) AS n_pred, agg.tp,
+         |    CASE WHEN COALESCE(prd.n_pred, 0) > 0
+         |      THEN CAST(agg.tp AS DOUBLE) / CAST(prd.n_pred AS DOUBLE)
+         |      ELSE 0.0 END AS precision,
+         |    CASE WHEN agg.n_true > 0
+         |      THEN CAST(agg.tp AS DOUBLE) / CAST(agg.n_true AS DOUBLE)
+         |      ELSE 0.0 END AS recall
+         |  FROM agg LEFT JOIN prd ON prd.pred_label = agg.lang)
+         |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  precision, recall,
+         |  CASE WHEN precision + recall > 0.0
+         |    THEN 2.0 * precision * recall / (precision + recall)
+         |    ELSE 0.0 END AS f1
+         |FROM met ORDER BY label""".stripMargin
+    },
+    "q126_pr_curve" -> {
+      val th = PrCurvePcts.zipWithIndex.map { case (p, i) =>
+        s"SELECT ${i + 1} AS pct10, quantile_cont(logodds, $p) AS threshold FROM scored"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${binCtes(TargetLang)},
+         |th AS (
+         |  $th),
+         |agg AS (
+         |  SELECT th.pct10, th.threshold,
+         |    sum(CASE WHEN s.logodds >= th.threshold THEN 1 ELSE 0 END)
+         |      AS n_pred_pos,
+         |    sum(CASE WHEN s.logodds >= th.threshold AND s.is_t
+         |      THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN s.is_t THEN 1 ELSE 0 END) AS n_pos
+         |  FROM scored s CROSS JOIN th GROUP BY 1, 2)
+         |SELECT pct10, threshold,
+         |  CAST(n_pred_pos AS BIGINT) AS n_pred_pos, CAST(tp AS BIGINT) AS tp,
+         |  CASE WHEN n_pred_pos > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(n_pred_pos AS DOUBLE)
+         |    ELSE 0.0 END AS precision,
+         |  CASE WHEN n_pos > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+         |    ELSE 0.0 END AS recall
+         |FROM agg ORDER BY pct10""".stripMargin
+    },
+    "q127_budget_select" ->
+      s"""WITH ${binCtes(TargetLang)},
+         |r AS (
+         |  SELECT doc_id, source, n_tokens, logodds,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY logodds DESC, doc_id)
+         |      - n_tokens AS BIGINT) AS cum_before
+         |  FROM scored)
+         |SELECT doc_id, source, n_tokens, logodds, cum_before
+         |FROM r WHERE cum_before < $TokenBudget
+         |ORDER BY source, cum_before""".stripMargin)
 }

@@ -120,6 +120,51 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("holdout eval with train == eval collapses to the self-eval metrics") {
+    val self = Classify.classifierEval(docs).collect().map(_.toSeq).toSet
+    val hold = Classify.holdoutEval(docs, docs).collect().map(_.toSeq).toSet
+    assert(hold == self)
+  }
+
+  test("pr curve: thresholds rise, predicted-positives and recall fall monotonically") {
+    val rows = Classify.prCurve(docs, "en").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1 to 9), "one row per decile")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, "thresholds non-decreasing")
+      assert(a._3 >= b._3, "n_pred_pos non-increasing")
+      assert(a._6 >= b._6, "recall non-increasing")
+    }
+    val nEn = docs.filter(col("lang") === "en").count()
+    rows.foreach { case (_, _, npp, tp, p, r) =>
+      assert(tp <= npp && tp <= nEn)
+      assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+      assert(r == tp.toDouble / nEn)
+    }
+  }
+
+  test("budget select: per-source greedy prefix of the score order") {
+    val src = docs.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    // full ranking = selection under an unreachable budget
+    val full = Classify.budgetSelect(src, "en", Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(full.length == 8, "unbounded budget keeps every doc")
+    val budget = 8L
+    val ref = full.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.toSeq.sortBy { case (id, _, _, lo) => (-lo, id) }.takeWhile { r =>
+        val keep = cum < budget; cum += r._3; keep }
+    }.map(_._1).toSet
+    val got = Classify.budgetSelect(src, "en", budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(got.map(_._1).toSet == ref, "selected ids == driver greedy reference")
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).max < budget, "cum_before stays under budget")
+    }
+  }
+
   test("q122/q123 internal consistency: eval counts re-derive from predictions") {
     val preds = Classify.nbPredictions(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")).collect()

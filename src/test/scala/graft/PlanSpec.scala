@@ -141,7 +141,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q115_embedding_gram", // 1-row moment aggregate crossed with d^2 index frame
       "q120_label_moments", // |labels|-row aggregate crossed with d-row index frame
       "q121_nb_train", "q122_nb_classify", "q123_classifier_eval", // labels x vocab dense-model build (1-row vocab-count / |labels|-row totals attaches)
-      "q124_importance_resample") // 1-row LM-total attaches on the vocab-bounded delta frame
+      "q124_importance_resample", // 1-row LM-total attaches on the vocab-bounded delta frame
+      "q125_holdout_eval", // dense-model build on the train split
+      "q126_pr_curve", // 9-row threshold frame crossed with the scored corpus
+      "q127_budget_select") // dense-model build (binary fit)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
