@@ -71,12 +71,24 @@ object Classify {
     * with its in-doc multiplicity. Every downstream sum Σ_occurrences f(t)
     * becomes Σ_pairs n·f(t) — EXACT in decimal arithmetic — so the model
     * join and the per-doc score shuffle carry distinct pairs, not raw
-    * occurrences. On Zipf-distributed natural text that is the difference
-    * between shuffling every token of a 100 TB corpus and shuffling its
-    * per-doc vocabulary (~2-5x smaller, more under long repetition). */
-  private def docTokenCounts(docs: DataFrame): DataFrame =
-    tokens(docs).groupBy(col("doc_id"), col("lang"), col("token"))
-      .agg(count(lit(1)).as("n_tok"))
+    * occurrences (~2-5x less on Zipf text, more under long repetition).
+    *
+    * SCAN-LOCAL: the histogram is a higher-order-function expression over
+    * the doc's own token array (distinct x filter-count), not an
+    * explode + groupBy — a doc's tokens never leave its scan partition, so
+    * the whole compression costs ZERO shuffles (measured: removed the one
+    * corpus-sized exchange in the scoring path). The in-row cost is
+    * O(len x distinct) per doc — right for documents (10^2-10^4 tokens);
+    * for pathological million-token rows, chunk upstream (q42) first. */
+  private[graft] def docTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(array_distinct(ws), " +
+          "t -> named_struct('token', t, 'n_tok', size(filter(ws, x -> x = t))))"))
+          .as("e"))
+      .select(col("doc_id"), col("lang"), col("e.token").as("token"),
+        col("e.n_tok").cast("long").as("n_tok"))
 
   /** Laplace-smoothed multinomial NB token model, DENSE over
     * |labels| x |vocab|: log_lik(c, t) = ln((n_ct + 1) / (n_c + V)).
@@ -84,10 +96,19 @@ object Classify {
     * scoring join is complete without a per-label OOV default path — and so
     * the DuckDB oracle is a plain join. Bounded by construction:
     * labels x vocab, never corpus-sized. */
-  private def nbModel(dtok: DataFrame): DataFrame = {
-    val ct = dtok.groupBy(col("lang"), col("token")).agg(sum(col("n_tok")).as("n_ct"))
-    val tot = dtok.groupBy(col("lang")).agg(sum(col("n_tok")).as("n_c"))
-    val voc = dtok.select(col("token")).distinct()
+  private def nbModel(dtok: DataFrame): DataFrame =
+    nbModelFromCounts(dtok.groupBy(col("lang"), col("token"))
+      .agg(sum(col("n_tok")).as("n_ct")))
+
+  /** Dense model from aggregated (lang, token, n_ct) sufficient
+    * statistics. Counts are MERGEABLE (plain integer sums), which is what
+    * makes the streaming incremental fit (ClassifyStream) exact: summing
+    * per-batch count partitions and fitting equals fitting the union. The
+    * per-label token totals and the vocab both re-derive from the counts
+    * frame, so stats are the ONLY state a pipeline must persist. */
+  private[graft] def nbModelFromCounts(ct: DataFrame): DataFrame = {
+    val tot = ct.groupBy(col("lang")).agg(sum(col("n_ct")).as("n_c"))
+    val voc = ct.select(col("token")).distinct()
     val vcnt = voc.agg(count(lit(1)).as("v"))
     tot.crossJoin(voc).crossJoin(broadcast(vcnt))
       .join(ct, Seq("lang", "token"), "left")
@@ -98,9 +119,13 @@ object Classify {
   }
 
   /** ln class priors from document counts. |labels| rows. */
-  private def nbPriors(docs: DataFrame): DataFrame = {
-    val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val nt = docs.agg(count(lit(1)).as("n"))
+  private def nbPriors(docs: DataFrame): DataFrame =
+    nbPriorsFromCounts(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
+
+  /** Priors from aggregated (lang, n_docs) counts — mergeable, like
+    * [[nbModelFromCounts]]. */
+  private[graft] def nbPriorsFromCounts(nd: DataFrame): DataFrame = {
+    val nt = nd.agg(sum(col("n_docs")).as("n"))
     nd.crossJoin(broadcast(nt))
       .select(col("lang").as("label"),
         log(col("n_docs").cast("double") / col("n").cast("double")).as("log_prior"))
@@ -137,8 +162,8 @@ object Classify {
   }
 
   /** Argmax decode over [[nbScores]]: a |labels|-wide window per doc. */
-  private def nbApply(model: DataFrame, priors: DataFrame,
-                      dtok: DataFrame): DataFrame = {
+  private[graft] def nbApply(model: DataFrame, priors: DataFrame,
+                             dtok: DataFrame): DataFrame = {
     val rn = row_number().over(
       Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("label")))
