@@ -283,7 +283,12 @@ object Multimodal {
     require(maxHamming <= 3, "4x16-bit banding is only complete to hamming 3")
     val hs = graft.core.CacheScope.cached(
       perceptualHashes(spark, media, codec).toDF())
-    val bands = hs.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+    // Undecodable images all carry the (-1, -1) sentinel hash; without this
+    // filter every corrupt pair would band-match at hamming 0 and be
+    // reported as an exact near-duplicate under a real codec. (FakeDecoder
+    // is total, so the registered q119 never produces the sentinel.)
+    val decodable = hs.filter(!(col("ph_hi") === -1L && col("ph_lo") === -1L))
+    val bands = decodable.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
       posexplode(array(
         col("ph_lo").bitwiseAND(0xFFFFL),
         shiftright(col("ph_lo"), 16).bitwiseAND(0xFFFFL),

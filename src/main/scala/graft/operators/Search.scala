@@ -117,16 +117,18 @@ object Search {
     val ks = 1 to 10
     val tokFirst = d.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    // `.otherwise(0L)` so an EMPTY checkpoint (doc-id span < 10 makes
+    // cp(1) < lo) reports 0, not the NULL a no-otherwise sum(when) leaves.
     val vocabAgg = tokFirst.crossJoin(bounds)
-      .agg(sum(when(col("first_doc") <= cp(ks.head), 1L)).as(s"vocab_${ks.head}"),
-        ks.tail.map(k => sum(when(col("first_doc") <= cp(k), 1L)).as(s"vocab_$k")): _*)
+      .agg(sum(when(col("first_doc") <= cp(ks.head), 1L).otherwise(0L)).as(s"vocab_${ks.head}"),
+        ks.tail.map(k => sum(when(col("first_doc") <= cp(k), 1L).otherwise(0L)).as(s"vocab_$k")): _*)
     val docSizes = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
     val seenAgg = docSizes.crossJoin(bounds)
       .agg(min(col("lo")).as("lo"), // constant within the 1-row group
         min(col("hi")).as("hi") +:
         ks.flatMap(k => Seq(
-          sum(when(col("doc_id") <= cp(k), 1L)).as(s"nd_$k"),
-          sum(when(col("doc_id") <= cp(k), col("n_toks"))).as(s"ts_$k"))): _*)
+          sum(when(col("doc_id") <= cp(k), 1L).otherwise(0L)).as(s"nd_$k"),
+          sum(when(col("doc_id") <= cp(k), col("n_toks")).otherwise(0L)).as(s"ts_$k"))): _*)
     val stackArgs = ks.map(k => s"$k, nd_$k, ts_$k, vocab_$k").mkString(", ")
     seenAgg.crossJoin(vocabAgg) // 1×1 row
       .select(col("lo"), col("hi"),
@@ -195,13 +197,13 @@ object Search {
         |  GROUP BY t.tok),
         |doc_sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
         |vocab AS (
-        |  SELECT c.k, c.cp_doc_id, CAST(count(*) AS BIGINT) AS vocab
-        |  FROM cps c JOIN tok_first t ON t.first_doc <= c.cp_doc_id
+        |  SELECT c.k, c.cp_doc_id, CAST(count(t.token) AS BIGINT) AS vocab
+        |  FROM cps c LEFT JOIN tok_first t ON t.first_doc <= c.cp_doc_id
         |  GROUP BY c.k, c.cp_doc_id),
         |seen AS (
-        |  SELECT c.k, c.cp_doc_id, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(s.n_toks) AS BIGINT) AS tokens_seen
-        |  FROM cps c JOIN doc_sizes s ON s.doc_id <= c.cp_doc_id
+        |  SELECT c.k, c.cp_doc_id, CAST(count(s.doc_id) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(s.n_toks), 0) AS BIGINT) AS tokens_seen
+        |  FROM cps c LEFT JOIN doc_sizes s ON s.doc_id <= c.cp_doc_id
         |  GROUP BY c.k, c.cp_doc_id)
         |SELECT v.k, v.cp_doc_id, s.n_docs, s.tokens_seen, v.vocab
         |FROM vocab v JOIN seen s ON v.k = s.k AND v.cp_doc_id = s.cp_doc_id

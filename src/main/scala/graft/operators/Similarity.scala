@@ -291,6 +291,11 @@ object Similarity {
       .agg(
         min(when(same, struct(col("cosine"), col("neighbor_id")))).as("pos"),
         max(when(!same, struct(col("cosine"), col("neighbor_id")))).as("neg"))
+      // An anchor whose label class is a singleton (no positive) or covers
+      // the whole corpus (no negative) has no complete triplet; drop it, the
+      // same way the oracle's inner join on rn=1 does. Without this the two
+      // engines diverge on degenerate label distributions.
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
       .select(col("query_id"),
         col("pos.neighbor_id").as("pos_id"),
         col("pos.cosine").as("pos_cosine"),

@@ -157,6 +157,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hard triplets: anchors missing a positive or negative are dropped") {
+    import spark.implicits._
+    // label 7 is a singleton → anchor 0 has no positive; labels {1} cover
+    // everything but anchor 1 → anchor 1 has no negative among ids >= 2.
+    val embs = Seq(
+      (0L, Seq(1f, 0f), 7), // singleton label: no positive anywhere
+      (1L, Seq(0f, 1f), 1),
+      (2L, Seq(1f, 1f), 1),
+      (3L, Seq(0.5f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.hardTriplets(spark, embs, queryMaxId = 2).collect()
+    // anchor 0 (no same-label neighbor) must vanish, matching the oracle's
+    // inner join on rn=1; anchor 1 has both (pos among 2/3, neg = 0).
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+      s"degenerate anchor must be dropped, got ${rows.map(_.getLong(0)).mkString(",")}")
+  }
+
   test("hard triplets plan: no window — one partial-aggregating groupBy") {
     val df = Similarity.hardTriplets(spark, Tables.embeddings(spark, sf))
     val p = df.queryExecution.executedPlan.toString

@@ -168,6 +168,26 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.nonEmpty, "fixture corpus should contain phash near-dups")
   }
 
+  test("phash near-dup pairs: corrupt images never pair under a real codec") {
+    import spark.implicits._
+    // Two undecodable blobs share the (-1,-1) sentinel hash — they must NOT
+    // surface as hamming-0 near-duplicates; the identical valid pair must.
+    val media = Seq(
+      (1L, halfPng(16), "image/png"),
+      (2L, halfPng(64), "image/png"), // same pattern → same aHash as doc 1
+      (3L, Array[Byte](9, 9, 9), "image/png"),
+      (4L, Array[Byte](8, 8, 8), "image/png")
+    ).toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).as("n_bytes"),
+          lit("fixture").as("origin")).as("meta"))
+    val pairs = Multimodal.phashNearDupPairs(spark, media,
+        codec = Multimodal.ImageIoCodec).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"sentinel hashes must be excluded from banding, got $pairs")
+  }
+
   test("WavCodec decodes real WAV audio: rate, samples, rms, zcr, peak") {
     import spark.implicits._
     val media = Seq(

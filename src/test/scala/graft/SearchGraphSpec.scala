@@ -85,6 +85,26 @@ class SearchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------------ q107
 
+  test("q107 vocab growth: empty checkpoints report 0, not null") {
+    import spark.implicits._
+    // doc-id span 3 < 10 → cp(1)..cp(2) fall below the smallest doc_id;
+    // without .otherwise(0L) those checkpoints would surface as nulls.
+    val tiny = Seq(
+      (100L, "alpha beta", "s"), (101L, "beta gamma", "s"), (102L, "delta", "s")
+    ).toDF("doc_id", "text", "source")
+    val rows = Search.vocabGrowth(tiny).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("vocab")) &&
+        !r.isNullAt(r.fieldIndex("n_docs")) &&
+        !r.isNullAt(r.fieldIndex("tokens_seen")),
+        s"checkpoint ${r.getInt(0)} leaked nulls: $r")
+    }
+    assert(rows.head.getAs[Long]("vocab") == 0L, "pre-corpus checkpoint is 0")
+    assert(rows.last.getAs[Long]("vocab") == 4L, "k=10 covers the full corpus")
+    assert(rows.last.getAs[Long]("tokens_seen") == 5L)
+  }
+
   test("q107 vocab growth: monotone, exact endpoints") {
     val docs = Tables.documents(spark, sf01)
     val rows = Search.vocabGrowth(docs).collect()
