@@ -173,9 +173,83 @@ object Analytics {
       .orderBy(col("cohort_week"), col("week_k"))
   }
 
+  /** q128's pinned session gap — shared by the default AND the oracle. */
+  private[operators] val SessionGapMin = 30
+
+  /** q128 — gap-based sessionization: a user's events split into sessions
+    * wherever consecutive events are more than `gapMinutes` apart, then
+    * one summary row per session (bounds, size, value).
+    *
+    * Scale shape: ONE shuffle on user_id for the lag/cumsum window; the
+    * per-session aggregate's key (user_id, session_idx) is a superset of
+    * the window's partitioning key, so EnsureRequirements reuses the
+    * exchange — no second shuffle (spec-pinned). Per-user state is a
+    * window frame, never a collected list, so a power-user with millions
+    * of events streams through the sort rather than materializing. Ties
+    * on ts break by event_id, making session boundaries deterministic.
+    *
+    * Cross-engine determinism: gap compares are integer micros; the value
+    * sum rides DECIMAL(30,6) (the q15 convention) so partial-aggregation
+    * order can't perturb the double. */
+  def sessionize(events: DataFrame, gapMinutes: Int = SessionGapMin): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+      .withColumn("duration_s",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** q130 — per-source OLS trend: slope/intercept/r² of n_chars against
+    * doc_id (the "is this source drifting longer/shorter over crawl time"
+    * profile). Closed form from five sufficient moments.
+    *
+    * Scale shape: ONE partial+final aggregate keyed by source — the moment
+    * sums are the textbook mergeable regression state, so the shuffle
+    * carries 5 decimals per (partition, source). No window, no join.
+    *
+    * Cross-engine determinism: x, y are integers, so every moment is an
+    * EXACT DECIMAL(38,0) sum (n·Σxy overflows a long at corpus scale;
+    * decimal38 holds it); slope/intercept/r² are then a fixed dag of
+    * double ops from exact inputs — bit-identical on both engines. */
+  def olsTrend(docs: DataFrame): DataFrame = {
+    val x = col("doc_id").cast("decimal(19,0)")
+    val y = col("n_chars").cast("decimal(19,0)")
+    val m = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum((x * y).cast("decimal(38,0)")).as("sxy"),
+      sum((x * x).cast("decimal(38,0)")).as("sxx"),
+      sum((y * y).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = d((nD * col("sxy")).cast("decimal(38,0)") - (col("sx") * col("sy")).cast("decimal(38,0)"))
+    val denX = d((nD * col("sxx")).cast("decimal(38,0)") - (col("sx") * col("sx")).cast("decimal(38,0)"))
+    val denY = d((nD * col("syy")).cast("decimal(38,0)") - (col("sy") * col("sy")).cast("decimal(38,0)"))
+    m.select(col("source"), col("n"),
+        (num / denX).as("slope"),
+        ((d(col("sy")) - (num / denX) * d(col("sx"))) / d(nD)).as("intercept"),
+        ((num * num) / (denX * denY)).as("r2"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "q130_ols_trend" -> ((s, d) => olsTrend(Tables.documents(s, d))),
     "q50_salted_join" -> (saltedSupplierJoin _),
     "q48_sample" -> ((s, d) => deterministicSample(Tables.documents(s, d))),
     "q44_label_centroids" -> ((s, d) => labelCentroids(Tables.embeddings(s, d))),
@@ -187,6 +261,48 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q128_sessionize" ->
+      s"""WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > ${SessionGapMin * 60L * 1000000L}
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q130_ols_trend" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(doc_id AS HUGEINT)) AS sx,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sy,
+        |    sum(CAST(doc_id AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxy,
+        |    sum(CAST(doc_id AS HUGEINT) * CAST(doc_id AS HUGEINT)) AS sxx,
+        |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS syy
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS deny,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT source, n,
+        |  num / denx AS slope,
+        |  (syd - (num / denx) * sxd) / CAST(n AS DOUBLE) AS intercept,
+        |  (num * num) / (denx * deny) AS r2
+        |FROM t ORDER BY source""".stripMargin,
     "q90_range_join_binned" ->
       """SELECT p.event_id, p.user_id, p.ts,
         |  CAST(count(v.ts) AS BIGINT) AS n_views

@@ -376,7 +376,63 @@ object Classify {
       .orderBy(col("source"), col("cum_before"))
   }
 
+  /** q131's pinned class list — the testdata generator's stable language
+    * set, shared by the engine expression AND the generated oracle SQL so
+    * the two sum MI terms in the IDENTICAL left-to-right order (the
+    * determinism hinge: IEEE addition is order-sensitive). */
+  private[operators] val MiClasses = Seq("de", "en", "es", "fr", "zh")
+
+  def q131FeatureMi(s: SparkSession, dir: String): DataFrame =
+    featureMi(Tables.documents(s, dir))
+
+  /** q131 — mutual information I(token-presence; class) per vocabulary
+    * token: the classic filter-method feature selection for the NB family
+    * (which tokens carry class signal; near-zero MI = noise dims a fitted
+    * filter can drop). Binary presence × |classes| contingency per token,
+    * MI = Σ_cells p(t,c)·ln(p(t,c)/(p(t)p(c))), 0·ln0 = 0.
+    *
+    * Scale shape: ONE corpus scan (array_distinct is scan-local, the
+    * per-(token) conditional-sum aggregate shuffles one row per distinct
+    * (doc, token) pair with map-side combine — the q121 fit's exact
+    * shuffle), one 1-row class-sizes broadcast. Output is vocab-sized.
+    * All classes ride ONE aggregate as sum(when) columns — the q107/q126
+    * conditional-sum shape, not a per-class pass.
+    *
+    * Determinism: counts are exact longs; each MI term is a fixed dag of
+    * double ops; the class fold order is pinned by [[MiClasses]] in both
+    * engines. Emits ALL tokens (no top-k) ordered by token, so near-tie
+    * MI values cannot reorder rows cross-engine. */
+  private[graft] def featureMi(docs: DataFrame,
+                               classes: Seq[String] = MiClasses): DataFrame = {
+    val pres = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
+    val dfAggs = classes.map(c =>
+      sum(when(col("lang") === c, 1L).otherwise(0L)).as(s"df_$c"))
+    val cnt = pres.groupBy(col("token")).agg(dfAggs.head, dfAggs.tail: _*)
+    val sizeAggs = count(lit(1)).as("n") +: classes.map(c =>
+      sum(when(col("lang") === c, 1L).otherwise(0L)).as(s"n_$c"))
+    val sizes = docs.agg(sizeAggs.head, sizeAggs.tail: _*)
+    val withTot = cnt.crossJoin(broadcast(sizes))
+      .withColumn("df_t", classes.map(c => col(s"df_$c")).reduce(_ + _))
+    val nD = col("n").cast("double")
+    val dft = col("df_t").cast("double")
+    def term(c: String): Column = {
+      val dfc = col(s"df_$c").cast("double")
+      val nc = col(s"n_$c").cast("double")
+      val absent = col(s"n_$c") - col(s"df_$c")
+      val absD = absent.cast("double")
+      when(col(s"df_$c") === 0L, lit(0.0)).otherwise(
+        (dfc / nD) * log((nD * dfc) / (dft * nc))) +
+      when(absent === 0L, lit(0.0)).otherwise(
+        (absD / nD) * log((nD * absD) / ((nD - dft) * nc)))
+    }
+    withTot.select(col("token"), col("df_t"),
+        classes.map(term).reduce(_ + _).as("mi"))
+      .orderBy(col("token"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_feature_mi" -> (q131FeatureMi _),
     "q121_nb_train" -> (q121NbTrain _),
     "q122_nb_classify" -> (q122NbClassify _),
     "q123_classifier_eval" -> (q123ClassifierEval _),
@@ -472,7 +528,44 @@ object Classify {
       |    GROUP BY t.doc_id, m.label, p.log_prior)
       |  WHERE rn = 1)""".stripMargin
 
+  /** q131 oracle SQL, GENERATED from [[MiClasses]] so the per-class term
+    * expressions and their left-to-right sum order are character-identical
+    * in structure to the engine's expression tree. */
+  private def miOracle(classes: Seq[String]): String = {
+    val dfCols = classes.map(c =>
+      s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS df_$c").mkString(",\n    ")
+    val nCols = classes.map(c =>
+      s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS n_$c").mkString(",\n    ")
+    val dfT = classes.map(c => s"df_$c").mkString(" + ")
+    def term(c: String): String =
+      s"""(CASE WHEN df_$c = 0 THEN 0.0 ELSE
+         |   (CAST(df_$c AS DOUBLE) / nD) *
+         |   ln((nD * CAST(df_$c AS DOUBLE)) / (CAST(df_t AS DOUBLE) * CAST(n_$c AS DOUBLE))) END
+         | + CASE WHEN n_$c - df_$c = 0 THEN 0.0 ELSE
+         |   (CAST(n_$c - df_$c AS DOUBLE) / nD) *
+         |   ln((nD * CAST(n_$c - df_$c AS DOUBLE)) / ((nD - CAST(df_t AS DOUBLE)) * CAST(n_$c AS DOUBLE))) END)""".stripMargin
+    s"""WITH pres AS (
+       |  SELECT DISTINCT doc_id, lang, t.tok AS token
+       |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |        FROM documents), unnest(ws) t(tok)),
+       |cnt AS (
+       |  SELECT token,
+       |    $dfCols
+       |  FROM pres GROUP BY token),
+       |sizes AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $nCols
+       |  FROM documents),
+       |j AS (
+       |  SELECT *, $dfT AS df_t, CAST(n AS DOUBLE) AS nD
+       |  FROM cnt CROSS JOIN sizes)
+       |SELECT token, CAST(df_t AS BIGINT) AS df_t,
+       |  ${classes.map(term).mkString("\n  + ")} AS mi
+       |FROM j ORDER BY token""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q131_feature_mi" -> miOracle(MiClasses),
     "q121_nb_train" ->
       s"""WITH $FitCtes
          |SELECT label, token, CAST(n_ct AS BIGINT) AS n_ct, log_lik

@@ -104,7 +104,58 @@ object Datasets {
 
   // --------------------------------------------------------------------- //
 
+  /** q129's pinned sketch geometry — shared by the defaults AND the oracle. */
+  private[operators] val CmsDepth = 4
+  private[operators] val CmsWidth = 1024
+  private[operators] val CmsTopK = 20
+
+  /** Row r's CMS bucket for a token: h60("r-token") mod width — the
+    * cross-engine md5 convention (same family as q26's sign hashes). */
+  private def cmsBucket(r: Int, token: org.apache.spark.sql.Column,
+                        width: Int): org.apache.spark.sql.Column =
+    pmod(TextFunctions.h60(concat(lit(s"$r-"), token)), lit(width.toLong))
+
+  /** All depth buckets packed into one long, 16 bits per row — the single
+    * scan-local codegen'd input column [[graft.functions.CmsAggregator]]
+    * consumes (one md5 per row per occurrence, no shuffle). */
+  private[operators] def cmsPackedBuckets(token: org.apache.spark.sql.Column,
+                                          depth: Int, width: Int): org.apache.spark.sql.Column =
+    (0 until depth).map(r => shiftleft(cmsBucket(r, token, width), r * 16))
+      .reduce(_ + _)
+
+  /** q129 — count-min-sketch heavy hitters: the corpus token-frequency
+    * sketch, evaluated against the exact top-`topK` tokens (estimate,
+    * exact, and the collision overcount — structurally ≥ 0).
+    *
+    * Scale shape: the sketch build is ONE aggregate whose partial state is
+    * a fixed 4×1024 long grid per partition (CmsAggregator scaladoc) — at
+    * 100 TB the shuffle carries 32 KB per partition, not occurrences. The
+    * exact top-K side is the evaluation baseline only (itself a
+    * partial+final token-keyed aggregate, vocab-bounded after the map-side
+    * combine); a production pipeline keeps just the sketch. The probe join
+    * is a 1-row broadcast. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = CmsDepth,
+                      width: Int = CmsWidth, topK: Int = CmsTopK): DataFrame = {
+    val cms = udaf(new graft.functions.CmsAggregator(depth, width),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val occ = docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = occ
+      .select(cmsPackedBuckets(col("token"), depth, width).as("pb"))
+      .agg(cms(col("pb")).as("sketch"))
+    val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(topK)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("token"), col("exact_n"),
+        least((0 until depth).map(r =>
+          element_at(col("sketch"),
+            (lit(r * width) + cmsBucket(r, col("token"), width) + lit(1)).cast("int"))): _*)
+          .as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_cms_heavy" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
     "q110_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.documents(s, d))),
     "q111_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
     "q112_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d)))
@@ -115,6 +166,30 @@ object Datasets {
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "q129_cms_heavy" ->
+      s"""WITH w AS (
+        |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+        |occ AS (
+        |  SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM w, unnest(ws) t(tok) GROUP BY 1),
+        |probes AS (SELECT token, n AS exact_n FROM occ ORDER BY n DESC, token LIMIT $CmsTopK),
+        |rr AS (SELECT CAST(x AS INT) AS r FROM range($CmsDepth) t(x)),
+        |bk AS (
+        |  SELECT o.token, rr.r,
+        |    ${h60sql("CAST(rr.r AS VARCHAR) || '-' || o.token")} % $CmsWidth AS b, o.n
+        |  FROM occ o CROSS JOIN rr),
+        |pb AS (
+        |  SELECT p.token, p.exact_n, rr.r,
+        |    ${h60sql("CAST(rr.r AS VARCHAR) || '-' || p.token")} % $CmsWidth AS b
+        |  FROM probes p CROSS JOIN rr),
+        |cells AS (
+        |  SELECT pb.token, pb.exact_n, pb.r, sum(bk.n) AS cell
+        |  FROM pb JOIN bk ON bk.r = pb.r AND bk.b = pb.b
+        |  GROUP BY 1, 2, 3)
+        |SELECT token, exact_n, CAST(min(cell) AS BIGINT) AS cms_est,
+        |  CAST(min(cell) - exact_n AS BIGINT) AS overcount
+        |FROM cells GROUP BY token, exact_n
+        |ORDER BY exact_n DESC, token""".stripMargin,
     "q110_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT source, ${h60sql("text")} AS h FROM documents),
