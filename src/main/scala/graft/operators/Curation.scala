@@ -325,9 +325,88 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q132's pinned parameters — shared by the defaults AND the oracle. */
+  private[operators] val BoilerBlock = 3
+  private[operators] val BoilerMinDf = 5
+
+  def q132Boilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateStrip(Tables.documents(s, dir))
+
+  /** q132 — cross-document boilerplate stripping, the CCNet paragraph-dedup
+    * recipe (Wenzek et al. 2020 §3.1: hash paragraphs, drop the ones that
+    * repeat across documents) over non-overlapping `blockSize`-token
+    * blocks: a block appearing in ≥ `minDf` DISTINCT documents is
+    * boilerplate (headers/footers/navigation in crawl data); per document,
+    * report the block count, the boilerplate share, and the surviving
+    * token count.
+    *
+    * Scale shape: block construction is scan-local (one transform +
+    * posexplode, no shuffle); the df count shuffles one row per distinct
+    * (doc, block) with map-side combine; the flag join is block-keyed
+    * against the df-FILTERED side — at minDf = k that side is ≤ blocks/k
+    * rows, so AQE broadcasts it when small and degrades to a same-key
+    * shuffle join otherwise (both sides already hash on blk). No all-pairs
+    * path, nothing collected. */
+  def boilerplateStrip(docs: DataFrame, blockSize: Int = BoilerBlock,
+                       minDf: Int = BoilerMinDf): DataFrame = {
+    val blocks = CacheScope.cached(docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, cast(ceil(size(ws) / $blockSize.0d) as int) - 1),
+             |  i -> named_struct(
+             |    'blk', array_join(slice(ws, i * $blockSize + 1, $blockSize), ' '),
+             |    'nt', size(slice(ws, i * $blockSize + 1, $blockSize))))""".stripMargin))
+          .as("e"))
+      .select(col("doc_id"), col("e.blk").as("blk"),
+        col("e.nt").cast("long").as("nt")))
+    val boiler = blocks.select(col("doc_id"), col("blk")).distinct()
+      .groupBy(col("blk")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("blk"), lit(1L).as("is_b"))
+    blocks.join(boiler, Seq("blk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"),
+        sum(when(col("is_b").isNull, col("nt")).otherwise(0L)).as("kept_tokens"))
+      .select(col("doc_id"), col("n_blocks"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_blocks").cast("double"))
+          .as("boiler_ratio"),
+        col("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q133's pinned manifest size. */
+  private[operators] val CurriculumN = 500
+
+  def q133Curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.documents(s, dir))
+
+  /** q133 — curriculum data-loader manifest: docs ordered easiest-first
+    * (n_chars as the difficulty proxy) and round-robin-interleaved across
+    * sources — rank r of every source precedes rank r+1 of any source, so
+    * a sequential reader sees difficulty rise while source mix stays
+    * balanced at every prefix (the standard curriculum + anti-burst
+    * ordering for training shards).
+    *
+    * Scale shape: ONE shuffle on source for the rank window, then the
+    * global (rank, source) order + limit plans as TakeOrderedAndProject —
+    * a top-N heap per partition, never a global sort materialization. The
+    * full-manifest variant (no limit) would range-partition sort instead;
+    * both avoid single-partition windows. */
+  def curriculumOrder(docs: DataFrame, limit: Int = CurriculumN): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .orderBy(col("rank_in_source"), col("source"), col("doc_id"))
+      .limit(limit)
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_boilerplate" -> (q132Boilerplate _),
+    "q133_curriculum" -> (q133Curriculum _),
     "q86_pack_sequences" -> ((s, d) => q86PackSequences(s, d)),
     "q87_contamination" -> ((s, d) => q87Contamination(s, d)),
     "q88_repetition" -> (q88Repetition _),
@@ -339,6 +418,37 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q132_boilerplate" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest([struct_pack(
+        |        blk := array_to_string(ws[i*$BoilerBlock+1:i*$BoilerBlock+$BoilerBlock], ' '),
+        |        nt := len(ws[i*$BoilerBlock+1:i*$BoilerBlock+$BoilerBlock]))
+        |      for i in range(0, CAST(ceil(len(ws) / $BoilerBlock.0) AS INT))]) AS e
+        |  FROM w),
+        |bb AS (SELECT doc_id, e.blk AS blk, CAST(e.nt AS BIGINT) AS nt FROM b),
+        |df AS (
+        |  SELECT blk, count(DISTINCT doc_id) AS df FROM bb GROUP BY 1),
+        |fl AS (
+        |  SELECT bb.doc_id, bb.nt,
+        |    CASE WHEN df.df >= $BoilerMinDf THEN 1 ELSE 0 END AS is_b
+        |  FROM bb JOIN df USING (blk))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(is_b) AS BIGINT) AS n_boiler,
+        |  CAST(sum(is_b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio,
+        |  CAST(sum(CASE WHEN is_b = 0 THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q133_curriculum" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS INT) AS rank_in_source
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rank_in_source FROM r
+        |ORDER BY rank_in_source, source, doc_id LIMIT $CurriculumN""".stripMargin,
     "q94_fuzzy_join" ->
       """WITH p AS (
         |  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk

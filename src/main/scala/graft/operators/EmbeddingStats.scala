@@ -142,9 +142,49 @@ object EmbeddingStats {
       .orderBy(col("label"), col("i"))
   }
 
+  /** q135's pinned projected dimensionality. */
+  private[operators] val JlK = 16
+
+  /** ±1 sign for projection row j, input dim i — bit 0 of the cross-engine
+    * h60 md5 prefix of "j-i" (the SAME convention as q26's LSH hyperplane
+    * signs, so the oracle recomputes the identical matrix). */
+  private def jlSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j-$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
+  }
+
+  /** q135 — Johnson-Lindenstrauss random projection (Achlioptas 2003
+    * database-friendly ±1 variant, public): project each d-dim embedding
+    * to `k` dims through a deterministic hash-derived ±1 matrix. Distances
+    * are preserved within (1±ε) after 1/√k scaling (spec-pinned on real
+    * pairs); the k-dim sketch then feeds any downstream ANN/clustering at
+    * d/k of the memory and FLOPs.
+    *
+    * Scale shape: the k×d sign matrix is a PLAN LITERAL (1 KB — computed
+    * once driver-side, serialized into the codegen'd expression; nothing
+    * broadcast, nothing joined); projection is one scan-local
+    * zip_with/aggregate chain per output dim — zero shuffles beyond the
+    * output sort. Integer-exact: inputs are floor(e·2^20) longs (the
+    * module's quantization idiom), signs are ±1, so every projected
+    * coordinate is an exact long both engines compute identically. */
+  def jlProject(embs: DataFrame, k: Int = JlK): DataFrame = {
+    val q = quantized(col("embedding"))
+    val projections = (0 until k).map { j =>
+      val signs = array((0 until EmbDim).map(i => lit(jlSign(j, i))): _*)
+      aggregate(zip_with(q, signs, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    }
+    embs.select(col("vec_id"),
+        posexplode(array(projections: _*)).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("int").as("j"), col("proj"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_jl_project" -> ((s, d) => jlProject(Tables.embeddings(s, d))),
     "q115_embedding_gram" -> ((s, d) => gramMatrix(s, Tables.embeddings(s, d))),
     "q116_embedding_outliers" -> ((s, d) => outlierScores(s, Tables.embeddings(s, d))),
     "q120_label_moments" -> ((s, d) => labelMoments(s, Tables.embeddings(s, d)))
@@ -163,6 +203,22 @@ object EmbeddingStats {
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q135_jl_project" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sl AS (
+         |  SELECT CAST(j AS INT) AS j,
+         |    [CASE WHEN (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '-' ||
+         |        CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
+         |      THEN 1 ELSE -1 END for i in range($EmbDim)] AS signs
+         |  FROM range($JlK) r(j))
+         |SELECT v.vec_id, sl.j,
+         |  CAST(list_sum(
+         |    [CAST(floor(e[CAST(i AS INT)+1] * ${1L << ScaleBits}) AS BIGINT)
+         |       * signs[CAST(i AS INT)+1]
+         |     for i in range($EmbDim)]) AS BIGINT) AS proj
+         |FROM v CROSS JOIN sl
+         |ORDER BY vec_id, j""".stripMargin,
     "q115_embedding_gram" ->
       s"""$momentCtes,
          |g AS (

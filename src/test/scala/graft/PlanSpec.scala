@@ -144,7 +144,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q124_importance_resample", // 1-row LM-total attaches on the vocab-bounded delta frame
       "q125_holdout_eval", // dense-model build on the train split
       "q126_pr_curve", // 9-row threshold frame crossed with the scored corpus
-      "q127_budget_select") // dense-model build (binary fit)
+      "q127_budget_select", // dense-model build (binary fit)
+      "q129_cms_heavy", // 1-row sketch crossed with the top-k probe frame
+      "q131_feature_mi", // 1-row class-sizes attach on the vocab frame
+      "q134_triangles") // 1-row total-count attach on the per-node frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
