@@ -245,9 +245,43 @@ object Analytics {
       .orderBy(col("source"))
   }
 
+  /** q138's pinned output size. */
+  private[operators] val BurstTopN = 10
+
+  /** q138 — burst detection: per-minute event counts z-scored against the
+    * whole-stream mean/std, top-`topN` spikes (the monitoring primitive
+    * behind rate-anomaly alerts / crawl-burst triage).
+    *
+    * Scale shape: one partial+final aggregate on the minute key (counts
+    * combine map-side), one 1-row moment aggregate over the minute frame
+    * (which is |minutes|-sized, not event-sized), broadcast back; top-N
+    * plans as TakeOrderedAndProject. Moments ride exact decimal sums
+    * (counts² overflow a long once a minute holds >3e9 events), z is a
+    * fixed double dag both engines evaluate identically. Assumes ≥2
+    * distinct counts (zero variance → no bursts to rank). */
+  def burstDetect(events: DataFrame, topN: Int = BurstTopN): DataFrame = {
+    val perMin = events
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val cD = col("c").cast("decimal(19,0)")
+    val stats = perMin.agg(
+      count(lit(1)).as("m"),
+      sum(cD).as("s"),
+      sum((cD * cD).cast("decimal(38,0)")).as("ss"))
+    val mD = col("m").cast("double")
+    val mean = col("s").cast("double") / mD
+    val variance = col("ss").cast("double") / mD - mean * mean
+    perMin.crossJoin(broadcast(stats))
+      .select(col("minute"), col("c"),
+        ((col("c").cast("double") - mean) / sqrt(variance)).as("z"))
+      .orderBy(col("z").desc, col("minute"))
+      .limit(topN)
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_burst_detect" -> ((s, d) => burstDetect(Tables.events(s, d))),
     "q128_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q130_ols_trend" -> ((s, d) => olsTrend(Tables.documents(s, d))),
     "q50_salted_join" -> (saltedSupplierJoin _),
@@ -261,6 +295,26 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q138_burst_detect" ->
+      s"""WITH pm AS (
+        |  SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    sum(CAST(c AS HUGEINT)) AS s,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+        |  FROM pm),
+        |j AS (
+        |  SELECT pm.minute, pm.c,
+        |    CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE) AS mean,
+        |    CAST(st.ss AS DOUBLE) / CAST(st.m AS DOUBLE)
+        |      - (CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE))
+        |        * (CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE)) AS variance
+        |  FROM pm CROSS JOIN st)
+        |SELECT minute, c,
+        |  (CAST(c AS DOUBLE) - mean) / sqrt(variance) AS z
+        |FROM j ORDER BY z DESC, minute LIMIT $BurstTopN""".stripMargin,
     "q128_sessionize" ->
       s"""WITH o AS (
         |  SELECT user_id, event_id, ts, value,

@@ -154,7 +154,38 @@ object Datasets {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** q137 — per-source dataset card: the one-row-per-source profile a
+    * corpus release ships (doc/token volume, length, language mix with
+    * entropy and majority share). The language columns, the entropy fold
+    * order, and the oracle SQL all derive from the SAME pinned class list
+    * (Classify.MiClasses — the q131 determinism convention).
+    *
+    * Scale shape: ONE partial+final aggregate keyed by source; every
+    * language stat is a conditional-sum column inside it (no per-lang
+    * pass, no pivot shuffle). Entropy/majority are fixed double dags over
+    * exact longs, computed post-aggregate on |sources| rows. */
+  def dataCard(docs: DataFrame,
+               classes: Seq[String] = Classify.MiClasses): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"),
+      sum(col("n_chars")).as("sum_chars")) ++
+      classes.map(c => sum(when(col("lang") === c, 1L).otherwise(0L)).as(s"n_$c"))
+    val m = docs.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_docs").cast("double")
+    def entTerm(c: String): org.apache.spark.sql.Column =
+      when(col(s"n_$c") === 0L, lit(0.0)).otherwise(
+        -(col(s"n_$c").cast("double") / nD) * log(col(s"n_$c").cast("double") / nD))
+    m.select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("sum_chars").cast("double") / nD).as("mean_chars"),
+        classes.map(entTerm).reduce(_ + _).as("lang_entropy"),
+        (greatest(classes.map(c => col(s"n_$c")): _*).cast("double") / nD)
+          .as("majority_share"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_data_card" -> ((s, d) => dataCard(Tables.documents(s, d))),
     "q129_cms_heavy" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
     "q110_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.documents(s, d))),
     "q111_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
@@ -165,7 +196,32 @@ object Datasets {
   private def h60sql(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
 
+  /** q137 oracle, generated from the same pinned class list as the engine
+    * expression (q131 convention: identical term structure + fold order). */
+  private def dataCardOracle(classes: Seq[String]): String = {
+    val nCols = classes.map(c =>
+      s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS n_$c").mkString(",\n    ")
+    def entTerm(c: String): String =
+      s"""CASE WHEN n_$c = 0 THEN 0.0 ELSE
+         |    -(CAST(n_$c AS DOUBLE) / nD) * ln(CAST(n_$c AS DOUBLE) / nD) END""".stripMargin
+    s"""WITH m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |      AS total_tokens,
+       |    sum(n_chars) AS sum_chars,
+       |    $nCols
+       |  FROM documents GROUP BY source),
+       |j AS (SELECT *, CAST(n_docs AS DOUBLE) AS nD FROM m)
+       |SELECT source, n_docs, total_tokens,
+       |  CAST(sum_chars AS DOUBLE) / nD AS mean_chars,
+       |  ${classes.map(entTerm).mkString("\n  + ")} AS lang_entropy,
+       |  CAST(greatest(${classes.map(c => s"n_$c").mkString(", ")}) AS DOUBLE) / nD
+       |    AS majority_share
+       |FROM j ORDER BY source""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q137_data_card" -> dataCardOracle(Classify.MiClasses),
     "q129_cms_heavy" ->
       s"""WITH w AS (
         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),

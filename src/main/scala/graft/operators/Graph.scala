@@ -102,6 +102,48 @@ object Graph {
   /** q134's pinned output size. */
   private[operators] val TriTopN = 10
 
+  /** q136's pinned round count — shared by the default AND the unrolled
+    * oracle. */
+  private[operators] val LpIters = 4
+
+  /** q136 — synchronous min-label propagation, `iters` fixed rounds, over
+    * the co-purchase graph (self-loops added so a round is ONE join + ONE
+    * min-aggregate: label(v,r) = min over E∪self of label(u,r-1)). After k
+    * rounds every node carries the smallest node id within graph distance
+    * k — connected components for any component of diameter ≤ k, and the
+    * bounded-round approximation (the BSP/Pregel round structure) beyond.
+    * Complements the UNBOUNDED union-find closure in Dedup (q49/q69): a
+    * fixed round budget is what a production job on a web-scale graph
+    * actually runs, because it bounds wall-clock regardless of diameter.
+    *
+    * Scale shape: identical to q109's loop — the edge frame is built once
+    * and cached, each round is one edge⋈labels join (label vector is
+    * |nodes| rows — broadcast while it fits, shuffle-degrades gracefully)
+    * plus a partial+final min on dst, and localCheckpoint keeps every
+    * round the same flat two-table plan. Labels are node ids (longs) —
+    * min is exact, no float anywhere. */
+  def labelPropagation(s: SparkSession, lineitem: DataFrame,
+                       iters: Int = LpIters): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val und = baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val nodes = und.select(col("src").as("v")).distinct()
+    val edges = graft.core.CacheScope.cached(
+      und.union(nodes.select(col("v").as("src"), col("v").as("dst"))).distinct())
+    var labels = nodes.select(col("v").as("node"), col("v").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("part"), col("lbl").as("community"))
+      .orderBy(col("part"))
+  }
+
   /** q134 — triangle counting on the co-purchase graph: the total triangle
     * count plus the `topN` most triangle-dense products (the standard
     * cohesion/clustering primitive; triangle-rich nodes sit in tightly
@@ -166,8 +208,31 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_pagerank" -> ((s, d) => pagerank(s, Tables.lineitem(s, d))),
-    "q134_triangles" -> ((s, d) => triangles(s, Tables.lineitem(s, d)))
+    "q134_triangles" -> ((s, d) => triangles(s, Tables.lineitem(s, d))),
+    "q136_label_prop" -> ((s, d) => labelPropagation(s, Tables.lineitem(s, d)))
   )
+
+  /** Unrolled LpIters-round DuckDB twin of q136 — pure integer mins, so the
+    * rounds compose exactly. */
+  private val labelPropOracle: String = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""l$i AS (
+         |  SELECT e2.dst AS node, min(l${i - 1}.lbl) AS lbl
+         |  FROM e2 JOIN l${i - 1} ON l${i - 1}.node = e2.src
+         |  GROUP BY e2.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |nodes AS (SELECT DISTINCT src AS v FROM und),
+       |e2 AS (SELECT src, dst FROM und UNION SELECT v, v FROM nodes),
+       |l0 AS (SELECT v AS node, v AS lbl FROM nodes),
+       |$rounds
+       |SELECT node AS part, CAST(lbl AS BIGINT) AS community
+       |FROM l$LpIters ORDER BY part""".stripMargin
+  }
 
   /** Unrolled PrIters-iteration DuckDB twin: same graph, same fixed-point-
     * scaled power iteration. The teleport base is emitted as
@@ -204,6 +269,7 @@ object Graph {
 
   def oracles: Map[String, String] = Map(
     "q109_pagerank" -> pagerankOracle,
+    "q136_label_prop" -> labelPropOracle,
     "q134_triangles" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (

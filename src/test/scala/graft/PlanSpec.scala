@@ -147,7 +147,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q127_budget_select", // dense-model build (binary fit)
       "q129_cms_heavy", // 1-row sketch crossed with the top-k probe frame
       "q131_feature_mi", // 1-row class-sizes attach on the vocab frame
-      "q134_triangles") // 1-row total-count attach on the per-node frame
+      "q134_triangles", // 1-row total-count attach on the per-node frame
+      "q138_burst_detect") // 1-row moment attach on the per-minute frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

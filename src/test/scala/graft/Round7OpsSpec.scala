@@ -183,6 +183,70 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == perNode.size, "every triangle-bearing node emitted")
   }
 
+  // ------------------------------------------------------------------ q136
+
+  test("q136 label propagation == driver-side k-round BFS-min reference") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Graph.labelPropagation(spark, li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver path: adjacency map + k rounds of synchronous min
+    val edges = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { basket =>
+        val ps = basket.map(_._2).toSeq.distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSet
+    val nodes = edges.map(_._1) ++ edges.map(_._2)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      lbl = nodes.map { v =>
+        v -> (adj.getOrElse(v, Iterable.empty).map(lbl) ++ Seq(lbl(v))).min
+      }.toMap
+    }
+    assert(got == lbl, "synchronous min-label rounds must agree")
+    // on this dense graph 4 rounds reach the component minimum everywhere
+    val comp = got.values.toSet
+    assert(comp.forall(c => got(c) == c), "component labels are fixed points")
+  }
+
+  // ------------------------------------------------------------------ q137
+
+  test("q137 data card: entropy/majority bounds and volume accounting") {
+    val docs = Tables.documents(spark, sf01)
+    val rows = Datasets.dataCard(docs).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "doc accounting closes")
+    rows.foreach { r =>
+      val ent = r.getDouble(4); val maj = r.getDouble(5)
+      assert(ent >= -1e-12 && ent <= math.log(5.0) + 1e-12, s"entropy $ent")
+      assert(maj >= 0.2 - 1e-12 && maj <= 1.0 + 1e-12, s"majority $maj")
+    }
+    val totalToks = Tables.documents(spark, sf01)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalToks, "token accounting closes")
+  }
+
+  // ------------------------------------------------------------------ q138
+
+  test("q138 bursts == driver-side z-score reference; top-10 is global") {
+    val ev = Tables.events(spark, sf01)
+    val rows = Analytics.burstDetect(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val perMin = ev.groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val n = perMin.length.toDouble
+    val mean = perMin.map(_._2).sum / n
+    val variance = perMin.map(t => t._2.toDouble * t._2).sum / n - mean * mean
+    val want = perMin.map { case (m, c) => (m, c, (c - mean) / math.sqrt(variance)) }
+      .sortBy(t => (-t._3, t._1.getTime)).take(10)
+    assert(rows.map(_._1).toSeq == want.map(_._1).toSeq, "same top minutes")
+    rows.zip(want).foreach { case ((_, cg, zg), (_, cw, zw)) =>
+      assert(cg == cw); assert(math.abs(zg - zw) < 1e-9)
+    }
+  }
+
   // ------------------------------------------------------------------ q135
 
   test("q135 JL projection preserves pairwise distances within JL tolerance") {
