@@ -15,7 +15,7 @@ object Datasets {
 
   /** Pinned parameters shared by the queries' defaults AND the generated
     * oracle SQL (one source of truth, per the round-5 advice pattern). */
-  private[operators] val KmvK = 64
+  private[graft] val KmvK = 64
   private[operators] val ValFrac = 0.1
   private[operators] val TestFrac = 0.2
   private[operators] val OverlapN = 8
@@ -105,8 +105,8 @@ object Datasets {
   // --------------------------------------------------------------------- //
 
   /** q129's pinned sketch geometry — shared by the defaults AND the oracle. */
-  private[operators] val CmsDepth = 4
-  private[operators] val CmsWidth = 1024
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
   private[operators] val CmsTopK = 20
 
   /** Row r's CMS bucket for a token: h60("r-token") mod width — the
@@ -118,8 +118,8 @@ object Datasets {
   /** All depth buckets packed into one long, 16 bits per row — the single
     * scan-local codegen'd input column [[graft.functions.CmsAggregator]]
     * consumes (one md5 per row per occurrence, no shuffle). */
-  private[operators] def cmsPackedBuckets(token: org.apache.spark.sql.Column,
-                                          depth: Int, width: Int): org.apache.spark.sql.Column =
+  private[graft] def cmsPackedBuckets(token: org.apache.spark.sql.Column,
+                                      depth: Int, width: Int): org.apache.spark.sql.Column =
     (0 until depth).map(r => shiftleft(cmsBucket(r, token, width), r * 16))
       .reduce(_ + _)
 

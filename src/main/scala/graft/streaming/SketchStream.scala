@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.{CmsAggregator, KmvAggregator, TextFunctions}
+import graft.operators.Datasets
+
+/** Streaming incremental sketch maintenance — the online twin of the
+  * profiling sketches (q110 KMV, q129 CMS): documents arrive in
+  * micro-batches; each batch contributes ONE row of sketch state (its KMV
+  * token sample and its CMS counter grid), and the corpus-level sketch at
+  * any point is the pure MERGE of the per-batch rows.
+  *
+  * Why this is exact rather than approximate-on-top-of-approximate: both
+  * sketches are commutative monoids — the CMS grid under elementwise add,
+  * the KMV sketch under k-smallest-distinct union — so merging per-batch
+  * sketches equals sketching the union (spec-pinned against the one-shot
+  * aggregators). This is the property that makes the sketches USEFUL at
+  * 100 TB: a day's corpus profile is a ~32 KB row per batch, the all-time
+  * profile is a fold over rows, and nothing ever rescans history.
+  *
+  * Crash story (the DocsStream recipe): each batch OVERWRITES its own
+  * `batch_id=N` partition, so replay converges to the same file.
+  */
+object SketchStream {
+
+  /** Start the sketch stream over `docs` (streaming frame with the
+    * documents schema): per batch N one row (kmv, cms) under
+    * `sketchDir/batch_id=N`. */
+  def sketchStream(spark: SparkSession, docs: DataFrame, sketchDir: String,
+                   checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, sketchDir)
+      }
+      .start()
+
+  /** One micro-batch: one aggregate pass over the batch, one 1-row write.
+    * KMV is over distinct TOKEN hashes (vocabulary cardinality), CMS over
+    * token occurrences (frequency) — the same keys as q110/q129. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  sketchDir: String): Unit = {
+    val b = batch.select(col("text"))
+    if (!b.isEmpty) {
+      batchSketch(b)
+        .write.mode("overwrite").parquet(s"$sketchDir/batch_id=$batchId")
+    }
+  }
+
+  /** The (kmv, cms) sketch row for one frame. */
+  private[graft] def batchSketch(frame: DataFrame): DataFrame = {
+    val kmv = udaf(new KmvAggregator(Datasets.KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val cms = udaf(new CmsAggregator(Datasets.CmsDepth, Datasets.CmsWidth),
+      org.apache.spark.sql.Encoders.scalaLong)
+    frame.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .select(TextFunctions.h60(col("token")).as("h"),
+        Datasets.cmsPackedBuckets(col("token"),
+          Datasets.CmsDepth, Datasets.CmsWidth).as("pb"))
+      .agg(kmv(col("h")).as("kmv"), cms(col("pb")).as("cms"))
+  }
+
+  /** Merged corpus sketch from the accumulated per-batch rows: KMV = the k
+    * smallest distinct hashes across batches, CMS = elementwise counter
+    * sum. Distributed relational merge (explode → re-aggregate) — the
+    * batch count is the row count here, so this frame is tiny at any
+    * corpus size. */
+  def mergedSketch(spark: SparkSession, sketchDir: String): DataFrame = {
+    val rows = spark.read.parquet(s"$sketchDir/batch_id=*")
+    val kmvMerged = rows
+      .select(explode(col("kmv")).as("h")).distinct()
+      .agg(slice(array_sort(collect_list(col("h"))), 1, Datasets.KmvK).as("kmv"))
+    val cmsMerged = rows
+      .select(posexplode(col("cms")).as(Seq("idx", "v")))
+      .groupBy(col("idx")).agg(sum(col("v")).as("v"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
+        x => x.getField("v")).as("cms"))
+    kmvMerged.crossJoin(cmsMerged)
+  }
+}
