@@ -278,9 +278,55 @@ object Analytics {
       .limit(topN)
   }
 
+  /** q143 — per-user daily activity series with gap days materialized and
+    * the last observed daily value carried forward (the resample/gap-fill
+    * primitive behind per-entity time-series features: a model reading
+    * "activity on day d" needs d to EXIST as a row even when no event
+    * landed, and forward-fill is the standard imputation).
+    *
+    * Scale shape: the corpus-sized work is ONE partial+final aggregate on
+    * (user_id, day) — the only shuffle that sees event-count rows. The
+    * day grid is generated per user from that aggregate's min/max
+    * (`sequence` + explode — scan-local, |users × span| rows, never
+    * event-sized), and the grid⋈daily join plus the forward-fill window
+    * all cluster by user_id alone — hashpartitioning(user_id) satisfies
+    * the (user_id, day) join's ClusteredDistribution, so EnsureRequirements
+    * inserts no further exchange: everything after the daily rollup rides
+    * one small |users×days| shuffle. Dense-calendar caveat at 100 TB: the
+    * grid is span-bounded (a user active 10 years = 3.7k rows) — fine for
+    * entity counts; a per-SECOND grid would instead bucket the span.
+    *
+    * Determinism: day values are exact decimal sums cast to double once;
+    * the forward-fill copies those doubles (no re-aggregation), so both
+    * engines carry bit-identical values. */
+  def gapFill(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("day_value"))
+      // tiny frame: re-cluster by user only, so the span agg, the grid
+      // join and the ffill window below all reuse THIS exchange
+      .repartition(col("user_id"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      // q09 convention: DATE columns cross-engine as midnight timestamps
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"),
+        when(col("day_value").isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_gap_fill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q138_burst_detect" -> ((s, d) => burstDetect(Tables.events(s, d))),
     "q128_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q130_ols_trend" -> ((s, d) => olsTrend(Tables.documents(s, d))),
@@ -295,6 +341,26 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q143_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(r.d AS DATE) AS day
+        |  FROM span, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS r(d))
+        |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING) AS ffill_value,
+        |  CASE WHEN d.day IS NULL THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS is_gap
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "q138_burst_detect" ->
       s"""WITH pm AS (
         |  SELECT date_trunc('minute', ts) AS minute,

@@ -184,7 +184,91 @@ object Datasets {
       .orderBy(col("source"))
   }
 
+  /** q139's pinned sample-size target — shared by the default AND the
+    * generated oracle. */
+  private[operators] val PpsTarget = 100L
+  private val Pow60Dec = "1152921504606846976" // 2^60 exact integer literal
+
+  /** q144 — probability-proportional-to-size Bernoulli sample: include a
+    * doc with probability min(1, c·w/W), w = n_chars, W = Σw — the
+    * length-weighted counterpart of the uniform q48/q111 family (long
+    * docs carry more training tokens; PPS keeps the token budget honest),
+    * with the Horvitz–Thompson weight 1/p for unbiased downstream sums.
+    *
+    * Scale shape: ONE 1-row total aggregate (partial+final long sum)
+    * broadcast back over the scan — the decision h60(doc_id)·W < c·w·2^60
+    * is scan-local, so the operator is a single pass with a 1-row side
+    * input at any corpus size; no sort, no window, no per-group state.
+    *
+    * Determinism: the inclusion test is pure integer arithmetic in
+    * decimal(38,0) (h60 < 2^60 ≈ 1.2e18, W ≤ ~1e14 at 100 TB text → the
+    * product stays < 1e33 < 1e38; DuckDB runs the same compare in
+    * HUGEINT), and p/weight are single IEEE divisions of exact integers —
+    * bit-identical cross-engine. Same stability property as q111: a doc's
+    * inclusion threshold c·w/W moves only when the CORPUS total moves,
+    * and the h60 keys are fixed, so refreshes re-sample minimally. */
+  def ppsSample(docs: DataFrame, c: Long = PpsTarget): DataFrame = {
+    val tot = docs.agg(sum(col("n_chars")).as("w_total"))
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val h = TextFunctions.h60(col("doc_id").cast("string"))
+    docs.crossJoin(broadcast(tot))
+      .filter(dec(h) * dec(col("w_total")) <
+        dec(lit(c)) * dec(col("n_chars")) * dec(lit(Pow60Dec)))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(lit(1.0), (lit(c.toDouble) * col("n_chars").cast("double")) /
+          col("w_total").cast("double")).as("p_include"))
+      .withColumn("ht_weight", lit(1.0) / col("p_include"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q139 — pairwise source-overlap estimate from KMV sketches: the
+    * sketch-based alternative to q112's exact gram self-join. For each
+    * source pair, merge the two k-min sketches (k smallest of the union
+    * — valid because each side holds ITS k smallest distinct hashes),
+    * count how many of the merged sketch's values appear in BOTH input
+    * sketches → Jaccard estimate ρ = shared/k', union estimate from the
+    * k'-th smallest, intersection ≈ ρ · union (Beyer et al. 2007, the
+    * standard KMV set-operation estimators).
+    *
+    * Scale shape: THE point of the sketch — the only corpus-sized work is
+    * the gram scan feeding one partial+final KMV aggregate (≤ k longs per
+    * partition per source, vs q112 shuffling the full distinct gram set
+    * and self-joining it). The pair stage is |sources|² rows of k-long
+    * arrays — row-local array ops on a broadcast-sized frame. At 100 TB
+    * q112 is the audit; THIS is what runs daily.
+    *
+    * Determinism: sketches are set properties of the hash sets (KMV
+    * scaladoc); merge/intersect/estimates are integer array ops + single
+    * IEEE divisions — the oracle re-derives identical sketches via SQL
+    * windows. */
+  def kmvOverlap(docs: DataFrame, k: Int = KmvK, n: Int = OverlapN): DataFrame = {
+    VectorFunctions.register(docs.sparkSession)
+    val kmv = udaf(new KmvAggregator(k), org.apache.spark.sql.Encoders.scalaLong)
+    val sk = docs
+      .select(col("source"), explode(VectorFunctions.wordNgramList(col("text"), n)).as("g"))
+      .select(col("source"), TextFunctions.h60(col("g")).as("h"))
+      .groupBy(col("source")).agg(kmv(col("h")).as("sk"))
+    val merged = slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k)
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"), merged.as("mu"))
+      .select(col("source_a"), col("source_b"),
+        size(col("mu")).as("k_used"),
+        size(array_intersect(array_intersect(col("mu"), col("ska")), col("skb")))
+          .as("shared_in_sketch"),
+        when(size(col("mu")) < k, size(col("mu")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("mu"), k).cast("double") / lit(Pow60)))
+          .as("est_union"))
+      .withColumn("est_jaccard",
+        col("shared_in_sketch").cast("double") / col("k_used").cast("double"))
+      .withColumn("est_shared", col("est_jaccard") * col("est_union"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_kmv_overlap" -> ((s, d) => kmvOverlap(Tables.documents(s, d))),
+    "q144_pps_sample" -> ((s, d) => ppsSample(Tables.documents(s, d))),
     "q137_data_card" -> ((s, d) => dataCard(Tables.documents(s, d))),
     "q129_cms_heavy" -> ((s, d) => cmsHeavyHitters(Tables.documents(s, d))),
     "q110_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.documents(s, d))),
@@ -277,6 +361,60 @@ object Datasets {
          |  END AS split
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "q144_pps_sample" ->
+      s"""WITH tot AS (
+         |  SELECT CAST(sum(n_chars) AS HUGEINT) AS w FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |  least(1.0, ($PpsTarget.0 * CAST(n_chars AS DOUBLE)) / CAST(w AS DOUBLE))
+         |    AS p_include,
+         |  1.0 / least(1.0, ($PpsTarget.0 * CAST(n_chars AS DOUBLE)) / CAST(w AS DOUBLE))
+         |    AS ht_weight
+         |FROM documents, tot
+         |WHERE CAST(${h60sql("CAST(doc_id AS VARCHAR)")} AS HUGEINT) * w
+         |  < CAST($PpsTarget AS HUGEINT) * CAST(n_chars AS HUGEINT)
+         |    * CAST($Pow60Dec AS HUGEINT)
+         |ORDER BY doc_id""".stripMargin,
+    "q139_kmv_overlap" ->
+      s"""WITH w AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |    ${h60sql(s"list_aggregate(ws[CAST(r.i AS INT) + 1 : CAST(r.i AS INT) + $OverlapN], 'string_agg', ' ')")} AS h
+         |  FROM w, unnest(range(0, len(ws) - ${OverlapN - 1})) AS r(i)),
+         |rk AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM g),
+         |sk AS (SELECT source, h FROM rk WHERE rn <= $KmvK),
+         |pr AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM (SELECT DISTINCT source FROM sk) a
+         |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+         |u AS (
+         |  SELECT pr.sa, pr.sb, s.h, CAST(count(*) AS INT) AS sides
+         |  FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb
+         |  GROUP BY 1, 2, 3),
+         |ru AS (
+         |  SELECT sa, sb, h, sides,
+         |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+         |  FROM u),
+         |agg AS (
+         |  SELECT sa, sb, CAST(count(*) AS INT) AS k_used,
+         |    CAST(count(*) FILTER (sides = 2) AS INT) AS shared_in_sketch,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS kth
+         |  FROM ru WHERE rn <= $KmvK GROUP BY 1, 2)
+         |SELECT sa AS source_a, sb AS source_b, k_used, shared_in_sketch,
+         |  CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+         |  END AS est_union,
+         |  CAST(shared_in_sketch AS DOUBLE) / CAST(k_used AS DOUBLE) AS est_jaccard,
+         |  (CAST(shared_in_sketch AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+         |    (CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+         |          ELSE ${KmvK - 1}.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+         |     END) AS est_shared
+         |FROM agg
+         |ORDER BY source_a, source_b""".stripMargin,
     "q112_source_overlap" ->
       s"""WITH w AS (
          |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
