@@ -402,9 +402,44 @@ object Curation {
       .limit(limit)
   }
 
+  /** q140 — edit-distance-1 token pairs via deletion-neighborhood blocking
+    * (the SymSpell candidate scheme, public): two tokens are within one
+    * edit (substitution, insertion, or deletion) iff their deletion-1
+    * neighborhoods — the token itself plus every single-character deletion
+    * — intersect. Joining on neighborhood members therefore finds ALL
+    * distance-1 pairs with NO quadratic vocab self-join, the spell/typo
+    * candidate primitive behind vocabulary cleanup (a low-frequency token
+    * one edit from a high-frequency one is a typo candidate; both counts
+    * are emitted so callers pick their own ratio).
+    *
+    * Scale shape: the corpus-sized work is one token-count aggregate
+    * (partial+final, vocab-bounded after map-side combine). Everything
+    * after runs on the VOCAB: the neighborhood explode is |vocab| × (len+1)
+    * rows, the equi-join is variant-keyed (hash-shuffled, no broadcast
+    * needed though AQE will pick one while the vocab side is small), and
+    * the levenshtein verify runs only on candidates. A 10M-type vocab at
+    * avg length 8 is ~90M variant rows — trivial next to the corpus scan. */
+  def typoPairs(parts: DataFrame): DataFrame = {
+    val toks = parts.select(explode(split(col("p_name"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vars = toks.select(col("tok"), col("n"),
+      explode(array_union(array(col("tok")),
+        transform(sequence(lit(1), length(col("tok"))), i =>
+          concat(col("tok").substr(lit(1), i - lit(1)),
+            col("tok").substr(i + lit(1), length(col("tok"))))))).as("v"))
+    vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_typo_join" -> ((s, d) => typoPairs(Tables.part(s, d))),
     "q132_boilerplate" -> (q132Boilerplate _),
     "q133_curriculum" -> (q133Curriculum _),
     "q86_pack_sequences" -> ((s, d) => q86PackSequences(s, d)),
@@ -418,6 +453,20 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q140_typo_join" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |v AS (
+        |  SELECT tok, n,
+        |    unnest(list_distinct(list_prepend(tok,
+        |      [tok[1:CAST(i AS INT)-1] || tok[CAST(i AS INT)+1:]
+        |       for i in range(1, len(tok)+1)]))) AS var
+        |  FROM c)
+        |SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b, a.n AS n_a, b.n AS n_b
+        |FROM v a JOIN v b ON a.var = b.var AND a.tok < b.tok
+        |WHERE levenshtein(a.tok, b.tok) = 1
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "q132_boilerplate" ->
       s"""WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -496,7 +496,57 @@ object Dedup {
 
   // --------------------------------------------------------------------- //
 
+  /** q142's pinned threshold — shared by the default AND the oracle. */
+  private[operators] val ContainThreshold = 0.9
+
+  /** q142 — asymmetric containment pairs: directed (doc_a, doc_b) where
+    * C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t. Jaccard (q21) misses the
+    * doc-inside-doc case — a short document pasted into a long one has
+    * tiny Jaccard but containment ≈ 1 — and that asymmetric shape is
+    * exactly what quote/boilerplate/wrapper duplication looks like in a
+    * training corpus.
+    *
+    * Candidate generation is the prefix filter adapted to containment:
+    * A can miss at most |A| − ⌈t·|A|⌉ of its shingles, so A's
+    * (df-ascending) prefix of length |A| − ⌈t·|A|⌉ + 1 must hit B —
+    * but ONLY the A side can be prefixed (B may contain A anywhere), so
+    * the join is prefix(A) ⋈ full-posting(B). Verification is the same
+    * merge-walk `SortedIntersectCount` over the cached sorted shingle
+    * arrays as q21.
+    *
+    * Scale shape: shingle-keyed shuffle join, no broadcast of anything
+    * corpus-sized; df-ascending prefixes steer A-side probes to RARE
+    * shingles, so the full-posting side of each match is short. A
+    * pathological shingle whose df is huge can still fan out — the same
+    * skew note as q21, and the same salting/df-cap fallback applies. */
+  def containmentPairs(docs: DataFrame, threshold: Double = ContainThreshold): DataFrame = {
+    val sh = CacheScope.cached(shingledHashed(docs))
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = posting.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = ranked.as("a")
+      .join(posting.select(col("doc_id"), col("s")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "q20_dedup_exact" -> ((s, d) => exactDupGroups(Tables.documents(s, d))),
     "q21_dedup_jaccard" -> ((s, d) => jaccardPairs(Tables.documents(s, d))),
     "q22_dedup_minhash" -> ((s, d) => minhashPairs(Tables.documents(s, d))),
@@ -541,6 +591,22 @@ object Dedup {
         |WHERE n_dups > 1
         |ORDER BY doc_id""".stripMargin,
     "q21_dedup_jaccard" -> jaccardOracle,
+    "q142_containment" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(a.s) AS DOUBLE) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(a.s) AS DOUBLE) >= $ContainThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q22_dedup_minhash" -> jaccardOracle,
     // incremental = exact pairs restricted to those touching the new batch
     // (doc_b >= 250 suffices: pairs are ordered and batch ids are highest)

@@ -213,9 +213,81 @@ object Graph {
       .limit(topN)
   }
 
+  /** q141's round guard — the alternating algorithm needs O(log n) rounds;
+    * 20 covers any graph that fits any cluster. */
+  private[operators] val CcStarMaxRounds = 20
+
+  /** q141 — connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public): each round rewires edges toward component
+    * minima and converges in O(log n) rounds on ANY graph. This is the
+    * scale path that complements the two existing closures — Dedup's
+    * min-label loop (q49) is O(diameter) rounds, which is fine for
+    * shallow near-dup chains but unbounded on a long-path graph, and
+    * q136's fixed budget truncates; star-contraction is the
+    * diameter-independent production answer.
+    *
+    *   large-star(u): m = min(Γ(u) ∪ {u}); emit (m, v) for v ∈ Γ(u), v > u
+    *   small-star(u): over canonical (lo, hi) edges grouped by hi:
+    *                  m = min(lo's); emit (m, v) for the other lo's and hi
+    *
+    * Both phases are ONE partial+final min-aggregate plus one join of the
+    * edge list against that |nodes|-bounded min frame — no per-node
+    * neighbor arrays (hub degree never materializes), no broadcast of
+    * anything unbounded, distinct() keeps the edge set canonical. Each
+    * round localCheckpoints (q109's flat-plan discipline). Convergence =
+    * the canonical edge set reached a fixed point, checked with one
+    * distinct-union count per round (sets equal iff |a| = |b| = |a ∪ b|).
+    *
+    * Determinism: labels are integer minima; the fixed point is the star
+    * forest rooted at component minima regardless of execution order. */
+  def ccStar(s: SparkSession, lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val und = graft.core.CacheScope.cached(baskets
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct())
+    var edges = und.select(col("a").as("lo"), col("b").as("hi")).localCheckpoint()
+    var prevCount = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < CcStarMaxRounds) {
+      // large-star: group the SYMMETRIC view by u, attach min neighbor
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("mv"), col("u")).as("lo"), col("v").as("hi"))
+        .distinct().localCheckpoint()
+      // small-star: canonical edges grouped by their larger endpoint
+      val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("ml"))
+      val ss = ls.join(minsS, "hi").filter(col("lo") =!= col("ml"))
+        .select(col("ml").as("lo"), col("lo").as("hi"))
+        .union(minsS.select(col("ml").as("lo"), col("hi")))
+        .distinct().localCheckpoint()
+      val newCount = ss.count()
+      // fixed point: same count and the distinct union adds nothing
+      converged = newCount == prevCount &&
+        edges.union(ss).distinct().count() == newCount
+      edges = ss
+      prevCount = newCount
+      round += 1
+    }
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+    nodes.join(edges.select(col("hi").as("node"), col("lo").as("root")),
+        Seq("node"), "left")
+      .groupBy(col("node")).agg(min(coalesce(col("root"), col("node"))).as("component"))
+      .select(col("node").as("part"), col("component"))
+      .orderBy(col("part"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_cc_star" -> ((s, d) => ccStar(s, Tables.lineitem(s, d))),
     "q109_pagerank" -> ((s, d) => pagerank(s, Tables.lineitem(s, d))),
     "q134_triangles" -> ((s, d) => triangles(s, Tables.lineitem(s, d))),
     "q136_label_prop" -> ((s, d) => labelPropagation(s, Tables.lineitem(s, d)))
@@ -277,6 +349,22 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    // full-reachability closure: component id = min reachable node —
+    // identical to the star-contraction fixed point
+    "q141_cc_star" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sym AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |reach AS (
+        |  SELECT a AS src, a AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS part, min(dst) AS component
+        |FROM reach GROUP BY src
+        |ORDER BY part""".stripMargin,
     "q109_pagerank" -> pagerankOracle,
     "q136_label_prop" -> labelPropOracle,
     "q134_triangles" ->

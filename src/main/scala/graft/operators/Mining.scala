@@ -203,7 +203,68 @@ object Mining {
 
   // --------------------------------------------------------------------- //
 
+  /** q145's pinned support threshold — shared by the default AND the
+    * generated oracle. */
+  private[operators] val TripleMinSup = 3L
+
+  /** q145 — Apriori frequent 3-itemsets over customer baskets (the parts a
+    * customer has ever ordered): which part TRIPLES co-occur in ≥ minSup
+    * baskets. Pairs are q99's co-purchase; triples are where naive
+    * enumeration explodes (a 90-item basket holds 117k triples) and the
+    * Apriori property — every subset of a frequent set is frequent — is
+    * the classic fix (Agrawal & Srikant, VLDB 1994, public).
+    *
+    * Plan, stage by stage (downward-closure pruning, never C(n,3)):
+    *   1. frequent pairs: basket pair expansion (quadratic in BASKET size
+    *      only) → one partial+final count, HAVING ≥ minSup.
+    *   2. candidates: frequent pairs self-joined on the shared FIRST item
+    *      ((a,b)+(a,c), b<c) then semi-joined against the pair set on
+    *      (b,c) — full Apriori pruning, all three sub-pairs frequent.
+    *   3. support: pair INSTANCES of frequent (a,b) (semi-join keeps the
+    *      expansion to frequent pairs) joined to candidates, then one
+    *      (basket, c)-keyed semi...-shaped join against the posting list
+    *      confirms c ∈ basket; count per triple, HAVING ≥ minSup.
+    *
+    * Scale shape: every join is key-shuffled (basket or item keys — the
+    * frequent-pair and candidate frames are tiny and AQE broadcasts
+    * them); nothing driver-side; no stage materializes unpruned triples.
+    * Skew: a hub item's posting list fans out in stage 3 — bounded by
+    * sup(a,b) ≤ basket count of the RAREST sub-pair, which minSup keeps
+    * meaningful. */
+  def aprioriTriples(s: SparkSession, lineitem: DataFrame, orders: DataFrame,
+                     minSup: Long = TripleMinSup): DataFrame = {
+    val d = graft.core.CacheScope.cached(
+      lineitem.join(orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("l_partkey").as("p"))
+        .distinct())
+    val baskets = d.groupBy(col("k")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    val pairInst = baskets
+      .select(col("k"), explode(col("ps")).as("pa"), col("ps"))
+      .select(col("k"), col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+    val freqPairs = graft.core.CacheScope.cached(
+      pairInst.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= minSup)
+        .select(col("pa"), col("pb")))
+    val cand = freqPairs.as("x")
+      .join(freqPairs.as("y"), col("x.pa") === col("y.pa") && col("x.pb") < col("y.pb"))
+      .select(col("x.pa").as("a"), col("x.pb").as("b"), col("y.pb").as("c"))
+      .join(freqPairs.select(col("pa").as("b"), col("pb").as("c")), Seq("b", "c"),
+        "left_semi")
+    val abInst = pairInst
+      .join(freqPairs, Seq("pa", "pb"), "left_semi")
+      .select(col("k"), col("pa").as("a"), col("pb").as("b"))
+    cand.join(abInst, Seq("a", "b"))
+      .join(d.select(col("k"), col("p").as("c")), Seq("k", "c"), "left_semi")
+      .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_apriori" -> ((s, d) =>
+      aprioriTriples(s, Tables.lineitem(s, d), Tables.orders(s, d))),
     "q69_dedup_canonical" -> (q69DedupCanonical _),
     "q70_tfidf" -> (q70Tfidf _),
     "q72_ann_rerank" -> ((s, d) => q72AnnRerank(s, d)),
@@ -217,6 +278,19 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    // brute-force triple enumeration + HAVING — deliberately ignorant of
+    // Apriori pruning, so it cross-checks the pruned plan end to end
+    "q145_apriori" ->
+      s"""WITH d AS (
+        |  SELECT DISTINCT o_custkey AS k, l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT a.p AS a, b.p AS b, c.p AS c,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM d a
+        |JOIN d b ON a.k = b.k AND a.p < b.p
+        |JOIN d c ON a.k = c.k AND b.p < c.p
+        |GROUP BY 1, 2, 3 HAVING count(*) >= $TripleMinSup
+        |ORDER BY a, b, c""".stripMargin,
     "q69_dedup_canonical" ->
       """WITH RECURSIVE
         |w AS (

@@ -6,7 +6,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{GraftSession, Tables}
-import graft.operators.{Analytics, Datasets}
+import graft.operators.{Analytics, Curation, Datasets, Dedup, Graph, Mining}
 
 /** Contracts for the round-7 second batch: time-series gap-fill (q143),
   * PPS sampling (q144), and KMV overlap estimation (q139).
@@ -133,5 +133,105 @@ class Round7bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     exact.foreach { case (k, j) =>
       assert(math.abs(est(k) - j) <= 0.35, s"pair $k: est=${est(k)} exact=$j")
     }
+  }
+
+  // ------------------------------------------------------------------ q142
+
+  test("q142 containment: doc-inside-doc found where jaccard misses it") {
+    val small = (1 to 6).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (7 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, (50 to 80).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of doc 1 appears in doc 2 -> containment exactly 1.0;
+    // nothing else qualifies in either direction
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // and jaccard at the same threshold does NOT pair them (the case q21
+    // structurally cannot catch)
+    assert(Dedup.jaccardPairs(docs, threshold = 0.9).count() == 0L)
+  }
+
+  test("q142 containment: prefix-filter candidates are complete vs brute force") {
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Dedup.shingledHashed(docs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    val want = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets
+      if ida != idb && sa.nonEmpty
+      if (sa & sb).size.toDouble / sa.size >= 0.9
+    } yield (ida, idb)).toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------------ q140
+
+  test("q140 typo join: catches all three edit kinds, rejects distance 2") {
+    val parts = Seq("hello word", "helo word", "hello ward", "hallo word",
+      "from form").flatMap(n => Seq.fill(3)(n)).toDF("p_name")
+    val got = Curation.typoPairs(parts).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // deletion (hello/helo), substitutions (hallo/hello, ward/word),
+    // but NOT the transposition form/from (levenshtein distance 2)
+    assert(got == Set(("hello", "helo"), ("hallo", "hello"), ("ward", "word")))
+    // counts ride along: every token appears with its occurrence count
+    val counts = Curation.typoPairs(parts).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(counts("helo") == 3L && counts("hello") == 6L)
+  }
+
+  // ------------------------------------------------------------------ q141
+
+  test("q141 ccStar: high-diameter path converges (min-label could not in 20 rounds)") {
+    // path 0-1-...-199 (diameter 199) plus an island 1000-...-1009: the
+    // alternating star algorithm must label both in <= 20 rounds
+    val edges = (0L until 199L).map(i => (i, i, i + 1)) ++
+      (0L until 9L).map(i => (500L + i, 1000L + i, 1001L + i))
+    val li = edges.toDF("l_orderkey", "ignore", "x")
+      .select(col("l_orderkey"), col("ignore").as("l_partkey"))
+      .union(edges.toDF("l_orderkey", "ignore", "x")
+        .select(col("l_orderkey"), col("x").as("l_partkey")))
+    val out = Graph.ccStar(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 199L).foreach(v => assert(out(v) == 0L, s"node $v"))
+    (1000L to 1009L).foreach(v => assert(out(v) == 1000L, s"node $v"))
+  }
+
+  test("q141 ccStar == union-find closure on the sf0.001 co-purchase graph") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Graph.ccStar(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the established q49 closure over the same edge list
+    val und = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("doc_a"), col("ps"))
+      .select(col("doc_a"), explode(col("ps")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b")).distinct()
+    val want = Dedup.connectedComponents(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------------ q145
+
+  test("q145 apriori == driver-side brute-force triple counts") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val got = Mining.aprioriTriples(spark, li, or).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val baskets = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toVector)
+    val support = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size; k <- j + 1 until ps.size)
+        support((ps(i), ps(j), ps(k))) =
+          support.getOrElse((ps(i), ps(j), ps(k)), 0L) + 1L
+    }
+    val want = support.filter(_._2 >= 3L).toMap
+    assert(got == want)
   }
 }
