@@ -250,7 +250,6 @@ object Graph {
       .filter(col("a") < col("b"))
       .distinct())
     var edges = und.select(col("a").as("lo"), col("b").as("hi")).localCheckpoint()
-    var prevCount = edges.count()
     var converged = false
     var round = 0
     while (!converged && round < CcStarMaxRounds) {
@@ -267,12 +266,12 @@ object Graph {
         .select(col("ml").as("lo"), col("lo").as("hi"))
         .union(minsS.select(col("ml").as("lo"), col("hi")))
         .distinct().localCheckpoint()
-      val newCount = ss.count()
-      // fixed point: same count and the distinct union adds nothing
-      converged = newCount == prevCount &&
-        edges.union(ss).distinct().count() == newCount
       edges = ss
-      prevCount = newCount
+      // fixed point ⟺ star forest ⟺ no node is both a child (hi) and a
+      // parent (lo) — detected the round it FORMS, one action on two
+      // single-column distinct sets (an edge-set-stability compare would
+      // instead need a full extra no-op round to observe stillness)
+      converged = ss.select(col("lo")).intersect(ss.select(col("hi"))).isEmpty
       round += 1
     }
     val nodes = und.select(col("a").as("node"))

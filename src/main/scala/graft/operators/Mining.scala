@@ -239,10 +239,12 @@ object Mining {
         .select(col("o_custkey").as("k"), col("l_partkey").as("p"))
         .distinct())
     val baskets = d.groupBy(col("k")).agg(sort_array(collect_set(col("p"))).as("ps"))
-    val pairInst = baskets
+    // cached: the expansion feeds BOTH the frequent-pair count and the
+    // stage-3 instance scan — uncached it re-runs the basket explode twice
+    val pairInst = graft.core.CacheScope.cached(baskets
       .select(col("k"), explode(col("ps")).as("pa"), col("ps"))
       .select(col("k"), col("pa"), explode(col("ps")).as("pb"))
-      .filter(col("pa") < col("pb"))
+      .filter(col("pa") < col("pb")))
     val freqPairs = graft.core.CacheScope.cached(
       pairInst.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= minSup)

@@ -148,7 +148,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q129_cms_heavy", // 1-row sketch crossed with the top-k probe frame
       "q131_feature_mi", // 1-row class-sizes attach on the vocab frame
       "q134_triangles", // 1-row total-count attach on the per-node frame
-      "q138_burst_detect") // 1-row moment attach on the per-minute frame
+      "q138_burst_detect", // 1-row moment attach on the per-minute frame
+      "q139_kmv_overlap", // |sources|-bounded sketch-pair theta join
+      "q144_pps_sample") // 1-row corpus-total attach on the scan
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
