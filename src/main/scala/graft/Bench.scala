@@ -40,11 +40,21 @@ object Bench {
 
   /** One timed pass. `deadlineNs` (absolute nanoTime) aborts BETWEEN
     * queries once exhausted — partial maps are fine for passes ≥ 2, whose
-    * only job is tightening the per-query min. */
+    * only job is tightening the per-query min. `order`: passes ≥ 2 visit
+    * queries by DESCENDING pass-1 cost, so a pass the budget truncates has
+    * already re-timed the queries whose single-shot numbers carry the most
+    * JIT/compile inflation in absolute seconds (the total is a sum — the
+    * tail's 0.2 s entries barely move it). */
   private def runPass(spark: SparkSession, dir: String,
-                      deadlineNs: Option[Long]): Map[String, Double] = {
+                      deadlineNs: Option[Long],
+                      order: Option[Map[String, Double]] = None): Map[String, Double] = {
     val out = scala.collection.mutable.Map.empty[String, Double]
-    val it = selected.iterator
+    val base = selected
+    val it = order match {
+      case Some(prev) => base.toSeq
+        .sortBy { case (n, _) => -prev.getOrElse(n, Double.MaxValue) }.iterator
+      case None => base.iterator
+    }
     var cut = false
     while (it.hasNext && !cut) {
       val (name, fn) = it.next()
@@ -103,21 +113,19 @@ object Bench {
     var results = runPass(spark, sfDir, None)
     var passesDone = 1
     writeDetail(detailPath, sfDir, passesDone, elapsedS, results)
-    var lastPassS = elapsedS
     var stop = passesDone >= passes
     while (!stop) {
-      // start the next pass only if its projected cost (≈ the previous
-      // pass, an overestimate once the JIT is warm) fits the budget
-      if (elapsedS + lastPassS > budgetS) {
+      // a later pass is useful even TRUNCATED (expensive-first order +
+      // deadline abort re-times the biggest entries first), so start one
+      // whenever non-trivial budget remains
+      if (elapsedS + 30.0 > budgetS) {
         System.err.println(f"[bench] stopping after pass $passesDone: " +
-          f"$elapsedS%.0f s elapsed + ~$lastPassS%.0f s projected > $budgetS%.0f s budget")
+          f"$elapsedS%.0f s elapsed leaves < 30 s of the $budgetS%.0f s budget")
         stop = true
       } else {
-        val t0 = elapsedS
         val deadline = mainT0 + (budgetS * 1e9).toLong
-        results = minByQuery(results, runPass(spark, sfDir, Some(deadline)))
+        results = minByQuery(results, runPass(spark, sfDir, Some(deadline), Some(results)))
         passesDone += 1
-        lastPassS = elapsedS - t0
         writeDetail(detailPath, sfDir, passesDone, elapsedS, results)
         stop = passesDone >= passes
       }

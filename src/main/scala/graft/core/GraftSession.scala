@@ -31,8 +31,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
-      // events.parquet stamps ts as INT64 TIMESTAMP(NANOS) which Spark's
-      // reader rejects; read as long nanos and convert in Tables.events.
+      // some generator vintages stamp events.ts as INT64 TIMESTAMP(NANOS),
+      // which Spark's reader rejects; read those as long nanos and convert
+      // in Tables.events (micros-NTZ vintages are normalized there too).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // streaming state on RocksDB: the default HDFS-backed provider keeps

@@ -14,17 +14,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Natural hash-partitioning key for the two corpus tables whose
-    * consumers run heavy per-row compute (shingle/fingerprint expressions,
-    * pairwise cosine) BEFORE any natural exchange — for those, scan
-    * parallelism is the whole game. The relational facts
-    * (lineitem/orders/events) are NOT spread: their pre-shuffle work is
-    * cheap casts/partial-aggs, so an extra exchange costs more than the
-    * single-threaded scan stage it parallelizes (measured at sf0.1:
-    * q39 percentile partial buffers got 1.6x slower when force-spread). */
+  /** Natural hash-partitioning key per table, applied ONLY when the scan
+    * yields fewer partitions than the session parallelism (see `spread`).
+    * The corpus tables (documents/embeddings) run heavy per-row compute
+    * (shingle/fingerprint expressions, pairwise cosine) before any natural
+    * exchange, so scan parallelism is the whole game there. The fact
+    * tables joined it in round 8: the generator now writes ONE row group
+    * per file, which Spark cannot split — without the guard every
+    * lineitem/orders/events consumer ran its entire pre-shuffle stage
+    * (filters, partial aggregates, basket collect_sets) on one core
+    * (measured: q45 funnel 0.24→6.5 s, q134 triangles 5.7→28 s at sf0.1).
+    * On a healthy multi-row-group 100 TB layout the guard sees ≥ cores
+    * scan partitions and stays a no-op, so the earlier counter-measurement
+    * (q39's partial buffers 1.6× slower when force-spread over an already-
+    * parallel scan) is not re-introduced. Dims (region..part) broadcast
+    * everywhere and are never worth an exchange. */
   private val spreadKeys: Map[String, String] = Map(
     "documents" -> "doc_id",
-    "embeddings" -> "vec_id")
+    "embeddings" -> "vec_id",
+    // keys chosen so the guard exchange is REUSABLE, not overhead: basket
+    // builds and order joins cluster lineitem on l_orderkey (orders joins
+    // co-partition on o_orderkey — same values, no second exchange), and
+    // the events family (sessionize/funnel/retention/gap-fill) clusters on
+    // user_id, so their windows/aggregates satisfy their required
+    // distribution straight off the guard's exchange.
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey",
+    "events" -> "user_id")
 
   /** Parallelism floor for pathological file layouts. Parquet splits align
     * to row groups, so a single-row-group file scans as ONE task no matter
@@ -56,16 +72,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `ts` is INT64 TIMESTAMP(NANOS) in the parquet footer; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as long nanos —
-    * convert to a microsecond timestamp (integer `div`, no double rounding),
-    * matching DuckDB's nanos→micros truncation. */
+  /** `ts` normalization across generator vintages, always landing on a
+    * session-UTC TIMESTAMP (LTZ) so downstream instant functions
+    * (`unix_micros`, watermarks, stream-stream join bounds) resolve:
+    *   - INT64 TIMESTAMP(NANOS) footers (with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` they surface as long
+    *     nanos): integer `div` to micros — no double rounding, matching
+    *     DuckDB's nanos→micros truncation;
+    *   - timestamp[us] without timezone (reads as TIMESTAMP_NTZ under
+    *     Spark 4's `inferTimestampNTZ` default): reinterpret the wall
+    *     clock in the session's UTC zone — identical micros, and the same
+    *     naive wall clock DuckDB sees. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
@@ -74,5 +101,8 @@ object Tables {
     * Spark analog of the reference's DuckDB view catalog,
     * `/root/reference/src/gold_catalog.py:52-61`). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+    all.foreach { t =>
+      val df = if (t == "events") events(spark, dir) else load(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
 }

@@ -270,8 +270,14 @@ object Analytics {
       sum((cD * cD).cast("decimal(38,0)")).as("ss"))
     val mD = col("m").cast("double")
     val mean = col("s").cast("double") / mD
-    val variance = col("ss").cast("double") / mD - mean * mean
+    // E[X²]−mean² can round to a tiny NEGATIVE double when counts are
+    // near-constant (catastrophic cancellation on the exact decimal sums'
+    // double casts) — sqrt would then be NaN for EVERY row. Clamp at 0 and
+    // drop the zero-variance case entirely (constant rate ⇒ no bursts),
+    // mirrored verbatim in the oracle SQL.
+    val variance = greatest(col("ss").cast("double") / mD - mean * mean, lit(0.0))
     perMin.crossJoin(broadcast(stats))
+      .filter(variance > 0)
       .select(col("minute"), col("c"),
         ((col("c").cast("double") - mean) / sqrt(variance)).as("z"))
       .orderBy(col("z").desc, col("minute"))
@@ -374,13 +380,13 @@ object Analytics {
         |j AS (
         |  SELECT pm.minute, pm.c,
         |    CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE) AS mean,
-        |    CAST(st.ss AS DOUBLE) / CAST(st.m AS DOUBLE)
+        |    greatest(CAST(st.ss AS DOUBLE) / CAST(st.m AS DOUBLE)
         |      - (CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE))
-        |        * (CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE)) AS variance
+        |        * (CAST(st.s AS DOUBLE) / CAST(st.m AS DOUBLE)), 0.0) AS variance
         |  FROM pm CROSS JOIN st)
         |SELECT minute, c,
         |  (CAST(c AS DOUBLE) - mean) / sqrt(variance) AS z
-        |FROM j ORDER BY z DESC, minute LIMIT $BurstTopN""".stripMargin,
+        |FROM j WHERE variance > 0 ORDER BY z DESC, minute LIMIT $BurstTopN""".stripMargin,
     "q128_sessionize" ->
       s"""WITH o AS (
         |  SELECT user_id, event_id, ts, value,

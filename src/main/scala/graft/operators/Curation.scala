@@ -438,7 +438,58 @@ object Curation {
 
   // --------------------------------------------------------------------- //
 
+  def q150QuantileNorm(s: SparkSession, dir: String): DataFrame =
+    quantileNorm(Tables.documents(s, dir))
+
+  /** q150 — cross-source equipercentile score normalization: a doc's
+    * per-source quantile (by the n_chars score, the q133 proxy) is mapped
+    * to the GLOBAL empirical score at the same quantile. The calibration
+    * step a mixture pipeline runs before comparing quality scores across
+    * heterogeneous sources — "top decile of source A" and "top decile of
+    * source B" land on one comparable scale (the quantile-normalization
+    * standard from microarray statistics, Bolstad et al. 2003 — public).
+    *
+    * Exactness: everything is integer arithmetic — the target global index
+    * is ((rn−1)·(N−1)) div (n_s−1) + 1 (lower-exact convention, no float
+    * quantile; single-doc sources map to the global median index), and the
+    * mapped value is read from the global distribution EXACTLY. Long
+    * product bound: needs decimal above ~3e9 docs (q130 convention —
+    * documented, not hit by any realistic doc count × rank product until
+    * N² > 9e18).
+    *
+    * Scale shape: the global reference is NOT a global row_number sort —
+    * the distribution collapses to (distinct score, count) first
+    * (score-cardinality-bounded: lengths, not docs), the cumulative block
+    * bounds [lo, hi] come from one tiny single-partition window over that
+    * frame, and the index→value map is a broadcast range join against it.
+    * Corpus-sized work: one rank window per source + one score-keyed
+    * aggregate — two key-shuffles total, nothing global. */
+  def quantileNorm(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("source"), col("n_chars"))
+    val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(ws).cast("long"))
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("t",
+        when(col("n_s") === 1, expr("(n_tot - 1) DIV 2 + 1"))
+          .otherwise(expr("((rn - 1) * (n_tot - 1)) DIV (n_s - 1) + 1")))
+    val sc = docs.groupBy(col("n_chars").as("g")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("g")) // |distinct scores| rows — tiny
+    val cum = sc.withColumn("hi", sum(col("c")).over(wv))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .select(col("g"), col("lo"), col("hi"))
+    ranked
+      .join(broadcast(cum), col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rn").as("rank_in_source"), col("g").as("norm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_quantile_norm" -> (q150QuantileNorm _),
     "q140_typo_join" -> ((s, d) => typoPairs(Tables.part(s, d))),
     "q132_boilerplate" -> (q132Boilerplate _),
     "q133_curriculum" -> (q133Curriculum _),
@@ -453,6 +504,28 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // same integer index convention; DuckDB `//` is Spark's DIV
+    "q150_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM d),
+        |r AS (
+        |  SELECT d.*, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |  FROM d),
+        |t AS (
+        |  SELECT r.*, CASE WHEN ns.n_s = 1 THEN (nt.n_tot - 1) // 2 + 1
+        |    ELSE ((r.rn - 1) * (nt.n_tot - 1)) // (ns.n_s - 1) + 1 END AS t
+        |  FROM r JOIN ns USING (source) CROSS JOIN nt),
+        |sc AS (SELECT n_chars AS g, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |cum AS (
+        |  SELECT g, sum(c) OVER (ORDER BY g) AS hi,
+        |    sum(c) OVER (ORDER BY g) - c + 1 AS lo
+        |  FROM sc)
+        |SELECT t.doc_id, t.source, t.n_chars, t.rn AS rank_in_source,
+        |  cum.g AS norm_score
+        |FROM t JOIN cum ON t.t BETWEEN cum.lo AND cum.hi
+        |ORDER BY t.doc_id""".stripMargin,
     "q140_typo_join" ->
       """WITH t AS (
         |  SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),

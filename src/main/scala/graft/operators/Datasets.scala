@@ -104,6 +104,74 @@ object Datasets {
 
   // --------------------------------------------------------------------- //
 
+  /** q149's pinned HLL geometry: 2^HllP buckets over the 60-bit hash; the
+    * remaining 52 bits feed the leading-zero rank. */
+  private[operators] val HllP = 8
+
+  /** q149 — per-source HyperLogLog distinct-content estimate (Flajolet et
+    * al., AofA 2007 — public), the CONSTANT-memory counterpart of q110's
+    * KMV: per (source, bucket) only the max leading-zero rank survives, so
+    * the aggregate state is ≤ 2^p small ints per source no matter the
+    * corpus — the sketch a 100 TB profiling pass actually keeps, and it
+    * merges across partitions/days by elementwise max.
+    *
+    * Cross-engine exactness (no float summation anywhere):
+    *   bucket = h60 >> 52 (top p=8 bits), rem = h60 & (2^52 − 1),
+    *   rho    = 53 − bitlength(rem)  (rem = 0 → 53),
+    * where bitlength via `length(bin(x))` in Spark == `length(format('{:b}',
+    * x))` in DuckDB — integer-exact, no log2 doubles near power-of-2
+    * boundaries. The harmonic sum Σ 2^−rho is scaled by 2^53 into pure
+    * long arithmetic (empty buckets contribute 2^53 each; max total 2^61
+    * fits a long), and the final estimate α·m²·2^53 / S is ONE double
+    * division on an identical IEEE operand chain in both engines. Below
+    * 2.5·m with empty buckets the raw estimator is known-biased (it can
+    * read ~8× high at n ≈ m/10), so the standard linear-counting branch
+    * applies: est = m·ln(m / empty) — the branch predicate and the ln ride
+    * the same doubles in both engines (q131's ln precedent). The exact
+    * distinct count rides along for error accounting.
+    *
+    * Scale shape: one scan computing (bucket, rho) scan-locally, ONE
+    * partial+final max-aggregate on (source, bucket) — ≤ 256 rows per
+    * source ever shuffle — then a per-source fold. Duplicate texts don't
+    * need a distinct pass: max(rho) is idempotent under repetition (the
+    * property that makes HLL mergeable). */
+  def hllDistinct(docs: DataFrame, p: Int = HllP): DataFrame = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val h = TextFunctions.h60(col("text"))
+    val rem = h.bitwiseAND(lit((1L << remBits) - 1))
+    val rho = when(rem === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    val buckets = docs
+      .select(col("source"), shiftright(h, remBits).as("bucket"), rho.as("r"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("r")).as("mr"))
+    // Σ_buckets 2^(53−rho), empty buckets at rho=0 → 2^53 each: scaled
+    // harmonic sum as pure long arithmetic
+    val scale = 1L << (remBits + 1) // 2^53
+    val perSource = buckets.groupBy(col("source")).agg(
+      count(lit(1)).as("used"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${remBits + 1} - mr)")).as("s_used"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val sFull = (col("s_used") + (lit(m.toLong) - col("used")) * lit(scale))
+      .cast("double")
+    val exact = docs.select(col("source"), TextFunctions.h60(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+    perSource.join(exact, Seq("source"))
+      .withColumn("raw",
+        alpha * lit(m.toDouble) * lit(m.toDouble) * lit(scale.toDouble) / sFull)
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        col("used").as("buckets_used"),
+        when(col("raw") <= lit(2.5 * m) && col("used") < lit(m.toLong),
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toLong) - col("used")).cast("double")))
+          .otherwise(col("raw"))
+          .as("hll_est"))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------------------------------------- //
+
   /** q129's pinned sketch geometry — shared by the defaults AND the oracle. */
   private[graft] val CmsDepth = 4
   private[graft] val CmsWidth = 1024
@@ -267,6 +335,7 @@ object Datasets {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_hll_distinct" -> ((s, d) => hllDistinct(Tables.documents(s, d))),
     "q139_kmv_overlap" -> ((s, d) => kmvOverlap(Tables.documents(s, d))),
     "q144_pps_sample" -> ((s, d) => ppsSample(Tables.documents(s, d))),
     "q137_data_card" -> ((s, d) => dataCard(Tables.documents(s, d))),
@@ -305,6 +374,45 @@ object Datasets {
   }
 
   def oracles: Map[String, String] = Map(
+    // same bit conventions: bucket = h60 >> 52, rho = 53 − bitlength(rem)
+    // via binary-string length (integer-exact), scaled harmonic sum in
+    // HUGEINT, one final double division with the identical operand chain
+    "q149_hll_distinct" -> {
+      val m = 1 << HllP
+      val remBits = 60 - HllP
+      val mask = (1L << remBits) - 1
+      val scale = 1L << (remBits + 1)
+      s"""WITH h AS (
+         |  SELECT source, ${h60sql("text")} AS h FROM documents),
+         |b AS (
+         |  SELECT source, h >> $remBits AS bucket,
+         |    CASE WHEN (h & $mask) = 0 THEN ${remBits + 1}
+         |         ELSE ${remBits + 1} - length(format('{:b}', h & $mask))
+         |    END AS r
+         |  FROM h),
+         |mb AS (
+         |  SELECT source, bucket, max(r) AS mr FROM b GROUP BY source, bucket),
+         |ps AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS buckets_used,
+         |    CAST(sum(CAST(1 AS BIGINT) << (${remBits + 1} - mr)) AS BIGINT) AS s_used
+         |  FROM mb GROUP BY source),
+         |ex AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+         |  FROM h GROUP BY source),
+         |j AS (
+         |  SELECT ps.source, ex.n_docs, ex.n_distinct, ps.buckets_used,
+         |    (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * $scale.0
+         |      / CAST(ps.s_used + ($m - ps.buckets_used) * $scale AS DOUBLE)
+         |      AS raw
+         |  FROM ps JOIN ex USING (source))
+         |SELECT source, n_docs, n_distinct, buckets_used,
+         |  CASE WHEN raw <= ${2.5 * m} AND buckets_used < $m
+         |    THEN $m.0 * ln($m.0 / CAST($m - buckets_used AS DOUBLE))
+         |    ELSE raw END AS hll_est
+         |FROM j
+         |ORDER BY source""".stripMargin
+    },
     "q137_data_card" -> dataCardOracle(Classify.MiClasses),
     "q129_cms_heavy" ->
       s"""WITH w AS (

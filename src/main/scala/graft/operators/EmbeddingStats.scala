@@ -183,7 +183,42 @@ object EmbeddingStats {
 
   // --------------------------------------------------------------------- //
 
+  /** q152 — diagonal whitening of the embedding corpus: every (vector,
+    * dim) value standardized by the corpus per-dim mean/std, constant dims
+    * (vr ≤ 1e-9, the q116 guard) dropped. The preprocessing step before
+    * cosine/PCA work when dims have wildly different scales (whitening =
+    * the diagonal-Σ special case of Mahalanobis, same moments as q116).
+    *
+    * Scale shape: per-dim moments are ONE partial+final aggregate on the
+    * dim key (64 keys — map-side combine collapses each partition to d
+    * rows before the exchange); the scoring pass joins the 64-row stat
+    * frame back broadcast, so the corpus contributes two scans and no
+    * corpus-sized shuffle. Sums are the exact quantized-integer moments of
+    * the q115/q116 convention (long bound: Σv² overflows past ~8e17/2^40 ≈
+    * 1e10·unit-norm rows — the momentCtes contract; decimal38 is the
+    * stated fallback). mu/vr/w are the identical IEEE op chain both
+    * engines evaluate; no cross-dim summation, so no rounding needed. */
+  def whiten(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val s = embs.select(col("vec_id"),
+      posexplode(quantized(col("embedding"))).as(Seq("i", "v")))
+    val d = s.groupBy(col("i")).agg(
+      sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+    val n = embs.agg(count(lit(1)).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    val svD = col("sv").cast("double")
+    val mu = svD / nD
+    val vr = (col("svv").cast("double") - svD * svD / nD) / nD
+    val mi = d.crossJoin(broadcast(n))
+      .select(col("i"), mu.as("mu"), vr.as("vr"))
+      .filter(col("vr") > 1e-9)
+    s.join(broadcast(mi), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        ((col("v").cast("double") - col("mu")) / sqrt(col("vr"))).as("w"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_embedding_whiten" -> ((s, d) => whiten(s, Tables.embeddings(s, d))),
     "q135_jl_project" -> ((s, d) => jlProject(Tables.embeddings(s, d))),
     "q115_embedding_gram" -> ((s, d) => gramMatrix(s, Tables.embeddings(s, d))),
     "q116_embedding_outliers" -> ((s, d) => outlierScores(s, Tables.embeddings(s, d))),
@@ -203,6 +238,20 @@ object EmbeddingStats {
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q116's moment/variance chain, applied per value instead of summed
+    "q152_embedding_whiten" ->
+      s"""$momentCtes,
+         |m AS (
+         |  SELECT d.i,
+         |    CAST(d.sv AS DOUBLE) / CAST(n.n AS DOUBLE) AS mu,
+         |    (CAST(d.svv AS DOUBLE) - CAST(d.sv AS DOUBLE) * CAST(d.sv AS DOUBLE)
+         |       / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE) AS vr
+         |  FROM d CROSS JOIN n),
+         |mi AS (SELECT i, mu, vr FROM m WHERE vr > 1e-9)
+         |SELECT s.vec_id, s.i,
+         |  (CAST(s.v AS DOUBLE) - mi.mu) / sqrt(mi.vr) AS w
+         |FROM s JOIN mi ON mi.i = s.i
+         |ORDER BY s.vec_id, s.i""".stripMargin,
     "q135_jl_project" ->
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -258,7 +258,46 @@ object Extended {
 
   // --------------------------------------------------------------------- //
 
+  /** q153 — 2-D skyline (Pareto frontier; Börzsönyi et al., ICDE 2001 —
+    * public) over parts minimizing (p_retailprice, p_size): a part
+    * survives iff no other part is ≤ on both dims and < on at least one
+    * (equal (price, size) twins are mutually non-dominating and both
+    * survive). The multi-objective shortlist primitive ("cheapest AND
+    * smallest" candidate sets).
+    *
+    * NOT the quadratic exists-a-dominator formulation (which the oracle
+    * deliberately runs): dominance against CHEAPER parts collapses to one
+    * running minimum over the price-sorted axis —
+    *   dominated ⟺ min size among strictly-cheaper parts ≤ my size,
+    *            OR min size among equal-price parts < my size.
+    * Both minima come from the per-distinct-price frame (price-cardinality
+    * bounded, not row-bounded): a corpus-sized aggregate on the price key,
+    * one tiny single-partition lag window over distinct prices, and a
+    * broadcast join back. All comparisons are integer/decimal — no float
+    * boundary rides the selection.
+    *
+    * Scale shape: one partial+final min-aggregate on price + one broadcast
+    * join — no self-join, no |rows|² anywhere; the window runs on
+    * |distinct prices| rows. */
+  def q153Skyline(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+    val perPrice = parts.groupBy(col("p_retailprice").as("pr"))
+      .agg(min(col("p_size")).as("min_eq"))
+    val w = Window.orderBy(col("pr")) // |distinct prices| rows — tiny
+    val mins = perPrice
+      .withColumn("min_lt", min(col("min_eq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pr"), col("min_eq"), col("min_lt"))
+    parts.join(broadcast(mins), col("p_retailprice") === col("pr"))
+      .filter((col("min_lt").isNull || col("min_lt") > col("p_size")) &&
+        col("min_eq") >= col("p_size"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_retailprice"), col("p_size"), col("p_partkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_skyline" -> (q153Skyline _),
     "q66_bloom_prune" -> (q66BloomPrune _),
     "q67_bm25" -> (q67Bm25 _),
     "q68_embed_quant" -> (q68EmbedQuant _),
@@ -276,6 +315,16 @@ object Extended {
   )
 
   def oracles: Map[String, String] = Map(
+    // deliberately the quadratic exists-a-dominator formulation — a
+    // completely different algorithm cross-checking the running-min plan
+    "q153_skyline" ->
+      """SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p.p_retailprice, p.p_size, p.p_partkey""".stripMargin,
     "q67_bm25" ->
       """WITH tok AS (
         |  SELECT d.doc_id, t.t

@@ -240,8 +240,16 @@ object Graph {
     * distinct-union count per round (sets equal iff |a| = |b| = |a ∪ b|).
     *
     * Determinism: labels are integer minima; the fixed point is the star
-    * forest rooted at component minima regardless of execution order. */
-  def ccStar(s: SparkSession, lineitem: DataFrame): DataFrame = {
+    * forest rooted at component minima regardless of execution order.
+    *
+    * If the round budget is exhausted before the fixed point forms the
+    * contraction is PARTIAL — components would silently be wrong — so we
+    * throw instead of returning truncated labels (Kiveris et al. prove
+    * O(log² n) rounds only for the alternating variant; 20 rounds covers
+    * any realistic graph, and a caller with a pathological one can raise
+    * `maxRounds` explicitly). */
+  def ccStar(s: SparkSession, lineitem: DataFrame,
+             maxRounds: Int = CcStarMaxRounds): DataFrame = {
     val baskets = lineitem.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
     val und = graft.core.CacheScope.cached(baskets
@@ -252,7 +260,7 @@ object Graph {
     var edges = und.select(col("a").as("lo"), col("b").as("hi")).localCheckpoint()
     var converged = false
     var round = 0
-    while (!converged && round < CcStarMaxRounds) {
+    while (!converged && round < maxRounds) {
       // large-star: group the SYMMETRIC view by u, attach min neighbor
       val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
         .union(edges.select(col("hi").as("u"), col("lo").as("v")))
@@ -274,6 +282,11 @@ object Graph {
       converged = ss.select(col("lo")).intersect(ss.select(col("hi"))).isEmpty
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccStar did not converge within $maxRounds rounds — the star " +
+        "contraction is partial and component labels would be wrong; " +
+        "raise maxRounds for this graph")
     val nodes = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node"))).distinct()
     nodes.join(edges.select(col("hi").as("node"), col("lo").as("root")),
@@ -285,7 +298,112 @@ object Graph {
 
   // --------------------------------------------------------------------- //
 
+  /** q146's pinned parameters — shared by the default AND the unrolled
+    * oracle. */
+  private[operators] val HitsIters = 2
+  private[operators] val HitsTopN = 50
+
+  /** q146 — HITS hubs & authorities (Kleinberg, JACM 1999 — public) on the
+    * DIRECTED customer→part bipartite graph (a customer "endorses" every
+    * part they ordered): authority(p) = Σ hub(c) over purchasers, hub(c) =
+    * Σ authority(p) over their basket, alternated `iters` times from
+    * hub ≡ 1. The directed counterpart of q109's PageRank — PageRank ranks
+    * by random-walk mass, HITS separates curators (hubs) from endorsed
+    * items (authorities).
+    *
+    * Exactness: normalization is deferred to the END — the unnormalized
+    * scores after k alternations are path COUNTS (integers), summed as
+    * decimal(38,0), so every iteration is exact integer arithmetic with
+    * no float drift and no order sensitivity; the single final
+    * normalization (authority / max) is one double division per row.
+    * decimal38 headroom: score ≤ (max degree)^(2·iters) · |nodes| — at
+    * iters=2 even a 1e6-degree hub on a 1e9-node graph stays < 1e33.
+    *
+    * Scale shape: the edge list is built once and cached for its 2·iters
+    * consumers; each half-round is ONE edge⋈score join (score frames are
+    * node-bounded — AQE broadcasts while small, shuffle-degrades on the
+    * edge key otherwise) + one partial+final sum; localCheckpoint keeps
+    * every half-round the same flat two-table plan (q109 discipline).
+    * Top-N plans as TakeOrderedAndProject; ORDER is on the EXACT decimal
+    * score (tie-break part id), not the lossy double cast. */
+  def hits(s: SparkSession, lineitem: DataFrame, orders: DataFrame,
+           iters: Int = HitsIters, topN: Int = HitsTopN): DataFrame = {
+    val edges = graft.core.CacheScope.cached(
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct())
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1).cast("decimal(38,0)").as("h"))
+      .localCheckpoint()
+    var auth = hub.limit(0).select(col("c").as("p"), col("h").as("a"))
+    for (_ <- 1 to iters) {
+      auth = edges.join(hub, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).cast("decimal(38,0)").as("a"))
+        .localCheckpoint()
+      hub = edges.join(auth, Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).cast("decimal(38,0)").as("h"))
+        .localCheckpoint()
+    }
+    val mx = auth.agg(max(col("a")).as("m"))
+    auth.crossJoin(broadcast(mx))
+      .orderBy(col("a").desc, col("p"))
+      .limit(topN)
+      .select(col("p").as("part"),
+        col("a").cast("double").as("authority"),
+        (col("a").cast("double") / col("m").cast("double")).as("authority_norm"))
+  }
+
+  /** q147's pinned parameters — shared by the default AND the unrolled
+    * oracle. */
+  private[operators] val BfsRounds = 4
+  private[operators] val BfsSeeds = 5
+
+  /** q147 — multi-source BFS hop distance (≤ `rounds` hops) from the
+    * `nSeeds` smallest node ids over the co-purchase graph: the bounded
+    * frontier-expansion primitive behind "what is within k hops of these
+    * entities" (neighborhood sampling, blast-radius analysis, GNN
+    * neighborhood materialization).
+    *
+    * Classic frontier BFS in BSP rounds: round r joins ONLY the frontier
+    * (nodes first reached at r-1) against the edge list and min-merges
+    * the candidates into the distance table — a node's distance is set
+    * exactly once (min of first-reach rounds), all integer arithmetic.
+    *
+    * Scale shape: per round one frontier⋈edges join (frontier is a
+    * filtered node-bounded frame — broadcast while small) + one
+    * partial+final min on the node key; localCheckpoint per round keeps
+    * plans flat. The frontier filter means work ∝ newly-reached nodes'
+    * degree sum, not |V| per round — on a 1000-executor cluster round
+    * cost tracks the expansion wave exactly. Unreached nodes never
+    * materialize (no |V|-row init). */
+  def bfsHops(s: SparkSession, lineitem: DataFrame,
+              rounds: Int = BfsRounds, nSeeds: Int = BfsSeeds): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val sym = graft.core.CacheScope.cached(baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val frontier = dist.filter(col("dist") === lit((r - 1).toLong))
+      val cand = sym.join(frontier, sym("src") === frontier("node"))
+        .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+      dist = dist.union(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node").as("part"), col("dist")).orderBy(col("part"))
+  }
+
+  // --------------------------------------------------------------------- //
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_hits" -> ((s, d) => hits(s, Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q147_bfs_hops" -> ((s, d) => bfsHops(s, Tables.lineitem(s, d))),
     "q141_cc_star" -> ((s, d) => ccStar(s, Tables.lineitem(s, d))),
     "q109_pagerank" -> ((s, d) => pagerank(s, Tables.lineitem(s, d))),
     "q134_triangles" -> ((s, d) => triangles(s, Tables.lineitem(s, d))),
@@ -347,7 +465,59 @@ object Graph {
        |SELECT node AS part, pagerank FROM r$PrIters ORDER BY part""".stripMargin
   }
 
+  /** Unrolled HitsIters-alternation DuckDB twin of q146 — pure HUGEINT
+    * path-count sums, exact at every step; the only doubles are the final
+    * casts, the same IEEE nearest-rounding both engines apply. */
+  private val hitsOracle: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      s"""a$i AS (
+         |  SELECT e.p, sum(h${i - 1}.h) AS a
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.c = e.c GROUP BY e.p),
+         |h$i AS (
+         |  SELECT e.c, sum(a$i.a) AS h
+         |  FROM e JOIN a$i ON a$i.p = e.p GROUP BY e.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1 AS HUGEINT) AS h FROM e),
+       |$rounds,
+       |mx AS (SELECT max(a) AS m FROM a$HitsIters)
+       |SELECT a.p AS part, CAST(a.a AS DOUBLE) AS authority,
+       |  CAST(a.a AS DOUBLE) / CAST(mx.m AS DOUBLE) AS authority_norm
+       |FROM a$HitsIters a CROSS JOIN mx
+       |ORDER BY a.a DESC, a.p LIMIT $HitsTopN""".stripMargin
+  }
+
+  /** Unrolled BfsRounds-round DuckDB twin of q147 — frontier expansion as
+    * UNION ALL + min, pure integer distances. */
+  private val bfsOracle: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT s.dst AS node, ${i} AS dist
+         |    FROM sym s JOIN d${i - 1} f ON f.node = s.src AND f.dist = ${i - 1}
+         |  ) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sym AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |seeds AS (
+       |  SELECT v AS node FROM (SELECT DISTINCT src AS v FROM sym)
+       |  ORDER BY v LIMIT $BfsSeeds),
+       |d0 AS (SELECT node, 0 AS dist FROM seeds),
+       |$rounds
+       |SELECT node AS part, CAST(dist AS BIGINT) AS dist
+       |FROM d$BfsRounds ORDER BY part""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q146_hits" -> hitsOracle,
+    "q147_bfs_hops" -> bfsOracle,
     // full-reachability closure: component id = min reachable node —
     // identical to the star-contraction fixed point
     "q141_cc_star" ->

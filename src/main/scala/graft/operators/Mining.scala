@@ -115,6 +115,56 @@ object Mining {
   // adjacent in the row. First shuffle is now the (w1,w2) count itself
   // (partial+final). Tokens are \s+-split so splitting the gram on its
   // single space is exact; counts and ranking unchanged.
+  /** q148's pinned parameters — shared by the default AND the oracle. */
+  private[operators] val PmiMinCount = 5L
+  private[operators] val PmiTopN = 50
+
+  /** q148 — PMI collocation mining over adjacent word bigrams (Church &
+    * Hanks, CL 1990 — public): PMI(w1,w2) = ln p(w1w2) − ln p(w1) − ln
+    * p(w2), the standard "these words belong together" signal behind
+    * phrase vocabularies and tokenizer merge seeding. Ranked top-`topN`
+    * above a min-count floor (PMI without a floor surfaces hapax noise).
+    *
+    * Determinism: the PMI double is a FIXED left-to-right chain of ln
+    * terms on integer counts — ((((ln n12 + ln T) + ln T) − ln B) −
+    * ln n1) − ln n2 — the q131 convention (Spark's Log = StrictMath.log
+    * matches DuckDB's libm ln bit-for-bit on these inputs, spec-pinned
+    * there); no products of counts are formed, so nothing rides double
+    * exactness bounds at any corpus size. Ties order by (w1, w2).
+    *
+    * Scale shape: bigram expansion is scan-local (`WordNgramList`, the
+    * q80/q105 native expression); the bigram and unigram counts are
+    * partial+final aggregates on their keys; the unigram frame joins back
+    * twice vocab-keyed (AQE broadcasts while it fits); the two 1-row
+    * totals broadcast. Top-N plans as TakeOrderedAndProject. */
+  def q148Pmi(s: SparkSession, dir: String, minCount: Long = PmiMinCount,
+              topN: Int = PmiTopN): DataFrame = {
+    VectorFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val big = docs
+      .select(explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val totU = uni.agg(sum(col("n")).cast("double").as("t"))
+    val totB = docs.select(greatest(
+        size(TextFunctions.tokens(col("text"))) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).cast("double").as("b"))
+    big
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        (log(col("n12").cast("double")) + log(col("t")) + log(col("t"))
+          - log(col("b")) - log(col("n1").cast("double"))
+          - log(col("n2").cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   def q80Bigrams(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val big = Tables.documents(s, dir)
@@ -265,6 +315,7 @@ object Mining {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_pmi" -> ((s, d) => q148Pmi(s, d)),
     "q145_apriori" -> ((s, d) =>
       aprioriTriples(s, Tables.lineitem(s, d), Tables.orders(s, d))),
     "q69_dedup_canonical" -> (q69DedupCanonical _),
@@ -280,6 +331,30 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    // same fixed ln-chain term order as the engine expression (q131
+    // convention: IEEE addition order is pinned on both sides)
+    "q148_pmi" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS n
+        |  FROM w, unnest(ws) t(tok) GROUP BY 1),
+        |big AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS n12
+        |  FROM w, unnest(range(1, len(ws))) r(i)
+        |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+        |tu AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+        |tb AS (
+        |  SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS b FROM w)
+        |SELECT b.w1, b.w2, b.n12, u1.n AS n1, u2.n AS n2,
+        |  ln(CAST(b.n12 AS DOUBLE)) + ln(tu.t) + ln(tu.t) - ln(tb.b)
+        |    - ln(CAST(u1.n AS DOUBLE)) - ln(CAST(u2.n AS DOUBLE)) AS pmi
+        |FROM big b
+        |JOIN uni u1 ON u1.w = b.w1
+        |JOIN uni u2 ON u2.w = b.w2
+        |CROSS JOIN tu CROSS JOIN tb
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT $PmiTopN""".stripMargin,
     // brute-force triple enumeration + HAVING — deliberately ignorant of
     // Apriori pruning, so it cross-checks the pruned plan end to end
     "q145_apriori" ->

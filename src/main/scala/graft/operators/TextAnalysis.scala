@@ -258,7 +258,42 @@ object TextAnalysis {
 
   // --------------------------------------------------------------------- //
 
+  /** q151's pinned n-gram width (the q87/q112 leakage convention). */
+  private[operators] val NoveltyN = 8
+
+  /** q151 — per-document n-gram novelty against everything EARLIER in the
+    * corpus (doc_id order = arrival order): the fraction of a doc's
+    * distinct 8-grams whose first corpus occurrence is this doc. The
+    * memorization/staleness signal a streaming ingest pipeline tracks —
+    * novelty collapsing toward 0 means the crawl is re-reading itself
+    * (the n-gram-overlap methodology of Lee et al. 2022, public).
+    *
+    * Scale shape: grams hash to h60 scan-locally (8-byte shuffle keys, the
+    * q112 convention); first-occurrence is ONE partial+final min-aggregate
+    * on the gram key over distinct (doc, gram) pairs; the per-doc rollup
+    * is one count/count-if aggregate on doc_id. Two key-shuffles total,
+    * both map-side combinable. Docs with < n tokens have no grams and are
+    * excluded (novelty is undefined, matching the oracle's inner
+    * grouping). Pure integer counts + one final division. */
+  def ngramNovelty(docs: DataFrame, n: Int = NoveltyN): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.wordNgramList(col("text"), n)).as("g"))
+      .select(col("doc_id"), TextFunctions.h60(col("g")).as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_ngram_novelty" -> ((s, d) => ngramNovelty(Tables.documents(s, d))),
     "q42_text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
     "q43_top_terms" -> ((s, d) => topTerms(Tables.documents(s, d))),
     "q30_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -348,6 +383,27 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    // q112's gram-hash convention (h60 of the space-joined window), min
+    // first-occurrence, inner per-doc rollup
+    "q151_ngram_novelty" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(list_aggregate(
+        |      ws[CAST(r.i AS INT) + 1 : CAST(r.i AS INT) + $NoveltyN],
+        |      'string_agg', ' ')), 1, 15)) AS BIGINT) AS g
+        |  FROM w, unnest(range(0, len(ws) - ${NoveltyN - 1})) AS r(i)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN f USING (g)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q42_text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -17,24 +17,34 @@ import graft.core.Tables
   */
 object EventsStream {
 
-  /** Parquet schema of events.parquet as written by the driver (ts is
-    * INT64 TIMESTAMP(NANOS), read as long under nanosAsLong). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Parquet schema of events.parquet with `ts` as read for the given
+    * generator vintage (INT64 TIMESTAMP(NANOS) → long under nanosAsLong;
+    * timestamp[us] without timezone → TIMESTAMP_NTZ). */
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events parquet (nanos → micros, same as the
-    * batch loader). */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
+  /** Streaming source over the events parquet, normalized to a session-UTC
+    * TIMESTAMP exactly like `Tables.events` (the streaming source needs an
+    * explicit schema, so the footer's ts vintage is probed via one batch
+    * schema read — driver-side planning only, no job). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType))
       // FileStreamSource needs a directory; glob-filter to the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Tumbling-window counts with a watermark — the streaming twin of
     * Relational.q15EventWindows. */

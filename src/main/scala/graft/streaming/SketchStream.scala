@@ -70,6 +70,18 @@ object SketchStream {
     * batch count is the row count here, so this frame is tiny at any
     * corpus size. */
   def mergedSketch(spark: SparkSession, sketchDir: String): DataFrame = {
+    // processBatch skips empty batches, so a stream that produced ONLY
+    // empty batches (or none yet) leaves no batch_id=* directories — the
+    // glob read would throw AnalysisException. The merge of zero sketch
+    // rows is the monoid identity: empty KMV sample, all-zero CMS grid.
+    val base = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasBatches = fs.exists(base) && fs.listStatus(base)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (!hasBatches)
+      return spark.range(1).select(
+        expr("CAST(array() AS ARRAY<BIGINT>)").as("kmv"),
+        array_repeat(lit(0L), Datasets.CmsDepth * Datasets.CmsWidth).as("cms"))
     val rows = spark.read.parquet(s"$sketchDir/batch_id=*")
     val kmvMerged = rows
       .select(explode(col("kmv")).as("h")).distinct()

@@ -67,7 +67,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q77: histogram aggregates scan-locally (partial+final, pruned scan)") {
     val p = plan("q77_histogram")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
-    assert(!p.contains("l_orderkey"), "scan should read only l_extendedprice")
+    // pruning: nothing beyond the priced column and (on a single-row-group
+    // layout where the parallelism guard fires) its l_orderkey spread key
+    for (c <- Seq("l_partkey", "l_shipdate", "l_quantity", "l_returnflag"))
+      assert(!p.contains(c), s"scan must not read $c")
   }
 
   test("q69: removed-id set and cluster sizes broadcast against the corpus scan") {
@@ -150,7 +153,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q134_triangles", // 1-row total-count attach on the per-node frame
       "q138_burst_detect", // 1-row moment attach on the per-minute frame
       "q139_kmv_overlap", // |sources|-bounded sketch-pair theta join
-      "q144_pps_sample") // 1-row corpus-total attach on the scan
+      "q144_pps_sample", // 1-row corpus-total attach on the scan
+      "q146_hits", // 1-row max-authority attach for the final normalization
+      "q148_pmi", // 1-row unigram/bigram-total attaches
+      "q150_quantile_norm", // 1-row N + score-cardinality-bounded [lo,hi] range join
+      "q152_embedding_whiten") // 1-row corpus-count attach on the 64-dim moment frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

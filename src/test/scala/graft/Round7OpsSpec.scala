@@ -247,6 +247,18 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q138 constant per-minute rate emits no bursts (no NaN/Inf z)") {
+    import spark.implicits._
+    // 5 minutes × exactly 3 events each — true variance 0; the double
+    // E[X²]−mean² cancellation must not surface NaN rows, it must yield
+    // an EMPTY result (constant rate ⇒ nothing to rank)
+    val ev = (0 until 5).flatMap { m =>
+      (0 until 3).map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:0$i"), 1L))
+    }.toDF("ts", "user_id")
+    assert(Analytics.burstDetect(ev).collect().isEmpty,
+      "zero-variance stream must produce no burst rows (not NaNs)")
+  }
+
   // ------------------------------------------------------------------ q135
 
   test("q135 JL projection preserves pairwise distances within JL tolerance") {

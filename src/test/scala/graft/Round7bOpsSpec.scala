@@ -199,6 +199,17 @@ class Round7bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1000L to 1009L).foreach(v => assert(out(v) == 1000L, s"node $v"))
   }
 
+  test("q141 ccStar throws when the round budget is exhausted (no silent partial labels)") {
+    // two-node graph but ZERO allowed rounds: the contraction cannot even
+    // start — returning labels here would be silently wrong, so the
+    // contract is an explicit failure
+    val li = Seq((1L, 10L), (1L, 20L)).toDF("l_orderkey", "l_partkey")
+    val ex = intercept[IllegalStateException] {
+      Graph.ccStar(spark, li, maxRounds = 0)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("q141 ccStar == union-find closure on the sf0.001 co-purchase graph") {
     val li = Tables.lineitem(spark, sf)
     val got = Graph.ccStar(spark, li).collect()

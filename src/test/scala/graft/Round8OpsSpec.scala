@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Curation, Datasets, EmbeddingStats, Extended, Graph, Mining, TextAnalysis}
+
+/** Contracts for the round-8 family: HITS (q146), BFS hops (q147), PMI
+  * collocations (q148), HyperLogLog (q149), quantile normalization (q150),
+  * n-gram novelty (q151), embedding whitening (q152), skyline (q153).
+  */
+class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("round8-spec", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ q146
+
+  test("q146 HITS == driver-side exact integer alternation on sf0.001") {
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val got = Graph.hits(spark, li, or).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    val edges = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var hub = edges.map(_._1).distinct.map(_ -> BigInt(1)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      auth = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum
+      }
+      hub = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum
+      }
+    }
+    val want = auth.toSeq.sortBy { case (p, a) => (-a, p) }.take(50)
+    assert(got.size == want.size)
+    want.foreach { case (p, a) =>
+      assert(got(p) == a.toDouble, s"part $p authority")
+    }
+  }
+
+  // ------------------------------------------------------------------ q147
+
+  test("q147 BFS == driver-side breadth-first distances on sf0.001") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Graph.bfsHops(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val adj = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps")).collect()
+      .map(_.getSeq[Long](1))
+      .flatMap(ps => for (a <- ps; b <- ps if a != b) yield (a, b))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = adj.keySet.toSeq.sorted.take(5)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (r <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> r.toLong)
+      frontier = next
+    }
+    assert(got == dist, s"got ${got.size} reached vs reference ${dist.size}")
+    assert(got.values.exists(_ > 0L), "expansion must reach beyond the seeds")
+  }
+
+  // ------------------------------------------------------------------ q148
+
+  test("q148 PMI output: count floor enforced, sorted by pmi with stable tie-break") {
+    val rows = Mining.q148Pmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 5L), "min-count floor enforced")
+    val pmis = rows.map(t => (-t._4, t._1, t._2)).toSeq
+    assert(pmis == pmis.sorted, "sorted by pmi desc with (w1, w2) tie-break")
+  }
+
+  test("q148 PMI value matches a driver-side ln-chain reference") {
+    val rows = Mining.q148Pmi(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val t = uni.values.sum.toDouble
+    val b = docs.map(ws => math.max(ws.size - 1, 0).toLong).sum.toDouble
+    val big = docs.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    rows.foreach { r =>
+      val (w1, w2, n12) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(big((w1, w2)) == n12)
+      val want = StrictMath.log(n12.toDouble) + StrictMath.log(t) +
+        StrictMath.log(t) - StrictMath.log(b) -
+        StrictMath.log(uni(w1).toDouble) - StrictMath.log(uni(w2).toDouble)
+      assert(r.getDouble(5) == want, s"pmi($w1,$w2)")
+    }
+  }
+
+  // ------------------------------------------------------------------ q149
+
+  test("q149 HLL estimate lands within 3 standard errors of exact (sf0.01)") {
+    val rows = Datasets.hllDistinct(Tables.documents(spark, sf01)).collect()
+    assert(rows.nonEmpty)
+    val se = 1.04 / math.sqrt(256.0) // published HLL standard error for m=256
+    rows.foreach { r =>
+      val exact = r.getLong(2).toDouble
+      val est = r.getDouble(4)
+      assert(math.abs(est - exact) / exact <= 3 * se,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q149 HLL is duplication-invariant (sketch of corpus == corpus ∪ corpus)") {
+    val docs = Tables.documents(spark, sf)
+    val once = Datasets.hllDistinct(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    val twice = Datasets.hllDistinct(docs.union(docs)).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    assert(once.toSeq == twice.toSeq,
+      "bucket maxima (and so the estimate) must ignore duplicates")
+  }
+
+  // ------------------------------------------------------------------ q150
+
+  test("q150 quantile map: rank extremes hit the global extremes, monotone within source") {
+    val docs = Tables.documents(spark, sf01)
+    val rows = Curation.quantileNorm(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val globalMin = docs.agg(min(col("n_chars"))).head.getLong(0)
+    val globalMax = docs.agg(max(col("n_chars"))).head.getLong(0)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.head._4 == globalMin, s"$src rank 1 → global min")
+      assert(byRank.last._4 == globalMax, s"$src rank n → global max")
+      byRank.sliding(2).foreach {
+        case Array((_, _, _, a), (_, _, _, b)) => assert(a <= b, s"$src monotone")
+        case _ =>
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ q151
+
+  test("q151 novelty: first doc fully novel, exact duplicate fully stale") {
+    val docs = Tables.documents(spark, sf)
+    val dup = docs.filter(col("doc_id") === docs.agg(min(col("doc_id"))).head.getLong(0))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val out = TextAnalysis.ngramNovelty(docs.unionByName(dup)).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val firstId = out.keySet.min
+    assert(out(firstId) == 1.0, "earliest doc introduces every gram")
+    assert(out(firstId + 1000000L) == 0.0, "verbatim duplicate introduces none")
+  }
+
+  // ------------------------------------------------------------------ q152
+
+  test("q152 whitening: per-dim population mean ≈ 0 and variance ≈ 1") {
+    val byDim = EmbeddingStats.whiten(spark, Tables.embeddings(spark, sf01))
+      .groupBy(col("i"))
+      .agg(avg(col("w")).as("m"), avg(col("w") * col("w")).as("v"))
+      .collect()
+    assert(byDim.length == 64, "no constant dims in the fixture corpus")
+    byDim.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-9, s"dim ${r.getInt(0)} mean")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"dim ${r.getInt(0)} var")
+    }
+  }
+
+  // ------------------------------------------------------------------ q153
+
+  test("q153 skyline == driver-side quadratic dominance reference; frontier is antichain") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val want = parts.filter { p =>
+      !parts.exists(q => q._3 <= p._3 && q._2 <= p._2 &&
+        (q._3 < p._3 || q._2 < p._2))
+    }.map(_._1).toSet
+    val got = Extended.q153Skyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // antichain: no skyline member dominates another
+    val sky = parts.filter(p => got(p._1))
+    sky.foreach { p =>
+      assert(!sky.exists(q => q._1 != p._1 && q._3 <= p._3 && q._2 <= p._2 &&
+        (q._3 < p._3 || q._2 < p._2)))
+    }
+  }
+}

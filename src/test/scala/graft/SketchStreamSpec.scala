@@ -55,4 +55,19 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       oneShot.getSeq[Long](oneShot.fieldIndex("cms")),
       "batch replay must be idempotent")
   }
+
+  test("mergedSketch of a stream with no written batches is the monoid identity") {
+    // processBatch skips empty batches — a stream of only-empty batches
+    // leaves NO batch_id=* dirs; the merge must be the identity sketch,
+    // not an AnalysisException
+    val empty = Files.createTempDirectory("graft-sketch-none").toFile.getAbsolutePath
+    for (dir <- Seq(empty, s"$empty/made-but-batchless")) {
+      if (dir.endsWith("batchless")) new java.io.File(dir).mkdirs()
+      val row = SketchStream.mergedSketch(spark, dir).head()
+      assert(row.getSeq[Long](row.fieldIndex("kmv")).isEmpty, "empty KMV sample")
+      val cms = row.getSeq[Long](row.fieldIndex("cms"))
+      assert(cms.length == graft.operators.Datasets.CmsDepth * graft.operators.Datasets.CmsWidth
+        && cms.forall(_ == 0L), "all-zero CMS grid")
+    }
+  }
 }
