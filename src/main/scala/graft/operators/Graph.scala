@@ -26,18 +26,17 @@ object Graph {
     *
     * Scale shape: the basket expansion is quadratic in BASKET size only
     * (bounded ~6 items/order), linear in orders; each round is ONE join of
-    * the edge list against the current rank vector (broadcast — the rank
-    * vector is |nodes| rows, tiny next to the edge list) plus one
-    * partial+final aggregate on dst. The edge+degree frame is built once
-    * and cached across rounds, and each round's rank vector is
-    * localCheckpoint'ed: without that, round i's plan embeds rounds
-    * 1..i-1 as a tower of nested broadcast subtrees that AQE re-plans
-    * and re-executes level by level — measured 10×+ slower at sf0.1 than
-    * the checkpointed loop, and the gap grows with `iters`. With it,
-    * every round is the same flat two-table plan. The edge cache is
-    * released before returning (the checkpoint carries the result; no
-    * caller-side cache contract needed). The driver holds only N (one
-    * scalar count); ranks stay distributed.
+    * the edge list against the current rank vector plus one partial+final
+    * aggregate on dst. The whole `iters`-round loop is ONE DAG: the rank
+    * side carries a SHUFFLE_HASH hint, so no round materializes a
+    * broadcast subtree (round i's eager broadcast would re-execute rounds
+    * 1..i-1 level by level — that tower was measured 10×+ slower at
+    * sf0.1), the cached edge+degree frame is read once per round, and the
+    * rank lineage is a linear chain of shuffle stages each executed
+    * exactly once. This replaced a per-round localCheckpoint loop in
+    * round 8: one action instead of `iters`+1 jobs — measured 5.7 → 5.0 s
+    * at sf0.1 (and the win grows where rounds are cheaper, see q136). The
+    * driver holds only N (one scalar count); ranks stay distributed.
     *
     * Cross-engine determinism: per-edge contributions are doubles
     * (rank/degree — same IEEE ops both engines), then fixed-point scaled:
@@ -67,19 +66,19 @@ object Graph {
     // Safe because degree is bounded by co-purchase diversity (max 222 at
     // sf0.1); a power-law web graph would use the two-level distinct +
     // count formulation instead of per-key sets.
-    val edgesDeg = pairs.groupBy(col("src"))
+    val edgesDeg = graft.core.CacheScope.cached(pairs.groupBy(col("src"))
       .agg(collect_set(col("dst")).as("dsts"))
       .select(col("src"), size(col("dsts")).cast("long").as("degree"),
-        explode(col("dsts")).as("dst"))
-      .cache()
+        explode(col("dsts")).as("dst")))
     // node set derived FROM the cached frame so neither the init ranks nor
     // round 1 recomputes the basket pipeline
-    val nodes = edgesDeg.select(col("src")).distinct().cache()
+    val nodes = edgesDeg.select(col("src")).distinct()
     val n = nodes.count() // bounded driver scalar: node count
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("src").as("node"), lit(1.0 / n).as("pagerank"))
     for (_ <- 1 to iters) {
-      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+      ranks = edgesDeg.join(ranks.hint("shuffle_hash"),
+          edgesDeg("src") === ranks("node"))
         .select(col("dst"),
           (col("pagerank") / col("degree").cast("double")).as("contrib"))
         .groupBy(col("dst"))
@@ -87,15 +86,7 @@ object Graph {
           (sum(floor(col("contrib") * lit(1e18))).cast("double") / lit(1e18)))
           .as("pagerank"))
         .select(col("dst").as("node"), col("pagerank"))
-        // EAGER local checkpoint: flat plan per round (see scaladoc), and
-        // the rounds consume the edge cache BEFORE the unpersist below.
-        // (Lazy checkpointing was measured 25% SLOWER here: rounds then
-        // execute at the caller's action, after the cache is released,
-        // re-deriving the edge frame every round.)
-        .localCheckpoint()
     }
-    nodes.unpersist()
-    edgesDeg.unpersist()
     ranks.select(col("node").as("part"), col("pagerank")).orderBy(col("part"))
   }
 
@@ -116,12 +107,16 @@ object Graph {
     * fixed round budget is what a production job on a web-scale graph
     * actually runs, because it bounds wall-clock regardless of diameter.
     *
-    * Scale shape: identical to q109's loop — the edge frame is built once
-    * and cached, each round is one edge⋈labels join (label vector is
-    * |nodes| rows — broadcast while it fits, shuffle-degrades gracefully)
-    * plus a partial+final min on dst, and localCheckpoint keeps every
-    * round the same flat two-table plan. Labels are node ids (longs) —
-    * min is exact, no float anywhere. */
+    * Scale shape: identical to q109's loop — each round is one
+    * edge⋈labels join plus a partial+final min on dst, and the whole
+    * `iters`-round loop is ONE DAG with SHUFFLE_HASH-hinted label sides
+    * (q109's rationale): the edge-side exchange is canonical-identical
+    * across rounds, so ReusedExchange shuffles the edge list ONCE and
+    * every later round re-reads those shuffle files; the label lineage is
+    * a linear stage chain, each stage executed exactly once. Replacing
+    * the per-round localCheckpoint loop this way measured 7.1 → 3.1 s at
+    * sf0.1 (min-of-3) — the checkpoint variant paid one job per round.
+    * Labels are node ids (longs) — min is exact, no float anywhere. */
   def labelPropagation(s: SparkSession, lineitem: DataFrame,
                        iters: Int = LpIters): DataFrame = {
     val baskets = lineitem.groupBy(col("l_orderkey"))
@@ -131,14 +126,14 @@ object Graph {
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst"))
     val nodes = und.select(col("src").as("v")).distinct()
-    val edges = graft.core.CacheScope.cached(
-      und.union(nodes.select(col("v").as("src"), col("v").as("dst"))).distinct())
+    val edges =
+      und.union(nodes.select(col("v").as("src"), col("v").as("dst"))).distinct()
     var labels = nodes.select(col("v").as("node"), col("v").as("lbl"))
     for (_ <- 1 to iters) {
-      labels = edges.join(labels, edges("src") === labels("node"))
+      labels = edges.join(labels.hint("shuffle_hash"),
+          edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .select(col("dst").as("node"), col("lbl"))
-        .localCheckpoint()
     }
     labels.select(col("node").as("part"), col("lbl").as("community"))
       .orderBy(col("part"))
@@ -320,10 +315,11 @@ object Graph {
     * iters=2 even a 1e6-degree hub on a 1e9-node graph stays < 1e33.
     *
     * Scale shape: the edge list is built once and cached for its 2·iters
-    * consumers; each half-round is ONE edge⋈score join (score frames are
-    * node-bounded — AQE broadcasts while small, shuffle-degrades on the
-    * edge key otherwise) + one partial+final sum; localCheckpoint keeps
-    * every half-round the same flat two-table plan (q109 discipline).
+    * consumers; each half-round is ONE edge⋈score join (SHUFFLE_HASH-
+    * hinted score side — the q109/q136 one-DAG loop discipline: no eager
+    * broadcast subtrees, score lineage a linear stage chain executed
+    * once) + one partial+final sum. One action total — replacing the
+    * per-half-round localCheckpoint loop measured 4.2 → 3.2 s at sf0.1.
     * Top-N plans as TakeOrderedAndProject; ORDER is on the EXACT decimal
     * score (tie-break part id), not the lossy double cast. */
   def hits(s: SparkSession, lineitem: DataFrame, orders: DataFrame,
@@ -334,15 +330,12 @@ object Graph {
         .distinct())
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(1).cast("decimal(38,0)").as("h"))
-      .localCheckpoint()
     var auth = hub.limit(0).select(col("c").as("p"), col("h").as("a"))
     for (_ <- 1 to iters) {
-      auth = edges.join(hub, Seq("c"))
+      auth = edges.join(hub.hint("shuffle_hash"), Seq("c"))
         .groupBy(col("p")).agg(sum(col("h")).cast("decimal(38,0)").as("a"))
-        .localCheckpoint()
-      hub = edges.join(auth, Seq("p"))
+      hub = edges.join(auth.hint("shuffle_hash"), Seq("p"))
         .groupBy(col("c")).agg(sum(col("a")).cast("decimal(38,0)").as("h"))
-        .localCheckpoint()
     }
     val mx = auth.agg(max(col("a")).as("m"))
     auth.crossJoin(broadcast(mx))
@@ -372,10 +365,14 @@ object Graph {
     * Scale shape: per round one frontier⋈edges join (frontier is a
     * filtered node-bounded frame — broadcast while small) + one
     * partial+final min on the node key; localCheckpoint per round keeps
-    * plans flat. The frontier filter means work ∝ newly-reached nodes'
-    * degree sum, not |V| per round — on a 1000-executor cluster round
-    * cost tracks the expansion wave exactly. Unreached nodes never
-    * materialize (no |V|-row init). */
+    * plans flat. Unlike q109/q136/q146, BFS does NOT use the one-DAG
+    * shuffle-hash loop: each round references the previous distance frame
+    * TWICE (as the union base and as the frontier filter), so a single
+    * DAG doubles the un-reusable aggregate subtree per round — measured
+    * 2× SLOWER than the checkpointed loop at sf0.1. The frontier filter
+    * means work ∝ newly-reached nodes' degree sum, not |V| per round — on
+    * a 1000-executor cluster round cost tracks the expansion wave
+    * exactly. Unreached nodes never materialize (no |V|-row init). */
   def bfsHops(s: SparkSession, lineitem: DataFrame,
               rounds: Int = BfsRounds, nSeeds: Int = BfsSeeds): DataFrame = {
     val baskets = lineitem.groupBy(col("l_orderkey"))
