@@ -11,8 +11,12 @@ import org.apache.spark.sql.SparkSession
   *     time a different (cheaper) plan than the one users run;
   *   - NO separate warmup pass: pass 1 at the target sf is both the JIT/
   *     codegen warmer and a timed pass, and per-query MIN over the passes
-  *     discards its compilation overhead (round 5 showed a dedicated
-  *     sf0.001 warmup pass no longer fits the driver's wall clock);
+  *     discards its compilation overhead. (Re-measured in round 8: a
+  *     sf0.001 warmup pass costs ~1.1 s/query — the per-query cost is
+  *     ANALYSIS/PLANNING-bound, not data-bound — and shaved only ~20 s
+  *     off the subsequent sf0.1 pass, so it starves the second timed pass
+  *     instead of paying for itself. Round 5 reached the same conclusion
+  *     from the other direction.);
   *   - per-query MIN over SPARK_GRAFT_BENCH_PASSES passes (default 2):
   *     single-shot timings on a shared host carry multi-second noise
   *     spikes from unrelated load, and min-of-N is the consistent

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -252,6 +253,72 @@ object Datasets {
       .orderBy(col("source"))
   }
 
+  /** q154's pinned sample size. */
+  private[operators] val ResK = 100
+
+  /** q154 — weighted sampling WITHOUT replacement via the
+    * Efraimidis–Spirakis key (IPL 2006, public): each doc draws the
+    * deterministic uniform u = h60(doc_id)/2^60 and ranks by u^(1/w),
+    * w = n_chars; the top-k keys are EXACTLY a w-weighted draw without
+    * replacement. Complements q144's PPS-Bernoulli (random SIZE, with HT
+    * weights) — q154 returns exactly k docs, the shape a fixed-budget
+    * eval-set carve wants.
+    *
+    * Cross-engine key: ranked by ln(u)/w — the same ORDER as u^(1/w)
+    * (ln is monotone, w > 0) WITHOUT `pow`, whose libm implementations
+    * are not correctly-rounded and differ between engines; ln on dyadic
+    * rationals is the q92/q131-proven bit-matched path, and the division
+    * by an integer weight is a single IEEE op. Zero-weight docs are
+    * excluded (u^(1/w) → 0), mirrored in the oracle.
+    *
+    * Scale shape: the key is scan-local; top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    * stage) — ONE pass, no sort materialization, no window, at any
+    * corpus size. Stability: keys never change, so corpus growth only
+    * displaces the boundary entries. */
+  def weightedReservoir(docs: DataFrame, k: Int = ResK): DataFrame = {
+    val u = TextFunctions.h60(col("doc_id").cast("string")).cast("double") /
+      lit(Pow60)
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("ln_key"))
+      .orderBy(col("ln_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** q157 — per-source Gini concentration of document length: how
+    * unequally the token/char budget is spread across a source's docs
+    * (G = 0 all-equal, → 1 a few giants carry everything) — the data-card
+    * inequality stat that flags sources whose "volume" is really a
+    * handful of mega-documents. Rank formula (ties broken by doc_id, the
+    * convention pinned on both engines):
+    *   G = (2·Σ r·x − (n+1)·Σx) / (n·Σx)
+    *
+    * Exactness: Σ r·x rides decimal(38,0) (r ≤ n, x ≤ doc length — the
+    * product is < 1e38 up to ~1e19 rank·chars), the numerator/denominator
+    * are exact decimal products, and G is ONE double division. No float
+    * summation anywhere.
+    *
+    * Scale shape: one rank window per source (the q133 shuffle) feeding
+    * one partial+final per-source aggregate — the same single exchange,
+    * |sources| output rows. */
+  def giniConcentration(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val ranked = docs.select(col("source"), col("n_chars"),
+      row_number().over(w).cast("long").as("r"))
+    ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(dec(col("r")) * dec(col("n_chars"))).cast("decimal(38,0)").as("srx"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        ((dec(lit(2)) * col("srx")
+          - dec(col("n_docs") + 1) * dec(col("sum_chars"))).cast("double")
+          / (dec(col("n_docs")) * dec(col("sum_chars"))).cast("double"))
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
   /** q139's pinned sample-size target — shared by the default AND the
     * generated oracle. */
   private[operators] val PpsTarget = 100L
@@ -335,6 +402,8 @@ object Datasets {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_gini" -> ((s, d) => giniConcentration(Tables.documents(s, d))),
+    "q154_weighted_reservoir" -> ((s, d) => weightedReservoir(Tables.documents(s, d))),
     "q149_hll_distinct" -> ((s, d) => hllDistinct(Tables.documents(s, d))),
     "q139_kmv_overlap" -> ((s, d) => kmvOverlap(Tables.documents(s, d))),
     "q144_pps_sample" -> ((s, d) => ppsSample(Tables.documents(s, d))),
@@ -374,6 +443,33 @@ object Datasets {
   }
 
   def oracles: Map[String, String] = Map(
+    // same rank convention (ties by doc_id), HUGEINT moment sums, one
+    // double division
+    "q157_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    sum(CAST(r AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS srx
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, sum_chars,
+        |  CAST(2 * srx - CAST(n_docs + 1 AS HUGEINT) * CAST(sum_chars AS HUGEINT)
+        |    AS DOUBLE)
+        |    / CAST(CAST(n_docs AS HUGEINT) * CAST(sum_chars AS HUGEINT) AS DOUBLE)
+        |    AS gini
+        |FROM a ORDER BY source""".stripMargin,
+    // same ln(u)/w ranking key (monotone twin of the E-S u^(1/w) key)
+    "q154_weighted_reservoir" ->
+      s"""SELECT doc_id, source, n_chars,
+         |  ln(${h60sql("CAST(doc_id AS VARCHAR)")} / $Pow60Dec.0)
+         |    / CAST(n_chars AS DOUBLE) AS ln_key
+         |FROM documents
+         |WHERE n_chars > 0
+         |ORDER BY ln_key DESC, doc_id LIMIT $ResK""".stripMargin,
     // same bit conventions: bucket = h60 >> 52, rho = 53 − bitlength(rem)
     // via binary-string length (integer-exact), scaled harmonic sum in
     // HUGEINT, one final double division with the identical operand chain

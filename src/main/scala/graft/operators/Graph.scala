@@ -293,6 +293,134 @@ object Graph {
 
   // --------------------------------------------------------------------- //
 
+  /** q156 — modularity Q of the q136 label-propagation partition (Newman
+    * & Girvan 2004, public): Q = Σ_c (e_c/m − (d_c/2m)²) — the standard
+    * "is this community structure better than random" score a graph
+    * pipeline reports next to its partition. Composes two oracle-verified
+    * operators: the q136 labels and the co-purchase edge set.
+    *
+    * Exactness: both sums collapse to exact integer aggregates —
+    * A = Σ e_c = intra-community edge count (one conditional count) and
+    * B = Σ d_c² (per-community degree sums squared in decimal(38,0);
+    * d_c ≤ 2m so B ≤ 4m² stays < 1e38 up to m ~ 5e18 edges) — and
+    * Q = A/m − B/(4m²) is ONE fixed double dag over them, so no
+    * community-ordered float summation exists anywhere.
+    *
+    * Scale shape: the label loop is q136's one-DAG plan; on top of it one
+    * canonical-edge count, one labels⋈edges join for the intra count
+    * (node-keyed hash joins), one degree aggregate, one community-keyed
+    * sum — all partial+final on bounded keys; the four 1-row frames cross
+    * in a single final row. */
+  def modularity(s: SparkSession, lineitem: DataFrame,
+                 iters: Int = LpIters): DataFrame = {
+    val labels = labelPropagation(s, lineitem, iters)
+      .select(col("part").as("node"), col("community"))
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val und = baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val ce = und.filter(col("src") < col("dst"))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val mRow = ce.agg(count(lit(1)).as("m"))
+    val intra = ce
+      .join(labels.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
+      .agg(sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("intra_edges"))
+    val dc = deg.join(labels.select(col("node").as("src"), col("community")), Seq("src"))
+      .groupBy(col("community")).agg(sum(col("d")).as("d_c"))
+    val bRow = dc.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("d_c").cast("decimal(38,0)") * col("d_c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("b"))
+    val mD = col("m").cast("double")
+    mRow.crossJoin(broadcast(intra)).crossJoin(broadcast(bRow))
+      .select(col("m"), col("intra_edges"), col("n_communities"),
+        (col("intra_edges").cast("double") / mD
+          - col("b").cast("double") / (lit(4.0) * mD * mD)).as("modularity"))
+  }
+
+  /** q155's pinned parameters — shared by the default AND the unrolled
+    * oracle. */
+  private[operators] val WalkSeeds = 10
+  private[operators] val WalkSteps = 4
+
+  /** q155 — deterministic random walks (the DeepWalk/node2vec corpus
+    * primitive, Perozzi et al. 2014 — public): from each of the
+    * `nSeeds` smallest nodes, `steps` hops where the next node is the
+    * sorted adjacency list indexed by h60(seed-cur-step) mod degree — a
+    * hash-derived uniform neighbor choice that is reproducible at any
+    * parallelism and on any engine (the md5 convention of the sampling
+    * family, q48/q111).
+    *
+    * Scale shape: the adjacency build is ONE aggregate over the edge set
+    * (sorted neighbor arrays — per-node-degree bounded, the q109
+    * collect_set caveat: fine for co-purchase, a power-law web graph
+    * would bucket hub adjacency); each step is a walk⋈adjacency hash
+    * join where the walk side is |walks| rows — broadcast-tiny — so the
+    * whole multi-step unroll is one DAG with no checkpoints and no
+    * shuffles beyond the cached adjacency build. Walk count scales to
+    * millions before the broadcast flips to shuffle, and the plan
+    * degrades gracefully there. All arithmetic integer. */
+  def randomWalks(s: SparkSession, lineitem: DataFrame,
+                  nSeeds: Int = WalkSeeds, steps: Int = WalkSteps): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val und = baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = graft.core.CacheScope.cached(und.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs")))
+    val seeds = adj.select(col("src").as("node")).orderBy(col("node")).limit(nSeeds)
+    var walk = seeds.select(col("node").as("seed"), lit(0L).as("step"),
+      col("node").as("cur"))
+    var trace = Seq(walk)
+    for (r <- 0 until steps) {
+      val h = graft.functions.TextFunctions.h60(concat(
+        col("seed").cast("string"), lit("-"),
+        col("cur").cast("string"), lit("-"), lit(r.toString)))
+      walk = walk.join(adj, walk("cur") === adj("src"))
+        .select(col("seed"), lit((r + 1).toLong).as("step"),
+          element_at(col("nbrs"),
+            (pmod(h, size(col("nbrs")).cast("long")) + 1L).cast("int")).as("cur"))
+      trace :+= walk
+    }
+    trace.reduce(_ unionByName _)
+      .select(col("seed"), col("step"), col("cur").as("node"))
+      .orderBy(col("seed"), col("step"))
+  }
+
+  /** Unrolled WalkSteps DuckDB twin of q155: same sorted adjacency, same
+    * h60(seed-cur-step) mod degree index, 1-based on both engines. */
+  private val walksOracle: String = {
+    def h60sql(x: String) = s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+    val stepCtes = (0 until WalkSteps).map { r =>
+      val h = h60sql(
+        s"CAST(w$r.seed AS VARCHAR) || '-' || CAST(w$r.cur AS VARCHAR) || '-' || '$r'")
+      s"""w${r + 1} AS (
+         |  SELECT w$r.seed, CAST(${r + 1} AS BIGINT) AS step,
+         |    adj.nbrs[CAST(($h % len(adj.nbrs)) AS INT) + 1] AS cur
+         |  FROM w$r JOIN adj ON adj.src = w$r.cur)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to WalkSteps).map(r => s"SELECT * FROM w$r").mkString("\nUNION ALL ")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM und GROUP BY src),
+       |w0 AS (
+       |  SELECT node AS seed, CAST(0 AS BIGINT) AS step, node AS cur
+       |  FROM (SELECT src AS node FROM adj ORDER BY src LIMIT $WalkSeeds)),
+       |$stepCtes
+       |SELECT seed, step, cur AS node FROM ($unions)
+       |ORDER BY seed, step""".stripMargin
+  }
+
   /** q146's pinned parameters — shared by the default AND the unrolled
     * oracle. */
   private[operators] val HitsIters = 2
@@ -357,22 +485,23 @@ object Graph {
     * entities" (neighborhood sampling, blast-radius analysis, GNN
     * neighborhood materialization).
     *
-    * Classic frontier BFS in BSP rounds: round r joins ONLY the frontier
-    * (nodes first reached at r-1) against the edge list and min-merges
-    * the candidates into the distance table — a node's distance is set
-    * exactly once (min of first-reach rounds), all integer arithmetic.
+    * Classic frontier BFS in BSP rounds, kept in FRONTIER form
+    * throughout: round r expands only the nodes first reached at r-1,
+    * dedups the candidates, and anti-joins away everything already
+    * reached — successive frontiers are DISJOINT by construction, so the
+    * final distance table is a plain union of the per-round frontiers
+    * with no min-aggregation anywhere.
     *
-    * Scale shape: per round one frontier⋈edges join (frontier is a
-    * filtered node-bounded frame — broadcast while small) + one
-    * partial+final min on the node key; localCheckpoint per round keeps
-    * plans flat. Unlike q109/q136/q146, BFS does NOT use the one-DAG
-    * shuffle-hash loop: each round references the previous distance frame
-    * TWICE (as the union base and as the frontier filter), so a single
-    * DAG doubles the un-reusable aggregate subtree per round — measured
-    * 2× SLOWER than the checkpointed loop at sf0.1. The frontier filter
-    * means work ∝ newly-reached nodes' degree sum, not |V| per round — on
-    * a 1000-executor cluster round cost tracks the expansion wave
-    * exactly. Unreached nodes never materialize (no |V|-row init). */
+    * Scale shape: per round one frontier⋈edges join + one candidate
+    * distinct + one anti-join against the reached set, all ∝ the
+    * expansion wave's degree sum, never |V|; only the (small) frontier is
+    * localCheckpoint'ed each round, and the reached set is a union of
+    * those checkpointed frames — re-reading it costs no recompute.
+    * Unlike q109/q136/q146, BFS does not fold into the one-DAG
+    * shuffle-hash loop: each round references prior state twice (the
+    * expansion and the anti-join), and the one-DAG form measured 2×
+    * slower at sf0.1 from the doubled subtrees. Unreached nodes never
+    * materialize (no |V|-row init). */
   def bfsHops(s: SparkSession, lineitem: DataFrame,
               rounds: Int = BfsRounds, nSeeds: Int = BfsSeeds): DataFrame = {
     val baskets = lineitem.groupBy(col("l_orderkey"))
@@ -384,21 +513,26 @@ object Graph {
       .distinct())
     val seeds = sym.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(nSeeds)
-    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var reached = Seq(frontier)
     for (r <- 1 to rounds) {
-      val frontier = dist.filter(col("dist") === lit((r - 1).toLong))
-      val cand = sym.join(frontier, sym("src") === frontier("node"))
-        .select(col("dst").as("node"), lit(r.toLong).as("dist"))
-      dist = dist.union(cand)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val dist = reached.reduce(_ union _)
+      frontier = sym.join(frontier, sym("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
         .localCheckpoint()
+      reached :+= frontier
     }
-    dist.select(col("node").as("part"), col("dist")).orderBy(col("part"))
+    reached.reduce(_ union _)
+      .select(col("node").as("part"), col("dist")).orderBy(col("part"))
   }
 
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_random_walks" -> ((s, d) => randomWalks(s, Tables.lineitem(s, d))),
+    "q156_modularity" -> ((s, d) => modularity(s, Tables.lineitem(s, d))),
     "q146_hits" -> ((s, d) => hits(s, Tables.lineitem(s, d), Tables.orders(s, d))),
     "q147_bfs_hops" -> ((s, d) => bfsHops(s, Tables.lineitem(s, d))),
     "q141_cc_star" -> ((s, d) => ccStar(s, Tables.lineitem(s, d))),
@@ -407,16 +541,17 @@ object Graph {
     "q136_label_prop" -> ((s, d) => labelPropagation(s, Tables.lineitem(s, d)))
   )
 
-  /** Unrolled LpIters-round DuckDB twin of q136 — pure integer mins, so the
-    * rounds compose exactly. */
-  private val labelPropOracle: String = {
-    val rounds = (1 to LpIters).map { i =>
+  /** Shared CTE block: co-purchase graph + the unrolled LpIters-round
+    * label loop (pure integer mins, so the rounds compose exactly) —
+    * consumed by the q136 AND q156 oracles. */
+  private def lpCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
       s"""l$i AS (
          |  SELECT e2.dst AS node, min(l${i - 1}.lbl) AS lbl
          |  FROM e2 JOIN l${i - 1} ON l${i - 1}.node = e2.src
          |  GROUP BY e2.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |und AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM op a JOIN op b
@@ -424,10 +559,39 @@ object Graph {
        |nodes AS (SELECT DISTINCT src AS v FROM und),
        |e2 AS (SELECT src, dst FROM und UNION SELECT v, v FROM nodes),
        |l0 AS (SELECT v AS node, v AS lbl FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val labelPropOracle: String =
+    s"""WITH ${lpCtes(LpIters)}
        |SELECT node AS part, CAST(lbl AS BIGINT) AS community
        |FROM l$LpIters ORDER BY part""".stripMargin
-  }
+
+  /** q156's DuckDB twin: the lpCtes labels + exact integer modularity
+    * components, one final double dag. */
+  private val modularityOracle: String =
+    s"""WITH ${lpCtes(LpIters)},
+       |ce AS (SELECT src, dst FROM und WHERE src < dst),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+       |ia AS (
+       |  SELECT CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS intra_edges
+       |  FROM ce
+       |  JOIN l$LpIters la ON la.node = ce.src
+       |  JOIN l$LpIters lb ON lb.node = ce.dst),
+       |dc AS (
+       |  SELECT la.lbl, CAST(sum(deg.d) AS BIGINT) AS d_c
+       |  FROM deg JOIN l$LpIters la ON la.node = deg.src GROUP BY la.lbl),
+       |bb AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |    sum(CAST(d_c AS HUGEINT) * CAST(d_c AS HUGEINT)) AS b
+       |  FROM dc)
+       |SELECT mm.m, ia.intra_edges, bb.n_communities,
+       |  CAST(ia.intra_edges AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       |    - CAST(bb.b AS DOUBLE)
+       |      / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)) AS modularity
+       |FROM mm CROSS JOIN ia CROSS JOIN bb""".stripMargin
 
   /** Unrolled PrIters-iteration DuckDB twin: same graph, same fixed-point-
     * scaled power iteration. The teleport base is emitted as
@@ -513,6 +677,8 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    "q155_random_walks" -> walksOracle,
+    "q156_modularity" -> modularityOracle,
     "q146_hits" -> hitsOracle,
     "q147_bfs_hops" -> bfsOracle,
     // full-reachability closure: component id = min reachable node —

@@ -175,6 +175,105 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------------ q154
+
+  test("q154 weighted reservoir == driver-side Efraimidis-Spirakis top-k") {
+    val docs = Tables.documents(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).filter(_._2 > 0)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = docs.map { case (id, w) =>
+      (id, StrictMath.log(h60(id.toString).toDouble / 1152921504606846976.0) / w)
+    }.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSeq
+    val got = Datasets.weightedReservoir(Tables.documents(spark, sf01))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("q154: at equal hash-luck, heavier docs win (key monotone in weight)") {
+    val rows = Datasets.weightedReservoir(Tables.documents(spark, sf01)).collect()
+    // ln_key = ln(u)/w is negative; for the same u a larger w is closer
+    // to 0 — verify the emitted keys are all negative and finite
+    rows.foreach { r =>
+      val k = r.getDouble(3)
+      assert(k < 0 && !k.isNaN && !k.isInfinite)
+    }
+  }
+
+  // ------------------------------------------------------------------ q155
+
+  test("q155 walks follow real edges and the pinned hash index") {
+    val li = Tables.lineitem(spark, sf)
+    val out = Graph.randomWalks(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps")).collect()
+      .map(_.getSeq[Long](1))
+      .flatMap(ps => for (a <- ps; b <- ps if a != b) yield (a, b))
+      .distinct.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted.toIndexedSeq }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val bySeed = out.groupBy(_._1)
+    assert(bySeed.size == 10 && out.length == 50)
+    bySeed.foreach { case (seed, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(path.length == 5, "steps 0..4")
+      path.sliding(2).zipWithIndex.foreach { case (pair, r) =>
+        val (cur, nxt) = (pair(0), pair(1))
+        val nbrs = adj(cur)
+        val want = nbrs((h60(s"$seed-$cur-$r") % nbrs.size).toInt)
+        assert(nxt == want, s"seed $seed step $r")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ q156
+
+  test("q156 modularity == driver-side Newman Q over the q136 labels") {
+    val li = Tables.lineitem(spark, sf)
+    val row = Graph.modularity(spark, li).head()
+    val labels = Graph.labelPropagation(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps")).collect()
+      .map(_.getSeq[Long](1))
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b)).distinct
+    val m = edges.length.toDouble
+    val intra = edges.count { case (a, b) => labels(a) == labels(b) }
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    val dC = deg.groupBy { case (v, _) => labels(v) }
+      .map { case (_, vs) => vs.values.sum }
+    val want = intra / m - dC.map(d => d.toDouble * d).sum / (4.0 * m * m)
+    assert(row.getLong(0) == edges.length)
+    assert(row.getLong(1) == intra)
+    assert(math.abs(row.getDouble(3) - want) < 1e-12)
+    // sf0.001's co-purchase graph is one dense component: the 4-round
+    // labels collapse to a single community and Q = 1 − 1 = 0 exactly;
+    // a partitioned graph scores in (0, 1]
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  // ------------------------------------------------------------------ q157
+
+  test("q157 Gini: uniform lengths score 0; reference formula matches") {
+    val rows = Datasets.giniConcentration(Tables.documents(spark, sf01)).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, r.getString(0))
+    }
+    val uni = (1 to 50).map(i => (i.toLong, "x", "en", "s", 77L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g0 = Datasets.giniConcentration(uni).head().getDouble(3)
+    assert(g0 == 0.0, "all-equal lengths have zero concentration")
+  }
+
   // ------------------------------------------------------------------ q153
 
   test("q153 skyline == driver-side quadratic dominance reference; frontier is antichain") {
