@@ -319,6 +319,58 @@ object Datasets {
       .orderBy(col("source"))
   }
 
+  /** q158's fixed-point scale for order-free KL term summation. */
+  private val KlScale = 1e15
+
+  /** q158 — per-source KL divergence from the corpus unigram
+    * distribution: KL(P_source ‖ P_corpus) = Σ_w p·ln(p/q) — the
+    * domain-distance score data-selection pipelines rank sources by (a
+    * source far from the mixture is novel or noisy; the DSIR/importance
+    * family's distributional summary). No smoothing needed: every source
+    * word is in the corpus, so q > 0 always.
+    *
+    * Determinism: a vocabulary-sized Σ of doubles is IEEE-order-
+    * sensitive, so each term rides the q109 fixed-point trick —
+    * floor(term·1e15) summed as decimal(38,0) is exact, order-free, and
+    * identical cross-engine (each term is a pinned dag: p·(ln c_s + ln N
+    * − ln n_s − ln c), the q131 ln convention; the 1e-15 truncation is
+    * the SAME on both engines, so it cancels in the compare). |term| < 40
+    * ⇒ scaled < 4e16 per term, Σ < 1e38 up to ~2e21 vocab — decimal38
+    * headroom at any corpus.
+    *
+    * Scale shape: one (source, word)-keyed count aggregate is the only
+    * corpus-sized shuffle; the corpus distribution derives from IT (one
+    * vocab-keyed re-aggregate, no second scan); per-source totals and the
+    * 1-row N broadcast back onto the vocab-bounded term frame. */
+  def klDivergence(docs: DataFrame): DataFrame = {
+    val cs = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_s"))
+    val corpus = cs.groupBy(col("w")).agg(sum(col("c_s")).as("c"))
+    val ns = cs.groupBy(col("source"))
+      .agg(sum(col("c_s")).as("n_s"), count(lit(1)).as("vocab_s"))
+    val nRow = corpus.agg(sum(col("c")).as("n"))
+    // difference-paired chain (ln c_s − ln c) + (ln N − ln n_s): when
+    // P == Q the pairs cancel EXACTLY (x − x = 0), so a single-source
+    // corpus scores 0.0, not a floor-truncated −1e-14 — and both pairs
+    // subtract same-magnitude values, which is also the better-
+    // conditioned order in general
+    val term = (col("c_s").cast("double") / col("n_s").cast("double")) *
+      ((log(col("c_s").cast("double")) - log(col("c").cast("double")))
+        + (log(col("n").cast("double")) - log(col("n_s").cast("double"))))
+    val sums = cs.join(corpus, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nRow))
+      .select(col("source"),
+        floor(term * lit(KlScale)).cast("decimal(38,0)").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).cast("decimal(38,0)").as("sc"))
+    sums.join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("vocab_s").as("vocab_size"),
+        (col("sc").cast("double") / lit(KlScale)).as("kl"))
+      .orderBy(col("source"))
+  }
+
   /** q139's pinned sample-size target — shared by the default AND the
     * generated oracle. */
   private[operators] val PpsTarget = 100L
@@ -402,6 +454,7 @@ object Datasets {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_kl_divergence" -> ((s, d) => klDivergence(Tables.documents(s, d))),
     "q157_gini" -> ((s, d) => giniConcentration(Tables.documents(s, d))),
     "q154_weighted_reservoir" -> ((s, d) => weightedReservoir(Tables.documents(s, d))),
     "q149_hll_distinct" -> ((s, d) => hllDistinct(Tables.documents(s, d))),
@@ -443,6 +496,38 @@ object Datasets {
   }
 
   def oracles: Map[String, String] = Map(
+    // same pinned term dag (p·((ln c_s − ln c) + (ln N − ln n_s))), same
+    // fixed-point floor(·1e15) HUGEINT summation — order-free both sides
+    "q158_kl_divergence" ->
+      """WITH t AS (
+        |  SELECT source, tk.w AS w
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)),
+        |cs AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c_s
+        |  FROM t GROUP BY source, w),
+        |corpus AS (SELECT w, CAST(sum(c_s) AS BIGINT) AS c FROM cs GROUP BY w),
+        |ns AS (
+        |  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s,
+        |    CAST(count(*) AS BIGINT) AS vocab_s
+        |  FROM cs GROUP BY source),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+        |sums AS (
+        |  SELECT cs.source,
+        |    sum(CAST(floor(
+        |      (CAST(cs.c_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
+        |        ((ln(CAST(cs.c_s AS DOUBLE)) - ln(CAST(corpus.c AS DOUBLE)))
+        |          + (ln(CAST(nn.n AS DOUBLE)) - ln(CAST(ns.n_s AS DOUBLE))))
+        |      * 1.0e15) AS HUGEINT)) AS sc
+        |  FROM cs
+        |  JOIN corpus USING (w)
+        |  JOIN ns ON ns.source = cs.source
+        |  CROSS JOIN nn
+        |  GROUP BY cs.source)
+        |SELECT s.source, ns.n_s AS n_tokens, ns.vocab_s AS vocab_size,
+        |  CAST(s.sc AS DOUBLE) / 1.0e15 AS kl
+        |FROM sums s JOIN ns ON ns.source = s.source
+        |ORDER BY s.source""".stripMargin,
     // same rank convention (ties by doc_id), HUGEINT moment sums, one
     // double division
     "q157_gini" ->

@@ -274,6 +274,37 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g0 == 0.0, "all-equal lengths have zero concentration")
   }
 
+  // ------------------------------------------------------------------ q158
+
+  test("q158 KL: single-source corpus diverges zero; multi-source matches reference") {
+    val docs01 = Tables.documents(spark, sf01)
+    val one = docs01.withColumn("source", lit("all"))
+    val z = Datasets.klDivergence(one).head()
+    assert(z.getDouble(3) == 0.0, "P == Q ⇒ every term is ln(1) = 0 exactly")
+
+    val rows = Datasets.klDivergence(docs01).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    // driver-side reference with the same pinned term dag + fixed point
+    val toks = docs01.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map((r.getString(0), _)))
+    val cs = toks.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val corpus = cs.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val ns = cs.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val n = corpus.values.sum
+    val want = cs.groupBy(_._1._1).map { case (s, m) =>
+      s -> m.map { case ((_, w), cSw) =>
+        val term = (cSw.toDouble / ns(s).toDouble) *
+          ((StrictMath.log(cSw.toDouble) - StrictMath.log(corpus(w).toDouble)) +
+            (StrictMath.log(n.toDouble) - StrictMath.log(ns(s).toDouble)))
+        math.floor(term * 1e15).toLong
+      }.sum.toDouble / 1e15
+    }
+    want.foreach { case (s, k) =>
+      assert(rows(s) == k, s"source $s kl")
+      assert(k >= 0.0, "KL is non-negative")
+    }
+  }
+
   // ------------------------------------------------------------------ q153
 
   test("q153 skyline == driver-side quadratic dominance reference; frontier is antichain") {
