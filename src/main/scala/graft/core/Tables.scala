@@ -54,15 +54,28 @@ object Tables {
     * distribution without re-shuffling. On a healthy multi-file 100 TB
     * table the guard sees >= cores partitions and this is a no-op; the
     * driver-side partition-count probe plans the scan but runs no job. */
-  private def spread(df: DataFrame, key: String): DataFrame = {
+  private def spread(df: DataFrame, key: String, needed: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+    if (needed) df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+    else df
   }
+
+  /** The scan-partition probe (`df.rdd.getNumPartitions`) plans the scan
+    * and converts it to an RDD — pure driver work, but ~10-50 ms per call
+    * and every query reloads its tables, so across a 150-query bench run
+    * it is real seconds. The answer depends only on (dir, table, session
+    * parallelism): memoize it. */
+  private val spreadDecision =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    spreadKeys.get(name).map(spread(raw, _)).getOrElse(raw)
+    spreadKeys.get(name).map { key =>
+      val target = spark.sparkContext.defaultParallelism
+      val needed = spreadDecision.computeIfAbsent((dir, name, target),
+        _ => raw.rdd.getNumPartitions < target)
+      spread(raw, key, needed)
+    }.getOrElse(raw)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
