@@ -107,7 +107,18 @@ object Datasets {
 
   /** q149's pinned HLL geometry: 2^HllP buckets over the 60-bit hash; the
     * remaining 52 bits feed the leading-zero rank. */
-  private[operators] val HllP = 8
+  private[graft] val HllP = 8
+
+  /** (bucket, rho) of a 60-bit hash under the pinned p-bit HLL geometry —
+    * shared by q149 and the streaming sketch maintenance. */
+  private[graft] def hllBucketRho(h: org.apache.spark.sql.Column, p: Int = HllP)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val remBits = 60 - p
+    val rem = h.bitwiseAND(lit((1L << remBits) - 1))
+    val rho = when(rem === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    (shiftright(h, remBits), rho)
+  }
 
   /** q149 — per-source HyperLogLog distinct-content estimate (Flajolet et
     * al., AofA 2007 — public), the CONSTANT-memory counterpart of q110's
@@ -139,12 +150,9 @@ object Datasets {
   def hllDistinct(docs: DataFrame, p: Int = HllP): DataFrame = {
     val m = 1 << p
     val remBits = 60 - p
-    val h = TextFunctions.h60(col("text"))
-    val rem = h.bitwiseAND(lit((1L << remBits) - 1))
-    val rho = when(rem === 0, lit(remBits + 1))
-      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    val (bucket, rho) = hllBucketRho(TextFunctions.h60(col("text")), p)
     val buckets = docs
-      .select(col("source"), shiftright(h, remBits).as("bucket"), rho.as("r"))
+      .select(col("source"), bucket.as("bucket"), rho.as("r"))
       .groupBy(col("source"), col("bucket")).agg(max(col("r")).as("mr"))
     // Σ_buckets 2^(53−rho), empty buckets at rho=0 → 2^53 each: scaled
     // harmonic sum as pure long arithmetic

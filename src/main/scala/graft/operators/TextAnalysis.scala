@@ -292,7 +292,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q159's pinned coverage checkpoints (top-k vocabulary sizes). */
+  private[operators] val CovKs = Seq(10, 100, 1000, 10000)
+
+  /** q159 — vocabulary coverage curve: what fraction of all token
+    * OCCURRENCES the top-k most frequent types cover, at the pinned
+    * checkpoints — the tokenizer/vocab-budget planning stat (pick the
+    * smallest vocab whose coverage clears the target; the Zipf elbow is
+    * read straight off this curve).
+    *
+    * Scale shape: one vocab-keyed count aggregate (map-side combinable) is
+    * the only corpus-sized work; the top-max(k) cut plans as
+    * TakeOrderedAndProject (per-partition heaps — NO global sort, NO
+    * unpartitioned window over the full vocabulary), and the rank window
+    * runs on that ≤ max(k)-row bounded frame, so it is single-partition by
+    * construction at any corpus size. Checkpoints ride ONE conditional-sum
+    * aggregate + stack unpivot (the q107/q126 convention). Integer counts
+    * throughout; coverage is one final double division per row. */
+  def coverageCurve(docs: DataFrame, ks: Seq[Int] = CovKs): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val ranked = counts.orderBy(col("n").desc, col("w")).limit(ks.max)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("w"))).cast("long"))
+    val agg = ranked.agg(
+      ks.map(k => sum(when(col("r") <= k, col("n")).otherwise(0L)).as(s"c_$k")).head,
+      ks.tail.map(k => sum(when(col("r") <= k, col("n")).otherwise(0L)).as(s"c_$k")): _*)
+    agg.select(expr(s"stack(${ks.length}, " +
+        ks.map(k => s"$k, c_$k").mkString(", ") + ") AS (k, covered_tokens)"))
+      .crossJoin(broadcast(stats))
+      .select(col("k"), col("vocab_size"), col("covered_tokens"),
+        col("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_coverage_curve" -> ((s, d) => coverageCurve(Tables.documents(s, d))),
     "q151_ngram_novelty" -> ((s, d) => ngramNovelty(Tables.documents(s, d))),
     "q42_text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
     "q43_top_terms" -> ((s, d) => topTerms(Tables.documents(s, d))),
@@ -383,6 +423,34 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    // same top-max(k) cut + rank + conditional sums per checkpoint
+    "q159_coverage_curve" -> {
+      val ksList = CovKs.mkString(", ")
+      s"""WITH t AS (
+        |  SELECT tk.w AS w
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(text), '\\s+')) tk(w)),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY w),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab_size
+        |  FROM c),
+        |top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT ${CovKs.max}),
+        |r AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS r
+        |  FROM top),
+        |ks AS (SELECT CAST(u.k AS INT) AS k FROM unnest([$ksList]) u(k)),
+        |cov AS (
+        |  SELECT ks.k,
+        |    CAST(sum(CASE WHEN r.r <= ks.k THEN r.n ELSE 0 END) AS BIGINT)
+        |      AS covered_tokens
+        |  FROM ks CROSS JOIN r GROUP BY ks.k)
+        |SELECT cov.k, s.vocab_size, cov.covered_tokens, s.total_tokens,
+        |  CAST(cov.covered_tokens AS DOUBLE) / CAST(s.total_tokens AS DOUBLE)
+        |    AS coverage
+        |FROM cov CROSS JOIN s
+        |ORDER BY cov.k""".stripMargin
+    },
     // q112's gram-hash convention (h60 of the space-joined window), min
     // first-occurrence, inner per-doc rollup
     "q151_ngram_novelty" ->

@@ -8,14 +8,16 @@ import graft.functions.{CmsAggregator, KmvAggregator, TextFunctions}
 import graft.operators.Datasets
 
 /** Streaming incremental sketch maintenance — the online twin of the
-  * profiling sketches (q110 KMV, q129 CMS): documents arrive in
+  * profiling sketches (q110 KMV, q129 CMS, q149 HLL): documents arrive in
   * micro-batches; each batch contributes ONE row of sketch state (its KMV
-  * token sample and its CMS counter grid), and the corpus-level sketch at
-  * any point is the pure MERGE of the per-batch rows.
+  * token sample, its CMS counter grid, and its HLL bucket-max array), and
+  * the corpus-level sketch at any point is the pure MERGE of the
+  * per-batch rows.
   *
-  * Why this is exact rather than approximate-on-top-of-approximate: both
+  * Why this is exact rather than approximate-on-top-of-approximate: the
   * sketches are commutative monoids — the CMS grid under elementwise add,
-  * the KMV sketch under k-smallest-distinct union — so merging per-batch
+  * the KMV sketch under k-smallest-distinct union, the HLL array under
+  * elementwise max — so merging per-batch
   * sketches equals sketching the union (spec-pinned against the one-shot
   * aggregators). This is the property that makes the sketches USEFUL at
   * 100 TB: a day's corpus profile is a ~32 KB row per batch, the all-time
@@ -51,24 +53,42 @@ object SketchStream {
     }
   }
 
-  /** The (kmv, cms) sketch row for one frame. */
+  /** The (kmv, cms, hll) sketch row for one frame. All three are
+    * commutative monoids over token hashes: KMV under k-smallest-distinct
+    * union, CMS under elementwise add, HLL under elementwise bucket-max
+    * (the q149 geometry — 2^p buckets of max leading-zero rank, dense so
+    * the merge is positional). */
   private[graft] def batchSketch(frame: DataFrame): DataFrame = {
     val kmv = udaf(new KmvAggregator(Datasets.KmvK),
       org.apache.spark.sql.Encoders.scalaLong)
     val cms = udaf(new CmsAggregator(Datasets.CmsDepth, Datasets.CmsWidth),
       org.apache.spark.sql.Encoders.scalaLong)
-    frame.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val toks = frame.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val kmvCms = toks
       .select(TextFunctions.h60(col("token")).as("h"),
         Datasets.cmsPackedBuckets(col("token"),
           Datasets.CmsDepth, Datasets.CmsWidth).as("pb"))
       .agg(kmv(col("h")).as("kmv"), cms(col("pb")).as("cms"))
+    kmvCms.crossJoin(hllRow(toks))
+  }
+
+  /** Dense 2^HllP-entry bucket-max array for one frame's tokens (empty
+    * buckets 0) — two bounded aggregates, positional-mergeable. */
+  private def hllRow(toks: DataFrame): DataFrame = {
+    val m = 1 << Datasets.HllP
+    val (bucket, rho) = Datasets.hllBucketRho(TextFunctions.h60(col("token")))
+    toks.select(bucket.cast("int").as("bucket"), rho.cast("long").as("r"))
+      .groupBy(col("bucket")).agg(max(col("r")).as("mr"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("mr")))).as("bm"))
+      .select(transform(sequence(lit(0), lit(m - 1)),
+        i => coalesce(element_at(col("bm"), i), lit(0L))).as("hll"))
   }
 
   /** Merged corpus sketch from the accumulated per-batch rows: KMV = the k
     * smallest distinct hashes across batches, CMS = elementwise counter
-    * sum. Distributed relational merge (explode → re-aggregate) — the
-    * batch count is the row count here, so this frame is tiny at any
-    * corpus size. */
+    * sum, HLL = elementwise bucket max. Distributed relational merge
+    * (explode → re-aggregate) — the batch count is the row count here, so
+    * this frame is tiny at any corpus size. */
   def mergedSketch(spark: SparkSession, sketchDir: String): DataFrame = {
     // processBatch skips empty batches, so a stream that produced ONLY
     // empty batches (or none yet) leaves no batch_id=* directories — the
@@ -81,7 +101,8 @@ object SketchStream {
     if (!hasBatches)
       return spark.range(1).select(
         expr("CAST(array() AS ARRAY<BIGINT>)").as("kmv"),
-        array_repeat(lit(0L), Datasets.CmsDepth * Datasets.CmsWidth).as("cms"))
+        array_repeat(lit(0L), Datasets.CmsDepth * Datasets.CmsWidth).as("cms"),
+        array_repeat(lit(0L), 1 << Datasets.HllP).as("hll"))
     val rows = spark.read.parquet(s"$sketchDir/batch_id=*")
     val kmvMerged = rows
       .select(explode(col("kmv")).as("h")).distinct()
@@ -91,6 +112,11 @@ object SketchStream {
       .groupBy(col("idx")).agg(sum(col("v")).as("v"))
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
         x => x.getField("v")).as("cms"))
-    kmvMerged.crossJoin(cmsMerged)
+    val hllMerged = rows
+      .select(posexplode(col("hll")).as(Seq("idx", "v")))
+      .groupBy(col("idx")).agg(max(col("v")).as("v"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
+        x => x.getField("v")).as("hll"))
+    kmvMerged.crossJoin(cmsMerged).crossJoin(hllMerged)
   }
 }

@@ -159,7 +159,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q150_quantile_norm", // 1-row N + score-cardinality-bounded [lo,hi] range join
       "q152_embedding_whiten", // 1-row corpus-count attach on the 64-dim moment frame
       "q156_modularity", // three 1-row component frames crossed into the final row
-      "q158_kl_divergence") // 1-row corpus-total attach on the vocab-bounded term frame
+      "q158_kl_divergence", // 1-row corpus-total attach on the vocab-bounded term frame
+      "q159_coverage_curve") // 1-row totals attach on the |checkpoints|-row frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

@@ -305,6 +305,30 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------------ q159
+
+  test("q159 coverage curve: monotone in k, bounded by 1, matches driver reference") {
+    val rows = TextAnalysis.coverageCurve(Tables.documents(spark, sf01)).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(10, 100, 1000, 10000))
+    rows.sliding(2).foreach {
+      case Array((_, _, _, a), (_, _, _, b)) => assert(a <= b, "monotone in k")
+      case _ =>
+    }
+    rows.foreach { case (_, cov, tot, frac) =>
+      assert(cov <= tot && frac <= 1.0 && frac > 0.0)
+    }
+    val toks = Tables.documents(spark, sf01).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val counts = toks.groupBy(identity).map { case (w, o) => (w, o.size.toLong) }
+      .toSeq.sortBy { case (w, n) => (-n, w) }
+    val total = toks.length.toLong
+    rows.foreach { case (k, cov, tot, _) =>
+      assert(tot == total)
+      assert(cov == counts.take(k).map(_._2).sum, s"k=$k")
+    }
+  }
+
   // ------------------------------------------------------------------ q153
 
   test("q153 skyline == driver-side quadratic dominance reference; frontier is antichain") {

@@ -47,6 +47,11 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.getSeq[Long](merged.fieldIndex("cms")) ==
       oneShot.getSeq[Long](oneShot.fieldIndex("cms")),
       "CMS grid sum-of-batches must equal the one-shot grid")
+    assert(merged.getSeq[Long](merged.fieldIndex("hll")) ==
+      oneShot.getSeq[Long](oneShot.fieldIndex("hll")),
+      "HLL bucket max-of-batches must equal the one-shot bucket maxima")
+    assert(merged.getSeq[Long](merged.fieldIndex("hll")).exists(_ > 0L),
+      "fixture corpus must touch at least one bucket")
 
     // replaying the last batch (crash recovery) changes nothing
     SketchStream.processBatch(docs.filter(col("doc_id") > cut), 1L, sketches)
@@ -68,6 +73,9 @@ class SketchStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cms = row.getSeq[Long](row.fieldIndex("cms"))
       assert(cms.length == graft.operators.Datasets.CmsDepth * graft.operators.Datasets.CmsWidth
         && cms.forall(_ == 0L), "all-zero CMS grid")
+      val hll = row.getSeq[Long](row.fieldIndex("hll"))
+      assert(hll.length == (1 << graft.operators.Datasets.HllP)
+        && hll.forall(_ == 0L), "all-zero HLL buckets")
     }
   }
 }
