@@ -59,4 +59,38 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Session whose catalog PERSISTS across processes — the Spark analog of
+    * the reference's DuckDB catalog FILE
+    * (`/root/reference/src/gold_catalog.py:19-20` connects to
+    * `nasa_asteroids.duckdb`: views registered in one run are visible to
+    * the next). Uses the Hive catalog implementation with a caller-pinned
+    * Derby metastore + warehouse directory: `metaDir` IS the catalog file,
+    * and any later session pointed at the same `metaDir` sees every table
+    * registered through [[graft.etl.GoldCatalog.registerPersistent]]. On a
+    * real cluster the same two configs point at the shared metastore
+    * (thrift URI) instead of a local Derby path — nothing else changes. */
+  def persistent(appName: String, metaDir: String,
+                 cores: Int = defaultParallelism): SparkSession = {
+    // a prior embedded-Derby engine shutdown (the documented way to release
+    // a metastore between same-JVM sessions) also DEREGISTERS the JDBC
+    // driver; instantiating EmbeddedDriver is Derby's documented reboot
+    try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      .getDeclaredConstructor().newInstance()
+    catch { case _: Throwable => () }
+    val spark = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores)
+      .config("spark.sql.warehouse.dir", s"$metaDir/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metaDir/metastore_db;create=true")
+      // forked JVMs don't service-discover the Derby driver off the
+      // unmanaged Spark classpath — name it explicitly for DataNucleus
+      .config("javax.jdo.option.ConnectionDriverName",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

@@ -13,8 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GoldCatalog {
 
-  /** C1: discover gold tables and register temp views. Returns table names. */
-  def register(spark: SparkSession, goldDir: String): Seq[String] = {
+  /** Gold-table discovery shared by the temp-view and persistent paths. */
+  private def discover(spark: SparkSession, goldDir: String): Seq[String] = {
     val root = new Path(goldDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
@@ -22,8 +22,36 @@ object GoldCatalog {
     val tables = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
     if (tables.isEmpty)
       throw new IllegalArgumentException(s"no gold tables found under $goldDir")
+    tables
+  }
+
+  /** C1: discover gold tables and register temp views. Returns table names. */
+  def register(spark: SparkSession, goldDir: String): Seq[String] = {
+    val tables = discover(spark, goldDir)
     tables.foreach { t =>
       spark.read.parquet(s"$goldDir/$t").createOrReplaceTempView(t)
+    }
+    tables
+  }
+
+  /** C1-persistent: register every gold table as an EXTERNAL table in a
+    * metastore-backed database, so the catalog survives the session — the
+    * semantic twin of the reference's DuckDB catalog file
+    * (`gold_catalog.py:19-20,52-61`: views created in `nasa_asteroids
+    * .duckdb` persist across processes). EXTERNAL (`LOCATION` points at
+    * the existing gold parquet) means registration moves no data and a
+    * re-run after a new ETL day just refreshes the same locations;
+    * `DROP TABLE` on an external table drops metadata only. Requires a
+    * session whose catalog is metastore-backed
+    * ([[graft.core.GraftSession.persistent]]); on the default in-memory
+    * catalog this still works but persists nothing — same as `register`. */
+  def registerPersistent(spark: SparkSession, goldDir: String,
+                         database: String = "gold"): Seq[String] = {
+    val tables = discover(spark, goldDir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$database`.`$t`")
+      spark.sql(s"CREATE TABLE `$database`.`$t` USING parquet LOCATION '$goldDir/$t'")
     }
     tables
   }
