@@ -42,10 +42,7 @@ object Datasets {
       .agg(count(lit(1)).as("n_docs"), kmv(col("h")).as("sketch"))
       .select(col("source"), col("n_docs"),
         size(col("sketch")).as("sketch_size"),
-        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) /
-            (element_at(col("sketch"), k).cast("double") / lit(Pow60)))
-          .as("est_distinct"))
+        graft.functions.Sketches.kmvEstimate(col("sketch"), k).as("est_distinct"))
       .orderBy(col("source"))
   }
 
@@ -443,7 +440,7 @@ object Datasets {
       .select(col("source"), explode(VectorFunctions.wordNgramList(col("text"), n)).as("g"))
       .select(col("source"), TextFunctions.h60(col("g")).as("h"))
       .groupBy(col("source")).agg(kmv(col("h")).as("sk"))
-    val merged = slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k)
+    val merged = graft.functions.Sketches.kmvMerge2(col("a.sk"), col("b.sk"), k)
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         col("a.sk").as("ska"), col("b.sk").as("skb"), merged.as("mu"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.functions.{CmsAggregator, KmvAggregator, TextFunctions}
+import graft.functions.{CmsAggregator, KmvAggregator, Sketches, TextFunctions}
 import graft.operators.Datasets
 
 /** Streaming incremental sketch maintenance — the online twin of the
@@ -80,15 +80,16 @@ object SketchStream {
     toks.select(bucket.cast("int").as("bucket"), rho.cast("long").as("r"))
       .groupBy(col("bucket")).agg(max(col("r")).as("mr"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("mr")))).as("bm"))
-      .select(transform(sequence(lit(0), lit(m - 1)),
-        i => coalesce(element_at(col("bm"), i), lit(0L))).as("hll"))
+      .select(Sketches.hllDense(col("bm"), m).as("hll"))
   }
 
-  /** Merged corpus sketch from the accumulated per-batch rows: KMV = the k
+  /** Merged corpus sketch from the accumulated per-batch rows, through the
+    * shared monoid algebra ([[graft.functions.Sketches]]): KMV = the k
     * smallest distinct hashes across batches, CMS = elementwise counter
-    * sum, HLL = elementwise bucket max. Distributed relational merge
-    * (explode → re-aggregate) — the batch count is the row count here, so
-    * this frame is tiny at any corpus size. */
+    * sum, HLL = elementwise bucket max. One aggregate over the per-batch
+    * rows — the batch count is the row count here, so the collected state
+    * is tiny at any corpus size (bounded sketch rows, never corpus data;
+    * the Sketches scaladoc carries the argument). */
   def mergedSketch(spark: SparkSession, sketchDir: String): DataFrame = {
     // processBatch skips empty batches, so a stream that produced ONLY
     // empty batches (or none yet) leaves no batch_id=* directories — the
@@ -103,20 +104,9 @@ object SketchStream {
         expr("CAST(array() AS ARRAY<BIGINT>)").as("kmv"),
         array_repeat(lit(0L), Datasets.CmsDepth * Datasets.CmsWidth).as("cms"),
         array_repeat(lit(0L), 1 << Datasets.HllP).as("hll"))
-    val rows = spark.read.parquet(s"$sketchDir/batch_id=*")
-    val kmvMerged = rows
-      .select(explode(col("kmv")).as("h")).distinct()
-      .agg(slice(array_sort(collect_list(col("h"))), 1, Datasets.KmvK).as("kmv"))
-    val cmsMerged = rows
-      .select(posexplode(col("cms")).as(Seq("idx", "v")))
-      .groupBy(col("idx")).agg(sum(col("v")).as("v"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
-        x => x.getField("v")).as("cms"))
-    val hllMerged = rows
-      .select(posexplode(col("hll")).as(Seq("idx", "v")))
-      .groupBy(col("idx")).agg(max(col("v")).as("v"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("v")))),
-        x => x.getField("v")).as("hll"))
-    kmvMerged.crossJoin(cmsMerged).crossJoin(hllMerged)
+    spark.read.parquet(s"$sketchDir/batch_id=*").agg(
+      Sketches.kmvMergeRows(col("kmv"), Datasets.KmvK).as("kmv"),
+      Sketches.cmsMergeRows(col("cms"), Datasets.CmsDepth * Datasets.CmsWidth).as("cms"),
+      Sketches.hllMergeRows(col("hll"), 1 << Datasets.HllP).as("hll"))
   }
 }

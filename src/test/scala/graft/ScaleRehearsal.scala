@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (round-9 judge item 7): synthesize a HEALTHY-layout
+  * (multi-row-group, 32 part files) sf≈1 copy of the testdata by tiling
+  * sf0.1 ten times with key-space offsets — the TPC-H scaling convention
+  * (entity counts grow with sf, so graphs gain disjoint regions rather
+  * than densifying a fixed vocabulary) — then time the dedup + graph
+  * heavy tail at both scales and report the scaling exponent
+  * log10(t1/t0.1). Also verifies `Tables.spread` is a NO-OP on the
+  * healthy layout (the guard exists for single-row-group files only).
+  *
+  * `sbt "Test/runMain graft.ScaleRehearsal"` — generates under
+  * `tmp-scale/sf1` (gitignored) on first run, reuses after.
+  */
+object ScaleRehearsal {
+
+  private val Copies = 10
+
+  /** Tile `df` `Copies` times, offsetting each key column by
+    * `i * (max(key)+1)` so copies occupy disjoint key ranges. */
+  private def tile(df: DataFrame, keys: Seq[String],
+                   perturb: Map[String, (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    val spans = keys.map { k =>
+      k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+    }.toMap
+    (0 until Copies).map { i =>
+      val shifted = spans.foldLeft(df) { case (d, (k, span)) =>
+        d.withColumn(k, col(k) + lit(i.toLong * span))
+      }
+      perturb.foldLeft(shifted) { case (d, (c, f)) =>
+        d.withColumn(c, f(col(c), i))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  private def gen(spark: SparkSession, src: String, dst: String): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // dims that scale with sf (disjoint key ranges per copy)
+    write(tile(read("part"), Seq("p_partkey")), "part")
+    write(tile(read("supplier"), Seq("s_suppkey")), "supplier")
+    write(tile(read("customer"), Seq("c_custkey")), "customer")
+    write(tile(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(tile(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(tile(read("events"), Seq("event_id", "user_id")), "events")
+    // fixed-size dims copy through
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    // documents: disjoint ids; texts perturbed with a copy marker token so
+    // the corpus is not 90% exact duplicates (which would degenerate the
+    // near-dup operators into one giant cluster); n_chars re-derived
+    val docs = tile(read("documents"), Seq("doc_id"),
+      perturb = Map("text" -> ((c, i) =>
+        if (i == 0) c else concat(c, lit(s" tile$i")))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents")
+    // embeddings: disjoint ids; one coordinate nudged per copy (keeps norms,
+    // breaks exact-vector duplication)
+    val embs = tile(read("embeddings"), Seq("vec_id"),
+      perturb = Map("embedding" -> ((c, i) =>
+        if (i == 0) c
+        else transform(c, (x, idx) =>
+          when(idx === 0, x + lit(i.toFloat * 1e-4f)).otherwise(x)))))
+    write(embs, "embeddings")
+  }
+
+  private val Rehearse = Seq(
+    "q20_dedup_exact", "q21_dedup_jaccard", "q22_dedup_minhash",
+    "q24_embed_neardup", "q49_dup_clusters", "q69_dedup_canonical",
+    "q109_pagerank", "q134_triangles", "q136_label_prop", "q145_apriori",
+    "q30_text_langid", "q43_top_terms")
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[32]").appName("scale-rehearsal"), 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = sys.props.getOrElse("graft.scale.dir", "tmp-scale/sf1")
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      println(s"[scale] generating $dst from $src x$Copies ...")
+      gen(spark, src, dst)
+      println("[scale] generation done")
+    }
+    // spread-guard no-op check on the healthy layout
+    val parts = spark.read.parquet(s"$dst/lineitem.parquet").rdd.getNumPartitions
+    println(s"[scale] lineitem sf1 scan partitions = $parts " +
+      s"(>= ${spark.sparkContext.defaultParallelism} => spread guard is a no-op)")
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = Rehearse.filter(n => only.forall(_.contains(n)))
+    println(f"${"query"}%-28s ${"sf0.1"}%8s ${"sf1"}%8s  ratio  exponent")
+    names.foreach { q =>
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = run(src); val b = run(dst)
+      val ratio = b / a
+      println(f"$q%-28s $a%8.2f $b%8.2f  $ratio%5.2f  ${math.log10(ratio)}%5.2f")
+    }
+    spark.stop()
+  }
+}
