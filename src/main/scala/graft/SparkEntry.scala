@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Classify, Clustering, Curation, Datasets, Dedup, EmbeddingStats, Extended, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Classify, Clustering, Curation, Datasets, Dedup, EmbeddingStats, Extended, Governance, Graph, Lakehouse, Mining, Multimodal, Relational, Search, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,7 +39,8 @@ object SparkEntry {
       (Graph.queries, Graph.oracles),
       (Datasets.queries, Datasets.oracles),
       (EmbeddingStats.queries, EmbeddingStats.oracles),
-      (Classify.queries, Classify.oracles))
+      (Classify.queries, Classify.oracles),
+      (Governance.queries, Governance.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Data-governance operators a production training-data pipeline runs over
+  * every corpus release: PII scanning/redaction, language-balanced quota
+  * apportionment, Zipf-fit distribution diagnostics, and robust
+  * (median/MAD) per-source statistics.
+  */
+object Governance {
+
+  // ------------------------------------------------------------- q160 PII
+
+  /** The standard structured-PII patterns (the C4/Dolma-style scrub list),
+    * written in the regex subset Java, RE2 and DuckDB all scan
+    * identically: no backreferences, no lookaround. */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhonePat = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  private[graft] val Ipv4Pat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Redact all three PII classes (emails first: their dotted domains
+    * would otherwise feed the IP pattern's digit runs on corner cases). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]"),
+      Ipv4Pat, "[IP]")
+
+  private def hits(pat: String): Column =
+    size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+
+  private def matchedChars(pat: String): Column =
+    aggregate(transform(regexp_extract_all(col("text"), lit(pat), lit(0)),
+      m => length(m)), lit(0), (acc, x) => acc + x)
+
+  /** q160 — per-source PII exposure report: hit counts per class, how many
+    * docs carry any PII, and the total matched characters a redaction pass
+    * would replace. The release-gate report every corpus ships with.
+    *
+    * Scale shape: every count is scan-local (three regex scans per doc,
+    * zero shuffles before the source-keyed partial+final aggregate).
+    * Counts are integers; the class patterns avoid every regex feature
+    * whose semantics differ across engines, and match lengths sum
+    * order-free. The synthetic corpus is PII-free — the oracle pins
+    * engine parity on the zero case, and GovernanceSpec pins the match +
+    * redaction semantics on PII-bearing fixtures. */
+  def piiScan(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        hits(EmailPat).as("e"), hits(PhonePat).as("p"), hits(Ipv4Pat).as("i"),
+        (matchedChars(EmailPat) + matchedChars(PhonePat) + matchedChars(Ipv4Pat))
+          .as("mc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("email_hits"),
+        sum(col("p")).as("phone_hits"),
+        sum(col("i")).as("ipv4_hits"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("mc").cast("long")).as("matched_chars"))
+      .orderBy(col("source"))
+
+  // ----------------------------------------------------- q161 lang quota
+
+  /** q161's pinned global document budget. */
+  private[graft] val QuotaBudget = 200L
+
+  /** q161 — language-balanced quota apportionment: split a global doc
+    * budget across (source, lang) cells proportionally to their character
+    * mass, EXACTLY, via Hamilton's largest-remainder method (the
+    * apportionment standard — public): base = (B·w) div T per cell, and
+    * the B − Σbase leftover seats go to the cells with the largest
+    * remainders (B·w) mod T, ties broken (source, lang) ascending. The
+    * allocation a multilingual sampling pass then draws per cell.
+    *
+    * Exactness: pure integer div/mod — no float shares, so quotas sum to
+    * EXACTLY B at any parallelism and any engine (float proportional
+    * allocation loses or gains a seat under reordering; the spec pins the
+    * sum). B·w needs decimals only past ~4e16 chars per cell at this B —
+    * documented, not guarded (q150 convention).
+    *
+    * Scale shape: one source×lang aggregate (bounded cells), one tiny
+    * single-partition window over the cells, broadcast total. Corpus-sized
+    * work is the one scan feeding the aggregate. */
+  def langQuota(docs: DataFrame, budget: Long = QuotaBudget): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_chars")).cast("long").as("w"))
+    val total = cells.agg(sum(col("w")).cast("long").as("t"))
+    val based = cells.crossJoin(broadcast(total))
+      .withColumn("base_quota", expr(s"($budget * w) DIV t"))
+      .withColumn("rem", expr(s"($budget * w) % t"))
+    val leftover = based.agg((lit(budget) - sum(col("base_quota"))).as("l"))
+    val wr = Window.orderBy(col("rem").desc, col("source"), col("lang"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .select(col("source"), col("lang"), col("w").as("weight_chars"),
+        col("base_quota"),
+        (col("base_quota") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  // ------------------------------------------------------- q162 Zipf fit
+
+  /** q162 — per-source Zipf-fit diagnostics: OLS slope/intercept of
+    * ln(freq) on ln(rank) over the source's token-frequency table. Natural
+    * corpora fit slope ≈ −1 (Zipf 1949 — public); templated/synthetic/
+    * boilerplate-heavy sources flatten or steepen, making the slope a
+    * cheap per-source quality flag next to q137's data card.
+    *
+    * Determinism (the q158 convention): each OLS moment Σln-term is
+    * floor(term·1e15) summed in decimal(38,0) — order-free, exact — and
+    * the slope/intercept arithmetic after the four exact sums is ONE
+    * identical IEEE double chain in both engines. Ranks are
+    * (freq desc, token asc) row_numbers: deterministic at any parallelism.
+    * Bound: |ln·ln|·1e15 < 2e17 per term ⇒ decimal38 holds to ~5e20
+    * terms.
+    *
+    * Scale shape: one token-keyed partial+final count (vocab-bounded after
+    * map-side combine), one per-source rank window over vocab-sized
+    * frames, one source-keyed moment aggregate. Corpus-sized work is the
+    * token scan only. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val freqs = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("f").desc, col("w"))
+    val xy = freqs.withColumn("r", row_number().over(wr).cast("long"))
+      .select(col("source"),
+        log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    def fx(c: Column): Column =
+      sum(floor(c * lit(1e15)).cast("decimal(38,0)"))
+    val m = xy.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      fx(col("x")).as("sx"), fx(col("y")).as("sy"),
+      fx(col("x") * col("y")).as("sxy"), fx(col("x") * col("x")).as("sxx"))
+    val n = col("n_terms").cast("double")
+    def d(c: Column): Column = c.cast("double") / lit(1e15)
+    val denom = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denom
+    m.select(col("source"), col("n_terms"),
+        when(denom === 0.0, lit(null).cast("double")).otherwise(slope).as("slope"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise((d(col("sy")) - slope * d(col("sx"))) / n).as("intercept"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------- q163 robust stats
+
+  /** q163 — per-source robust location/spread: the exact lower median of
+    * doc length and the median absolute deviation around it (the
+    * outlier-resistant pair a filtering pass thresholds against, immune to
+    * the handful of giant documents that wreck mean/stddev cuts).
+    *
+    * Exactness: both medians are ELEMENT SELECTIONS, not interpolations —
+    * the value at rank (n+1) div 2 under (value, doc_id) order — so the
+    * result is an actual corpus value, integer-exact, identical ranks in
+    * both engines (DuckDB's median() interpolates on even counts; the
+    * oracle uses the same row_number formulation instead).
+    *
+    * Scale shape: two per-source rank windows (source-partitioned, no
+    * global sort) + two broadcast joins of one-row-per-source medians;
+    * everything partial+final on the source key. */
+  def robustStats(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+    val w1 = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val med = docs.withColumn("rn", row_number().over(w1).cast("long"))
+      .join(broadcast(counts), "source")
+      .filter(col("rn") === expr("(n_docs + 1) DIV 2"))
+      .select(col("source"), col("n_chars").as("median_chars"))
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("ad", abs(col("n_chars") - col("median_chars")))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("ad"), col("doc_id"))
+    val mad = dev.withColumn("rn", row_number().over(w2).cast("long"))
+      .join(broadcast(counts), "source")
+      .filter(col("rn") === expr("(n_docs + 1) DIV 2"))
+      .select(col("source"), col("ad").as("mad_chars"))
+    counts.join(med, "source").join(mad, "source")
+      .select(col("source"), col("n_docs"), col("median_chars"), col("mad_chars"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_pii_scan" -> ((s, d) => piiScan(Tables.documents(s, d))),
+    "q161_lang_quota" -> ((s, d) => langQuota(Tables.documents(s, d))),
+    "q162_zipf_fit" -> ((s, d) => zipfFit(Tables.documents(s, d))),
+    "q163_robust_stats" -> ((s, d) => robustStats(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q160_pii_scan" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$EmailPat')) AS e,
+         |    len(regexp_extract_all(text, '$PhonePat')) AS p,
+         |    len(regexp_extract_all(text, '$Ipv4Pat')) AS i,
+         |    coalesce(list_sum(list_transform(
+         |      regexp_extract_all(text, '$EmailPat'), m -> length(m))), 0)
+         |    + coalesce(list_sum(list_transform(
+         |      regexp_extract_all(text, '$PhonePat'), m -> length(m))), 0)
+         |    + coalesce(list_sum(list_transform(
+         |      regexp_extract_all(text, '$Ipv4Pat'), m -> length(m))), 0) AS mc
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e) AS BIGINT) AS email_hits,
+         |  CAST(sum(p) AS BIGINT) AS phone_hits,
+         |  CAST(sum(i) AS BIGINT) AS ipv4_hits,
+         |  CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_pii,
+         |  CAST(sum(mc) AS BIGINT) AS matched_chars
+         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    "q161_lang_quota" ->
+      s"""WITH cells AS (
+         |  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS w
+         |  FROM documents GROUP BY source, lang),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM cells),
+         |b AS (
+         |  SELECT source, lang, w,
+         |    ($QuotaBudget * w) // t.t AS base_quota,
+         |    ($QuotaBudget * w) % t.t AS rem
+         |  FROM cells CROSS JOIN t),
+         |l AS (SELECT $QuotaBudget - sum(base_quota) AS l FROM b),
+         |r AS (
+         |  SELECT b.*, CAST(row_number() OVER (
+         |    ORDER BY rem DESC, source, lang) AS BIGINT) AS rk
+         |  FROM b)
+         |SELECT source, lang, w AS weight_chars,
+         |  CAST(base_quota AS BIGINT) AS base_quota,
+         |  CAST(base_quota + CASE WHEN rk <= l.l THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota
+         |FROM r CROSS JOIN l ORDER BY source, lang""".stripMargin,
+    "q162_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT source, tk.w AS w, CAST(count(*) AS BIGINT) AS f
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)
+        |  GROUP BY source, tk.w),
+        |r AS (
+        |  SELECT source,
+        |    ln(CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY f DESC, w) AS DOUBLE)) AS x,
+        |    ln(CAST(f AS DOUBLE)) AS y
+        |  FROM f),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |    sum(CAST(floor(x * 1.0e15) AS HUGEINT)) AS sx,
+        |    sum(CAST(floor(y * 1.0e15) AS HUGEINT)) AS sy,
+        |    sum(CAST(floor(x * y * 1.0e15) AS HUGEINT)) AS sxy,
+        |    sum(CAST(floor(x * x * 1.0e15) AS HUGEINT)) AS sxx
+        |  FROM r GROUP BY source),
+        |s AS (
+        |  SELECT source, n_terms,
+        |    CAST(n_terms AS DOUBLE) AS n,
+        |    CAST(sx AS DOUBLE) / 1.0e15 AS dsx,
+        |    CAST(sy AS DOUBLE) / 1.0e15 AS dsy,
+        |    CAST(sxy AS DOUBLE) / 1.0e15 AS dsxy,
+        |    CAST(sxx AS DOUBLE) / 1.0e15 AS dsxx
+        |  FROM m)
+        |SELECT source, n_terms,
+        |  CASE WHEN n * dsxx - dsx * dsx = 0.0 THEN NULL
+        |    ELSE (n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx) END AS slope,
+        |  CASE WHEN n * dsxx - dsx * dsx = 0.0 THEN NULL
+        |    ELSE (dsy - ((n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx)) * dsx)
+        |      / n END AS intercept
+        |FROM s ORDER BY source""".stripMargin,
+    "q163_robust_stats" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |r1 AS (
+        |  SELECT source, n_chars, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |med AS (
+        |  SELECT r1.source, r1.n_chars AS median_chars
+        |  FROM r1 JOIN c USING (source)
+        |  WHERE r1.rn = (c.n_docs + 1) // 2),
+        |r2 AS (
+        |  SELECT d.source, abs(d.n_chars - med.median_chars) AS ad,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY d.source
+        |      ORDER BY abs(d.n_chars - med.median_chars), d.doc_id) AS BIGINT)
+        |      AS rn
+        |  FROM documents d JOIN med USING (source)),
+        |mad AS (
+        |  SELECT r2.source, r2.ad AS mad_chars
+        |  FROM r2 JOIN c USING (source)
+        |  WHERE r2.rn = (c.n_docs + 1) // 2)
+        |SELECT c.source, c.n_docs, med.median_chars, mad.mad_chars
+        |FROM c JOIN med USING (source) JOIN mad USING (source)
+        |ORDER BY c.source""".stripMargin
+  )
+}
