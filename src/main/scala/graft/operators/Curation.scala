@@ -503,7 +503,102 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q167's pinned parameters — shared by the default AND the oracle. */
+  private[operators] val UnimaxBudget = 100000L
+  private[operators] val UnimaxMaxEpochs = 4L
+
+  /** q167 — UniMax epoch allocation (Chung et al. 2023, public): split a
+    * global training-token budget across sources as EQUALLY as possible,
+    * subject to a per-source repeat cap of `maxEpochs` × its unique
+    * tokens — the data-constrained sampling standard that stops tiny
+    * sources from being over-epoched. Exact integer water-filling:
+    * sources sorted by capacity ascending; source i is SATURATED iff
+    * cap_i·(n−i+1) ≤ B − prefix_{i−1} (even giving every remaining
+    * source cap_i fits); saturated sources take their cap, the rest share
+    * (B − Σsat) div R with the mod-R remainder going +1 each to the
+    * first R' unsaturated sources by source name. Integer-exact: the
+    * allocations sum to exactly min(B, Σcap) at any parallelism, and an
+    * unsaturated share never exceeds its cap (cap > (B−S)/R real ⇒
+    * cap ≥ share+1 — the spec pins both).
+    *
+    * Scale shape: one corpus scan for per-source token counts; everything
+    * after runs on the |sources|-bounded frame (one tiny window + two
+    * 1-row broadcast attaches). */
+  def unimaxAllocation(docs: DataFrame, budget: Long = UnimaxBudget,
+                       maxEpochs: Long = UnimaxMaxEpochs): DataFrame = {
+    val cells = docs
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs))
+    val wAsc = Window.orderBy(col("cap"), col("source"))
+    val ranked = cells
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nRow = ranked.agg(count(lit(1)).cast("long").as("n"))
+    val flagged = ranked.crossJoin(broadcast(nRow))
+      .withColumn("saturated",
+        col("cap") * (col("n") - col("i") + 1L) <= lit(budget) - (col("prefix") - col("cap")))
+    val agg = flagged.agg(
+      sum(when(col("saturated"), col("cap")).otherwise(0L)).cast("long").as("s"),
+      sum(when(col("saturated"), 1L).otherwise(0L)).cast("long").as("k"),
+      count(lit(1)).cast("long").as("n2"))
+    val wSrc = Window.orderBy(col("source"))
+    flagged.crossJoin(broadcast(agg))
+      .withColumn("r", col("n2") - col("k"))
+      .withColumn("share",
+        when(col("r") > 0L, expr(s"(CAST($budget AS BIGINT) - s) DIV r")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("r") > 0L, expr(s"(CAST($budget AS BIGINT) - s) % r")).otherwise(lit(0L)))
+      .withColumn("unsat_rk",
+        sum(when(col("saturated"), 0L).otherwise(1L)).over(
+          wSrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("allocated",
+        when(col("saturated"), col("cap"))
+          .otherwise(col("share") + when(col("unsat_rk") <= col("rem"), 1L).otherwise(0L)))
+      .withColumn("epochs",
+        col("allocated").cast("double") / col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"), col("cap"), col("allocated"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** q168 — contamination evidence: for every eval document (the q87
+    * convention: doc_id < 100 is the held-out eval set), the single train
+    * document sharing the most distinct trigram shingles, with the count
+    * and the containment it implies — the forensics table a decontam
+    * audit hands a human, one row per implicated eval doc (eval docs with
+    * ZERO shingle overlap against any train doc have no evidence and no
+    * row).
+    *
+    * Scale shape: the q87 inverted-index join (train postings ⋈ broadcast
+    * eval postings — pairs sharing zero shingles never materialize), one
+    * (train, eval) count aggregate, one eval-partitioned top-1 window
+    * (TakeOrdered-sized: |eval| rows out). Tie-break (shared desc,
+    * train_id asc) — deterministic both engines. */
+  def contaminationEvidence(s: SparkSession, dir: String,
+                            evalMax: Long = 100): DataFrame = {
+    val sh = Dedup.shingledHashed(Tables.documents(s, dir))
+    val evalPost = sh.filter(col("doc_id") < evalMax)
+      .select(col("doc_id").as("eval_id"), size(col("sh")).cast("long").as("n_e"),
+        explode(col("sh")).as("h"))
+    val trainPost = sh.filter(col("doc_id") >= evalMax)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+    val we = Window.partitionBy(col("eval_id"))
+      .orderBy(col("shared").desc, col("train_id"))
+    trainPost.join(broadcast(evalPost), Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"), col("n_e"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id").as("best_train_id"),
+        col("shared"), col("n_e").as("n_eval_grams"),
+        (col("shared").cast("double") / col("n_e").cast("double")).as("containment"))
+      .orderBy(col("eval_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_unimax_alloc" -> ((s, d) => unimaxAllocation(Tables.documents(s, d))),
+    "q168_contam_evidence" -> ((s, d) => contaminationEvidence(s, d)),
     "q150_quantile_norm" -> (q150QuantileNorm _),
     "q140_typo_join" -> ((s, d) => typoPairs(Tables.part(s, d))),
     "q132_boilerplate" -> (q132Boilerplate _),
@@ -519,6 +614,75 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // same saturation predicate, integer div/mod shares, source-ordered
+    // remainder ranks
+    "q167_unimax_alloc" ->
+      s"""WITH cells AS (
+         |  SELECT source,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |c2 AS (SELECT source, n_tokens, n_tokens * $UnimaxMaxEpochs AS cap
+         |       FROM cells),
+         |r AS (
+         |  SELECT c2.*, CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT)
+         |      AS i,
+         |    sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+         |      AS prefix
+         |  FROM c2),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c2),
+         |f AS (
+         |  SELECT r.*, (cap * (nn.n - i + 1) <= $UnimaxBudget - (prefix - cap))
+         |      AS saturated
+         |  FROM r CROSS JOIN nn),
+         |a AS (
+         |  SELECT CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) AS BIGINT)
+         |      AS s,
+         |    CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS n2
+         |  FROM f),
+         |g AS (
+         |  SELECT f.*, a.n2 - a.k AS rr,
+         |    CASE WHEN a.n2 - a.k > 0
+         |      THEN ($UnimaxBudget - a.s) // (a.n2 - a.k) ELSE 0 END AS share,
+         |    CASE WHEN a.n2 - a.k > 0
+         |      THEN ($UnimaxBudget - a.s) % (a.n2 - a.k) ELSE 0 END AS rem,
+         |    sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+         |      OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS unsat_rk
+         |  FROM f CROSS JOIN a),
+         |alloc AS (
+         |  SELECT source, n_tokens, cap,
+         |    CAST(CASE WHEN saturated THEN cap
+         |      ELSE share + CASE WHEN unsat_rk <= rem THEN 1 ELSE 0 END END
+         |      AS BIGINT) AS allocated
+         |  FROM g)
+         |SELECT source, n_tokens, cap, allocated,
+         |  CAST(allocated AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM alloc ORDER BY source""".stripMargin,
+    // q87's shingle CTE; pairs must share >= 1 shingle (the engine's join
+    // semantics), top-1 per eval by (shared desc, train_id asc)
+    "q168_contam_evidence" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |    CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS shared,
+        |    CAST(len(e.s) AS BIGINT) AS n_eval_grams
+        |  FROM sh e JOIN sh t ON e.doc_id < 100 AND t.doc_id >= 100
+        |  WHERE len(list_intersect(t.s, e.s)) >= 1),
+        |top AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY eval_id ORDER BY shared DESC, train_id) AS rk
+        |  FROM pairs)
+        |SELECT eval_id, train_id AS best_train_id, shared, n_eval_grams,
+        |  CAST(shared AS DOUBLE) / CAST(n_eval_grams AS DOUBLE) AS containment
+        |FROM top WHERE rk = 1 ORDER BY eval_id""".stripMargin,
     // same integer index convention; DuckDB `//` is Spark's DIV
     "q150_quantile_norm" ->
       """WITH d AS (SELECT doc_id, source, n_chars FROM documents),

@@ -545,7 +545,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q164 — per-source deduplication report: the release-note table a
+    * dedup pass ships (how much of each source is duplicated, and against
+    * the WHOLE corpus, not just within-source — mirrored sources show up
+    * as high dup_rate with distinct within-source contents).
+    *
+    * Scale shape: one md5 content-key aggregate (partial+final on the
+    * fingerprint), one fingerprint-keyed join back, one source aggregate —
+    * the q20 shuffle shape plus one join, nothing quadratic. Counts are
+    * integers; dup_rate is one final double division. */
+  def dedupReport(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("source"), md5(col("text")).as("fp"))
+    val global = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_global"))
+    fp.join(global, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_contents"),
+        sum(when(col("n_global") > 1, 1L).otherwise(0L)).as("docs_in_dup"),
+        max(col("n_global")).as("max_cluster"))
+      .withColumn("dup_rate",
+        col("docs_in_dup").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** q165 — cross-source exact-duplicate matrix: for every source pair,
+    * the number of distinct contents present in BOTH (the
+    * "which sources mirror each other" forensics a crawl pipeline runs
+    * before deciding what to drop). Only pairs sharing ≥ 1 content
+    * appear.
+    *
+    * Scale shape: distinct (fingerprint, source) first — content-bounded,
+    * not doc-bounded — then a fingerprint-keyed self-join whose fan-out
+    * per fingerprint is (sources carrying it)², bounded by |sources|²,
+    * and one bounded pair aggregate. No all-pairs of documents anywhere. */
+  def crossDupMatrix(docs: DataFrame): DataFrame = {
+    val fs = docs.select(md5(col("text")).as("fp"), col("source")).distinct()
+    fs.as("a").join(fs.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_contents"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_dedup_report" -> ((s, d) => dedupReport(Tables.documents(s, d))),
+    "q165_cross_dup" -> ((s, d) => crossDupMatrix(Tables.documents(s, d))),
     "q142_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "q20_dedup_exact" -> ((s, d) => exactDupGroups(Tables.documents(s, d))),
     "q21_dedup_jaccard" -> ((s, d) => jaccardPairs(Tables.documents(s, d))),
@@ -582,6 +626,23 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q164_dedup_report" ->
+      """WITH fp AS (SELECT source, md5(text) AS fp FROM documents),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_global FROM fp GROUP BY fp)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp.fp) AS BIGINT) AS n_contents,
+        |  CAST(sum(CASE WHEN g.n_global > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_in_dup,
+        |  CAST(max(g.n_global) AS BIGINT) AS max_cluster,
+        |  CAST(sum(CASE WHEN g.n_global > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM fp JOIN g USING (fp) GROUP BY source ORDER BY source""".stripMargin,
+    "q165_cross_dup" ->
+      """WITH fs AS (SELECT DISTINCT md5(text) AS fp, source FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_contents
+        |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT doc_id, content_fp, keep_id, n_dups FROM (
         |  SELECT doc_id, md5(text) AS content_fp,

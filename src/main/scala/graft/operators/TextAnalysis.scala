@@ -413,7 +413,31 @@ object TextAnalysis {
       .orderBy(col("k"))
   }
 
+  /** q166 — per-source token-length histogram in power-of-two buckets:
+    * the sequence-length profile a packing/batching pass (q86) plans
+    * against — how much of each source lands in the 16-31, 32-63, …
+    * token bands, and the token mass per band.
+    *
+    * Exactness: the bucket is bitlength(n_tokens) − 1 via `length(bin(n))`
+    * — the q149 integer-bitlength convention, no log2 doubles near
+    * power-of-two boundaries, identical in DuckDB as
+    * `length(format('{:b}', n))`. Scale shape: scan-local token count +
+    * one (source, bucket) partial+final aggregate; zero joins. */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val n = size(TextFunctions.tokens(col("text"))).cast("long")
+    docs.select(col("source"), n.as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - lit(1)).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+      .select(col("source"), col("bucket"), col("bucket_lo"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_len_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "q159_coverage_curve" -> ((s, d) => coverageCurve(Tables.documents(s, d))),
     "q151_ngram_novelty" -> ((s, d) => ngramNovelty(Tables.documents(s, d))),
     "q42_text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -505,6 +529,21 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    "q166_len_histogram" ->
+      """WITH n AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, n_tok,
+        |    CAST(length(format('{:b}', n_tok)) - 1 AS BIGINT) AS bucket
+        |  FROM n WHERE n_tok >= 1)
+        |SELECT source, bucket,
+        |  CAST(1 AS BIGINT) << CAST(bucket AS INT) AS bucket_lo,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     // same top-max(k) cut + rank + conditional sums per checkpoint
     "q159_coverage_curve" -> {
       val ksList = CovKs.mkString(", ")
