@@ -596,7 +596,51 @@ object Curation {
       .orderBy(col("eval_id"))
   }
 
+  /** q171 — per-source bigram conditional entropy H(next word | word) and
+    * its perplexity: the predictability fingerprint of a source. Heavily
+    * templated/boilerplate text collapses toward 0 bits; natural prose
+    * sits high — the corpus-level twin of q88's within-doc repetition
+    * and the quantity the q92 LM's scores aggregate to.
+    *
+    * H = Σ_{w1,w2} (c(w1,w2)/N) · (ln c(w1·) − ln c(w1,w2)), perplexity
+    * = e^H. Determinism (q158 convention): each term is
+    * floor(term·1e15) summed in decimal(38,0) — order-free — with the ln
+    * chain difference-paired so single-continuation bigrams contribute
+    * EXACTLY 0 (ln a − ln a is 0.0 in both engines; a naive p·ln(p/q)
+    * would float-truncate). The final e^H is one exp on an identical
+    * double.
+    *
+    * Scale shape: one scan-local bigram explode (WordNgramList — the q92
+    * path), one (source, w1, w2) partial+final count, one (source, w1)
+    * rollup, one source-keyed fixed-point sum. Observed-bigram-bounded
+    * after the map-side combine; nothing quadratic. */
+  def bigramEntropy(s: SparkSession, docs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val bg = docs
+      .select(col("source"), explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
+      .select(col("source"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val c2 = bg.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val c1 = c2.groupBy(col("source"), col("w1")).agg(sum(col("n")).as("n1"))
+    val ns = c1.groupBy(col("source")).agg(sum(col("n1")).as("n_bigrams"),
+      count(lit(1)).as("vocab_w1"))
+    val term = (col("n").cast("double") / col("n_bigrams").cast("double")) *
+      (log(col("n1").cast("double")) - log(col("n").cast("double")))
+    c2.join(c1, Seq("source", "w1"))
+      .join(broadcast(ns), Seq("source"))
+      .groupBy(col("source"), col("n_bigrams"), col("vocab_w1"))
+      .agg((sum(floor(term * lit(1e15)).cast("decimal(38,0)")).cast("double")
+        / lit(1e15)).as("entropy"))
+      .withColumn("perplexity", exp(col("entropy")))
+      .select(col("source"), col("n_bigrams"), col("vocab_w1"),
+        col("entropy"), col("perplexity"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_bigram_entropy" -> ((s, d) => bigramEntropy(s, Tables.documents(s, d))),
     "q167_unimax_alloc" -> ((s, d) => unimaxAllocation(Tables.documents(s, d))),
     "q168_contam_evidence" -> ((s, d) => contaminationEvidence(s, d)),
     "q150_quantile_norm" -> (q150QuantileNorm _),
@@ -614,6 +658,39 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // same difference-paired ln term, fixed-point HUGEINT sum, one exp
+    "q171_bigram_entropy" ->
+      """WITH w AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT source, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2),
+        |c2 AS (
+        |  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY source, w1, w2),
+        |c1 AS (
+        |  SELECT source, w1, CAST(sum(n) AS BIGINT) AS n1
+        |  FROM c2 GROUP BY source, w1),
+        |ns AS (
+        |  SELECT source, CAST(sum(n1) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS vocab_w1
+        |  FROM c1 GROUP BY source),
+        |s AS (
+        |  SELECT c2.source, ns.n_bigrams, ns.vocab_w1,
+        |    sum(CAST(floor(
+        |      (CAST(c2.n AS DOUBLE) / CAST(ns.n_bigrams AS DOUBLE)) *
+        |        (ln(CAST(c1.n1 AS DOUBLE)) - ln(CAST(c2.n AS DOUBLE)))
+        |      * 1.0e15) AS HUGEINT)) AS sc
+        |  FROM c2
+        |  JOIN c1 ON c1.source = c2.source AND c1.w1 = c2.w1
+        |  JOIN ns ON ns.source = c2.source
+        |  GROUP BY c2.source, ns.n_bigrams, ns.vocab_w1)
+        |SELECT source, n_bigrams, vocab_w1,
+        |  CAST(sc AS DOUBLE) / 1.0e15 AS entropy,
+        |  exp(CAST(sc AS DOUBLE) / 1.0e15) AS perplexity
+        |FROM s ORDER BY source""".stripMargin,
     // same saturation predicate, integer div/mod shares, source-ordered
     // remainder ranks
     "q167_unimax_alloc" ->

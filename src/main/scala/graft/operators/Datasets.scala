@@ -458,7 +458,101 @@ object Datasets {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q169's pinned quantiles (percent). */
+  private[operators] val HistQuantiles = Seq(50, 90, 99)
+
+  /** q169 — histogram-quantile estimation with exact error accounting: per
+    * source, the p50/p90/p99 of doc length read from the power-of-two
+    * bucket histogram (the q166 binning), next to the EXACT rank-selected
+    * value. This is the constant-memory quantile path a 100 TB profiling
+    * pass actually ships — the histogram is ~60 counters per source and
+    * merges by elementwise add (the Sketches CMS algebra) — with the
+    * exact twin as the on-harness error audit.
+    *
+    * Exactness/determinism: target rank = ceil(q·n/100) in pure integers
+    * ((q·n + 99) div 100); the bucket estimate is the smallest bucket
+    * whose cumulative count reaches the rank (integer argmin); the exact
+    * value is a (n_chars, doc_id)-ordered rank selection (q163's
+    * convention). Zero floats anywhere.
+    *
+    * Scale shape: one (source, bucket) aggregate + one |sources×buckets|
+    * window for the estimates; one per-source rank window for the exact
+    * twin (a production run drops the twin and keeps the histogram). */
+  def histQuantiles(docs: DataFrame): DataFrame = {
+    val ns = docs.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+    val targets = ns.select(col("source"), col("n"),
+        explode(typedLit(HistQuantiles)).as("q"))
+      .withColumn("target", expr("(q * n + 99) DIV 100"))
+    val hist = docs
+      .select(col("source"),
+        (length(bin(col("n_chars"))) - lit(1)).cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bucket"))))
+    val est = targets.join(hist, Seq("source"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("source"), col("q"), col("target"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val exact = docs.withColumn("rn", row_number().over(wr).cast("long"))
+      .select(col("source"), col("rn"), col("n_chars").as("exact_value"))
+    est.join(exact, est("source") === exact("source") && col("target") === col("rn"))
+      .select(est("source"), col("q"), col("target").as("target_rank"),
+        col("bucket"), col("est_lo"), col("exact_value"))
+      .orderBy(est("source"), col("q"))
+  }
+
+  /** q170 — two-sample Kolmogorov-Smirnov drift statistic per source
+    * against the corpus: D = max over observed lengths v of
+    * |ECDF_source(v) − ECDF_corpus(v)| — the standard "did this source's
+    * distribution drift from the rest" test a crawl-monitoring pass runs
+    * per release.
+    *
+    * Exactness: the max runs over INTEGER cross-multiplied numerators
+    * |cum_s·n − cum·n_s| (both denominators are constant per source, so
+    * the float division commutes with the max) in decimal(38,0) — exact
+    * past 1e12-doc corpora where the long product would overflow — and
+    * the witness value `at_value` is the smallest v attaining the max.
+    * One double division at the end.
+    *
+    * Scale shape: the ECDFs collapse to (distinct length, count) first —
+    * score-cardinality-bounded, the q150 move — so the source×value grid
+    * is |sources|·|distinct lengths| rows (bounded), filled by one
+    * source-partitioned cumulative window; corpus-sized work is the two
+    * value aggregates. */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val vals = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cum"))
+    val nTot = docs.agg(count(lit(1)).cast("long").as("n"))
+    val srcCnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cs"))
+    val srcs = docs.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_s"))
+    val grid = srcs.crossJoin(vals).crossJoin(broadcast(nTot))
+      .join(srcCnt, Seq("source", "v"), "left")
+      .withColumn("cum_s", sum(coalesce(col("cs"), lit(0L))).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .withColumn("num",
+        abs(col("cum_s").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+          - col("cum").cast("decimal(38,0)") * col("n_s").cast("decimal(38,0)")))
+    val dmax = grid.groupBy(col("source"), col("n_s"), col("n"))
+      .agg(max(col("num")).as("dnum"))
+    dmax.join(grid.select(col("source"), col("v"), col("num")),
+        Seq("source"))
+      .filter(col("num") === col("dnum"))
+      .groupBy(col("source"), col("n_s"), col("n"), col("dnum"))
+      .agg(min(col("v")).as("at_value"))
+      .select(col("source"), col("n_s"),
+        (col("dnum").cast("double") /
+          (col("n_s").cast("double") * col("n").cast("double"))).as("d_stat"),
+        col("at_value"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_hist_quantiles" -> ((s, d) => histQuantiles(Tables.documents(s, d))),
+    "q170_ks_drift" -> ((s, d) => ksDrift(Tables.documents(s, d))),
     "q158_kl_divergence" -> ((s, d) => klDivergence(Tables.documents(s, d))),
     "q157_gini" -> ((s, d) => giniConcentration(Tables.documents(s, d))),
     "q154_weighted_reservoir" -> ((s, d) => weightedReservoir(Tables.documents(s, d))),
@@ -501,6 +595,71 @@ object Datasets {
   }
 
   def oracles: Map[String, String] = Map(
+    // same integer target ranks, bitlength buckets, argmin-bucket and
+    // rank-selected exact twin
+    "q169_hist_quantiles" ->
+      """WITH ns AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n, q, (q * n + 99) // 100 AS target
+        |  FROM ns, unnest([50, 90, 99]) AS u(q)),
+        |h AS (
+        |  SELECT source,
+        |    CAST(length(format('{:b}', n_chars)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT source, bucket,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket) AS cum
+        |  FROM h),
+        |est AS (
+        |  SELECT t.source, t.q, t.target,
+        |    CAST(min(hc.bucket) AS BIGINT) AS bucket
+        |  FROM t JOIN hc ON hc.source = t.source AND hc.cum >= t.target
+        |  GROUP BY t.source, t.q, t.target),
+        |r AS (
+        |  SELECT source, n_chars, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT est.source, CAST(est.q AS INT) AS q,
+        |  CAST(est.target AS BIGINT) AS target_rank, est.bucket,
+        |  CAST(1 AS BIGINT) << CAST(est.bucket AS INT) AS est_lo,
+        |  r.n_chars AS exact_value
+        |FROM est JOIN r ON r.source = est.source AND r.rn = est.target
+        |ORDER BY est.source, q""".stripMargin,
+    // same cross-multiplied HUGEINT numerators, smallest witness value
+    "q170_ks_drift" ->
+      """WITH vals AS (
+        |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |vc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vals),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
+        |  FROM documents GROUP BY 1, 2),
+        |ss AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM documents GROUP BY source),
+        |grid AS (
+        |  SELECT ss.source, ss.n_s, nt.n, vc.v, vc.cum,
+        |    sum(coalesce(sc.cs, 0)) OVER (
+        |      PARTITION BY ss.source ORDER BY vc.v) AS cum_s
+        |  FROM ss CROSS JOIN vc CROSS JOIN nt
+        |  LEFT JOIN sc ON sc.source = ss.source AND sc.v = vc.v),
+        |num AS (
+        |  SELECT source, n_s, n, v,
+        |    abs(CAST(cum_s AS HUGEINT) * CAST(n AS HUGEINT)
+        |      - CAST(cum AS HUGEINT) * CAST(n_s AS HUGEINT)) AS num
+        |  FROM grid),
+        |d AS (SELECT source, n_s, n, max(num) AS dnum
+        |      FROM num GROUP BY source, n_s, n)
+        |SELECT d.source, d.n_s,
+        |  CAST(d.dnum AS DOUBLE) / (CAST(d.n_s AS DOUBLE) * CAST(d.n AS DOUBLE))
+        |    AS d_stat,
+        |  min(num.v) AS at_value
+        |FROM d JOIN num ON num.source = d.source AND num.num = d.dnum
+        |GROUP BY d.source, d.n_s, d.dnum, d.n
+        |ORDER BY d.source""".stripMargin,
     // same pinned term dag (p·((ln c_s − ln c) + (ln N − ln n_s))), same
     // fixed-point floor(·1e15) HUGEINT summation — order-free both sides
     "q158_kl_divergence" ->

@@ -162,7 +162,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q158_kl_divergence", // 1-row corpus-total attach on the vocab-bounded term frame
       "q159_coverage_curve", // 1-row totals attach on the |checkpoints|-row frame
       "q161_lang_quota", // 1-row total + 1-row leftover attaches on the |cells|-bounded frame
-      "q167_unimax_alloc") // 1-row count + 1-row saturation-aggregate attaches on the |sources|-bounded frame
+      "q167_unimax_alloc", // 1-row count + 1-row saturation-aggregate attaches on the |sources|-bounded frame
+      "q170_ks_drift") // |sources| x |distinct lengths| ECDF grid build (both sides bounded by construction) + 1-row total attach
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

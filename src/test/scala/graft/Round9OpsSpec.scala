@@ -105,6 +105,63 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
   }
 
+  // ------------------------------------------------------------------ q169
+
+  test("q169: the exact quantile always falls inside the estimated bucket") {
+    val rows = graft.operators.Datasets.histQuantiles(Tables.documents(spark, sf01)).collect()
+    assert(rows.length == 60) // 20 sources x 3 quantiles
+    rows.foreach { r =>
+      val (bucket, estLo, exact) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(estLo == (1L << bucket.toInt))
+      assert(exact >= estLo && exact < 2 * estLo,
+        s"${r.getString(0)} q${r.getInt(1)}: exact $exact outside [$estLo, ${2 * estLo})")
+    }
+    // p50 <= p90 <= p99 per source on the exact values
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byQ = rs.map(r => r.getInt(1) -> r.getLong(5)).toMap
+      assert(byQ(50) <= byQ(90) && byQ(90) <= byQ(99), src)
+    }
+  }
+
+  // ------------------------------------------------------------------ q170
+
+  test("q170: D in [0,1]; identical-distribution fixture scores low, shifted scores high") {
+    val corpus = Tables.documents(spark, sf01)
+    graft.operators.Datasets.ksDrift(corpus).collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.getString(0))
+    }
+    // fixture: source b is a copy of a (D small), source c fully shifted
+    // (D = 1 at the crossing: every c-length exceeds every a/b-length)
+    val docs = docsOf(
+      (1 to 20).map(i => (i.toLong, "a", "x" * (10 + i))) ++
+        (1 to 20).map(i => (100L + i, "b", "x" * (10 + i))) ++
+        (1 to 20).map(i => (200L + i, "c", "x" * (1000 + i))))
+    val d = graft.operators.Datasets.ksDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d("a") == d("b"))
+    assert(d("c") > d("a"))
+    // c vs corpus: at v=30 (a+b fully arrived, c none): |0 - 40/60| = 2/3
+    assert(math.abs(d("c") - 2.0 / 3.0) < 1e-12)
+  }
+
+  // ------------------------------------------------------------------ q171
+
+  test("q171: templated text scores zero entropy; fair coin scores ln 2") {
+    // every w1 has ONE continuation -> H = 0 exactly
+    val templated = docsOf(Seq((1L, "t", ("a b " * 50).trim)))
+    val t = graft.operators.Curation.bigramEntropy(spark, templated).head()
+    assert(t.getDouble(3) == 0.0 && t.getDouble(4) == 1.0)
+    // "a x a y a x a y ...": after 'a' the continuation is a fair coin
+    // between x and y; after x/y always 'a'. H = P(w1=a)·ln2.
+    val coin = docsOf(Seq((1L, "c", ("a x a y " * 25).trim)))
+    val c = graft.operators.Curation.bigramEntropy(spark, coin).head()
+    val nBig = c.getLong(1)
+    val aCount = 50.0 // 'a' appears as w1 50 times of nBig bigrams
+    val want = (aCount / nBig) * math.log(2.0)
+    assert(math.abs(c.getDouble(3) - want) < 1e-9,
+      s"entropy ${c.getDouble(3)} want $want")
+  }
+
   // ------------------------------------------------------------------ q168
 
   test("q168: evidence rows cover exactly the eval docs with overlap; top-1 is argmax") {
