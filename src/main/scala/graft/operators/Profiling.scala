@@ -1,0 +1,512 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Corpus-profiling operators: the release-report family a training-data
+  * pipeline runs to characterize a corpus build — inter-source divergence,
+  * privacy (k-anonymity), leakage-safe splitting, Heaps'-law growth,
+  * temperature-scaled mixtures, tokenizer fertility, and robust outlier
+  * detection. Every query is DuckDB-oracle-exact (integer or pinned
+  * fixed-point arithmetic; single terminal IEEE chains).
+  */
+object Profiling {
+
+  // ------------------------------------------- q172 Jensen–Shannon matrix
+
+  /** q172 — pairwise Jensen–Shannon divergence between source unigram
+    * distributions: the standard symmetric, bounded ([0, ln 2]) "how
+    * different are these two sources" number that mixture design reads
+    * (cf. q158's asymmetric source-vs-corpus KL).
+    *
+    * Decomposition that avoids a full outer join: for words present in
+    * only one of the pair, p/m = 2 exactly, so their total contribution
+    * is ln2·((1−Sa) + (1−Sb))/2 where Sa/Sb are the SHARED probability
+    * masses — integer count sums divided once. The shared-word terms are
+    * difference-paired lns (ln(2·ca·tb) − ln(ca·tb + cb·ta)), so equal
+    * proportions contribute exactly 0, summed order-free as
+    * floor(term·1e15) decimal(38,0) (q158 convention). Count·total
+    * products stay ≲1e13 ≪ 2^53 at sf1, so the double products are exact.
+    *
+    * Scale shape: one (source, word) partial+final count, one self-join
+    * keyed on word (fan-out per word ≤ C(|sources|,2) — source count is
+    * small and fixed), one pair-keyed aggregate of |pairs| rows. Nothing
+    * corpus-quadratic; vocab-bounded after the map-side combine. */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val u = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val t = u.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val ut = u.join(broadcast(t), Seq("source"))
+    val a = ut.select(col("source").as("src_a"), col("word"),
+      col("c").as("ia"), col("tot").as("ita"))
+    val b = ut.select(col("source").as("src_b"), col("word"),
+      col("c").as("ib"), col("tot").as("itb"))
+    val ca = col("ia").cast("double"); val cb = col("ib").cast("double")
+    val ta = col("ita").cast("double"); val tb = col("itb").cast("double")
+    val cross = ca * tb + cb * ta
+    val term = (ca / ta / lit(2.0)) * (log(lit(2.0) * ca * tb) - log(cross)) +
+      (cb / tb / lit(2.0)) * (log(lit(2.0) * cb * ta) - log(cross))
+    a.join(b, Seq("word")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("ita"), col("itb"))
+      .agg(count(lit(1)).as("shared_words"),
+        sum(col("ia")).as("sa"), sum(col("ib")).as("sb"),
+        sum(floor(term * lit(1e15)).cast("decimal(38,0)")).as("fsum"))
+      .select(col("src_a"), col("src_b"), col("shared_words"),
+        (log(lit(2.0)) * ((lit(1.0) - col("sa").cast("double") / col("ita").cast("double")) +
+          (lit(1.0) - col("sb").cast("double") / col("itb").cast("double"))) / lit(2.0) +
+          col("fsum").cast("double") / lit(1e15)).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---------------------------------------------------- q173 k-anonymity
+
+  /** The k thresholds every privacy report quotes. */
+  private[graft] val KThresholds = Seq(2, 5, 10, 20, 50)
+
+  /** q173 — k-anonymity profile over the customer quasi-identifier pair
+    * (nationkey, mktsegment): for each k, how many equivalence classes
+    * and rows fall below it. The re-identification risk gate run before
+    * any record-level data release.
+    *
+    * Scale shape: ONE groupBy over the QI columns (class count bounded by
+    * the QI domain product, not the row count), then a cross join against
+    * a 5-row literal k frame — broadcast, cost |classes|·|ks|. All counts
+    * integer; the at-risk fraction is one terminal double division. */
+  def kAnonymity(spark: SparkSession, customer: DataFrame): DataFrame = {
+    val cls = customer.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+    val ks = spark.createDataFrame(KThresholds.map(Tuple1(_)))
+      .toDF("k").select(col("k").cast("int").as("k"))
+    cls.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("classes_below"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_below"))
+      .select(col("k"), col("n_classes"), col("n_rows"), col("min_class"),
+        col("classes_below"), col("rows_below"),
+        (col("rows_below").cast("double") / col("n_rows").cast("double"))
+          .as("at_risk_frac"))
+      .orderBy(col("k"))
+  }
+
+  // ------------------------------------------------ q174 split leakage
+
+  /** q174 — leakage-safe train/validation split audit: split the corpus
+    * 50/50 by md5 coin (first hex digit < '8') under two policies —
+    * per-document hash vs per-content-cluster hash — and count the
+    * exact-duplicate pairs that cross the split under each. The
+    * doc-hash policy leaks every duplicated cluster (nt·nv pairs per
+    * cluster); the cluster-hash policy leaks exactly 0 by construction,
+    * and this query PROVES it from the data rather than asserting it.
+    *
+    * Scale shape: one md5-content groupBy (the q20 dedup key), two
+    * constant-width aggregates over |clusters| rows. Integer pair
+    * arithmetic; deterministic md5 coins (q89 convention). */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), md5(col("text")).as("ck"))
+    val byCluster = d.groupBy(col("ck"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(substring(md5(col("doc_id").cast("string")), 1, 1) < "8", 1L)
+          .otherwise(0L)).as("nt"))
+    val docPolicy = byCluster
+      .agg(sum(col("nt")).as("train_docs"),
+        sum(col("m") - col("nt")).as("val_docs"),
+        sum(col("nt") * (col("m") - col("nt"))).as("leaked_pairs"))
+      .select(lit("doc_hash").as("policy"), col("train_docs"), col("val_docs"),
+        col("leaked_pairs"))
+    val clusterPolicy = byCluster
+      .withColumn("ct", when(substring(md5(col("ck")), 1, 1) < "8", col("m"))
+        .otherwise(lit(0L)))
+      .agg(sum(col("ct")).as("train_docs"),
+        sum(col("m") - col("ct")).as("val_docs"),
+        sum(col("ct") * (col("m") - col("ct"))).as("leaked_pairs"))
+      .select(lit("cluster_hash").as("policy"), col("train_docs"),
+        col("val_docs"), col("leaked_pairs"))
+    docPolicy.unionAll(clusterPolicy).orderBy(col("policy"))
+  }
+
+  // ------------------------------------------------- q175 Heaps'-law fit
+
+  /** q175 — Heaps'-law fit per source: regress ln(cumulative vocabulary)
+    * on ln(cumulative tokens) over the doc_id-ordered stream, yielding
+    * the growth exponent β and coefficient k (V ≈ k·T^β) — the
+    * diminishing-returns curve that says how much NEW vocabulary another
+    * 10× of this source buys (the model-fit twin of q107's raw growth
+    * curve and q159's coverage curve).
+    *
+    * Cumulative vocabulary without re-scanning prefixes: each word
+    * contributes at its FIRST doc (min doc_id per (source, word)), so
+    * cumulative-distinct collapses to a windowed running sum of
+    * first-occurrence counts. OLS moments are floor(ln-term·1e15)
+    * decimal(38,0) sums (q162 convention); slope/intercept/k are one
+    * terminal IEEE chain.
+    *
+    * Scale shape: one (source, word) min-aggregate, one (source, doc)
+    * count, one per-source window sort (docs-per-source rows, the
+    * unavoidable cost of an ordered curve), one source-keyed moment
+    * aggregate. Nothing quadratic. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("source"), col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("word"))
+    val tokd = w.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("ntok"))
+    val newd = w.groupBy(col("source"), col("word"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("nw"))
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = tokd.join(newd, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("ntok"),
+        coalesce(col("nw"), lit(0L)).as("nw"))
+      .select(col("source"),
+        sum(col("ntok")).over(win).as("ct"),
+        sum(col("nw")).over(win).as("cv"))
+    val x = log(col("ct").cast("double")); val y = log(col("cv").cast("double"))
+    val m = cum.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(x * lit(1e15)).cast("decimal(38,0)")).as("sx"),
+        sum(floor(y * lit(1e15)).cast("decimal(38,0)")).as("sy"),
+        sum(floor(x * y * lit(1e15)).cast("decimal(38,0)")).as("sxy"),
+        sum(floor(x * x * lit(1e15)).cast("decimal(38,0)")).as("sxx"))
+    val n = col("n_docs").cast("double")
+    val dsx = col("sx").cast("double") / lit(1e15)
+    val dsy = col("sy").cast("double") / lit(1e15)
+    val dsxy = col("sxy").cast("double") / lit(1e15)
+    val dsxx = col("sxx").cast("double") / lit(1e15)
+    val det = n * dsxx - dsx * dsx
+    val slope = (n * dsxy - dsx * dsy) / det
+    val intercept = (dsy - slope * dsx) / n
+    m.select(col("source"), col("n_docs"),
+        when(det === lit(0.0), lit(null)).otherwise(slope).as("beta"),
+        when(det === lit(0.0), lit(null)).otherwise(exp(intercept)).as("k"))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------- q176 temperature-scaled mixture
+
+  /** q176's pinned sampling budget (tokens) and temperature. */
+  private[graft] val TempBudget = 100000L
+
+  /** q176 — temperature-scaled source mixture (α = 0.5, the mC4/XLM-R
+    * up-sampling convention): allocate a token budget across sources
+    * proportional to n_tokens^α, flattening the natural distribution so
+    * small sources aren't drowned. Complements q161 (proportional
+    * Hamilton) and q167 (UniMax water-filling).
+    *
+    * Determinism: the only irrational step, sqrt(n)·1e6, is floored into
+    * integer micro-weights ONCE per source; Hamilton largest-remainder
+    * then runs in pure integer div/mod (q161 convention: quotas sum
+    * EXACTLY to the budget at any parallelism, remainder ties broken by
+    * source). Shares are single terminal divisions.
+    *
+    * Scale shape: one source aggregate, then |sources|-row arithmetic
+    * with two scalar cross joins — constant work after the scan. */
+  def tempMixture(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+    val tot = cells.agg(sum(col("n_tokens")).as("tn"), sum(col("w")).as("tw"))
+    val based = cells.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"($TempBudget * w) DIV tw"))
+      .withColumn("rem", expr(s"($TempBudget * w) % tw"))
+    val leftover = based.agg((lit(TempBudget) - sum(col("base_quota"))).as("l"))
+    based
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tn").cast("double")).as("natural_share"),
+        (col("w").cast("double") / col("tw").cast("double")).as("temp_share"),
+        (col("base_quota") + when(col("rk") <= col("l"), 1L).otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------------- q177 tokenizer fertility
+
+  /** q177 — tokenizer fertility per language: characters per whitespace
+    * word and subword-per-word fertility under the q32 BPE-ish regex
+    * pre-tokenizer. THE number multilingual tokenizer design reads —
+    * languages with high fertility pay more sequence length per word, and
+    * budget allocation (q161/q167/q176) should see token counts, not doc
+    * counts. All sums integer, scan-local; ratios are terminal
+    * divisions. */
+  def tokFertility(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select(col("lang"), col("n_chars"),
+        size(toks).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("sub")).as("subword_tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("ws_tokens"),
+        col("subword_tokens"),
+        (col("chars").cast("double") / col("ws_tokens").cast("double"))
+          .as("chars_per_word"),
+        (col("subword_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  // --------------------------------------------- q178 robust outlier docs
+
+  /** q178 — MAD-based length outliers per source: docs whose |n_chars −
+    * median| exceeds 3·MAD (the robust z-score gate that, unlike
+    * mean/stddev, a single giant document cannot drag). Builds on q163's
+    * exact rank-selected median/MAD; the worst offender per source is
+    * identified with a window argmax (max dev, then min doc_id — integer
+    * tie-break, no float argmax ambiguity).
+    *
+    * Scale shape: two rank selections (q163's shape) plus one broadcast
+    * join of the 2-column stats frame back onto the scan and a
+    * source-keyed aggregate. MAD = 0 groups (constant-length sources)
+    * produce zero outliers by the strict inequality. */
+  def robustOutliers(docs: DataFrame): DataFrame = {
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val r1 = docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    val med = r1.join(c, Seq("source"))
+      .filter(col("rn") === expr("(n_docs + 1) DIV 2"))
+      .select(col("source"), col("n_chars").as("median_chars"))
+    val r2 = docs.join(broadcast(med), Seq("source"))
+      .withColumn("ad", abs(col("n_chars") - col("median_chars")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("ad"), col("doc_id"))).cast("long"))
+    val mad = r2.join(c, Seq("source"))
+      .filter(col("rn") === expr("(n_docs + 1) DIV 2"))
+      .select(col("source"), col("ad").as("mad_chars"))
+    val flagged = docs.join(broadcast(med), Seq("source"))
+      .join(broadcast(mad), Seq("source"))
+      .withColumn("ad", abs(col("n_chars") - col("median_chars")))
+      .withColumn("out", col("ad") > lit(3L) * col("mad_chars"))
+    val wsrc = Window.partitionBy(col("source"))
+    flagged
+      .withColumn("mx", max(when(col("out"), col("ad"))).over(wsrc))
+      .groupBy(col("source"), col("median_chars"), col("mad_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"),
+        max(when(col("out"), col("ad"))).as("max_abs_dev"),
+        min(when(col("out") && col("ad") === col("mx"), col("doc_id")))
+          .as("worst_doc_id"))
+      .select(col("source"), col("n_docs"), col("median_chars"),
+        col("mad_chars"), col("n_outliers"), col("max_abs_dev"),
+        col("worst_doc_id"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_js_divergence" -> ((s, d) => jsDivergence(Tables.documents(s, d))),
+    "q173_k_anonymity" -> ((s, d) => kAnonymity(s, Tables.customer(s, d))),
+    "q174_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
+    "q175_heaps_fit" -> ((s, d) => heapsFit(Tables.documents(s, d))),
+    "q176_temp_mixture" -> ((s, d) => tempMixture(Tables.documents(s, d))),
+    "q177_tok_fertility" -> ((s, d) => tokFertility(Tables.documents(s, d))),
+    "q178_robust_outliers" -> ((s, d) => robustOutliers(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // identical difference-paired ln terms, fixed-point HUGEINT sums,
+    // shared-mass correction with single terminal divisions
+    "q172_js_divergence" ->
+      """WITH u AS (
+        |  SELECT source, tk.w AS word, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)
+        |  GROUP BY source, tk.w),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM u GROUP BY source),
+        |j AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    a.c AS ia, b.c AS ib, ta.tot AS ita, tb.tot AS itb,
+        |    CAST(a.c AS DOUBLE) AS ca, CAST(b.c AS DOUBLE) AS cb,
+        |    CAST(ta.tot AS DOUBLE) AS ta, CAST(tb.tot AS DOUBLE) AS tb
+        |  FROM u a JOIN u b ON a.word = b.word AND a.source < b.source
+        |  JOIN t ta ON ta.source = a.source
+        |  JOIN t tb ON tb.source = b.source),
+        |s AS (
+        |  SELECT src_a, src_b, ita, itb,
+        |    CAST(count(*) AS BIGINT) AS shared_words,
+        |    CAST(sum(ia) AS BIGINT) AS sa, CAST(sum(ib) AS BIGINT) AS sb,
+        |    sum(CAST(floor(
+        |      ((ca / ta / 2.0) * (ln(2.0 * ca * tb) - ln(ca * tb + cb * ta))
+        |       + (cb / tb / 2.0) * (ln(2.0 * cb * ta) - ln(ca * tb + cb * ta)))
+        |      * 1.0e15) AS HUGEINT)) AS fsum
+        |  FROM j GROUP BY src_a, src_b, ita, itb)
+        |SELECT src_a, src_b, shared_words,
+        |  ln(2.0) * ((1.0 - CAST(sa AS DOUBLE) / CAST(ita AS DOUBLE))
+        |           + (1.0 - CAST(sb AS DOUBLE) / CAST(itb AS DOUBLE))) / 2.0
+        |  + CAST(fsum AS DOUBLE) / 1.0e15 AS jsd
+        |FROM s ORDER BY src_a, src_b""".stripMargin,
+    "q173_k_anonymity" ->
+      s"""WITH cls AS (
+         |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+         |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+         |ks AS (SELECT CAST(v.k AS INT) AS k
+         |       FROM (VALUES ${KThresholds.map(k => s"($k)").mkString(", ")}) v(k))
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(min(sz) AS BIGINT) AS min_class,
+         |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+         |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_below,
+         |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(sz) AS DOUBLE) AS at_risk_frac
+         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q174_split_leakage" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS ck FROM documents),
+        |n AS (
+        |  SELECT ck, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        |  FROM d GROUP BY ck),
+        |c AS (
+        |  SELECT ck, m,
+        |    CASE WHEN substring(md5(ck), 1, 1) < '8' THEN m ELSE 0 END AS ct
+        |  FROM n)
+        |SELECT 'doc_hash' AS policy,
+        |  CAST(sum(nt) AS BIGINT) AS train_docs,
+        |  CAST(sum(m - nt) AS BIGINT) AS val_docs,
+        |  CAST(sum(nt * (m - nt)) AS BIGINT) AS leaked_pairs
+        |FROM n
+        |UNION ALL
+        |SELECT 'cluster_hash' AS policy,
+        |  CAST(sum(ct) AS BIGINT) AS train_docs,
+        |  CAST(sum(m - ct) AS BIGINT) AS val_docs,
+        |  CAST(sum(ct * (m - ct)) AS BIGINT) AS leaked_pairs
+        |FROM c
+        |ORDER BY policy""".stripMargin,
+    // q162's fixed-point OLS over the windowed cumulative curve
+    "q175_heaps_fit" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, tk.w AS word
+        |  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)),
+        |tokd AS (
+        |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS ntok
+        |  FROM w GROUP BY source, doc_id),
+        |newd AS (
+        |  SELECT source, fdoc AS doc_id, CAST(count(*) AS BIGINT) AS nw
+        |  FROM (SELECT source, word, min(doc_id) AS fdoc
+        |        FROM w GROUP BY source, word)
+        |  GROUP BY source, fdoc),
+        |cum AS (
+        |  SELECT t.source,
+        |    sum(t.ntok) OVER (PARTITION BY t.source ORDER BY t.doc_id) AS ct,
+        |    sum(coalesce(n.nw, 0)) OVER (PARTITION BY t.source ORDER BY t.doc_id) AS cv
+        |  FROM tokd t LEFT JOIN newd n ON n.source = t.source AND n.doc_id = t.doc_id),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(CAST(floor(ln(CAST(ct AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sx,
+        |    sum(CAST(floor(ln(CAST(cv AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sy,
+        |    sum(CAST(floor(ln(CAST(ct AS DOUBLE)) * ln(CAST(cv AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sxy,
+        |    sum(CAST(floor(ln(CAST(ct AS DOUBLE)) * ln(CAST(ct AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sxx
+        |  FROM cum GROUP BY source),
+        |s AS (
+        |  SELECT source, n_docs, CAST(n_docs AS DOUBLE) AS n,
+        |    CAST(sx AS DOUBLE) / 1.0e15 AS dsx,
+        |    CAST(sy AS DOUBLE) / 1.0e15 AS dsy,
+        |    CAST(sxy AS DOUBLE) / 1.0e15 AS dsxy,
+        |    CAST(sxx AS DOUBLE) / 1.0e15 AS dsxx
+        |  FROM m)
+        |SELECT source, n_docs,
+        |  CASE WHEN n * dsxx - dsx * dsx = 0.0 THEN NULL
+        |    ELSE (n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx) END AS beta,
+        |  CASE WHEN n * dsxx - dsx * dsx = 0.0 THEN NULL
+        |    ELSE exp((dsy - ((n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx)) * dsx)
+        |      / n) END AS k
+        |FROM s ORDER BY source""".stripMargin,
+    // integer micro-weights (floor(sqrt·1e6)) then q161's Hamilton
+    "q176_temp_mixture" ->
+      s"""WITH cells AS (
+         |  SELECT source,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6) AS BIGINT) AS w
+         |  FROM cells),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tn,
+         |             CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |b AS (
+         |  SELECT source, n_tokens, w,
+         |    ($TempBudget * w) // t.tw AS base_quota,
+         |    ($TempBudget * w) % t.tw AS rem,
+         |    t.tn AS tn, t.tw AS tw
+         |  FROM w CROSS JOIN t),
+         |l AS (SELECT $TempBudget - sum(base_quota) AS l FROM b),
+         |r AS (
+         |  SELECT b.*, CAST(row_number() OVER (
+         |    ORDER BY rem DESC, source) AS BIGINT) AS rk
+         |  FROM b)
+         |SELECT source, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE) AS natural_share,
+         |  CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS temp_share,
+         |  CAST(base_quota + CASE WHEN rk <= l.l THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota
+         |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
+    "q177_tok_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+        |    AS BIGINT) AS subword_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE)
+        |    / CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |    AS chars_per_word,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+        |    AS DOUBLE)
+        |    / CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |    AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q163's rank-selected median/MAD, strict 3·MAD gate, window argmax
+    "q178_robust_outliers" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |r1 AS (
+        |  SELECT source, n_chars, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |med AS (
+        |  SELECT r1.source, r1.n_chars AS median_chars
+        |  FROM r1 JOIN c USING (source)
+        |  WHERE r1.rn = (c.n_docs + 1) // 2),
+        |r2 AS (
+        |  SELECT d.source, abs(d.n_chars - med.median_chars) AS ad,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY d.source
+        |      ORDER BY abs(d.n_chars - med.median_chars), d.doc_id) AS BIGINT)
+        |      AS rn
+        |  FROM documents d JOIN med USING (source)),
+        |mad AS (
+        |  SELECT r2.source, r2.ad AS mad_chars
+        |  FROM r2 JOIN c USING (source)
+        |  WHERE r2.rn = (c.n_docs + 1) // 2),
+        |f AS (
+        |  SELECT d.source, d.doc_id, med.median_chars, mad.mad_chars,
+        |    abs(d.n_chars - med.median_chars) AS ad,
+        |    abs(d.n_chars - med.median_chars) > 3 * mad.mad_chars AS o
+        |  FROM documents d JOIN med USING (source) JOIN mad USING (source)),
+        |g AS (
+        |  SELECT f.*, max(CASE WHEN o THEN ad END)
+        |    OVER (PARTITION BY source) AS mx
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  median_chars, mad_chars,
+        |  CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(CASE WHEN o THEN ad END) AS max_abs_dev,
+        |  min(CASE WHEN o AND ad = mx THEN doc_id END) AS worst_doc_id
+        |FROM g GROUP BY source, median_chars, mad_chars
+        |ORDER BY source""".stripMargin
+  )
+}
