@@ -1,0 +1,369 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Index/model/data EVALUATION operators — the measurement half of the
+  * pipeline: ANN index recall against exact ground truth, class-balanced
+  * loss weights, embedding dispersion (diversity), int8 quantization
+  * error, behavioral Markov transition structure, and time-decayed
+  * activity. Everything integer / fixed-point exact against the DuckDB
+  * oracle (the repo's q158/q162 conventions).
+  */
+object Evaluation {
+
+  // --------------------------------------------------- q179 ANN recall@k
+
+  /** q179 — recall@k of the IVF index (q29's plan) against brute-force
+    * exact top-k (q25's plan): THE metric that decides whether an ANN
+    * index's nlist/nprobe trade-off is acceptable before it serves a
+    * retrieval or near-dup pipeline. Per query: |IVF∩exact| / k.
+    *
+    * Scale shape: both sides reuse the existing bounded-probe plans (the
+    * brute side is the ground-truth oracle, restricted to the pinned
+    * query set — never corpus×corpus); the comparison is one equi-join on
+    * (query, neighbor) plus a query-keyed count. Integer hits; recall is
+    * one terminal division. */
+  def annRecall(spark: SparkSession, embs: DataFrame, k: Int = 10): DataFrame = {
+    val brute = Similarity.bruteForceTopK(spark, embs, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(spark, embs, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    val retrieved = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n_ivf"))
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    truth.join(retrieved, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  // --------------------------------------- q180 class-balanced weights
+
+  /** q180's pinned re-weighting smoothing factor (Cui et al., CVPR'19). */
+  private[graft] val CbBeta = 0.999
+
+  /** q180 — class-balanced loss weights from the effective number of
+    * samples E_n = (1−β^n)/(1−β): the standard long-tail re-weighting a
+    * classifier-filter training run applies per label. Weights are
+    * 1/E_n, normalized to mean 1 over the label set.
+    *
+    * Determinism: β^n as exp(n·ln β) — the repo's pinned ln/exp chain
+    * (libm parity verified by every fixed-point oracle); the |labels|-row
+    * weight normalizer sums floor(raw·1e15) decimals, order-free; the
+    * normalized weight is one terminal IEEE chain. Scale shape: one
+    * label-keyed count, then |labels|-row arithmetic. */
+  def classWeights(embs: DataFrame): DataFrame = {
+    val n = embs.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val effN = (lit(1.0) - exp(col("n").cast("double") * log(lit(CbBeta)))) /
+      (lit(1.0) - lit(CbBeta))
+    val withRaw = n.withColumn("eff_n", effN)
+      .withColumn("raw", lit(1.0) / col("eff_n"))
+    val norm = withRaw.agg(
+      sum(floor(col("raw") * lit(1e15)).cast("decimal(38,0)")).as("sr"),
+      count(lit(1)).as("nl"))
+    withRaw.crossJoin(broadcast(norm))
+      .select(col("label"), col("n"), col("eff_n"),
+        (col("raw") * col("nl").cast("double") /
+          (col("sr").cast("double") / lit(1e15))).as("weight"))
+      .orderBy(col("label"))
+  }
+
+  // --------------------------------------- q181 embedding dispersion
+
+  /** q181 — per-label embedding dispersion: mean squared norm and mean
+    * PAIRWISE squared Euclidean distance — the diversity number SemDeDup-
+    * style pruning and cluster-quality checks read. Computed EXACTLY
+    * without any pairwise product via the sum-vector identity
+    * Σ_{i≠j}‖vi−vj‖² = 2n·Σ‖vi‖² − 2‖Σvi‖², on vectors quantized to the
+    * 1e-9 grid (floor(x·1e9) per component — the statistic is DEFINED on
+    * the grid, so every sum is integer and order-free; decimal(38,0)
+    * squares since (1e9·x)² exceeds long range).
+    *
+    * Scale shape: one posexplode scan (rows×dim), one (label, dim)
+    * partial+final integer sum — 64·|labels| keys — and a |labels|-row
+    * final. Corpus-linear, shuffle of dim-key aggregates only; the
+    * O(n²) pair space is never touched. */
+  def embedDispersion(embs: DataFrame): DataFrame = {
+    val xq = floor(col("x").cast("double") * lit(1e9)).cast("long")
+    val terms = embs
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("vec_id"), col("dim"), xq.as("xq"))
+    val perDim = terms.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq")).as("s1"),
+        sum(col("xq").cast("decimal(38,0)") * col("xq").cast("decimal(38,0)"))
+          .as("sq"))
+    val nPer = embs.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    perDim.groupBy(col("label"))
+      .agg(sum(col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
+          .as("s2"),
+        sum(col("sq")).as("sqsum"))
+      .join(broadcast(nPer), Seq("label"))
+      .select(col("label"), col("n"),
+        (col("sqsum").cast("double") / lit(1e18) / col("n").cast("double"))
+          .as("mean_sq_norm"),
+        ((lit(2.0) * col("n").cast("double") * (col("sqsum").cast("double") / lit(1e18)) -
+          lit(2.0) * (col("s2").cast("double") / lit(1e18))) /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+          .as("mean_pair_sq_dist"))
+      .orderBy(col("label"))
+  }
+
+  // --------------------------------------------- q182 quantization error
+
+  /** q182 — int8 quantization reconstruction error per label under q68's
+    * exact scheme (per-vector symmetric scale 127/max|x|): MSE and worst
+    * per-dimension error — the calibration report read before an ANN
+    * index switches to int8 storage (q72's shortlist path).
+    *
+    * Determinism: the dequantized value round(x·s)·max_abs/127 is the
+    * identical IEEE chain in both engines; squared errors are summed as
+    * floor(err·1e18) decimals (order-free; errors are ≤(max_abs/254)²,
+    * so 1e18 scaling keeps precision); max is order-free. Scale shape:
+    * one posexplode scan, one label-keyed partial+final — corpus-linear,
+    * no shuffle before the aggregate. */
+  def quantError(embs: DataFrame): DataFrame = {
+    val e = col("x").cast("double")
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scale = when(col("max_abs") === lit(0.0), lit(0.0))
+      .otherwise(lit(127.0) / col("max_abs"))
+    val deq = when(col("max_abs") === lit(0.0), lit(0.0))
+      .otherwise(round(e * scale) * col("max_abs") / lit(127.0))
+    val err = (e - deq) * (e - deq)
+    embs.select(col("label"), col("vec_id"), maxAbs.as("max_abs"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), err.as("err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_values"),
+        (sum(floor(col("err") * lit(1e18)).cast("decimal(38,0)")).cast("double") /
+          lit(1e18)).as("sse"),
+        max(col("err")).as("max_sq_err"))
+      .select(col("label"), col("n_values"),
+        (col("sse") / col("n_values").cast("double")).as("mse"),
+        col("max_sq_err"))
+      .orderBy(col("label"))
+  }
+
+  // --------------------------------------------- q183 Markov transitions
+
+  /** q183 — first-order Markov transition matrix over per-user event
+    * streams: P(next event type | event type), the behavioral structure
+    * report (and the generative model behind session simulation). The
+    * lag/lead windows reuse q19's (ts, event_id) total order.
+    *
+    * Scale shape: one user-keyed window (the Tables.events spread-guard
+    * exchange on user_id is consumed directly — no extra shuffle), one
+    * (from, to) partial+final count over |types|² keys, probabilities by
+    * one broadcast join + terminal division. */
+  def markovChain(spark: SparkSession, dir: String): DataFrame =
+    markovTransitions(Tables.events(spark, dir))
+
+  /** Transition matrix over any (user_id, ts, event_id, event_type) frame. */
+  def markovTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // --------------------------------------------- q184 time-decayed activity
+
+  /** q184 — exponentially time-decayed activity per user (half-life 1
+    * day, anchored at the corpus max timestamp): the recency-weighted
+    * engagement score feature stores serve. Each event contributes
+    * value·2^(−age_days) — computed as exp(−age_days·ln 2) on the pinned
+    * ln/exp chain, summed as floor(term·1e12) decimals (order-free).
+    * Integer microsecond ages from the epoch-μs twins (unix_micros /
+    * epoch_us — q19 convention).
+    *
+    * Scale shape: one scalar max aggregate broadcast back, then one
+    * scan-local term and a user-keyed partial+final sum. */
+  def decayActivity(spark: SparkSession, dir: String): DataFrame =
+    decayWeighted(Tables.events(spark, dir))
+
+  /** Decay-weighted rollup over any (user_id, ts, value) frame. */
+  def decayWeighted(ev: DataFrame): DataFrame = {
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+    val ageDays = (col("mx") - unix_micros(col("ts"))).cast("double") /
+      lit(1e6) / lit(86400.0)
+    val term = col("value") * exp(-ageDays * log(lit(2.0)))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"), term.as("term"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("term") * lit(1e12)).cast("decimal(38,0)")).cast("double") /
+          lit(1e12)).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_ann_recall" -> ((s, d) => annRecall(s, Tables.embeddings(s, d))),
+    "q180_class_weights" -> ((s, d) => classWeights(Tables.embeddings(s, d))),
+    "q181_embed_dispersion" -> ((s, d) => embedDispersion(Tables.embeddings(s, d))),
+    "q182_quant_error" -> ((s, d) => quantError(Tables.embeddings(s, d))),
+    "q183_markov_chain" -> ((s, d) => markovChain(s, d)),
+    "q184_decay_activity" -> ((s, d) => decayActivity(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // q25's brute CTEs + q29's IVF CTEs, joined on (query, neighbor)
+    "q179_ann_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |bs AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id) AS rank
+        |  FROM q JOIN v ON q.query_id <> v.vec_id),
+        |br AS (SELECT query_id, neighbor_id FROM bs WHERE rank <= 10),
+        |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 16),
+        |ar AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.e, cent.c) DESC, cent.cell) AS arank
+        |  FROM v CROSS JOIN cent),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ar WHERE arank = 1),
+        |pr AS (
+        |  SELECT q.query_id, cent.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.neighbor_id),
+        |si AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, c.neighbor_id) AS rank
+        |  FROM cand c JOIN v qv ON c.query_id = qv.vec_id
+        |  JOIN v nv ON c.neighbor_id = nv.vec_id),
+        |riv AS (SELECT query_id, neighbor_id FROM si WHERE rank <= 10),
+        |tr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM br GROUP BY query_id),
+        |re AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ivf FROM riv GROUP BY query_id),
+        |h AS (
+        |  SELECT br.query_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM riv JOIN br ON riv.query_id = br.query_id
+        |    AND riv.neighbor_id = br.neighbor_id
+        |  GROUP BY br.query_id)
+        |SELECT tr.query_id, tr.n_true,
+        |  coalesce(re.n_ivf, 0) AS n_ivf,
+        |  coalesce(h.hits, 0) AS hits,
+        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_k
+        |FROM tr LEFT JOIN re ON re.query_id = tr.query_id
+        |LEFT JOIN h ON h.query_id = tr.query_id
+        |ORDER BY tr.query_id""".stripMargin,
+    // exp(n·ln β) chain; floor(raw·1e15) HUGEINT normalizer
+    "q180_class_weights" ->
+      s"""WITH n AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings GROUP BY label),
+         |w AS (
+         |  SELECT label, n,
+         |    (1.0 - exp(CAST(n AS DOUBLE) * ln($CbBeta))) / (1.0 - CAST($CbBeta AS DOUBLE)) AS eff_n,
+         |    1.0 / ((1.0 - exp(CAST(n AS DOUBLE) * ln($CbBeta))) / (1.0 - CAST($CbBeta AS DOUBLE)))
+         |      AS raw
+         |  FROM n),
+         |t AS (
+         |  SELECT sum(CAST(floor(raw * 1.0e15) AS HUGEINT)) AS sr,
+         |    CAST(count(*) AS BIGINT) AS nl
+         |  FROM w)
+         |SELECT label, n, eff_n,
+         |  raw * CAST(nl AS DOUBLE) / (CAST(sr AS DOUBLE) / 1.0e15) AS weight
+         |FROM w CROSS JOIN t ORDER BY label""".stripMargin,
+    // sum-vector identity on the 1e-9 integer grid
+    "q181_embed_dispersion" ->
+      """WITH t AS (
+        |  SELECT label, vec_id, u.i AS dim,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1.0e9) AS BIGINT) AS xq
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+        |pd AS (
+        |  SELECT label, dim, CAST(sum(xq) AS BIGINT) AS s1,
+        |    sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sq
+        |  FROM t GROUP BY label, dim),
+        |np AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings GROUP BY label),
+        |f AS (
+        |  SELECT label,
+        |    sum(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS s2,
+        |    sum(sq) AS sqsum
+        |  FROM pd GROUP BY label)
+        |SELECT f.label, np.n,
+        |  CAST(sqsum AS DOUBLE) / 1.0e18 / CAST(n AS DOUBLE) AS mean_sq_norm,
+        |  (2.0 * CAST(n AS DOUBLE) * (CAST(sqsum AS DOUBLE) / 1.0e18)
+        |   - 2.0 * (CAST(s2 AS DOUBLE) / 1.0e18))
+        |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS mean_pair_sq_dist
+        |FROM f JOIN np ON np.label = f.label ORDER BY f.label""".stripMargin,
+    // q68's scale chain; floor(err·1e18) HUGEINT sums
+    "q182_quant_error" ->
+      """WITH m AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+        |      AS max_abs
+        |  FROM embeddings),
+        |t AS (
+        |  SELECT label,
+        |    CASE WHEN max_abs = 0.0 THEN e[u.i] * e[u.i]
+        |      ELSE (e[u.i] - round(e[u.i] * (127.0 / max_abs)) * max_abs / 127.0)
+        |         * (e[u.i] - round(e[u.i] * (127.0 / max_abs)) * max_abs / 127.0)
+        |    END AS err
+        |  FROM m, unnest(generate_series(1, len(e))) u(i)),
+        |g AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_values,
+        |    CAST(sum(CAST(floor(err * 1.0e18) AS HUGEINT)) AS DOUBLE) / 1.0e18
+        |      AS sse,
+        |    max(err) AS max_sq_err
+        |  FROM t GROUP BY label)
+        |SELECT label, n_values, sse / CAST(n_values AS DOUBLE) AS mse, max_sq_err
+        |FROM g ORDER BY label""".stripMargin,
+    "q183_markov_chain" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, tr.n, tot.n_from,
+        |  CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS prob
+        |FROM tr JOIN tot ON tot.from_type = tr.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+    // epoch-μs ages, exp(−days·ln 2), floor(term·1e12) HUGEINT sums
+    "q184_decay_activity" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    value * exp(-(CAST(mx.mx - epoch_us(ts) AS DOUBLE) / 1.0e6 / 86400.0)
+        |      * ln(2.0)) AS term
+        |  FROM events CROSS JOIN mx)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(term * 1.0e12) AS HUGEINT)) AS DOUBLE) / 1.0e12
+        |    AS decayed_value
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -196,8 +196,12 @@ object Profiling {
   /** q176 — temperature-scaled source mixture (α = 0.5, the mC4/XLM-R
     * up-sampling convention): allocate a token budget across sources
     * proportional to n_tokens^α, flattening the natural distribution so
-    * small sources aren't drowned. Complements q161 (proportional
-    * Hamilton) and q167 (UniMax water-filling).
+    * small sources aren't drowned. Completes the mixture-design family:
+    * q161 apportions proportionally (α = 1), q167 water-fills (α → 0 with
+    * caps), q106 SAMPLES docs by sqrt-doc-count with lossy floor-≥1
+    * quotas; this is the exact-sum allocation REPORT over token mass —
+    * quotas provably total the budget, natural vs flattened shares side
+    * by side.
     *
     * Determinism: the only irrational step, sqrt(n)·1e6, is floored into
     * integer micro-weights ONCE per source; Hamilton largest-remainder
