@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Classify, Clustering, Curation, Datasets, Dedup, EmbeddingStats, Evaluation, Extended, Governance, Graph, Lakehouse, Mining, Multimodal, Profiling, Relational, Search, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Classify, Clustering, Curation, Datasets, Dedup, EmbeddingStats, Evaluation, Extended, Governance, Graph, Lakehouse, Mining, Multimodal, Profiling, Relational, Search, Signals, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,7 +42,8 @@ object SparkEntry {
       (Classify.queries, Classify.oracles),
       (Governance.queries, Governance.oracles),
       (Profiling.queries, Profiling.oracles),
-      (Evaluation.queries, Evaluation.oracles))
+      (Evaluation.queries, Evaluation.oracles),
+      (Signals.queries, Signals.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
