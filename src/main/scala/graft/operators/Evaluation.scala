@@ -212,9 +212,55 @@ object Evaluation {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------- q189 inter-arrival stats
+
+  /** q189 — inter-arrival statistics per event type: mean / exact median
+    * gap between consecutive same-type events of the same user, and the
+    * implied hourly rate — the arrival-process profile capacity planning
+    * and anomaly baselines (q138's bursts) read. Gaps are exact integer
+    * microseconds (q19's epoch-μs + (ts, event_id) order conventions);
+    * the median is rank-selected (q163's (n+1) DIV 2); means/rates are
+    * terminal IEEE chains.
+    *
+    * Scale shape: one (user, type)-keyed window off the user-keyed
+    * spread-guard exchange, one type-keyed count/sum, one rank
+    * selection. Nothing quadratic. */
+  def interArrival(spark: SparkSession, dir: String): DataFrame =
+    interArrivalOf(Tables.events(spark, dir))
+
+  /** Inter-arrival profile over any (user_id, ts, event_id, event_type)
+    * frame. */
+  def interArrivalOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"),
+        col("event_id"))
+    val c = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("s"))
+    val med = gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("gap_us"), col("event_id"))).cast("long"))
+      .join(broadcast(c), Seq("event_type"))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), col("gap_us").as("med_us"))
+    val mean = col("s").cast("double") / col("n").cast("double") / lit(1e6)
+    c.join(med, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        mean.as("mean_gap_s"),
+        (col("med_us").cast("double") / lit(1e6)).as("median_gap_s"),
+        (lit(3600.0) / mean).as("events_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_interarrival" -> (interArrival _),
     "q179_ann_recall" -> ((s, d) => annRecall(s, Tables.embeddings(s, d))),
     "q180_class_weights" -> ((s, d) => classWeights(Tables.embeddings(s, d))),
     "q181_embed_dispersion" -> ((s, d) => embedDispersion(Tables.embeddings(s, d))),
@@ -224,6 +270,34 @@ object Evaluation {
   )
 
   def oracles: Map[String, String] = Map(
+    // epoch-μs gaps, rank-selected median, terminal mean/rate chains
+    "q189_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, event_id, CAST(gap_us AS BIGINT) AS gap_us
+        |  FROM g WHERE gap_us IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gap_us) AS BIGINT) AS s
+        |  FROM f GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, gap_us, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY gap_us, event_id) AS BIGINT) AS rn
+        |  FROM f),
+        |med AS (
+        |  SELECT r.event_type, r.gap_us AS med_us
+        |  FROM r JOIN c USING (event_type)
+        |  WHERE r.rn = (c.n + 1) // 2)
+        |SELECT c.event_type, c.n AS n_gaps,
+        |  CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 1.0e6 AS mean_gap_s,
+        |  CAST(med.med_us AS DOUBLE) / 1.0e6 AS median_gap_s,
+        |  3600.0 / (CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 1.0e6)
+        |    AS events_per_hour
+        |FROM c JOIN med USING (event_type) ORDER BY c.event_type""".stripMargin,
     // q25's brute CTEs + q29's IVF CTEs, joined on (query, neighbor)
     "q179_ann_recall" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

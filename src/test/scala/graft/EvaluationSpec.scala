@@ -146,6 +146,26 @@ class EvaluationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(2L)._2 - 7.0) < 1e-9)
   }
 
+  // ------------------------------------------------------------------ q189
+
+  test("q189: gaps are per-user per-type; mean/median exact on a pinned grid") {
+    // user 1 type A at minutes 0, 1, 3 -> gaps 60 s, 120 s
+    // user 2 type A at minutes 0, 10   -> gap 600 s
+    // user 1 type B single event       -> no gap
+    val ev = eventsOf(Seq(
+      (0L, 1L, "A", 0.0), (1L, 1L, "A", 0.0), (3L, 1L, "A", 0.0),
+      (2L, 1L, "B", 0.0))) // event_id 2 -> minute 2, type B
+      .unionByName(eventsOf(Seq((10L, 2L, "A", 0.0), (20L, 2L, "A", 0.0))))
+    val got = Evaluation.interArrivalOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // eventsOf: ts = epoch + event_id minutes -> user2 gap = 10 min
+    val gaps = Seq(60.0, 120.0, 600.0)
+    assert(got("A")._1 == 3L)
+    assert(math.abs(got("A")._2 - gaps.sum / 3.0) < 1e-12)
+    assert(got("A")._3 == 120.0) // lower median of {60,120,600}
+    assert(!got.contains("B"))
+  }
+
   test("q183/q184 run on the real events table with sane shapes") {
     val mk = Evaluation.markovChain(spark, sf).collect()
     assert(mk.nonEmpty && mk.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))

@@ -73,7 +73,13 @@ object ScaleRehearsal {
     "q20_dedup_exact", "q21_dedup_jaccard", "q22_dedup_minhash",
     "q24_embed_neardup", "q49_dup_clusters", "q69_dedup_canonical",
     "q109_pagerank", "q134_triangles", "q136_label_prop", "q145_apriori",
-    "q30_text_langid", "q43_top_terms")
+    "q30_text_langid", "q43_top_terms",
+    // round-9 additions: word-keyed pair join, windowed cumulative curve,
+    // ANN-vs-truth composition, dim-keyed integer aggregates, event decay,
+    // LM-composed rank windows, centroid argmin, scan-local readability
+    "q172_js_divergence", "q175_heaps_fit", "q179_ann_recall",
+    "q181_embed_dispersion", "q184_decay_activity", "q185_rank_corr",
+    "q187_label_prototypes", "q188_readability")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
