@@ -431,7 +431,56 @@ object Classify {
       .orderBy(col("token"))
   }
 
+  /** q190 — calibration (reliability) report for the NB classifier: bin
+    * the softmax confidence of each prediction into deciles and compare
+    * average confidence to observed accuracy per bin — the standard
+    * reliability diagram + per-bin ECE gap read before classifier scores
+    * gate documents by THRESHOLD (q123/q126 rank quality; this is
+    * whether the probabilities MEAN anything).
+    *
+    * Softmax without a float sum-order hazard: per doc, conf(pred) =
+    * 1 / Σ_label exp(score − max_score) with the Σ as floor(exp·1e15)
+    * decimals (≤ |labels| terms, order-free; the argmax term is exactly
+    * 1e15). Scores reuse nbScores' decimal-summed chain — bit-identical
+    * cross-engine, so bins match exactly. Scale shape: the q122 scoring
+    * plan plus one |labels|-wide per-doc window pair and one 10-key
+    * aggregate. */
+  def q190Calibration(s: SparkSession, dir: String): DataFrame =
+    calibrationOf(Tables.documents(s, dir))
+
+  private[graft] def calibrationOf(docs: DataFrame): DataFrame = {
+    val dtok = CacheScope.cached(docTokenCounts(docs))
+    val scores = nbScores(nbModel(dtok), nbPriors(docs), dtok)
+    val wd = Window.partitionBy(col("doc_id"))
+    val wr = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val perDoc = scores
+      .withColumn("mx", max(col("score")).over(wd))
+      .withColumn("rn", row_number().over(wr))
+      .groupBy(col("doc_id"))
+      .agg(sum(floor(exp(col("score") - col("mx")) * lit(1e15))
+          .cast("decimal(38,0)")).as("s"),
+        min(when(col("rn") === 1, col("label"))).as("pred_label"))
+      .withColumn("conf", lit(1.0) / (col("s").cast("double") / lit(1e15)))
+    val binned = perDoc
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(
+        least(lit(9L), floor(col("conf") * lit(10.0)).cast("long")).as("bin"),
+        col("conf"),
+        when(col("pred_label") === col("lang"), 1L).otherwise(0L).as("ok"))
+    val acc = col("n_correct").cast("double") / col("n").cast("double")
+    val avgConf = col("cs").cast("double") / lit(1e15) / col("n").cast("double")
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("conf") * lit(1e15)).cast("decimal(38,0)")).as("cs"),
+        sum(col("ok")).as("n_correct"))
+      .select(col("bin"), col("n"), avgConf.as("avg_conf"), col("n_correct"),
+        acc.as("accuracy"), abs(acc - avgConf).as("abs_gap"))
+      .orderBy(col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_calibration" -> (q190Calibration _),
     "q131_feature_mi" -> (q131FeatureMi _),
     "q121_nb_train" -> (q121NbTrain _),
     "q122_nb_classify" -> (q122NbClassify _),
@@ -565,7 +614,46 @@ object Classify {
   }
 
   def oracles: Map[String, String] = Map(
-    "q131_feature_mi" -> miOracle(MiClasses),
+    // FitCtes scores + softmax-by-decimal-sum + decile reliability bins
+    "q190_calibration" ->
+      s"""WITH $FitCtes,
+         |sc AS (
+         |  SELECT t.doc_id, m.label,
+         |    CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+         |      + p.log_prior AS score
+         |  FROM tok t
+         |  JOIN model m ON m.token = t.token
+         |  JOIN pri p ON p.label = m.label
+         |  GROUP BY t.doc_id, m.label, p.log_prior),
+         |wm AS (
+         |  SELECT doc_id, label, score,
+         |    max(score) OVER (PARTITION BY doc_id) AS mx,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label) AS rn
+         |  FROM sc),
+         |pc AS (
+         |  SELECT doc_id,
+         |    sum(CAST(floor(exp(score - mx) * 1.0e15) AS HUGEINT)) AS s,
+         |    min(CASE WHEN rn = 1 THEN label END) AS pred_label
+         |  FROM wm GROUP BY doc_id),
+         |cj AS (
+         |  SELECT pc.doc_id, pc.pred_label, d.lang,
+         |    1.0 / (CAST(pc.s AS DOUBLE) / 1.0e15) AS conf
+         |  FROM pc JOIN documents d USING (doc_id)),
+         |b AS (
+         |  SELECT least(CAST(9 AS BIGINT), CAST(floor(conf * 10.0) AS BIGINT))
+         |      AS bin,
+         |    conf, CASE WHEN pred_label = lang THEN 1 ELSE 0 END AS ok
+         |  FROM cj)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(floor(conf * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
+         |    / CAST(count(*) AS DOUBLE) AS avg_conf,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy,
+         |  abs(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    - CAST(sum(CAST(floor(conf * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
+         |      / CAST(count(*) AS DOUBLE)) AS abs_gap
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q121_nb_train" ->
       s"""WITH $FitCtes
          |SELECT label, token, CAST(n_ct AS BIGINT) AS n_ct, log_lik

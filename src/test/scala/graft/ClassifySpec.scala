@@ -178,4 +178,29 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eval.map(_._2).sum == preds.length, "every doc evaluated once")
   }
+
+  // ------------------------------------------------------------------ q190
+
+  test("q190: calibration bins are consistent and a single-label corpus is perfectly calibrated") {
+    import spark.implicits._
+    // single label: softmax over one class -> conf exactly 1.0, bin 9, acc 1.0
+    val mono = Seq(
+      (0L, "en", "alpha beta"), (1L, "en", "beta gamma"), (2L, "en", "gamma alpha"))
+      .toDF("doc_id", "lang", "text")
+    val m = Classify.calibrationOf(mono).collect()
+    assert(m.length == 1)
+    assert(m.head.getLong(0) == 9L && m.head.getLong(1) == 3L)
+    assert(m.head.getDouble(2) == 1.0 && m.head.getDouble(4) == 1.0)
+    assert(m.head.getDouble(5) == 0.0)
+    // two-lang fixture: bins partition the corpus; confidences live in their bin
+    val c = Classify.calibrationOf(docs).collect()
+    assert(c.map(_.getLong(1)).sum == 8L)
+    c.foreach { r =>
+      val (bin, n, conf, acc) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(4))
+      assert(bin >= 0L && bin <= 9L)
+      assert(conf >= bin / 10.0 - 1e-9 && (bin == 9L || conf < (bin + 1) / 10.0 + 1e-9))
+      assert(acc >= 0.0 && acc <= 1.0 && n > 0)
+      assert(math.abs(r.getDouble(5) - math.abs(acc - conf)) < 1e-12)
+    }
+  }
 }
