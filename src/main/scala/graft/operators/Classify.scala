@@ -614,6 +614,7 @@ object Classify {
   }
 
   def oracles: Map[String, String] = Map(
+    "q131_feature_mi" -> miOracle(MiClasses),
     // FitCtes scores + softmax-by-decimal-sum + decile reliability bins
     "q190_calibration" ->
       s"""WITH $FitCtes,

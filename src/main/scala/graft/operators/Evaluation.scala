@@ -257,9 +257,66 @@ object Evaluation {
       .orderBy(col("event_type"))
   }
 
+  // --------------------------------------------- q193 sequential patterns
+
+  /** q193's session gap — q19's 30 minutes. */
+  private[graft] val SeqGapUs = 30L * 60L * 1000000L
+
+  /** q193 — session-scoped sequential patterns: for every ordered pair of
+    * event types (a ⇒ b), in how many sessions does a's FIRST occurrence
+    * precede b's — the "viewed then purchased" style market-basket
+    * SEQUENCE mining (the ordered complement of q145's co-occurrence
+    * Apriori and q183's adjacent-only Markov matrix). Support = pattern
+    * sessions / total sessions.
+    *
+    * Determinism: first occurrences are integer epoch-μs minima;
+    * precedence compares (us, type) lexicographically so equal-μs firsts
+    * still order identically in both engines. Scale shape: q19's
+    * sessionization windows (the user-keyed exchange), one (user,
+    * session, type) min-aggregate, then a session-keyed self-join of ≤
+    * |event types| rows per key — the pair space is |types|²-bounded per
+    * session, never event-quadratic. Session total = Σ new-session flags
+    * (no second pass). */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame =
+    seqPatternsOf(Tables.events(spark, dir))
+
+  /** Pattern mining over any (user_id, ts, event_id, event_type) frame. */
+  def seqPatternsOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SeqGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("ses", sum(col("new_session")).over(run))
+    val total = tagged.agg(sum(col("new_session")).as("n_sessions"))
+    val firsts = tagged.groupBy(col("user_id"), col("ses"), col("event_type"))
+      .agg(min(col("us")).as("us"))
+    val fa = firsts.select(col("user_id"), col("ses"),
+      col("event_type").as("first_type"), col("us").as("ua"))
+    val fb = firsts.select(col("user_id").as("ub_user"), col("ses").as("ub_ses"),
+      col("event_type").as("then_type"), col("us").as("ub"))
+    fa.join(fb,
+        col("user_id") === col("ub_user") && col("ses") === col("ub_ses") &&
+          (col("ua") < col("ub") ||
+            (col("ua") === col("ub") && col("first_type") < col("then_type"))) &&
+          col("first_type") =!= col("then_type"))
+      .groupBy(col("first_type"), col("then_type"))
+      .agg(count(lit(1)).as("n_pattern_sessions"))
+      .crossJoin(broadcast(total))
+      .select(col("first_type"), col("then_type"), col("n_pattern_sessions"),
+        col("n_sessions"),
+        (col("n_pattern_sessions").cast("double") / col("n_sessions").cast("double"))
+          .as("support"))
+      .orderBy(col("first_type"), col("then_type"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_seq_patterns" -> (seqPatterns _),
     "q189_interarrival" -> (interArrival _),
     "q179_ann_recall" -> ((s, d) => annRecall(s, Tables.embeddings(s, d))),
     "q180_class_weights" -> ((s, d) => classWeights(Tables.embeddings(s, d))),
@@ -270,6 +327,40 @@ object Evaluation {
   )
 
   def oracles: Map[String, String] = Map(
+    // q19 sessionization CTEs + session-keyed first-occurrence self-join
+    "q193_seq_patterns" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ses
+        |  FROM m),
+        |tot AS (SELECT CAST(sum(new_session) AS BIGINT) AS n_sessions FROM m),
+        |f AS (
+        |  SELECT user_id, ses, event_type, CAST(min(us) AS BIGINT) AS us
+        |  FROM s GROUP BY user_id, ses, event_type),
+        |p AS (
+        |  SELECT a.event_type AS first_type, b.event_type AS then_type
+        |  FROM f a JOIN f b
+        |    ON a.user_id = b.user_id AND a.ses = b.ses
+        |   AND (a.us < b.us OR (a.us = b.us AND a.event_type < b.event_type))
+        |   AND a.event_type <> b.event_type)
+        |SELECT first_type, then_type,
+        |  CAST(count(*) AS BIGINT) AS n_pattern_sessions,
+        |  tot.n_sessions,
+        |  CAST(count(*) AS DOUBLE) / CAST(tot.n_sessions AS DOUBLE) AS support
+        |FROM p CROSS JOIN tot
+        |GROUP BY first_type, then_type, tot.n_sessions
+        |ORDER BY first_type, then_type""".stripMargin,
     // epoch-μs gaps, rank-selected median, terminal mean/rate chains
     "q189_interarrival" ->
       """WITH g AS (

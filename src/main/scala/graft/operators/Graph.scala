@@ -544,7 +544,123 @@ object Graph {
 
   // --------------------------------------------------------------------- //
 
+  // ------------------------------------------------------- q191 k-core
+
+  /** q191's pinned parameters — shared by `kcore` AND the unrolled oracle
+    * CTEs (q109 convention). Rounds chosen to reach the peel fixpoint on
+    * the testdata (spec-asserted); at other data a caller raises it. */
+  private[graft] val KcoreK = 80
+  private[graft] val KcoreRounds = 6
+
+  /** q191 — k-core decomposition (membership at k = KcoreK): iteratively
+    * peel nodes of degree < k until the survivor set is stable — the
+    * standard dense-substructure extractor (densest catalog cross-sell
+    * cluster here; spam/bot cores in behavior graphs). Output: surviving
+    * nodes with their within-core degree.
+    *
+    * Scale shape: `rounds` pinned peel rounds, each = one degree
+    * aggregate (map-side combinable) + two semi-join filters of the edge
+    * list against the shrinking keep set (AQE broadcasts it as it
+    * shrinks — the common case after round 1). Edges only ever SHRINK,
+    * so per-round cost is monotonically decreasing. Each round's edge
+    * set is localCheckpoint'ed (the q147 discipline, NOT the q109
+    * one-DAG form): a peel round references the previous edge set THREE
+    * times (degree build + both endpoint filters), so the flat-plan
+    * variant would triple the subtree per round — 3^rounds copies of the
+    * basket expansion (it OOMed at sf0.01 before this cut). Integer-only
+    * arithmetic. */
+  def kcore(s: SparkSession, lineitem: DataFrame, k: Int = KcoreK,
+            rounds: Int = KcoreRounds): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    var cur = baskets
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = cur.select(col("a").as("v")).unionAll(cur.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      cur = cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"))
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"))
+        .localCheckpoint()
+    }
+    cur.select(col("a").as("node")).unionAll(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  // ----------------------------------------------- q192 assortativity
+
+  /** q192 — degree assortativity (Newman 2002): Pearson correlation of
+    * endpoint degrees over the directed-both-ways edge list. Positive =
+    * hubs link hubs; the one-number mixing summary a graph data card
+    * quotes next to q134's clustering and q157's concentration. Degrees
+    * and all five moments are exact integers (degree ≤ basket-diversity
+    * bound keeps every product ≪ 2⁶³); r is one terminal chain with the
+    * q185 sqrt(a·b) convention. One degree aggregate + two broadcast
+    * joins + one scalar aggregate — corpus-linear. */
+  def assortativity(s: SparkSession, lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val und = baskets
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val edges = graft.core.CacheScope.cached(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
+    val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val m = edges
+      .join(broadcast(deg.select(col("v").as("a"), col("d").as("x"))), Seq("a"))
+      .join(broadcast(deg.select(col("v").as("b"), col("d").as("y"))), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("m").as("m_edges"),
+        (col("sx").cast("double") / col("m").cast("double")).as("mean_degree"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("assortativity"))
+  }
+
+  /** Unrolled peel rounds for the q191 oracle (q136 lpCtes convention). */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      // each e{i} is referenced THREE times by round i+1 (degree build +
+      // both endpoint filters) — MATERIALIZED stops DuckDB's default CTE
+      // inlining from exponentiating the parquet scan (the SQL twin of
+      // the Spark side's per-round localCheckpoint)
+      """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+        |  GROUP BY v),
+        |k$i AS (SELECT v FROM d$i WHERE d >= $k),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e${i - 1} e
+        |  JOIN k$i ka ON ka.v = e.a
+        |  JOIN k$i kb ON kb.v = e.b)""".stripMargin)
+    }
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_kcore" -> ((s, d) => kcore(s, Tables.lineitem(s, d))),
+    "q192_assortativity" -> ((s, d) => assortativity(s, Tables.lineitem(s, d))),
     "q155_random_walks" -> ((s, d) => randomWalks(s, Tables.lineitem(s, d))),
     "q156_modularity" -> ((s, d) => modularity(s, Tables.lineitem(s, d))),
     "q146_hits" -> ((s, d) => hits(s, Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -691,6 +807,34 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    "q191_kcore" ->
+      s"""WITH ${kcoreCtes(KcoreK, KcoreRounds)}
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+         |  SELECT a AS node FROM e$KcoreRounds
+         |  UNION ALL SELECT b FROM e$KcoreRounds)
+         |GROUP BY node ORDER BY node""".stripMargin,
+    // integer endpoint-degree moments over both edge directions
+    "q192_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+        |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(dx.d) AS BIGINT) AS sx, CAST(sum(dy.d) AS BIGINT) AS sy,
+        |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+        |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+        |    CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+        |  FROM e JOIN deg dx ON dx.v = e.a JOIN deg dy ON dy.v = e.b)
+        |SELECT m AS m_edges,
+        |  CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mean_degree,
+        |  CAST(m * sxy - sx * sy AS DOUBLE) /
+        |  sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+        |       CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
+        |FROM m""".stripMargin,
     "q155_random_walks" -> walksOracle,
     "q156_modularity" -> modularityOracle,
     "q146_hits" -> hitsOracle,

@@ -163,7 +163,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q159_coverage_curve", // 1-row totals attach on the |checkpoints|-row frame
       "q161_lang_quota", // 1-row total + 1-row leftover attaches on the |cells|-bounded frame
       "q167_unimax_alloc", // 1-row count + 1-row saturation-aggregate attaches on the |sources|-bounded frame
-      "q170_ks_drift") // |sources| x |distinct lengths| ECDF grid build (both sides bounded by construction) + 1-row total attach
+      "q170_ks_drift", // |sources| x |distinct lengths| ECDF grid build (both sides bounded by construction) + 1-row total attach
+      "q173_k_anonymity", // |classes|-bounded frame crossed with the 5-row k-threshold literal
+      "q176_temp_mixture", // 1-row totals + 1-row leftover attaches on the |sources|-bounded frame
+      "q179_ann_recall", // q25's broadcast-query theta join inside the recall composition
+      "q180_class_weights", // 1-row weight-normalizer attach on the |labels|-bounded frame
+      "q184_decay_activity", // 1-row max-timestamp anchor attach on the scan
+      "q190_calibration", // dense-model build (q122's plan) inside the scoring side
+      "q193_seq_patterns") // 1-row session-total attach on the |types|^2-bounded pattern frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
