@@ -188,7 +188,82 @@ object Governance {
 
   // ------------------------------------------------------------ registry
 
+  // --------------------------------------------- q194 Welch's t-test
+
+  /** q194 — Welch's t statistic (+ Welch–Satterthwaite dof) for each
+    * source's document-length mean against the REST of the corpus: the
+    * "is this source's length distribution off?" significance screen
+    * that complements q170's distribution-free KS (KS sees shape; t
+    * sees means with unequal variances). Sufficient statistics are
+    * exact BIGINTs (n, Σx, Σx²; rest-of-corpus = corpus − source, pure
+    * integer subtraction — ONE scan, no self-join), and t/dof are one
+    * terminal IEEE chain per source. |sources| rows of arithmetic after
+    * one aggregate. */
+  def welchT(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("q1"))
+    val tot = per.agg(sum(col("n1")).as("nt"), sum(col("s1")).as("st"),
+      sum(col("q1")).as("qt"))
+    val j = per.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n1"))
+      .withColumn("s2", col("st") - col("s1"))
+      .withColumn("q2", col("qt") - col("q1"))
+    def meanOf(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def varOf(q: Column, s: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+        (n.cast("double") - lit(1.0))
+    val m1 = meanOf(col("s1"), col("n1")); val m2 = meanOf(col("s2"), col("n2"))
+    val se1 = varOf(col("q1"), col("s1"), col("n1")) / col("n1").cast("double")
+    val se2 = varOf(col("q2"), col("s2"), col("n2")) / col("n2").cast("double")
+    j.select(col("source"), col("n1").as("n_docs"),
+        (m1 - m2).as("mean_diff"),
+        ((m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+        (((se1 + se2) * (se1 + se2)) /
+          (se1 * se1 / (col("n1").cast("double") - lit(1.0)) +
+            se2 * se2 / (col("n2").cast("double") - lit(1.0)))).as("welch_dof"))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------- q195 chi-square independence
+
+  /** q195 — chi-square test of independence for the lang × source
+    * contingency table (+ Cramér's V effect size): the "is language mix
+    * uniform across sources?" release check behind the q161 quotas.
+    * Cell counts and marginals are exact integers; each cell's
+    * (o−e)²/e term is one IEEE chain summed as floor(term·1e12)
+    * decimals (order-free over R·C cells); dof is pure integer. One
+    * (lang, source) aggregate — the table is category-bounded, never
+    * corpus-sized. */
+  def chi2Independence(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val o = coalesce(col("o"), lit(0L))
+    val term = (o.cast("double") - e) * (o.cast("double") - e) / e
+    // full R×C grid: unobserved cells contribute (0−e)²/e = e — dropping
+    // them understates χ² exactly where the mix is most skewed
+    rows.crossJoin(cols)
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg((sum(floor(term * lit(1e12)).cast("decimal(38,0)")).cast("double") /
+        lit(1e12)).as("chi2"))
+      .select(col("n").as("n_docs"), col("r").as("n_langs"),
+        col("c").as("n_sources"),
+        ((col("r") - lit(1L)) * (col("c") - lit(1L))).as("dof"),
+        col("chi2"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("r") - lit(1L), col("c") - lit(1L)).cast("double")))
+          .as("cramers_v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_welch_t" -> ((s, d) => welchT(Tables.documents(s, d))),
+    "q195_chi2_indep" -> ((s, d) => chi2Independence(Tables.documents(s, d))),
     "q160_pii_scan" -> ((s, d) => piiScan(Tables.documents(s, d))),
     "q161_lang_quota" -> ((s, d) => langQuota(Tables.documents(s, d))),
     "q162_zipf_fit" -> ((s, d) => zipfFit(Tables.documents(s, d))),
@@ -196,6 +271,70 @@ object Governance {
   )
 
   def oracles: Map[String, String] = Map(
+    // exact BIGINT sufficient statistics, rest-of-corpus by subtraction
+    "q194_welch_t" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n1) AS BIGINT) AS nt, CAST(sum(s1) AS BIGINT) AS st,
+        |    CAST(sum(q1) AS BIGINT) AS qt
+        |  FROM per),
+        |j AS (
+        |  SELECT per.*, tot.nt - per.n1 AS n2, tot.st - per.s1 AS s2,
+        |    tot.qt - per.q1 AS q2
+        |  FROM per CROSS JOIN tot),
+        |f AS (
+        |  SELECT source, n1,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+        |      / CAST(n2 AS DOUBLE) AS se2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |  FROM j)
+        |SELECT source, n1 AS n_docs, m1 - m2 AS mean_diff,
+        |  (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+        |  ((se1 + se2) * (se1 + se2)) /
+        |  (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0)) AS welch_dof
+        |FROM f ORDER BY source""".stripMargin,
+    // full R×C grid incl. zero cells; floor(term·1e12) HUGEINT sum
+    "q195_chi2_indep" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS c
+        |  FROM cells),
+        |g AS (
+        |  SELECT r.lang, c.source, r.rt, c.ct, coalesce(cells.o, 0) AS o
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source),
+        |s AS (
+        |  SELECT tot.n, tot.r, tot.c,
+        |    sum(CAST(floor(
+        |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |         / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |         / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1.0e12) AS HUGEINT)) AS sc
+        |  FROM g CROSS JOIN tot GROUP BY tot.n, tot.r, tot.c)
+        |SELECT n AS n_docs, r AS n_langs, c AS n_sources,
+        |  (r - 1) * (c - 1) AS dof,
+        |  CAST(sc AS DOUBLE) / 1.0e12 AS chi2,
+        |  sqrt(CAST(sc AS DOUBLE) / 1.0e12 /
+        |    (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+        |FROM s""".stripMargin,
     "q160_pii_scan" ->
       s"""WITH h AS (
          |  SELECT source,

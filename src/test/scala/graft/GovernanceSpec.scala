@@ -160,4 +160,42 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(src) == ((med, mad)), s"$src: ${got(src)} != ($med, $mad)")
     }
   }
+
+  // ------------------------------------------------------------------ q194
+
+  test("q194: Welch t against a hand-computed two-source fixture") {
+    val docs = docsOf(Seq(
+      (1L, "a", "x" * 10), (2L, "a", "x" * 12),
+      (3L, "b", "x" * 20), (4L, "b", "x" * 22)))
+    val got = Governance.welchT(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // source a: n=2 mean 11 var 2; rest: n=2 mean 21 var 2
+    val se = 2.0 / 2 + 2.0 / 2
+    val tRef = (11.0 - 21.0) / math.sqrt(se)
+    val dofRef = se * se / (1.0 / 1 + 1.0 / 1)
+    assert(math.abs(got("a")._1 - (-10.0)) < 1e-12)
+    assert(math.abs(got("a")._2 - tRef) < 1e-12)
+    assert(math.abs(got("a")._3 - dofRef) < 1e-12)
+    assert(math.abs(got("b")._2 + got("a")._2) < 1e-12) // symmetric two-source case
+  }
+
+  // ------------------------------------------------------------------ q195
+
+  test("q195: chi2 is exactly 0 under independence and n under perfect 2x2 association") {
+    import spark.implicits._
+    def d(rows: Seq[(Long, String, String)]) =
+      rows.map { case (i, lang, src) => (i, "t", lang, src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val indep = d(Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y"),
+      (5L, "b", "x"), (6L, "b", "x"), (7L, "b", "y"), (8L, "b", "y")))
+    val ri = Governance.chi2Independence(indep).collect().head
+    assert(ri.getDouble(4) == 0.0 && ri.getLong(3) == 1L)
+    assert(ri.getDouble(5) == 0.0)
+    val dep = d(Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"), (4L, "b", "y")))
+    val rd = Governance.chi2Independence(dep).collect().head
+    assert(math.abs(rd.getDouble(4) - 4.0) < 1e-9) // chi2 == n for perfect 2x2
+    assert(math.abs(rd.getDouble(5) - 1.0) < 1e-9) // Cramer's V 1
+  }
 }

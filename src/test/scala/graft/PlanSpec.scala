@@ -170,7 +170,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q180_class_weights", // 1-row weight-normalizer attach on the |labels|-bounded frame
       "q184_decay_activity", // 1-row max-timestamp anchor attach on the scan
       "q190_calibration", // dense-model build (q122's plan) inside the scoring side
-      "q193_seq_patterns") // 1-row session-total attach on the |types|^2-bounded pattern frame
+      "q193_seq_patterns", // 1-row session-total attach on the |types|^2-bounded pattern frame
+      "q194_welch_t", // 1-row corpus-moment attach on the |sources|-bounded frame
+      "q195_chi2_indep") // R×C marginal grid build (category-bounded) + 1-row total attach
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
