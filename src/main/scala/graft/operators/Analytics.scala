@@ -329,9 +329,78 @@ object Analytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  // ------------------------------------------------------------------ q199
+
+  /** q199's conversion event type and administrative horizon: survival of
+    * "hours from a user's first event to their first purchase", with
+    * right-censoring at min(48 h, observed follow-up to the corpus max
+    * timestamp) — so late-window users censor early and slow converters
+    * censor at the horizon, both deterministically. */
+  private[operators] val ConvEventType = "purchase"
+  private[operators] val ConvHorizonH = 48L
+
+  /** q199 — Kaplan–Meier time-to-conversion curve: the product-limit
+    * estimator Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) (Kaplan & Meier 1958) over
+    * hours-to-first-[[ConvEventType]], right-censored per the
+    * [[ConvHorizonH]] rule — the survival form of a funnel report that,
+    * unlike q45's terminal rates, is unbiased under incomplete follow-up.
+    *
+    * Exactness: durations, censor times, dᵢ and the at-risk counts nᵢ
+    * are all integer microsecond → hour arithmetic (nᵢ by cumulative
+    * subtraction over the per-hour count frame); the running product is
+    * exp(Σ ln((n−d)/n)) with the Σ as a DECIMAL(25,15) cumulative window
+    * — the q92 pinned-ln pattern, immune to partitioning. A step that
+    * exhausts the risk set (d = n) yields survival exactly 0 via an
+    * explicit flag (no ln(0) reaches either engine).
+    *
+    * Scale shape: one user-keyed aggregate (conditional min/max) off the
+    * events table's reusable user_id exchange, one 1-row global-max
+    * broadcast, then ALL window work runs on the per-hour count frame —
+    * bounded by the horizon ([[ConvHorizonH]]+1 rows), not by users. */
+  def kmSurvival(events: DataFrame, horizonH: Long = ConvHorizonH): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val perUser = events.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === ConvEventType, unix_micros(col("ts"))))
+          .as("conv_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val gmax = perUser.agg(max(col("last_us")).as("gmax_us"))
+    val lives = perUser.crossJoin(broadcast(gmax))
+      .withColumn("censor_h",
+        least(lit(horizonH), expr(s"(gmax_us - first_us) DIV $hourUs")))
+      .withColumn("dur_h", expr(s"(conv_us - first_us) DIV $hourUs"))
+      .select(
+        when(col("dur_h").isNotNull && col("dur_h") <= col("censor_h"),
+          col("dur_h")).otherwise(col("censor_h")).as("life_h"),
+        when(col("dur_h").isNotNull && col("dur_h") <= col("censor_h"), 1L)
+          .otherwise(0L).as("converted"))
+    val byLife = lives.groupBy(col("life_h"))
+      .agg(count(lit(1)).as("n_all"), sum(col("converted")).as("d"))
+    val wc = Window.orderBy(col("life_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byLife
+      .withColumn("cum_all", sum(col("n_all")).over(wc))
+      .crossJoin(broadcast(lives.agg(count(lit(1)).as("n_users"))))
+      .withColumn("n_risk", col("n_users") - col("cum_all") + col("n_all"))
+    val lnTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+      log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+      .otherwise(lit(0.0))
+    atRisk
+      .withColumn("zf", max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wc))
+      .withColumn("lnsum",
+        sum(lnTerm.cast("decimal(25,15)")).over(wc))
+      .filter(col("d") > 0)
+      .select(col("life_h"), col("n_risk"), col("d").as("n_converted"),
+        when(col("zf") === 1L, lit(0.0))
+          .otherwise(exp(col("lnsum").cast("double"))).as("survival"))
+      .orderBy(col("life_h"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_km_survival" -> ((s, d) => kmSurvival(Tables.events(s, d))),
     "q143_gap_fill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q138_burst_detect" -> ((s, d) => burstDetect(Tables.events(s, d))),
     "q128_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
@@ -347,6 +416,47 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q199_km_survival" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, epoch_us(min(ts)) AS first_us,
+         |    epoch_us(min(CASE WHEN event_type = '$ConvEventType' THEN ts END))
+         |      AS conv_us,
+         |    epoch_us(max(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |gm AS (SELECT max(last_us) AS gmax_us FROM pu),
+         |lv AS (
+         |  SELECT least($ConvHorizonH, (gm.gmax_us - first_us) // ${3600L * 1000000L})
+         |      AS censor_h,
+         |    (conv_us - first_us) // ${3600L * 1000000L} AS dur_h
+         |  FROM pu CROSS JOIN gm),
+         |lives AS (
+         |  SELECT CASE WHEN dur_h IS NOT NULL AND dur_h <= censor_h
+         |      THEN dur_h ELSE censor_h END AS life_h,
+         |    CASE WHEN dur_h IS NOT NULL AND dur_h <= censor_h
+         |      THEN 1 ELSE 0 END AS converted
+         |  FROM lv),
+         |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lives),
+         |bl AS (
+         |  SELECT life_h, CAST(count(*) AS BIGINT) AS n_all,
+         |    CAST(sum(converted) AS BIGINT) AS d
+         |  FROM lives GROUP BY life_h),
+         |ar AS (
+         |  SELECT life_h, n_all, d,
+         |    nu.n_users - sum(n_all) OVER (ORDER BY life_h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_all AS n_risk
+         |  FROM bl CROSS JOIN nu),
+         |kw AS (
+         |  SELECT life_h, n_risk, d,
+         |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY life_h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zf,
+         |    sum(CAST(CASE WHEN d > 0 AND d < n_risk
+         |      THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         |      ELSE 0.0 END AS DECIMAL(25,15))) OVER (ORDER BY life_h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+         |  FROM ar)
+         |SELECT life_h, n_risk, d AS n_converted,
+         |  CASE WHEN zf = 1 THEN 0.0 ELSE exp(CAST(lnsum AS DOUBLE)) END AS survival
+         |FROM kw WHERE d > 0 ORDER BY life_h""".stripMargin,
     "q143_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -479,7 +479,102 @@ object Classify {
       .orderBy(col("bin"))
   }
 
+  // ------------------------------------------------------------------ q197
+
+  /** Pinned conformal miscoverage α = 0.1 (90 % marginal coverage
+    * target). The quantile rank uses the EXACT integer form
+    * ⌈0.9·(n+1)⌉ = (9·(n+1)+9) div 10 — no float rank arithmetic. */
+  private[operators] val ConformalAlpha = 0.1
+
+  /** Bucket grid for the distributed exact quantile selection: the
+    * cumulative window runs over ≤ 10⁶+1 bucket rows REGARDLESS of
+    * corpus size, and only the single target bucket is rank-windowed. */
+  private val ConformalGrid = 1e6
+
+  /** q197 — split-conformal prediction sets over the NB classifier
+    * (Vovk et al.; Angelopoulos & Bates 2021 tutorial form): fit on the
+    * q111 train split, calibrate 1−p̂(true label) on the val split, take
+    * q̂ = the ⌈(1−α)(n+1)⌉-th smallest nonconformity, and report the
+    * test-split prediction-set size distribution with its empirical
+    * coverage — the distribution-free "can I trust the filter's
+    * probabilities" report that complements q190's calibration bins.
+    *
+    * Exactness: softmax probabilities reuse q190's order-free decimal
+    * chain (floor(exp·1e15) numerator and denominator, one double
+    * division); q̂ is selected by EXACT global rank via a two-phase
+    * bucket histogram — per-bucket integer counts, a cumulative window
+    * over the bounded grid, then an in-bucket rank window — so no
+    * corpus-sized global sort exists on the Spark side (the oracle uses
+    * a plain global row_number; the SELECTED VALUE is identical).
+    * Docs with zero in-vocab tokens (or a true label absent from the
+    * train split) drop at the scoring join on both engines. If the rank
+    * exceeds n_cal, q̂ = 1.0 (every label enters every set — the
+    * standard infinite-quantile convention).
+    *
+    * Scale shape: one train-split fit (bounded model), one scoring join
+    * over the non-train docs, two |labels|-wide per-doc windows, the
+    * bounded-grid quantile, and a ≤|labels|-key final aggregate. */
+  def q197Conformal(s: SparkSession, dir: String): DataFrame =
+    conformalOf(Tables.documents(s, dir))
+
+  private[graft] def conformalOf(docs: DataFrame): DataFrame = {
+    val u = TextFunctions.h60(col("doc_id").cast("string")).cast("double") / lit(Pow60)
+    val tagged = CacheScope.cached(docs.withColumn("u", u))
+    val train = tagged.filter(col("u") < TrainCut)
+    val rest = tagged.filter(col("u") >= TrainCut)
+    val scores = nbScores(nbModel(docTokenCounts(train)), nbPriors(train),
+      docTokenCounts(rest))
+    val wd = Window.partitionBy(col("doc_id"))
+    val probs = scores
+      .withColumn("mx", max(col("score")).over(wd))
+      .withColumn("e", floor(exp(col("score") - col("mx")) * lit(1e15))
+        .cast("decimal(38,0)"))
+      .withColumn("sden", sum(col("e")).over(wd))
+      .select(col("doc_id"), col("label"),
+        (col("e").cast("double") / col("sden").cast("double")).as("p"))
+    val joined = CacheScope.cached(
+      probs.join(rest.select(col("doc_id"), col("lang"), col("u")), Seq("doc_id")))
+    val calNc = joined
+      .filter(col("u") < ValCut && col("label") === col("lang"))
+      .select(col("doc_id"), (lit(1.0) - col("p")).as("nc"))
+    // ---- exact global rank r = ceil(0.9 * (n_cal + 1)), two-phase select
+    val rFrame = calNc.agg(count(lit(1)).as("n_cal"))
+      .withColumn("r", expr("(9 * (n_cal + 1) + 9) DIV 10"))
+    val bkt = least(lit(999999L), floor(col("nc") * lit(ConformalGrid)).cast("long"))
+    val bcounts = calNc.select(bkt.as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+    val target = bcounts
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bkt"))))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+      .crossJoin(broadcast(rFrame))
+      .filter(col("cum_prev") < col("r") && col("r") <= col("cum"))
+      .select(col("bkt"), col("cum_prev"), col("r"), col("n_cal"))
+    val wb = Window.partitionBy(col("bkt")).orderBy(col("nc"), col("doc_id"))
+    val qhatRow = calNc.withColumn("bkt", bkt)
+      .join(broadcast(target), Seq("bkt"))
+      .withColumn("rk", row_number().over(wb).cast("long"))
+      .filter(col("rk") === col("r") - col("cum_prev"))
+      .select(col("n_cal"), col("nc").as("qhat"))
+    val qhat = rFrame.select(col("n_cal"))
+      .join(qhatRow, Seq("n_cal"), "left")
+      .select(col("n_cal"), coalesce(col("qhat"), lit(1.0)).as("qhat"))
+    // ---- test-split prediction sets
+    joined.filter(col("u") >= ValCut)
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(lit(1.0) - col("p") <= col("qhat"), 1L).otherwise(0L))
+          .as("set_size"),
+        max(when(col("label") === col("lang") &&
+          lit(1.0) - col("p") <= col("qhat"), 1L).otherwise(0L)).as("covered"),
+        max(col("qhat")).as("qhat"), max(col("n_cal")).as("n_cal"))
+      .groupBy(col("set_size"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("covered")).as("n_covered"),
+        max(col("qhat")).as("qhat"), max(col("n_cal")).as("n_cal"))
+      .orderBy(col("set_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_conformal" -> (q197Conformal _),
     "q190_calibration" -> (q190Calibration _),
     "q131_feature_mi" -> (q131FeatureMi _),
     "q121_nb_train" -> (q121NbTrain _),
@@ -615,6 +710,84 @@ object Classify {
 
   def oracles: Map[String, String] = Map(
     "q131_feature_mi" -> miOracle(MiClasses),
+    // train-split NB fit + q190's decimal softmax + a plain global
+    // row_number for the conformal rank (the engine's two-phase bucket
+    // selection picks the IDENTICAL (nc, doc_id) row)
+    "q197_conformal" ->
+      s"""WITH tg AS (
+         |  SELECT doc_id, lang, source, text,
+         |    ${h60sql("CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0 AS u
+         |  FROM documents),
+         |ttok AS (
+         |  SELECT doc_id, lang,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM tg WHERE u < $TrainCut),
+         |tct AS (SELECT lang, token, count(*) AS n_ct FROM ttok GROUP BY 1, 2),
+         |ttot AS (SELECT lang, count(*) AS n_c FROM ttok GROUP BY 1),
+         |tvoc AS (SELECT DISTINCT token FROM ttok),
+         |tvc AS (SELECT count(*) AS v FROM tvoc),
+         |tmodel AS (
+         |  SELECT ttot.lang AS label, tvoc.token,
+         |    ln((CAST(COALESCE(tct.n_ct, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(ttot.n_c AS DOUBLE) + CAST(tvc.v AS DOUBLE))) AS log_lik
+         |  FROM ttot CROSS JOIN tvoc CROSS JOIN tvc
+         |  LEFT JOIN tct ON tct.lang = ttot.lang AND tct.token = tvoc.token),
+         |tnd AS (SELECT lang, count(*) AS n_docs FROM tg WHERE u < $TrainCut GROUP BY 1),
+         |tnt AS (SELECT count(*) AS n FROM tg WHERE u < $TrainCut),
+         |tpri AS (
+         |  SELECT lang AS label,
+         |    ln(CAST(n_docs AS DOUBLE) / CAST(tnt.n AS DOUBLE)) AS log_prior
+         |  FROM tnd CROSS JOIN tnt),
+         |rtok AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM tg WHERE u >= $TrainCut),
+         |sc AS (
+         |  SELECT t.doc_id, m.label,
+         |    CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+         |      + p.log_prior AS score
+         |  FROM rtok t
+         |  JOIN tmodel m ON m.token = t.token
+         |  JOIN tpri p ON p.label = m.label
+         |  GROUP BY t.doc_id, m.label, p.log_prior),
+         |pe AS (
+         |  SELECT doc_id, label,
+         |    CAST(floor(exp(score - max(score) OVER (PARTITION BY doc_id))
+         |      * 1.0e15) AS HUGEINT) AS e
+         |  FROM sc),
+         |pp AS (
+         |  SELECT doc_id, label,
+         |    CAST(e AS DOUBLE) /
+         |      CAST(sum(e) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+         |  FROM pe),
+         |j AS (
+         |  SELECT pp.doc_id, pp.label, pp.p, tg.lang, tg.u
+         |  FROM pp JOIN tg USING (doc_id)),
+         |cal AS (
+         |  SELECT doc_id, 1.0 - p AS nc
+         |  FROM j WHERE u < $ValCut AND label = lang),
+         |ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+         |rr AS (SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 AS r FROM ncal),
+         |rk AS (
+         |  SELECT nc, CAST(row_number() OVER (ORDER BY nc, doc_id) AS BIGINT) AS rk
+         |  FROM cal),
+         |qh AS (
+         |  SELECT rr.n_cal, COALESCE(rk.nc, 1.0) AS qhat
+         |  FROM rr LEFT JOIN rk ON rk.rk = rr.r),
+         |pd AS (
+         |  SELECT t.doc_id,
+         |    CAST(sum(CASE WHEN 1.0 - t.p <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS set_size,
+         |    max(CASE WHEN t.label = t.lang AND 1.0 - t.p <= q.qhat
+         |      THEN 1 ELSE 0 END) AS covered,
+         |    max(q.qhat) AS qhat, max(q.n_cal) AS n_cal
+         |  FROM j t CROSS JOIN qh q
+         |  WHERE t.u >= $ValCut
+         |  GROUP BY t.doc_id)
+         |SELECT set_size, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(covered) AS BIGINT) AS n_covered,
+         |  max(qhat) AS qhat, CAST(max(n_cal) AS BIGINT) AS n_cal
+         |FROM pd GROUP BY set_size ORDER BY set_size""".stripMargin,
     // FitCtes scores + softmax-by-decimal-sum + decile reliability bins
     "q190_calibration" ->
       s"""WITH $FitCtes,

@@ -314,7 +314,51 @@ object Mining {
       .orderBy(col("a"), col("b"), col("c"))
   }
 
+  // ------------------------------------------------------------------ q196
+
+  /** Top-K neighbors kept per item in the q196 similarity table. */
+  private[operators] val ItemSimK = 3
+
+  /** q196 — item-item cosine similarity over the order/part co-purchase
+    * bipartite graph: the classic item-based collaborative-filtering
+    * table (Sarwar et al., WWW 2001). sim(a,b) = |orders(a) ∩ orders(b)|
+    * / √(|orders(a)|·|orders(b)|) — cosine on binary incidence vectors,
+    * so every input to the terminal double chain is an exact integer
+    * (co-occurrence and degree counts). Top-[[ItemSimK]] per item, ties
+    * broken by higher co-count then lower neighbor id.
+    *
+    * Scale shape: the pair expansion is Σ_orders |basket|² — bounded by
+    * the basket-size cap of the schema (TPC-H ≤ 7 lines/order; for
+    * power-law baskets, cap or df-filter upstream exactly as q21's
+    * prefix filter does). Degrees join back on the item key (AQE
+    * broadcasts the |parts|-sized side while it fits); the top-K is an
+    * item-partitioned window — no global sort anywhere. Output is
+    * ≤ 2·K·|items| rows. */
+  def itemSim(s: SparkSession, lineitem: DataFrame, k: Int = ItemSimK): DataFrame = {
+    val op = graft.core.CacheScope.cached(
+      lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+    val cooc = op.as("a").join(op.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_co"))
+    val both = cooc.select(col("pa").as("item"), col("pb").as("neighbor"), col("n_co"))
+      .unionAll(cooc.select(col("pb").as("item"), col("pa").as("neighbor"), col("n_co")))
+    val sims = both
+      .join(deg.select(col("pk").as("item"), col("deg").as("deg_i")), Seq("item"))
+      .join(deg.select(col("pk").as("neighbor"), col("deg").as("deg_n")), Seq("neighbor"))
+      .select(col("item"), col("neighbor"), col("n_co"),
+        (col("n_co").cast("double") /
+          sqrt((col("deg_i") * col("deg_n")).cast("double"))).as("cosine"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("n_co").desc, col("neighbor"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("item"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_item_sim" -> ((s, d) => itemSim(s, Tables.lineitem(s, d))),
     "q148_pmi" -> ((s, d) => q148Pmi(s, d)),
     "q145_apriori" -> ((s, d) =>
       aprioriTriples(s, Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -331,6 +375,31 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    "q196_item_sim" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM op GROUP BY pk),
+         |cooc AS (
+         |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_co
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY a.pk, b.pk),
+         |bi AS (
+         |  SELECT pa AS item, pb AS neighbor, n_co FROM cooc
+         |  UNION ALL
+         |  SELECT pb AS item, pa AS neighbor, n_co FROM cooc),
+         |sims AS (
+         |  SELECT b.item, b.neighbor, b.n_co,
+         |    CAST(b.n_co AS DOUBLE) / sqrt(CAST(di.deg * dn.deg AS DOUBLE)) AS cosine
+         |  FROM bi b
+         |  JOIN deg di ON di.pk = b.item
+         |  JOIN deg dn ON dn.pk = b.neighbor),
+         |r AS (
+         |  SELECT item, neighbor, n_co, cosine,
+         |    CAST(row_number() OVER (PARTITION BY item
+         |      ORDER BY cosine DESC, n_co DESC, neighbor) AS BIGINT) AS rk
+         |  FROM sims)
+         |SELECT neighbor, item, n_co, cosine, rk
+         |FROM r WHERE rk <= $ItemSimK
+         |ORDER BY item, rk""".stripMargin,
     // same fixed ln-chain term order as the engine expression (q131
     // convention: IEEE addition order is pinned on both sides)
     "q148_pmi" ->

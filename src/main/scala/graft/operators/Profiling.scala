@@ -308,9 +308,61 @@ object Profiling {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------------ q198
+
+  /** Benford digit-d probability log10(1 + 1/d), computed ONCE on the
+    * driver and embedded as a literal in both engines (the oracle
+    * interpolates the same Scala double, so cross-libm log10 variance
+    * cannot split the engines). */
+  private[operators] def benfordP(d: Int): Double = math.log10(1.0 + 1.0 / d)
+
+  /** q198 — Benford's-law screen over `l_extendedprice`: the first-digit
+    * distribution vs log10(1+1/d), with the chi-square distance — a
+    * standard data-quality / fabrication screen for financial measures.
+    * The leading digit is taken from the BIGINT rendering of
+    * floor(price) (prices ≥ 1 by schema), NOT floor(log10(price)) —
+    * integer-to-string is identical across engines while libm log10 can
+    * differ by an ulp exactly at the power-of-ten boundaries this query
+    * classifies on. All nine digits are emitted even at zero count
+    * ((0−e)²/e = e — the q195 unobserved-cell rule); the chi² total is an
+    * order-free fixed-point window sum repeated per row.
+    *
+    * Scale shape: one scan-local digit projection + one ≤9-key aggregate
+    * + a 9-row broadcast grid join; corpus-linear, no data-sized shuffle
+    * (the aggregate is partial+final on 9 keys). */
+  def benford(s: SparkSession, lineitem: DataFrame): DataFrame = {
+    import s.implicits._
+    val digits = (1 to 9).map(d => (d.toLong, benfordP(d)))
+      .toDF("digit", "benford_p")
+    val obs = lineitem
+      .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("n_tot"))
+    val term = {
+      val e = col("n_tot").cast("double") * col("benford_p")
+      (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+    }
+    val perDigit = broadcast(digits)
+      .join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("n_tot"),
+        col("benford_p"))
+      .select(col("digit"), col("n"), col("n_tot"), col("benford_p"),
+        (col("n").cast("double") / col("n_tot").cast("double")).as("obs_frac"),
+        term.as("chi2_term"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDigit
+      .withColumn("chi2_total",
+        sum(floor(col("chi2_term") * lit(1e12)).cast("decimal(38,0)")).over(wAll)
+          .cast("double") / lit(1e12))
+      .orderBy(col("digit"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_benford" -> ((s, d) => benford(s, Tables.lineitem(s, d))),
     "q172_js_divergence" -> ((s, d) => jsDivergence(Tables.documents(s, d))),
     "q173_k_anonymity" -> ((s, d) => kAnonymity(s, Tables.customer(s, d))),
     "q174_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
@@ -321,6 +373,31 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q198_benford" -> {
+      val grid = (1 to 9).map(d => s"($d, ${benfordP(d)})").mkString(", ")
+      s"""WITH g(digit, benford_p) AS (VALUES $grid),
+         |obs AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+         |      1, 1) AS BIGINT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs),
+         |pd AS (
+         |  SELECT CAST(g.digit AS BIGINT) AS digit,
+         |    COALESCE(obs.n, 0) AS n, tot.n_tot,
+         |    CAST(g.benford_p AS DOUBLE) AS benford_p,
+         |    CAST(COALESCE(obs.n, 0) AS DOUBLE) / CAST(tot.n_tot AS DOUBLE) AS obs_frac,
+         |    (CAST(COALESCE(obs.n, 0) AS DOUBLE)
+         |       - CAST(tot.n_tot AS DOUBLE) * CAST(g.benford_p AS DOUBLE))
+         |    * (CAST(COALESCE(obs.n, 0) AS DOUBLE)
+         |       - CAST(tot.n_tot AS DOUBLE) * CAST(g.benford_p AS DOUBLE))
+         |    / (CAST(tot.n_tot AS DOUBLE) * CAST(g.benford_p AS DOUBLE)) AS chi2_term
+         |  FROM g LEFT JOIN obs ON obs.digit = g.digit CROSS JOIN tot)
+         |SELECT digit, n, n_tot, benford_p, obs_frac, chi2_term,
+         |  CAST(sum(CAST(floor(chi2_term * 1.0e12) AS HUGEINT)) OVER () AS DOUBLE)
+         |    / 1.0e12 AS chi2_total
+         |FROM pd ORDER BY digit""".stripMargin
+    },
     // identical difference-paired ln terms, fixed-point HUGEINT sums,
     // shared-mass correction with single terminal divisions
     "q172_js_divergence" ->

@@ -172,7 +172,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q190_calibration", // dense-model build (q122's plan) inside the scoring side
       "q193_seq_patterns", // 1-row session-total attach on the |types|^2-bounded pattern frame
       "q194_welch_t", // 1-row corpus-moment attach on the |sources|-bounded frame
-      "q195_chi2_indep") // R×C marginal grid build (category-bounded) + 1-row total attach
+      "q195_chi2_indep", // R×C marginal grid build (category-bounded) + 1-row total attach
+      "q197_conformal", // dense-model build (train-split fit) + 1-row qhat/rank attaches
+      "q198_benford", // 1-row total attach on the 9-row digit grid
+      "q199_km_survival") // 1-row global-max + user-count attaches on the horizon-bounded frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Analytics, Classify, Mining, Profiling}
+
+/** Round-9 statistics/recommender batch (q196-q199): item-item cosine
+  * similarity, split-conformal prediction, the Benford screen, and the
+  * Kaplan-Meier estimator. Fixture-driven invariants beyond the DuckDB
+  * hash gate.
+  */
+class StatsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("stats-spec", cores = 4)
+  val sf01 = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ------------------------------------------------------------------ q196
+
+  test("q196: hand-computed cosine on a three-basket fixture") {
+    import spark.implicits._
+    // baskets: o1={1,2}, o2={1,2}, o3={1,3} -> deg 1:3, 2:2, 3:1
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Mining.itemSim(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(math.abs(got((1L, 2L))._2 - 2.0 / math.sqrt(6.0)) < 1e-12)
+    assert(math.abs(got((1L, 3L))._2 - 1.0 / math.sqrt(3.0)) < 1e-12)
+    assert(math.abs(got((2L, 1L))._2 - 2.0 / math.sqrt(6.0)) < 1e-12)
+    assert(math.abs(got((3L, 1L))._2 - 1.0 / math.sqrt(3.0)) < 1e-12)
+    assert(got((1L, 2L))._1 == 2L && got((1L, 3L))._1 == 1L)
+    assert(got.size == 4) // K=3 never exceeded; no self pairs
+  }
+
+  test("q196: top-K per item and symmetry of the cosine on the corpus") {
+    val rows = Mining.itemSim(spark, Tables.lineitem(spark, sf01)).collect()
+    val perItem = rows.groupBy(_.getLong(0))
+    assert(perItem.values.forall(_.length <= 3))
+    // rank is 1..k dense and cosine non-increasing within each item
+    perItem.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) >= b.getDouble(3); case _ => true })
+    }
+    // cosine is symmetric where both directions survived the top-K cut
+    val asMap = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    asMap.foreach { case ((a, b), c) =>
+      asMap.get((b, a)).foreach(c2 => assert(math.abs(c - c2) < 1e-12)) }
+  }
+
+  // ------------------------------------------------------------------ q197
+
+  test("q197: perfectly separable vocab gives singleton sets, full coverage") {
+    import spark.implicits._
+    // two langs with disjoint vocabulary -> NB is perfect on every split
+    val docs = (1 to 60).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (lang == "aa") "alpha apple axiom" else "beta bravo boron"
+      (i.toLong, text, lang, "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Classify.conformalOf(docs).collect()
+    assert(rows.nonEmpty)
+    // every test doc sits in a singleton set containing its true label
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = rows.head
+    assert(r.getLong(1) == r.getLong(2)) // n_covered == n_docs
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q197: corpus invariants — coverage near target, sizes bounded by |labels|") {
+    val docs = Tables.documents(spark, sf01)
+    val langs = docs.select("lang").distinct().count()
+    val rows = Classify.conformalOf(docs).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= langs))
+    val n = rows.map(_.getLong(1)).sum
+    val cov = rows.map(_.getLong(2)).sum.toDouble / n
+    // split-conformal guarantees E[coverage] >= 0.9; allow finite-sample slack
+    assert(cov >= 0.85, s"coverage $cov")
+    assert(rows.map(_.getDouble(3)).distinct.length == 1) // one global qhat
+  }
+
+  // ------------------------------------------------------------------ q198
+
+  test("q198: digit extraction, zero-count digits, and the chi2 total") {
+    import spark.implicits._
+    val li = Seq(1.5, 19.0, 25.0, 999.99).toDF("l_extendedprice")
+    val rows = Profiling.benford(spark, li).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val byDigit = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byDigit(1L).getLong(1) == 2L)
+    assert(byDigit(2L).getLong(1) == 1L)
+    assert(byDigit(9L).getLong(1) == 1L)
+    // unobserved digit d contributes exactly n_tot * p_d
+    (3L to 8L).foreach { d =>
+      val r = byDigit(d)
+      assert(r.getLong(1) == 0L)
+      assert(math.abs(r.getDouble(5) - 4.0 * r.getDouble(3)) < 1e-12)
+    }
+    val total = rows.head.getDouble(6)
+    val sumTerms = rows.map(r => math.floor(r.getDouble(5) * 1e12) / 1e12).sum
+    assert(math.abs(total - sumTerms) < 1e-9)
+    assert(rows.map(_.getDouble(6)).distinct.length == 1)
+  }
+
+  // ------------------------------------------------------------------ q199
+
+  test("q199: hand-computed product-limit curve with one censored user") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // anchor micros
+    val h = 3600L * 1000000L
+    def ts(us: Long) = new Timestamp(us / 1000)
+    val gmaxUs = t0 + 100L * h
+    val ev = Seq(
+      (1L, t0, "view"), (1L, t0 + 30L * 60L * 1000000L, "purchase"), // life 0
+      (2L, t0, "view"), (2L, t0 + 90L * 60L * 1000000L, "purchase"), // life 1
+      (3L, t0, "view"), (3L, gmaxUs, "view"),                        // censored @48
+      (4L, gmaxUs - 10L * h, "view"), (4L, gmaxUs - 2L * h, "purchase"), // life 8
+      (5L, gmaxUs - 5L * h, "view"), (5L, gmaxUs, "purchase")        // life 5
+    ).map { case (u, us, t) => (u, ts(us), t) }.toDF("user_id", "ts", "event_type")
+    val rows = Analytics.kmSurvival(ev).collect()
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 5L, 8L))
+    val expected = Map(
+      0L -> ((5L, 1L, 0.8)), 1L -> ((4L, 1L, 0.6)),
+      5L -> ((3L, 1L, 0.4)), 8L -> ((2L, 1L, 0.2)))
+    got.foreach { case (t, (nr, d, s)) =>
+      val (enr, ed, es) = expected(t)
+      assert(nr == enr && d == ed, s"t=$t")
+      assert(math.abs(s - es) < 1e-9, s"t=$t survival $s")
+    }
+  }
+
+  test("q199: survival is non-increasing and within (0, 1] on the corpus") {
+    val rows = Analytics.kmSurvival(Tables.events(spark, sf01)).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getDouble(3))
+    assert(surv.head <= 1.0 && surv.forall(s => s >= 0.0))
+    assert(surv.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // at-risk counts strictly decrease along the curve
+    val risk = rows.map(_.getLong(1))
+    assert(risk.sliding(2).forall { case Array(a, b) => a > b; case _ => true })
+  }
+}
