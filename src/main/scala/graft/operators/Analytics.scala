@@ -397,9 +397,61 @@ object Analytics {
       .orderBy(col("life_h"))
   }
 
+  // ------------------------------------------------------------------ q201
+
+  /** Max lag (days) reported by the q201 autocorrelation profile. */
+  private[operators] val AcfMaxLag = 7
+
+  /** q201 — sample autocorrelation of the daily event-count series at
+    * lags 1..[[AcfMaxLag]]: ρ_k = Σ_t z_t·z_{t+k} / Σ_t z_t² with
+    * z_t = T·c_t − S (the mean-centered count scaled by T so EVERY
+    * intermediate is an exact integer — no float mean enters the sum).
+    * The day grid is gap-filled with zero-count days (a missing day IS
+    * data for autocorrelation), using epoch-day indices so both engines
+    * bucket identically. The weekly-seasonality / burst-memory profile
+    * that complements q138's point bursts and q189's micro-scale gaps.
+    *
+    * Exactness: counts and T·c−S are BIGINT; the lag products go
+    * through decimal(38,0) (z ≲ 10¹⁶ at a 10⁴-day × 10¹²-events/day
+    * scale → z² ≲ 10³² — far inside decimal(38,0), outside BIGINT);
+    * ρ is one terminal double division.
+    *
+    * Scale shape: one day-keyed count aggregate off the events scan,
+    * then EVERYTHING runs on the day-grid frame (|days| rows, bounded
+    * by the observation window): a 7× lag expansion, one shifted
+    * self-equi-join on the day key, one ≤7-key aggregate. */
+  def acfDaily(s: SparkSession, events: DataFrame, maxLag: Int = AcfMaxLag): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val counts = events.select(expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val grid = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = series.agg(count(lit(1)).as("t_days"), sum(col("c")).as("s_tot"))
+    val z = series.crossJoin(broadcast(tot))
+      .select(col("day"), (col("t_days") * col("c") - col("s_tot")).as("z"))
+    val den = z.agg(sum(col("z").cast("decimal(19,0)") * col("z").cast("decimal(19,0)"))
+      .as("den"))
+    val lags = (1 to maxLag).map(_.toLong).toDF("lag")
+    val num = z.crossJoin(broadcast(lags))
+      .join(z.select(col("day").as("day2"), col("z").as("z2")),
+        col("day2") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("z").cast("decimal(19,0)") * col("z2").cast("decimal(19,0)"))
+          .as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_acf" -> ((s, d) => acfDaily(s, Tables.events(s, d))),
     "q199_km_survival" -> ((s, d) => kmSurvival(Tables.events(s, d))),
     "q143_gap_fill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q138_burst_detect" -> ((s, d) => burstDetect(Tables.events(s, d))),
@@ -416,6 +468,36 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q201_acf" ->
+      s"""WITH cnt AS (
+         |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |grid AS (
+         |  SELECT unnest(generate_series((SELECT min(day) FROM cnt),
+         |    (SELECT max(day) FROM cnt))) AS day),
+         |series AS (
+         |  SELECT g.day, COALESCE(cnt.c, 0) AS c
+         |  FROM grid g LEFT JOIN cnt ON cnt.day = g.day),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS t_days,
+         |    CAST(sum(c) AS BIGINT) AS s_tot
+         |  FROM series),
+         |z AS (
+         |  SELECT day, t_days * c - s_tot AS z
+         |  FROM series CROSS JOIN tot),
+         |den AS (
+         |  SELECT sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS den FROM z),
+         |lg AS (SELECT unnest(generate_series(1, ${AcfMaxLag})) AS lag),
+         |num AS (
+         |  SELECT lg.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(x.z AS HUGEINT) * CAST(y.z AS HUGEINT)) AS num
+         |  FROM z x CROSS JOIN lg
+         |  JOIN z y ON y.day = x.day + lg.lag
+         |  GROUP BY lg.lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         |  CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE) AS acf
+         |FROM num CROSS JOIN den ORDER BY lag""".stripMargin,
     "q199_km_survival" ->
       s"""WITH pu AS (
          |  SELECT user_id, epoch_us(min(ts)) AS first_us,

@@ -261,7 +261,67 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------------------------ q200
+
+  /** q200 — per-label centroid silhouette of the embedding space (the
+    * "simplified silhouette", Rousseeuw 1987 §4 centroid variant): for
+    * each vector, a = distance to its own label centroid, b = the
+    * nearest OTHER label centroid, s = (b−a)/max(a,b); reported as the
+    * per-label mean with its extremes — the label-separability report a
+    * dataset card quotes before trusting `label` as a training signal.
+    *
+    * Exactness (the q187 n-scaled trick, extended to CROSS-label
+    * comparisons): on the 1e-9 grid, d_l(v)² = Σ_d (xq_d·n_l − s1_{l,d})²
+    * is an exact decimal(38,0); the comparable distance is
+    * √(d²)/(n_l·1e9) — one sqrt + one division per (vec, label), both
+    * engines evaluating the identical exact integer under the identical
+    * IEEE chain, so argmin/max/ratio decisions cannot split. Per-label
+    * means are floor(s·1e15) decimal sums.
+    *
+    * Scale shape: one posexplode scan → (label, dim) integer component
+    * sums (|labels|·64 rows, broadcast back on the dim key), the
+    * per-(vec, label) distance aggregate (rows × dims × |labels| terms,
+    * corpus-linear for bounded label sets), one |labels|-wide per-vec
+    * min/max aggregate, one |labels|-key final. No all-pairs anything. */
+  def silhouette(embs: DataFrame): DataFrame = {
+    val xq = floor(col("x").cast("double") * lit(1e9)).cast("long")
+    val terms = embs
+      .select(col("label").as("own"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("own"), col("vec_id"), col("dim"), xq.as("xq"))
+    val s1 = terms.groupBy(col("own").as("label"), col("dim"))
+      .agg(sum(col("xq")).as("s1"))
+    val nPer = embs.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val cent = broadcast(s1.join(nPer, Seq("label")))
+    val diff = (col("xq") * col("n") - col("s1")).cast("decimal(38,0)")
+    val d2 = terms
+      .join(cent, Seq("dim"))
+      .select(col("own"), col("vec_id"), col("label"), col("n"),
+        (diff * diff).as("t"))
+      .groupBy(col("own"), col("vec_id"), col("label"), col("n"))
+      .agg(sum(col("t")).as("d2"))
+      .select(col("own"), col("vec_id"), col("label"),
+        (sqrt(col("d2").cast("double")) /
+          (col("n").cast("double") * lit(1e9))).as("dist"))
+    val perVec = d2.groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("label") === col("own"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("own"), col("dist"))).as("b"))
+      .select(col("vec_id"), col("own").as("label"),
+        // s = 0 when both distances are exactly 0 (degenerate duplicate
+        // point) — pinned, so no NaN/NULL divergence between engines
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("s") * lit(1e15)).cast("decimal(38,0)")).cast("double") /
+          lit(1e15) / count(lit(1)).cast("double")).as("mean_silhouette"),
+        min(col("s")).as("min_s"), max(col("s")).as("max_s"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_silhouette" -> ((s, d) => silhouette(Tables.embeddings(s, d))),
     "q102_kmeans_assign" -> ((s, d) => kmeansAssign(s, Tables.embeddings(s, d))),
     "q103_semantic_dedup" -> ((s, d) => semanticDupPairs(s, Tables.embeddings(s, d))),
     "q108_ann_pq" -> ((s, d) => pqTopK(s, Tables.embeddings(s, d)))
@@ -391,6 +451,40 @@ object Clustering {
   }
 
   def oracles: Map[String, String] = Map(
+    "q200_silhouette" ->
+      """WITH t AS (
+        |  SELECT label AS own, vec_id, u.i AS dim,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1.0e9) AS BIGINT) AS xq
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+        |s1 AS (
+        |  SELECT own AS label, dim, CAST(sum(xq) AS BIGINT) AS s1
+        |  FROM t GROUP BY own, dim),
+        |np AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings GROUP BY label),
+        |d2 AS (
+        |  SELECT t.own, t.vec_id, s1.label,
+        |    sqrt(CAST(sum(CAST(t.xq * np.n - s1.s1 AS HUGEINT)
+        |      * CAST(t.xq * np.n - s1.s1 AS HUGEINT)) AS DOUBLE))
+        |      / (CAST(np.n AS DOUBLE) * 1.0e9) AS dist
+        |  FROM t
+        |  JOIN s1 ON s1.dim = t.dim
+        |  JOIN np ON np.label = s1.label
+        |  GROUP BY t.own, t.vec_id, s1.label, np.n),
+        |pv AS (
+        |  SELECT vec_id, own AS label,
+        |    max(CASE WHEN label = own THEN dist END) AS a,
+        |    min(CASE WHEN label <> own THEN dist END) AS b
+        |  FROM d2 GROUP BY vec_id, own),
+        |sv AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN greatest(a, b) > 0.0 THEN (b - a) / greatest(a, b)
+        |      ELSE 0.0 END AS s
+        |  FROM pv)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(s * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
+        |    / CAST(count(*) AS DOUBLE) AS mean_silhouette,
+        |  min(s) AS min_s, max(s) AS max_s
+        |FROM sv GROUP BY label ORDER BY label""".stripMargin,
     "q108_ann_pq" -> pqOracle,
     "q102_kmeans_assign" -> (kmeansCte +
       """

@@ -587,7 +587,70 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ------------------------------------------------------------------ q202
+
+  /** q202 band geometry: 60 md5-derived minhashes in 10 bands of 6 —
+    * the q22 geometry, re-derived on the cross-engine h60 hash family so
+    * the CANDIDATE set (not just the verified output) is oracle-exact. */
+  private[operators] val LshQNumHashes = 60
+  private[operators] val LshQBands = 10
+
+  /** q202 — LSH quality audit: precision/recall of the MinHash-LSH
+    * candidate pairs against the exact Jaccard-≥-t truth set — the
+    * measurement a pipeline runs before trusting banded dedup at scale
+    * (band geometry tuning is exactly this precision/recall trade,
+    * Leskovec et al., MMDS ch. 3). q22 verifies its candidates, so its
+    * OUTPUT hides the candidate waste; this reports it: precision is the
+    * fraction of candidate pairs that are true near-dups (false
+    * candidates = wasted verification), recall the fraction of true
+    * pairs the bands caught (misses = permanent dup leakage).
+    *
+    * Hash family: h60(i ++ "-" ++ shingle) per hash index — md5-derived,
+    * so DuckDB reproduces signature, band keys, and therefore the exact
+    * candidate set (q23's simhash made the same trade; xxhash64 would be
+    * ~2× cheaper but engine-private). Band keys are the ":"-joined
+    * decimal rendering of the 6 in-band minima — string-equal iff
+    * tuple-equal (the band prefix disambiguates).
+    *
+    * Scale shape: signatures are one explode + 60-way min aggregate
+    * (scan-local partial aggregation); banding is |docs|·bands rows
+    * self-joined on the bucket key (the LSH guarantee keeps buckets
+    * sparse); the truth side is q21's prefix-filtered exact join — no
+    * all-pairs term anywhere. */
+  def lshQuality(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val r = LshQNumHashes / LshQBands
+    val posting = shingled(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until LshQNumHashes).map(i =>
+      min(TextFunctions.h60(concat(lit(s"$i-"), col("s")))).as(s"h$i"))
+    val sig = posting.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until LshQBands).map { b =>
+      concat_ws(":", (lit(b) +: (b * r until (b + 1) * r)
+        .map(i => col(s"h$i"))): _*)
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val truth = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nh = hits.agg(count(lit(1)).as("n_hits"))
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        when(col("n_candidates") > 0,
+          col("n_hits").cast("double") / col("n_candidates").cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_lsh_quality" -> ((s, d) => lshQuality(Tables.documents(s, d))),
     "q164_dedup_report" -> ((s, d) => dedupReport(Tables.documents(s, d))),
     "q165_cross_dup" -> ((s, d) => crossDupMatrix(Tables.documents(s, d))),
     "q142_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
@@ -626,6 +689,50 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the same word-trigram shingles as jaccardOracle; md5-h60 minhash
+    // family + ":"-joined band keys reproduce the engine's candidates
+    "q202_lsh_quality" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+         |                   for i in range(1, len(w)-1)]) AS s
+         |  FROM w WHERE len(w) >= 3),
+         |post AS (SELECT doc_id, unnest(s) AS s FROM sh),
+         |sg AS (
+         |  SELECT doc_id, r.i AS i,
+         |    min(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '-' || post.s),
+         |      1, 15)) AS BIGINT)) AS m
+         |  FROM post CROSS JOIN range(${LshQNumHashes}) r(i)
+         |  GROUP BY doc_id, r.i),
+         |bk AS (
+         |  SELECT doc_id,
+         |    CAST(i // ${LshQNumHashes / LshQBands} AS VARCHAR) || ':' ||
+         |      string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS bkey
+         |  FROM sg GROUP BY doc_id, i // ${LshQNumHashes / LshQBands}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bk x JOIN bk y ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      >= 0.8),
+         |hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
+         |SELECT n_candidates, n_truth, n_hits,
+         |  CASE WHEN n_candidates > 0
+         |    THEN CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |    ELSE 0.0 END AS precision,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    ELSE 0.0 END AS recall
+         |FROM nc CROSS JOIN nt CROSS JOIN nh""".stripMargin,
     "q164_dedup_report" ->
       """WITH fp AS (SELECT source, md5(text) AS fp FROM documents),
         |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_global FROM fp GROUP BY fp)

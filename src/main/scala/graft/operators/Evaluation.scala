@@ -46,6 +46,49 @@ object Evaluation {
       .orderBy(col("query_id"))
   }
 
+  // ------------------------------------------------ q203 ANN NDCG@k
+
+  /** q203 — rank-aware ANN audit: NDCG@k of the IVF retrieval against
+    * the brute-force ground truth (binary relevance = membership in the
+    * true top-k; discount 1/log₂(i+1), Järvelin & Kekäläinen 2002).
+    * q179's recall treats a hit at rank 1 and rank 10 identically; NDCG
+    * is the complementary "did the index also preserve the ORDER"
+    * number — the one a retrieval-backed curation pipeline quotes.
+    *
+    * Determinism: each position's discount is the pinned double chain
+    * ln2/ln(i+1) on integer ranks; the ≤k-term DCG/IDCG sums go through
+    * floor(term·1e15) decimals (order-free); NDCG is one terminal
+    * division. IDCG sums the first n_true ideal positions, so a query
+    * with fewer than k true neighbors is still normalized to [0,1].
+    *
+    * Scale shape: both retrieval sides reuse the bounded-probe q25/q29
+    * plans (broadcast query set, never corpus×corpus); the relevance
+    * check is one (query, neighbor) semi-join; everything after is
+    * query-keyed ≤k-row aggregation. */
+  def annNdcg(spark: SparkSession, embs: DataFrame, k: Int = 10): DataFrame = {
+    def disc(rank: org.apache.spark.sql.Column) =
+      lit(math.log(2.0)) / log(rank.cast("double") + lit(1.0))
+    def fp(x: org.apache.spark.sql.Column) =
+      floor(x * lit(1e15)).cast("decimal(38,0)")
+    val brute = Similarity.bruteForceTopK(spark, embs, k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val ivf = Similarity.ivfTopK(spark, embs, k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val hits = ivf.join(brute.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    val dcg = hits.groupBy(col("query_id"))
+      .agg(sum(fp(disc(col("rank")))).as("dq"))
+    val ideal = brute.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"), sum(fp(disc(col("rank")))).as("iq"))
+    ideal.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        (coalesce(col("dq"), lit(0L)).cast("double") / lit(1e15)).as("dcg"),
+        (col("iq").cast("double") / lit(1e15)).as("idcg"),
+        (coalesce(col("dq"), lit(0L)).cast("double") /
+          col("iq").cast("double")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   // --------------------------------------- q180 class-balanced weights
 
   /** q180's pinned re-weighting smoothing factor (Cui et al., CVPR'19). */
@@ -318,6 +361,7 @@ object Evaluation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_seq_patterns" -> (seqPatterns _),
     "q189_interarrival" -> (interArrival _),
+    "q203_ann_ndcg" -> ((s, d) => annNdcg(s, Tables.embeddings(s, d))),
     "q179_ann_recall" -> ((s, d) => annRecall(s, Tables.embeddings(s, d))),
     "q180_class_weights" -> ((s, d) => classWeights(Tables.embeddings(s, d))),
     "q181_embed_dispersion" -> ((s, d) => embedDispersion(Tables.embeddings(s, d))),
@@ -390,6 +434,61 @@ object Evaluation {
         |    AS events_per_hour
         |FROM c JOIN med USING (event_type) ORDER BY c.event_type""".stripMargin,
     // q25's brute CTEs + q29's IVF CTEs, joined on (query, neighbor)
+    // q179's retrieval CTEs with ranks kept; ln2/ln(i+1) discounts,
+    // floor(·1e15) HUGEINT DCG/IDCG sums, one terminal division
+    "q203_ann_ndcg" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |bs AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id) AS rank
+        |  FROM q JOIN v ON q.query_id <> v.vec_id),
+        |br AS (SELECT query_id, neighbor_id, rank FROM bs WHERE rank <= 10),
+        |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 16),
+        |ar AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.e, cent.c) DESC, cent.cell) AS arank
+        |  FROM v CROSS JOIN cent),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ar WHERE arank = 1),
+        |pr AS (
+        |  SELECT q.query_id, cent.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.neighbor_id),
+        |si AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, c.neighbor_id) AS rank
+        |  FROM cand c JOIN v qv ON c.query_id = qv.vec_id
+        |  JOIN v nv ON c.neighbor_id = nv.vec_id),
+        |riv AS (SELECT query_id, neighbor_id, rank FROM si WHERE rank <= 10),
+        |hit AS (
+        |  SELECT riv.query_id, riv.rank
+        |  FROM riv JOIN br ON br.query_id = riv.query_id
+        |    AND br.neighbor_id = riv.neighbor_id),
+        |dcg AS (
+        |  SELECT query_id,
+        |    sum(CAST(floor(ln(2.0) / ln(CAST(rank + 1 AS DOUBLE)) * 1.0e15)
+        |      AS HUGEINT)) AS dq
+        |  FROM hit GROUP BY query_id),
+        |ideal AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_true,
+        |    sum(CAST(floor(ln(2.0) / ln(CAST(rank + 1 AS DOUBLE)) * 1.0e15)
+        |      AS HUGEINT)) AS iq
+        |  FROM br GROUP BY query_id)
+        |SELECT i.query_id, i.n_true,
+        |  CAST(coalesce(d.dq, 0) AS DOUBLE) / 1.0e15 AS dcg,
+        |  CAST(i.iq AS DOUBLE) / 1.0e15 AS idcg,
+        |  CAST(coalesce(d.dq, 0) AS DOUBLE) / CAST(i.iq AS DOUBLE) AS ndcg
+        |FROM ideal i LEFT JOIN dcg d ON d.query_id = i.query_id
+        |ORDER BY i.query_id""".stripMargin,
     "q179_ann_recall" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),

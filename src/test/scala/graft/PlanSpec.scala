@@ -175,7 +175,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q195_chi2_indep", // R×C marginal grid build (category-bounded) + 1-row total attach
       "q197_conformal", // dense-model build (train-split fit) + 1-row qhat/rank attaches
       "q198_benford", // 1-row total attach on the 9-row digit grid
-      "q199_km_survival") // 1-row global-max + user-count attaches on the horizon-bounded frame
+      "q199_km_survival", // 1-row global-max + user-count attaches on the horizon-bounded frame
+      "q201_acf", // 1-row totals + 7-row lag-grid attaches on the day-grid frame
+      "q202_lsh_quality", // 1-row count-frame attaches (metrics row assembly)
+      "q203_ann_ndcg") // q25/q29's broadcast-query theta joins inside the composition
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{GraftSession, Tables}
-import graft.operators.{Analytics, Classify, Mining, Profiling}
+import graft.operators.{Analytics, Classify, Clustering, Dedup, Evaluation, Mining, Profiling}
 
 /** Round-9 statistics/recommender batch (q196-q199): item-item cosine
   * similarity, split-conformal prediction, the Benford screen, and the
@@ -136,6 +136,91 @@ class StatsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nr == enr && d == ed, s"t=$t")
       assert(math.abs(s - es) < 1e-9, s"t=$t survival $s")
     }
+  }
+
+  // ------------------------------------------------------------------ q200
+
+  test("q200: two tight separated clusters score near +1, scrambled labels drop") {
+    import spark.implicits._
+    // label 0 near (1,0,...), label 1 near (-1,0,...): perfectly separated
+    def v(base: Float, eps: Float) = Array(base + eps, 0.1f * eps) ++ Array.fill(2)(0f)
+    val good = Seq(
+      (1L, v(1f, 0.01f), 0), (2L, v(1f, -0.01f), 0), (3L, v(1f, 0.02f), 0),
+      (4L, v(-1f, 0.01f), 1), (5L, v(-1f, -0.01f), 1), (6L, v(-1f, 0.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val s = Clustering.silhouette(good).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(s(0) > 0.9 && s(1) > 0.9, s.toString)
+    // scrambled: each label's members straddle both clusters -> negative
+    val bad = Seq(
+      (1L, v(1f, 0.01f), 0), (2L, v(-1f, -0.01f), 0),
+      (3L, v(1f, 0.02f), 1), (4L, v(-1f, 0.01f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val sb = Clustering.silhouette(bad).collect().map(_.getDouble(2))
+    assert(sb.forall(_ < 0.1), sb.mkString(","))
+  }
+
+  test("q200: silhouette values bounded in [-1, 1] on the corpus") {
+    val rows = Clustering.silhouette(Tables.embeddings(spark, sf01)).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+    }
+  }
+
+  // ------------------------------------------------------------------ q201
+
+  test("q201: a period-2 alternating series has acf(-1)^k signs; gaps count as zeros") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dayUs = 86400L * 1000000L
+    // days 0,2,4,...,10 have 2 events; odd days have none (gap-filled 0)
+    val ev = (0 to 10 by 2).flatMap(d => Seq.fill(2)(d)).zipWithIndex.map {
+      case (d, i) => (i.toLong, new Timestamp(d * dayUs / 1000 + 1000))
+    }.toDF("event_id", "ts")
+    val rows = Analytics.acfDaily(spark, ev, maxLag = 3).collect()
+    val acf = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // perfect alternation: acf(1) < 0, acf(2) > 0, acf(3) < 0
+    assert(acf(1L) < -0.5 && acf(2L) > 0.5 && acf(3L) < -0.5, acf.toString)
+    // pair counts shrink by one per lag over the 11-day grid
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 10L, 2L -> 9L, 3L -> 8L))
+  }
+
+  test("q201: corpus acf is bounded by 1 in magnitude") {
+    val rows = Analytics.acfDaily(spark, Tables.events(spark, sf01)).collect()
+    assert(rows.length == 7)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+  }
+
+  // ------------------------------------------------------------------ q202
+
+  test("q202: near-identical docs are caught; metrics are consistent") {
+    val r = Dedup.lshQuality(Tables.documents(spark, sf01)).collect().head
+    val (nc, nt, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= nc && nh <= nt)
+    assert(math.abs(r.getDouble(3) - nh.toDouble / nc) < 1e-12)
+    assert(math.abs(r.getDouble(4) - nh.toDouble / nt) < 1e-12)
+    // the planted near-dups sit at j>=0.97: 10 bands of 6 miss them with
+    // probability ~2e-9, so recall must be 1 on this corpus
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  // ------------------------------------------------------------------ q203
+
+  test("q203: ndcg equals 1 where ivf returns the exact top-k in order, and is in [0,1]") {
+    val rows = Evaluation.annNdcg(spark, Tables.embeddings(spark, sf01)).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-12)
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-12) // dcg <= idcg
+    }
+    // ndcg is never above recall=1 queries' ceiling: if all hits at ideal
+    // positions the ratio is exactly 1; verify at least the best query
+    // reaches a high ordering quality on this corpus
+    assert(rows.map(_.getDouble(4)).max > 0.5)
   }
 
   test("q199: survival is non-increasing and within (0, 1] on the corpus") {
