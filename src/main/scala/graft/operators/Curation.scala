@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, Tables}
@@ -639,7 +639,55 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------------ q205
+
+  /** q205 shard count — pinned with the oracle. */
+  private[operators] val ShuffleShards = 64
+
+  /** q205 — shuffle-quality audit: assign documents to [[ShuffleShards]]
+    * training shards by content-independent hash and compare each
+    * shard's SOURCE-mix entropy with the corpus entropy. A well-shuffled
+    * dataset has every shard looking like the whole (gap ≈ 0); source-
+    * clumped shards (bad interleave, sorted inputs sharded by range)
+    * show as low-entropy outliers — the pre-training check that catches
+    * curriculum-by-accident before a run burns compute on it.
+    *
+    * Determinism: shard = h60(doc_id) mod B (the repo's md5 coin);
+    * counts are exact integers; each entropy is a floor(−p·ln p ·1e15)
+    * decimal sum over the shard's observed sources — order-free, so the
+    * per-shard aggregate can run partial+final anywhere.
+    *
+    * Scale shape: one scan-local shard projection, one (shard, source)
+    * partial+final count (B·|sources| keys), per-shard entropy on the
+    * bounded key frame, a broadcast 1-row global-entropy attach. */
+  def shuffleQuality(docs: DataFrame, shards: Int = ShuffleShards): DataFrame = {
+    val tagged = docs.select(
+      (TextFunctions.h60(col("doc_id").cast("string")) % shards).as("shard"),
+      col("source"))
+    val cell = tagged.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val perShard = cell.groupBy(col("shard")).agg(sum(col("c")).as("n_docs"))
+    def entSum(c: Column, n: Column): Column = {
+      val p = c.cast("double") / n.cast("double")
+      (sum(floor(-p * log(p) * lit(1e15)).cast("decimal(38,0)")).cast("double") /
+        lit(1e15))
+    }
+    val shardEnt = cell.join(perShard, Seq("shard"))
+      .groupBy(col("shard"), col("n_docs"))
+      .agg(entSum(col("c"), col("n_docs")).as("shard_entropy"))
+    val globalCell = tagged.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val globalEnt = globalCell
+      .crossJoin(broadcast(globalCell.agg(sum(col("c")).as("n"))))
+      .agg(entSum(col("c"), col("n")).as("global_entropy"))
+    shardEnt.crossJoin(broadcast(globalEnt))
+      .select(col("shard"), col("n_docs"), col("shard_entropy"),
+        col("global_entropy"),
+        abs(col("shard_entropy") - col("global_entropy")).as("abs_gap"))
+      .orderBy(col("shard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_shuffle_quality" -> ((s, d) => shuffleQuality(Tables.documents(s, d))),
     "q171_bigram_entropy" -> ((s, d) => bigramEntropy(s, Tables.documents(s, d))),
     "q167_unimax_alloc" -> ((s, d) => unimaxAllocation(Tables.documents(s, d))),
     "q168_contam_evidence" -> ((s, d) => contaminationEvidence(s, d)),
@@ -658,6 +706,35 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q205_shuffle_quality" ->
+      s"""WITH tg AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % $ShuffleShards AS shard,
+         |    source
+         |  FROM documents),
+         |cell AS (
+         |  SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM tg GROUP BY 1, 2),
+         |ps AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs
+         |       FROM cell GROUP BY shard),
+         |se AS (
+         |  SELECT cell.shard, ps.n_docs,
+         |    CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1.0e15)
+         |      AS HUGEINT)) AS DOUBLE) / 1.0e15 AS shard_entropy
+         |  FROM cell JOIN ps USING (shard)
+         |  GROUP BY cell.shard, ps.n_docs),
+         |gc AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+         |       FROM tg GROUP BY source),
+         |gn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gc),
+         |ge AS (
+         |  SELECT CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e15)
+         |      AS HUGEINT)) AS DOUBLE) / 1.0e15 AS global_entropy
+         |  FROM gc CROSS JOIN gn)
+         |SELECT shard, n_docs, shard_entropy, global_entropy,
+         |  abs(shard_entropy - global_entropy) AS abs_gap
+         |FROM se CROSS JOIN ge ORDER BY shard""".stripMargin,
     // same difference-paired ln term, fixed-point HUGEINT sum, one exp
     "q171_bigram_entropy" ->
       """WITH w AS (

@@ -649,7 +649,41 @@ object Dedup {
           .otherwise(lit(0.0)).as("recall"))
   }
 
+  // ------------------------------------------------------------------ q206
+
+  /** q206 — normalization-sensitivity audit of exact dedup: per source,
+    * distinct-content counts under the RAW text vs a canonical form
+    * (lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim) —
+    * the measurement that decides whether a pipeline's exact-dedup pass
+    * should run on normalized text (dup_gain = duplicates that ONLY
+    * normalization exposes: case/punctuation/whitespace variants of the
+    * same content, invisible to q20).
+    *
+    * Determinism: both distinct counts key on md5 of the text form —
+    * 32-byte shuffle keys instead of document bodies (the q20 rule), and
+    * the normalization chain is ASCII-only regexp (identical semantics
+    * in both engines; no locale/Unicode-case dependence).
+    *
+    * Scale shape: one scan-local normalization + two hash-keyed distinct
+    * aggregates inside one source-keyed partial+final aggregate. */
+  def normDedupGain(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    docs.select(col("source"), md5(col("text")).as("h_raw"), md5(norm).as("h_norm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h_raw")).as("n_distinct_raw"),
+        countDistinct(col("h_norm")).as("n_distinct_norm"))
+      .select(col("source"), col("n_docs"), col("n_distinct_raw"),
+        col("n_distinct_norm"),
+        (col("n_distinct_raw") - col("n_distinct_norm")).as("dup_gain"),
+        ((col("n_distinct_raw") - col("n_distinct_norm")).cast("double") /
+          col("n_docs").cast("double")).as("gain_rate"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_norm_dedup_gain" -> ((s, d) => normDedupGain(Tables.documents(s, d))),
     "q202_lsh_quality" -> ((s, d) => lshQuality(Tables.documents(s, d))),
     "q164_dedup_report" -> ((s, d) => dedupReport(Tables.documents(s, d))),
     "q165_cross_dup" -> ((s, d) => crossDupMatrix(Tables.documents(s, d))),
@@ -689,6 +723,20 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q206_norm_dedup_gain" ->
+      """WITH h AS (
+        |  SELECT source, md5(text) AS h_raw,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS h_norm
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h_raw) AS BIGINT) AS n_distinct_raw,
+        |  CAST(count(DISTINCT h_norm) AS BIGINT) AS n_distinct_norm,
+        |  CAST(count(DISTINCT h_raw) - count(DISTINCT h_norm) AS BIGINT)
+        |    AS dup_gain,
+        |  CAST(count(DISTINCT h_raw) - count(DISTINCT h_norm) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS gain_rate
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     // the same word-trigram shingles as jaccardOracle; md5-h60 minhash
     // family + ":"-joined band keys reproduce the engine's candidates
     "q202_lsh_quality" ->

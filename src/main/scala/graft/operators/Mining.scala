@@ -357,7 +357,74 @@ object Mining {
       .orderBy(col("item"), col("rk"))
   }
 
+  // ------------------------------------------------------------------ q204
+
+  /** q204 pinned parameters: negatives drawn per positive pair, and the
+    * weight-space bucket count for the equi-joinable inverse-CDF lookup. */
+  private[operators] val NegPerPos = 2
+  private[operators] val NegBuckets = 1024L
+  private val Pow60d = 1152921504606846976.0 // 2^60, exact in double
+
+  /** q204 — popularity-smoothed negative sampling for contrastive /
+    * two-tower training: for every positive (order, part) pair, draw
+    * [[NegPerPos]] negatives from the unigram^0.75 item distribution
+    * (the word2vec smoothing, Mikolov et al. 2013) via a DETERMINISTIC
+    * md5-coin inverse-CDF lookup — the training-pair construction step
+    * a recommender/retrieval pipeline runs at full corpus scale.
+    * Accidental hits (negative == the pair's own positive) are FLAGGED,
+    * not resampled — resampling loops are nondeterministic under
+    * retraction; downstream drops or re-weights flagged rows.
+    *
+    * Exactness: weights floor(pop^0.75·1e9) are integers off the pinned
+    * exp/ln chain; the CDF is an integer cumulative sum over the item
+    * dimension (pk order); the coin u = h60(ok-pk-slot)/2^60 is an exact
+    * power-of-two division, the target ⌊u·W⌋ one pinned IEEE product
+    * (clamped to W−1 against the u→1 rounding edge so no draw can fall
+    * off the table).
+    *
+    * Scale shape: the cumulative window runs over the ITEM DIMENSION
+    * (never the fact table); lookups bucketize weight space into
+    * [[NegBuckets]] equi-joinable cells (the q150 rewrite — OSS Spark
+    * would otherwise BNLJ the range predicate), so the probe is one
+    * hash join of 2·|positives| targets against |items|+spans block
+    * rows plus a residual filter. */
+  def negSample(s: SparkSession, lineitem: DataFrame,
+                negPerPos: Int = NegPerPos): DataFrame = {
+    import s.implicits._
+    val op = graft.core.CacheScope.cached(
+      lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("pop"))
+    val wParts = deg.select(col("pk"),
+      floor(exp(lit(0.75) * log(col("pop").cast("double"))) * lit(1e9))
+        .cast("long").as("wq"))
+    val wWin = Window.orderBy(col("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = wParts
+      .withColumn("hi", sum(col("wq")).over(wWin))
+      .withColumn("lo", col("hi") - col("wq"))
+    val tw = cum.agg(max(col("hi")).as("w_tot"))
+      .withColumn("width", greatest(lit(1L), expr(s"w_tot DIV $NegBuckets")))
+    val blocks = cum.crossJoin(broadcast(tw))
+      .select(col("pk").as("neg_pk"), col("lo"), col("hi"),
+        explode(sequence(expr("lo DIV width"), expr("(hi - 1) DIV width")))
+          .as("bucket"))
+    val slots = (0 until negPerPos).map(_.toLong).toDF("slot")
+    val u = TextFunctions.h60(
+      concat_ws("-", col("ok"), col("pk"), col("slot"))).cast("double") / lit(Pow60d)
+    val targets = op.crossJoin(broadcast(slots)).crossJoin(broadcast(tw))
+      .withColumn("t", least(col("w_tot") - 1,
+        floor(u * col("w_tot").cast("double")).cast("long")))
+      .withColumn("bucket", expr("t DIV width"))
+    targets.join(blocks, Seq("bucket"))
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("ok").as("l_orderkey"), col("pk").as("l_partkey"), col("slot"),
+        col("neg_pk").as("neg_partkey"),
+        (col("neg_pk") === col("pk")).as("is_collision"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("slot"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_neg_sample" -> ((s, d) => negSample(s, Tables.lineitem(s, d))),
     "q196_item_sim" -> ((s, d) => itemSim(s, Tables.lineitem(s, d))),
     "q148_pmi" -> ((s, d) => q148Pmi(s, d)),
     "q145_apriori" -> ((s, d) =>
@@ -375,6 +442,35 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    // same exp/ln weight chain, integer CDF, md5 coin; plain range join
+    // in DuckDB (the engine bucketizes for an equi-join — same rows)
+    "q204_neg_sample" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS pop FROM op GROUP BY pk),
+         |wp AS (
+         |  SELECT pk,
+         |    CAST(floor(exp(0.75 * ln(CAST(pop AS DOUBLE))) * 1.0e9) AS BIGINT) AS wq
+         |  FROM deg),
+         |cum AS (
+         |  SELECT pk, wq,
+         |    sum(wq) OVER (ORDER BY pk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+         |  FROM wp),
+         |cl AS (SELECT pk, hi - wq AS lo, hi FROM cum),
+         |tw AS (SELECT CAST(max(hi) AS BIGINT) AS w_tot FROM cum),
+         |sl AS (SELECT unnest(generate_series(0, ${NegPerPos - 1})) AS slot),
+         |tg AS (
+         |  SELECT op.ok, op.pk, CAST(sl.slot AS BIGINT) AS slot,
+         |    least(tw.w_tot - 1, CAST(floor(
+         |      (CAST(('0x' || substr(md5(CAST(op.ok AS VARCHAR) || '-' ||
+         |        CAST(op.pk AS VARCHAR) || '-' || CAST(sl.slot AS VARCHAR)), 1, 15))
+         |        AS BIGINT) / 1152921504606846976.0)
+         |      * CAST(tw.w_tot AS DOUBLE)) AS BIGINT)) AS t
+         |  FROM op CROSS JOIN sl CROSS JOIN tw)
+         |SELECT tg.ok AS l_orderkey, tg.pk AS l_partkey, tg.slot,
+         |  c.pk AS neg_partkey, (c.pk = tg.pk) AS is_collision
+         |FROM tg JOIN cl c ON tg.t >= c.lo AND tg.t < c.hi
+         |ORDER BY l_orderkey, l_partkey, slot""".stripMargin,
     "q196_item_sim" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM op GROUP BY pk),

@@ -178,7 +178,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q199_km_survival", // 1-row global-max + user-count attaches on the horizon-bounded frame
       "q201_acf", // 1-row totals + 7-row lag-grid attaches on the day-grid frame
       "q202_lsh_quality", // 1-row count-frame attaches (metrics row assembly)
-      "q203_ann_ndcg") // q25/q29's broadcast-query theta joins inside the composition
+      "q203_ann_ndcg", // q25/q29's broadcast-query theta joins inside the composition
+      "q204_neg_sample", // 1-row weight-total + |slots|-row grid attaches; the CDF probe itself is the bucketized equi-join
+      "q205_shuffle_quality") // 1-row global-entropy attach on the shard frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
