@@ -141,13 +141,126 @@ object Search {
 
   // --------------------------------------------------------------------- //
 
+  // ------------------------------------------------------------------ q207
+
+  /** q207 pinned parameters: result size, candidate shortlist, and the
+    * relevance/diversity trade-off λ (score = λ·rel − (1−λ)·max-sim). */
+  private[operators] val MmrK = 5
+  private[operators] val MmrShortlist = 30
+  private[operators] val MmrLambda = 0.7
+
+  /** q207 — MMR result diversification (Carbonell & Goldstein, SIGIR'98):
+    * greedily re-rank each query's brute-force top-[[MmrShortlist]] into
+    * [[MmrK]] results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected — the de-duplicating re-rank a retrieval-backed
+    * curation pipeline applies so its exemplars aren't five copies of the
+    * same near-dup. Greedy selection is INHERENTLY sequential in k, so
+    * the loop is a bounded k-round plan unrolling (the q136/q147 bounded-
+    * round discipline), NOT a driver loop over rows: each round is one
+    * candidates×selected join (≤ shortlist·k rows per query), one
+    * per-query argmax window, one union.
+    *
+    * Determinism: relevance and pairwise sims are the same cosine chain
+    * as q25 (oracle: list_cosine_similarity, bit-matching per q179);
+    * λ/(1−λ) are pinned literals; every argmax breaks ties by
+    * neighbor_id. Scale shape: all work after the q25 shortlist is
+    * per-query and shortlist-bounded; the selected set stays ≤ k rows
+    * per query (broadcast-sized by construction). */
+  def mmrDiversify(spark: SparkSession, embs: DataFrame, k: Int = MmrK,
+                   shortlist: Int = MmrShortlist,
+                   lambda: Double = MmrLambda): DataFrame = {
+    VectorFunctions.register(spark)
+    val cand = graft.core.CacheScope.cached(
+      Similarity.bruteForceTopK(spark, embs, k = shortlist)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+        .join(embs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("neighbor_id"))
+    var selected = cand.withColumn("mmr", col("rel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("mmr"),
+        lit(1).as("rank"), col("embedding"))
+    for (r <- 2 to k) {
+      val pen = cand.as("c")
+        .join(selected.select(col("query_id"), col("neighbor_id").as("sid"),
+          col("embedding").as("semb")), Seq("query_id"))
+        .groupBy(col("query_id"), col("c.neighbor_id"), col("c.rel"))
+        .agg(max(VectorFunctions.cosineSim(col("c.embedding"), col("semb")))
+            .as("pen"),
+          max(when(col("c.neighbor_id") === col("sid"), 1L).otherwise(0L))
+            .as("taken"))
+        .filter(col("taken") === 0L)
+      val pick = pen
+        .withColumn("mmr", lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(embs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("mmr"),
+          lit(r).as("rank"), col("embedding"))
+      selected = selected.unionAll(pick)
+    }
+    selected.select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("rel"), col("mmr"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables.embeddings(s, d))),
     "q105_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "q106_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "q107_vocab_growth" -> ((s, d) => vocabGrowth(Tables.documents(s, d)))
   )
 
+  /** q207 oracle, GENERATED with one CTE pair per greedy round so the
+    * unrolled selection structure (and the λ literals, including the
+    * double-exact 1−λ) is identical to the engine plan. */
+  private def mmrOracle: String = {
+    val lam = MmrLambda
+    val oneMinus = 1.0 - MmrLambda
+    val rounds = (2 to MmrK).map { r =>
+      s"""p$r AS (
+         |  SELECT c.query_id, c.neighbor_id, c.rel,
+         |    max(list_cosine_similarity(ce.e, se.e)) AS pen,
+         |    max(CASE WHEN c.neighbor_id = s.neighbor_id THEN 1 ELSE 0 END) AS taken
+         |  FROM cand c
+         |  JOIN sel${r - 1} s ON s.query_id = c.query_id
+         |  JOIN v ce ON ce.vec_id = c.neighbor_id
+         |  JOIN v se ON se.vec_id = s.neighbor_id
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+         |k$r AS (
+         |  SELECT query_id, neighbor_id, rel, $lam * rel - $oneMinus * pen AS mmr,
+         |    $r AS rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $lam * rel - $oneMinus * pen DESC, neighbor_id) AS rn
+         |    FROM p$r WHERE taken = 0)
+         |  WHERE rn = 1),
+         |sel$r AS (
+         |  SELECT query_id, neighbor_id, rel, mmr, rank FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, rel, mmr, rank FROM k$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+       |bs AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.qe, v.e) AS rel,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id) AS rank
+       |  FROM q JOIN v ON q.query_id <> v.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, rel FROM bs WHERE rank <= $MmrShortlist),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, rel, rel AS mmr, 1 AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, rel, mmr
+       |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q207_mmr_diversify" -> mmrOracle,
     // position-join formulation — independent of the Spark n-gram path
     "q105_phrase_search" ->
       """WITH d AS (

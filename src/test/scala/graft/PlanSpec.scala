@@ -180,7 +180,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q202_lsh_quality", // 1-row count-frame attaches (metrics row assembly)
       "q203_ann_ndcg", // q25/q29's broadcast-query theta joins inside the composition
       "q204_neg_sample", // 1-row weight-total + |slots|-row grid attaches; the CDF probe itself is the bucketized equi-join
-      "q205_shuffle_quality") // 1-row global-entropy attach on the shard frame
+      "q205_shuffle_quality", // 1-row global-entropy attach on the shard frame
+      "q207_mmr_diversify") // q25's broadcast-query theta join feeding the shortlist
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

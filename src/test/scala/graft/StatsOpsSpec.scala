@@ -309,6 +309,60 @@ class StatsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("b") == ((2L, 1L, 1L, 0L)))
   }
 
+  // ------------------------------------------------------------------ q207
+
+  test("q207: matches a driver-side greedy MMR reference on a planted fixture") {
+    import spark.implicits._
+    // vec 0 is the only query (ids >= 10 are corpus-only)
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      10L -> Array(0.98f, 0.2f, 0f, 0f),   // top relevance
+      11L -> Array(0.95f, 0.312f, 0f, 0f), // near-dup of 10
+      12L -> Array(0.85f, -0.527f, 0f, 0f), // diverse, decent relevance
+      13L -> Array(0.1f, 0.9f, 0.42f, 0f),
+      14L -> Array(0f, 0f, 1f, 0f))
+    val embs = vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Search.mmrDiversify(spark, embs, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // driver-side reference: same greedy, same doubles
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = da.zip(db).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(da.map(x => x * x).sum) * math.sqrt(db.map(x => x * x).sum))
+    }
+    val q = vecs.head._2
+    val cands = vecs.tail
+    var sel = List(cands.maxBy(c => (cos(q, c._2), -c._1))._1)
+    (2 to 3).foreach { _ =>
+      val remaining = cands.filterNot(c => sel.contains(c._1))
+      val best = remaining.maxBy { c =>
+        val pen = sel.map(s => cos(c._2, vecs.find(_._1 == s).get._2)).max
+        (0.7 * cos(q, c._2) - 0.3 * pen, -c._1)
+      }
+      sel = sel :+ best._1
+    }
+    assert(got.sortBy(_._1).map(_._2).toSeq == sel, s"got=${got.toSeq} want=$sel")
+    // the fixture is built so diversity actually flips the order:
+    // near-dup 11 must NOT be picked second despite higher relevance
+    assert(sel(1) != 11L)
+  }
+
+  test("q207: dense ranks, no repeats, rank-1 = brute top-1 on the corpus") {
+    val embs = Tables.embeddings(spark, sf01)
+    val rows = graft.operators.Search.mmrDiversify(spark, embs).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == 10)
+    perQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(rs.map(_.getLong(2)).distinct.length == 5)
+    }
+    val top1 = graft.operators.Similarity.bruteForceTopK(spark, embs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perQ.foreach { case (q, rs) =>
+      assert(rs.find(_.getInt(1) == 1).get.getLong(2) == top1(q)) }
+  }
+
   test("q199: survival is non-increasing and within (0, 1] on the corpus") {
     val rows = Analytics.kmSurvival(Tables.events(spark, sf01)).collect()
     assert(rows.nonEmpty)
