@@ -359,9 +359,98 @@ object Profiling {
       .orderBy(col("digit"))
   }
 
+  // ------------------------------------------------------------------ q208
+
+  /** PSI "significant shift" alert threshold (the industry-standard 0.2)
+    * and the Laplace smoothing mass per bucket. */
+  private[operators] val PsiThreshold = 0.2
+  private[operators] val PsiSmooth = 0.5
+
+  /** q208 — Population Stability Index of each source's length
+    * distribution against the corpus: PSI = Σ_i (p_i−q_i)·ln(p_i/q_i)
+    * over the log₂ length buckets (q166 binning) — the banking/ML-ops
+    * drift score that complements q170's KS (PSI weights the WHOLE
+    * distribution, KS only the worst point) and reads on the standard
+    * 0.1/0.2 action thresholds.
+    *
+    * Determinism: bucket counts are exact integers; shares are Laplace-
+    * smoothed with [[PsiSmooth]] over the corpus-observed bucket grid
+    * (so log ratios are finite even where a source misses a bucket —
+    * pinned, both engines); the per-bucket terms sum as floor(·1e15)
+    * decimals, order-free.
+    *
+    * Scale shape: one scan-local bucket projection, one
+    * (source, bucket) partial+final count, a broadcast corpus-bucket
+    * grid join, a |sources|-key final aggregate. */
+  def psiBySource(docs: DataFrame): DataFrame = {
+    val bucket = (length(bin(col("n_chars"))) - lit(1)).cast("long")
+    val cell = docs.select(col("source"), bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    val corpus = cell.groupBy(col("bucket")).agg(sum(col("c")).as("cc"))
+    val nB = corpus.agg(count(lit(1)).as("n_buckets"), sum(col("cc")).as("n_corpus"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // dense (source x corpus-bucket) grid with zero fill
+    val grid = perSource.crossJoin(broadcast(corpus))
+      .join(cell, Seq("source", "bucket"), "left")
+      .select(col("source"), col("n_docs"), col("bucket"), col("cc"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(nB))
+    val p = (col("c").cast("double") + lit(PsiSmooth)) /
+      (col("n_docs").cast("double") + lit(PsiSmooth) * col("n_buckets").cast("double"))
+    val q = (col("cc").cast("double") + lit(PsiSmooth)) /
+      (col("n_corpus").cast("double") + lit(PsiSmooth) * col("n_buckets").cast("double"))
+    val term = (p - q) * log(p / q)
+    grid.groupBy(col("source"), col("n_docs"))
+      .agg((sum(floor(term * lit(1e15)).cast("decimal(38,0)")).cast("double") /
+        lit(1e15)).as("psi"))
+      .select(col("source"), col("n_docs"), col("psi"),
+        (col("psi") >= PsiThreshold).as("drifted"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------------ q209
+
+  /** q209's pinned order-statistic count. */
+  private[operators] val HillK = 200
+
+  /** q209 — Hill estimator of the document-length tail exponent (Hill
+    * 1975): α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order
+    * statistics — the heavy-tail diagnostic that says whether length
+    * truncation/packing policy (q86/q132) is fighting a power law or a
+    * thin tail, complementing q162's Zipf fit (token ranks) with the
+    * DOCUMENT-length tail.
+    *
+    * Determinism: the top-(k+1) set is rank-selected with doc_id
+    * tie-breaks; ln ratios are pinned double chains summed as
+    * floor(·1e15) decimals (order-free); α is one terminal division,
+    * NULL when the top k+1 values are all equal (H = 0 — pinned, no
+    * division by zero reaches either engine).
+    *
+    * Scale shape: ORDER BY + LIMIT (k+1) plans as TakeOrderedAndProject
+    * — per-partition top-(k+1) heaps merged on the driver, no global
+    * sort; everything after runs on k+1 rows. */
+  def hillTail(docs: DataFrame, k: Int = HillK): DataFrame = {
+    val top = docs.select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(k + 1)
+    val ref = top.agg(min(col("n_chars")).as("x_ref"))
+    // rows AT x_ref (including the (k+1)-th itself) contribute ln(1) = 0,
+    // so summing over all k+1 rows equals the Hill sum over the top k
+    val lnTerm = log(col("n_chars").cast("double") / col("x_ref").cast("double"))
+    top.crossJoin(broadcast(ref))
+      .agg(max(col("x_ref")).as("x_ref"),
+        (sum(floor(lnTerm * lit(1e15)).cast("decimal(38,0)")).cast("double") /
+          lit(1e15)).as("ln_sum"))
+      .select(lit(k.toLong).as("k"), col("x_ref"),
+        (col("ln_sum") / lit(k.toDouble)).as("hill_h"),
+        when(col("ln_sum") > 0.0, lit(k.toDouble) / col("ln_sum"))
+          .otherwise(lit(null).cast("double")).as("alpha"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_hill_tail" -> ((s, d) => hillTail(Tables.documents(s, d))),
+    "q208_psi" -> ((s, d) => psiBySource(Tables.documents(s, d))),
     "q198_benford" -> ((s, d) => benford(s, Tables.lineitem(s, d))),
     "q172_js_divergence" -> ((s, d) => jsDivergence(Tables.documents(s, d))),
     "q173_k_anonymity" -> ((s, d) => kAnonymity(s, Tables.customer(s, d))),
@@ -373,6 +462,58 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q209_hill_tail" ->
+      s"""WITH top AS (
+         |  SELECT n_chars FROM documents
+         |  ORDER BY n_chars DESC, doc_id LIMIT ${HillK + 1}),
+         |ref AS (SELECT CAST(min(n_chars) AS BIGINT) AS x_ref FROM top),
+         |s AS (
+         |  SELECT max(ref.x_ref) AS x_ref,
+         |    CAST(sum(CAST(floor(ln(CAST(n_chars AS DOUBLE)
+         |      / CAST(ref.x_ref AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS DOUBLE)
+         |      / 1.0e15 AS ln_sum
+         |  FROM top CROSS JOIN ref)
+         |SELECT CAST($HillK AS BIGINT) AS k, x_ref,
+         |  ln_sum / ${HillK.toDouble} AS hill_h,
+         |  CASE WHEN ln_sum > 0.0 THEN ${HillK.toDouble} / ln_sum
+         |    ELSE NULL END AS alpha
+         |FROM s""".stripMargin,
+    "q208_psi" ->
+      s"""WITH cell AS (
+         |  SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |corpus AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cc
+         |           FROM cell GROUP BY bucket),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(cc) AS BIGINT) AS n_corpus FROM corpus),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source),
+         |grid AS (
+         |  SELECT ps.source, ps.n_docs, corpus.bucket, corpus.cc,
+         |    COALESCE(cell.c, 0) AS c, nb.n_buckets, nb.n_corpus
+         |  FROM ps CROSS JOIN corpus
+         |  LEFT JOIN cell ON cell.source = ps.source AND cell.bucket = corpus.bucket
+         |  CROSS JOIN nb),
+         |t AS (
+         |  SELECT source, n_docs,
+         |    ((CAST(c AS DOUBLE) + $PsiSmooth)
+         |       / (CAST(n_docs AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE))
+         |     - (CAST(cc AS DOUBLE) + $PsiSmooth)
+         |       / (CAST(n_corpus AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE)))
+         |    * ln(((CAST(c AS DOUBLE) + $PsiSmooth)
+         |       / (CAST(n_docs AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE)))
+         |      / ((CAST(cc AS DOUBLE) + $PsiSmooth)
+         |       / (CAST(n_corpus AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE))))
+         |      AS term
+         |  FROM grid),
+         |agg AS (
+         |  SELECT source, n_docs,
+         |    CAST(sum(CAST(floor(term * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
+         |      AS psi
+         |  FROM t GROUP BY source, n_docs)
+         |SELECT source, n_docs, psi, psi >= $PsiThreshold AS drifted
+         |FROM agg ORDER BY source""".stripMargin,
     "q198_benford" -> {
       val grid = (1 to 9).map(d => s"($d, ${benfordP(d)})").mkString(", ")
       s"""WITH g(digit, benford_p) AS (VALUES $grid),

@@ -181,7 +181,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q203_ann_ndcg", // q25/q29's broadcast-query theta joins inside the composition
       "q204_neg_sample", // 1-row weight-total + |slots|-row grid attaches; the CDF probe itself is the bucketized equi-join
       "q205_shuffle_quality", // 1-row global-entropy attach on the shard frame
-      "q207_mmr_diversify") // q25's broadcast-query theta join feeding the shortlist
+      "q207_mmr_diversify", // q25's broadcast-query theta join feeding the shortlist
+      "q208_psi", // bucket-grid + 1-row totals attaches on the |sources| x |buckets| frame
+      "q209_hill_tail") // 1-row reference-order-statistic attach on the k+1-row frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

@@ -79,7 +79,14 @@ object ScaleRehearsal {
     // LM-composed rank windows, centroid argmin, scan-local readability
     "q172_js_divergence", "q175_heaps_fit", "q179_ann_recall",
     "q181_embed_dispersion", "q184_decay_activity", "q185_rank_corr",
-    "q187_label_prototypes", "q188_readability")
+    "q187_label_prototypes", "q188_readability",
+    // round-9 second wave: basket-pair join + top-K windows, train-split
+    // NB + bounded-grid quantile, md5-minhash banding + exact-truth join,
+    // dim x label distance aggregate, inverse-CDF bucket join, md5-shard
+    // entropy, unrolled greedy re-rank
+    "q196_item_sim", "q197_conformal", "q200_silhouette",
+    "q202_lsh_quality", "q204_neg_sample", "q205_shuffle_quality",
+    "q207_mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(

@@ -363,6 +363,54 @@ class StatsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rs.find(_.getInt(1) == 1).get.getLong(2) == top1(q)) }
   }
 
+  // ------------------------------------------------------------------ q208
+
+  test("q208: identical distributions score ~0; a shifted source crosses 0.2") {
+    import spark.implicits._
+    // sources a/b share the length mix; SMALL source c sits in a different
+    // decade (small so the blended corpus still looks like a/b — PSI is
+    // vs the corpus, so a dominant outlier source would drag everyone)
+    val docs = ((1 to 40).map(i => (i.toLong, "x", "en", "a", 100L + i)) ++
+      (41 to 80).map(i => (i.toLong, "x", "en", "b", 100L + (i - 40))) ++
+      (81 to 84).map(i => (i.toLong, "x", "en", "c", 100000L + i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Profiling.psiBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got("a")._1 < 0.2 && !got("a")._2)
+    assert(got("b")._1 < 0.2 && !got("b")._2)
+    assert(got("c")._1 > 0.2 && got("c")._2, got("c").toString)
+  }
+
+  test("q208: psi is non-negative on the corpus") {
+    val rows = Profiling.psiBySource(Tables.documents(spark, sf01)).collect()
+    assert(rows.length == 20)
+    // PSI is a symmetrized-KL-style sum: each term (p-q)ln(p/q) >= 0
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-12, r.toString))
+  }
+
+  // ------------------------------------------------------------------ q209
+
+  test("q209: exact Pareto order statistics recover the planted exponent") {
+    import spark.implicits._
+    // x_i = round(1e6 / i^(1/2)) for i=1..5000: tail index alpha=2
+    val docs = (1 to 5000).map { i =>
+      (i.toLong, "x", "en", "s", math.round(1e6 / math.sqrt(i.toDouble)))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Profiling.hillTail(docs).head()
+    assert(r.getLong(0) == 200L)
+    val alpha = r.getDouble(3)
+    assert(alpha > 1.8 && alpha < 2.2, s"alpha=$alpha")
+  }
+
+  test("q209: degenerate constant lengths give NULL alpha, not a crash") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, "x", "en", "s", 500L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Profiling.hillTail(docs).head()
+    assert(r.getDouble(2) == 0.0) // hill_h
+    assert(r.isNullAt(3))
+  }
+
   test("q199: survival is non-increasing and within (0, 1] on the corpus") {
     val rows = Analytics.kmSurvival(Tables.events(spark, sf01)).collect()
     assert(rows.nonEmpty)
