@@ -217,7 +217,70 @@ object EmbeddingStats {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  // ------------------------------------------------------------------ q210
+
+  /** q210's pinned power-iteration round count (64-dim covariance: 8
+    * rounds separate λ₁ comfortably on non-degenerate spectra). */
+  private[operators] val PowerRounds = 8
+
+  /** q210 — top principal component of the embedding covariance by
+    * BOUNDED power iteration (8 unrolled in-plan rounds — the
+    * q136/q147/q207 bounded-round discipline): v₀ = 1/√d uniform,
+    * vᵣ = C·vᵣ₋₁ / ‖C·vᵣ₋₁‖; reports the per-dim loading, λ₁ ≈ ‖C·v₇‖,
+    * trace(C), and the explained-variance ratio λ₁/tr — the
+    * "is this embedding space collapsing onto one direction"
+    * anisotropy diagnostic (Ethayarajh 2019; Mu & Viswanath 2018 —
+    * dominant-PC removal) a pipeline checks before trusting cosine
+    * geometry.
+    *
+    * Determinism: C is q115's exact-integer-derived covariance (the
+    * corpus contributes ONE scan via GramAggregator); every mat-vec
+    * entry and norm is a floor(term·1e15) decimal sum — order-free, so
+    * all 8 rounds are bit-identical at any parallelism — and the oracle
+    * unrolls the identical CTE chain. The all-positive v₀ pins the
+    * eigenvector sign.
+    *
+    * Scale shape: after the one-scan moment row, every round is a join
+    * + two aggregates on ≤ d² = 4096 rows. Corpus size only affects the
+    * single scan. */
+  def topPc(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cv = graft.core.CacheScope.cached(
+      gramMatrix(spark, embs).select(col("i"), col("j"), col("cov")))
+    val full = graft.core.CacheScope.cached(cv.unionAll(
+      cv.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov"))))
+    def fp(x: Column) = floor(x * lit(1e15)).cast("decimal(38,0)")
+    var v = (0 until EmbDim).map(j => (j, 1.0 / math.sqrt(EmbDim.toDouble)))
+      .toDF("j", "vj")
+    var lambda: DataFrame = null
+    for (_ <- 1 to PowerRounds) {
+      // localCheckpoint per round (the q147/q191 discipline): w feeds BOTH
+      // the norm and the next v, so without truncation the logical plan
+      // doubles per round (2^8 subtree copies by round 8)
+      val w = full.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg((sum(fp(col("cov") * col("vj"))).cast("double") / lit(1e15)).as("wi"))
+        .localCheckpoint()
+      val norm = w
+        .agg((sum(fp(col("wi") * col("wi"))).cast("double") / lit(1e15)).as("nsq"))
+        .select(sqrt(col("nsq")).as("nrm"))
+      lambda = norm
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"), (col("wi") / col("nrm")).as("vj"))
+    }
+    val tr = cv.filter(col("i") === col("j"))
+      .agg((sum(fp(col("cov"))).cast("double") / lit(1e15)).as("trace"))
+    v.select(col("j").as("dim"), col("vj").as("loading"))
+      .crossJoin(broadcast(lambda.select(col("nrm").as("lambda1"))))
+      .crossJoin(broadcast(tr))
+      .select(col("dim").cast("long").as("dim"), col("loading"), col("lambda1"),
+        col("trace"), (col("lambda1") / col("trace")).as("explained_ratio"))
+      .orderBy(col("dim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_top_pc" -> ((s, d) => topPc(s, Tables.embeddings(s, d))),
     "q152_embedding_whiten" -> ((s, d) => whiten(s, Tables.embeddings(s, d))),
     "q135_jl_project" -> ((s, d) => jlProject(Tables.embeddings(s, d))),
     "q115_embedding_gram" -> ((s, d) => gramMatrix(s, Tables.embeddings(s, d))),
@@ -237,7 +300,56 @@ object EmbeddingStats {
        |  FROM s GROUP BY i),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)""".stripMargin
 
+  /** q210 oracle, GENERATED with one (w, n, v) CTE triple per power
+    * round — identical unrolled structure and fixed-point sums. */
+  private def topPcOracle: String = {
+    val rounds = (1 to PowerRounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS (
+         |  SELECT cf.i,
+         |    CAST(sum(CAST(floor(cf.cov * $prev.vj * 1.0e15) AS HUGEINT))
+         |      AS DOUBLE) / 1.0e15 AS wi
+         |  FROM cf JOIN $prev ON $prev.j = cf.j GROUP BY cf.i),
+         |n$r AS (
+         |  SELECT sqrt(CAST(sum(CAST(floor(wi * wi * 1.0e15) AS HUGEINT))
+         |    AS DOUBLE) / 1.0e15) AS nrm FROM w$r),
+         |v$r AS (SELECT w$r.i AS j, wi / n$r.nrm AS vj
+         |        FROM w$r CROSS JOIN n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$momentCtes,
+       |g AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+       |  FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |cv AS (
+       |  SELECT g.i, g.j,
+       |    (CAST(g.gram AS DOUBLE) - CAST(da.sv AS DOUBLE) * CAST(db.sv AS DOUBLE)
+       |       / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE)
+       |       / ${1L << (2 * ScaleBits)}.0 AS cov
+       |  FROM g
+       |  JOIN d da ON da.i = g.i
+       |  JOIN d db ON db.i = g.j
+       |  CROSS JOIN n),
+       |cf AS (
+       |  SELECT i, j, cov FROM cv
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM cv WHERE i <> j),
+       |v0 AS (SELECT CAST(r.i AS INT) AS j, 1.0 / sqrt(${EmbDim}.0) AS vj
+       |       FROM unnest(range(0, $EmbDim)) AS r(i)),
+       |$rounds,
+       |tr AS (
+       |  SELECT CAST(sum(CAST(floor(cov * 1.0e15) AS HUGEINT)) AS DOUBLE)
+       |    / 1.0e15 AS trace
+       |  FROM cv WHERE i = j)
+       |SELECT CAST(v$PowerRounds.j AS BIGINT) AS dim, v$PowerRounds.vj AS loading,
+       |  n$PowerRounds.nrm AS lambda1, tr.trace,
+       |  n$PowerRounds.nrm / tr.trace AS explained_ratio
+       |FROM v$PowerRounds CROSS JOIN n$PowerRounds CROSS JOIN tr
+       |ORDER BY dim""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q210_top_pc" -> topPcOracle,
     // q116's moment/variance chain, applied per value instead of summed
     "q152_embedding_whiten" ->
       s"""$momentCtes,
