@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -448,9 +449,59 @@ object Analytics {
       .orderBy(col("lag"))
   }
 
+  // ------------------------------------------------- q216 seasonal decompose
+
+  /** q216's pinned seasonal period (weekly on a daily series). */
+  private[operators] val SeasonPeriod = 7
+
+  /** q216 — classical additive seasonal decomposition of the daily
+    * event-count series (the moving-average step of STL/X-11, period 7):
+    * trend = centered 7-day moving average, seasonal index per weekday
+    * phase = mean of the detrended series at that phase. The monitoring
+    * op that splits q201's "is there weekly structure" (ACF) into WHICH
+    * weekday carries how much traffic, on the same zero-filled epoch-day
+    * grid.
+    *
+    * Exactness: counts are BIGINT on the dense day grid; the detrended
+    * value is kept ×7 (d7 = 7·c − Σ_{±3} c — pure integers, no float
+    * mean enters), only COMPLETE 7-day windows contribute, and each
+    * phase mean is one terminal division Σd7 / (7·n). Phase = epoch-day
+    * mod 7 (phase 0 = Thursday — 1970-01-01), identical both engines,
+    * sidestepping engine-specific weekday numbering.
+    *
+    * Scale shape: one day-keyed count off the events scan; everything
+    * after (gap-fill, one 7-row window pass, a ≤7-key aggregate) runs on
+    * the |days| grid frame. */
+  def seasonalDecompose(s: SparkSession, events: DataFrame,
+                        period: Int = SeasonPeriod): DataFrame = {
+    require(period >= 2 && period % 2 == 1, "period must be odd (centered window)")
+    val half = period / 2
+    val dayUs = 86400L * 1000000L
+    val counts = events.select(expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val grid = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-half, half)
+    val det = series
+      .withColumn("t7", sum(col("c")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === period)
+      .select((col("day") % period).as("phase"), col("c"),
+        (lit(period.toLong) * col("c") - col("t7")).as("d7"))
+    det.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double")).as("avg_count"),
+        (sum(col("d7")).cast("double") /
+          (lit(period.toDouble) * count(lit(1)).cast("double"))).as("seasonal"))
+      .orderBy(col("phase"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_seasonal_decompose" -> ((s, d) => seasonalDecompose(s, Tables.events(s, d))),
     "q201_acf" -> ((s, d) => acfDaily(s, Tables.events(s, d))),
     "q199_km_survival" -> ((s, d) => kmSurvival(Tables.events(s, d))),
     "q143_gap_fill" -> ((s, d) => gapFill(Tables.events(s, d))),
@@ -468,6 +519,33 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q216_seasonal_decompose" ->
+      s"""WITH cnt AS (
+         |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |grid AS (
+         |  SELECT unnest(generate_series((SELECT min(day) FROM cnt),
+         |    (SELECT max(day) FROM cnt))) AS day),
+         |series AS (
+         |  SELECT grid.day, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+         |  FROM grid LEFT JOIN cnt ON cnt.day = grid.day),
+         |det AS (
+         |  SELECT day % $SeasonPeriod AS phase, c,
+         |    CAST($SeasonPeriod AS BIGINT) * c
+         |      - sum(c) OVER (ORDER BY day
+         |          ROWS BETWEEN ${SeasonPeriod / 2} PRECEDING
+         |          AND ${SeasonPeriod / 2} FOLLOWING) AS d7,
+         |    count(*) OVER (ORDER BY day
+         |        ROWS BETWEEN ${SeasonPeriod / 2} PRECEDING
+         |        AND ${SeasonPeriod / 2} FOLLOWING) AS nw
+         |  FROM series)
+         |SELECT phase, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_count,
+         |  CAST(sum(d7) AS DOUBLE)
+         |    / (CAST($SeasonPeriod AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS seasonal
+         |FROM det WHERE nw = $SeasonPeriod
+         |GROUP BY phase ORDER BY phase""".stripMargin,
     "q201_acf" ->
       s"""WITH cnt AS (
          |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,

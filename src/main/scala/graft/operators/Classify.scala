@@ -573,7 +573,56 @@ object Classify {
       .orderBy(col("set_size"))
   }
 
+  // ---------------------------------------------- q217 feature-hash audit
+
+  /** q217's pinned hash-space size (2^10 buckets — small enough that the
+    * synthetic vocab actually collides, mirroring a production 2^18-2^22
+    * space against a millions-strong vocab). */
+  private[operators] val HashBuckets = 1024L
+
+  /** q217 — hashing-trick collision audit (Weinberger et al. 2009):
+    * project the token vocabulary into [[HashBuckets]] buckets via
+    * h60 mod B and report what the collapse costs — how many distinct
+    * terms share buckets (term collision rate) and, weighted by token
+    * occurrences, how much probability mass lands in a bucket whose
+    * PLURALITY term is some other term (mass collision rate — the
+    * fraction of the feature signal a hashed NB/linear model actually
+    * garbles; rare-term collisions are near-free, hot-term collisions
+    * are not). Run before swapping q121's exact vocab for hashed
+    * features at corpus scale.
+    *
+    * Determinism: everything is integer until two terminal divisions —
+    * counts, bucket ids (h60 is the cross-engine md5 prefix; both
+    * operands non-negative so % agrees), and the per-bucket plurality
+    * mass (max of integer masses).
+    *
+    * Scale shape: one scan-local tokenize+explode, one vocab-keyed
+    * count (partial+final), one bucket-keyed aggregate (≤B keys), one
+    * 1-row summary. The vocab shuffle is the only corpus-driven
+    * exchange — the same shape q70's TF-IDF already pays. */
+  def featureHashQuality(docs: DataFrame, buckets: Long = HashBuckets): DataFrame = {
+    require(buckets > 0, "bucket count must be positive")
+    val terms = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select((TextFunctions.h60(col("w")) % buckets).as("bucket"), col("n"))
+    val byBucket = terms.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("mass"),
+        max(col("n")).as("top_mass"))
+    byBucket.agg(
+        sum(col("n_terms")).as("n_terms"),
+        count(lit(1)).as("n_buckets_used"),
+        sum(col("mass")).as("total_mass"),
+        sum(col("mass") - col("top_mass")).as("collided_mass"))
+      .select(col("n_terms"), lit(buckets).as("n_buckets"), col("n_buckets_used"),
+        ((col("n_terms") - col("n_buckets_used")).cast("double") /
+          col("n_terms").cast("double")).as("term_collision_rate"),
+        col("total_mass"),
+        (col("collided_mass").cast("double") / col("total_mass").cast("double"))
+          .as("mass_collision_rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_feature_hash" -> ((s, d) => featureHashQuality(Tables.documents(s, d))),
     "q197_conformal" -> (q197Conformal _),
     "q190_calibration" -> (q190Calibration _),
     "q131_feature_mi" -> (q131FeatureMi _),
@@ -709,6 +758,27 @@ object Classify {
   }
 
   def oracles: Map[String, String] = Map(
+    "q217_feature_hash" ->
+      s"""WITH t AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |b AS (
+         |  SELECT ${h60sql("w")} % $HashBuckets AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(n) AS BIGINT) AS mass,
+         |    CAST(max(n) AS BIGINT) AS top_mass
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(sum(n_terms) AS BIGINT) AS n_terms,
+         |  CAST($HashBuckets AS BIGINT) AS n_buckets,
+         |  CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |  CAST(sum(n_terms) - count(*) AS DOUBLE)
+         |    / CAST(sum(n_terms) AS DOUBLE) AS term_collision_rate,
+         |  CAST(sum(mass) AS BIGINT) AS total_mass,
+         |  CAST(sum(mass - top_mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE) AS mass_collision_rate
+         |FROM b""".stripMargin,
     "q131_feature_mi" -> miOracle(MiClasses),
     // train-split NB fit + q190's decimal softmax + a plain global
     // row_number for the conformal rank (the engine's two-phase bucket

@@ -550,6 +550,46 @@ object Datasets {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------------ q212
+
+  /** q212's pinned total sample budget and the fixed-point weight scale. */
+  private[operators] val NeymanBudget = 1000L
+  private val NeymanWScale = 1e6
+
+  /** q212 — Neyman-optimal stratified sample allocation: for a total
+    * eval/annotation budget B, stratum h gets n_h ∝ N_h·S_h (count ×
+    * population std of token length) — the textbook minimum-variance
+    * allocation (Neyman 1934), the principled upgrade over proportional
+    * quotas (q63/q161) when strata have very different spreads.
+    *
+    * Determinism: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) with both moments exact
+    * BIGINTs, so the weight is ONE correctly-rounded IEEE sqrt (bit-equal
+    * cross-engine), then floored to a fixed-point BIGINT at 1e6 scale;
+    * the denominator is an exact integer sum and the final quota is pure
+    * integer floor-division — no float summation order anywhere.
+    *
+    * Scale shape: one scan-local token count, one partial+final per-source
+    * moment aggregate (|sources| rows), a broadcast 1-row denominator.
+    * Nothing downstream of the scan grows with the corpus. */
+  def neymanAlloc(docs: DataFrame, budget: Long = NeymanBudget): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val len = size(TextFunctions.tokens(col("text"))).cast("long")
+    val m = docs.select(col("source"), len.as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("s1"),
+        sum(col("len") * col("len")).as("s2"))
+    val varNum = (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+    val w = m.select(col("source"), col("n"),
+      sqrt(varNum).as("ns"),
+      floor(sqrt(varNum) * lit(NeymanWScale)).cast("long").as("w"))
+    val tot = w.agg(sum(col("w")).as("wt"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("ns") / col("n").cast("double")).as("std_tokens"),
+        expr(s"CAST(($budget * w) DIV wt AS BIGINT)").as("alloc"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_hist_quantiles" -> ((s, d) => histQuantiles(Tables.documents(s, d))),
     "q170_ks_drift" -> ((s, d) => ksDrift(Tables.documents(s, d))),
@@ -557,6 +597,7 @@ object Datasets {
     "q157_gini" -> ((s, d) => giniConcentration(Tables.documents(s, d))),
     "q154_weighted_reservoir" -> ((s, d) => weightedReservoir(Tables.documents(s, d))),
     "q149_hll_distinct" -> ((s, d) => hllDistinct(Tables.documents(s, d))),
+    "q212_neyman_alloc" -> ((s, d) => neymanAlloc(Tables.documents(s, d))),
     "q139_kmv_overlap" -> ((s, d) => kmvOverlap(Tables.documents(s, d))),
     "q144_pps_sample" -> ((s, d) => ppsSample(Tables.documents(s, d))),
     "q137_data_card" -> ((s, d) => dataCard(Tables.documents(s, d))),
@@ -595,6 +636,24 @@ object Datasets {
   }
 
   def oracles: Map[String, String] = Map(
+    "q212_neyman_alloc" ->
+      s"""WITH m AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      * CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+         |      AS BIGINT) AS s2
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n,
+         |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) AS ns,
+         |    CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1.0e6) AS BIGINT) AS w
+         |  FROM m),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w)
+         |SELECT source, n AS n_docs,
+         |  ns / CAST(n AS DOUBLE) AS std_tokens,
+         |  CAST(($NeymanBudget * w) // wt AS BIGINT) AS alloc
+         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
     // same integer target ranks, bitlength buckets, argmin-bucket and
     // rank-selected exact twin
     "q169_hist_quantiles" ->

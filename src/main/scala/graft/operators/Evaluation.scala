@@ -358,7 +358,65 @@ object Evaluation {
 
   // ---------------------------------------------------------- registry
 
+  // ---------------------------------------------- q215 matryoshka recall
+
+  /** q215's pinned prefix-dimension ladder and list depth. */
+  private[operators] val MatDims = Seq(8, 16, 32)
+  private[operators] val MatK = 10
+
+  /** q215 — matryoshka (prefix-dimension) retrieval audit: recall@k of
+    * cosine top-k computed on only the FIRST m dims against the full-dim
+    * ground truth, for m ∈ [[MatDims]] — the curve that decides how far
+    * an MRL-style embedding (Kusupati et al. 2022) can be truncated
+    * before retrieval degrades, i.e. how much index memory/bandwidth a
+    * deployment can save. Complements q179 (index-approximation loss)
+    * with the REPRESENTATION-truncation loss.
+    *
+    * Determinism: each prefix ranking reuses q25's exact machinery
+    * (cosine values bit-equal cross-engine, ties by neighbor_id);
+    * hits are integers, recall is one terminal division; the (dims,
+    * query) grid is zero-filled so a fully-missed query still reports.
+    *
+    * Scale shape: per m, the same broadcast-query × corpus scan as q25
+    * (queries bounded, never corpus×corpus) with a query-partitioned
+    * top-k window; the union is |MatDims| scans (a production run would
+    * fuse them into one pass emitting all prefixes — kept separate here
+    * for plan clarity); everything after runs on |MatDims|·queries·k
+    * rows. */
+  def matryoshkaRecall(spark: SparkSession, embs: DataFrame,
+                       k: Int = MatK): DataFrame = {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val truth = Similarity.bruteForceTopK(spark, embs, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val prefixTop = MatDims.map { m =>
+      val q = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), slice(col("embedding"), 1, m).as("qe"))
+      val c = embs.select(col("vec_id").as("neighbor_id"),
+        slice(col("embedding"), 1, m).as("ne"))
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", VectorFunctions.cosineSim(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(m.toLong).as("dims"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionAll _)
+    val hits = prefixTop.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("dims"), col("query_id")).agg(count(lit(1)).as("hits"))
+    val grid = MatDims.map(m => spark.range(1).select(lit(m.toLong).as("dims")))
+      .reduce(_ unionAll _)
+      .crossJoin(truth.select(col("query_id")).distinct())
+    grid.join(hits, Seq("dims", "query_id"), "left")
+      .select(col("dims"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+      .orderBy(col("dims"), col("query_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, Tables.embeddings(s, d))),
     "q193_seq_patterns" -> (seqPatterns _),
     "q189_interarrival" -> (interArrival _),
     "q203_ann_ndcg" -> ((s, d) => annNdcg(s, Tables.embeddings(s, d))),
@@ -370,7 +428,57 @@ object Evaluation {
     "q184_decay_activity" -> ((s, d) => decayActivity(s, d))
   )
 
+  /** q215's DuckDB twin — GENERATED with one ranked CTE per prefix width
+    * so the ladder literals cannot diverge from [[MatDims]]. */
+  private def matryoshkaOracle: String = {
+    val k = MatK
+    val perDim = MatDims.map { m =>
+      s"""p$m AS (
+         |  SELECT $m AS dims, query_id, neighbor_id
+         |  FROM (
+         |    SELECT q.query_id, c.neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(q.qe[1:$m], c.e[1:$m]) DESC,
+         |          c.neighbor_id) AS INT) AS rank
+         |    FROM q JOIN c ON q.query_id <> c.neighbor_id)
+         |  WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = MatDims.map(m => s"SELECT * FROM p$m").mkString("\n  UNION ALL ")
+    val gridVals = MatDims.map(m => s"($m)").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qe, e) DESC, neighbor_id) AS INT)
+       |        AS rank
+       |    FROM q JOIN c ON query_id <> neighbor_id)
+       |  WHERE rank <= $k),
+       |$perDim,
+       |tm AS (
+       |  $unionAll),
+       |hits AS (
+       |  SELECT tm.dims, tm.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM tm JOIN truth USING (query_id, neighbor_id)
+       |  GROUP BY tm.dims, tm.query_id),
+       |grid AS (
+       |  SELECT CAST(d.dims AS BIGINT) AS dims, t.query_id
+       |  FROM (VALUES $gridVals) d(dims)
+       |  CROSS JOIN (SELECT DISTINCT query_id FROM truth) t)
+       |SELECT g.dims, g.query_id,
+       |  COALESCE(h.hits, 0) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / ${k.toDouble} AS recall_at_k
+       |FROM grid g LEFT JOIN hits h ON h.dims = g.dims AND h.query_id = g.query_id
+       |ORDER BY g.dims, g.query_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q215_matryoshka_recall" -> matryoshkaOracle,
     // q19 sessionization CTEs + session-keyed first-occurrence self-join
     "q193_seq_patterns" ->
       """WITH t AS (

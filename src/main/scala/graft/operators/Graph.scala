@@ -658,7 +658,63 @@ object Graph {
     sb.toString
   }
 
+  // ------------------------------------------------------------------ q213
+
+  /** q213's pinned result size. */
+  private[operators] val AaTopN = 20
+
+  /** q213 — Adamic–Adar link prediction over the co-purchase graph: for
+    * every NON-adjacent part pair (u, v), score(u,v) = Σ_{w ∈ N(u)∩N(v)}
+    * 1/ln(deg(w)) (Adamic & Adar 2003) — rare shared neighbors count
+    * more than hub neighbors. The top-[[AaTopN]] pairs are the edges the
+    * graph "should" have: the recommendation / knowledge-graph-completion
+    * primitive next to the descriptive graph family (q109/q134/q146).
+    *
+    * Determinism: each wedge term is floor(1e15/ln(deg_w)) — deg is an
+    * exact integer, ln and the division are single IEEE ops (bit-equal
+    * cross-engine), and the per-pair sum is pure decimal integer
+    * arithmetic, order-free. The top-N sorts on the INTEGER fixed-point
+    * score (ties by pair id), so no selection boundary rides on a float.
+    * ln(deg_w) > 0 always: a common neighbor has degree ≥ 2.
+    *
+    * Scale shape: the basket expansion is q109's (quadratic in bounded
+    * basket size, linear in orders); the wedge enumeration is the
+    * adjacency self-join on the center node w — Σ_w deg(w)² pairs, fine
+    * here (max co-purchase degree ~222 at sf0.1); on a power-law graph
+    * you'd cap or sample hub centers first (the q134 orientation trick
+    * does not apply: AA needs ALL common neighbors, not one canonical
+    * witness). The existing-edge exclusion is a key-shuffled left-anti
+    * join, and the top-N plans as TakeOrderedAndProject. */
+  def adamicAdar(s: SparkSession, lineitem: DataFrame,
+                 topN: Int = AaTopN): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    // undirected edge list, both directions, deduped; degree rides along
+    // from the per-src partner set (one exchange, same shape as q109)
+    val edgesDeg = graft.core.CacheScope.cached(baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), size(col("dsts")).cast("long").as("degree"),
+        explode(col("dsts")).as("dst")))
+    val term = floor(lit(1e15) / log(col("degree").cast("double"))).cast("decimal(38,0)")
+    // wedges centered at w = src: unordered neighbor pairs u < v
+    val wedges = edgesDeg.select(col("src").as("w"), col("dst").as("u"), term.as("t"))
+      .join(edgesDeg.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_fp"))
+    val nonEdges = scored.join(
+      edgesDeg.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+    nonEdges.orderBy(col("aa_fp").desc, col("u"), col("v")).limit(topN)
+      .select(col("u").as("part_u"), col("v").as("part_v"), col("common"),
+        (col("aa_fp").cast("double") / lit(1e15)).as("adamic_adar"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_adamic_adar" -> ((s, d) => adamicAdar(s, Tables.lineitem(s, d))),
     "q191_kcore" -> ((s, d) => kcore(s, Tables.lineitem(s, d))),
     "q192_assortativity" -> ((s, d) => assortativity(s, Tables.lineitem(s, d))),
     "q155_random_walks" -> ((s, d) => randomWalks(s, Tables.lineitem(s, d))),
@@ -807,6 +863,28 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    "q213_adamic_adar" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM op a JOIN op b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+         |wdg AS (
+         |  SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
+         |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+         |sc AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+         |    sum(CAST(floor(1.0e15 / ln(CAST(deg.d AS DOUBLE))) AS HUGEINT)) AS aa_fp
+         |  FROM wdg JOIN deg ON deg.src = wdg.w
+         |  GROUP BY u, v),
+         |ne AS (
+         |  SELECT sc.* FROM sc
+         |  WHERE NOT EXISTS (SELECT 1 FROM und
+         |                    WHERE und.src = sc.u AND und.dst = sc.v))
+         |SELECT u AS part_u, v AS part_v, common,
+         |  CAST(aa_fp AS DOUBLE) / 1.0e15 AS adamic_adar
+         |FROM ne ORDER BY aa_fp DESC, u, v LIMIT $AaTopN""".stripMargin,
     "q191_kcore" ->
       s"""WITH ${kcoreCtes(KcoreK, KcoreRounds)}
          |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (

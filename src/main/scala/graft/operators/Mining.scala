@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheScope, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Corpus-mining operators on top of the dedup/similarity kernels: the steps
@@ -423,7 +423,66 @@ object Mining {
       .orderBy(col("l_orderkey"), col("l_partkey"), col("slot"))
   }
 
+  // ------------------------------------------------- q218 Kneser-Ney LM
+
+  /** q218's pinned absolute discount and result size. */
+  private[operators] val KnDiscount = 0.75
+  private[operators] val KnTopN = 30
+
+  /** q218 — interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    * 1995; Chen & Goodman 1999), the production upgrade over q80's
+    * raw MLE and q92's unsmoothed LM score:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *               + D·N₁₊(w1,·)/c(w1·) · N₁₊(·,w2)/T
+    *
+    * with D = [[KnDiscount]], N₁₊(w1,·) = distinct continuations of w1,
+    * N₁₊(·,w2) = distinct contexts preceding w2 (the CONTINUATION
+    * unigram — "how novel-context-friendly is w2", KN's key idea), and
+    * T = total bigram types. Emits the top-[[KnTopN]] bigrams by raw
+    * count with MLE and KN probabilities side by side.
+    *
+    * Determinism: every count is an exact integer (observed c ≥ 1 > D,
+    * so the discounted term stays positive without a max-guard); the
+    * probability is ONE pinned IEEE chain written identically in both
+    * engines (left-to-right: (c−D)/c₁ + D·n_post/c₁·(n_pre/T)); the
+    * top-N boundary sorts on the INTEGER count (ties by bigram).
+    *
+    * Scale shape: scan-local bigram assembly (`WordNgramList`, the
+    * q80/q148 expression); one (w1,w2) partial+final count; the three
+    * marginals are re-aggregations of that vocab²-bounded frame (each
+    * partial+final on w1 or w2); the 1-row type total broadcasts. No
+    * corpus-sized shuffle beyond the bigram count q80 already pays. */
+  def kneserNey(s: SparkSession, docs: DataFrame, discount: Double = KnDiscount,
+                topN: Int = KnTopN): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount must be in (0,1)")
+    VectorFunctions.register(s)
+    val cnt = CacheScope.cached(docs
+      .select(explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+    val ctx = cnt.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("n_post"))
+    val cont = cnt.groupBy(col("w2")).agg(count(lit(1)).as("n_pre"))
+    val types = cnt.agg(count(lit(1)).as("t"))
+    val d = lit(discount)
+    val pKn = (col("c").cast("double") - d) / col("c_w1").cast("double") +
+      d * col("n_post").cast("double") / col("c_w1").cast("double") *
+        (col("n_pre").cast("double") / col("t").cast("double"))
+    cnt.join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c"), col("c_w1"),
+        col("n_post"), col("n_pre"),
+        (col("c").cast("double") / col("c_w1").cast("double")).as("p_mle"),
+        pKn.as("p_kn"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_kneser_ney" -> ((s, d) => kneserNey(s, Tables.documents(s, d))),
     "q204_neg_sample" -> ((s, d) => negSample(s, Tables.lineitem(s, d))),
     "q196_item_sim" -> ((s, d) => itemSim(s, Tables.lineitem(s, d))),
     "q148_pmi" -> ((s, d) => q148Pmi(s, d)),
@@ -442,6 +501,28 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    "q218_kneser_ney" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |b AS (
+         |  SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+         |                 for i in range(1, len(ws))]) AS s
+         |  FROM w WHERE len(ws) >= 2),
+         |c AS (SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+         |      FROM b GROUP BY s.w1, s.w2),
+         |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+         |          CAST(count(*) AS BIGINT) AS n_post
+         |        FROM c GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_pre FROM c GROUP BY w2),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c)
+         |SELECT c.w1, c.w2, c.c AS c, ctx.c_w1, ctx.n_post, cont.n_pre,
+         |  CAST(c.c AS DOUBLE) / CAST(ctx.c_w1 AS DOUBLE) AS p_mle,
+         |  (CAST(c.c AS DOUBLE) - $KnDiscount) / CAST(ctx.c_w1 AS DOUBLE)
+         |    + $KnDiscount * CAST(ctx.n_post AS DOUBLE) / CAST(ctx.c_w1 AS DOUBLE)
+         |      * (CAST(cont.n_pre AS DOUBLE) / CAST(tt.t AS DOUBLE)) AS p_kn
+         |FROM c JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+         |ORDER BY c.c DESC, c.w1, c.w2 LIMIT $KnTopN""".stripMargin,
     // same exp/ln weight chain, integer CDF, md5 coin; plain range join
     // in DuckDB (the engine bucketizes for an equi-join — same rows)
     "q204_neg_sample" ->

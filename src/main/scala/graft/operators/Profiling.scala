@@ -446,9 +446,52 @@ object Profiling {
           .otherwise(lit(null).cast("double")).as("alpha"))
   }
 
+  // ------------------------------------------------------------------ q214
+
+  /** q214 — 1-D earth-mover (Wasserstein-1) distance between each
+    * source's length distribution and the corpus, over the q166/q208
+    * log₂ buckets: on a unit-spaced grid W₁ = Σ_b |CDF_src(b) −
+    * CDF_corpus(b)| — the magnitude-aware drift score that completes the
+    * drift family (q170 KS = worst single point, q208 PSI = log-ratio
+    * weighted, q172 JSD = symmetric entropy; EMD alone says HOW FAR the
+    * mass moved, in bucket widths).
+    *
+    * Determinism: both CDFs are put over the common denominator
+    * N_src·N_corpus, so every per-bucket term |cum_src·N_corp −
+    * cum_corp·N_src| is an exact integer (decimal(38,0) — at petabyte
+    * row counts the product exceeds a long), the sum is order-free, and
+    * the ONLY float op is the one terminal division.
+    *
+    * Scale shape: identical to q208 — one scan-local bucket projection,
+    * one (source, bucket) count, a broadcast corpus grid, a per-source
+    * window cumsum over ≤64 buckets, one |sources|-key aggregate. */
+  def emdDrift(docs: DataFrame): DataFrame = {
+    val bucket = (length(bin(col("n_chars"))) - lit(1)).cast("long")
+    val cell = docs.select(col("source"), bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    val corpus = cell.groupBy(col("bucket")).agg(sum(col("c")).as("cc"))
+    val nTot = corpus.agg(sum(col("cc")).as("n_corpus"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val grid = perSource.crossJoin(broadcast(corpus))
+      .join(cell, Seq("source", "bucket"), "left")
+      .select(col("source"), col("n_docs"), col("bucket"), col("cc"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(nTot))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val diff = abs(sum(col("c")).over(w).cast("decimal(38,0)") * col("n_corpus") -
+      sum(col("cc")).over(w).cast("decimal(38,0)") * col("n_docs"))
+    grid.select(col("source"), col("n_docs"), col("n_corpus"), diff.as("diff"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg((sum(col("diff")).cast("double") /
+        (col("n_docs").cast("double") * max(col("n_corpus")).cast("double")))
+        .as("emd_buckets"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_emd_drift" -> ((s, d) => emdDrift(Tables.documents(s, d))),
     "q209_hill_tail" -> ((s, d) => hillTail(Tables.documents(s, d))),
     "q208_psi" -> ((s, d) => psiBySource(Tables.documents(s, d))),
     "q198_benford" -> ((s, d) => benford(s, Tables.lineitem(s, d))),
@@ -462,6 +505,33 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q214_emd_drift" ->
+      """WITH cell AS (
+        |  SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |corpus AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cc
+        |           FROM cell GROUP BY bucket),
+        |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n_corpus FROM corpus),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY source),
+        |grid AS (
+        |  SELECT ps.source, ps.n_docs, corpus.bucket, corpus.cc,
+        |    COALESCE(cell.c, 0) AS c, nt.n_corpus
+        |  FROM ps CROSS JOIN corpus
+        |  LEFT JOIN cell ON cell.source = ps.source AND cell.bucket = corpus.bucket
+        |  CROSS JOIN nt),
+        |cum AS (
+        |  SELECT source, n_docs, n_corpus,
+        |    abs(CAST(sum(c) OVER (PARTITION BY source ORDER BY bucket) AS HUGEINT)
+        |          * n_corpus
+        |        - CAST(sum(cc) OVER (PARTITION BY source ORDER BY bucket) AS HUGEINT)
+        |          * n_docs) AS diff
+        |  FROM grid)
+        |SELECT source, n_docs,
+        |  CAST(sum(diff) AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * CAST(max(n_corpus) AS DOUBLE)) AS emd_buckets
+        |FROM cum GROUP BY source, n_docs ORDER BY source""".stripMargin,
     "q209_hill_tail" ->
       s"""WITH top AS (
          |  SELECT n_chars FROM documents

@@ -205,7 +205,60 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------------------------ q211
+
+  /** q211's pinned fusion parameters — shared by `rrfFusion`'s defaults
+    * AND the generated oracle so the two cannot silently diverge. */
+  private[operators] val RrfC = 60
+  private[operators] val RrfListLen = 50
+  private[operators] val RrfTopN = 20
+  private[operators] val RrfTerms = Seq("table", "part")
+
+  /** q211 — Reciprocal Rank Fusion of two retrieval rankings: the
+    * lexical signal (occurrence count of the pinned query terms, q105's
+    * scan-local token machinery) and the quality signal (q31's score) —
+    * the standard hybrid-search combiner (Cormack et al. 2009):
+    * RRF(d) = Σ_lists 1/(c + rank_list(d)) over each list's top
+    * [[RrfListLen]], absent-from-list contributing 0.
+    *
+    * Determinism: both per-list ranks are integers (ties broken by
+    * doc_id; the quality VALUES are bit-identical cross-engine — q185
+    * already ranks on them and hash-matches), and the fused score is a
+    * fixed two-term IEEE sum (lexical term first, then quality — same
+    * order both engines). The final top-[[RrfTopN]] boundary breaks ties
+    * by doc_id.
+    *
+    * Scale shape: both scores are scan-local; each top-K list plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort), and
+    * everything after — the window ranks, the full-outer fusion join,
+    * the final top-N — runs on ≤ 2·[[RrfListLen]] rows. At 100 TB the
+    * cost is two parquet scans (or one, if the caller fuses the two
+    * score projections); nothing downstream grows with the corpus. */
+  def rrfFusion(docs: DataFrame, terms: Seq[String] = RrfTerms): DataFrame = {
+    require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "query terms must be non-empty whitespace-free tokens")
+    val tf = docs.select(col("doc_id"),
+      size(filter(TextFunctions.tokens(col("text")),
+        t => t.isin(terms: _*))).cast("long").as("tf"))
+    val listA = tf.orderBy(col("tf").desc, col("doc_id")).limit(RrfListLen)
+      .withColumn("rank_tf",
+        row_number().over(Window.orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+    val listB = q.orderBy(col("quality_score").desc, col("doc_id")).limit(RrfListLen)
+      .withColumn("rank_quality",
+        row_number().over(
+          Window.orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+    listA.select(col("doc_id"), col("rank_tf"))
+      .join(listB.select(col("doc_id"), col("rank_quality")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_tf"), col("rank_quality"),
+        (coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("rank_tf").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("rank_quality").cast("double")),
+            lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTopN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_rrf_fusion" -> ((s, d) => rrfFusion(Tables.documents(s, d))),
     "q207_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables.embeddings(s, d))),
     "q105_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "q106_temperature_mix" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
@@ -259,7 +312,44 @@ object Search {
        |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q211's DuckDB twin — same list lengths, rank tie-breaks, and the
+    * same fixed two-term fused sum (lexical first). */
+  private def rrfOracle: String = {
+    val inList = RrfTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id,
+       |    CAST(len([x for x in ws if x IN ($inList)]) AS BIGINT) AS tf
+       |  FROM w),
+       |ta AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+       |      AS rank_tf
+       |  FROM tf QUALIFY rank_tf <= $RrfListLen),
+       |q AS (
+       |  SELECT doc_id,
+       |    least(1.0, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+       |      / 100.0) *
+       |    (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE)) AS quality_score
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+       |      AS rank_quality
+       |  FROM q QUALIFY rank_quality <= $RrfListLen),
+       |f AS (
+       |  SELECT COALESCE(ta.doc_id, tb.doc_id) AS doc_id, ta.rank_tf, tb.rank_quality,
+       |    COALESCE(1.0 / ($RrfC.0 + CAST(ta.rank_tf AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / ($RrfC.0 + CAST(tb.rank_quality AS DOUBLE)), 0.0) AS rrf
+       |  FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id)
+       |SELECT doc_id, rank_tf, rank_quality, rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfTopN""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q211_rrf_fusion" -> rrfOracle,
     "q207_mmr_diversify" -> mmrOracle,
     // position-join formulation — independent of the Spark n-gram path
     "q105_phrase_search" ->

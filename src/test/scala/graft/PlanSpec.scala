@@ -183,7 +183,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q205_shuffle_quality", // 1-row global-entropy attach on the shard frame
       "q207_mmr_diversify", // q25's broadcast-query theta join feeding the shortlist
       "q208_psi", // bucket-grid + 1-row totals attaches on the |sources| x |buckets| frame
-      "q209_hill_tail") // 1-row reference-order-statistic attach on the k+1-row frame
+      "q209_hill_tail", // 1-row reference-order-statistic attach on the k+1-row frame
+      "q210_top_pc", // 1-row norm/lambda/trace attaches on the d-row loading frame
+      "q215_matryoshka_recall", // q25's broadcast-query theta joins, one per prefix width
+      "q218_kneser_ney", // 1-row bigram-type-total attach on the top-N frame
+      "q212_neyman_alloc", // 1-row weight-denominator attach on the |sources|-bounded frame
+      "q214_emd_drift") // bucket-grid + 1-row corpus-total attaches (q208's shape)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
