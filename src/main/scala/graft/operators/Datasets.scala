@@ -590,7 +590,98 @@ object Datasets {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------------ q221
+
+  /** q221's pinned replicate count and the Poisson(1) CDF ladder
+    * (cumulative P[X <= j], j = 0..6; a weight of 7 absorbs the
+    * residual 1e-5 tail mass). One source of truth for the engine
+    * expression AND the generated oracle. */
+  private[operators] val BootReps = 32
+  private[operators] val PoissonCum: Seq[Double] = {
+    val inv = math.exp(-1.0)
+    (0 to 6).scanLeft(0.0) { case (acc, k) =>
+      acc + inv / (1 to k).foldLeft(1.0)(_ * _)
+    }.tail
+  }
+
+  /** q221 — Poisson bootstrap of the mean document length (Chamandy et
+    * al. 2012, "Estimating uncertainty for massive data streams" — the
+    * standard one-pass bootstrap at scale): replicate b reweights each
+    * doc by an independent Poisson(1) count drawn from the md5 uniform
+    * u = h60(doc_id||b)/2^60 through the pinned inverse-CDF ladder
+    * [[PoissonCum]], and reports each replicate's weighted mean — the
+    * spread of those [[BootReps]] means IS the sampling uncertainty of
+    * the corpus statistic, computed without ever materializing a
+    * resample. Multinomial bootstrap needs the global n per draw;
+    * Poisson(1) factorizes per row, which is what makes it
+    * shuffle-free.
+    *
+    * Determinism: u is the exact md5-uniform (q48/q111 family); the
+    * ladder compares u to pinned double literals, so each weight is an
+    * exact integer in both engines; Σw and Σw·len are exact BIGINTs;
+    * the replicate mean is one terminal division (NULL if a replicate
+    * weights out every doc — possible only on toy fixtures).
+    *
+    * Scale shape: one scan with a [[BootReps]]-way row expansion (the
+    * honest cost — B passes' worth of aggregate input, but ZERO extra
+    * shuffles: the (b)-keyed aggregate is partial+final over B keys),
+    * everything after runs on B rows. */
+  def bootstrapMeans(docs: DataFrame, reps: Int = BootReps): DataFrame = {
+    require(reps > 0, "replicate count must be positive")
+    val len = size(TextFunctions.tokens(col("text"))).cast("long")
+    val u = TextFunctions.h60(concat_ws("-", col("doc_id"), col("b")))
+      .cast("double") / lit(Pow60)
+    val w = PoissonCum.map(t => when(u >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(col("doc_id"), len.as("len"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .select(col("b").cast("long").as("b"), col("len"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("len")).as("wlen"))
+      .select(col("b"), col("n_eff"),
+        when(col("n_eff") > 0,
+          col("wlen").cast("double") / col("n_eff").cast("double"))
+          .otherwise(lit(null).cast("double")).as("boot_mean"))
+      .orderBy(col("b"))
+  }
+
+  // ------------------------------------------------------------------ q222
+
+  /** q222's pinned fold count. */
+  private[operators] val KFolds = 5
+
+  /** q222 — stratified k-fold assignment: within each source, docs are
+    * ranked by the md5 key and dealt round-robin into [[KFolds]] folds,
+    * so every (source, fold) cell is exactly balanced (|n_f − n_g| ≤ 1
+    * within a source — the guarantee q111's iid cut cannot give small
+    * strata) while membership stays pseudorandom and content-free. The
+    * cross-validation counterpart of q63's stratified sample; emits the
+    * per-cell counts plus each source's max−min spread as the audit.
+    *
+    * Determinism: ranks are integers off the md5 order (ties by doc_id,
+    * the q81 convention); fold = (rank−1) mod k; counts are exact.
+    *
+    * Scale shape: ONE per-source window sort (the same shuffle q106
+    * already pays — at 100 TB, partitioned by source with skew handled
+    * by the source key's cardinality), then a (source, fold) count and
+    * a |sources|-key window max/min on the tiny aggregated frame. */
+  def stratifiedKFold(docs: DataFrame, k: Int = KFolds): DataFrame = {
+    require(k >= 2, "fold count must be at least 2")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val cells = docs
+      .select(col("source"), col("doc_id"))
+      .withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+      .groupBy(col("source"), col("fold")).agg(count(lit(1)).as("n_docs"))
+    val ws = Window.partitionBy(col("source"))
+    cells
+      .withColumn("source_spread", max(col("n_docs")).over(ws) - min(col("n_docs")).over(ws))
+      .orderBy(col("source"), col("fold"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_bootstrap_ci" -> ((s, d) => bootstrapMeans(Tables.documents(s, d))),
+    "q222_stratified_kfold" -> ((s, d) => stratifiedKFold(Tables.documents(s, d))),
     "q169_hist_quantiles" -> ((s, d) => histQuantiles(Tables.documents(s, d))),
     "q170_ks_drift" -> ((s, d) => ksDrift(Tables.documents(s, d))),
     "q158_kl_divergence" -> ((s, d) => klDivergence(Tables.documents(s, d))),
@@ -635,7 +726,49 @@ object Datasets {
        |FROM j ORDER BY source""".stripMargin
   }
 
+  /** q221's DuckDB twin — the CASE ladder is GENERATED from the same
+    * [[PoissonCum]] constants the engine expression uses. */
+  private def bootstrapOracle: String = {
+    val ladder = PoissonCum
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS len
+       |  FROM documents),
+       |r AS (SELECT CAST(unnest(range($BootReps)) AS BIGINT) AS b),
+       |u AS (
+       |  SELECT d.len, r.b,
+       |    ${h60sql("CAST(doc_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)")}
+       |      / 1152921504606846976.0 AS u
+       |  FROM d CROSS JOIN r),
+       |w AS (
+       |  SELECT b, len, CAST($ladder AS BIGINT) AS w
+       |  FROM u)
+       |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CASE WHEN sum(w) > 0 THEN
+       |    CAST(sum(w * len) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+       |  ELSE NULL END AS boot_mean
+       |FROM w GROUP BY b ORDER BY b""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q221_bootstrap_ci" -> bootstrapOracle,
+    "q222_stratified_kfold" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    (row_number() OVER (PARTITION BY source
+         |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+         |      % $KFolds AS fold
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, CAST(fold AS BIGINT) AS fold,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY source, fold)
+         |SELECT source, fold, n_docs,
+         |  CAST(max(n_docs) OVER (PARTITION BY source)
+         |    - min(n_docs) OVER (PARTITION BY source) AS BIGINT) AS source_spread
+         |FROM c ORDER BY source, fold""".stripMargin,
     "q212_neyman_alloc" ->
       s"""WITH m AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -682,7 +682,53 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------------ q219
+
+  /** q219 — entity-resolution blocking audit: reduction ratio vs pair
+    * completeness (Christen 2012's standard blocking metrics) for the
+    * cheapest practical block key — the document's first raw token —
+    * against normalized-content ground truth (q206's canonical form).
+    * Blocking is what makes dedup/ER tractable at 100 TB (compare only
+    * within blocks); this op measures BOTH sides of that bargain: how
+    * many candidate pairs the key eliminates (reduction ratio) and how
+    * many true duplicate pairs it keeps co-blocked (completeness — raw
+    * first tokens differ across case/punctuation variants, so it is
+    * genuinely < 1).
+    *
+    * Determinism & scale: NO pair set is ever materialized — every pair
+    * count is Σ C(group,2) computed from partial+final group sizes
+    * (three hash-keyed aggregates over md5/block keys), summed as
+    * decimal(38,0) (C(n,2) at petabyte group sizes exceeds a long); the
+    * two ratios are terminal divisions. */
+  def blockingQuality(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    val base = docs.select(md5(norm).as("hn"),
+      element_at(TextFunctions.tokens(col("text")), 1).as("blk"))
+    // per-group C(m,2) in long arithmetic (exact to m ~ 4e9 per group),
+    // summed as decimal so the TOTAL never overflows
+    val pairSum = sum(expr("m * (m - 1) DIV 2").cast("decimal(38,0)"))
+    val truth = base.groupBy(col("hn")).agg(count(lit(1)).as("m"))
+      .agg(pairSum.as("true_pairs"), sum(col("m")).as("n_docs"))
+    val found = base.groupBy(col("hn"), col("blk")).agg(count(lit(1)).as("m"))
+      .agg(pairSum.as("found_pairs"))
+    val cand = base.groupBy(col("blk")).agg(count(lit(1)).as("m"))
+      .agg(pairSum.as("cand_pairs"))
+    truth.crossJoin(broadcast(found)).crossJoin(broadcast(cand))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) DIV 2").cast("decimal(38,0)").as("total_pairs"),
+        col("cand_pairs"), col("true_pairs"), col("found_pairs"))
+      .select(col("n_docs"), col("total_pairs"), col("cand_pairs"),
+        (lit(1.0) - col("cand_pairs").cast("double") /
+          col("total_pairs").cast("double")).as("reduction_ratio"),
+        col("true_pairs"), col("found_pairs"),
+        when(col("true_pairs") > 0,
+          col("found_pairs").cast("double") / col("true_pairs").cast("double"))
+          .otherwise(lit(null).cast("double")).as("pair_completeness"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_blocking_quality" -> ((s, d) => blockingQuality(Tables.documents(s, d))),
     "q206_norm_dedup_gain" -> ((s, d) => normDedupGain(Tables.documents(s, d))),
     "q202_lsh_quality" -> ((s, d) => lshQuality(Tables.documents(s, d))),
     "q164_dedup_report" -> ((s, d) => dedupReport(Tables.documents(s, d))),
@@ -723,6 +769,38 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q219_blocking_quality" ->
+      """WITH base AS (
+        |  SELECT md5(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      '  +', ' ', 'g'))) AS hn,
+        |    regexp_split_to_array(trim(text), '\s+')[1] AS blk
+        |  FROM documents),
+        |tg AS (SELECT hn, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY hn),
+        |truth AS (
+        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS HUGEINT)
+        |      AS true_pairs,
+        |    CAST(sum(m) AS BIGINT) AS n_docs
+        |  FROM tg),
+        |fg AS (SELECT hn, blk, CAST(count(*) AS BIGINT) AS m
+        |       FROM base GROUP BY hn, blk),
+        |found AS (
+        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS HUGEINT)
+        |    AS found_pairs FROM fg),
+        |cg AS (SELECT blk, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY blk),
+        |cand AS (
+        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS HUGEINT)
+        |    AS cand_pairs FROM cg)
+        |SELECT n_docs,
+        |  CAST(n_docs * (n_docs - 1) // 2 AS HUGEINT) AS total_pairs,
+        |  cand_pairs,
+        |  1.0 - CAST(cand_pairs AS DOUBLE)
+        |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) AS reduction_ratio,
+        |  true_pairs, found_pairs,
+        |  CASE WHEN true_pairs > 0 THEN
+        |    CAST(found_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+        |  ELSE NULL END AS pair_completeness
+        |FROM truth CROSS JOIN found CROSS JOIN cand""".stripMargin,
     "q206_norm_dedup_gain" ->
       """WITH h AS (
         |  SELECT source, md5(text) AS h_raw,

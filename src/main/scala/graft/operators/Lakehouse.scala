@@ -285,7 +285,66 @@ object Lakehouse {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q220's pinned bucket count and the simulated elder-snapshot cutoff. */
+  private[operators] val MerkleBuckets = 64L
+  private[operators] val MerkleCutoff = "1997-01-01"
+
+  /** q220 — bucket-level snapshot diff (the Merkle-tree reconciliation
+    * pattern): both snapshots roll up to [[MerkleBuckets]] order-
+    * independent bucket digests on the SAME key partitioning
+    * (l_orderkey mod B), and only buckets whose (count, checksum)
+    * differ need row-level investigation — how replicas, backfills,
+    * and CDC targets are compared at 100 TB without shipping or
+    * sorting either side (q100 generalized from one table-level
+    * checksum to a diff-localizing hierarchy; a deeper tree = re-run
+    * within the flagged bucket). Snapshot B is simulated as the
+    * pre-[[MerkleCutoff]] subset of lineitem — a frozen "yesterday"
+    * copy with late rows missing.
+    *
+    * Determinism & scale: q100's exact machinery per bucket — md5 60-bit
+    * row hash over a canonical serialization, summed in three 20-bit
+    * long chunks (codegen fast path), recombined in decimal once per
+    * bucket; counts are exact; `differs` compares integers. One
+    * partial+final aggregate per snapshot, a 64-row full-outer join. */
+  def q220MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def digest(df: DataFrame, cntName: String, sumName: String): DataFrame = {
+      val row = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(12,2)"),
+        col("l_extendedprice").cast("decimal(14,2)"),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")))
+      val h = graft.functions.TextFunctions.h60(row)
+      val mask = lit(1048575L)
+      df.groupBy((col("l_orderkey") % MerkleBuckets).as("bucket"))
+        .agg(count(lit(1)).as(cntName),
+          sum(shiftright(h, 40)).as("sa"),
+          sum(shiftright(h, 20).bitwiseAND(mask)).as("sb"),
+          sum(h.bitwiseAND(mask)).as("sc"))
+        .select(col("bucket"), col(cntName),
+          (col("sa").cast("decimal(38,0)") * lit(1099511627776L) +
+            col("sb").cast("decimal(38,0)") * lit(1048576L) +
+            col("sc").cast("decimal(38,0)")).cast("string").as(sumName))
+    }
+    val a = digest(li, "n_rows_a", "checksum_a")
+    val b = digest(li.filter(
+      col("l_shipdate").cast("timestamp") < lit(MerkleCutoff).cast("timestamp")),
+      "n_rows_b", "checksum_b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
+        coalesce(col("checksum_a"), lit("0")).as("checksum_a"),
+        coalesce(col("checksum_b"), lit("0")).as("checksum_b"))
+      .withColumn("differs",
+        col("n_rows_a") =!= col("n_rows_b") ||
+          col("checksum_a") =!= col("checksum_b"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_merkle_diff" -> (q220MerkleDiff _),
     "q73_scd2" -> (q73Scd2 _),
     "q74_merge_upsert" -> (q74MergeUpsert _),
     "q75_incremental_agg" -> (q75IncrementalAgg _),
@@ -297,6 +356,36 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q220_merkle_diff" ->
+      s"""WITH h AS (
+         |  SELECT l_orderkey % $MerkleBuckets AS bucket, l_shipdate,
+         |    CAST(('0x' || substr(md5(concat_ws('|',
+         |      l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |      CAST(l_quantity AS DECIMAL(12,2)),
+         |      CAST(l_extendedprice AS DECIMAL(14,2)),
+         |      l_returnflag, l_linestatus,
+         |      epoch_us(l_shipdate))), 1, 15)) AS BIGINT) AS rh
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows_a,
+         |    CAST(CAST(sum(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         |      AS checksum_a
+         |  FROM h GROUP BY bucket),
+         |b AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows_b,
+         |    CAST(CAST(sum(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         |      AS checksum_b
+         |  FROM h WHERE l_shipdate < TIMESTAMP '$MerkleCutoff'
+         |  GROUP BY bucket)
+         |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         |  COALESCE(n_rows_a, 0) AS n_rows_a,
+         |  COALESCE(n_rows_b, 0) AS n_rows_b,
+         |  COALESCE(checksum_a, '0') AS checksum_a,
+         |  COALESCE(checksum_b, '0') AS checksum_b,
+         |  (COALESCE(n_rows_a, 0) <> COALESCE(n_rows_b, 0)
+         |    OR COALESCE(checksum_a, '0') <> COALESCE(checksum_b, '0')) AS differs
+         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+         |ORDER BY 1""".stripMargin,
     "q100_table_checksum" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(CAST(('0x' || substr(md5(concat_ws('|',

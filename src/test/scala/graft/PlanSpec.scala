@@ -186,6 +186,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q209_hill_tail", // 1-row reference-order-statistic attach on the k+1-row frame
       "q210_top_pc", // 1-row norm/lambda/trace attaches on the d-row loading frame
       "q215_matryoshka_recall", // q25's broadcast-query theta joins, one per prefix width
+      "q219_blocking_quality", // two 1-row metric-frame attaches on the 1-row truth frame
       "q218_kneser_ney", // 1-row bigram-type-total attach on the top-N frame
       "q212_neyman_alloc", // 1-row weight-denominator attach on the |sources|-bounded frame
       "q214_emd_drift") // bucket-grid + 1-row corpus-total attaches (q208's shape)

@@ -5,7 +5,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.GraftSession
-import graft.operators.{Analytics, Classify, Datasets, Evaluation, Graph, Mining, Profiling, Search}
+import graft.operators.{Analytics, Classify, Datasets, Dedup, Evaluation, Graph, Lakehouse, Mining, Profiling, Search}
 
 /** Round-9 third batch (q211-q214): RRF hybrid fusion, Neyman
   * allocation, Adamic-Adar link prediction, 1-D EMD drift.
@@ -119,6 +119,67 @@ class Round9cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs(got("a") - 0.5) < 1e-12)
     assert(math.abs(got("b") - 0.5) < 1e-12)
+  }
+
+  // ------------------------------------------------------------------ q219
+
+  test("q219: case-variant dups break blocking, exact dups survive it") {
+    val d = docs(Seq(
+      (1L, "a", "Hello world", 11L), (2L, "a", "hello world", 11L), // norm-dup, split blocks
+      (3L, "a", "same txt", 8L), (4L, "a", "same txt", 8L)))        // raw dup, same block
+    val r = Dedup.blockingQuality(d).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDecimal(1).longValue == 6L)  // C(4,2)
+    assert(r.getDecimal(2).longValue == 1L)  // only the "same" block pairs
+    assert(math.abs(r.getDouble(3) - (1.0 - 1.0 / 6.0)) < 1e-15)
+    assert(r.getDecimal(4).longValue == 2L)  // two true dup pairs
+    assert(r.getDecimal(5).longValue == 1L)  // blocking finds only the raw one
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-15)
+  }
+
+  // ------------------------------------------------------------------ q220
+
+  test("q220: bucket digests agree exactly where no rows were cut") {
+    val rows = Lakehouse.q220MerkleDiff(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      val same = r.getString(3) == r.getString(4)
+      if (na == nb && same) assert(!r.getBoolean(5))
+      if (na != nb) assert(r.getBoolean(5))
+      assert(na >= nb) // snapshot B is a subset
+    }
+    // the simulated elder snapshot genuinely differs somewhere
+    assert(rows.exists(_.getBoolean(5)))
+  }
+
+  // ------------------------------------------------------------------ q221
+
+  test("q221: constant-length corpus pins every replicate mean to that length") {
+    val d = docs((1L to 40L).map(i => (i, "a", "five words of plain text", 24L)))
+    val rows = Datasets.bootstrapMeans(d).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == 5.0, r.toString)
+      assert(r.getLong(1) >= 0L)
+    }
+    // Poisson(1) reweighting keeps the effective mass near n on average
+    val meanEff = rows.map(_.getLong(1)).sum.toDouble / 32.0
+    assert(meanEff > 20.0 && meanEff < 60.0)
+  }
+
+  // ------------------------------------------------------------------ q222
+
+  test("q222: within-source fold sizes differ by at most one, dealt exactly") {
+    val d = docs((1L to 7L).map(i => (i, "a", s"t $i", 3L)) ++
+      (11L to 20L).map(i => (i, "b", s"t $i", 3L)))
+    val rows = Datasets.stratifiedKFold(d).collect()
+    val a = rows.filter(_.getString(0) == "a").map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val b = rows.filter(_.getString(0) == "b").map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(a.values.sum == 7L && a.values.forall(n => n == 1L || n == 2L))
+    assert(b.values.sum == 10L && b.values.forall(_ == 2L))
+    assert(rows.filter(_.getString(0) == "a").forall(_.getLong(3) == 1L))
+    assert(rows.filter(_.getString(0) == "b").forall(_.getLong(3) == 0L))
   }
 
   // ------------------------------------------------------------------ q215
