@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -498,9 +498,208 @@ object Analytics {
       .orderBy(col("phase"))
   }
 
+  // --------------------------------------------------- q223 changepoint
+
+  /** Zero-filled daily event-count series (the q201/q216 grid, shared). */
+  private[graft] def dailySeries(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val counts = events.select(expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val grid = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** q223 — binary-segmentation changepoint detection (depth 2) on the
+    * daily event-count series: the level-shift monitor that answers
+    * "WHEN did the traffic regime change", complementing q138's "is this
+    * minute bursty" and q201's "is there periodic structure". For a
+    * split of segment [a,b] after position t, the between-segment SSE
+    * reduction is diff²/(n₁·n₂·len) with diff = S₁·n₂ − S₂·n₁ — every
+    * input an exact BIGINT prefix sum, diff kept in decimal(19,0)
+    * (exact for |diff| < 1e19, i.e. any realistic event volume), diff²
+    * exact in decimal(38,0), and the gain one terminal double division,
+    * so the argmax cannot split engines. Level 1 picks the global split;
+    * level 2 re-splits both halves IN-PLAN (segment-keyed windows over
+    * the same prefix frame — bounded unrolling, no driver loop).
+    *
+    * Scale shape: one day-keyed count off the events scan; everything
+    * after (gap-fill, one prefix window, two argmax windows) runs on the
+    * calendar-bounded |days| grid frame. The unpartitioned prefix window
+    * is |days|-bounded by construction — same trade as q201/q216. */
+  /** Prefix-sum day frame shared by q223/q233: (day, c, s, d0, t, s_tot,
+    * pos) on the zero-filled grid. */
+  private def prefixFrame(events: DataFrame): DataFrame = {
+    val series = dailySeries(events)
+    val tot = series.agg(min(col("day")).as("d0"), count(lit(1)).as("t"),
+      sum(col("c")).as("s_tot"))
+    val wp = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.withColumn("s", sum(col("c")).over(wp))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("c"), col("s"), col("d0"), col("t"), col("s_tot"),
+        (col("day") - col("d0") + 1).as("pos"))
+  }
+
+  private def dec(c: Column) = c.cast("decimal(19,0)")
+
+  private def gainOf(s1: Column, s2: Column, n1: Column, n2: Column,
+                     len: Column): Column = {
+    val diff = dec(s1) * dec(n2) - dec(s2) * dec(n1)
+    (diff * diff).cast("double") /
+      (dec(n1) * dec(n2) * dec(len)).cast("double")
+  }
+
+  /** Level-1 split candidates with gains, argmax-ranked (rk = 1 is the
+    * cut) — the shared front half of q223, also conditioned on by q233. */
+  private def lvl1Ranked(pre: DataFrame): DataFrame = {
+    val c1 = pre.filter(col("pos") < col("t"))
+      .select(col("day"), col("pos"), col("d0"), col("t"), col("s_tot"),
+        col("pos").as("n1"), (col("t") - col("pos")).as("n2"),
+        col("s").as("s1"), (col("s_tot") - col("s")).as("s2"))
+      .withColumn("gain",
+        gainOf(col("s1"), col("s2"), col("n1"), col("n2"), col("t")))
+    val w1 = Window.orderBy(col("gain").desc, col("day"))
+    c1.withColumn("rk", row_number().over(w1))
+  }
+
+  def changepoint(s: SparkSession, events: DataFrame): DataFrame = {
+    val pre = prefixFrame(events)
+    val split1 = lvl1Ranked(pre).filter(col("rk") === 1)
+    val lvl1 = split1.select(lit(1L).as("level"),
+      col("d0").as("seg_start_day"), (col("d0") + col("t") - 1).as("seg_end_day"),
+      col("day").as("split_day"), col("n1").as("n_left"), col("n2").as("n_right"),
+      (col("s1").cast("double") / col("n1").cast("double")).as("mean_left"),
+      (col("s2").cast("double") / col("n2").cast("double")).as("mean_right"),
+      col("gain"))
+    // level 2: re-split each half of the level-1 partition
+    val cut = split1.select(col("pos").as("cut_pos"), col("s1").as("cut_s"))
+    val seg = pre.crossJoin(broadcast(cut))
+      .withColumn("a", when(col("pos") <= col("cut_pos"), lit(1L))
+        .otherwise(col("cut_pos") + 1))
+      .withColumn("b", when(col("pos") <= col("cut_pos"), col("cut_pos"))
+        .otherwise(col("t")))
+      .withColumn("sa", when(col("pos") <= col("cut_pos"), lit(0L))
+        .otherwise(col("cut_s")))
+      .withColumn("sb", when(col("pos") <= col("cut_pos"), col("cut_s"))
+        .otherwise(col("s_tot") - col("cut_s")))
+    val c2 = seg.filter(col("pos") < col("b"))
+      .select(col("day"), col("d0"), col("a"), col("b"),
+        (col("pos") - col("a") + 1).as("n1"), (col("b") - col("pos")).as("n2"),
+        (col("s") - col("sa")).as("s1"),
+        (col("sb") - (col("s") - col("sa"))).as("s2"),
+        (col("b") - col("a") + 1).as("len"))
+      .withColumn("gain",
+        gainOf(col("s1"), col("s2"), col("n1"), col("n2"), col("len")))
+    val w2 = Window.partitionBy(col("a")).orderBy(col("gain").desc, col("day"))
+    val lvl2 = c2.withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+      .select(lit(2L).as("level"),
+        (col("d0") + col("a") - 1).as("seg_start_day"),
+        (col("d0") + col("b") - 1).as("seg_end_day"),
+        col("day").as("split_day"), col("n1").as("n_left"), col("n2").as("n_right"),
+        (col("s1").cast("double") / col("n1").cast("double")).as("mean_left"),
+        (col("s2").cast("double") / col("n2").cast("double")).as("mean_right"),
+        col("gain"))
+    lvl1.unionAll(lvl2).orderBy(col("level"), col("seg_start_day"))
+  }
+
+  // ------------------------------------------ q233 segmented regression
+
+  /** q233 — segmented OLS around the q223 level-1 changepoint: one
+    * least-squares line per regime, answering "what was the trend
+    * BEFORE the break vs AFTER it" — the follow-up every q223 alert
+    * gets. Slopes come from exact integer moments per segment
+    * (n·Σxy − Σx·Σy over n·Σx² − (Σx)², decimal products), so the only
+    * doubles are the two terminal divisions; single-day segments pin
+    * slope/intercept to NULL rather than 0/0.
+    *
+    * Scale shape: the q223 plan (day-keyed count + calendar-bounded
+    * windows) plus one 2-key moment aggregate. The level-1 cut is
+    * recomputed in-plan from the same prefix frame — Catalyst reuses
+    * the exchange; no driver round-trip. */
+  def segmentedRegression(s: SparkSession, events: DataFrame): DataFrame = {
+    val pre = prefixFrame(events)
+    val cut = lvl1Ranked(pre).filter(col("rk") === 1)
+      .select(col("pos").as("cut_pos"))
+    val seg = pre.crossJoin(broadcast(cut))
+      .select(when(col("pos") <= col("cut_pos"), lit(1L)).otherwise(lit(2L))
+          .as("segment"),
+        col("day"), col("pos"), col("c"))
+    val m = seg.groupBy(col("segment")).agg(
+      count(lit(1)).as("n"),
+      min(col("day")).as("day_start"), max(col("day")).as("day_end"),
+      sum(col("pos")).as("sx"), sum(col("c")).as("sy"),
+      sum(dec(col("pos")) * dec(col("c"))).as("sxy"),
+      sum(dec(col("pos")) * dec(col("pos"))).as("sxx"))
+    val slope = (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+      .cast("double") /
+      (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+        .cast("double")
+    val slopeG = when(col("n") > 1, slope).otherwise(lit(null).cast("double"))
+    m.select(col("segment"), col("day_start"), col("day_end"), col("n").as("n_days"),
+        slopeG.as("slope"),
+        when(col("n") > 1,
+          (col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double"))
+          .otherwise(lit(null).cast("double")).as("intercept"))
+      .orderBy(col("segment"))
+  }
+
+  // ----------------------------------------------------- q224 Theil-Sen
+
+  /** q224 — Theil-Sen robust trend estimator on the daily event-count
+    * series: slope = median of all pairwise slopes, intercept = median
+    * of the residuals under that slope. Unlike q130's OLS it shrugs off
+    * outlier days (up to ~29% contamination), which is exactly what
+    * launch-day spikes and outage zeros are. Each pairwise slope is one
+    * division of exact integers (correctly-rounded IEEE — identical in
+    * both engines); the median is picked by EXACT rank (row_number over
+    * (slope, x1, x2), the two middle ranks averaged — a 2-term float
+    * add, order-free).
+    *
+    * Scale shape: the pair frame is the day-grid self theta join —
+    * |days|²/2 pairs, CALENDAR-bounded (a decade of days = 1.3M pairs
+    * on one executor), independent of event volume; the events scan
+    * contributes only the day-keyed count. */
+  def theilSen(s: SparkSession, events: DataFrame): DataFrame = {
+    val series = dailySeries(events)
+    val t0 = series.agg(min(col("day")).as("d0"), count(lit(1)).as("t_days"))
+    val xy = series.crossJoin(broadcast(t0))
+      .select((col("day") - col("d0") + 1).as("x"), col("c").as("y"),
+        col("t_days"))
+    val pairs = xy.as("p1")
+      .join(broadcast(xy.select(col("x").as("x2"), col("y").as("y2"))),
+        col("x2") > col("x"))
+      .select(col("x").as("x1"), col("x2"),
+        ((col("y2") - col("y")).cast("double") /
+          (col("x2") - col("x")).cast("double")).as("slope"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val wr = Window.orderBy(col("slope"), col("x1"), col("x2"))
+    val slopeMed = pairs.withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(np))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2") ||
+        col("rk") === expr("(n_pairs + 2) div 2"))
+      .agg((sum(col("slope")) / count(lit(1)).cast("double")).as("slope"),
+        first(col("n_pairs")).as("n_pairs"))
+    val res = xy.crossJoin(broadcast(slopeMed))
+      .select(col("x"), col("t_days"), col("slope"), col("n_pairs"),
+        (col("y").cast("double") - col("slope") * col("x").cast("double")).as("r"))
+    val wi = Window.orderBy(col("r"), col("x"))
+    res.withColumn("rk", row_number().over(wi))
+      .filter(col("rk") === expr("(t_days + 1) div 2") ||
+        col("rk") === expr("(t_days + 2) div 2"))
+      .agg(first(col("t_days")).as("n_days"), first(col("n_pairs")).as("n_pairs"),
+        first(col("slope")).as("slope_per_day"),
+        (sum(col("r")) / count(lit(1)).cast("double")).as("intercept"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_changepoint" -> ((s, d) => changepoint(s, Tables.events(s, d))),
+    "q233_segmented_ols" -> ((s, d) => segmentedRegression(s, Tables.events(s, d))),
+    "q224_theil_sen" -> ((s, d) => theilSen(s, Tables.events(s, d))),
     "q216_seasonal_decompose" -> ((s, d) => seasonalDecompose(s, Tables.events(s, d))),
     "q201_acf" -> ((s, d) => acfDaily(s, Tables.events(s, d))),
     "q199_km_survival" -> ((s, d) => kmSurvival(Tables.events(s, d))),
@@ -518,7 +717,146 @@ object Analytics {
     "q98_retention" -> (q98Retention _)
   )
 
+  /** Zero-filled daily-series CTE chain (cnt/grid/series), the DuckDB twin
+    * of [[dailySeries]] — shared by the q223/q224 oracles verbatim. */
+  private val SeriesCtes =
+    s"""cnt AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |grid AS (
+       |  SELECT unnest(generate_series((SELECT min(day) FROM cnt),
+       |    (SELECT max(day) FROM cnt))) AS day),
+       |series AS (
+       |  SELECT g.day, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+       |  FROM grid g LEFT JOIN cnt ON cnt.day = g.day)""".stripMargin
+
+  /** q223's level-1 cut CTE chain (series → prefix → argmax split),
+    * shared verbatim with the q233 oracle so the split the regression
+    * conditions on is character-identical to the one q223 reports. */
+  private val CutCtes =
+    s"""$SeriesCtes,
+       |tot AS (
+       |  SELECT CAST(min(day) AS BIGINT) AS d0, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(sum(c) AS BIGINT) AS s_tot
+       |  FROM series),
+       |pre AS (
+       |  SELECT day, c, sum(c) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+       |    d0, t, s_tot, day - d0 + 1 AS pos
+       |  FROM series CROSS JOIN tot),
+       |c1 AS (
+       |  SELECT day, pos, d0, t, s_tot, pos AS n1, t - pos AS n2,
+       |    s AS s1, s_tot - s AS s2,
+       |    CAST((CAST(s AS HUGEINT) * (t - pos) - CAST(s_tot - s AS HUGEINT) * pos)
+       |       * (CAST(s AS HUGEINT) * (t - pos) - CAST(s_tot - s AS HUGEINT) * pos)
+       |       AS DOUBLE)
+       |      / CAST(CAST(pos AS HUGEINT) * (t - pos) * t AS DOUBLE) AS gain
+       |  FROM pre WHERE pos < t),
+       |s1r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, day) AS rk FROM c1),
+       |cut AS (SELECT pos AS cut_pos, s1 AS cut_s FROM s1r WHERE rk = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q223_changepoint" ->
+      s"""WITH $CutCtes,
+         |lvl1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS level, d0 AS seg_start_day,
+         |    d0 + t - 1 AS seg_end_day, day AS split_day,
+         |    n1 AS n_left, n2 AS n_right,
+         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_left,
+         |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_right, gain
+         |  FROM s1r WHERE rk = 1),
+         |seg AS (
+         |  SELECT pre.*, cut.cut_pos, cut.cut_s,
+         |    CASE WHEN pos <= cut_pos THEN CAST(1 AS BIGINT)
+         |         ELSE cut_pos + 1 END AS a,
+         |    CASE WHEN pos <= cut_pos THEN cut_pos ELSE t END AS b,
+         |    CASE WHEN pos <= cut_pos THEN CAST(0 AS BIGINT)
+         |         ELSE cut_s END AS sa,
+         |    CASE WHEN pos <= cut_pos THEN cut_s ELSE s_tot - cut_s END AS sb
+         |  FROM pre CROSS JOIN cut),
+         |c2 AS (
+         |  SELECT day, d0, a, b, pos - a + 1 AS n1, b - pos AS n2,
+         |    s - sa AS s1, sb - (s - sa) AS s2, b - a + 1 AS len
+         |  FROM seg WHERE pos < b),
+         |g2 AS (
+         |  SELECT *,
+         |    CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+         |       * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1) AS DOUBLE)
+         |      / CAST(CAST(n1 AS HUGEINT) * n2 * len AS DOUBLE) AS gain
+         |  FROM c2),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY a
+         |    ORDER BY gain DESC, day) AS rk FROM g2),
+         |lvl2 AS (
+         |  SELECT CAST(2 AS BIGINT) AS level, d0 + a - 1 AS seg_start_day,
+         |    d0 + b - 1 AS seg_end_day, day AS split_day,
+         |    n1 AS n_left, n2 AS n_right,
+         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_left,
+         |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_right, gain
+         |  FROM r2 WHERE rk = 1)
+         |SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+         |ORDER BY level, seg_start_day""".stripMargin,
+    "q233_segmented_ols" ->
+      s"""WITH $CutCtes,
+         |seg AS (
+         |  SELECT CASE WHEN pos <= cut_pos THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(2 AS BIGINT) END AS segment,
+         |    day, pos, c
+         |  FROM pre CROSS JOIN cut),
+         |m AS (
+         |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(min(day) AS BIGINT) AS day_start,
+         |    CAST(max(day) AS BIGINT) AS day_end,
+         |    CAST(sum(pos) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+         |    sum(CAST(pos AS HUGEINT) * CAST(c AS HUGEINT)) AS sxy,
+         |    sum(CAST(pos AS HUGEINT) * CAST(pos AS HUGEINT)) AS sxx
+         |  FROM seg GROUP BY segment),
+         |k AS (
+         |  SELECT segment, n, day_start, day_end, sx, sy,
+         |    CASE WHEN n > 1 THEN
+         |      CAST(CAST(n AS HUGEINT) * sxy
+         |         - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+         |      CAST(CAST(n AS HUGEINT) * sxx
+         |         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+         |    END AS slope
+         |  FROM m)
+         |SELECT segment, day_start, day_end, n AS n_days, slope,
+         |  CASE WHEN n > 1 THEN
+         |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |  END AS intercept
+         |FROM k ORDER BY segment""".stripMargin,
+    "q224_theil_sen" ->
+      s"""WITH $SeriesCtes,
+         |t0 AS (
+         |  SELECT CAST(min(day) AS BIGINT) AS d0,
+         |    CAST(count(*) AS BIGINT) AS t_days
+         |  FROM series),
+         |xy AS (
+         |  SELECT day - d0 + 1 AS x, c AS y, t_days
+         |  FROM series CROSS JOIN t0),
+         |pairs AS (
+         |  SELECT p1.x AS x1, p2.x AS x2,
+         |    CAST(p2.y - p1.y AS DOUBLE) / CAST(p2.x - p1.x AS DOUBLE) AS slope
+         |  FROM xy p1 JOIN xy p2 ON p2.x > p1.x),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+         |rkd AS (
+         |  SELECT slope, x1, x2,
+         |    row_number() OVER (ORDER BY slope, x1, x2) AS rk
+         |  FROM pairs),
+         |sm AS (
+         |  SELECT sum(slope) / CAST(count(*) AS DOUBLE) AS slope,
+         |    max(n_pairs) AS n_pairs
+         |  FROM rkd CROSS JOIN np
+         |  WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2),
+         |res AS (
+         |  SELECT x, t_days, slope, n_pairs,
+         |    CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS r
+         |  FROM xy CROSS JOIN sm),
+         |rr AS (SELECT *, row_number() OVER (ORDER BY r, x) AS rk FROM res)
+         |SELECT max(t_days) AS n_days, max(n_pairs) AS n_pairs,
+         |  max(slope) AS slope_per_day,
+         |  sum(r) / CAST(count(*) AS DOUBLE) AS intercept
+         |FROM rr WHERE rk = (t_days + 1) // 2 OR rk = (t_days + 2) // 2""".stripMargin,
     "q216_seasonal_decompose" ->
       s"""WITH cnt AS (
          |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,

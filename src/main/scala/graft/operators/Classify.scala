@@ -621,7 +621,61 @@ object Classify {
           .as("mass_collision_rate"))
   }
 
+  // ------------------------------------------------- q234 label noise
+
+  /** q234's flag margin: a prediction only counts as label-noise
+    * evidence when it beats the given label's posterior by > 5 nats —
+    * confident disagreement, not boundary jitter. */
+  private[operators] val NoiseMargin = 5.0
+
+  /** q234 — label-noise screen (confident-learning-style, Northcutt et
+    * al. 2021 simplified to a margin rule): cross-tabulate given labels
+    * against NB predictions and flag documents whose predicted label
+    * beats the GIVEN label's posterior by > [[NoiseMargin]] nats. The
+    * output is the noise matrix a relabeling pass is prioritized by;
+    * q123 reports the confusion matrix, this adds "which cells are
+    * confidently wrong-labeled, not just hard".
+    *
+    * Exactness: both scores ride the q122 decimal-summed chain
+    * (bit-identical cross-engine), so the margin comparison and the
+    * integer cell counts cannot split engines.
+    *
+    * Scale shape: the q122 scoring plan with the doc-token frame and
+    * score frame cached once (fit + pred-argmax + true-label probe all
+    * consume them); the cross-tab is a ≤|labels|²-key aggregate. */
+  def labelNoise(docs: DataFrame): DataFrame = {
+    val dtok = CacheScope.cached(docTokenCounts(docs))
+    val scores = CacheScope.cached(
+      nbScores(CacheScope.cached(nbModel(dtok)), nbPriors(docs), dtok))
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("label")))
+    val pred = scores.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("score").as("pred_score"))
+    val truth = docs.select(col("doc_id"), col("lang"))
+    val trueSc = scores
+      .select(col("doc_id").as("ts_doc"), col("label").as("t_label"),
+        col("score").as("true_score"))
+      .join(truth, col("ts_doc") === col("doc_id") &&
+        col("t_label") === col("lang"))
+      .select(col("doc_id"), col("true_score"))
+    val j = pred.join(truth, Seq("doc_id"))
+      .join(trueSc, Seq("doc_id"))
+      .select(col("lang").as("true_label"), col("pred_label"),
+        (col("pred_label") =!= col("lang") &&
+          col("pred_score") - col("true_score") > lit(NoiseMargin))
+          .as("flagged"))
+    j.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flag_rate",
+        col("n_flagged").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_label_noise" -> ((s, d) => labelNoise(Tables.documents(s, d))),
     "q217_feature_hash" -> ((s, d) => featureHashQuality(Tables.documents(s, d))),
     "q197_conformal" -> (q197Conformal _),
     "q190_calibration" -> (q190Calibration _),
@@ -898,6 +952,33 @@ object Classify {
          |    - CAST(sum(CAST(floor(conf * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
          |      / CAST(count(*) AS DOUBLE)) AS abs_gap
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q234_label_noise" ->
+      s"""WITH $FitCtes,
+         |sc AS (
+         |  SELECT t.doc_id, m.label, p.log_prior,
+         |    CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+         |      + p.log_prior AS score
+         |  FROM tok t
+         |  JOIN model m ON m.token = t.token
+         |  JOIN pri p ON p.label = m.label
+         |  GROUP BY t.doc_id, m.label, p.log_prior),
+         |tr AS (
+         |  SELECT sc.doc_id, sc.score AS true_score
+         |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |    AND sc.label = d.lang),
+         |j AS (
+         |  SELECT d.lang AS true_label, p.pred_label,
+         |    (p.pred_label <> d.lang
+         |      AND p.score - tr.true_score > $NoiseMargin) AS flagged
+         |  FROM documents d
+         |  JOIN preds p USING (doc_id)
+         |  JOIN tr ON tr.doc_id = d.doc_id)
+         |SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS flag_rate
+         |FROM j GROUP BY true_label, pred_label
+         |ORDER BY true_label, pred_label""".stripMargin,
     "q121_nb_train" ->
       s"""WITH $FitCtes
          |SELECT label, token, CAST(n_ct AS BIGINT) AS n_ct, log_lik

@@ -686,7 +686,61 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  // ------------------------------------------ q235 holdout perplexity
+
+  /** q235 — held-out bigram-LM perplexity: fit an add-1-smoothed bigram
+    * LM on the q111 'train' split, evaluate on the 'test' split, report
+    * avg log-prob, perplexity and the unseen-context (OOV) rate. q92
+    * scores documents under a corpus-fit LM (train == test — a fluency
+    * prior); this is the EVAL form — the generalization number a corpus
+    * release quotes, sensitive to train/test distribution drift where
+    * q92 cannot be. Unseen contexts back off to uniform 1/V.
+    *
+    * Exactness: counts/V exact integers; each bigram's logp is one
+    * pinned ln chain, summed as floor(logp·1e12) decimals (order-free);
+    * perplexity = exp(−avg) terminal. Scale shape: two scan-local
+    * n-gram explodes (train/test partitions of one corpus scan), one
+    * (w1,w2) count + one w1 rollup, a broadcastable LM join onto the
+    * test stream, one global aggregate. */
+  def holdoutPerplexity(s: SparkSession, docs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val split = Datasets.trainSplit(docs).select(col("doc_id"), col("split"))
+    val tagged = docs.select(col("doc_id"), col("text")).join(split, Seq("doc_id"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(VectorFunctions.wordNgramList(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val train = tagged.filter(col("split") === "train")
+    val cnt = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vv = train
+      .select(explode(VectorFunctions.wordNgramList(col("text"), 1)).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val logp = when(col("c1").isNotNull,
+      log((coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("c1").cast("double") + col("v").cast("double"))))
+      .otherwise(log(lit(1.0) / col("v").cast("double")))
+    val sc = bigrams(tagged.filter(col("split") === "test"))
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        floor(logp * lit(1e12)).cast("decimal(19,0)").as("lp"),
+        when(col("c1").isNull, 1L).otherwise(0L).as("oov"))
+    val avg = sum(col("lp")).cast("double") / lit(1e12) /
+      count(lit(1)).cast("double")
+    sc.agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        avg.as("avg_logp"),
+        exp(-avg).as("perplexity"),
+        (sum(col("oov")).cast("double") / count(lit(1)).cast("double"))
+          .as("oov_rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_holdout_ppl" -> ((s, d) => holdoutPerplexity(s, Tables.documents(s, d))),
     "q205_shuffle_quality" -> ((s, d) => shuffleQuality(Tables.documents(s, d))),
     "q171_bigram_entropy" -> ((s, d) => bigramEntropy(s, Tables.documents(s, d))),
     "q167_unimax_alloc" -> ((s, d) => unimaxAllocation(Tables.documents(s, d))),
@@ -706,6 +760,58 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q235_holdout_ppl" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |          AS BIGINT) / 1152921504606846976.0
+         |        < ${1.0 - Datasets.ValFrac - Datasets.TestFrac} THEN 'train'
+         |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |          AS BIGINT) / 1152921504606846976.0
+         |        < ${1.0 - Datasets.TestFrac} THEN 'val'
+         |      ELSE 'test'
+         |    END AS split
+         |  FROM documents),
+         |tw AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+         |       FROM sp WHERE split = 'train'),
+         |tb AS (
+         |  SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+         |                 for i in range(1, len(ws))]) AS s
+         |  FROM tw WHERE len(ws) >= 2),
+         |tbb AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM tb),
+         |cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM tbb GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |       FROM (SELECT unnest(ws) AS w FROM tw)),
+         |ew AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |       FROM sp WHERE split = 'test'),
+         |eb AS (
+         |  SELECT doc_id, unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+         |                         for i in range(1, len(ws))]) AS s
+         |  FROM ew WHERE len(ws) >= 2),
+         |ebb AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM eb),
+         |sc AS (
+         |  SELECT e.doc_id,
+         |    CAST(floor((CASE WHEN ctx.c1 IS NOT NULL THEN
+         |      ln((CAST(COALESCE(cnt.c12, 0) AS DOUBLE) + 1.0)
+         |         / (CAST(ctx.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+         |    ELSE ln(1.0 / CAST(vv.v AS DOUBLE)) END) * 1.0e12) AS HUGEINT)
+         |      AS lp,
+         |    CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM ebb e
+         |  LEFT JOIN cnt ON cnt.w1 = e.w1 AND cnt.w2 = e.w2
+         |  LEFT JOIN ctx ON ctx.w1 = e.w1
+         |  CROSS JOIN vv)
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp) AS DOUBLE) / 1.0e12 / CAST(count(*) AS DOUBLE)
+         |    AS avg_logp,
+         |  exp(-(CAST(sum(lp) AS DOUBLE) / 1.0e12 / CAST(count(*) AS DOUBLE)))
+         |    AS perplexity,
+         |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM sc""".stripMargin,
     "q205_shuffle_quality" ->
       s"""WITH tg AS (
          |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -279,7 +279,98 @@ object EmbeddingStats {
       .orderBy(col("dim"))
   }
 
+  // ------------------------------------------------ q232 matryoshka CKA
+
+  /** q232's truncation width: CKA compares the full embedding against
+    * its first-32-dim prefix (the q215 matryoshka retrieval view). */
+  private[operators] val CkaPrefix = 32
+
+  /** q232 — linear CKA (Kornblith et al. 2019) between the full
+    * embedding matrix X and its [[CkaPrefix]]-dim matryoshka truncation
+    * Y: CKA = ‖ȲᵀX̄‖²_F / (‖X̄ᵀX̄‖_F·‖ȲᵀȲ‖_F). q215 measures what
+    * truncation does to a RETRIEVAL metric (recall@k); CKA measures how
+    * much of the representation GEOMETRY the prefix preserves — the
+    * standard representation-similarity readout. Because Y is a prefix
+    * of X, every block norm is a weighted sum over the ONE covariance
+    * triangle q115 already computes: no second corpus pass, no d×d
+    * cross-join.
+    *
+    * Exactness: rides q115's moment chain (exact 2^20-grid integers →
+    * the pinned cov double); each cov² enters as floor(cov²·1e15) — an
+    * exact long (cov² ≤ 0.0625 ⇒ ≤ 6.25e13 < 2^53) — so the three
+    * block sums are order-free integers and CKA is one terminal chain.
+    *
+    * Scale shape: ONE corpus scan through GramAggregator (the q115
+    * plan); everything after runs on the 2080-row triangle frame. */
+  def ckaMatryoshka(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val gm = gramMatrix(spark, embs)
+    val c2 = floor(col("cov") * col("cov") * lit(1e15)).cast("long")
+    val p = lit(CkaPrefix)
+    val wxy = when(col("j") < p, when(col("i") === col("j"), 1L).otherwise(2L))
+      .otherwise(when(col("i") < p, 1L).otherwise(0L))
+    val wxx = when(col("i") === col("j"), 1L).otherwise(2L)
+    val wyy = when(col("j") < p,
+      when(col("i") === col("j"), 1L).otherwise(2L)).otherwise(0L)
+    gm.select(c2.as("c2"), wxy.as("wxy"), wxx.as("wxx"), wyy.as("wyy"))
+      .agg(sum(col("c2") * col("wxy")).as("sxy"),
+        sum(col("c2") * col("wxx")).as("sxx"),
+        sum(col("c2") * col("wyy")).as("syy"))
+      .select(
+        (col("sxy").cast("double") /
+          sqrt(col("sxx").cast("double") * col("syy").cast("double")))
+          .as("cka_linear"),
+        (col("sxy").cast("double") / lit(1e15)).as("hsic_xy"),
+        (col("sxx").cast("double") / lit(1e15)).as("hsic_xx"),
+        (col("syy").cast("double") / lit(1e15)).as("hsic_yy"))
+  }
+
+  // -------------------------------------------------------- q230 HBOS
+
+  /** q230's histogram geometry and report size: fixed-width buckets of
+    * 1/8 per dimension (embeddings live in [-1, 1] after any sane
+    * normalization), top-20 outliers reported. */
+  private[operators] val HbosScale = 8.0
+  private[operators] val HbosTopK = 20
+
+  /** q230 — HBOS (Histogram-Based Outlier Score, Goldstein & Dengel
+    * 2012): score(v) = Σ_d ln(n / count_d(bucket(v_d))) — the sum of
+    * per-dimension negative log densities under fixed-width histograms.
+    * The linear-time outlier detector that needs no pairwise distances
+    * at all (q116's standardized-moment scorer assumes ellipsoidal
+    * spread; HBOS catches per-coordinate density holes), so it runs at
+    * corpus scale where kNN-based detectors cannot.
+    *
+    * Exactness: bucket = floor(x·8) on doubles (identical IEEE), counts
+    * are exact integers, and the 64-term ln sum is accumulated as
+    * floor(term·1e12) integers — order-free, so partial aggregation
+    * cannot split engines. Top-k ties break by vec_id.
+    *
+    * Scale shape: one posexplode scan into a (dim, bucket) count — a
+    * few hundred keys, broadcast back onto the same scan — then one
+    * vec_id-keyed 64-row aggregate and a TakeOrdered top-k (per-
+    * partition heaps, no global sort). Corpus-linear, no pairwise
+    * work, histogram mergeable across shards by construction. */
+  def hbosOutliers(embs: DataFrame, topK: Int = HbosTopK): DataFrame = {
+    val terms = embs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * lit(HbosScale)).cast("long").as("b"))
+    val hist = terms.groupBy(col("dim"), col("b")).agg(count(lit(1)).as("cnt"))
+    val n = embs.agg(count(lit(1)).as("n"))
+    terms.join(broadcast(hist), Seq("dim", "b"))
+      .crossJoin(broadcast(n))
+      .select(col("vec_id"),
+        floor(log(col("n").cast("double") / col("cnt").cast("double")) * lit(1e12))
+          .cast("long").as("t"))
+      .groupBy(col("vec_id"))
+      .agg((sum(col("t")).cast("double") / lit(1e12)).as("hbos_score"))
+      .orderBy(col("hbos_score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_hbos" -> ((s, d) => hbosOutliers(Tables.embeddings(s, d))),
+    "q232_cka" -> ((s, d) => ckaMatryoshka(s, Tables.embeddings(s, d))),
     "q210_top_pc" -> ((s, d) => topPc(s, Tables.embeddings(s, d))),
     "q152_embedding_whiten" -> ((s, d) => whiten(s, Tables.embeddings(s, d))),
     "q135_jl_project" -> ((s, d) => jlProject(Tables.embeddings(s, d))),
@@ -349,6 +440,52 @@ object EmbeddingStats {
   }
 
   def oracles: Map[String, String] = Map(
+    "q232_cka" ->
+      s"""$momentCtes,
+         |g AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+         |  FROM s a JOIN s b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |cv AS (
+         |  SELECT g.i, g.j,
+         |    (CAST(g.gram AS DOUBLE) - CAST(da.sv AS DOUBLE) * CAST(db.sv AS DOUBLE)
+         |       / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE)
+         |       / ${1L << (2 * ScaleBits)}.0 AS cov
+         |  FROM g JOIN d da ON da.i = g.i JOIN d db ON db.i = g.j CROSS JOIN n),
+         |t AS (
+         |  SELECT i, j, CAST(floor(cov * cov * 1.0e15) AS BIGINT) AS c2 FROM cv),
+         |w AS (
+         |  SELECT
+         |    sum(c2 * (CASE WHEN j < $CkaPrefix THEN
+         |                (CASE WHEN i = j THEN 1 ELSE 2 END)
+         |              WHEN i < $CkaPrefix THEN 1 ELSE 0 END)) AS sxy,
+         |    sum(c2 * (CASE WHEN i = j THEN 1 ELSE 2 END)) AS sxx,
+         |    sum(c2 * (CASE WHEN j < $CkaPrefix THEN
+         |                (CASE WHEN i = j THEN 1 ELSE 2 END) ELSE 0 END)) AS syy
+         |  FROM t)
+         |SELECT
+         |  CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+         |    AS cka_linear,
+         |  CAST(sxy AS DOUBLE) / 1.0e15 AS hsic_xy,
+         |  CAST(sxx AS DOUBLE) / 1.0e15 AS hsic_xx,
+         |  CAST(syy AS DOUBLE) / 1.0e15 AS hsic_yy
+         |FROM w""".stripMargin,
+    "q230_hbos" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, u.i AS dim,
+         |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * $HbosScale) AS BIGINT) AS b
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+         |h AS (SELECT dim, b, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY dim, b),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |s AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(h.cnt AS DOUBLE))
+         |      * 1.0e12) AS BIGINT)) AS DOUBLE) / 1.0e12 AS hbos_score
+         |  FROM t JOIN h USING (dim, b) CROSS JOIN n
+         |  GROUP BY vec_id)
+         |SELECT vec_id, hbos_score FROM s
+         |ORDER BY hbos_score DESC, vec_id LIMIT $HbosTopK""".stripMargin,
     "q210_top_pc" -> topPcOracle,
     // q116's moment/variance chain, applied per value instead of summed
     "q152_embedding_whiten" ->

@@ -261,7 +261,102 @@ object Governance {
           .as("cramers_v"))
   }
 
+  // ----------------------------------------------- q225 Mann-Whitney U
+
+  /** q225 — Mann-Whitney U (Wilcoxon rank-sum) test of each source's
+    * document-length distribution vs the REST of the corpus: the
+    * nonparametric complement to q194's Welch t — sensitive to location
+    * shift without assuming normality, which synthetic-length and
+    * power-law corpora violate. Tie-corrected normal approximation.
+    *
+    * Exactness: ranks never materialize per document — average ranks
+    * come from the VALUE-level frame (2·avg-rank = 2·cum_before + cnt +
+    * 1, a pure integer), so R₁, U₁, the tie term Σ(t³−t) and the
+    * variance numerator n₁n₂(n³−n−Σ(t³−t)) are all exact
+    * decimal/HUGEINT integers; z is one terminal double chain.
+    *
+    * Scale shape: one (value) count + one (source, value) count off the
+    * same scan (map-side combinable); everything after runs on the
+    * distinct-length-bounded frame (|values| ≪ corpus — lengths
+    * concentrate), with one 1-row totals attach. The unpartitioned
+    * cumulative window is |values|-bounded. */
+  def mannWhitney(docs: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val vals = docs.select(col("source"), col("n_chars").as("v"))
+    val byVal = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranksV = byVal
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .select(col("v"), col("cnt"),
+        (lit(2L) * col("cumb") + col("cnt") + 1).as("r2"))
+    val per = vals.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cs"))
+      .join(ranksV.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n1"),
+        sum(dec(col("cs")) * dec(col("r2"))).as("r1_2"))
+    val tot = ranksV.agg(sum(col("cnt")).as("n"),
+      sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) - dec(col("cnt")))
+        .as("tt"))
+    val j = per.crossJoin(broadcast(tot))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("u1_2", col("r1_2") - dec(col("n1")) * dec(col("n1") + 1))
+      .withColumn("k",
+        dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")) - col("tt"))
+    val zNum = (col("u1_2") - dec(col("n1")) * dec(col("n2"))).cast("double")
+    val zDen = lit(2.0) * sqrt(
+      col("n1").cast("double") * col("n2").cast("double") * col("k").cast("double")
+        / (lit(12.0) * col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+    j.select(col("source"), col("n1").as("n_docs"),
+        (col("u1_2").cast("double") / lit(2.0)).as("u"),
+        when(col("n2") === 0 || col("k") <= 0, lit(null).cast("double"))
+          .otherwise(zNum / zDen).as("z"))
+      .orderBy(col("source"))
+  }
+
+  // -------------------------------------------- q227 blocklist audit
+
+  /** q227's pinned blocklist. A real deployment loads thousands of terms;
+    * the mechanism (substring occurrence count per pattern, per source)
+    * is what the operator pins down. */
+  private[graft] val Blocklist = Seq("spark", "hash", "merge", "sort", "scan")
+
+  /** q227 — blocklist / content-filter audit: for every (source, pattern)
+    * pair, how many documents contain the pattern as a substring, total
+    * occurrence count, and the per-source hit rate — the report a corpus
+    * release runs before gating on a term list (and the dry-run twin of
+    * q64's redaction). Occurrences are counted by length delta under
+    * non-overlapping replace — pure integer arithmetic on codegen'd
+    * string builtins, no regex engine in the hot path.
+    *
+    * Scale shape: the pattern explode multiplies the scan by |patterns|
+    * BEFORE the map-side-combinable (source, pattern) aggregate — rows
+    * out of the scan stage are |patterns|·|docs| narrow integers, and the
+    * shuffle carries only |sources|·|patterns| keys. For thousand-term
+    * lists, batch patterns per pass or compile an Aho-Corasick expression
+    * — the aggregate shape is unchanged. */
+  def blocklistAudit(docs: DataFrame): DataFrame = {
+    val pats = array(Blocklist.map(lit): _*)
+    val e = docs
+      .select(col("source"), col("text"), explode(pats).as("pattern"))
+      .select(col("source"), col("pattern"),
+        expr("(length(text) - length(replace(text, pattern))) div length(pattern)")
+          .as("occ"))
+    val per = e.groupBy(col("source"), col("pattern"))
+      .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("occ")).as("occurrences"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    per.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("pattern"), col("n_docs"), col("n_docs_hit"),
+        col("occurrences"),
+        (col("n_docs_hit").cast("double") / col("n_docs").cast("double"))
+          .as("hit_rate"))
+      .orderBy(col("source"), col("pattern"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_mann_whitney" -> ((s, d) => mannWhitney(Tables.documents(s, d))),
+    "q227_blocklist" -> ((s, d) => blocklistAudit(Tables.documents(s, d))),
     "q194_welch_t" -> ((s, d) => welchT(Tables.documents(s, d))),
     "q195_chi2_indep" -> ((s, d) => chi2Independence(Tables.documents(s, d))),
     "q160_pii_scan" -> ((s, d) => piiScan(Tables.documents(s, d))),
@@ -271,6 +366,56 @@ object Governance {
   )
 
   def oracles: Map[String, String] = Map(
+    "q227_blocklist" ->
+      s"""WITH p AS (
+         |  SELECT unnest([${Blocklist.map(p => s"'$p'").mkString(", ")}]) AS pattern),
+         |e AS (
+         |  SELECT d.source, p.pattern,
+         |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+         |      // length(p.pattern) AS occ
+         |  FROM documents d CROSS JOIN p),
+         |per AS (
+         |  SELECT source, pattern,
+         |    CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+         |    CAST(sum(occ) AS BIGINT) AS occurrences
+         |  FROM e GROUP BY source, pattern),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM documents GROUP BY source)
+         |SELECT per.source, per.pattern, t.n_docs, per.n_docs_hit, per.occurrences,
+         |  CAST(n_docs_hit AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS hit_rate
+         |FROM per JOIN t USING (source) ORDER BY source, pattern""".stripMargin,
+    "q225_mann_whitney" ->
+      """WITH vals AS (SELECT source, n_chars AS v FROM documents),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY v),
+        |rv AS (
+        |  SELECT v, cnt,
+        |    2 * COALESCE(sum(cnt) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2
+        |  FROM bv),
+        |per AS (
+        |  SELECT source, CAST(sum(cs) AS BIGINT) AS n1,
+        |    sum(CAST(cs AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r1_2
+        |  FROM (SELECT source, v, CAST(count(*) AS BIGINT) AS cs
+        |        FROM vals GROUP BY source, v) sv
+        |  JOIN rv USING (v)
+        |  GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tt
+        |  FROM rv),
+        |j AS (
+        |  SELECT source, n1, r1_2, n, tt, n - n1 AS n2,
+        |    r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_2,
+        |    CAST(n AS HUGEINT) * n * n - n - tt AS k
+        |  FROM per CROSS JOIN tot)
+        |SELECT source, n1 AS n_docs,
+        |  CAST(u1_2 AS DOUBLE) / 2.0 AS u,
+        |  CASE WHEN n2 = 0 OR k <= 0 THEN NULL ELSE
+        |    CAST(u1_2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
+        |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(k AS DOUBLE)
+        |      / (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) END AS z
+        |FROM j ORDER BY source""".stripMargin,
     // exact BIGINT sufficient statistics, rest-of-corpus by subtraction
     "q194_welch_t" ->
       """WITH per AS (

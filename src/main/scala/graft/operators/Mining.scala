@@ -481,7 +481,58 @@ object Mining {
       .limit(topN)
   }
 
+  // ------------------------------------------------- q228 Good-Turing
+
+  /** q228's frequency-spectrum cutoff: r* reported for r ≤ 20 (above
+    * that, GT estimates are noise and LMs fall back to raw counts). */
+  private[operators] val GtMaxR = 20
+
+  /** q228 — Good-Turing frequency smoothing over trigram types: the
+    * counts-of-counts table N_r, the adjusted count r* = (r+1)·N_{r+1}/N_r,
+    * the smoothed probability p_GT = r* / N, and the unseen-mass estimate
+    * P₀ = N₁/N. The classic answer to "how much probability should an LM
+    * reserve for trigrams the corpus never saw" — and, with q218's
+    * Kneser-Ney, the second standard smoother on the same counts.
+    *
+    * Exactness: trigram counts, N_r, N = Σ r·N_r and N₁ are exact
+    * integers (N computed FROM the spectrum — no second corpus scan);
+    * r* and p_GT are terminal double chains. r* is emitted only when the
+    * next spectrum row is exactly r+1 (a lead() probe) — a gap in the
+    * spectrum yields NULL, not a wrong ratio against a higher r.
+    *
+    * Scale shape: one scan-local n-gram explode (codegen'd
+    * WordNgramList) into one (trigram) count — the only corpus-sized
+    * shuffle; the spectrum groupBy, lead window and totals attach all
+    * run on the ≤|distinct frequencies| frame (hundreds of rows at any
+    * corpus size — frequency spectra are tiny by construction). */
+  def goodTuring(s: SparkSession, docs: DataFrame, maxR: Int = GtMaxR): DataFrame = {
+    VectorFunctions.register(s)
+    val cnt = docs
+      .select(explode(VectorFunctions.wordNgramList(col("text"), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val coc = cnt.groupBy(col("f")).agg(count(lit(1)).as("n_r"))
+    val w = Window.orderBy(col("f"))
+    val led = coc.withColumn("n_r1", lead(col("n_r"), 1).over(w))
+      .withColumn("f_next", lead(col("f"), 1).over(w))
+    val totals = coc.agg(
+      sum(col("f").cast("decimal(19,0)") * col("n_r").cast("decimal(19,0)"))
+        .as("n_grams"),
+      sum(when(col("f") === 1, col("n_r")).otherwise(0L)).as("n1"))
+    val rStar = when(col("f_next") === col("f") + 1 && col("n_r1") > 0,
+      (col("f") + 1).cast("double") * col("n_r1").cast("double") /
+        col("n_r").cast("double"))
+    led.crossJoin(broadcast(totals))
+      .filter(col("f") <= maxR)
+      .select(col("f").as("r"), col("n_r"),
+        rStar.otherwise(lit(null).cast("double")).as("r_star"),
+        (rStar.otherwise(lit(null).cast("double")) /
+          col("n_grams").cast("double")).as("p_gt"),
+        (col("n1").cast("double") / col("n_grams").cast("double")).as("p0_mass"))
+      .orderBy(col("r"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_good_turing" -> ((s, d) => goodTuring(s, Tables.documents(s, d))),
     "q218_kneser_ney" -> ((s, d) => kneserNey(s, Tables.documents(s, d))),
     "q204_neg_sample" -> ((s, d) => negSample(s, Tables.lineitem(s, d))),
     "q196_item_sim" -> ((s, d) => itemSim(s, Tables.lineitem(s, d))),
@@ -501,6 +552,32 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    "q228_good_turing" ->
+      s"""WITH w AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |t AS (
+         |  SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                 for i in range(1, len(ws) - 1)]) AS g
+         |  FROM w WHERE len(ws) >= 3),
+         |c AS (SELECT g, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY g),
+         |coc AS (SELECT f, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY f),
+         |led AS (
+         |  SELECT f, n_r, lead(n_r, 1) OVER (ORDER BY f) AS n_r1,
+         |    lead(f, 1) OVER (ORDER BY f) AS f_next
+         |  FROM coc),
+         |tot AS (
+         |  SELECT sum(CAST(f AS HUGEINT) * n_r) AS n_grams,
+         |    CAST(sum(CASE WHEN f = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+         |  FROM coc)
+         |SELECT f AS r, n_r,
+         |  CASE WHEN f_next = f + 1 AND n_r1 > 0 THEN
+         |    CAST(f + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE)
+         |  END AS r_star,
+         |  (CASE WHEN f_next = f + 1 AND n_r1 > 0 THEN
+         |    CAST(f + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE) / CAST(n_r AS DOUBLE)
+         |  END) / CAST(n_grams AS DOUBLE) AS p_gt,
+         |  CAST(n1 AS DOUBLE) / CAST(n_grams AS DOUBLE) AS p0_mass
+         |FROM led CROSS JOIN tot WHERE f <= $GtMaxR ORDER BY r""".stripMargin,
     "q218_kneser_ney" ->
       s"""WITH w AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Corpus-profiling operators: the release-report family a training-data
   * pipeline runs to characterize a corpus build — inter-source divergence,
@@ -490,7 +490,84 @@ object Profiling {
 
   // ---------------------------------------------------------- registry
 
+  // ------------------------------------------------------- q229 Chao1
+
+  /** q229 — Chao1 richness estimation per source over trigram types:
+    * how many distinct trigrams does each source's POPULATION hold,
+    * given what the sample showed? chao1 = V + F₁(F₁−1)/(2(F₂+1)) (the
+    * bias-corrected form — defined even when no type was seen twice),
+    * with completeness = V/chao1: the "have we sampled enough of this
+    * source" gauge that complements q175's Heaps growth CURVE with a
+    * point estimate of the asymptote.
+    *
+    * Exactness: V/F₁/F₂ are exact integers off one (source, trigram)
+    * count; chao1 and completeness are one pinned terminal chain.
+    * Scale shape: one scan-local n-gram explode into one (source,
+    * trigram) count, then a |sources|-keyed aggregate. */
+  def chao1(s: SparkSession, docs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val cnt = docs
+      .select(col("source"),
+        explode(VectorFunctions.wordNgramList(col("text"), 3)).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("f"))
+    val per = cnt.groupBy(col("source")).agg(
+      count(lit(1)).as("v_obs"),
+      sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+    val chao = col("v_obs").cast("double") +
+      (col("f1") * (col("f1") - 1)).cast("double") /
+        (lit(2L) * (col("f2") + 1)).cast("double")
+    per.select(col("source"), col("v_obs"), col("f1"), col("f2"),
+        chao.as("chao1"),
+        (col("v_obs").cast("double") / chao).as("completeness"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------- q231 grouped jackknife SE
+
+  /** q231 — delete-one-source jackknife for the corpus mean document
+    * length: the CLUSTER-robust uncertainty estimate. q221's Poisson
+    * bootstrap resamples documents independently, which understates the
+    * error when documents within a source are correlated (they are —
+    * source pipelines share generators); deleting whole sources is the
+    * standard fix. θ₍ᵢ₎ = (S−Sᵢ)/(n−nᵢ) by integer subtraction — one
+    * scan; SE² = (g−1)/g · Σ(θ₍ᵢ₎−θ̄)², computed on the 1e-9 grid so
+    * the sum over sources is an exact integer (no float-order drift),
+    * with deviations as g·tᵢ−Σt (no float mean enters). Also reports
+    * the most influential source (argmax |deviation|, ties by name).
+    *
+    * Scale shape: one source-keyed aggregate; everything after runs on
+    * the |sources|-bounded frame with two 1-row attaches. */
+  def jackknifeSe(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_i"), sum(col("n_chars")).as("s_i"))
+    val tot = per.agg(sum(col("n_i")).as("nt"), sum(col("s_i")).as("st"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("g"), col("nt"), col("st"),
+        floor(((col("st") - col("s_i")).cast("double") /
+          (col("nt") - col("n_i")).cast("double")) * lit(1e9)).cast("long")
+          .as("t_i"))
+    val m = loo.agg(sum(col("t_i").cast("decimal(19,0)")).as("t_sum"))
+    val dev = loo.crossJoin(broadcast(m))
+      .select(col("source"), col("g"), col("nt"), col("st"),
+        (col("g") * col("t_i").cast("decimal(19,0)") - col("t_sum")).as("dev"))
+    val w = Window.orderBy(abs(col("dev")).desc, col("source"))
+    dev.withColumn("rk", row_number().over(w))
+      .groupBy(col("g"), col("nt"), col("st"))
+      .agg(sum(col("dev") * col("dev")).as("dev2"),
+        max(when(col("rk") === 1, col("source"))).as("top_influence_source"))
+      .select(col("g").as("n_sources"),
+        (col("st").cast("double") / col("nt").cast("double")).as("mean_full"),
+        (sqrt((col("g") - 1).cast("double") / col("g").cast("double") *
+          col("dev2").cast("double")) /
+          (col("g").cast("double") * lit(1e9))).as("jack_se"),
+        col("top_influence_source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_chao1" -> ((s, d) => chao1(s, Tables.documents(s, d))),
+    "q231_jackknife_se" -> ((s, d) => jackknifeSe(Tables.documents(s, d))),
     "q214_emd_drift" -> ((s, d) => emdDrift(Tables.documents(s, d))),
     "q209_hill_tail" -> ((s, d) => hillTail(Tables.documents(s, d))),
     "q208_psi" -> ((s, d) => psiBySource(Tables.documents(s, d))),
@@ -505,6 +582,57 @@ object Profiling {
   )
 
   def oracles: Map[String, String] = Map(
+    "q229_chao1" ->
+      """WITH w AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                         for i in range(1, len(ws) - 1)]) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS f
+        |      FROM t GROUP BY source, g),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c GROUP BY source),
+        |k AS (
+        |  SELECT source, v_obs, f1, f2,
+        |    CAST(v_obs AS DOUBLE)
+        |      + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+        |      AS chao1
+        |  FROM per)
+        |SELECT source, v_obs, f1, f2, chao1,
+        |  CAST(v_obs AS DOUBLE) / chao1 AS completeness
+        |FROM k ORDER BY source""".stripMargin,
+    "q231_jackknife_se" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_i
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_i) AS BIGINT) AS nt, CAST(sum(s_i) AS BIGINT) AS st,
+        |    CAST(count(*) AS BIGINT) AS g
+        |  FROM per),
+        |loo AS (
+        |  SELECT source, g, nt, st,
+        |    CAST(floor((CAST(st - s_i AS DOUBLE) / CAST(nt - n_i AS DOUBLE))
+        |      * 1.0e9) AS BIGINT) AS t_i
+        |  FROM per CROSS JOIN tot),
+        |m AS (SELECT sum(CAST(t_i AS HUGEINT)) AS t_sum FROM loo),
+        |dev AS (
+        |  SELECT source, g, nt, st, g * CAST(t_i AS HUGEINT) - t_sum AS dev
+        |  FROM loo CROSS JOIN m),
+        |r AS (SELECT *, row_number() OVER (ORDER BY abs(dev) DESC, source) AS rk
+        |      FROM dev)
+        |SELECT CAST(g AS BIGINT) AS n_sources,
+        |  CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_full,
+        |  sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
+        |      * CAST(sum(dev * dev) AS DOUBLE))
+        |    / (CAST(g AS DOUBLE) * 1.0e9) AS jack_se,
+        |  max(CASE WHEN rk = 1 THEN source END) AS top_influence_source
+        |FROM r GROUP BY g, nt, st""".stripMargin,
     "q214_emd_drift" ->
       """WITH cell AS (
         |  SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,

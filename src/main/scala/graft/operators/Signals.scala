@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,9 +158,64 @@ object Signals {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------ q226 Cohen's kappa
+
+  /** q226 — Cohen's kappa between the two binary gate decisions the
+    * pipeline's quality filters would make: rater A = heuristic quality
+    * pass (q31 score ≥ [[PassThreshold]]), rater B = LM-fluency pass
+    * (q92 avg_logp ≥ the corpus mean). The categorical-agreement
+    * complement to q185's rank correlation of the same two signals —
+    * "would the filters keep the SAME documents, beyond chance".
+    *
+    * Exactness: both signal values are bit-identical cross-engine (q31/
+    * q92 hash-match); the LM threshold is applied as an integer
+    * inequality on the 1e-12 grid (bq·n ≥ Σbq — no float mean enters),
+    * the 2×2 contingency per source is exact integers, and po/pe/κ are
+    * one pinned terminal chain. Docs the LM cannot score (<2 bigrams)
+    * drop via the inner join, as in q185.
+    *
+    * Scale shape: q92's scan-local bigram plan + one source-keyed
+    * aggregate with one 1-row corpus-threshold attach. */
+  def qualityLmKappa(spark: SparkSession, dir: String): DataFrame =
+    kappaOf(spark, Tables.documents(spark, dir))
+
+  private[graft] def kappaOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val lm = Curation.lmScore(spark, docs).select(col("doc_id"), col("avg_logp"))
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+    val scored = docs.select(col("source"), col("doc_id"))
+      .join(lm, Seq("doc_id")).join(q, Seq("doc_id"))
+      .select(col("source"),
+        (col("quality_score") >= lit(PassThreshold)).as("a"),
+        floor(col("avg_logp") * lit(1e12)).cast("long").as("bq"))
+    val tot = scored.agg(sum(col("bq").cast("decimal(19,0)")).as("sb"),
+      count(lit(1)).as("nb"))
+    val flags = scored.crossJoin(broadcast(tot))
+      .select(col("source"), col("a"),
+        (col("bq").cast("decimal(19,0)") * col("nb") >= col("sb")).as("b"))
+    val ct = flags.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01"))
+      + dec(col("n01") + col("n00")) * dec(col("n10") + col("n00")))
+      .cast("double") / (nD * nD)
+    ct.select(col("source"), col("n"),
+        col("n11"), col("n10"), col("n01"), col("n00"),
+        po.as("po"), pe.as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_cohens_kappa" -> (qualityLmKappa _),
     "q185_rank_corr" -> (signalRankCorr _),
     "q186_wilson_ci" -> ((s, d) => wilsonPassRates(Tables.documents(s, d))),
     "q187_label_prototypes" -> ((s, d) => labelPrototypes(Tables.embeddings(s, d))),
@@ -202,6 +257,38 @@ object Signals {
       |  GROUP BY bb.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q226_cohens_kappa" ->
+      s"""WITH $LmCtes,
+         |q AS (
+         |  $QualitySql),
+         |sc AS (
+         |  SELECT d.source, (q.quality_score >= $PassThreshold) AS a,
+         |    CAST(floor(lmv.avg_logp * 1.0e12) AS BIGINT) AS bq
+         |  FROM documents d JOIN lmv USING (doc_id) JOIN q USING (doc_id)),
+         |tot AS (
+         |  SELECT sum(CAST(bq AS HUGEINT)) AS sb,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM sc),
+         |fl AS (
+         |  SELECT source, a, (CAST(bq AS HUGEINT) * nb >= sb) AS b
+         |  FROM sc CROSS JOIN tot),
+         |ct AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM fl GROUP BY source),
+         |k AS (
+         |  SELECT source, n, n11, n10, n01, n00,
+         |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |       + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         |  FROM ct)
+         |SELECT source, n, n11, n10, n01, n00, po, pe,
+         |  CASE WHEN pe = 1.0 THEN NULL ELSE (po - pe) / (1.0 - pe) END AS kappa
+         |FROM k ORDER BY source""".stripMargin,
     "q185_rank_corr" ->
       s"""WITH $LmCtes,
          |q AS (

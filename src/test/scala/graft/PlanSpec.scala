@@ -189,7 +189,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q219_blocking_quality", // two 1-row metric-frame attaches on the 1-row truth frame
       "q218_kneser_ney", // 1-row bigram-type-total attach on the top-N frame
       "q212_neyman_alloc", // 1-row weight-denominator attach on the |sources|-bounded frame
-      "q214_emd_drift") // bucket-grid + 1-row corpus-total attaches (q208's shape)
+      "q214_emd_drift", // bucket-grid + 1-row corpus-total attaches (q208's shape)
+      "q223_changepoint", // 1-row totals + 1-row level-1-cut attaches on the calendar-bounded day grid
+      "q224_theil_sen", // day-grid self theta join (calendar-bounded) + 1-row median/total attaches
+      "q225_mann_whitney", // 1-row tie-term/total attach on the |sources|-bounded frame
+      "q226_cohens_kappa", // 1-row corpus-LM-threshold attach on the scored corpus
+      "q228_good_turing", // 1-row spectrum-totals attach on the <=20-row frame
+      "q230_hbos", // 1-row corpus-count attach on the histogram-scored scan
+      "q231_jackknife_se", // 1-row totals + 1-row grid-sum attaches on the |sources|-bounded frame
+      "q232_cka", // q115's 1-row moment aggregate crossed with the 2080-row triangle frame
+      "q233_segmented_ols", // 1-row totals + 1-row level-1-cut attaches on the day grid
+      "q234_label_noise", // dense-model build (q122's plan) under the noise cross-tab
+      "q235_holdout_ppl") // 1-row train-vocab attach on the test bigram stream
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
