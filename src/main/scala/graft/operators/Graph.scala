@@ -689,28 +689,39 @@ object Graph {
                  topN: Int = AaTopN): DataFrame = {
     val baskets = lineitem.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
-    // undirected edge list, both directions, deduped; degree rides along
-    // from the per-src partner set (one exchange, same shape as q109)
-    val edgesDeg = graft.core.CacheScope.cached(baskets
+    // per-node SORTED neighbor set (one exchange, same shape as q109);
+    // cached: the wedge generator and the edge-exclusion side both read it
+    val nb = graft.core.CacheScope.cached(baskets
       .select(explode(col("parts")).as("src"), col("parts"))
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"))
-      .agg(collect_set(col("dst")).as("dsts"))
-      .select(col("src"), size(col("dsts")).cast("long").as("degree"),
-        explode(col("dsts")).as("dst")))
-    val term = floor(lit(1e15) / log(col("degree").cast("double"))).cast("decimal(38,0)")
-    // wedges centered at w = src: unordered neighbor pairs u < v
-    val wedges = edgesDeg.select(col("src").as("w"), col("dst").as("u"), term.as("t"))
-      .join(edgesDeg.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
+      .agg(sort_array(collect_set(col("dst"))).as("dsts")))
+    // 1e12 fixed point in a LONG: per-pair sums stay < 2^63 up to ~6e5
+    // common neighbors (1e12/ln2 ≈ 1.44e12 per term) — and a primitive
+    // long sum keeps the 10^8-row partial aggregate in codegen, where the
+    // former decimal(38,0) sum was the measured bottleneck
+    val term = floor(lit(1e12) / log(size(col("dsts")).cast("double")))
+      .cast("long")
+    // wedges centered at w: unordered neighbor pairs u < v, generated
+    // SCAN-LOCALLY from the sorted adjacency array (posexplode + slice) —
+    // no self-join, no u>v half to discard; the deg² expansion feeds the
+    // (u,v) partial aggregate inside the same stage (measured 37 s → see
+    // PLANS.md vs the former adjacency self-join at sf0.1)
+    // degree-1 nodes center no wedge; filtering them FIRST also keeps the
+    // term's ln(deg) division away from ln(1) = 0 (ANSI divide-by-zero)
+    val wedges = nb.filter(size(col("dsts")) >= 2)
+      .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
+      .select(col("t"), col("u"),
+        explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
     val scored = wedges.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_fp"))
     val nonEdges = scored.join(
-      edgesDeg.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+      nb.select(col("src").as("u"), explode(col("dsts")).as("v")),
+      Seq("u", "v"), "left_anti")
     nonEdges.orderBy(col("aa_fp").desc, col("u"), col("v")).limit(topN)
       .select(col("u").as("part_u"), col("v").as("part_v"), col("common"),
-        (col("aa_fp").cast("double") / lit(1e15)).as("adamic_adar"))
+        (col("aa_fp").cast("double") / lit(1e12)).as("adamic_adar"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -875,7 +886,7 @@ object Graph {
          |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst),
          |sc AS (
          |  SELECT u, v, CAST(count(*) AS BIGINT) AS common,
-         |    sum(CAST(floor(1.0e15 / ln(CAST(deg.d AS DOUBLE))) AS HUGEINT)) AS aa_fp
+         |    sum(CAST(floor(1.0e12 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT)) AS aa_fp
          |  FROM wdg JOIN deg ON deg.src = wdg.w
          |  GROUP BY u, v),
          |ne AS (
@@ -883,7 +894,7 @@ object Graph {
          |  WHERE NOT EXISTS (SELECT 1 FROM und
          |                    WHERE und.src = sc.u AND und.dst = sc.v))
          |SELECT u AS part_u, v AS part_v, common,
-         |  CAST(aa_fp AS DOUBLE) / 1.0e15 AS adamic_adar
+         |  CAST(aa_fp AS DOUBLE) / 1.0e12 AS adamic_adar
          |FROM ne ORDER BY aa_fp DESC, u, v LIMIT $AaTopN""".stripMargin,
     "q191_kcore" ->
       s"""WITH ${kcoreCtes(KcoreK, KcoreRounds)}
