@@ -694,9 +694,61 @@ object Analytics {
         (sum(col("r")) / count(lit(1)).cast("double")).as("intercept"))
   }
 
+  // ----------------------------------------------------- q236 SPRT A/B
+
+  /** q236's pinned design: H1 says arm B draws θ₁ = 0.6 of conversions
+    * (vs 0.5 under H0); α = β = 0.05 ⇒ Wald boundaries ±ln 19. */
+  private[operators] val SprtTheta1 = 0.6
+  private[operators] val SprtBound = 19.0
+
+  /** q236 — sequential probability ratio test (Wald 1945) replayed over
+    * the event log: users are md5-coin-split into arms A/B, each user's
+    * FIRST purchase is a conversion, and the conditional-binomial SPRT
+    * asks "is B over-converting" — LLR_t = cb_t·ln(θ₁/½) +
+    * ca_t·ln((1−θ₁)/½), crossing ±ln 19. The experimentation-analytics
+    * readout: WHEN would the test have stopped, per day, not just the
+    * end-of-window rate (q45/q98 territory).
+    *
+    * Exactness: arm assignment is an integer h60 compare (no division),
+    * conversion counts are exact integers, and the LLR is a 2-term
+    * pinned chain on ln of literal constants — both engines evaluate
+    * ln(1.2)/ln(0.8) on identical doubles. Boundary flags compare that
+    * chain to ln(19) — same on both sides.
+    *
+    * Scale shape: one purchase-filtered user-keyed min (first
+    * purchase), one (day, arm) count; the cumulative windows run on the
+    * calendar-bounded day frame. */
+  def sprtReplay(s: SparkSession, events: DataFrame,
+                 theta1: Double = SprtTheta1): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val firstBuy = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val armB = graft.functions.TextFunctions.h60(col("user_id").cast("string")) >=
+      lit(1L << 59)
+    val perDay = firstBuy
+      .select(expr(s"unix_micros(first_ts) DIV $dayUs").as("day"),
+        when(armB, 1L).otherwise(0L).as("is_b"))
+      .groupBy(col("day"))
+      .agg(sum(lit(1L) - col("is_b")).as("ca"), sum(col("is_b")).as("cb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l1 = log(lit(theta1 / 0.5)); val l0 = log(lit((1.0 - theta1) / 0.5))
+    val cum = perDay
+      .withColumn("conv_a_cum", sum(col("ca")).over(w))
+      .withColumn("conv_b_cum", sum(col("cb")).over(w))
+    val llr = col("conv_a_cum").cast("double") * l0 +
+      col("conv_b_cum").cast("double") * l1
+    cum.select(col("day"), col("conv_a_cum"), col("conv_b_cum"),
+        llr.as("llr"),
+        (llr >= log(lit(SprtBound))).as("crossed_up"),
+        (llr <= -log(lit(SprtBound))).as("crossed_low"))
+      .orderBy(col("day"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_sprt" -> ((s, d) => sprtReplay(s, Tables.events(s, d))),
     "q223_changepoint" -> ((s, d) => changepoint(s, Tables.events(s, d))),
     "q233_segmented_ols" -> ((s, d) => segmentedRegression(s, Tables.events(s, d))),
     "q224_theil_sen" -> ((s, d) => theilSen(s, Tables.events(s, d))),
@@ -757,6 +809,39 @@ object Analytics {
        |cut AS (SELECT pos AS cut_pos, s1 AS cut_s FROM s1r WHERE rk = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q236_sprt" ->
+      s"""WITH fb AS (
+         |  SELECT user_id, min(ts) AS first_ts FROM events
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |hh AS (
+         |  SELECT first_ts,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      AS h
+         |  FROM fb),
+         |pd AS (
+         |  SELECT epoch_us(first_ts) // ${86400L * 1000000L} AS day,
+         |    CAST(sum(CASE WHEN h >= ${1L << 59} THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS ca,
+         |    CAST(sum(CASE WHEN h >= ${1L << 59} THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cb
+         |  FROM hh GROUP BY 1),
+         |cum AS (
+         |  SELECT day,
+         |    sum(ca) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_a_cum,
+         |    sum(cb) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_b_cum
+         |  FROM pd)
+         |SELECT day, conv_a_cum, conv_b_cum,
+         |  CAST(conv_a_cum AS DOUBLE) * ln(${(1.0 - SprtTheta1) / 0.5})
+         |    + CAST(conv_b_cum AS DOUBLE) * ln(${SprtTheta1 / 0.5}) AS llr,
+         |  (CAST(conv_a_cum AS DOUBLE) * ln(${(1.0 - SprtTheta1) / 0.5})
+         |    + CAST(conv_b_cum AS DOUBLE) * ln(${SprtTheta1 / 0.5}))
+         |    >= ln($SprtBound) AS crossed_up,
+         |  (CAST(conv_a_cum AS DOUBLE) * ln(${(1.0 - SprtTheta1) / 0.5})
+         |    + CAST(conv_b_cum AS DOUBLE) * ln(${SprtTheta1 / 0.5}))
+         |    <= -ln($SprtBound) AS crossed_low
+         |FROM cum ORDER BY day""".stripMargin,
     "q223_changepoint" ->
       s"""WITH $CutCtes,
          |lvl1 AS (

@@ -436,7 +436,46 @@ object TextAnalysis {
       .orderBy(col("source"), col("bucket"))
   }
 
+  // --------------------------------------------------- q237 burstiness
+
+  /** q237's support floor and report size. */
+  private[operators] val BurstMinDf = 20
+  private[operators] val BurstTopN = 30
+
+  /** q237 — term burstiness (Church & Gale 1995): content words do not
+    * arrive Poisson — once a term appears in a document it tends to
+    * repeat. For every term with df ≥ [[BurstMinDf]]: p_repeat =
+    * P(≥2 occurrences | ≥1) and extra_rate = mean extra occurrences per
+    * containing doc ((n−df)/df). Ranks the corpus's topical terms
+    * (bursty) apart from function words (flat) with no stopword list —
+    * the feature-selection signal next to q131's supervised MI and
+    * q43's raw tf. Top-[[BurstTopN]] by p_repeat, ties by term.
+    *
+    * Exactness: df / multi-doc / total counts are exact integers off
+    * one (token, doc) count; the two rates are terminal divisions.
+    * Scale shape: one scan-local token explode → (token, doc_id) count
+    * (map-side combinable) → token rollup; TakeOrdered top-N, no
+    * global sort. */
+  def burstiness(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("k"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("k") >= 2, 1L).otherwise(0L)).as("multi_df"),
+        sum(col("k")).as("total_n"))
+      .filter(col("df") >= BurstMinDf)
+      .select(col("token"), col("df"), col("multi_df"), col("total_n"),
+        (col("multi_df").cast("double") / col("df").cast("double"))
+          .as("p_repeat"),
+        ((col("total_n") - col("df")).cast("double") / col("df").cast("double"))
+          .as("extra_rate"))
+      .orderBy(col("p_repeat").desc, col("token"))
+      .limit(BurstTopN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_burstiness" -> ((s, d) => burstiness(Tables.documents(s, d))),
     "q166_len_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "q159_coverage_curve" -> ((s, d) => coverageCurve(Tables.documents(s, d))),
     "q151_ngram_novelty" -> ((s, d) => ngramNovelty(Tables.documents(s, d))),
@@ -529,6 +568,22 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    "q237_burstiness" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS k
+         |       FROM t GROUP BY token, doc_id),
+         |agg AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_df,
+         |    CAST(sum(k) AS BIGINT) AS total_n
+         |  FROM pd GROUP BY token)
+         |SELECT token, df, multi_df, total_n,
+         |  CAST(multi_df AS DOUBLE) / CAST(df AS DOUBLE) AS p_repeat,
+         |  CAST(total_n - df AS DOUBLE) / CAST(df AS DOUBLE) AS extra_rate
+         |FROM agg WHERE df >= $BurstMinDf
+         |ORDER BY p_repeat DESC, token LIMIT $BurstTopN""".stripMargin,
     "q166_len_histogram" ->
       """WITH n AS (
         |  SELECT source,

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -80,6 +81,49 @@ class Round9fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------------------ q235
+
+  // ------------------------------------------------------------------ q236
+
+  test("q236: first-purchase-only conversions, exact LLR, coherent flags") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // 40 users; user u first purchases on day u % 3 (plus a SECOND
+    // purchase for user 1 that must not count)
+    val base = 1700000000000L
+    val rows = (1L to 40L).map(u =>
+      (u, new Timestamp(base + (u % 3) * 86400000L), "purchase")) :+
+      ((1L, new Timestamp(base + 5 * 86400000L), "purchase"))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val got = Analytics.sprtReplay(spark, ev).collect()
+    // arm split expected from the SAME h60 coin, computed independently
+    val expB = (1L to 40L).toDF("user_id")
+      .select(TextFunctions.h60(col("user_id").cast("string")).as("h"))
+      .collect().count(_.getLong(0) >= (1L << 59)).toLong
+    assert(got.length == 3, "3 distinct first-purchase days; the repeat adds none")
+    val last = got.last
+    assert(last.getLong(1) + last.getLong(2) == 40L)
+    assert(last.getLong(2) == expB)
+    got.foreach { r =>
+      val llr = r.getLong(1) * math.log(0.8) + r.getLong(2) * math.log(1.2)
+      assert(math.abs(r.getDouble(3) - llr) < 1e-12)
+      assert(r.getBoolean(4) == (r.getDouble(3) >= math.log(19.0)))
+      assert(r.getBoolean(5) == (r.getDouble(3) <= -math.log(19.0)))
+    }
+  }
+
+  // ------------------------------------------------------------------ q237
+
+  test("q237: always-repeating vs never-repeating terms score 1 and 0") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "x x y", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.burstiness(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("x") == ((20L, 1.0, 1.0)))  // repeats in every containing doc
+    assert(got("y") == ((20L, 0.0, 0.0)))  // never repeats
+    assert(got.size == 2)
+  }
 
   test("q235: fully-seen holdout has zero OOV and ppl = exp(-avg_logp)") {
     import spark.implicits._
