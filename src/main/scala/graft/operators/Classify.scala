@@ -674,8 +674,45 @@ object Classify {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  // ------------------------------------------------ q239 slice parity
+
+  /** q239 — slice-parity audit of the NB classifier: per-language
+    * recall broken down by SOURCE, reporting each language's worst
+    * slice and the parity gap (max − min recall across sources). The
+    * fairness/robustness readout model evals ship next to the global
+    * confusion matrix (q123): a classifier that is 95% overall but 60%
+    * on one source's documents fails exactly the slices a crawl adds
+    * next month. Ties in the worst-slice argmin break by source name.
+    *
+    * Exactness: per-(lang, source) counts are exact integers off the
+    * q122 prediction chain; recalls and the gap are terminal
+    * divisions, min/max over bit-identical doubles.
+    *
+    * Scale shape: the q122 scoring plan + one (lang, source) aggregate
+    * + one |slices|-row window/rollup. */
+  def sliceParity(docs: DataFrame): DataFrame = {
+    val per = nbPredictions(docs)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("lang"), 1L).otherwise(0L))
+          .as("correct"))
+      .withColumn("recall",
+        col("correct").cast("double") / col("n").cast("double"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("recall"), col("source"))
+    per.withColumn("rk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_slices"),
+        min(col("recall")).as("recall_min"),
+        max(col("recall")).as("recall_max"),
+        (max(col("recall")) - min(col("recall"))).as("parity_gap"),
+        max(when(col("rk") === 1, col("source"))).as("worst_source"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_label_noise" -> ((s, d) => labelNoise(Tables.documents(s, d))),
+    "q239_slice_parity" -> ((s, d) => sliceParity(Tables.documents(s, d))),
     "q217_feature_hash" -> ((s, d) => featureHashQuality(Tables.documents(s, d))),
     "q197_conformal" -> (q197Conformal _),
     "q190_calibration" -> (q190Calibration _),
@@ -952,6 +989,27 @@ object Classify {
          |    - CAST(sum(CAST(floor(conf * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
          |      / CAST(count(*) AS DOUBLE)) AS abs_gap
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q239_slice_parity" ->
+      s"""WITH $FitCtes,
+         |j AS (
+         |  SELECT d.lang, d.source,
+         |    CASE WHEN p.pred_label = d.lang THEN 1 ELSE 0 END AS ok
+         |  FROM documents d JOIN preds p USING (doc_id)),
+         |per AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ok) AS BIGINT) AS correct,
+         |    CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |  FROM j GROUP BY lang, source),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY recall, source) AS rk
+         |  FROM per)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_slices,
+         |  min(recall) AS recall_min, max(recall) AS recall_max,
+         |  max(recall) - min(recall) AS parity_gap,
+         |  max(CASE WHEN rk = 1 THEN source END) AS worst_source
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q234_label_noise" ->
       s"""WITH $FitCtes,
          |sc AS (

@@ -354,8 +354,57 @@ object Governance {
       .orderBy(col("source"), col("pattern"))
   }
 
+  // ------------------------------------- q240 trimmed / winsorized mean
+
+  /** q240 — 10% two-sided trimmed and winsorized means of document
+    * length per source: the robust location estimates between the
+    * plain mean (outlier-dragged) and q163's median (throws away most
+    * of the data). Trim drops the k = n div 10 smallest and largest
+    * values; winsorize clamps them to the surviving boundary values —
+    * the standard pair a release report quotes for heavy-tailed length
+    * distributions.
+    *
+    * Exactness: ranks are integers (ties by doc_id), the boundary
+    * values are exact picks at ranks k+1 and n−k, and all three means
+    * are integer sums with one terminal division each.
+    *
+    * Scale shape: one per-source rank window over the scan (the same
+    * shape as every per-source order statistic here), cached once for
+    * the two aggregate passes; everything else is |sources|-keyed. */
+  def trimmedStats(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ranked = graft.core.CacheScope.cached(
+      docs.select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(counts), Seq("source"))
+        .withColumn("k", expr("n div 10")))
+    val bounds = ranked.groupBy(col("source")).agg(
+      max(col("n")).as("n"),
+      sum(col("n_chars")).as("s_all"),
+      sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+        col("n_chars")).otherwise(0L)).as("s_trim"),
+      max(when(col("rk") === col("k") + 1, col("n_chars"))).as("lo_cut"),
+      max(when(col("rk") === col("n") - col("k"), col("n_chars"))).as("hi_cut"))
+    val winsor = ranked
+      .join(broadcast(bounds.select(col("source"), col("lo_cut"), col("hi_cut"))),
+        Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(greatest(col("lo_cut"), least(col("hi_cut"), col("n_chars"))))
+        .as("s_winsor"))
+    bounds.join(winsor, Seq("source"))
+      .select(col("source"), col("n"), col("lo_cut"), col("hi_cut"),
+        (col("s_all").cast("double") / col("n").cast("double")).as("mean"),
+        (col("s_trim").cast("double") /
+          (col("n") - lit(2L) * expr("n div 10")).cast("double")).as("trimmed_mean"),
+        (col("s_winsor").cast("double") / col("n").cast("double"))
+          .as("winsor_mean"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_mann_whitney" -> ((s, d) => mannWhitney(Tables.documents(s, d))),
+    "q240_trimmed_stats" -> ((s, d) => trimmedStats(Tables.documents(s, d))),
     "q227_blocklist" -> ((s, d) => blocklistAudit(Tables.documents(s, d))),
     "q194_welch_t" -> ((s, d) => welchT(Tables.documents(s, d))),
     "q195_chi2_indep" -> ((s, d) => chi2Independence(Tables.documents(s, d))),
@@ -366,6 +415,35 @@ object Governance {
   )
 
   def oracles: Map[String, String] = Map(
+    "q240_trimmed_stats" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |rr AS (SELECT *, n // 10 AS k FROM ranked),
+        |b AS (
+        |  SELECT source, max(n) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_all,
+        |    CAST(sum(CASE WHEN rk > k AND rk <= n - k THEN n_chars ELSE 0 END)
+        |      AS BIGINT) AS s_trim,
+        |    max(CASE WHEN rk = k + 1 THEN n_chars END) AS lo_cut,
+        |    max(CASE WHEN rk = n - k THEN n_chars END) AS hi_cut
+        |  FROM rr GROUP BY source),
+        |wv AS (
+        |  SELECT rr.source,
+        |    CAST(sum(greatest(b.lo_cut, least(b.hi_cut, rr.n_chars)))
+        |      AS BIGINT) AS s_winsor
+        |  FROM rr JOIN b USING (source)
+        |  GROUP BY rr.source)
+        |SELECT b.source, b.n, b.lo_cut, b.hi_cut,
+        |  CAST(s_all AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean,
+        |  CAST(s_trim AS DOUBLE) / CAST(b.n - 2 * (b.n // 10) AS DOUBLE)
+        |    AS trimmed_mean,
+        |  CAST(s_winsor AS DOUBLE) / CAST(b.n AS DOUBLE) AS winsor_mean
+        |FROM b JOIN wv ON wv.source = b.source
+        |ORDER BY b.source""".stripMargin,
     "q227_blocklist" ->
       s"""WITH p AS (
          |  SELECT unnest([${Blocklist.map(p => s"'$p'").mkString(", ")}]) AS pattern),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -493,9 +494,50 @@ object Multimodal {
         (col("frame_idx") * stride).cast("bigint").as("byte_offset"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  // ---------------------------------------------------- q241 scene cuts
+
+  /** q241's frame signature delta threshold (byte-sum units over the
+    * 100-byte frame stride shared with q41). */
+  private[operators] val CutThreshold = 800L
+
+  /** q241 — scene-cut detection over the frame stream: per document
+    * (video stand-in), a frame's signature is its byte sum, and a cut
+    * is a frame whose signature jumps more than [[CutThreshold]] from
+    * its predecessor — the shot-boundary primitive video curation
+    * pipelines run before frame-sampling (q41 samples uniformly; a real
+    * pipeline samples per SHOT). On real media the signature is the
+    * decoded luma mean (q41's codec path); the Spark-side mechanics —
+    * frame explode, per-frame reduce, per-doc lag window — are
+    * identical and are what this operator pins.
+    *
+    * Exactness: signatures are integer byte sums via a codegen'd
+    * `aggregate` HOF (no UDF); the lag compare is integer. Scale
+    * shape: scan-local frame explode + per-doc windows (frames per doc
+    * bounded by media length), one doc-keyed rollup. */
+  def sceneCuts(docs: DataFrame): DataFrame = {
+    val frames = docs.select(col("doc_id"), col("text"),
+      explode(sequence(lit(0),
+        ((length(col("text")) - 1) / lit(100)).cast("int"))).as("f"))
+    val sig = expr(
+      """aggregate(
+        |  sequence(f * 100 + 1, least(f * 100 + 100, length(text))),
+        |  0L, (acc, p) -> acc + ascii(substring(text, p, 1)))""".stripMargin)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    frames.select(col("doc_id"), col("f"), sig.as("sig"))
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("cut",
+        col("prev").isNotNull && abs(col("sig") - col("prev")) > CutThreshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("cut"), col("f"))).as("first_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_scene_cuts" -> ((s, d) => sceneCuts(Tables.documents(s, d))),
     "q40_media_features" -> ((s, d) => {
       import s.implicits._
       extractFeatures(s, mediaTable(Tables.documents(s, d)))
@@ -541,6 +583,30 @@ object Multimodal {
     * length, partition-batched map, explode — is what's being verified;
     * feature vectors are stub-only and checked in the spec instead). */
   def oracles: Map[String, String] = Map(
+    "q241_scene_cuts" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (length(text) - 1) // 100 + 1)) AS f
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, CAST(f AS INT) AS f,
+         |    CAST(list_sum([ord(substr(text, p, 1))
+         |      for p in range(f * 100 + 1,
+         |                     least(f * 100 + 100, length(text)) + 1)])
+         |      AS BIGINT) AS sig
+         |  FROM fr),
+         |lg AS (
+         |  SELECT doc_id, f, sig,
+         |    lag(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM sg),
+         |ct AS (
+         |  SELECT doc_id, f,
+         |    (prev IS NOT NULL AND abs(sig - prev) > $CutThreshold) AS cut
+         |  FROM lg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  min(CASE WHEN cut THEN f END) AS first_cut
+         |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q40_media_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

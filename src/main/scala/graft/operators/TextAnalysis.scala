@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Per-document text analysis for a training-data pipeline (north-star
   * extension): language id, quality scoring, token counting, fingerprinting.
@@ -474,7 +474,44 @@ object TextAnalysis {
       .limit(BurstTopN)
   }
 
+  // --------------------------------------------- q238 hapax concentration
+
+  /** q238's report size. */
+  private[operators] val HapaxTopN = 20
+
+  /** q238 — hapax-concentration screen: per document, the fraction of
+    * its trigrams that are corpus-unique (occur exactly once in the
+    * whole corpus). Clean text shares its n-grams; OCR garbage, mangled
+    * encodings and machine-generated noise are made of n-grams nobody
+    * else produces — a high hapax rate is the classic garbage detector
+    * that needs no language model (complements q31's surface heuristics
+    * and q92's LM score). Top-[[HapaxTopN]] docs by rate (ties by
+    * doc_id), plus each doc's source for triage.
+    *
+    * Exactness: trigram corpus counts and per-doc hapax counts are
+    * exact integers; the rate is one terminal division. Scale shape:
+    * one scan-local n-gram explode feeding BOTH the corpus count and
+    * the per-doc rollup (the (trigram) count joins back onto the same
+    * exploded stream — key-shuffled, map-combinable), then TakeOrdered
+    * top-N. */
+  def hapaxDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val tri = docs.select(col("doc_id"), col("source"),
+      explode(VectorFunctions.wordNgramList(col("text"), 3)).as("g"))
+    val corpus = tri.groupBy(col("g")).agg(count(lit(1)).as("cn"))
+    tri.join(corpus, Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("cn") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("source"), col("n_trigrams"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_trigrams").cast("double"))
+          .as("hapax_rate"))
+      .orderBy(col("hapax_rate").desc, col("doc_id"))
+      .limit(HapaxTopN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_hapax_docs" -> ((s, d) => hapaxDocs(s, Tables.documents(s, d))),
     "q237_burstiness" -> ((s, d) => burstiness(Tables.documents(s, d))),
     "q166_len_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "q159_coverage_curve" -> ((s, d) => coverageCurve(Tables.documents(s, d))),
@@ -568,6 +605,24 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    "q238_hapax_docs" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, source,
+         |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |            for i in range(1, len(ws) - 1)]) AS g
+         |  FROM w WHERE len(ws) >= 3),
+         |c AS (SELECT g, CAST(count(*) AS BIGINT) AS cn FROM t GROUP BY g),
+         |per AS (
+         |  SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(CASE WHEN c.cn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM t JOIN c USING (g)
+         |  GROUP BY t.doc_id, t.source)
+         |SELECT doc_id, source, n_trigrams, n_hapax,
+         |  CAST(n_hapax AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS hapax_rate
+         |FROM per ORDER BY hapax_rate DESC, doc_id LIMIT $HapaxTopN""".stripMargin,
     "q237_burstiness" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -200,7 +200,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q232_cka", // q115's 1-row moment aggregate crossed with the 2080-row triangle frame
       "q233_segmented_ols", // 1-row totals + 1-row level-1-cut attaches on the day grid
       "q234_label_noise", // dense-model build (q122's plan) under the noise cross-tab
-      "q235_holdout_ppl") // 1-row train-vocab attach on the test bigram stream
+      "q235_holdout_ppl", // 1-row train-vocab attach on the test bigram stream
+      "q239_slice_parity") // dense-model build (q122's plan) under the slice rollup
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
