@@ -710,9 +710,43 @@ object Classify {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------- q242 uncertainty sample
+
+  /** q242's labeling-queue size. */
+  private[operators] val UncertainTopN = 25
+
+  /** q242 — margin-based uncertainty sampling: the [[UncertainTopN]]
+    * documents whose NB top-two posterior scores are closest — the
+    * active-learning queue a labeling budget is spent on (smallest
+    * margin = the model's most confusable documents; Lewis & Gale
+    * 1994). Complements q234 (confidently WRONG) with the confidently
+    * UNSURE.
+    *
+    * Exactness: both scores ride the q122 decimal-summed chain; the
+    * margin is one double subtraction and the top-N sorts on it with
+    * doc_id ties.
+    *
+    * Scale shape: the q122 scoring plan + one per-doc |labels|-row
+    * window + TakeOrdered. */
+  def uncertaintySample(docs: DataFrame): DataFrame = {
+    val dtok = CacheScope.cached(docTokenCounts(docs))
+    val scores = nbScores(CacheScope.cached(nbModel(dtok)), nbPriors(docs), dtok)
+    val rk = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("label")))
+    scores.withColumn("rk", rk).filter(col("rk") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("rk") === 1, col("label"))).as("pred_label"),
+        max(when(col("rk") === 2, col("label"))).as("second_label"),
+        (max(when(col("rk") === 1, col("score"))) -
+          max(when(col("rk") === 2, col("score")))).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(UncertainTopN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_label_noise" -> ((s, d) => labelNoise(Tables.documents(s, d))),
     "q239_slice_parity" -> ((s, d) => sliceParity(Tables.documents(s, d))),
+    "q242_uncertainty" -> ((s, d) => uncertaintySample(Tables.documents(s, d))),
     "q217_feature_hash" -> ((s, d) => featureHashQuality(Tables.documents(s, d))),
     "q197_conformal" -> (q197Conformal _),
     "q190_calibration" -> (q190Calibration _),
@@ -989,6 +1023,28 @@ object Classify {
          |    - CAST(sum(CAST(floor(conf * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
          |      / CAST(count(*) AS DOUBLE)) AS abs_gap
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q242_uncertainty" ->
+      s"""WITH $FitCtes,
+         |sc AS (
+         |  SELECT t.doc_id, m.label, p.log_prior,
+         |    CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))) AS DOUBLE)
+         |      + p.log_prior AS score
+         |  FROM tok t
+         |  JOIN model m ON m.token = t.token
+         |  JOIN pri p ON p.label = m.label
+         |  GROUP BY t.doc_id, m.label, p.log_prior),
+         |rk AS (
+         |  SELECT doc_id, label, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label) AS rk
+         |  FROM sc)
+         |SELECT doc_id,
+         |  max(CASE WHEN rk = 1 THEN label END) AS pred_label,
+         |  max(CASE WHEN rk = 2 THEN label END) AS second_label,
+         |  max(CASE WHEN rk = 1 THEN score END)
+         |    - max(CASE WHEN rk = 2 THEN score END) AS margin
+         |FROM rk WHERE rk <= 2
+         |GROUP BY doc_id ORDER BY margin, doc_id LIMIT $UncertainTopN""".stripMargin,
     "q239_slice_parity" ->
       s"""WITH $FitCtes,
          |j AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, Tables}
@@ -531,7 +531,61 @@ object Mining {
       .orderBy(col("r"))
   }
 
+  // ------------------------------------------ q244 association rules
+
+  /** q244's support floor (repeat co-purchases: the synthetic catalog is pair-sparse) and report size. */
+  private[operators] val RuleMinPairN = 2L
+  private[operators] val RuleTopN = 20
+
+  /** q244 — association-rule metrics over co-purchased part pairs:
+    * for each directed rule a→b with pair support ≥ [[RuleMinPairN]],
+    * support, confidence, LIFT and LEVERAGE (Agrawal/Srikant rule
+    * mining + the Piatetsky-Shapiro interestingness pair). q145 finds
+    * frequent TRIPLES and q99 counts pairs; this is the rule-quality
+    * layer a recommender actually ranks by — confidence alone promotes
+    * popular items, lift corrects for both marginals.
+    *
+    * Exactness: all counts are exact integers (pair counts via the
+    * q213 scan-local sorted-array expansion); the four metrics are
+    * pinned terminal chains; top-N sorts on lift with (a, b) ties.
+    *
+    * Scale shape: one order-keyed basket shuffle + scan-local pair
+    * expansion into a map-combinable (a, b) count; two broadcastable
+    * item-count joins; one 1-row order-total attach; TakeOrdered. */
+  def assocRules(s: SparkSession, lineitem: DataFrame,
+                 topN: Int = RuleTopN): DataFrame = {
+    val op = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nO = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = lineitem.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= RuleMinPairN)
+    val rules = pairs.select(col("a").as("ant"), col("b").as("cons"), col("n_ab"))
+      .unionAll(pairs.select(col("b").as("ant"), col("a").as("cons"), col("n_ab")))
+      .join(items.select(col("l_partkey").as("ant"), col("cnt").as("n_a")),
+        Seq("ant"))
+      .join(items.select(col("l_partkey").as("cons"), col("cnt").as("n_b")),
+        Seq("cons"))
+      .crossJoin(broadcast(nO))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val nD = col("n_orders").cast("double")
+    rules.select(col("ant"), col("cons"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / nD).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((dec(col("n_ab")) * dec(col("n_orders"))).cast("double") /
+          (dec(col("n_a")) * dec(col("n_b"))).cast("double")).as("lift"),
+        (col("n_ab").cast("double") / nD -
+          (col("n_a").cast("double") / nD) * (col("n_b").cast("double") / nD))
+          .as("leverage"))
+      .orderBy(col("lift").desc, col("ant"), col("cons"))
+      .limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_assoc_rules" -> ((s, d) => assocRules(s, Tables.lineitem(s, d))),
     "q228_good_turing" -> ((s, d) => goodTuring(s, Tables.documents(s, d))),
     "q218_kneser_ney" -> ((s, d) => kneserNey(s, Tables.documents(s, d))),
     "q204_neg_sample" -> ((s, d) => negSample(s, Tables.lineitem(s, d))),
@@ -552,6 +606,39 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    "q244_assoc_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         |      FROM op),
+         |it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM op GROUP BY l_partkey),
+         |pr AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM op x JOIN op y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $RuleMinPairN),
+         |ru AS (
+         |  SELECT a AS ant, b AS cons, n_ab FROM pr
+         |  UNION ALL
+         |  SELECT b AS ant, a AS cons, n_ab FROM pr),
+         |k AS (
+         |  SELECT ru.ant, ru.cons, ru.n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+         |    n.n_orders
+         |  FROM ru
+         |  JOIN it ia ON ia.l_partkey = ru.ant
+         |  JOIN it ib ON ib.l_partkey = ru.cons
+         |  CROSS JOIN n)
+         |SELECT ant, cons, n_ab, n_a, n_b,
+         |  CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+         |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
+         |  CAST(CAST(n_ab AS HUGEINT) * n_orders AS DOUBLE)
+         |    / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS lift,
+         |  CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)
+         |    - (CAST(n_a AS DOUBLE) / CAST(n_orders AS DOUBLE))
+         |      * (CAST(n_b AS DOUBLE) / CAST(n_orders AS DOUBLE)) AS leverage
+         |FROM k ORDER BY lift DESC, ant, cons LIMIT $RuleTopN""".stripMargin,
     "q228_good_turing" ->
       s"""WITH w AS (
          |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),

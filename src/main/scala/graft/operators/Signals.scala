@@ -212,10 +212,58 @@ object Signals {
       .orderBy(col("source"))
   }
 
+  // -------------------------------------------- q243 Simpson's screen
+
+  /** q243 — Simpson's-paradox screen on the quality~length relation:
+    * the OLS slope of the q31 quality score against document length,
+    * per source AND pooled, flagging sources whose slope sign opposes
+    * the pooled one. The classic aggregation trap: a corpus-level
+    * "longer is better" trend can reverse inside every source (or vice
+    * versa), and any filter tuned on the pooled trend then mis-gates
+    * per-source. Pooled moments are the SUM of the per-source moments
+    * — one scan, one |sources| rollup, one 1-row attach.
+    *
+    * Exactness: y enters on the 1e-12 grid (q31 doubles are
+    * bit-identical), so all five moments are exact integers; each
+    * slope is one guarded terminal division (zero length-variance
+    * sources pin to NULL — ANSI double division by zero throws, the
+    * q213 lesson). */
+  def simpsonSlopes(docs: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+    val j = docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+      .select(col("source"), col("n_chars").as("x"),
+        floor(col("quality_score") * lit(1e12)).cast("long").as("yq"))
+    val per = j.groupBy(col("source")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(dec(col("yq"))).as("sy"),
+      sum(dec(col("x")) * dec(col("yq"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val pool = per.agg(sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+      sum(col("sy")).as("psy"), sum(col("sxy")).as("psxy"),
+      sum(col("sxx")).as("psxx"))
+    def slopeOf(n: Column, sx: Column, sy: Column, sxy: Column,
+                sxx: Column): Column = {
+      val num = (dec(n) * sxy - dec(sx) * sy).cast("double")
+      val den = (dec(n) * sxx - dec(sx) * dec(sx)).cast("double")
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(num / den / lit(1e12))
+    }
+    val s = slopeOf(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+    val p = slopeOf(col("pn"), col("psx"), col("psy"), col("psxy"), col("psxx"))
+    per.crossJoin(broadcast(pool))
+      .select(col("source"), col("n"), s.as("slope"), p.as("pooled_slope"),
+        when(s.isNull || p.isNull, lit(null).cast("boolean"))
+          .otherwise(s * p < 0).as("sign_flip"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_cohens_kappa" -> (qualityLmKappa _),
+    "q243_simpson" -> ((s, d) => simpsonSlopes(Tables.documents(s, d))),
     "q185_rank_corr" -> (signalRankCorr _),
     "q186_wilson_ci" -> ((s, d) => wilsonPassRates(Tables.documents(s, d))),
     "q187_label_prototypes" -> ((s, d) => labelPrototypes(Tables.embeddings(s, d))),
@@ -257,6 +305,44 @@ object Signals {
       |  GROUP BY bb.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q243_simpson" ->
+      s"""WITH q AS (
+         |  $QualitySql),
+         |j AS (
+         |  SELECT d.source, d.n_chars AS x,
+         |    CAST(floor(q.quality_score * 1.0e12) AS BIGINT) AS yq
+         |  FROM documents d JOIN q USING (doc_id)),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    sum(CAST(yq AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * yq) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM j GROUP BY source),
+         |pool AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS pn, CAST(sum(sx) AS BIGINT) AS psx,
+         |    sum(sy) AS psy, sum(sxy) AS psxy, sum(sxx) AS psxx
+         |  FROM per),
+         |k AS (
+         |  SELECT source, n,
+         |    CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+         |        - CAST(sx AS HUGEINT) * sx AS DOUBLE) = 0.0 THEN NULL
+         |      ELSE CAST(CAST(n AS HUGEINT) * sxy
+         |          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         |        / CAST(CAST(n AS HUGEINT) * sxx
+         |          - CAST(sx AS HUGEINT) * sx AS DOUBLE) / 1.0e12 END AS slope,
+         |    CASE WHEN CAST(CAST(pn AS HUGEINT) * psxx
+         |        - CAST(psx AS HUGEINT) * psx AS DOUBLE) = 0.0 THEN NULL
+         |      ELSE CAST(CAST(pn AS HUGEINT) * psxy
+         |          - CAST(psx AS HUGEINT) * psy AS DOUBLE)
+         |        / CAST(CAST(pn AS HUGEINT) * psxx
+         |          - CAST(psx AS HUGEINT) * psx AS DOUBLE) / 1.0e12 END
+         |      AS pooled_slope
+         |  FROM per CROSS JOIN pool)
+         |SELECT source, n, slope, pooled_slope,
+         |  CASE WHEN slope IS NULL OR pooled_slope IS NULL THEN NULL
+         |    ELSE slope * pooled_slope < 0 END AS sign_flip
+         |FROM k ORDER BY source""".stripMargin,
     "q226_cohens_kappa" ->
       s"""WITH $LmCtes,
          |q AS (

@@ -201,7 +201,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q233_segmented_ols", // 1-row totals + 1-row level-1-cut attaches on the day grid
       "q234_label_noise", // dense-model build (q122's plan) under the noise cross-tab
       "q235_holdout_ppl", // 1-row train-vocab attach on the test bigram stream
-      "q239_slice_parity") // dense-model build (q122's plan) under the slice rollup
+      "q239_slice_parity", // dense-model build (q122's plan) under the slice rollup
+      "q242_uncertainty", // dense-model build (q122's plan) under the margin window
+      "q243_simpson", // 1-row pooled-moment attach on the |sources|-bounded frame
+      "q244_assoc_rules") // 1-row order-total attach on the pair-bounded rule frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

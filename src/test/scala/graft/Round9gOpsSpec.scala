@@ -69,6 +69,58 @@ class Round9gOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(6) == 5.5)                    // winsorized
   }
 
+  // ------------------------------------------------------------------ q242
+
+  test("q242: the mixed-language doc has the smallest posterior margin") {
+    val en = ("aa bb cc dd " * 5).trim
+    val fr = ("xx yy zz ww " * 5).trim
+    val mixed = ("aa bb xx yy " * 5).trim // evenly split evidence
+    val d = docsOf(
+      (1L to 5L).map(i => (i, "s", "en", en)) ++
+        (6L to 10L).map(i => (i, "s", "fr", fr)) :+
+        ((11L, "s", "en", mixed)))
+    val got = Classify.uncertaintySample(d).collect()
+    assert(got.head.getLong(0) == 11L, "mixed doc must top the queue")
+    got.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, "margin = top1 - top2 is non-negative")
+      assert(r.getString(1) != r.getString(2))
+    }
+  }
+
+  // ------------------------------------------------------------------ q243
+
+  test("q243: sign_flip recomputes from the emitted slopes; flat source is null") {
+    val d = docsOf(
+      // source up: quality grows with length (clean text, more words)
+      Seq((1L, "up", "en", ("w " * 10).trim), (2L, "up", "en", ("w " * 40).trim),
+        (3L, "up", "en", ("w " * 80).trim),
+        // source flat: constant length -> zero variance -> null slope
+        (4L, "flat", "en", "a b c"), (5L, "flat", "en", "d e f")))
+    val got = graft.operators.Signals.simpsonSlopes(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("flat").isNullAt(2) && got("flat").isNullAt(4))
+    val up = got("up")
+    assert(up.getDouble(2) > 0.0, "more words -> higher q31 score")
+    val flip = up.getDouble(2) * up.getDouble(3) < 0
+    assert(up.getBoolean(4) == flip)
+  }
+
+  // ------------------------------------------------------------------ q244
+
+  test("q244: support/confidence/lift/leverage exact on a pinned basket set") {
+    import spark.implicits._
+    // orders: {1,2}, {1,2}, {1,3} -> pair (1,2) support 2, (1,3) dropped
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Mining.assocRules(spark, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    assert(got.size == 2)
+    assert(got((1L, 2L)) == ((2L, 2.0 / 3.0, 2.0 / 3.0, 1.0, 0.0)))
+    assert(got((2L, 1L)) == ((2L, 2.0 / 3.0, 1.0, 1.0, 0.0)))
+  }
+
   // ------------------------------------------------------------------ q241
 
   test("q241: a byte-content jump across the frame boundary is a cut") {
