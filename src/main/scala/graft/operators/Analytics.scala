@@ -745,10 +745,100 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  // ---------------------------------------------- q246 daily quantiles
+
+  /** q246 — exact daily p50/p95 bands of the event value: the
+    * monitoring trajectory an SLO dashboard draws (q216 tracks the
+    * MEAN's seasonal shape; tails move first). Exact order statistics
+    * — p50 at rank (n+1) div 2, p95 at rank ceil(0.95·n) — picked by a
+    * day-partitioned rank window with event_id ties, so no approximate
+    * percentile sketch enters the comparison.
+    *
+    * Scale shape: one day-partitioned window over the scan (per-day
+    * sort, key-parallel — the per-source order-statistic shape), one
+    * day rollup. */
+  def dayQuantiles(s: SparkSession, events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val v = events.select(expr(s"unix_micros(ts) DIV $dayUs").as("day"),
+      col("value"), col("event_id"))
+    val w = Window.partitionBy(col("day")).orderBy(col("value"), col("event_id"))
+    v.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("value"))).as("p50"),
+        max(when(col("rk") === expr("(n * 19 + 19) div 20"), col("value")))
+          .as("p95"))
+      .orderBy(col("day"))
+  }
+
+  // ------------------------------------------------ q248 top-k churn
+
+  /** q248's list depth and RBO persistence. */
+  private[operators] val RboK = 20
+  private[operators] val RboP = 0.9
+
+  /** q248 — top-k churn between the first and second half of the event
+    * window, scored with truncated Rank-Biased Overlap (Webber et al.
+    * 2010): RBO = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d over the top-k
+    * users by event count in each half. The "did our heavy hitters
+    * change" monitor — set Jaccard alone ignores rank movement, which
+    * is most of the signal at the head.
+    *
+    * Exactness: both top-k lists are integer-count ranked with user_id
+    * ties; prefix overlaps are integers; the geometric weights are
+    * driver-printed double literals embedded in BOTH engines (Scala's
+    * shortest-roundtrip rendering), and the weighted sum folds as
+    * floor(term·1e15) integers. The half-split day is an integer
+    * midpoint from a 1-row bounds attach.
+    *
+    * Scale shape: one (half, user) count off the scan, two k-bounded
+    * rank windows, then everything runs on ≤k-row frames. */
+  def topkChurn(s: SparkSession, events: DataFrame, k: Int = RboK,
+                p: Double = RboP): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val days = events.select(expr(s"unix_micros(ts) DIV $dayUs").as("day"),
+      col("user_id"))
+    val cut = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("cut"))
+    val halves = days.crossJoin(broadcast(cut))
+      .select(when(col("day") < col("cut"), 0).otherwise(1).as("half"),
+        col("user_id"))
+      .groupBy(col("half"), col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("half")).orderBy(col("c").desc, col("user_id"))
+    val top = halves.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val matched = top.filter(col("half") === 0)
+      .select(col("user_id"), col("rk").as("ra"))
+      .join(top.filter(col("half") === 1)
+        .select(col("user_id"), col("rk").as("rb")), Seq("user_id"))
+    val dgrid = rboWeights(k, p).toDF("d", "weight")
+    val sizes = top.groupBy().agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val overlap = broadcast(dgrid).join(matched,
+        greatest(col("ra"), col("rb")) <= col("d"), "left")
+      .groupBy(col("d"), col("weight"))
+      .agg(count(col("user_id")).as("x"))
+    overlap.agg(
+        max(when(col("d") === k, col("x"))).as("overlap_at_k"),
+        sum(floor(col("weight") * col("x").cast("double") /
+          col("d").cast("double") * lit(1e15)).cast("decimal(19,0)"))
+          .as("rsum"))
+      .crossJoin(broadcast(sizes))
+      .select(lit(k).as("k"), col("overlap_at_k"),
+        (col("overlap_at_k").cast("double") /
+          (col("na") + col("nb") - col("overlap_at_k")).cast("double"))
+          .as("jaccard"),
+        (lit(1.0 - p) * (col("rsum").cast("double") / lit(1e15))).as("rbo"))
+  }
+
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_sprt" -> ((s, d) => sprtReplay(s, Tables.events(s, d))),
+    "q246_day_quantiles" -> ((s, d) => dayQuantiles(s, Tables.events(s, d))),
+    "q248_topk_churn" -> ((s, d) => topkChurn(s, Tables.events(s, d))),
     "q223_changepoint" -> ((s, d) => changepoint(s, Tables.events(s, d))),
     "q233_segmented_ols" -> ((s, d) => segmentedRegression(s, Tables.events(s, d))),
     "q224_theil_sen" -> ((s, d) => theilSen(s, Tables.events(s, d))),
@@ -808,7 +898,68 @@ object Analytics {
        |s1r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, day) AS rk FROM c1),
        |cut AS (SELECT pos AS cut_pos, s1 AS cut_s FROM s1r WHERE rk = 1)""".stripMargin
 
+  /** q248's (d, weight) literal rows, rendered once and shared by the
+    * engine frame and the oracle VALUES list (shortest-roundtrip double
+    * printing keeps them bit-identical). */
+  private def rboWeights(k: Int, p: Double): Seq[(Int, Double)] =
+    (1 to k).map(d => (d, math.pow(p, d - 1)))
+
   def oracles: Map[String, String] = Map(
+    "q246_day_quantiles" ->
+      s"""WITH v AS (
+         |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day, value, event_id
+         |  FROM events),
+         |r AS (
+         |  SELECT day, value,
+         |    row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS n
+         |  FROM v)
+         |SELECT day, max(n) AS n,
+         |  max(CASE WHEN rk = (n + 1) // 2 THEN value END) AS p50,
+         |  max(CASE WHEN rk = (n * 19 + 19) // 20 THEN value END) AS p95
+         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q248_topk_churn" -> {
+      val vals = rboWeights(RboK, RboP)
+        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH days AS (
+         |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day, user_id
+         |  FROM events),
+         |cut AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM days),
+         |halves AS (
+         |  SELECT CASE WHEN day < cut THEN 0 ELSE 1 END AS half, user_id,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM days CROSS JOIN cut
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT half, user_id,
+         |    row_number() OVER (PARTITION BY half ORDER BY c DESC, user_id) AS rk
+         |  FROM halves),
+         |m AS (
+         |  SELECT a.user_id, a.rk AS ra, b.rk AS rb
+         |  FROM (SELECT * FROM top WHERE half = 0 AND rk <= $RboK) a
+         |  JOIN (SELECT * FROM top WHERE half = 1 AND rk <= $RboK) b
+         |    USING (user_id)),
+         |g AS (SELECT * FROM (VALUES $vals) AS t(d, weight)),
+         |ov AS (
+         |  SELECT g.d, g.weight, CAST(count(m.user_id) AS BIGINT) AS x
+         |  FROM g LEFT JOIN m ON greatest(m.ra, m.rb) <= g.d
+         |  GROUP BY g.d, g.weight),
+         |sz AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM top WHERE rk <= $RboK),
+         |ag AS (
+         |  SELECT max(CASE WHEN d = $RboK THEN x END) AS overlap_at_k,
+         |    sum(CAST(floor(weight * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
+         |      * 1.0e15) AS BIGINT)) AS rsum
+         |  FROM ov)
+         |SELECT CAST($RboK AS INT) AS k, overlap_at_k,
+         |  CAST(overlap_at_k AS DOUBLE)
+         |    / CAST(na + nb - overlap_at_k AS DOUBLE) AS jaccard,
+         |  ${1.0 - RboP} * (CAST(rsum AS DOUBLE) / 1.0e15) AS rbo
+         |FROM ag CROSS JOIN sz""".stripMargin
+    },
     "q236_sprt" ->
       s"""WITH fb AS (
          |  SELECT user_id, min(ts) AS first_ts FROM events

@@ -674,6 +674,47 @@ object Classify {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  // ----------------------------------------------------- q245 ROC AUC
+
+  /** q245 — exact ROC AUC of the [[TargetLang]]-vs-rest NB scorer via
+    * the rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻) — the
+    * Mann-Whitney U normalized (q225's machinery pointed at a model
+    * score). This is the threshold-FREE companion to q126's 9-point PR
+    * sweep: no sort of the corpus, no threshold grid — average ranks
+    * come from the VALUE-level frame (ties handled exactly), so the
+    * number is exact at any scale.
+    *
+    * Exactness: logodds doubles are bit-identical (q126's chain); they
+    * enter as floor(·1e12) grid values, so ranks, R⁺ and the AUC
+    * numerator are exact integers with one terminal division.
+    *
+    * Scale shape: the q126 scoring plan + one (value) count + one
+    * cumulative window on the distinct-score frame + a 1-row rollup. */
+  def rocAuc(docs: DataFrame, target: String = TargetLang): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val scored = binaryLogOdds(docs, target)
+      .join(docs.select(col("doc_id"), (col("lang") === target).as("is_t")),
+        Seq("doc_id"))
+      .select(floor(col("logodds") * lit(1e12)).cast("long").as("v"),
+        col("is_t"))
+    val byVal = scored.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cp"))
+    val wv = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .select(col("cp"), col("cnt"),
+        (lit(2L) * col("cumb") + col("cnt") + 1).as("r2"))
+    ranked.agg(
+        sum(col("cp")).as("n_pos"),
+        sum(col("cnt")).as("n_all"),
+        sum(dec(col("cp")) * dec(col("r2"))).as("rp2"))
+      .select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+        ((col("rp2") - dec(col("n_pos")) * dec(col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            (col("n_all") - col("n_pos")).cast("double"))).as("auc"))
+  }
+
   // ------------------------------------------------ q239 slice parity
 
   /** q239 — slice-parity audit of the NB classifier: per-language
@@ -747,6 +788,7 @@ object Classify {
     "q234_label_noise" -> ((s, d) => labelNoise(Tables.documents(s, d))),
     "q239_slice_parity" -> ((s, d) => sliceParity(Tables.documents(s, d))),
     "q242_uncertainty" -> ((s, d) => uncertaintySample(Tables.documents(s, d))),
+    "q245_roc_auc" -> ((s, d) => rocAuc(Tables.documents(s, d))),
     "q217_feature_hash" -> ((s, d) => featureHashQuality(Tables.documents(s, d))),
     "q197_conformal" -> (q197Conformal _),
     "q190_calibration" -> (q190Calibration _),
@@ -1023,6 +1065,31 @@ object Classify {
          |    - CAST(sum(CAST(floor(conf * 1.0e15) AS HUGEINT)) AS DOUBLE) / 1.0e15
          |      / CAST(count(*) AS DOUBLE)) AS abs_gap
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q245_roc_auc" ->
+      s"""WITH ${binCtes(TargetLang)},
+         |sv AS (
+         |  SELECT CAST(floor(logodds * 1.0e12) AS BIGINT) AS v, is_t
+         |  FROM scored),
+         |bv AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cp
+         |  FROM sv GROUP BY v),
+         |rk AS (
+         |  SELECT cp, cnt,
+         |    2 * COALESCE(sum(cnt) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + cnt + 1 AS r2
+         |  FROM bv),
+         |ag AS (
+         |  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         |    CAST(sum(cnt) AS BIGINT) AS n_all,
+         |    sum(CAST(cp AS HUGEINT) * r2) AS rp2
+         |  FROM rk)
+         |SELECT n_pos, n_all - n_pos AS n_neg,
+         |  CAST(rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+         |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE))
+         |    AS auc
+         |FROM ag""".stripMargin,
     "q242_uncertainty" ->
       s"""WITH $FitCtes,
          |sc AS (

@@ -225,6 +225,38 @@ object Evaluation {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // ------------------------------------------------- q247 entropy rate
+
+  /** q247 — entropy rate of the behavioral Markov chain (q183's
+    * transitions): H = Σᵢ πᵢ Σⱼ pᵢⱼ ln(1/pᵢⱼ) with the empirical
+    * stationary weights πᵢ = n_from/N — equivalently (1/N)·Σᵢⱼ nᵢⱼ·
+    * ln(n_from/nᵢⱼ), one number for "how predictable is user behavior"
+    * (0 = deterministic paths, ln|states| = uniform wandering), plus
+    * the normalized ratio. The sequence-level summary q183's per-edge
+    * table doesn't give.
+    *
+    * Exactness: each term is floor(n·ln(n_from/n)·1e12) — one pinned
+    * double chain per edge, summed as integers (order-free); two
+    * terminal divisions, the normalizer guarded for the 1-state chain
+    * (ANSI double division by zero throws).
+    *
+    * Scale shape: q183's plan + one ≤|types|²-row aggregate. */
+  def entropyRate(ev: DataFrame): DataFrame = {
+    val term = floor(col("n").cast("double") *
+      log(col("n_from").cast("double") / col("n").cast("double")) * lit(1e12))
+      .cast("decimal(19,0)")
+    val h = col("hsum").cast("double") / lit(1e12) /
+      col("n_transitions").cast("double")
+    markovTransitions(ev)
+      .agg(sum(col("n")).as("n_transitions"),
+        countDistinct(col("from_type")).as("n_states"),
+        sum(term).as("hsum"))
+      .select(col("n_transitions"), col("n_states"),
+        h.as("entropy_rate_nats"),
+        when(col("n_states") > 1, h / log(col("n_states").cast("double")))
+          .otherwise(lit(null).cast("double")).as("normalized"))
+  }
+
   // --------------------------------------------- q184 time-decayed activity
 
   /** q184 — exponentially time-decayed activity per user (half-life 1
@@ -425,6 +457,7 @@ object Evaluation {
     "q181_embed_dispersion" -> ((s, d) => embedDispersion(Tables.embeddings(s, d))),
     "q182_quant_error" -> ((s, d) => quantError(Tables.embeddings(s, d))),
     "q183_markov_chain" -> ((s, d) => markovChain(s, d)),
+    "q247_entropy_rate" -> ((s, d) => entropyRate(Tables.events(s, d))),
     "q184_decay_activity" -> ((s, d) => decayActivity(s, d))
   )
 
@@ -707,6 +740,37 @@ object Evaluation {
         |  FROM t GROUP BY label)
         |SELECT label, n_values, sse / CAST(n_values AS DOUBLE) AS mse, max_sq_err
         |FROM g ORDER BY label""".stripMargin,
+    "q247_entropy_rate" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY from_type),
+        |tj AS (
+        |  SELECT tr.from_type, tr.n, tot.n_from
+        |  FROM tr JOIN tot ON tot.from_type = tr.from_type),
+        |ag AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+        |    CAST(count(DISTINCT from_type) AS BIGINT) AS n_states,
+        |    sum(CAST(floor(CAST(n AS DOUBLE)
+        |      * ln(CAST(n_from AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e12)
+        |      AS BIGINT)) AS hsum
+        |  FROM tj)
+        |SELECT n_transitions, n_states,
+        |  CAST(hsum AS DOUBLE) / 1.0e12 / CAST(n_transitions AS DOUBLE)
+        |    AS entropy_rate_nats,
+        |  CASE WHEN n_states > 1 THEN
+        |    CAST(hsum AS DOUBLE) / 1.0e12 / CAST(n_transitions AS DOUBLE)
+        |      / ln(CAST(n_states AS DOUBLE)) END AS normalized
+        |FROM ag""".stripMargin,
     "q183_markov_chain" ->
       """WITH s AS (
         |  SELECT event_type,
