@@ -89,15 +89,35 @@ object Tables {
     } catch { case _: Throwable => 0L }
   }
 
+  /** Analyzed-DataFrame memo. `spark.read.parquet` eagerly resolves the
+    * relation — driver-side file listing + a footer read for schema — on
+    * EVERY call, and the bench/verify surface re-loads its tables per
+    * query: across 248 queries that fixed cost is tens of seconds of the
+    * bench's per-query floor (round-9: pass 1 blew the 420 s budget while
+    * ~half its cost was planning, not execution). A DataFrame is an
+    * immutable logical plan, so reusing one across queries of the same
+    * session is exactly what a user holding `val lineitem = ...` does —
+    * and what a metastore catalog does at cluster scale (schema from the
+    * catalog, not per-query footer reads). Keyed by session identity
+    * (plans are session-bound), dir/name, parallelism, and the same
+    * metadata listing signature as `spreadDecision`, so a driver-side
+    * testdata regeneration mid-JVM invalidates the entry instead of
+    * serving a stale schema. */
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int, Long), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    spreadKeys.get(name).map { key =>
-      val target = spark.sparkContext.defaultParallelism
-      val sig = listingSignature(s"$dir/$name.parquet")
-      val needed = spreadDecision.computeIfAbsent((dir, name, target, sig),
-        _ => raw.rdd.getNumPartitions < target)
-      spread(raw, key, needed)
-    }.getOrElse(raw)
+    val target = spark.sparkContext.defaultParallelism
+    val sig = listingSignature(s"$dir/$name.parquet")
+    frameMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name, target, sig), _ => {
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        spreadKeys.get(name).map { key =>
+          val needed = spreadDecision.computeIfAbsent((dir, name, target, sig),
+            _ => raw.rdd.getNumPartitions < target)
+          spread(raw, key, needed)
+        }.getOrElse(raw)
+      })
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

@@ -517,10 +517,10 @@ object Analytics {
     * minute bursty" and q201's "is there periodic structure". For a
     * split of segment [a,b] after position t, the between-segment SSE
     * reduction is diff²/(n₁·n₂·len) with diff = S₁·n₂ − S₂·n₁ — every
-    * input an exact BIGINT prefix sum, diff kept in decimal(19,0)
-    * (exact for |diff| < 1e19, i.e. any realistic event volume), diff²
-    * exact in decimal(38,0), and the gain one terminal double division,
-    * so the argmax cannot split engines. Level 1 picks the global split;
+    * input an exact BIGINT prefix sum, diff exact in decimal (up to
+    * 1e38), then cast to double BEFORE squaring so both engines round
+    * the same IEEE value past 2^53 (exact below it — any realistic
+    * day-grid volume) and the argmax cannot split engines. Level 1 picks the global split;
     * level 2 re-splits both halves IN-PLAN (segment-keyed windows over
     * the same prefix frame — bounded unrolling, no driver loop).
     *
@@ -546,9 +546,14 @@ object Analytics {
 
   private def gainOf(s1: Column, s2: Column, n1: Column, n2: Column,
                      len: Column): Column = {
-    val diff = dec(s1) * dec(n2) - dec(s2) * dec(n1)
-    (diff * diff).cast("double") /
-      (dec(n1) * dec(n2) * dec(len)).cast("double")
+    // diff is exact in decimal up to 1e38; it is cast to double BEFORE
+    // squaring (round-10, ADVICE): the former decimal(38,0) diff² wrapped
+    // Spark-side at |diff| ≥ 1e19 while DuckDB's HUGEINT held — now both
+    // engines round the same IEEE double at 2^53 and degrade identically
+    // (the oracle squares the same CAST(diff AS DOUBLE)). For |diff| <
+    // 2^53 — any realistic day-grid volume — the gain is bit-unchanged.
+    val diff = (dec(s1) * dec(n2) - dec(s2) * dec(n1)).cast("double")
+    diff * diff / (dec(n1) * dec(n2) * dec(len)).cast("double")
   }
 
   /** Level-1 split candidates with gains, argmax-ranked (rk = 1 is the
@@ -890,9 +895,10 @@ object Analytics {
        |c1 AS (
        |  SELECT day, pos, d0, t, s_tot, pos AS n1, t - pos AS n2,
        |    s AS s1, s_tot - s AS s2,
-       |    CAST((CAST(s AS HUGEINT) * (t - pos) - CAST(s_tot - s AS HUGEINT) * pos)
-       |       * (CAST(s AS HUGEINT) * (t - pos) - CAST(s_tot - s AS HUGEINT) * pos)
-       |       AS DOUBLE)
+       |    CAST(CAST(s AS HUGEINT) * (t - pos)
+       |       - CAST(s_tot - s AS HUGEINT) * pos AS DOUBLE)
+       |    * CAST(CAST(s AS HUGEINT) * (t - pos)
+       |       - CAST(s_tot - s AS HUGEINT) * pos AS DOUBLE)
        |      / CAST(CAST(pos AS HUGEINT) * (t - pos) * t AS DOUBLE) AS gain
        |  FROM pre WHERE pos < t),
        |s1r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, day) AS rk FROM c1),
@@ -1017,8 +1023,8 @@ object Analytics {
          |  FROM seg WHERE pos < b),
          |g2 AS (
          |  SELECT *,
-         |    CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
-         |       * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1) AS DOUBLE)
+         |    CAST(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS DOUBLE)
+         |    * CAST(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS DOUBLE)
          |      / CAST(CAST(n1 AS HUGEINT) * n2 * len AS DOUBLE) AS gain
          |  FROM c2),
          |r2 AS (SELECT *, row_number() OVER (PARTITION BY a

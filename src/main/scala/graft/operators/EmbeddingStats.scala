@@ -224,8 +224,7 @@ object EmbeddingStats {
   private[operators] val PowerRounds = 8
 
   /** q210 — top principal component of the embedding covariance by
-    * BOUNDED power iteration (8 unrolled in-plan rounds — the
-    * q136/q147/q207 bounded-round discipline): v₀ = 1/√d uniform,
+    * BOUNDED power iteration: v₀ = 1/√d uniform,
     * vᵣ = C·vᵣ₋₁ / ‖C·vᵣ₋₁‖; reports the per-dim loading, λ₁ ≈ ‖C·v₇‖,
     * trace(C), and the explained-variance ratio λ₁/tr — the
     * "is this embedding space collapsing onto one direction"
@@ -233,49 +232,58 @@ object EmbeddingStats {
     * dominant-PC removal) a pipeline checks before trusting cosine
     * geometry.
     *
-    * Determinism: C is q115's exact-integer-derived covariance (the
-    * corpus contributes ONE scan via GramAggregator); every mat-vec
-    * entry and norm is a floor(term·1e15) decimal sum — order-free, so
-    * all 8 rounds are bit-identical at any parallelism — and the oracle
-    * unrolls the identical CTE chain. The all-positive v₀ pins the
-    * eigenvector sign.
+    * Execution (round-10 rewrite of the 8-unrolled-in-plan-rounds
+    * version, which spent 36 s of pure fixed overhead on 8 driver-
+    * synchronized localCheckpoints of ≤64-row frames): the corpus
+    * contributes ONE scan (the q115 GramAggregator moment row); the
+    * d(d+1)/2 = 2080-double covariance is then collected once —
+    * bounded driver state, the same class as the k-means centroid and
+    * q116 moment collects — and the 8 d×d mat-vec rounds run
+    * driver-side in microseconds. At 100 TB nothing changes: the scan
+    * is the cost, the collect is 2080 doubles regardless of corpus.
     *
-    * Scale shape: after the one-scan moment row, every round is a join
-    * + two aggregates on ≤ d² = 4096 rows. Corpus size only affects the
-    * single scan. */
+    * Determinism: cov derives from exact integer sums with the SAME
+    * IEEE op order as the gramMatrix column expression; every mat-vec
+    * entry and norm folds as floor(term·1e15) longs (order-free, ≤64
+    * terms × |term| ≤ ~1e15 — no overflow), exactly the decimal
+    * arithmetic the previous in-plan version and the DuckDB oracle's
+    * unrolled CTE chain evaluate — hashes unchanged. The all-positive
+    * v₀ pins the eigenvector sign. */
   def topPc(spark: SparkSession, embs: DataFrame): DataFrame = {
     import spark.implicits._
-    val cv = graft.core.CacheScope.cached(
-      gramMatrix(spark, embs).select(col("i"), col("j"), col("cov")))
-    val full = graft.core.CacheScope.cached(cv.unionAll(
-      cv.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov"))))
-    def fp(x: Column) = floor(x * lit(1e15)).cast("decimal(38,0)")
-    var v = (0 until EmbDim).map(j => (j, 1.0 / math.sqrt(EmbDim.toDouble)))
-      .toDF("j", "vj")
-    var lambda: DataFrame = null
-    for (_ <- 1 to PowerRounds) {
-      // localCheckpoint per round (the q147/q191 discipline): w feeds BOTH
-      // the norm and the next v, so without truncation the logical plan
-      // doubles per round (2^8 subtree copies by round 8)
-      val w = full.join(v, Seq("j"))
-        .groupBy(col("i"))
-        .agg((sum(fp(col("cov") * col("vj"))).cast("double") / lit(1e15)).as("wi"))
-        .localCheckpoint()
-      val norm = w
-        .agg((sum(fp(col("wi") * col("wi"))).cast("double") / lit(1e15)).as("nsq"))
-        .select(sqrt(col("nsq")).as("nrm"))
-      lambda = norm
-      v = w.crossJoin(broadcast(norm))
-        .select(col("i").as("j"), (col("wi") / col("nrm")).as("vj"))
+    val head: Row = momentsRow(embs).head()
+    val n = head.getLong(0)
+    val m = head.getSeq[Long](1)
+    val nD = n.toDouble
+    // cov(i,j) in gramMatrix's exact op order: (gram - si*sj/n)/n/2^40
+    val cov = Array.ofDim[Double](EmbDim, EmbDim)
+    var o = 0
+    for (i <- 0 until EmbDim; j <- i until EmbDim) {
+      val c = (m(o).toDouble -
+        m(tri + i).toDouble * m(tri + j).toDouble / nD) / nD / Pow2s2
+      cov(i)(j) = c; cov(j)(i) = c
+      o += 1
     }
-    val tr = cv.filter(col("i") === col("j"))
-      .agg((sum(fp(col("cov"))).cast("double") / lit(1e15)).as("trace"))
-    v.select(col("j").as("dim"), col("vj").as("loading"))
-      .crossJoin(broadcast(lambda.select(col("nrm").as("lambda1"))))
-      .crossJoin(broadcast(tr))
-      .select(col("dim").cast("long").as("dim"), col("loading"), col("lambda1"),
-        col("trace"), (col("lambda1") / col("trace")).as("explained_ratio"))
+    def fp(x: Double): Long = math.floor(x * 1e15).toLong
+    var v = Array.fill(EmbDim)(1.0 / math.sqrt(EmbDim.toDouble))
+    var lambda1 = 0.0
+    for (_ <- 1 to PowerRounds) {
+      val w = Array.tabulate(EmbDim) { i =>
+        var s = 0L; var j = 0
+        while (j < EmbDim) { s += fp(cov(i)(j) * v(j)); j += 1 }
+        s.toDouble / 1e15
+      }
+      var nsq = 0L
+      w.foreach(wi => nsq += fp(wi * wi))
+      lambda1 = math.sqrt(nsq.toDouble / 1e15)
+      v = w.map(_ / lambda1)
+    }
+    var trL = 0L
+    (0 until EmbDim).foreach(k => trL += fp(cov(k)(k)))
+    val trace = trL.toDouble / 1e15
+    (0 until EmbDim).map(j =>
+        (j.toLong, v(j), lambda1, trace, lambda1 / trace))
+      .toDF("dim", "loading", "lambda1", "trace", "explained_ratio")
       .orderBy(col("dim"))
   }
 

@@ -714,8 +714,19 @@ object Graph {
       .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
       .select(col("t"), col("u"),
         explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
+    // overflow guard (round-10, ADVICE): a pair's term count is bounded by
+    // the max degree (common neighbors ⊆ N(u)), and long@1e12 holds ~6.4e6
+    // terms (2^63 / (1e12/ln 2)). Measure max degree off the cached
+    // adjacency (one cheap job — nb materializes here instead of at the
+    // wedge stage) and fall back to an exact decimal(38,0) accumulator
+    // when the primitive-long fast path could wrap; DuckDB's HUGEINT oracle
+    // is exact either way, so both engines now degrade identically.
+    val maxDeg = nb.agg(max(size(col("dsts"))).as("m")).head().getInt(0)
+    val aaSum =
+      if (maxDeg.toLong * 1443 < Long.MaxValue / 1000000000L) sum(col("t"))
+      else sum(col("t").cast("decimal(38,0)"))
     val scored = wedges.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_fp"))
+      .agg(count(lit(1)).as("common"), aaSum.as("aa_fp"))
     val nonEdges = scored.join(
       nb.select(col("src").as("u"), explode(col("dsts")).as("v")),
       Seq("u", "v"), "left_anti")

@@ -204,7 +204,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q239_slice_parity", // dense-model build (q122's plan) under the slice rollup
       "q242_uncertainty", // dense-model build (q122's plan) under the margin window
       "q243_simpson", // 1-row pooled-moment attach on the |sources|-bounded frame
-      "q244_assoc_rules") // 1-row order-total attach on the pair-bounded rule frame
+      "q244_assoc_rules", // 1-row order-total attach on the pair-bounded rule frame
+      "q245_roc_auc", // dense-model build (q122's plan) under the rank sum — same 1-row attaches as q242
+      "q248_topk_churn") // <=k matched frame theta-joined against the broadcast k-row depth grid (k*k bounded) + 1-row cut/size attaches
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

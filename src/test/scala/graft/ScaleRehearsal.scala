@@ -86,7 +86,23 @@ object ScaleRehearsal {
     // entropy, unrolled greedy re-rank
     "q196_item_sim", "q197_conformal", "q200_silhouette",
     "q202_lsh_quality", "q204_neg_sample", "q205_shuffle_quality",
-    "q207_mmr_diversify")
+    "q207_mmr_diversify",
+    // round-10 closure of the q211-q222 wave (corpus-heavy members):
+    // bucket-CDF drift, prefix-dim ANN grid, vocab hash collision audit,
+    // KN bigram LM, block-bounded pair audit, 32-replicate Poisson
+    // bootstrap, per-source rank-dealt folds
+    "q214_emd_drift", "q215_matryoshka_recall", "q217_feature_hash",
+    "q218_kneser_ney", "q219_blocking_quality", "q221_bootstrap_ci",
+    "q222_stratified_kfold",
+    // round-10 closure of the q236-q248 wave (judge item 7): SPRT day
+    // replay, term burstiness, corpus-unique trigram screen, NB slice
+    // rollups, robust means, frame lag windows, NB margin/rank-sum,
+    // per-source OLS moments, pair rules, day quantile windows, Markov
+    // entropy rate, RBO churn
+    "q236_sprt", "q237_burstiness", "q238_hapax_docs", "q239_slice_parity",
+    "q240_trimmed_stats", "q241_scene_cuts", "q242_uncertainty",
+    "q243_simpson", "q244_assoc_rules", "q245_roc_auc",
+    "q246_day_quantiles", "q247_entropy_rate", "q248_topk_churn")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
