@@ -145,8 +145,11 @@ object Bench {
                           history: Map[String, Double]): Unit = {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
+    // suspect = > 2× best-known AND > 1 s absolute (round-11: tightened
+    // from 3×/excess-over-best per VERDICT r10 #5 + ADVICE, so the q248
+    // class — 2.2× its best with no touching commit — self-flags)
     val suspects = results.toSeq
-      .filter { case (k, v) => history.get(k).exists(b => v > 3 * b && v - b > 1.0) }
+      .filter { case (k, v) => history.get(k).exists(b => v > 2 * b && v > 1.0) }
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(path)
@@ -200,9 +203,11 @@ object Bench {
       }
     }
     // fold this run's mins into the cross-round best-known record (only
-    // when the full surface ran — a SPARK_GRAFT_ONLY rerun must not erase
-    // the other queries' history)
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty || history.isEmpty) {
+    // when the full surface ran — a SPARK_GRAFT_ONLY rerun must never
+    // write history, even to seed an empty one: solo-context mins are
+    // systematically faster than suite-contention runs and would make
+    // every later full run flag as suspect (round-11, ADVICE))
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
       val merged = (history.keySet ++ results.keySet).map { k =>
         k -> math.min(history.getOrElse(k, Double.MaxValue),
           results.getOrElse(k, Double.MaxValue))

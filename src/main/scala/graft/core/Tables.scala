@@ -103,14 +103,29 @@ object Tables {
     * metadata listing signature as `spreadDecision`, so a driver-side
     * testdata regeneration mid-JVM invalidates the entry instead of
     * serving a stale schema. */
+  // outer map is weak-keyed BY THE SESSION (round-11, ADVICE): identity
+  // hash codes can collide between a stopped test session and a live one
+  // in the same JVM (serving a plan bound to the dead session), and a
+  // strong key would retain every stopped session's DataFrames for the
+  // JVM's life across sbt-test multi-session runs. Reference identity is
+  // collision-free; weak keys let dead sessions' entries be collected.
   private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int, Long), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     val sig = listingSignature(s"$dir/$name.parquet")
-    frameMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name, target, sig), _ => {
+    val perSession = frameMemo.synchronized {
+      var m = frameMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]()
+        frameMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(
+      (dir, name, target, sig), _ => {
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         spreadKeys.get(name).map { key =>
           val needed = spreadDecision.computeIfAbsent((dir, name, target, sig),

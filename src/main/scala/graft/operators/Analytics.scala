@@ -392,9 +392,14 @@ object Analytics {
       .withColumn("lnsum",
         sum(lnTerm.cast("decimal(25,15)")).over(wc))
       .filter(col("d") > 0)
+      // terminal exp() is NOT correctly-rounded IEEE (JVM Math.exp vs
+      // DuckDB libm differ by a last ulp on some inputs), so the output
+      // is pinned to a 9-decimal grid in BOTH engines: round(x,9) lands
+      // on k·1e-9 whose double representation both sides derive
+      // identically (k ≤ 1e9 exact; decimal→double correctly rounded).
       .select(col("life_h"), col("n_risk"), col("d").as("n_converted"),
-        when(col("zf") === 1L, lit(0.0))
-          .otherwise(exp(col("lnsum").cast("double"))).as("survival"))
+        round(when(col("zf") === 1L, lit(0.0))
+          .otherwise(exp(col("lnsum").cast("double"))), 9).as("survival"))
       .orderBy(col("life_h"))
   }
 
@@ -706,6 +711,16 @@ object Analytics {
   private[operators] val SprtTheta1 = 0.6
   private[operators] val SprtBound = 19.0
 
+  /** q236 ln constants, evaluated ONCE on the JVM and driver-printed as
+    * shortest-roundtrip double literals into BOTH the Column chain and
+    * the oracle SQL (the q248 geometric-weight pattern): ln/exp are not
+    * correctly-rounded IEEE, so letting each engine's libm evaluate
+    * `ln(1.2)` independently risks a last-ulp literal difference that
+    * counts in the thousands then amplify past any rounding grid. */
+  private[operators] val SprtLn1 = math.log(SprtTheta1 / 0.5)
+  private[operators] val SprtLn0 = math.log((1.0 - SprtTheta1) / 0.5)
+  private[operators] val SprtLnBound = math.log(SprtBound)
+
   /** q236 — sequential probability ratio test (Wald 1945) replayed over
     * the event log: users are md5-coin-split into arms A/B, each user's
     * FIRST purchase is a conversion, and the conditional-binomial SPRT
@@ -716,9 +731,10 @@ object Analytics {
     *
     * Exactness: arm assignment is an integer h60 compare (no division),
     * conversion counts are exact integers, and the LLR is a 2-term
-    * pinned chain on ln of literal constants — both engines evaluate
-    * ln(1.2)/ln(0.8) on identical doubles. Boundary flags compare that
-    * chain to ln(19) — same on both sides.
+    * pinned chain on DRIVER-PRINTED ln literals ([[SprtLn0]]/[[SprtLn1]]
+    * — identical double bits in both engines; mult/add are then
+    * correctly-rounded IEEE, so llr is bit-identical). Boundary flags
+    * compare that chain to the driver-printed [[SprtLnBound]].
     *
     * Scale shape: one purchase-filtered user-keyed min (first
     * purchase), one (day, arm) count; the cumulative windows run on the
@@ -737,7 +753,8 @@ object Analytics {
       .agg(sum(lit(1L) - col("is_b")).as("ca"), sum(col("is_b")).as("cb"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val l1 = log(lit(theta1 / 0.5)); val l0 = log(lit((1.0 - theta1) / 0.5))
+    val l1 = lit(math.log(theta1 / 0.5))
+    val l0 = lit(math.log((1.0 - theta1) / 0.5))
     val cum = perDay
       .withColumn("conv_a_cum", sum(col("ca")).over(w))
       .withColumn("conv_b_cum", sum(col("cb")).over(w))
@@ -745,8 +762,8 @@ object Analytics {
       col("conv_b_cum").cast("double") * l1
     cum.select(col("day"), col("conv_a_cum"), col("conv_b_cum"),
         llr.as("llr"),
-        (llr >= log(lit(SprtBound))).as("crossed_up"),
-        (llr <= -log(lit(SprtBound))).as("crossed_low"))
+        (llr >= lit(SprtLnBound)).as("crossed_up"),
+        (llr <= lit(-SprtLnBound)).as("crossed_low"))
       .orderBy(col("day"))
   }
 
@@ -984,20 +1001,22 @@ object Analytics {
          |  FROM hh GROUP BY 1),
          |cum AS (
          |  SELECT day,
-         |    sum(ca) OVER (ORDER BY day
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_a_cum,
-         |    sum(cb) OVER (ORDER BY day
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_b_cum
+         |    CAST(sum(ca) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS conv_a_cum,
+         |    CAST(sum(cb) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS conv_b_cum
          |  FROM pd)
          |SELECT day, conv_a_cum, conv_b_cum,
-         |  CAST(conv_a_cum AS DOUBLE) * ln(${(1.0 - SprtTheta1) / 0.5})
-         |    + CAST(conv_b_cum AS DOUBLE) * ln(${SprtTheta1 / 0.5}) AS llr,
-         |  (CAST(conv_a_cum AS DOUBLE) * ln(${(1.0 - SprtTheta1) / 0.5})
-         |    + CAST(conv_b_cum AS DOUBLE) * ln(${SprtTheta1 / 0.5}))
-         |    >= ln($SprtBound) AS crossed_up,
-         |  (CAST(conv_a_cum AS DOUBLE) * ln(${(1.0 - SprtTheta1) / 0.5})
-         |    + CAST(conv_b_cum AS DOUBLE) * ln(${SprtTheta1 / 0.5}))
-         |    <= -ln($SprtBound) AS crossed_low
+         |  CAST(conv_a_cum AS DOUBLE) * $SprtLn0
+         |    + CAST(conv_b_cum AS DOUBLE) * $SprtLn1 AS llr,
+         |  (CAST(conv_a_cum AS DOUBLE) * $SprtLn0
+         |    + CAST(conv_b_cum AS DOUBLE) * $SprtLn1)
+         |    >= $SprtLnBound AS crossed_up,
+         |  (CAST(conv_a_cum AS DOUBLE) * $SprtLn0
+         |    + CAST(conv_b_cum AS DOUBLE) * $SprtLn1)
+         |    <= ${-SprtLnBound} AS crossed_low
          |FROM cum ORDER BY day""".stripMargin,
     "q223_changepoint" ->
       s"""WITH $CutCtes,
@@ -1182,8 +1201,9 @@ object Analytics {
          |  FROM lives GROUP BY life_h),
          |ar AS (
          |  SELECT life_h, n_all, d,
-         |    nu.n_users - sum(n_all) OVER (ORDER BY life_h
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_all AS n_risk
+         |    CAST(nu.n_users - sum(n_all) OVER (ORDER BY life_h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_all
+         |      AS BIGINT) AS n_risk
          |  FROM bl CROSS JOIN nu),
          |kw AS (
          |  SELECT life_h, n_risk, d,
@@ -1195,7 +1215,8 @@ object Analytics {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
          |  FROM ar)
          |SELECT life_h, n_risk, d AS n_converted,
-         |  CASE WHEN zf = 1 THEN 0.0 ELSE exp(CAST(lnsum AS DOUBLE)) END AS survival
+         |  round(CASE WHEN zf = 1 THEN 0.0
+         |    ELSE exp(CAST(lnsum AS DOUBLE)) END, 9) AS survival
          |FROM kw WHERE d > 0 ORDER BY life_h""".stripMargin,
     "q143_gap_fill" ->
       """WITH daily AS (

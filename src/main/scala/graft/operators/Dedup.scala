@@ -714,14 +714,24 @@ object Dedup {
       .agg(pairSum.as("found_pairs"))
     val cand = base.groupBy(col("blk")).agg(count(lit(1)).as("m"))
       .agg(pairSum.as("cand_pairs"))
+    // OUTPUT representation pin (round-11): the pair counts stay
+    // decimal(38,0) through every sum (exact past 2^63), but the emitted
+    // columns are cast to double — Spark decimal → pandas Decimal objects
+    // while DuckDB HUGEINT/DECIMAL(38,0) → float64, so equal VALUES hash
+    // differently (the r10 q219 failure). Both engines' decimal→double
+    // casts are correctly rounded, so the doubles are bit-identical; the
+    // counts are integral and exact in double to 2^53 (~9e15 pairs).
     truth.crossJoin(broadcast(found)).crossJoin(broadcast(cand))
       .select(col("n_docs"),
         expr("n_docs * (n_docs - 1) DIV 2").cast("decimal(38,0)").as("total_pairs"),
         col("cand_pairs"), col("true_pairs"), col("found_pairs"))
-      .select(col("n_docs"), col("total_pairs"), col("cand_pairs"),
+      .select(col("n_docs"),
+        col("total_pairs").cast("double").as("total_pairs"),
+        col("cand_pairs").cast("double").as("cand_pairs"),
         (lit(1.0) - col("cand_pairs").cast("double") /
           col("total_pairs").cast("double")).as("reduction_ratio"),
-        col("true_pairs"), col("found_pairs"),
+        col("true_pairs").cast("double").as("true_pairs"),
+        col("found_pairs").cast("double").as("found_pairs"),
         when(col("true_pairs") > 0,
           col("found_pairs").cast("double") / col("true_pairs").cast("double"))
           .otherwise(lit(null).cast("double")).as("pair_completeness"))
@@ -778,21 +788,22 @@ object Dedup {
         |  FROM documents),
         |tg AS (SELECT hn, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY hn),
         |truth AS (
-        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS HUGEINT)
+        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS DOUBLE)
         |      AS true_pairs,
         |    CAST(sum(m) AS BIGINT) AS n_docs
         |  FROM tg),
         |fg AS (SELECT hn, blk, CAST(count(*) AS BIGINT) AS m
         |       FROM base GROUP BY hn, blk),
         |found AS (
-        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS HUGEINT)
+        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS DOUBLE)
         |    AS found_pairs FROM fg),
         |cg AS (SELECT blk, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY blk),
         |cand AS (
-        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS HUGEINT)
+        |  SELECT CAST(sum(CAST(m * (m - 1) // 2 AS HUGEINT)) AS DOUBLE)
         |    AS cand_pairs FROM cg)
         |SELECT n_docs,
-        |  CAST(n_docs * (n_docs - 1) // 2 AS HUGEINT) AS total_pairs,
+        |  CAST(CAST(n_docs * (n_docs - 1) // 2 AS HUGEINT) AS DOUBLE)
+        |    AS total_pairs,
         |  cand_pairs,
         |  1.0 - CAST(cand_pairs AS DOUBLE)
         |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) AS reduction_ratio,

@@ -716,12 +716,16 @@ object Graph {
         explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
     // overflow guard (round-10, ADVICE): a pair's term count is bounded by
     // the max degree (common neighbors ⊆ N(u)), and long@1e12 holds ~6.4e6
-    // terms (2^63 / (1e12/ln 2)). Measure max degree off the cached
-    // adjacency (one cheap job — nb materializes here instead of at the
-    // wedge stage) and fall back to an exact decimal(38,0) accumulator
-    // when the primitive-long fast path could wrap; DuckDB's HUGEINT oracle
-    // is exact either way, so both engines now degrade identically.
-    val maxDeg = nb.agg(max(size(col("dsts"))).as("m")).head().getInt(0)
+    // terms (2^63 / (1e12/ln 2)). The max-degree aggregate is the FIRST
+    // action on the cached adjacency, so this single job doubles as the
+    // cache materialization the wedge + exclusion stages need anyway — no
+    // separate warm-up job exists. Falls back to an exact decimal(38,0)
+    // accumulator when the primitive-long fast path could wrap; DuckDB's
+    // HUGEINT oracle is exact either way, so both engines degrade
+    // identically. coalesce: max over an EMPTY adjacency is null (round-11,
+    // ADVICE) — an empty graph takes the long fast path, not an NPE.
+    val maxDeg = nb.agg(coalesce(max(size(col("dsts"))), lit(0)).as("m"))
+      .head().getInt(0)
     val aaSum =
       if (maxDeg.toLong * 1443 < Long.MaxValue / 1000000000L) sum(col("t"))
       else sum(col("t").cast("decimal(38,0)"))

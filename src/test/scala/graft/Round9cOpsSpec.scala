@@ -129,11 +129,13 @@ class Round9cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "a", "same txt", 8L), (4L, "a", "same txt", 8L)))        // raw dup, same block
     val r = Dedup.blockingQuality(d).head()
     assert(r.getLong(0) == 4L)
-    assert(r.getDecimal(1).longValue == 6L)  // C(4,2)
-    assert(r.getDecimal(2).longValue == 1L)  // only the "same" block pairs
+    // pair counts emit as double since round 11 (pandas-representation
+    // pin vs the oracle); internal sums remain decimal(38,0)-exact
+    assert(r.getDouble(1) == 6.0)  // C(4,2)
+    assert(r.getDouble(2) == 1.0)  // only the "same" block pairs
     assert(math.abs(r.getDouble(3) - (1.0 - 1.0 / 6.0)) < 1e-15)
-    assert(r.getDecimal(4).longValue == 2L)  // two true dup pairs
-    assert(r.getDecimal(5).longValue == 1L)  // blocking finds only the raw one
+    assert(r.getDouble(4) == 2.0)  // two true dup pairs
+    assert(r.getDouble(5) == 1.0)  // blocking finds only the raw one
     assert(math.abs(r.getDouble(6) - 0.5) < 1e-15)
   }
 

@@ -16,6 +16,34 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def dtype_class(dt) -> str:
+    """Pandas-representation class for the dtype-parity lint (round 11).
+
+    The driver hashes each engine's fetched pandas frame, so EQUAL values in
+    different pandas representations hash apart. int-vs-float is unified by
+    the driver's canonicalization (dozens of driver-green queries fetch
+    DuckDB HUGEINT window sums as float64 against Spark int64), but an
+    `object` column (e.g. Spark decimal(38,0) -> Decimal objects vs DuckDB
+    HUGEINT -> float64 — the r10 q219 failure) is NOT. Classes: numeric
+    (int/uint/float), bool, datetime, object; any cross-class pair except
+    within-numeric is a lint failure."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "float")):
+        return "numeric"
+    if s.startswith("datetime"):
+        return "datetime"
+    if s == "bool":
+        return "bool"
+    return "object"
+
+def dtype_lint(name, g: pd.DataFrame, e: pd.DataFrame):
+    """Return list of (col, spark_dtype, duck_dtype) representation clashes."""
+    bad = []
+    for c in g.columns:
+        if c in e.columns and dtype_class(g[c].dtype) != dtype_class(e[c].dtype):
+            bad.append((c, str(g[c].dtype), str(e[c].dtype)))
+    return bad
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -58,6 +86,10 @@ def main():
             ok = False
         elif len(g) != len(e):
             print(f"✗ {name}: rows differ spark={len(g)} duck={len(e)}")
+            ok = False
+        elif (clash := dtype_lint(name, g, e)):
+            print(f"✗ {name}: dtype-representation clash (driver hash would "
+                  f"differ on equal values): {clash}")
             ok = False
         else:
             try:
