@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Pin
 
 /** Corpus/product analytics operators rounding out the engine surface:
   * embedding pooling, event funnels, and dataset profiling.
@@ -18,7 +19,8 @@ object Analytics {
     embs.select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
       .groupBy(col("label"), col("dim_idx"))
       .agg(
-        (sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+        (sum(floor(col("v").cast("double") * lit(1e12) + lit(0.5))
+            .cast("decimal(30,0)")).cast("double") / lit(1e12) /
           count(lit(1)).cast("double")).as("centroid"),
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim_idx"))
@@ -385,7 +387,8 @@ object Analytics {
       .crossJoin(broadcast(lives.agg(count(lit(1)).as("n_users"))))
       .withColumn("n_risk", col("n_users") - col("cum_all") + col("n_all"))
     val lnTerm = when(col("d") > 0 && col("d") < col("n_risk"),
-      log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+      graft.functions.Pin.grid9(
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"))))
       .otherwise(lit(0.0))
     atRisk
       .withColumn("zf", max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wc))
@@ -943,7 +946,7 @@ object Analytics {
          |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q248_topk_churn" -> {
       val vals = rboWeights(RboK, RboP)
-        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+        .map { case (d, w) => s"($d, ${Pin.sqlDouble(w)})" }.mkString(", ")
       s"""WITH days AS (
          |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day, user_id
          |  FROM events),
@@ -980,7 +983,7 @@ object Analytics {
          |SELECT CAST($RboK AS INT) AS k, overlap_at_k,
          |  CAST(overlap_at_k AS DOUBLE)
          |    / CAST(na + nb - overlap_at_k AS DOUBLE) AS jaccard,
-         |  ${1.0 - RboP} * (CAST(rsum AS DOUBLE) / 1.0e15) AS rbo
+         |  ${Pin.sqlDouble(1.0 - RboP)} * (CAST(rsum AS DOUBLE) / 1.0e15) AS rbo
          |FROM ag CROSS JOIN sz""".stripMargin
     },
     "q236_sprt" ->
@@ -1009,14 +1012,14 @@ object Analytics {
          |      AS conv_b_cum
          |  FROM pd)
          |SELECT day, conv_a_cum, conv_b_cum,
-         |  CAST(conv_a_cum AS DOUBLE) * $SprtLn0
-         |    + CAST(conv_b_cum AS DOUBLE) * $SprtLn1 AS llr,
-         |  (CAST(conv_a_cum AS DOUBLE) * $SprtLn0
-         |    + CAST(conv_b_cum AS DOUBLE) * $SprtLn1)
-         |    >= $SprtLnBound AS crossed_up,
-         |  (CAST(conv_a_cum AS DOUBLE) * $SprtLn0
-         |    + CAST(conv_b_cum AS DOUBLE) * $SprtLn1)
-         |    <= ${-SprtLnBound} AS crossed_low
+         |  CAST(conv_a_cum AS DOUBLE) * ${Pin.sqlDouble(SprtLn0)}
+         |    + CAST(conv_b_cum AS DOUBLE) * ${Pin.sqlDouble(SprtLn1)} AS llr,
+         |  (CAST(conv_a_cum AS DOUBLE) * ${Pin.sqlDouble(SprtLn0)}
+         |    + CAST(conv_b_cum AS DOUBLE) * ${Pin.sqlDouble(SprtLn1)})
+         |    >= ${Pin.sqlDouble(SprtLnBound)} AS crossed_up,
+         |  (CAST(conv_a_cum AS DOUBLE) * ${Pin.sqlDouble(SprtLn0)}
+         |    + CAST(conv_b_cum AS DOUBLE) * ${Pin.sqlDouble(SprtLn1)})
+         |    <= ${Pin.sqlDouble(-SprtLnBound)} AS crossed_low
          |FROM cum ORDER BY day""".stripMargin,
     "q223_changepoint" ->
       s"""WITH $CutCtes,
@@ -1210,7 +1213,8 @@ object Analytics {
          |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY life_h
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zf,
          |    sum(CAST(CASE WHEN d > 0 AND d < n_risk
-         |      THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         |      THEN floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         |        * 1.0e9 + 0.5) / 1.0e9
          |      ELSE 0.0 END AS DECIMAL(25,15))) OVER (ORDER BY life_h
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
          |  FROM ar)
@@ -1343,7 +1347,8 @@ object Analytics {
         |  SELECT label, CAST(r.i AS INT) AS dim_idx, embedding[r.i + 1] AS v
         |  FROM embeddings, unnest(range(0, len(embedding))) AS r(i))
         |SELECT label, dim_idx,
-        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) /
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1.0e12 + 0.5)
+        |      AS DECIMAL(30,0))) AS DOUBLE) / 1.0e12 /
         |    CAST(COUNT(*) AS DOUBLE) AS centroid,
         |  COUNT(*) AS n
         |FROM u GROUP BY label, dim_idx

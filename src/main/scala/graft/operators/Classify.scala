@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.{CacheScope, Tables}
-import graft.functions.TextFunctions
+import graft.functions.{Pin, TextFunctions}
 
 /** Trainable corpus filters — the model-fitting layer a production
   * training-data pipeline runs on top of the heuristic curation core
@@ -114,8 +114,12 @@ object Classify {
       .join(ct, Seq("lang", "token"), "left")
       .select(col("lang").as("label"), col("token"),
         coalesce(col("n_ct"), lit(0L)).as("n_ct"),
-        log((coalesce(col("n_ct"), lit(0L)).cast("double") + lit(1.0)) /
-            (col("n_c").cast("double") + col("v").cast("double"))).as("log_lik"))
+        // ln is not correctly-rounded cross-engine: grid-pin it AT THE
+        // SOURCE so every downstream consumer (scores, softmax, argmax)
+        // computes from bit-identical doubles (round-11 sweep; Pin.scala)
+        Pin.grid9(
+          log((coalesce(col("n_ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("n_c").cast("double") + col("v").cast("double")))).as("log_lik"))
   }
 
   /** ln class priors from document counts. |labels| rows. */
@@ -128,7 +132,8 @@ object Classify {
     val nt = nd.agg(sum(col("n_docs")).as("n"))
     nd.crossJoin(broadcast(nt))
       .select(col("lang").as("label"),
-        log(col("n_docs").cast("double") / col("n").cast("double")).as("log_prior"))
+        Pin.grid9(log(col("n_docs").cast("double") / col("n").cast("double")))
+          .as("log_prior"))
   }
 
   /** Frame-level fit (spec + composition entry): the dense NB model for any
@@ -255,10 +260,10 @@ object Classify {
         .crossJoin(broadcast(vcnt))
         .join(tct, Seq("token"), "left")
         .select(col("token"),
-          (log((coalesce(col("n_t"), lit(0L)).cast("double") + lit(1.0)) /
-               (col("nt").cast("double") + col("v").cast("double"))) -
-           log((col("n_b").cast("double") + lit(1.0)) /
-               (col("nb").cast("double") + col("v").cast("double")))).as("delta"))
+          (Pin.grid9(log((coalesce(col("n_t"), lit(0L)).cast("double") + lit(1.0)) /
+               (col("nt").cast("double") + col("v").cast("double")))) -
+           Pin.grid9(log((col("n_b").cast("double") + lit(1.0)) /
+               (col("nb").cast("double") + col("v").cast("double"))))).as("delta"))
       val w = dtok.join(broadcast(delta), Seq("token"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("delta").cast("decimal(25,15)") *
@@ -266,7 +271,7 @@ object Classify {
       val u = (TextFunctions.h60(col("doc_id").cast("string")) + lit(0.5)) /
         lit(Pow60)
       w.select(col("doc_id"), col("lang"), col("logw"),
-          (col("logw") - log(-log(u))).as("samp_key"))
+          (col("logw") - Pin.grid9(log(-Pin.grid9(log(u))))).as("samp_key"))
         .orderBy(col("samp_key").desc, col("doc_id"))
         .limit(k)
   }
@@ -422,9 +427,9 @@ object Classify {
       val absent = col(s"n_$c") - col(s"df_$c")
       val absD = absent.cast("double")
       when(col(s"df_$c") === 0L, lit(0.0)).otherwise(
-        (dfc / nD) * log((nD * dfc) / (dft * nc))) +
+        (dfc / nD) * Pin.grid9(log((nD * dfc) / (dft * nc)))) +
       when(absent === 0L, lit(0.0)).otherwise(
-        (absD / nD) * log((nD * absD) / ((nD - dft) * nc)))
+        (absD / nD) * Pin.grid9(log((nD * absD) / ((nD - dft) * nc))))
     }
     withTot.select(col("token"), col("df_t"),
         classes.map(term).reduce(_ + _).as("mi"))
@@ -458,7 +463,7 @@ object Classify {
       .withColumn("mx", max(col("score")).over(wd))
       .withColumn("rn", row_number().over(wr))
       .groupBy(col("doc_id"))
-      .agg(sum(floor(exp(col("score") - col("mx")) * lit(1e15))
+      .agg(sum(floor(Pin.grid9(exp(col("score") - col("mx"))) * lit(1e15))
           .cast("decimal(38,0)")).as("s"),
         min(when(col("rn") === 1, col("label"))).as("pred_label"))
       .withColumn("conf", lit(1.0) / (col("s").cast("double") / lit(1e15)))
@@ -527,7 +532,7 @@ object Classify {
     val wd = Window.partitionBy(col("doc_id"))
     val probs = scores
       .withColumn("mx", max(col("score")).over(wd))
-      .withColumn("e", floor(exp(col("score") - col("mx")) * lit(1e15))
+      .withColumn("e", floor(Pin.grid9(exp(col("score") - col("mx"))) * lit(1e15))
         .cast("decimal(38,0)"))
       .withColumn("sden", sum(col("e")).over(wd))
       .select(col("doc_id"), col("label"),
@@ -818,8 +823,9 @@ object Classify {
        |bvc AS (SELECT count(*) AS v FROM bvoc),
        |bmodel AS (
        |  SELECT btotc.lang AS label, bvoc.token,
-       |    ln((CAST(COALESCE(bct.n_ct, 0) AS DOUBLE) + 1.0) /
-       |       (CAST(btotc.n_c AS DOUBLE) + CAST(bvc.v AS DOUBLE))) AS log_lik
+       |    floor(ln((CAST(COALESCE(bct.n_ct, 0) AS DOUBLE) + 1.0) /
+       |       (CAST(btotc.n_c AS DOUBLE) + CAST(bvc.v AS DOUBLE)))
+       |      * 1.0e9 + 0.5) / 1.0e9 AS log_lik
        |  FROM btotc CROSS JOIN bvoc CROSS JOIN bvc
        |  LEFT JOIN bct ON bct.lang = btotc.lang AND bct.token = bvoc.token),
        |bnd AS (
@@ -829,7 +835,8 @@ object Classify {
        |bnt AS (SELECT count(*) AS n FROM documents),
        |bpri AS (
        |  SELECT lang AS label,
-       |    ln(CAST(n_docs AS DOUBLE) / CAST(bnt.n AS DOUBLE)) AS log_prior
+       |    floor(ln(CAST(n_docs AS DOUBLE) / CAST(bnt.n AS DOUBLE))
+       |      * 1.0e9 + 0.5) / 1.0e9 AS log_prior
        |  FROM bnd CROSS JOIN bnt),
        |bsc AS (
        |  SELECT t.doc_id, m.label,
@@ -864,15 +871,17 @@ object Classify {
       |model AS (
       |  SELECT tot.lang AS label, voc.token,
       |    COALESCE(ct.n_ct, 0) AS n_ct,
-      |    ln((CAST(COALESCE(ct.n_ct, 0) AS DOUBLE) + 1.0) /
-      |       (CAST(tot.n_c AS DOUBLE) + CAST(vc.v AS DOUBLE))) AS log_lik
+      |    floor(ln((CAST(COALESCE(ct.n_ct, 0) AS DOUBLE) + 1.0) /
+      |       (CAST(tot.n_c AS DOUBLE) + CAST(vc.v AS DOUBLE)))
+      |      * 1.0e9 + 0.5) / 1.0e9 AS log_lik
       |  FROM tot CROSS JOIN voc CROSS JOIN vc
       |  LEFT JOIN ct ON ct.lang = tot.lang AND ct.token = voc.token),
       |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
       |nt AS (SELECT count(*) AS n FROM documents),
       |pri AS (
       |  SELECT lang AS label,
-      |    ln(CAST(n_docs AS DOUBLE) / CAST(nt.n AS DOUBLE)) AS log_prior
+      |    floor(ln(CAST(n_docs AS DOUBLE) / CAST(nt.n AS DOUBLE))
+      |      * 1.0e9 + 0.5) / 1.0e9 AS log_prior
       |  FROM nd CROSS JOIN nt),
       |preds AS (
       |  SELECT doc_id, label AS pred_label, score FROM (
@@ -900,10 +909,10 @@ object Classify {
     def term(c: String): String =
       s"""(CASE WHEN df_$c = 0 THEN 0.0 ELSE
          |   (CAST(df_$c AS DOUBLE) / nD) *
-         |   ln((nD * CAST(df_$c AS DOUBLE)) / (CAST(df_t AS DOUBLE) * CAST(n_$c AS DOUBLE))) END
+         |   (floor(ln((nD * CAST(df_$c AS DOUBLE)) / (CAST(df_t AS DOUBLE) * CAST(n_$c AS DOUBLE))) * 1.0e9 + 0.5) / 1.0e9) END
          | + CASE WHEN n_$c - df_$c = 0 THEN 0.0 ELSE
          |   (CAST(n_$c - df_$c AS DOUBLE) / nD) *
-         |   ln((nD * CAST(n_$c - df_$c AS DOUBLE)) / ((nD - CAST(df_t AS DOUBLE)) * CAST(n_$c AS DOUBLE))) END)""".stripMargin
+         |   (floor(ln((nD * CAST(n_$c - df_$c AS DOUBLE)) / ((nD - CAST(df_t AS DOUBLE)) * CAST(n_$c AS DOUBLE))) * 1.0e9 + 0.5) / 1.0e9) END)""".stripMargin
     s"""WITH pres AS (
        |  SELECT DISTINCT doc_id, lang, t.tok AS token
        |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws
@@ -965,15 +974,17 @@ object Classify {
          |tvc AS (SELECT count(*) AS v FROM tvoc),
          |tmodel AS (
          |  SELECT ttot.lang AS label, tvoc.token,
-         |    ln((CAST(COALESCE(tct.n_ct, 0) AS DOUBLE) + 1.0) /
-         |       (CAST(ttot.n_c AS DOUBLE) + CAST(tvc.v AS DOUBLE))) AS log_lik
+         |    floor(ln((CAST(COALESCE(tct.n_ct, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(ttot.n_c AS DOUBLE) + CAST(tvc.v AS DOUBLE)))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS log_lik
          |  FROM ttot CROSS JOIN tvoc CROSS JOIN tvc
          |  LEFT JOIN tct ON tct.lang = ttot.lang AND tct.token = tvoc.token),
          |tnd AS (SELECT lang, count(*) AS n_docs FROM tg WHERE u < $TrainCut GROUP BY 1),
          |tnt AS (SELECT count(*) AS n FROM tg WHERE u < $TrainCut),
          |tpri AS (
          |  SELECT lang AS label,
-         |    ln(CAST(n_docs AS DOUBLE) / CAST(tnt.n AS DOUBLE)) AS log_prior
+         |    floor(ln(CAST(n_docs AS DOUBLE) / CAST(tnt.n AS DOUBLE))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS log_prior
          |  FROM tnd CROSS JOIN tnt),
          |rtok AS (
          |  SELECT doc_id,
@@ -989,7 +1000,9 @@ object Classify {
          |  GROUP BY t.doc_id, m.label, p.log_prior),
          |pe AS (
          |  SELECT doc_id, label,
-         |    CAST(floor(exp(score - max(score) OVER (PARTITION BY doc_id))
+         |    CAST(floor(
+         |      floor(exp(score - max(score) OVER (PARTITION BY doc_id))
+         |        * 1.0e9 + 0.5) / 1.0e9
          |      * 1.0e15) AS HUGEINT) AS e
          |  FROM sc),
          |pp AS (
@@ -1044,7 +1057,9 @@ object Classify {
          |  FROM sc),
          |pc AS (
          |  SELECT doc_id,
-         |    sum(CAST(floor(exp(score - mx) * 1.0e15) AS HUGEINT)) AS s,
+         |    sum(CAST(floor(
+         |      floor(exp(score - mx) * 1.0e9 + 0.5) / 1.0e9
+         |      * 1.0e15) AS HUGEINT)) AS s,
          |    min(CASE WHEN rn = 1 THEN label END) AS pred_label
          |  FROM wm GROUP BY doc_id),
          |cj AS (
@@ -1208,10 +1223,12 @@ object Classify {
          |vc AS (SELECT count(DISTINCT token) AS v FROM tok),
          |delta AS (
          |  SELECT b.token,
-         |    ln((CAST(COALESCE(t.n_t, 0) AS DOUBLE) + 1.0) /
+         |    floor(ln((CAST(COALESCE(t.n_t, 0) AS DOUBLE) + 1.0) /
          |       (CAST(ttot.nt AS DOUBLE) + CAST(vc.v AS DOUBLE)))
-         |    - ln((CAST(b.n_b AS DOUBLE) + 1.0) /
-         |         (CAST(btot.nb AS DOUBLE) + CAST(vc.v AS DOUBLE))) AS delta
+         |      * 1.0e9 + 0.5) / 1.0e9
+         |    - floor(ln((CAST(b.n_b AS DOUBLE) + 1.0) /
+         |         (CAST(btot.nb AS DOUBLE) + CAST(vc.v AS DOUBLE)))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS delta
          |  FROM bct b CROSS JOIN btot CROSS JOIN ttot CROSS JOIN vc
          |  LEFT JOIN tct t ON t.token = b.token),
          |w AS (
@@ -1220,8 +1237,10 @@ object Classify {
          |  FROM tok JOIN delta d ON d.token = tok.token
          |  GROUP BY tok.doc_id, tok.lang)
          |SELECT doc_id, lang, logw,
-         |  logw - ln(-ln((${h60sql("CAST(doc_id AS VARCHAR)")} + 0.5)
-         |    / 1152921504606846976.0)) AS samp_key
+         |  logw - floor(ln(-(
+         |    floor(ln((${h60sql("CAST(doc_id AS VARCHAR)")} + 0.5)
+         |      / 1152921504606846976.0) * 1.0e9 + 0.5) / 1.0e9))
+         |    * 1.0e9 + 0.5) / 1.0e9 AS samp_key
          |FROM w
          |ORDER BY samp_key DESC, doc_id LIMIT $ResampleK""".stripMargin,
     "q125_holdout_eval" -> {
@@ -1240,15 +1259,17 @@ object Classify {
          |tvc AS (SELECT count(*) AS v FROM tvoc),
          |tmodel AS (
          |  SELECT tt.lang AS label, tvoc.token,
-         |    ln((CAST(COALESCE(tc.n_ct, 0) AS DOUBLE) + 1.0) /
-         |       (CAST(tt.n_c AS DOUBLE) + CAST(tvc.v AS DOUBLE))) AS log_lik
+         |    floor(ln((CAST(COALESCE(tc.n_ct, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(tt.n_c AS DOUBLE) + CAST(tvc.v AS DOUBLE)))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS log_lik
          |  FROM tt CROSS JOIN tvoc CROSS JOIN tvc
          |  LEFT JOIN tc ON tc.lang = tt.lang AND tc.token = tvoc.token),
          |tnd AS (SELECT lang, count(*) AS n_docs FROM tdocs GROUP BY 1),
          |tnt AS (SELECT count(*) AS n FROM tdocs),
          |tpri AS (
          |  SELECT lang AS label,
-         |    ln(CAST(n_docs AS DOUBLE) / CAST(tnt.n AS DOUBLE)) AS log_prior
+         |    floor(ln(CAST(n_docs AS DOUBLE) / CAST(tnt.n AS DOUBLE))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS log_prior
          |  FROM tnd CROSS JOIN tnt),
          |vtok AS (
          |  SELECT doc_id,

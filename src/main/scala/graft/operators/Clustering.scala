@@ -72,7 +72,8 @@ object Clustering {
           .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
           .groupBy(col("cluster"), col("dim_idx"))
           // q44's exact decimal mean: order-independent, DuckDB-identical
-          .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+          .agg((sum(floor(col("v").cast("double") * lit(1e12) + lit(0.5))
+              .cast("decimal(30,0)")).cast("double") / lit(1e12) /
             count(lit(1)).cast("double")).as("c"))
           .groupBy(col("cluster"))
           .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c")))),
@@ -220,7 +221,8 @@ object Clustering {
             .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("dim_idx", "v")))
             .groupBy(col("sub"), col("code"), col("dim_idx"))
             // fitCentroids' exact decimal mean — order-independent
-            .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+            .agg((sum(floor(col("v").cast("double") * lit(1e12) + lit(0.5))
+                .cast("decimal(30,0)")).cast("double") / lit(1e12) /
               count(lit(1)).cast("double")).as("c"))
             .groupBy(col("sub"), col("code"))
             .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("c")))),
@@ -344,7 +346,8 @@ object Clustering {
       |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
       |m1 AS (
       |  SELECT a1.cluster, r.i AS dim_idx,
-      |    CAST(SUM(CAST(e.e[CAST(r.i AS INT) + 1] AS DECIMAL(30,12))) AS DOUBLE)
+      |    CAST(SUM(CAST(floor(e.e[CAST(r.i AS INT) + 1] * 1.0e12 + 0.5)
+      |        AS DECIMAL(30,0))) AS DOUBLE) / 1.0e12
       |      / COUNT(*) AS v
       |  FROM a1 JOIN e USING (vec_id), unnest(range(0, len(e.e))) AS r(i)
       |  GROUP BY 1, 2),
@@ -362,7 +365,8 @@ object Clustering {
       |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
       |m2 AS (
       |  SELECT a2.cluster, r.i AS dim_idx,
-      |    CAST(SUM(CAST(e.e[CAST(r.i AS INT) + 1] AS DECIMAL(30,12))) AS DOUBLE)
+      |    CAST(SUM(CAST(floor(e.e[CAST(r.i AS INT) + 1] * 1.0e12 + 0.5)
+      |        AS DECIMAL(30,0))) AS DOUBLE) / 1.0e12
       |      / COUNT(*) AS v
       |  FROM a2 JOIN e USING (vec_id), unnest(range(0, len(e.e))) AS r(i)
       |  GROUP BY 1, 2),
@@ -399,7 +403,8 @@ object Clustering {
        |    FROM em$m t CROSS JOIN c0_$m c) WHERE rn = 1),
        |m1_$m AS (
        |  SELECT a.code, r.i AS dim_idx,
-       |    CAST(SUM(CAST(t.se[CAST(r.i AS INT) + 1] AS DECIMAL(30,12))) AS DOUBLE)
+       |    CAST(SUM(CAST(floor(t.se[CAST(r.i AS INT) + 1] * 1.0e12 + 0.5)
+       |        AS DECIMAL(30,0))) AS DOUBLE) / 1.0e12
        |      / COUNT(*) AS v
        |  FROM a1_$m a JOIN em$m t USING (vec_id), unnest(range(0, len(t.se))) AS r(i)
        |  GROUP BY 1, 2),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, Tables}
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{Pin, TextFunctions, VectorFunctions}
 
 /** Training-data curation operators — the corpus-assembly passes that sit
   * between dedup/quality scoring and the tokenizer in an LLM data
@@ -176,7 +176,8 @@ object Curation {
     val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
     val lm = cnt.join(broadcast(tot), Seq("w1"))
       .select(col("w1"), col("w2"),
-        log(col("n").cast("double") / col("n_w1").cast("double")).as("logp"))
+        Pin.grid9(log(col("n").cast("double") / col("n_w1").cast("double")))
+          .as("logp"))
     val lmSide = if (lmEntries <= lmBroadcastLimit) broadcast(lm) else lm
     big.join(lmSide, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
@@ -627,13 +628,14 @@ object Curation {
     val ns = c1.groupBy(col("source")).agg(sum(col("n1")).as("n_bigrams"),
       count(lit(1)).as("vocab_w1"))
     val term = (col("n").cast("double") / col("n_bigrams").cast("double")) *
-      (log(col("n1").cast("double")) - log(col("n").cast("double")))
+      (Pin.grid9(log(col("n1").cast("double"))) -
+       Pin.grid9(log(col("n").cast("double"))))
     c2.join(c1, Seq("source", "w1"))
       .join(broadcast(ns), Seq("source"))
       .groupBy(col("source"), col("n_bigrams"), col("vocab_w1"))
       .agg((sum(floor(term * lit(1e15)).cast("decimal(38,0)")).cast("double")
         / lit(1e15)).as("entropy"))
-      .withColumn("perplexity", exp(col("entropy")))
+      .withColumn("perplexity", Pin.grid9(exp(col("entropy"))))
       .select(col("source"), col("n_bigrams"), col("vocab_w1"),
         col("entropy"), col("perplexity"))
       .orderBy(col("source"))
@@ -669,8 +671,8 @@ object Curation {
     val perShard = cell.groupBy(col("shard")).agg(sum(col("c")).as("n_docs"))
     def entSum(c: Column, n: Column): Column = {
       val p = c.cast("double") / n.cast("double")
-      (sum(floor(-p * log(p) * lit(1e15)).cast("decimal(38,0)")).cast("double") /
-        lit(1e15))
+      (sum(floor(-p * Pin.grid9(log(p)) * lit(1e15)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e15))
     }
     val shardEnt = cell.join(perShard, Seq("shard"))
       .groupBy(col("shard"), col("n_docs"))
@@ -719,9 +721,9 @@ object Curation {
       .select(explode(VectorFunctions.wordNgramList(col("text"), 1)).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val logp = when(col("c1").isNotNull,
-      log((coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
-        (col("c1").cast("double") + col("v").cast("double"))))
-      .otherwise(log(lit(1.0) / col("v").cast("double")))
+      Pin.grid9(log((coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("c1").cast("double") + col("v").cast("double")))))
+      .otherwise(Pin.grid9(log(lit(1.0) / col("v").cast("double"))))
     val sc = bigrams(tagged.filter(col("split") === "test"))
       .join(cnt, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -734,7 +736,7 @@ object Curation {
     sc.agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_bigrams"),
         avg.as("avg_logp"),
-        exp(-avg).as("perplexity"),
+        Pin.grid9(exp(-avg)).as("perplexity"),
         (sum(col("oov")).cast("double") / count(lit(1)).cast("double"))
           .as("oov_rate"))
   }
@@ -795,9 +797,11 @@ object Curation {
          |sc AS (
          |  SELECT e.doc_id,
          |    CAST(floor((CASE WHEN ctx.c1 IS NOT NULL THEN
-         |      ln((CAST(COALESCE(cnt.c12, 0) AS DOUBLE) + 1.0)
+         |      floor(ln((CAST(COALESCE(cnt.c12, 0) AS DOUBLE) + 1.0)
          |         / (CAST(ctx.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))
-         |    ELSE ln(1.0 / CAST(vv.v AS DOUBLE)) END) * 1.0e12) AS HUGEINT)
+         |        * 1.0e9 + 0.5) / 1.0e9
+         |    ELSE floor(ln(1.0 / CAST(vv.v AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+         |    END) * 1.0e12) AS HUGEINT)
          |      AS lp,
          |    CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS oov
          |  FROM ebb e
@@ -808,7 +812,8 @@ object Curation {
          |  CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(lp) AS DOUBLE) / 1.0e12 / CAST(count(*) AS DOUBLE)
          |    AS avg_logp,
-         |  exp(-(CAST(sum(lp) AS DOUBLE) / 1.0e12 / CAST(count(*) AS DOUBLE)))
+         |  floor(exp(-(CAST(sum(lp) AS DOUBLE) / 1.0e12
+         |      / CAST(count(*) AS DOUBLE))) * 1.0e9 + 0.5) / 1.0e9
          |    AS perplexity,
          |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
          |FROM sc""".stripMargin,
@@ -826,7 +831,8 @@ object Curation {
          |se AS (
          |  SELECT cell.shard, ps.n_docs,
          |    CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
-         |      * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1.0e15)
+         |      * (floor(ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |         * 1.0e9 + 0.5) / 1.0e9) * 1.0e15)
          |      AS HUGEINT)) AS DOUBLE) / 1.0e15 AS shard_entropy
          |  FROM cell JOIN ps USING (shard)
          |  GROUP BY cell.shard, ps.n_docs),
@@ -835,7 +841,8 @@ object Curation {
          |gn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gc),
          |ge AS (
          |  SELECT CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-         |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e15)
+         |      * (floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |         * 1.0e9 + 0.5) / 1.0e9) * 1.0e15)
          |      AS HUGEINT)) AS DOUBLE) / 1.0e15 AS global_entropy
          |  FROM gc CROSS JOIN gn)
          |SELECT shard, n_docs, shard_entropy, global_entropy,
@@ -864,7 +871,8 @@ object Curation {
         |  SELECT c2.source, ns.n_bigrams, ns.vocab_w1,
         |    sum(CAST(floor(
         |      (CAST(c2.n AS DOUBLE) / CAST(ns.n_bigrams AS DOUBLE)) *
-        |        (ln(CAST(c1.n1 AS DOUBLE)) - ln(CAST(c2.n AS DOUBLE)))
+        |        (floor(ln(CAST(c1.n1 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |         - floor(ln(CAST(c2.n AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
         |      * 1.0e15) AS HUGEINT)) AS sc
         |  FROM c2
         |  JOIN c1 ON c1.source = c2.source AND c1.w1 = c2.w1
@@ -872,7 +880,8 @@ object Curation {
         |  GROUP BY c2.source, ns.n_bigrams, ns.vocab_w1)
         |SELECT source, n_bigrams, vocab_w1,
         |  CAST(sc AS DOUBLE) / 1.0e15 AS entropy,
-        |  exp(CAST(sc AS DOUBLE) / 1.0e15) AS perplexity
+        |  floor(exp(CAST(sc AS DOUBLE) / 1.0e15) * 1.0e9 + 0.5) / 1.0e9
+        |    AS perplexity
         |FROM s ORDER BY source""".stripMargin,
     // same saturation predicate, integer div/mod shares, source-ordered
     // remainder ranks
@@ -1033,7 +1042,8 @@ object Curation {
         |tt AS (SELECT w1, sum(n) AS n_w1 FROM c GROUP BY w1),
         |lm AS (
         |  SELECT c.w1, c.w2,
-        |    ln(CAST(c.n AS DOUBLE) / CAST(tt.n_w1 AS DOUBLE)) AS logp
+        |    floor(ln(CAST(c.n AS DOUBLE) / CAST(tt.n_w1 AS DOUBLE))
+        |      * 1.0e9 + 0.5) / 1.0e9 AS logp
         |  FROM c JOIN tt USING (w1))
         |SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(CAST(lm.logp AS DECIMAL(25,15))) AS DOUBLE) /

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{KmvAggregator, TextFunctions, VectorFunctions}
+import graft.functions.{KmvAggregator, Pin, TextFunctions, VectorFunctions}
 
 /** Dataset assembly & profiling operators — the bookkeeping a training-data
   * pipeline runs around the curation core: cardinality sketches for corpus
@@ -169,8 +169,8 @@ object Datasets {
       .select(col("source"), col("n_docs"), col("n_distinct"),
         col("used").as("buckets_used"),
         when(col("raw") <= lit(2.5 * m) && col("used") < lit(m.toLong),
-          lit(m.toDouble) *
-            log(lit(m.toDouble) / (lit(m.toLong) - col("used")).cast("double")))
+          lit(m.toDouble) * Pin.grid9(
+            log(lit(m.toDouble) / (lit(m.toLong) - col("used")).cast("double"))))
           .otherwise(col("raw"))
           .as("hll_est"))
       .orderBy(col("source"))
@@ -249,7 +249,8 @@ object Datasets {
     val nD = col("n_docs").cast("double")
     def entTerm(c: String): org.apache.spark.sql.Column =
       when(col(s"n_$c") === 0L, lit(0.0)).otherwise(
-        -(col(s"n_$c").cast("double") / nD) * log(col(s"n_$c").cast("double") / nD))
+        -(col(s"n_$c").cast("double") / nD) *
+          Pin.grid9(log(col(s"n_$c").cast("double") / nD)))
     m.select(col("source"), col("n_docs"), col("total_tokens"),
         (col("sum_chars").cast("double") / nD).as("mean_chars"),
         classes.map(entTerm).reduce(_ + _).as("lang_entropy"),
@@ -286,7 +287,7 @@ object Datasets {
       lit(Pow60)
     docs.filter(col("n_chars") > 0)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        (log(u) / col("n_chars").cast("double")).as("ln_key"))
+        (Pin.grid9(log(u)) / col("n_chars").cast("double")).as("ln_key"))
       .orderBy(col("ln_key").desc, col("doc_id"))
       .limit(k)
   }
@@ -361,8 +362,10 @@ object Datasets {
     // subtract same-magnitude values, which is also the better-
     // conditioned order in general
     val term = (col("c_s").cast("double") / col("n_s").cast("double")) *
-      ((log(col("c_s").cast("double")) - log(col("c").cast("double")))
-        + (log(col("n").cast("double")) - log(col("n_s").cast("double"))))
+      ((Pin.grid9(log(col("c_s").cast("double"))) -
+         Pin.grid9(log(col("c").cast("double"))))
+        + (Pin.grid9(log(col("n").cast("double"))) -
+           Pin.grid9(log(col("n_s").cast("double")))))
     val sums = cs.join(corpus, Seq("w"))
       .join(broadcast(ns), Seq("source"))
       .crossJoin(broadcast(nRow))
@@ -709,7 +712,8 @@ object Datasets {
       s"sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS n_$c").mkString(",\n    ")
     def entTerm(c: String): String =
       s"""CASE WHEN n_$c = 0 THEN 0.0 ELSE
-         |    -(CAST(n_$c AS DOUBLE) / nD) * ln(CAST(n_$c AS DOUBLE) / nD) END""".stripMargin
+         |    -(CAST(n_$c AS DOUBLE) / nD) *
+         |      (floor(ln(CAST(n_$c AS DOUBLE) / nD) * 1.0e9 + 0.5) / 1.0e9) END""".stripMargin
     s"""WITH m AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
@@ -730,7 +734,7 @@ object Datasets {
     * [[PoissonCum]] constants the engine expression uses. */
   private def bootstrapOracle: String = {
     val ladder = PoissonCum
-      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .map(t => s"(CASE WHEN u >= ${Pin.sqlDouble(t)} THEN 1 ELSE 0 END)")
       .mkString("\n      + ")
     s"""WITH d AS (
        |  SELECT doc_id,
@@ -872,8 +876,10 @@ object Datasets {
         |  SELECT cs.source,
         |    sum(CAST(floor(
         |      (CAST(cs.c_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
-        |        ((ln(CAST(cs.c_s AS DOUBLE)) - ln(CAST(corpus.c AS DOUBLE)))
-        |          + (ln(CAST(nn.n AS DOUBLE)) - ln(CAST(ns.n_s AS DOUBLE))))
+        |        ((floor(ln(CAST(cs.c_s AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |          - floor(ln(CAST(corpus.c AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |          + (floor(ln(CAST(nn.n AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |            - floor(ln(CAST(ns.n_s AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9))
         |      * 1.0e15) AS HUGEINT)) AS sc
         |  FROM cs
         |  JOIN corpus USING (w)
@@ -906,7 +912,8 @@ object Datasets {
     // same ln(u)/w ranking key (monotone twin of the E-S u^(1/w) key)
     "q154_weighted_reservoir" ->
       s"""SELECT doc_id, source, n_chars,
-         |  ln(${h60sql("CAST(doc_id AS VARCHAR)")} / $Pow60Dec.0)
+         |  (floor(ln(${h60sql("CAST(doc_id AS VARCHAR)")} / $Pow60Dec.0)
+         |    * 1.0e9 + 0.5) / 1.0e9)
          |    / CAST(n_chars AS DOUBLE) AS ln_key
          |FROM documents
          |WHERE n_chars > 0
@@ -945,7 +952,8 @@ object Datasets {
          |  FROM ps JOIN ex USING (source))
          |SELECT source, n_docs, n_distinct, buckets_used,
          |  CASE WHEN raw <= ${2.5 * m} AND buckets_used < $m
-         |    THEN $m.0 * ln($m.0 / CAST($m - buckets_used AS DOUBLE))
+         |    THEN $m.0 * (floor(ln($m.0 / CAST($m - buckets_used AS DOUBLE))
+         |      * 1.0e9 + 0.5) / 1.0e9)
          |    ELSE raw END AS hll_est
          |FROM j
          |ORDER BY source""".stripMargin

@@ -368,7 +368,8 @@ object EmbeddingStats {
     terms.join(broadcast(hist), Seq("dim", "b"))
       .crossJoin(broadcast(n))
       .select(col("vec_id"),
-        floor(log(col("n").cast("double") / col("cnt").cast("double")) * lit(1e12))
+        floor(graft.functions.Pin.grid9(
+            log(col("n").cast("double") / col("cnt").cast("double"))) * lit(1e12))
           .cast("long").as("t"))
       .groupBy(col("vec_id"))
       .agg((sum(col("t")).cast("double") / lit(1e12)).as("hbos_score"))
@@ -488,7 +489,9 @@ object EmbeddingStats {
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
          |s AS (
          |  SELECT vec_id,
-         |    CAST(sum(CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(h.cnt AS DOUBLE))
+         |    CAST(sum(CAST(floor(
+         |      (floor(ln(CAST(n.n AS DOUBLE) / CAST(h.cnt AS DOUBLE))
+         |        * 1.0e9 + 0.5) / 1.0e9)
          |      * 1.0e12) AS BIGINT)) AS DOUBLE) / 1.0e12 AS hbos_score
          |  FROM t JOIN h USING (dim, b) CROSS JOIN n
          |  GROUP BY vec_id)

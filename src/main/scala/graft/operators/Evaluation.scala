@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Pin
 import graft.core.Tables
 
 /** Index/model/data EVALUATION operators — the measurement half of the
@@ -67,7 +68,7 @@ object Evaluation {
     * query-keyed ≤k-row aggregation. */
   def annNdcg(spark: SparkSession, embs: DataFrame, k: Int = 10): DataFrame = {
     def disc(rank: org.apache.spark.sql.Column) =
-      lit(math.log(2.0)) / log(rank.cast("double") + lit(1.0))
+      lit(math.log(2.0)) / Pin.grid9(log(rank.cast("double") + lit(1.0)))
     def fp(x: org.apache.spark.sql.Column) =
       floor(x * lit(1e15)).cast("decimal(38,0)")
     val brute = Similarity.bruteForceTopK(spark, embs, k = k)
@@ -106,7 +107,8 @@ object Evaluation {
     * label-keyed count, then |labels|-row arithmetic. */
   def classWeights(embs: DataFrame): DataFrame = {
     val n = embs.groupBy(col("label")).agg(count(lit(1)).as("n"))
-    val effN = (lit(1.0) - exp(col("n").cast("double") * log(lit(CbBeta)))) /
+    val effN = (lit(1.0) -
+      Pin.grid9(exp(col("n").cast("double") * lit(math.log(CbBeta))))) /
       (lit(1.0) - lit(CbBeta))
     val withRaw = n.withColumn("eff_n", effN)
       .withColumn("raw", lit(1.0) / col("eff_n"))
@@ -150,11 +152,22 @@ object Evaluation {
           .as("s2"),
         sum(col("sq")).as("sqsum"))
       .join(broadcast(nPer), Seq("label"))
+      // hi/lo split before the double cast: these decimals exceed 2^53,
+      // and DuckDB's int128->double conversion is not correctly rounded
+      // (two roundings via 64-bit halves) while the JVM's BigDecimal
+      // .doubleValue is — the SAME explicit split makes both engines
+      // compute the identical 2-rounding value (round-11 sweep)
+      .withColumn("sqd", expr(
+        "CAST(sqsum DIV 4294967296 AS DOUBLE) * 4294967296.0" +
+          " + CAST(sqsum % 4294967296 AS DOUBLE)"))
+      .withColumn("s2d", expr(
+        "CAST(s2 DIV 4294967296 AS DOUBLE) * 4294967296.0" +
+          " + CAST(s2 % 4294967296 AS DOUBLE)"))
       .select(col("label"), col("n"),
-        (col("sqsum").cast("double") / lit(1e18) / col("n").cast("double"))
+        (col("sqd") / lit(1e18) / col("n").cast("double"))
           .as("mean_sq_norm"),
-        ((lit(2.0) * col("n").cast("double") * (col("sqsum").cast("double") / lit(1e18)) -
-          lit(2.0) * (col("s2").cast("double") / lit(1e18))) /
+        ((lit(2.0) * col("n").cast("double") * (col("sqd") / lit(1e18)) -
+          lit(2.0) * (col("s2d") / lit(1e18))) /
           (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
           .as("mean_pair_sq_dist"))
       .orderBy(col("label"))
@@ -243,8 +256,8 @@ object Evaluation {
     * Scale shape: q183's plan + one ≤|types|²-row aggregate. */
   def entropyRate(ev: DataFrame): DataFrame = {
     val term = floor(col("n").cast("double") *
-      log(col("n_from").cast("double") / col("n").cast("double")) * lit(1e12))
-      .cast("decimal(19,0)")
+      Pin.grid9(log(col("n_from").cast("double") / col("n").cast("double"))) *
+      lit(1e12)).cast("decimal(19,0)")
     val h = col("hsum").cast("double") / lit(1e12) /
       col("n_transitions").cast("double")
     markovTransitions(ev)
@@ -253,7 +266,8 @@ object Evaluation {
         sum(term).as("hsum"))
       .select(col("n_transitions"), col("n_states"),
         h.as("entropy_rate_nats"),
-        when(col("n_states") > 1, h / log(col("n_states").cast("double")))
+        when(col("n_states") > 1,
+          h / Pin.grid9(log(col("n_states").cast("double"))))
           .otherwise(lit(null).cast("double")).as("normalized"))
   }
 
@@ -277,7 +291,7 @@ object Evaluation {
     val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
     val ageDays = (col("mx") - unix_micros(col("ts"))).cast("double") /
       lit(1e6) / lit(86400.0)
-    val term = col("value") * exp(-ageDays * log(lit(2.0)))
+    val term = col("value") * Pin.grid9(exp(-ageDays * lit(math.log(2.0))))
     ev.crossJoin(broadcast(mx))
       .select(col("user_id"), term.as("term"))
       .groupBy(col("user_id"))
@@ -616,12 +630,16 @@ object Evaluation {
         |    AND br.neighbor_id = riv.neighbor_id),
         |dcg AS (
         |  SELECT query_id,
-        |    sum(CAST(floor(ln(2.0) / ln(CAST(rank + 1 AS DOUBLE)) * 1.0e15)
+        |    sum(CAST(floor(0.6931471805599453e0
+        |      / (floor(ln(CAST(rank + 1 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |      * 1.0e15)
         |      AS HUGEINT)) AS dq
         |  FROM hit GROUP BY query_id),
         |ideal AS (
         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_true,
-        |    sum(CAST(floor(ln(2.0) / ln(CAST(rank + 1 AS DOUBLE)) * 1.0e15)
+        |    sum(CAST(floor(0.6931471805599453e0
+        |      / (floor(ln(CAST(rank + 1 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |      * 1.0e15)
         |      AS HUGEINT)) AS iq
         |  FROM br GROUP BY query_id)
         |SELECT i.query_id, i.n_true,
@@ -684,8 +702,12 @@ object Evaluation {
          |  FROM embeddings GROUP BY label),
          |w AS (
          |  SELECT label, n,
-         |    (1.0 - exp(CAST(n AS DOUBLE) * ln($CbBeta))) / (1.0 - CAST($CbBeta AS DOUBLE)) AS eff_n,
-         |    1.0 / ((1.0 - exp(CAST(n AS DOUBLE) * ln($CbBeta))) / (1.0 - CAST($CbBeta AS DOUBLE)))
+         |    (1.0 - floor(exp(CAST(n AS DOUBLE) * ${Pin.sqlDouble(math.log(CbBeta))})
+         |      * 1.0e9 + 0.5) / 1.0e9)
+         |      / (1.0 - CAST($CbBeta AS DOUBLE)) AS eff_n,
+         |    1.0 / ((1.0 - floor(exp(CAST(n AS DOUBLE) * ${Pin.sqlDouble(math.log(CbBeta))})
+         |      * 1.0e9 + 0.5) / 1.0e9)
+         |      / (1.0 - CAST($CbBeta AS DOUBLE)))
          |      AS raw
          |  FROM n),
          |t AS (
@@ -711,13 +733,20 @@ object Evaluation {
         |  SELECT label,
         |    sum(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS s2,
         |    sum(sq) AS sqsum
-        |  FROM pd GROUP BY label)
-        |SELECT f.label, np.n,
-        |  CAST(sqsum AS DOUBLE) / 1.0e18 / CAST(n AS DOUBLE) AS mean_sq_norm,
-        |  (2.0 * CAST(n AS DOUBLE) * (CAST(sqsum AS DOUBLE) / 1.0e18)
-        |   - 2.0 * (CAST(s2 AS DOUBLE) / 1.0e18))
+        |  FROM pd GROUP BY label),
+        |g AS (
+        |  SELECT f.label AS label, n,
+        |    CAST(sqsum // 4294967296 AS DOUBLE) * 4294967296.0
+        |      + CAST(sqsum % 4294967296 AS DOUBLE) AS sqd,
+        |    CAST(s2 // 4294967296 AS DOUBLE) * 4294967296.0
+        |      + CAST(s2 % 4294967296 AS DOUBLE) AS s2d
+        |  FROM f JOIN np ON np.label = f.label)
+        |SELECT label, n,
+        |  sqd / 1.0e18 / CAST(n AS DOUBLE) AS mean_sq_norm,
+        |  (2.0 * CAST(n AS DOUBLE) * (sqd / 1.0e18)
+        |   - 2.0 * (s2d / 1.0e18))
         |  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS mean_pair_sq_dist
-        |FROM f JOIN np ON np.label = f.label ORDER BY f.label""".stripMargin,
+        |FROM g ORDER BY label""".stripMargin,
     // q68's scale chain; floor(err·1e18) HUGEINT sums
     "q182_quant_error" ->
       """WITH m AS (
@@ -761,7 +790,8 @@ object Evaluation {
         |  SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
         |    CAST(count(DISTINCT from_type) AS BIGINT) AS n_states,
         |    sum(CAST(floor(CAST(n AS DOUBLE)
-        |      * ln(CAST(n_from AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e12)
+        |      * (floor(ln(CAST(n_from AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * 1.0e9 + 0.5) / 1.0e9) * 1.0e12)
         |      AS BIGINT)) AS hsum
         |  FROM tj)
         |SELECT n_transitions, n_states,
@@ -769,7 +799,8 @@ object Evaluation {
         |    AS entropy_rate_nats,
         |  CASE WHEN n_states > 1 THEN
         |    CAST(hsum AS DOUBLE) / 1.0e12 / CAST(n_transitions AS DOUBLE)
-        |      / ln(CAST(n_states AS DOUBLE)) END AS normalized
+        |      / (floor(ln(CAST(n_states AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |      END AS normalized
         |FROM ag""".stripMargin,
     "q183_markov_chain" ->
       """WITH s AS (
@@ -794,8 +825,8 @@ object Evaluation {
       """WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
         |t AS (
         |  SELECT user_id,
-        |    value * exp(-(CAST(mx.mx - epoch_us(ts) AS DOUBLE) / 1.0e6 / 86400.0)
-        |      * ln(2.0)) AS term
+        |    value * (floor(exp(-(CAST(mx.mx - epoch_us(ts) AS DOUBLE)
+        |      / 1.0e6 / 86400.0) * 0.6931471805599453e0) * 1.0e9 + 0.5) / 1.0e9) AS term
         |  FROM events CROSS JOIN mx)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(term * 1.0e12) AS HUGEINT)) AS DOUBLE) / 1.0e12

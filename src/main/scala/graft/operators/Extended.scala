@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Pin
 import graft.core.{CacheScope, Tables}
 
 /** Round-2 widening of the relational surface: the operator families a user
@@ -215,8 +216,8 @@ object Extended {
     val k1 = lit(1.2)
     val b = lit(0.75)
     tf.join(dlen, "doc_id").join(broadcast(dft), "t").crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs").cast("double") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("idf", Pin.grid9(
+        log((col("n_docs").cast("double") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0)))
       .withColumn("score",
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + k1 * (lit(1.0) - b + b * col("dl").cast("double") / col("avg_dl"))))
@@ -339,8 +340,9 @@ object Extended {
         |  WHERE t IN ('spark', 'table') GROUP BY doc_id, t),
         |dft AS (SELECT t, count(*) AS df_t FROM tf GROUP BY t)
         |SELECT tf.doc_id, tf.t AS term, tf.tf,
-        |  ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0) *
-        |    (tf.tf * (1.2 + 1.0)) /
+        |  (floor(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        |    * 1.0e9 + 0.5) / 1.0e9) *
+        |    (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
         |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avg_dl)) AS score
         |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (t) CROSS JOIN stats
         |ORDER BY doc_id, term""".stripMargin,

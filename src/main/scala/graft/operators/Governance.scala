@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Pin
 import graft.core.Tables
 import graft.functions.TextFunctions
 
@@ -132,8 +133,8 @@ object Governance {
     val wr = Window.partitionBy(col("source")).orderBy(col("f").desc, col("w"))
     val xy = freqs.withColumn("r", row_number().over(wr).cast("long"))
       .select(col("source"),
-        log(col("r").cast("double")).as("x"),
-        log(col("f").cast("double")).as("y"))
+        Pin.grid9(log(col("r").cast("double"))).as("x"),
+        Pin.grid9(log(col("f").cast("double"))).as("y"))
     def fx(c: Column): Column =
       sum(floor(c * lit(1e15)).cast("decimal(38,0)"))
     val m = xy.groupBy(col("source")).agg(
@@ -607,9 +608,10 @@ object Governance {
         |  GROUP BY source, tk.w),
         |r AS (
         |  SELECT source,
-        |    ln(CAST(row_number() OVER (
-        |      PARTITION BY source ORDER BY f DESC, w) AS DOUBLE)) AS x,
-        |    ln(CAST(f AS DOUBLE)) AS y
+        |    floor(ln(CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY f DESC, w) AS DOUBLE))
+        |      * 1.0e9 + 0.5) / 1.0e9 AS x,
+        |    floor(ln(CAST(f AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9 AS y
         |  FROM f),
         |m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,

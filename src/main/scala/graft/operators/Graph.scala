@@ -701,7 +701,12 @@ object Graph {
     // common neighbors (1e12/ln2 ≈ 1.44e12 per term) — and a primitive
     // long sum keeps the 10^8-row partial aggregate in codegen, where the
     // former decimal(38,0) sum was the measured bottleneck
-    val term = floor(lit(1e12) / log(size(col("dsts")).cast("double")))
+    // ln(deg) grid-pinned before the amplifying 1e12 division (round-11
+    // transcendental sweep): deg is a small integer so the distinct-input
+    // set is tiny, but a single cross-engine ln ulp would shift the
+    // divided term by ~1e-4 absolute — far above the floor grid
+    val term = floor(lit(1e12) /
+        graft.functions.Pin.grid9(log(size(col("dsts")).cast("double"))))
       .cast("long")
     // wedges centered at w: unordered neighbor pairs u < v, generated
     // SCAN-LOCALLY from the sorted adjacency array (posexplode + slice) —
@@ -901,7 +906,9 @@ object Graph {
          |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst),
          |sc AS (
          |  SELECT u, v, CAST(count(*) AS BIGINT) AS common,
-         |    sum(CAST(floor(1.0e12 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT)) AS aa_fp
+         |    sum(CAST(floor(1.0e12
+         |      / (floor(ln(CAST(deg.d AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9))
+         |      AS BIGINT)) AS aa_fp
          |  FROM wdg JOIN deg ON deg.src = wdg.w
          |  GROUP BY u, v),
          |ne AS (

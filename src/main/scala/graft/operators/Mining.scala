@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, Tables}
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{Pin, TextFunctions, VectorFunctions}
 
 /** Corpus-mining operators on top of the dedup/similarity kernels: the steps
   * that turn raw documents + embeddings into a curated training set —
@@ -61,8 +61,8 @@ object Mining {
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        col("tf").cast("double") *
-          log(col("n_docs").cast("double") / col("df").cast("double")))
+        col("tf").cast("double") * Pin.grid9(
+          log(col("n_docs").cast("double") / col("df").cast("double"))))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
@@ -158,9 +158,10 @@ object Mining {
       .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
       .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
       .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
-        (log(col("n12").cast("double")) + log(col("t")) + log(col("t"))
-          - log(col("b")) - log(col("n1").cast("double"))
-          - log(col("n2").cast("double"))).as("pmi"))
+        (Pin.grid9(log(col("n12").cast("double"))) + Pin.grid9(log(col("t")))
+          + Pin.grid9(log(col("t")))
+          - Pin.grid9(log(col("b"))) - Pin.grid9(log(col("n1").cast("double")))
+          - Pin.grid9(log(col("n2").cast("double")))).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topN)
   }
@@ -395,7 +396,8 @@ object Mining {
       lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("pop"))
     val wParts = deg.select(col("pk"),
-      floor(exp(lit(0.75) * log(col("pop").cast("double"))) * lit(1e9))
+      floor(Pin.grid6(exp(lit(0.75) *
+          Pin.grid9(log(col("pop").cast("double"))))) * lit(1e9))
         .cast("long").as("wq"))
     val wWin = Window.orderBy(col("pk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -694,7 +696,10 @@ object Mining {
          |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS pop FROM op GROUP BY pk),
          |wp AS (
          |  SELECT pk,
-         |    CAST(floor(exp(0.75 * ln(CAST(pop AS DOUBLE))) * 1.0e9) AS BIGINT) AS wq
+         |    CAST(floor(
+         |      floor(exp(0.75 * (floor(ln(CAST(pop AS DOUBLE)) * 1.0e9 + 0.5)
+         |        / 1.0e9)) * 1.0e6 + 0.5) / 1.0e6
+         |      * 1.0e9) AS BIGINT) AS wq
          |  FROM deg),
          |cum AS (
          |  SELECT pk, wq,
@@ -758,8 +763,12 @@ object Mining {
         |tb AS (
         |  SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS b FROM w)
         |SELECT b.w1, b.w2, b.n12, u1.n AS n1, u2.n AS n2,
-        |  ln(CAST(b.n12 AS DOUBLE)) + ln(tu.t) + ln(tu.t) - ln(tb.b)
-        |    - ln(CAST(u1.n AS DOUBLE)) - ln(CAST(u2.n AS DOUBLE)) AS pmi
+        |  floor(ln(CAST(b.n12 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |    + floor(ln(tu.t) * 1.0e9 + 0.5) / 1.0e9
+        |    + floor(ln(tu.t) * 1.0e9 + 0.5) / 1.0e9
+        |    - floor(ln(tb.b) * 1.0e9 + 0.5) / 1.0e9
+        |    - floor(ln(CAST(u1.n AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |    - floor(ln(CAST(u2.n AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9 AS pmi
         |FROM big b
         |JOIN uni u1 ON u1.w = b.w1
         |JOIN uni u2 ON u2.w = b.w2
@@ -818,7 +827,9 @@ object Mining {
         |nd AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf,
-        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |    CAST(tf.tf AS DOUBLE) *
+      (floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1.0e9 + 0.5)
+        / 1.0e9) AS tfidf
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
         |r AS (
         |  SELECT doc_id, term, tf, tfidf,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Pin
 import graft.core.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
 
@@ -49,15 +50,17 @@ object Profiling {
     val ca = col("ia").cast("double"); val cb = col("ib").cast("double")
     val ta = col("ita").cast("double"); val tb = col("itb").cast("double")
     val cross = ca * tb + cb * ta
-    val term = (ca / ta / lit(2.0)) * (log(lit(2.0) * ca * tb) - log(cross)) +
-      (cb / tb / lit(2.0)) * (log(lit(2.0) * cb * ta) - log(cross))
+    val term = (ca / ta / lit(2.0)) *
+      (Pin.grid9(log(lit(2.0) * ca * tb)) - Pin.grid9(log(cross))) +
+      (cb / tb / lit(2.0)) *
+      (Pin.grid9(log(lit(2.0) * cb * ta)) - Pin.grid9(log(cross)))
     a.join(b, Seq("word")).filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"), col("ita"), col("itb"))
       .agg(count(lit(1)).as("shared_words"),
         sum(col("ia")).as("sa"), sum(col("ib")).as("sb"),
         sum(floor(term * lit(1e15)).cast("decimal(38,0)")).as("fsum"))
       .select(col("src_a"), col("src_b"), col("shared_words"),
-        (log(lit(2.0)) * ((lit(1.0) - col("sa").cast("double") / col("ita").cast("double")) +
+        (lit(math.log(2.0)) * ((lit(1.0) - col("sa").cast("double") / col("ita").cast("double")) +
           (lit(1.0) - col("sb").cast("double") / col("itb").cast("double"))) / lit(2.0) +
           col("fsum").cast("double") / lit(1e15)).as("jsd"))
       .orderBy(col("src_a"), col("src_b"))
@@ -167,7 +170,8 @@ object Profiling {
       .select(col("source"),
         sum(col("ntok")).over(win).as("ct"),
         sum(col("nw")).over(win).as("cv"))
-    val x = log(col("ct").cast("double")); val y = log(col("cv").cast("double"))
+    val x = Pin.grid9(log(col("ct").cast("double")))
+    val y = Pin.grid9(log(col("cv").cast("double")))
     val m = cum.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(floor(x * lit(1e15)).cast("decimal(38,0)")).as("sx"),
@@ -184,7 +188,8 @@ object Profiling {
     val intercept = (dsy - slope * dsx) / n
     m.select(col("source"), col("n_docs"),
         when(det === lit(0.0), lit(null)).otherwise(slope).as("beta"),
-        when(det === lit(0.0), lit(null)).otherwise(exp(intercept)).as("k"))
+        when(det === lit(0.0), lit(null)).otherwise(Pin.grid9(exp(intercept)))
+          .as("k"))
       .orderBy(col("source"))
   }
 
@@ -399,7 +404,7 @@ object Profiling {
       (col("n_docs").cast("double") + lit(PsiSmooth) * col("n_buckets").cast("double"))
     val q = (col("cc").cast("double") + lit(PsiSmooth)) /
       (col("n_corpus").cast("double") + lit(PsiSmooth) * col("n_buckets").cast("double"))
-    val term = (p - q) * log(p / q)
+    val term = (p - q) * Pin.grid9(log(p / q))
     grid.groupBy(col("source"), col("n_docs"))
       .agg((sum(floor(term * lit(1e15)).cast("decimal(38,0)")).cast("double") /
         lit(1e15)).as("psi"))
@@ -435,7 +440,8 @@ object Profiling {
     val ref = top.agg(min(col("n_chars")).as("x_ref"))
     // rows AT x_ref (including the (k+1)-th itself) contribute ln(1) = 0,
     // so summing over all k+1 rows equals the Hill sum over the top k
-    val lnTerm = log(col("n_chars").cast("double") / col("x_ref").cast("double"))
+    val lnTerm = Pin.grid9(
+      log(col("n_chars").cast("double") / col("x_ref").cast("double")))
     top.crossJoin(broadcast(ref))
       .agg(max(col("x_ref")).as("x_ref"),
         (sum(floor(lnTerm * lit(1e15)).cast("decimal(38,0)")).cast("double") /
@@ -667,8 +673,9 @@ object Profiling {
          |ref AS (SELECT CAST(min(n_chars) AS BIGINT) AS x_ref FROM top),
          |s AS (
          |  SELECT max(ref.x_ref) AS x_ref,
-         |    CAST(sum(CAST(floor(ln(CAST(n_chars AS DOUBLE)
-         |      / CAST(ref.x_ref AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS DOUBLE)
+         |    CAST(sum(CAST(floor((floor(ln(CAST(n_chars AS DOUBLE)
+         |      / CAST(ref.x_ref AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+         |      * 1.0e15) AS HUGEINT)) AS DOUBLE)
          |      / 1.0e15 AS ln_sum
          |  FROM top CROSS JOIN ref)
          |SELECT CAST($HillK AS BIGINT) AS k, x_ref,
@@ -699,10 +706,11 @@ object Profiling {
          |       / (CAST(n_docs AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE))
          |     - (CAST(cc AS DOUBLE) + $PsiSmooth)
          |       / (CAST(n_corpus AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE)))
-         |    * ln(((CAST(c AS DOUBLE) + $PsiSmooth)
+         |    * (floor(ln(((CAST(c AS DOUBLE) + $PsiSmooth)
          |       / (CAST(n_docs AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE)))
          |      / ((CAST(cc AS DOUBLE) + $PsiSmooth)
          |       / (CAST(n_corpus AS DOUBLE) + $PsiSmooth * CAST(n_buckets AS DOUBLE))))
+         |      * 1.0e9 + 0.5) / 1.0e9)
          |      AS term
          |  FROM grid),
          |agg AS (
@@ -713,7 +721,8 @@ object Profiling {
          |SELECT source, n_docs, psi, psi >= $PsiThreshold AS drifted
          |FROM agg ORDER BY source""".stripMargin,
     "q198_benford" -> {
-      val grid = (1 to 9).map(d => s"($d, ${benfordP(d)})").mkString(", ")
+      val grid = (1 to 9)
+        .map(d => s"($d, ${Pin.sqlDouble(benfordP(d))})").mkString(", ")
       s"""WITH g(digit, benford_p) AS (VALUES $grid),
          |obs AS (
          |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
@@ -758,12 +767,16 @@ object Profiling {
         |    CAST(count(*) AS BIGINT) AS shared_words,
         |    CAST(sum(ia) AS BIGINT) AS sa, CAST(sum(ib) AS BIGINT) AS sb,
         |    sum(CAST(floor(
-        |      ((ca / ta / 2.0) * (ln(2.0 * ca * tb) - ln(ca * tb + cb * ta))
-        |       + (cb / tb / 2.0) * (ln(2.0 * cb * ta) - ln(ca * tb + cb * ta)))
+        |      ((ca / ta / 2.0) *
+        |        (floor(ln(2.0 * ca * tb) * 1.0e9 + 0.5) / 1.0e9
+        |         - floor(ln(ca * tb + cb * ta) * 1.0e9 + 0.5) / 1.0e9)
+        |       + (cb / tb / 2.0) *
+        |        (floor(ln(2.0 * cb * ta) * 1.0e9 + 0.5) / 1.0e9
+        |         - floor(ln(ca * tb + cb * ta) * 1.0e9 + 0.5) / 1.0e9))
         |      * 1.0e15) AS HUGEINT)) AS fsum
         |  FROM j GROUP BY src_a, src_b, ita, itb)
         |SELECT src_a, src_b, shared_words,
-        |  ln(2.0) * ((1.0 - CAST(sa AS DOUBLE) / CAST(ita AS DOUBLE))
+        |  0.6931471805599453e0 * ((1.0 - CAST(sa AS DOUBLE) / CAST(ita AS DOUBLE))
         |           + (1.0 - CAST(sb AS DOUBLE) / CAST(itb AS DOUBLE))) / 2.0
         |  + CAST(fsum AS DOUBLE) / 1.0e15 AS jsd
         |FROM s ORDER BY src_a, src_b""".stripMargin,
@@ -824,10 +837,10 @@ object Profiling {
         |  FROM tokd t LEFT JOIN newd n ON n.source = t.source AND n.doc_id = t.doc_id),
         |m AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    sum(CAST(floor(ln(CAST(ct AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sx,
-        |    sum(CAST(floor(ln(CAST(cv AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sy,
-        |    sum(CAST(floor(ln(CAST(ct AS DOUBLE)) * ln(CAST(cv AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sxy,
-        |    sum(CAST(floor(ln(CAST(ct AS DOUBLE)) * ln(CAST(ct AS DOUBLE)) * 1.0e15) AS HUGEINT)) AS sxx
+        |    sum(CAST(floor((floor(ln(CAST(ct AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9) * 1.0e15) AS HUGEINT)) AS sx,
+        |    sum(CAST(floor((floor(ln(CAST(cv AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9) * 1.0e15) AS HUGEINT)) AS sy,
+        |    sum(CAST(floor((floor(ln(CAST(ct AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9) * (floor(ln(CAST(cv AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9) * 1.0e15) AS HUGEINT)) AS sxy,
+        |    sum(CAST(floor((floor(ln(CAST(ct AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9) * (floor(ln(CAST(ct AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9) * 1.0e15) AS HUGEINT)) AS sxx
         |  FROM cum GROUP BY source),
         |s AS (
         |  SELECT source, n_docs, CAST(n_docs AS DOUBLE) AS n,
@@ -840,8 +853,9 @@ object Profiling {
         |  CASE WHEN n * dsxx - dsx * dsx = 0.0 THEN NULL
         |    ELSE (n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx) END AS beta,
         |  CASE WHEN n * dsxx - dsx * dsx = 0.0 THEN NULL
-        |    ELSE exp((dsy - ((n * dsxy - dsx * dsy) / (n * dsxx - dsx * dsx)) * dsx)
-        |      / n) END AS k
+        |    ELSE floor(exp((dsy - ((n * dsxy - dsx * dsy)
+        |      / (n * dsxx - dsx * dsx)) * dsx)
+        |      / n) * 1.0e9 + 0.5) / 1.0e9 END AS k
         |FROM s ORDER BY source""".stripMargin,
     // integer micro-weights (floor(sqrt·1e6)) then q161's Hamilton
     "q176_temp_mixture" ->

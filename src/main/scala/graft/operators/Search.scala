@@ -282,10 +282,10 @@ object Search {
          |  JOIN v se ON se.vec_id = s.neighbor_id
          |  GROUP BY c.query_id, c.neighbor_id, c.rel),
          |k$r AS (
-         |  SELECT query_id, neighbor_id, rel, $lam * rel - $oneMinus * pen AS mmr,
+         |  SELECT query_id, neighbor_id, rel, ${graft.functions.Pin.sqlDouble(lam)} * rel - ${graft.functions.Pin.sqlDouble(oneMinus)} * pen AS mmr,
          |    $r AS rank
          |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY $lam * rel - $oneMinus * pen DESC, neighbor_id) AS rn
+         |      ORDER BY ${graft.functions.Pin.sqlDouble(lam)} * rel - ${graft.functions.Pin.sqlDouble(oneMinus)} * pen DESC, neighbor_id) AS rn
          |    FROM p$r WHERE taken = 0)
          |  WHERE rn = 1),
          |sel$r AS (

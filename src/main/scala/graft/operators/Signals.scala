@@ -295,7 +295,8 @@ object Signals {
       |tt AS (SELECT w1, sum(n) AS n_w1 FROM c GROUP BY w1),
       |lm AS (
       |  SELECT c.w1, c.w2,
-      |    ln(CAST(c.n AS DOUBLE) / CAST(tt.n_w1 AS DOUBLE)) AS logp
+      |    floor(ln(CAST(c.n AS DOUBLE) / CAST(tt.n_w1 AS DOUBLE))
+      |      * 1.0e9 + 0.5) / 1.0e9 AS logp
       |  FROM c JOIN tt USING (w1)),
       |lmv AS (
       |  SELECT bb.doc_id,

@@ -54,7 +54,8 @@ object DecayStream {
         lit(1e6) / lit(86400.0)
       batch.crossJoin(broadcast(anchor))
         .select(col("user_id"), col("anchor_us"),
-          (col("value") * exp(-(ageDays / lit(HalfLifeDays)) * log(lit(2.0))))
+          (col("value") * graft.functions.Pin.grid9(
+              exp(-(ageDays / lit(HalfLifeDays)) * lit(math.log(2.0)))))
             .as("term"))
         .groupBy(col("user_id"), col("anchor_us"))
         .agg(count(lit(1)).as("n_events"), sum(col("term")).as("contrib"))
@@ -73,7 +74,8 @@ object DecayStream {
       lit(1e6) / lit(86400.0)
     batches.crossJoin(broadcast(star))
       .select(col("user_id"), col("n_events"),
-        (col("contrib") * exp(-(reanchorDays / lit(HalfLifeDays)) * log(lit(2.0))))
+        (col("contrib") * graft.functions.Pin.grid9(
+            exp(-(reanchorDays / lit(HalfLifeDays)) * lit(math.log(2.0)))))
           .as("part"))
       .groupBy(col("user_id"))
       .agg(sum(col("n_events")).as("n_events"),

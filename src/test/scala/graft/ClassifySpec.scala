@@ -47,9 +47,11 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
       l <- labels; w <- vocab
     } yield (l, w) -> toks.filter(_._2 == l).flatMap(_._3).count(_ == w)).toMap
     val logLik = nCt.map { case ((l, w), n) =>
-      (l, w) -> StrictMath.log((n + 1.0) / (nC(l).toDouble + vocab.size)) }
+      (l, w) -> graft.functions.Pin.grid9(
+        StrictMath.log((n + 1.0) / (nC(l).toDouble + vocab.size))) }
     val prior = labels.map(l =>
-      l -> StrictMath.log(rows.count(_._2 == l).toDouble / rows.size)).toMap
+      l -> graft.functions.Pin.grid9(
+        StrictMath.log(rows.count(_._2 == l).toDouble / rows.size))).toMap
     val preds = toks.map { case (id, _, ws) =>
       val scored = labels.map { l =>
         l -> (ws.map(w => logLik((l, w))).sum + prior(l)) }
@@ -100,8 +102,10 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
     val nT = tTok.groupBy(identity).map { case (w, xs) => w -> xs.size }
     val nB = bTok.groupBy(identity).map { case (w, xs) => w -> xs.size }
     def delta(w: String): Double =
-      StrictMath.log((nT.getOrElse(w, 0) + 1.0) / (tTok.size.toDouble + vocab.size)) -
-        StrictMath.log((nB(w) + 1.0) / (bTok.size.toDouble + vocab.size))
+      graft.functions.Pin.grid9(StrictMath.log(
+        (nT.getOrElse(w, 0) + 1.0) / (tTok.size.toDouble + vocab.size))) -
+        graft.functions.Pin.grid9(StrictMath.log(
+          (nB(w) + 1.0) / (bTok.size.toDouble + vocab.size)))
     def h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -110,7 +114,8 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ref = toks.map { case (id, l, ws) =>
       val logw = ws.map(w => BigDecimal(delta(w)).setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
       val u = (h60(id.toString) + 0.5) / 1152921504606846976.0
-      (id, l, logw, logw - StrictMath.log(-StrictMath.log(u)))
+      (id, l, logw, logw - graft.functions.Pin.grid9(
+        StrictMath.log(-graft.functions.Pin.grid9(StrictMath.log(u)))))
     }.sortBy { case (id, _, _, key) => (-key, id) }.take(4)
     val got = Classify.importanceResample(docs, "en", 4).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq

@@ -48,11 +48,20 @@ class DecayStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val oneShot = Evaluation.decayWeighted(ev).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // error bound: re-anchoring reassociates exp products, and since the
+    // round-11 transcendental sweep each exp factor is grid-pinned at
+    // 1e-9 — the merged path quantizes twice (batch term + re-anchor
+    // factor) where the one-shot path quantizes once, so the drift is
+    // bounded by ~1e-9 x the user's raw value mass, not 1e-9 x decayed
+    val rawSum = ev.groupBy(col("user_id"))
+      .agg(sum(abs(col("value"))).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(merged.keySet == oneShot.keySet)
     oneShot.foreach { case (u, (n, d)) =>
       assert(merged(u)._1 == n, s"user $u event count")
-      assert(math.abs(merged(u)._2 - d) <= 1e-9 * math.max(1.0, math.abs(d)),
-        s"user $u decayed: merged=${merged(u)._2} batch=$d")
+      val tol = 1e-9 * math.max(1.0, math.abs(d)) + 2e-9 * rawSum(u)
+      assert(math.abs(merged(u)._2 - d) <= tol,
+        s"user $u decayed: merged=${merged(u)._2} batch=$d tol=$tol")
     }
 
     // replaying the last batch (crash recovery) converges to the same state

@@ -105,11 +105,13 @@ class Round7OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // xx is in every doc: presence carries zero information
     assert(mi("xx") == 0.0, s"everywhere-token MI must be exactly 0, got ${mi("xx")}")
     // aa/bb perfectly predict the class: MI == H(class) == ln 2
-    assert(math.abs(mi("aa") - math.log(2)) < 1e-12)
-    assert(math.abs(mi("bb") - math.log(2)) < 1e-12)
+    // each ln is grid-pinned at 1e-9 (round-11 transcendental sweep), so
+    // the analytic value is approached at grid, not ulp, precision
+    assert(math.abs(mi("aa") - math.log(2)) < 1e-9)
+    assert(math.abs(mi("bb") - math.log(2)) < 1e-9)
     val corpus = Classify.featureMi(Tables.documents(spark, sf01)).collect()
-    corpus.foreach(r => assert(r.getDouble(2) >= -1e-12,
-      s"MI must be >= 0: ${r.getString(0)} -> ${r.getDouble(2)}"))
+    corpus.foreach(r => assert(r.getDouble(2) >= -1e-8,
+      s"MI must be >= 0 (to pin-grid precision): ${r.getString(0)} -> ${r.getDouble(2)}"))
   }
 
   // ------------------------------------------------------------------ q132

@@ -97,9 +97,10 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { r =>
       val (w1, w2, n12) = (r.getString(0), r.getString(1), r.getLong(2))
       assert(big((w1, w2)) == n12)
-      val want = StrictMath.log(n12.toDouble) + StrictMath.log(t) +
-        StrictMath.log(t) - StrictMath.log(b) -
-        StrictMath.log(uni(w1).toDouble) - StrictMath.log(uni(w2).toDouble)
+      import graft.functions.Pin.{grid9 => p9}
+      val want = p9(StrictMath.log(n12.toDouble)) + p9(StrictMath.log(t)) +
+        p9(StrictMath.log(t)) - p9(StrictMath.log(b)) -
+        p9(StrictMath.log(uni(w1).toDouble)) - p9(StrictMath.log(uni(w2).toDouble))
       assert(r.getDouble(5) == want, s"pmi($w1,$w2)")
     }
   }
@@ -295,8 +296,10 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = cs.groupBy(_._1._1).map { case (s, m) =>
       s -> m.map { case ((_, w), cSw) =>
         val term = (cSw.toDouble / ns(s).toDouble) *
-          ((StrictMath.log(cSw.toDouble) - StrictMath.log(corpus(w).toDouble)) +
-            (StrictMath.log(n.toDouble) - StrictMath.log(ns(s).toDouble)))
+          ((graft.functions.Pin.grid9(StrictMath.log(cSw.toDouble)) -
+            graft.functions.Pin.grid9(StrictMath.log(corpus(w).toDouble))) +
+            (graft.functions.Pin.grid9(StrictMath.log(n.toDouble)) -
+              graft.functions.Pin.grid9(StrictMath.log(ns(s).toDouble))))
         math.floor(term * 1e15).toLong
       }.sum.toDouble / 1e15
     }

@@ -86,7 +86,8 @@ class Round9eOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getDouble(1))
     assert(got.head._1 == 4L, "the isolated vector must rank first")
     // vec 4: both dims land alone in bucket 7 -> 2*ln(4/1); others 2*ln(4/3)
-    def grid(x: Double) = math.floor(x * 1e12) / 1e12
+    def grid(x: Double) =
+      math.floor(graft.functions.Pin.grid9(x) * 1e12) / 1e12
     assert(math.abs(got.head._2 - 2 * grid(math.log(4.0))) < 1e-11)
     assert(math.abs(got(1)._2 - 2 * grid(math.log(4.0 / 3.0))) < 1e-11)
   }

@@ -132,7 +132,7 @@ class Round9fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Curation.holdoutPerplexity(spark, docs).collect().head
     assert(r.getLong(0) > 0, "test split must be non-empty for ids 1..40")
     assert(r.getDouble(4) == 0.0, "identical corpus -> no unseen contexts")
-    assert(math.abs(r.getDouble(3) - math.exp(-r.getDouble(2))) < 1e-12)
+    assert(r.getDouble(3) == graft.functions.Pin.grid9(math.exp(-r.getDouble(2))))
     assert(r.getDouble(3) > 1.0, "add-1 smoothing keeps ppl above 1")
   }
 }
