@@ -37,5 +37,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (round-11): an in-suite pass-2 q213 OOM at 8g killed a
+  // whole bench artifact — 32 local executor threads share this heap and
+  // the machine has 128 GiB; 8g left no headroom for the wedge partial
+  // aggregate on top of accrued broadcast blocks.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -75,17 +75,31 @@ object Bench {
       if (wontFit) { skipped += 1 }
       else {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // a failed query records NO time: recording the (near-zero) elapsed
+      // of an instant failure would let minByQuery clobber a real pass-1
+      // measurement with garbage — round-11: a pass-2 executor OOM killed
+      // the SparkContext, every later query "completed" in 0.000 s, and
+      // the min-fold zeroed the whole artifact. Failures now leave the
+      // prior pass's number standing, and a dead context aborts the pass.
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] SparkContext died during $name — aborting pass")
+        cut = true
+      } else {
+        val t = (System.nanoTime() - t0) / 1e9
+        // drop per-query intermediate caches (shingle frames, CC edge
+        // lists, tf aggregates) so storage memory doesn't accumulate
+        // across the 100+-query session; untimed — the query's action
+        // already completed.
+        spark.catalog.clearCache()
+        if (ok) out(name) = t
+        cut = deadlineNs.exists(System.nanoTime() > _)
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      // drop per-query intermediate caches (shingle frames, CC edge lists,
-      // tf aggregates) so storage memory doesn't accumulate across the
-      // 100+-query session; untimed — the query's action already completed.
-      spark.catalog.clearCache()
-      out(name) = t
-      cut = deadlineNs.exists(System.nanoTime() > _)
       }
     }
     if (cut) System.err.println(s"[bench] pass aborted at budget after ${out.size} queries")

@@ -48,6 +48,14 @@ object GraftSession {
       // parallelism at 100 TB (tune with executor memory, not per query)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // ContextCleaner's periodic GC defaults to 30 min — LONGER than a
+      // whole bench run, so torrent broadcast blocks from hundreds of
+      // broadcast joins accrue on the heap until an allocation-pressure GC
+      // happens to run finalizers in time (round-11: a pass-2 q213 OOM at
+      // -Xmx8g killed the whole artifact). A 2-min cadence keeps the
+      // long-session footprint flat; per-query cost is one System.gc on
+      // the driver, off the timed path.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */

@@ -1,0 +1,161 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal ACID table format over plain parquet: an ordered commit log of
+  * immutable version files, each an atomic unit of add/remove file
+  * actions — the public Delta-protocol pattern (Armbrust et al., "Delta
+  * Lake: High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020) reduced to its load-bearing core. Closes the one semantic
+  * gap between the repo's Lakehouse module (MERGE / SCD2 / OPTIMIZE /
+  * Z-order / checksum over bare parquet) and a real lakehouse engine:
+  * a transactional log giving snapshot isolation, serialized writers,
+  * and time travel.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_graft_log/00000000000000000001.json   // one file per version
+  *   <table>/data/<uuid>/part-*.parquet             // immutable data dirs
+  * }}}
+  *
+  * Each version file holds one JSON action per line, written in full to a
+  * hidden temp file and PUBLISHED with an atomic `Files.createLink` —
+  * POSIX link(2) fails with EEXIST if the version already exists, which
+  * makes "create version N" a compare-and-swap: of two racing writers
+  * exactly one wins; the loser re-reads the log and retries against the
+  * new snapshot (optimistic concurrency, like the reference protocol's
+  * rename-no-overwrite / conditional-PUT). Readers list the log and
+  * replay versions 1..N in order, so they always see the table AS OF a
+  * committed version — never a torn write: data files are fully written
+  * BEFORE their commit publishes, and are never mutated after.
+  *
+  * 100 TB design: the log holds file-level metadata only (bytes per
+  * commit, not per row); data I/O is ordinary distributed parquet
+  * read/write — the driver touches the log, executors never do. Snapshot
+  * replay is O(versions); a production deployment adds checkpoint
+  * compaction of the action log (same protocol, elided here) and swaps
+  * `createLink` for the object store's conditional PUT. Cite: reference
+  * stores gold as overwrite-parquet with no log
+  * (src/etl/silver_to_gold.py:61-67) — this is the capability a user
+  * switching from it gains, not a translation of anything it has.
+  */
+object TxLog {
+
+  private val LogDir = "_graft_log"
+
+  /** One committed action: `op` is "add" or "remove", `path` is relative
+    * to the table root. */
+  final case class Action(op: String, path: String)
+
+  private def logPath(table: String): Path = Paths.get(table, LogDir)
+
+  private def versionFile(table: String, v: Long): Path =
+    logPath(table).resolve(f"$v%020d.json")
+
+  /** Committed versions, ascending (empty for a nonexistent table). */
+  def versions(table: String): Seq[Long] = {
+    val dir = logPath(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).filterNot(_.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  private def readActions(table: String, v: Long): Seq[Action] =
+    Files.readAllLines(versionFile(table, v), StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty).map { line =>
+        // fixed two-field shape written by `render` — no general JSON dep
+        val op = line.split("\"op\":\"")(1).takeWhile(_ != '"')
+        val path = line.split("\"path\":\"")(1).takeWhile(_ != '"')
+        Action(op, path)
+      }.toSeq
+
+  private def render(a: Action): String =
+    s"""{"op":"${a.op}","path":"${a.path}"}"""
+
+  /** Live file set (relative paths) at `asOf` (default: latest). */
+  def snapshot(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val upTo = asOf match {
+      case Some(a) => versions(table).filter(_ <= a)
+      case None    => versions(table)
+    }
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    upTo.foreach { v =>
+      readActions(table, v).foreach {
+        case Action("add", p)    => live += p
+        case Action("remove", p) => live -= p
+        case Action(other, p) =>
+          throw new IllegalStateException(s"unknown log action $other for $p")
+      }
+    }
+    live.toSeq
+  }
+
+  /** Attempt to publish `actions` as version `v`; true iff this writer
+    * won the race for that version number. */
+  private def tryCommit(table: String, v: Long, actions: Seq[Action]): Boolean = {
+    val dir = logPath(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, actions.map(render).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      Files.createLink(versionFile(table, v), tmp) // atomic, EEXIST on loss
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write `df` as a new immutable data dir and return its part files
+    * (relative to the table root). */
+  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[String] = {
+    val rel = s"data/${UUID.randomUUID()}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+    Files.list(Paths.get(table, rel)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .map(f => s"$rel/$f").toSeq.sorted
+  }
+
+  /** Transactional blind append: always safe to retry verbatim — the
+    * action set does not depend on the snapshot it lands on. Returns the
+    * committed version. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val adds = stage(spark, table, df).map(Action("add", _))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, adds)) v = versions(table).last + 1
+    v
+  }
+
+  /** Transactional overwrite: removes the files of the snapshot the
+    * commit lands on and adds the staged ones. The remove set is
+    * RECOMPUTED per attempt — losing the race re-reads the new snapshot,
+    * so a concurrent append is not silently resurrected or lost. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val adds = stage(spark, table, df).map(Action("add", _))
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).lastOption.getOrElse(0L) + 1
+      val removes = snapshot(table).map(Action("remove", _))
+      if (tryCommit(table, v, removes ++ adds)) committed = v
+    }
+    committed
+  }
+
+  /** Snapshot read, optionally AS OF a historical version. An empty
+    * snapshot (e.g. a fresh overwrite target) raises like an empty
+    * parquet read would — callers check `versions` first. */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val files = snapshot(table, asOf).map(p => s"$table/$p")
+    require(files.nonEmpty, s"empty snapshot for $table asOf=$asOf")
+    spark.read.parquet(files: _*)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.etl.TxLog
+
+/** TxLog — the r10 VERDICT #7 stretch: concurrent-writer isolation and
+  * time-travel read == historical snapshot, over the minimal
+  * commit-log protocol (atomic version publish + snapshot replay). */
+class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("txlog-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txlog").resolve("t").toString
+
+  test("append/overwrite version the table; time travel reads history") {
+    import spark.implicits._
+    val t = tmp()
+    val v1 = TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v2 = TxLog.overwrite(spark, t, Seq((10L, "x")).toDF("id", "s"))
+    val v3 = TxLog.append(spark, t, Seq((11L, "y")).toDF("id", "s"))
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    assert(TxLog.versions(t) == Seq(1L, 2L, 3L))
+    // latest = overwrite + append
+    assert(TxLog.read(spark, t).select(col("id")).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 11L))
+    // as-of v1 = the original rows, untouched by the later overwrite
+    assert(TxLog.read(spark, t, asOf = Some(1L))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // as-of v2 sees only the overwrite
+    assert(TxLog.read(spark, t, asOf = Some(2L))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("concurrent appenders serialize: no lost commits, sequential versions") {
+    import spark.implicits._
+    val t = tmp()
+    val writers = 4; val commitsEach = 5
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val futures = (0 until writers).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          (0 until commitsEach).foreach { i =>
+            TxLog.append(spark, t,
+              Seq((w * 100L + i, s"w$w-$i")).toDF("id", "s"))
+          }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // every commit made it, versions are gapless 1..N
+    assert(TxLog.versions(t) == (1L to (writers * commitsEach)).toSeq)
+    val ids = TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = (for (w <- 0 until writers; i <- 0 until commitsEach)
+      yield w * 100L + i).sorted
+    assert(ids == want, "no append lost under contention")
+  }
+
+  test("overwrite racing appends never resurrects removed files or drops adds") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "seed")).toDF("id", "s"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fo = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); TxLog.overwrite(spark, t, Seq((100L, "ow")).toDF("id", "s")) } })
+    val fa = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); TxLog.append(spark, t, Seq((200L, "ap")).toDF("id", "s")) } })
+    start.countDown()
+    fo.get(120, TimeUnit.SECONDS); fa.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val ids = TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // serializable outcomes only: append-then-overwrite -> {100};
+    // overwrite-then-append -> {100, 200}. Never {1,...} (resurrected
+    // seed) and never {} / {200} alone (lost overwrite add).
+    assert(ids == Seq(100L) || ids == Seq(100L, 200L), s"got $ids")
+  }
+}
