@@ -91,12 +91,19 @@ object TxLog {
       readActions(table, v).foreach {
         case Action("add", p)    => live += p
         case Action("remove", p) => live -= p
+        case Action("txn", _)    => () // idempotence marker, no file effect
         case Action(other, p) =>
           throw new IllegalStateException(s"unknown log action $other for $p")
       }
     }
     live.toSeq
   }
+
+  /** Has a commit carrying idempotence marker `txn` already landed?
+    * (The Delta-protocol appId/version txn action, reduced to a string.) */
+  def txnSeen(table: String, txn: String): Boolean =
+    versions(table).exists(v =>
+      readActions(table, v).exists(a => a.op == "txn" && a.path == txn))
 
   /** Attempt to publish `actions` as version `v`; true iff this writer
     * won the race for that version number. */
@@ -133,6 +140,28 @@ object TxLog {
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) v = versions(table).last + 1
     v
+  }
+
+  /** Exactly-once append: the commit carries `txn` as a marker action and
+    * is SKIPPED (None) if any committed version already carries it — the
+    * crash-replay contract a streaming foreachBatch sink needs: if the
+    * writer dies AFTER the commit published but BEFORE its checkpoint
+    * advanced, the replayed batch sees its own marker and becomes a
+    * no-op instead of a duplicate. The marker re-check runs on every
+    * retry of the version CAS, so losing a race to the SAME txn's earlier
+    * replay is also caught. Orphaned data dirs from skipped replays are
+    * unreferenced by the log (invisible to readers; a vacuum would GC
+    * them). */
+  def appendOnce(spark: SparkSession, table: String, df: DataFrame,
+                 txn: String): Option[Long] = {
+    if (txnSeen(table, txn)) return None
+    val adds = stage(spark, table, df).map(Action("add", _)) :+ Action("txn", txn)
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, adds)) {
+      if (txnSeen(table, txn)) return None
+      v = versions(table).last + 1
+    }
+    Some(v)
   }
 
   /** Transactional overwrite: removes the files of the snapshot the

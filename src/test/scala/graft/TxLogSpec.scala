@@ -90,4 +90,29 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // seed) and never {} / {200} alone (lost overwrite add).
     assert(ids == Seq(100L) || ids == Seq(100L, 200L), s"got $ids")
   }
+
+  test("streaming ingest is exactly-once: crash replay of a committed batch is a no-op") {
+    import spark.implicits._
+    val t = tmp()
+    val root = Files.createTempDirectory("graft-txstream")
+    val (in, cp) = (root.resolve("in").toString, root.resolve("cp").toString)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(in)
+    val stream = spark.readStream
+      .schema(Seq((0L, "")).toDF("id", "s").schema).parquet(in)
+    graft.streaming.TxLogStream.ingest(spark, stream, t, cp)
+    val after1 = TxLog.read(spark, t).count()
+    assert(after1 == 2L)
+    // crash replay: checkpoint lost the last commit -> the sink re-runs
+    // batch 0 with the same rows; the txn marker makes it a no-op
+    graft.streaming.TxLogStream.processBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, "graft-ingest", 0L)
+    assert(TxLog.read(spark, t).count() == 2L, "replayed batch duplicated rows")
+    // new data in a later batch still appends (marker is per batch id)
+    Seq((3L, "c")).toDF("id", "s").write.mode("append").parquet(in)
+    val stream2 = spark.readStream
+      .schema(Seq((0L, "")).toDF("id", "s").schema).parquet(in)
+    graft.streaming.TxLogStream.ingest(spark, stream2, t, cp)
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
