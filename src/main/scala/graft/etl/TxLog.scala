@@ -58,14 +58,19 @@ object TxLog {
   private def versionFile(table: String, v: Long): Path =
     logPath(table).resolve(f"$v%020d.json")
 
+  private def listDir(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close() // Files.list holds a directory handle until closed
+  }
+
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
     val dir = logPath(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(dir)
       .filter(_.endsWith(".json")).filterNot(_.startsWith("."))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      .map(_.stripSuffix(".json").toLong).sorted
   }
 
   private def readActions(table: String, v: Long): Seq[Action] =
@@ -126,10 +131,9 @@ object TxLog {
   private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[String] = {
     val rel = s"data/${UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
-    Files.list(Paths.get(table, rel)).iterator().asScala
-      .map(_.getFileName.toString)
+    listDir(Paths.get(table, rel))
       .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
-      .map(f => s"$rel/$f").toSeq.sorted
+      .map(f => s"$rel/$f").sorted
   }
 
   /** Transactional blind append: always safe to retry verbatim — the
@@ -177,6 +181,26 @@ object TxLog {
       if (tryCommit(table, v, removes ++ adds)) committed = v
     }
     committed
+  }
+
+  /** Incremental (CDC-style) read: the rows ADDED by versions in
+    * `(fromV, toV]` — the consumer contract of an incremental pipeline:
+    * process `changes(lastSeen)`, checkpoint `toV`, repeat, and the union
+    * of all increments equals the full table (for an append-only table;
+    * an overwrite's removes are not re-emitted — readers needing
+    * remove-awareness replay the action log directly). File-level, not
+    * row-level: a version's adds are whole immutable files, so the
+    * increment is an ordinary distributed parquet scan of just those
+    * files — no diffing, no full-table read. */
+  def changes(spark: SparkSession, table: String, fromV: Long,
+              toV: Option[Long] = None): DataFrame = {
+    val hi = toV.getOrElse(versions(table).lastOption.getOrElse(0L))
+    val added = versions(table).filter(v => v > fromV && v <= hi)
+      .flatMap(v => readActions(table, v).collect {
+        case Action("add", p) => p
+      })
+    require(added.nonEmpty, s"no adds in ($fromV, $hi] for $table")
+    spark.read.parquet(added.map(p => s"$table/$p"): _*)
   }
 
   /** Snapshot read, optionally AS OF a historical version. An empty

@@ -115,4 +115,24 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxLog.read(spark, t).select(col("id")).collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("incremental changes() unions to the full append-only table") {
+    import spark.implicits._
+    val t = tmp()
+    val v1 = TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val v2 = TxLog.append(spark, t, Seq((2L, "b"), (3L, "c")).toDF("id", "s"))
+    val v3 = TxLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+    // consumer checkpoints: from 0 -> v1, then v1 -> v3
+    val inc1 = TxLog.changes(spark, t, 0L, Some(v1))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    val inc2 = TxLog.changes(spark, t, v1, Some(v3))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc1 == Seq(1L))
+    assert(inc2 == Seq(2L, 3L, 4L))
+    // union of increments == full table (exactly-once increments)
+    val full = TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert((inc1 ++ inc2).sorted == full)
+    assert(v2 == 2L)
+  }
 }
