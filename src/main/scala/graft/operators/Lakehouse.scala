@@ -343,7 +343,44 @@ object Lakehouse {
       .orderBy(col("bucket"))
   }
 
+  // ------------------------------------------------------ q249 TxLog
+
+  /** q249 — ACID commit-log round trip with time travel, driver-verified:
+    * build a fresh TxLog table (per-call temp dir), commit the even-key
+    * order rollup as v1 and the odd-key rollup as v2 (both appends), then
+    * emit the AS OF v1 snapshot tagged version=1 next to the latest
+    * snapshot tagged version=2. The ORACLE never sees the log — it
+    * recomputes the deterministic expected CONTENTS of both snapshots
+    * from the same table with plain SQL, so the commit protocol's
+    * visibility rules (v1 excludes the later commit; latest is the
+    * append union) are what the hash check actually verifies.
+    *
+    * All columns integer/string — no float enters the comparison. Scale
+    * shape: two priority-keyed rollups (bounded output) + file-level
+    * snapshot reads; log work is driver-side metadata only. */
+  def q249TxLogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft-q249")
+      .resolve("t").toString
+    val orders = Tables.orders(s, dir)
+    def half(parity: Int): DataFrame = orders
+      .filter(col("o_orderkey") % 2 === parity)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("parity", lit(parity.toLong))
+    val v1 = graft.etl.TxLog.append(s, table, half(0))
+    graft.etl.TxLog.append(s, table, half(1))
+    val asOf1 = graft.etl.TxLog.read(s, table, asOf = Some(v1))
+      .withColumn("version", lit(1L))
+    val latest = graft.etl.TxLog.read(s, table)
+      .withColumn("version", lit(2L))
+    asOf1.unionByName(latest)
+      .select(col("version"), col("parity"), col("o_orderpriority"),
+        col("n_orders"))
+      .orderBy(col("version"), col("parity"), col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_txlog_timetravel" -> (q249TxLogTimeTravel _),
     "q220_merkle_diff" -> (q220MerkleDiff _),
     "q73_scd2" -> (q73Scd2 _),
     "q74_merge_upsert" -> (q74MergeUpsert _),
@@ -356,6 +393,19 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q249_txlog_timetravel" ->
+      """WITH r AS (
+        |  SELECT o_orderkey % 2 AS parity, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(parity AS BIGINT) AS parity,
+        |  o_orderpriority, n_orders
+        |FROM r WHERE parity = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(parity AS BIGINT), o_orderpriority,
+        |  n_orders
+        |FROM r
+        |ORDER BY version, parity, o_orderpriority""".stripMargin,
     "q220_merkle_diff" ->
       s"""WITH h AS (
          |  SELECT l_orderkey % $MerkleBuckets AS bucket, l_shipdate,

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off wedge-generator comparison (round 11): is q213's
+  * posexplode+slice pair generation paying for the per-position tail
+  * copies? Answer: NO once warm — both variants converge to ~17.3 s at
+  * sf0.1 (cold pass favors double-explode 20.5 vs 27.2, i.e. slice's
+  * allocation shows only before JIT/GC settle). The aggregate volume,
+  * not generation idiom, is the honest cost; q213 keeps the slice form
+  * whose row count is half the filtered double-explode's. */
+object AaProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local("aa-probe", cores = 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val lineitem = graft.core.Tables.lineitem(spark, dir)
+
+    def baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    def nbDf = baskets
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("dsts"))
+
+    def time(name: String)(body: => Unit): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        body
+        println(f"$name pass$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
+    val term = floor(lit(1e12) /
+      graft.functions.Pin.grid9(log(size(col("dsts")).cast("double")))).cast("long")
+
+    // current: posexplode + slice
+    time("slice   ") {
+      val nb = nbDf
+      val wedges = nb.filter(size(col("dsts")) >= 2)
+        .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
+        .select(col("t"), col("u"),
+          explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
+      wedges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_fp"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // variant: double posexplode + j > i filter (no array copying)
+    time("dblexpl ") {
+      val nb = nbDf
+      val wedges = nb.filter(size(col("dsts")) >= 2)
+        .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
+        .select(col("t"), col("u"), col("i"), posexplode(col("dsts")).as(Seq("j", "v")))
+        .filter(col("j") > col("i"))
+        .select(col("t"), col("u"), col("v"))
+      wedges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_fp"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
