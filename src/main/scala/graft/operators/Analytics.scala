@@ -397,12 +397,12 @@ object Analytics {
       .filter(col("d") > 0)
       // terminal exp() is NOT correctly-rounded IEEE (JVM Math.exp vs
       // DuckDB libm differ by a last ulp on some inputs), so the output
-      // is pinned to a 9-decimal grid in BOTH engines: round(x,9) lands
-      // on k·1e-9 whose double representation both sides derive
-      // identically (k ≤ 1e9 exact; decimal→double correctly rounded).
+      // is pinned to the canonical 1e-9 grid in BOTH engines (Pin.grid9
+      // — each engine's own round() walks a different double path and
+      // can disagree on scaled boundaries; the explicit floor cannot).
       .select(col("life_h"), col("n_risk"), col("d").as("n_converted"),
-        round(when(col("zf") === 1L, lit(0.0))
-          .otherwise(exp(col("lnsum").cast("double"))), 9).as("survival"))
+        graft.functions.Pin.grid9(when(col("zf") === 1L, lit(0.0))
+          .otherwise(exp(col("lnsum").cast("double")))).as("survival"))
       .orderBy(col("life_h"))
   }
 
@@ -1219,8 +1219,9 @@ object Analytics {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
          |  FROM ar)
          |SELECT life_h, n_risk, d AS n_converted,
-         |  round(CASE WHEN zf = 1 THEN 0.0
-         |    ELSE exp(CAST(lnsum AS DOUBLE)) END, 9) AS survival
+         |  floor((CASE WHEN zf = 1 THEN 0.0
+         |    ELSE exp(CAST(lnsum AS DOUBLE)) END) * 1.0e9 + 0.5) / 1.0e9
+         |    AS survival
          |FROM kw WHERE d > 0 ORDER BY life_h""".stripMargin,
     "q143_gap_fill" ->
       """WITH daily AS (

@@ -107,7 +107,7 @@ object EmbeddingStats {
       val d = element_at(q, k + 1).cast("double") - lit(mu(k))
       d * d * lit(iv(k))
     }.reduce(_ + _)
-    embs.select(col("vec_id"), round(score, 6).as("m_dist2"))
+    embs.select(col("vec_id"), graft.functions.Pin.grid6(score).as("m_dist2"))
       .orderBy(col("vec_id"))
   }
 
@@ -554,8 +554,8 @@ object EmbeddingStats {
          |  SELECT i, mu, CASE WHEN vr > 1e-9 THEN 1.0 / vr ELSE 0.0 END AS iv
          |  FROM m)
          |SELECT s.vec_id,
-         |  round(sum((CAST(s.v AS DOUBLE) - mi.mu) * (CAST(s.v AS DOUBLE) - mi.mu)
-         |    * mi.iv), 6) AS m_dist2
+         |  floor(sum((CAST(s.v AS DOUBLE) - mi.mu) * (CAST(s.v AS DOUBLE) - mi.mu)
+         |    * mi.iv) * 1.0e6 + 0.5) / 1.0e6 AS m_dist2
          |FROM s JOIN mi ON mi.i = s.i
          |GROUP BY s.vec_id
          |ORDER BY s.vec_id""".stripMargin,
