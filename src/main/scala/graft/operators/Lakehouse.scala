@@ -379,7 +379,38 @@ object Lakehouse {
       .orderBy(col("version"), col("parity"), col("o_orderpriority"))
   }
 
+  // ------------------------------------------------- q250 TxLog CDC
+
+  /** q250 — incremental (CDC) consumption, driver-verified: three
+    * commits land the key%3 partitions of the order rollup, a consumer
+    * reads each version's `changes()` increment separately, and the
+    * FOLD of the increments must equal the full-table rollup the oracle
+    * recomputes from scratch — the exactly-once incremental-pipeline
+    * contract (every row in exactly one increment). n_batches counts
+    * the distinct increments contributing to each priority, pinning
+    * that increments neither merge nor split. Integer-only output. */
+  def q250TxLogCdc(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft-q250")
+      .resolve("t").toString
+    val orders = Tables.orders(s, dir)
+    (0 until 3).foreach { p =>
+      graft.etl.TxLog.append(s, table, orders
+        .filter(col("o_orderkey") % 3 === p)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("batch", lit(p.toLong)))
+    }
+    val increments = graft.etl.TxLog.versions(table).map(v =>
+      graft.etl.TxLog.changes(s, table, v - 1, Some(v)))
+    increments.reduce(_ unionByName _)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        count_distinct(col("batch")).as("n_batches"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_txlog_cdc" -> (q250TxLogCdc _),
     "q249_txlog_timetravel" -> (q249TxLogTimeTravel _),
     "q220_merkle_diff" -> (q220MerkleDiff _),
     "q73_scd2" -> (q73Scd2 _),
@@ -393,6 +424,12 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q250_txlog_cdc" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) AS n_batches
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q249_txlog_timetravel" ->
       """WITH r AS (
         |  SELECT o_orderkey % 2 AS parity, o_orderpriority,
