@@ -64,13 +64,23 @@ object TxLog {
     finally s.close() // Files.list holds a directory handle until closed
   }
 
+  private val VersionName = """(\d{20})\.json""".r
+  private val CheckpointName = """(\d{20})\.checkpoint\.json""".r
+
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
     val dir = logPath(table)
     if (!Files.isDirectory(dir)) Seq.empty
     else listDir(dir)
-      .filter(_.endsWith(".json")).filterNot(_.startsWith("."))
-      .map(_.stripSuffix(".json").toLong).sorted
+      .collect { case VersionName(v) => v.toLong }.sorted
+  }
+
+  /** Checkpointed versions, ascending. */
+  def checkpoints(table: String): Seq[Long] = {
+    val dir = logPath(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir)
+      .collect { case CheckpointName(v) => v.toLong }.sorted
   }
 
   private def readActions(table: String, v: Long): Seq[Action] =
@@ -85,14 +95,25 @@ object TxLog {
   private def render(a: Action): String =
     s"""{"op":"${a.op}","path":"${a.path}"}"""
 
-  /** Live file set (relative paths) at `asOf` (default: latest). */
+  /** Live file set (relative paths) at `asOf` (default: latest). Replay
+    * starts from the latest checkpoint at-or-before the target version
+    * (its content IS the live set at that version), so cost is
+    * O(versions since last checkpoint), not O(table age). Version files
+    * are never deleted, so time travel BEFORE the oldest checkpoint
+    * still replays from scratch. */
   def snapshot(table: String, asOf: Option[Long] = None): Seq[String] = {
-    val upTo = asOf match {
-      case Some(a) => versions(table).filter(_ <= a)
-      case None    => versions(table)
-    }
+    val vs = versions(table)
+    val target = asOf.getOrElse(vs.lastOption.getOrElse(0L))
+    val cp = checkpoints(table).filter(_ <= target).lastOption
     val live = scala.collection.mutable.LinkedHashSet[String]()
-    upTo.foreach { v =>
+    cp.foreach { c =>
+      Files.readAllLines(logPath(table).resolve(f"$c%020d.checkpoint.json"),
+        StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).foreach { line =>
+        val path = line.split("\"path\":\"")(1).takeWhile(_ != '"')
+        live += path
+      }
+    }
+    vs.filter(v => v > cp.getOrElse(0L) && v <= target).foreach { v =>
       readActions(table, v).foreach {
         case Action("add", p)    => live += p
         case Action("remove", p) => live -= p
@@ -102,6 +123,27 @@ object TxLog {
       }
     }
     live.toSeq
+  }
+
+  /** Compact the action history at the current last version: publish
+    * `<v>.checkpoint.json` holding the full live set AS OF v. Readers
+    * then replay from it; txn markers stay discoverable because version
+    * files are retained (txnSeen scans them, not checkpoints).
+    * Idempotent — an existing checkpoint at v wins the link race and
+    * this call becomes a no-op. Returns the checkpointed version. */
+  def checkpoint(table: String): Long = {
+    val v = versions(table).lastOption.getOrElse(
+      throw new IllegalStateException(s"no commits to checkpoint in $table"))
+    val dir = logPath(table)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    val body = snapshot(table, Some(v)).map(p => render(Action("add", p)))
+      .mkString("\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try Files.createLink(dir.resolve(f"$v%020d.checkpoint.json"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+    v
   }
 
   /** Has a commit carrying idempotence marker `txn` already landed?

@@ -135,4 +135,28 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((inc1 ++ inc2).sorted == full)
     assert(v2 == 2L)
   }
+
+  test("checkpoint compacts replay without changing any snapshot, past or future") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    val preCp = TxLog.snapshot(t)
+    val cv = TxLog.checkpoint(t)
+    assert(cv == 2L && TxLog.checkpoints(t) == Seq(2L))
+    // checkpointed snapshot identical; checkpoint is idempotent
+    assert(TxLog.snapshot(t) == preCp)
+    assert(TxLog.checkpoint(t) == 2L)
+    // commits after the checkpoint replay on top of it
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // time travel BEFORE the checkpoint still works (version files kept)
+    assert(TxLog.read(spark, t, asOf = Some(1L)).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // exactly-once markers survive checkpointing
+    TxLog.appendOnce(spark, t, Seq((9L, "z")).toDF("id", "s"), "app/0")
+    TxLog.checkpoint(t)
+    assert(TxLog.appendOnce(spark, t, Seq((9L, "z")).toDF("id", "s"), "app/0").isEmpty)
+  }
 }
