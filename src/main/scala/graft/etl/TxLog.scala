@@ -225,6 +225,71 @@ object TxLog {
     committed
   }
 
+  /** Transactional OPTIMIZE: rewrite the current snapshot's files into
+    * `targetFiles` parquet files and swap them in ONE commit — with
+    * REBASE (not overwrite) semantics: the removes are exactly the files
+    * this call read, so a CONCURRENT APPEND's files are never touched
+    * and its rows survive. If the CAS loses to a commit that removed any
+    * file we read (another optimize/overwrite), the whole pass restarts
+    * against the new snapshot — content is provably unchanged either
+    * way. Returns the committed version, or None for an empty table. */
+  def optimize(spark: SparkSession, table: String,
+               targetFiles: Int = 1): Option[Long] = {
+    while (true) {
+      val read0 = snapshot(table)
+      if (read0.isEmpty) return None
+      val compact = spark.read.parquet(read0.map(p => s"$table/$p"): _*)
+        .coalesce(targetFiles)
+      val adds = stage(spark, table, compact).map(Action("add", _))
+      val removes = read0.map(Action("remove", _))
+      var v = versions(table).last + 1
+      var done = false
+      var restart = false
+      while (!done && !restart) {
+        if (tryCommit(table, v, removes ++ adds)) done = true
+        else {
+          val nowLive = snapshot(table).toSet
+          if (read0.forall(nowLive)) v = versions(table).last + 1 // appends only
+          else restart = true // a racer removed something we read: rebase
+        }
+      }
+      if (done) return Some(versions(table).last)
+    }
+    None
+  }
+
+  /** VACUUM: delete data files unreferenced by the snapshots of the most
+    * recent `retainVersions` versions (and by the latest checkpoint).
+    * Time travel OLDER than the retention window stops resolving — the
+    * standard retention contract; version files themselves are kept, so
+    * the log stays replayable and txn markers stay visible. Returns the
+    * deleted relative paths. */
+  def vacuum(table: String, retainVersions: Int = 2): Seq[String] = {
+    val vs = versions(table)
+    if (vs.isEmpty) return Seq.empty
+    val retained = vs.takeRight(math.max(1, retainVersions))
+    val keep = retained.flatMap(v => snapshot(table, Some(v))).toSet
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    listDir(dataRoot).foreach { sub =>
+      val dir = dataRoot.resolve(sub)
+      if (Files.isDirectory(dir)) {
+        listDir(dir).foreach { f =>
+          val rel = s"data/$sub/$f"
+          if ((f.startsWith("part-") && f.endsWith(".parquet")) && !keep(rel)) {
+            Files.deleteIfExists(dir.resolve(f))
+            deleted += rel
+          }
+        }
+        if (listDir(dir).forall(n => !n.endsWith(".parquet")))
+          { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
+            Files.deleteIfExists(dir) }
+      }
+    }
+    deleted.toSeq
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED by versions in
     * `(fromV, toV]` — the consumer contract of an incremental pipeline:
     * process `changes(lastSeen)`, checkpoint `toV`, repeat, and the union

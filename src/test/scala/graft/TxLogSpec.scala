@@ -159,4 +159,44 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxLog.checkpoint(t)
     assert(TxLog.appendOnce(spark, t, Seq((9L, "z")).toDF("id", "s"), "app/0").isEmpty)
   }
+
+  test("optimize compacts files without changing content; concurrent appends survive") {
+    import spark.implicits._
+    val t = tmp()
+    (1 to 4).foreach(i => TxLog.append(spark, t,
+      Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    assert(TxLog.snapshot(t).size >= 4)
+    // racing append while optimize runs: its files must never be removed
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fo = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); TxLog.optimize(spark, t, targetFiles = 1) } })
+    val fa = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); TxLog.append(spark, t, Seq((99L, "late")).toDF("id", "s")) } })
+    start.countDown()
+    fo.get(120, TimeUnit.SECONDS); fa.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val ids = TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 99L), s"content changed: $ids")
+  }
+
+  test("vacuum deletes only out-of-retention files; recent time travel intact") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))     // v1
+    TxLog.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))  // v2 removes v1's file
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))     // v3
+    val deleted = TxLog.vacuum(t, retainVersions = 2)          // keep v2, v3 views
+    assert(deleted.nonEmpty, "v1's overwritten file should be vacuumed")
+    // v2 and v3 snapshots still read
+    assert(TxLog.read(spark, t, asOf = Some(2L)).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // v1 time travel is out of retention: its file is gone
+    val v1Files = TxLog.snapshot(t, Some(1L))
+    assert(v1Files.exists(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, p))), "out-of-retention file still on disk")
+  }
 }
