@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
   * sf0.1 (cold pass favors double-explode 20.5 vs 27.2, i.e. slice's
   * allocation shows only before JIT/GC settle). The aggregate volume,
   * not generation idiom, is the honest cost; q213 keeps the slice form
-  * whose row count is half the filtered double-explode's. */
+  * whose row count is half the filtered double-explode's.
+  *
+  * A packed-long pair key (u << 32 | v) looked ~40% faster in one run
+  * (16.6 vs 27.3 s) but the HOST was drifting 1.5-2x between runs that
+  * evening (same variant measured 16.6 and 38.4 s on identical code;
+  * PLANS.md r11 "machine variance") — inconclusive; re-measure on a
+  * quiet machine before changing the production plan. */
 object AaProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local("aa-probe", cores = 32)
@@ -37,6 +43,19 @@ object AaProbe {
     val term = floor(lit(1e12) /
       graft.functions.Pin.grid9(log(size(col("dsts")).cast("double")))).cast("long")
 
+    // variant: single packed long key for the pair aggregate
+    time("packed  ") {
+      val nb = nbDf
+      val wedges = nb.filter(size(col("dsts")) >= 2)
+        .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
+        .select(col("t"),
+          (col("u").cast("long") * lit(1L << 32)).as("uhi"),
+          explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
+        .select(col("t"), (col("uhi") + col("v")).as("uv"))
+      wedges.groupBy(col("uv"))
+        .agg(count(lit(1)).as("common"), sum(col("t")).as("aa_fp"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // current: posexplode + slice
     time("slice   ") {
       val nb = nbDf
