@@ -253,7 +253,9 @@ object TxLog {
           else restart = true // a racer removed something we read: rebase
         }
       }
-      if (done) return Some(versions(table).last)
+      // return the version THIS commit won — versions().last could
+      // already be a later writer's commit
+      if (done) return Some(v)
     }
     None
   }
