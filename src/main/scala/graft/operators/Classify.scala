@@ -789,7 +789,114 @@ object Classify {
       .limit(UncertainTopN)
   }
 
+
+  // ------------------------------------------- q251 source influence
+
+  /** q251 — leave-one-source-out (LOSO) data attribution: for every
+    * corpus source, the change in held-out NB accuracy when that
+    * source's TRAINING data is removed — the "which sources actually
+    * help" curation readout (the leave-one-out baseline of data
+    * valuation; cf. Ghorbani & Zou, "Data Shapley", ICML 2019, and
+    * Koh & Liang 2017 — LOO is the exact quantity those methods
+    * approximate at group granularity). Complements q127 (which DOCS to
+    * buy) and q106/q167 (how to MIX) with WHOSE data carries signal.
+    *
+    * Spark-first scale design — sufficient-statistic SUBTRACTION, not
+    * re-training: NB stats are mergeable integer counts, so ONE corpus
+    * scan builds per-(source, lang, token) counts and every held-out
+    * model derives as total − held via a broadcast-held crossJoin — the
+    * corpus is never replicated or re-scanned per source (at 100 TB the
+    * only data-sized work is the one count shuffle; the 21 models are
+    * vocab-bounded frames). The sentinel held value "__none" subtracts
+    * nothing and IS the full model, so baseline and ablations ride one
+    * plan. Scoring joins the FIXED test split once against all models
+    * (token-keyed, model side vocab-bounded).
+    *
+    * Exactness: counts integer; ln grid-pinned ([[graft.functions.Pin]]);
+    * scores the q122 decimal(25,15) order-free chain; argmax ties to the
+    * smallest label; accuracy a single double division with a FIXED
+    * denominator (unscored docs count as wrong, so ablated models cannot
+    * shrink their own denominator). */
+  def q251SourceInfluence(s: SparkSession, dir: String): DataFrame =
+    sourceInfluence(Tables.documents(s, dir))
+
+  private[graft] def sourceInfluence(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val u = TextFunctions.h60(col("doc_id").cast("string")).cast("double") /
+      lit(Pow60)
+    val tagged = CacheScope.cached(docs.withColumn("u", u))
+    val train = tagged.filter(col("u") < TrainCut)
+    val evalDocs = tagged.filter(col("u") >= ValCut)
+    // one scan: per-(source, lang, token) occurrence counts
+    val occ = train.select(col("source"), col("lang"),
+      explode(split(trim(col("text")), "\\s+")).as("token"))
+    val ctS = CacheScope.cached(
+      occ.groupBy(col("source"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("n")))
+    val tot = ctS.groupBy(col("lang"), col("token")).agg(sum(col("n")).as("nt"))
+    val ndS = CacheScope.cached(
+      train.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("d")))
+    val ndTot = ndS.groupBy(col("lang")).agg(sum(col("d")).as("dt"))
+    val helds = ctS.select(col("source").as("held")).distinct()
+      .unionByName(spark.range(1).select(lit("__none").as("held")))
+    // token-model counts without the held source (sentinel subtracts 0)
+    val nH = CacheScope.cached(broadcast(helds).crossJoin(tot)
+      .join(ctS.withColumnRenamed("source", "held"),
+        Seq("held", "lang", "token"), "left")
+      .select(col("held"), col("lang"), col("token"),
+        (col("nt") - coalesce(col("n"), lit(0L))).as("nh"))
+      .filter(col("nh") > 0))
+    val vocH = nH.select(col("held"), col("token")).distinct()
+    val vH = vocH.groupBy(col("held")).agg(count(lit(1)).as("v"))
+    val cHL = nH.groupBy(col("held"), col("lang")).agg(sum(col("nh")).as("nc"))
+    val model = cHL.join(vocH, Seq("held"))
+      .join(broadcast(vH), Seq("held"))
+      .join(nH, Seq("held", "lang", "token"), "left")
+      .select(col("held"), col("lang").as("label"), col("token"),
+        Pin.grid9(log((coalesce(col("nh"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("nc").cast("double") + col("v").cast("double")))).as("log_lik"))
+    val dH = broadcast(helds).crossJoin(ndTot)
+      .join(ndS.withColumnRenamed("source", "held"), Seq("held", "lang"), "left")
+      .select(col("held"), col("lang"),
+        (col("dt") - coalesce(col("d"), lit(0L))).as("dh"))
+      .filter(col("dh") > 0)
+    val dTotH = dH.groupBy(col("held")).agg(sum(col("dh")).as("dall"))
+    val priors = dH.join(broadcast(dTotH), Seq("held"))
+      .select(col("held"), col("lang").as("label"),
+        Pin.grid9(log(col("dh").cast("double") / col("dall").cast("double")))
+          .as("log_prior"))
+    val evTok = docTokenCounts(evalDocs).withColumnRenamed("lang", "truth")
+    val scores = evTok.join(model, Seq("token"))
+      .join(priors, Seq("held", "label"))
+      .groupBy(col("held"), col("doc_id"), col("label"), col("log_prior"),
+        col("truth"))
+      .agg((sum(col("log_lik").cast("decimal(25,15)") *
+        col("n_tok").cast("decimal(10,0)")).cast("double") +
+        col("log_prior")).as("score"))
+    val w = Window.partitionBy(col("held"), col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val preds = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val nEval = evalDocs.agg(count(lit(1)).as("n_eval"))
+    val accH = CacheScope.cached(preds.groupBy(col("held"))
+      .agg(sum(when(col("label") === col("truth"), 1L).otherwise(0L))
+        .as("n_correct"))
+      .crossJoin(broadcast(nEval)))
+    val acc = col("n_correct").cast("double") / col("n_eval").cast("double")
+    val full = accH.filter(col("held") === "__none")
+      .select(acc.as("acc_full"))
+    val nRem = ndS.groupBy(col("source")).agg(sum(col("d")).as("n_removed_train"))
+    accH.filter(col("held") =!= "__none")
+      .join(nRem, col("held") === col("source"))
+      .crossJoin(broadcast(full))
+      .select(col("held").as("held_source"), col("n_removed_train"),
+        col("n_eval"), col("n_correct"), acc.as("accuracy"), col("acc_full"),
+        (col("acc_full") - acc).as("influence"))
+      .orderBy(col("held_source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_source_influence" -> (q251SourceInfluence _),
     "q234_label_noise" -> ((s, d) => labelNoise(Tables.documents(s, d))),
     "q239_slice_parity" -> ((s, d) => sliceParity(Tables.documents(s, d))),
     "q242_uncertainty" -> ((s, d) => uncertaintySample(Tables.documents(s, d))),
@@ -934,6 +1041,96 @@ object Classify {
   }
 
   def oracles: Map[String, String] = Map(
+    "q251_source_influence" -> {
+      val u = s"${h60sql("CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0"
+      s"""WITH tr AS (SELECT * FROM documents WHERE $u < $TrainCut),
+         |ev AS (SELECT * FROM documents WHERE $u >= $ValCut),
+         |occ AS (
+         |  SELECT source, lang,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM tr),
+         |cts AS (SELECT source, lang, token, count(*) AS n
+         |        FROM occ GROUP BY 1, 2, 3),
+         |tot AS (SELECT lang, token, CAST(sum(n) AS BIGINT) AS nt
+         |        FROM cts GROUP BY 1, 2),
+         |helds AS (SELECT DISTINCT source AS held FROM cts
+         |          UNION ALL SELECT '__none'),
+         |nh AS (
+         |  SELECT h.held, t.lang, t.token, t.nt - COALESCE(c.n, 0) AS nh
+         |  FROM helds h CROSS JOIN tot t
+         |  LEFT JOIN cts c ON c.source = h.held AND c.lang = t.lang
+         |    AND c.token = t.token
+         |  WHERE t.nt - COALESCE(c.n, 0) > 0),
+         |voc AS (SELECT DISTINCT held, token FROM nh),
+         |vh AS (SELECT held, CAST(count(*) AS BIGINT) AS v FROM voc GROUP BY 1),
+         |chl AS (SELECT held, lang, CAST(sum(nh) AS BIGINT) AS nc
+         |        FROM nh GROUP BY 1, 2),
+         |model AS (
+         |  SELECT chl.held, chl.lang AS label, voc.token,
+         |    floor(ln((CAST(COALESCE(nh.nh, 0) AS DOUBLE) + 1.0)
+         |      / (CAST(chl.nc AS DOUBLE) + CAST(vh.v AS DOUBLE)))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS log_lik
+         |  FROM chl JOIN voc USING (held) JOIN vh USING (held)
+         |  LEFT JOIN nh ON nh.held = chl.held AND nh.lang = chl.lang
+         |    AND nh.token = voc.token),
+         |nds AS (SELECT source, lang, count(*) AS d FROM tr GROUP BY 1, 2),
+         |ndt AS (SELECT lang, CAST(sum(d) AS BIGINT) AS dt FROM nds GROUP BY 1),
+         |dh AS (
+         |  SELECT h.held, n.lang, n.dt - COALESCE(s.d, 0) AS dh
+         |  FROM helds h CROSS JOIN ndt n
+         |  LEFT JOIN nds s ON s.source = h.held AND s.lang = n.lang
+         |  WHERE n.dt - COALESCE(s.d, 0) > 0),
+         |dth AS (SELECT held, CAST(sum(dh) AS BIGINT) AS dall FROM dh GROUP BY 1),
+         |pri AS (
+         |  SELECT dh.held, dh.lang AS label,
+         |    floor(ln(CAST(dh.dh AS DOUBLE) / CAST(dth.dall AS DOUBLE))
+         |      * 1.0e9 + 0.5) / 1.0e9 AS log_prior
+         |  FROM dh JOIN dth USING (held)),
+         |evt AS (
+         |  SELECT doc_id, truth, token, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, lang AS truth,
+         |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |        FROM ev)
+         |  GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT m.held, e.doc_id, m.label, e.truth, p.log_prior,
+         |    CAST(sum(CAST(m.log_lik AS DECIMAL(25,15))
+         |      * CAST(e.n_tok AS DECIMAL(10,0))) AS DOUBLE)
+         |      + p.log_prior AS score
+         |  FROM evt e
+         |  JOIN model m ON m.token = e.token
+         |  JOIN pri p ON p.held = m.held AND p.label = m.label
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |pr AS (
+         |  SELECT held, doc_id, label, truth FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY held, doc_id
+         |      ORDER BY score DESC, label) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM ev),
+         |acc AS (
+         |  SELECT held,
+         |    CAST(sum(CASE WHEN label = truth THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_correct
+         |  FROM pr GROUP BY 1),
+         |nrem AS (SELECT source, CAST(sum(d) AS BIGINT) AS n_removed_train
+         |         FROM nds GROUP BY 1),
+         |fl AS (
+         |  SELECT CAST(n_correct AS DOUBLE) / CAST(ne.n_eval AS DOUBLE)
+         |    AS acc_full
+         |  FROM acc CROSS JOIN ne WHERE held = '__none')
+         |SELECT a.held AS held_source, nrem.n_removed_train, ne.n_eval,
+         |  a.n_correct,
+         |  CAST(a.n_correct AS DOUBLE) / CAST(ne.n_eval AS DOUBLE) AS accuracy,
+         |  fl.acc_full,
+         |  fl.acc_full - CAST(a.n_correct AS DOUBLE) / CAST(ne.n_eval AS DOUBLE)
+         |    AS influence
+         |FROM acc a
+         |JOIN nrem ON nrem.source = a.held
+         |CROSS JOIN ne CROSS JOIN fl
+         |WHERE a.held <> '__none'
+         |ORDER BY held_source""".stripMargin
+    },
+
     "q217_feature_hash" ->
       s"""WITH t AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS n

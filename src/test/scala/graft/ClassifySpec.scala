@@ -208,4 +208,49 @@ class ClassifySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(r.getDouble(5) - math.abs(acc - conf)) < 1e-12)
     }
   }
+
+  test("q251 LOSO influence: removing a label-noise source helps, removing the signal source hurts") {
+    import spark.implicits._
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16).toDouble / 1152921504606846976.0
+    }
+    val ids = (1L to 5000L)
+    val trainIds = ids.filter(u(_) < 0.7).take(8)
+    val evalIds = ids.filter(u(_) >= 0.8).take(3)
+    val rows =
+      // src_good carries the real signal for both labels
+      Seq((trainIds(0), "src_good", "aa", "alpha alpha"),
+        (trainIds(1), "src_good", "aa", "alpha alpha"),
+        (trainIds(2), "src_good", "bb", "beta beta"),
+        (trainIds(3), "src_good", "bb", "beta beta"),
+        // src_noise mislabels alpha text as bb (pure label noise) —
+        // heavy enough that BOTH the bb prior and p(alpha|bb) beat the
+        // clean signal: score(bb) > score(aa) on the alpha eval docs
+        (trainIds(4), "src_noise", "bb", "alpha alpha"),
+        (trainIds(5), "src_noise", "bb", "alpha alpha"),
+        (trainIds(6), "src_noise", "bb", "alpha alpha"),
+        (trainIds(7), "src_noise", "bb", "alpha alpha"),
+        // held-out test split (source has no train docs, so it is not ablated)
+        (evalIds(0), "src_eval", "aa", "alpha alpha"),
+        (evalIds(1), "src_eval", "aa", "alpha alpha"),
+        (evalIds(2), "src_eval", "bb", "beta beta"))
+    val docs = rows.toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Classify.sourceInfluence(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == Set("src_good", "src_noise"))
+    val (_, accNoNoise, accFull, infNoise) = got("src_noise")
+    val (_, accNoGood, _, infGood) = got("src_good")
+    // full model: noise doubles the bb prior, so alpha docs flip to bb ->
+    // only the beta doc is right
+    assert(math.abs(accFull - 1.0 / 3.0) < 1e-12)
+    // dropping the noise source restores perfect accuracy
+    assert(accNoNoise == 1.0 && infNoise < 0.0)
+    // dropping the signal source leaves only mislabeled evidence: nothing
+    // scores right (unscored docs count as wrong - fixed denominator)
+    assert(accNoGood == 0.0 && infGood > 0.0)
+  }
 }
