@@ -206,7 +206,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q243_simpson", // 1-row pooled-moment attach on the |sources|-bounded frame
       "q244_assoc_rules", // 1-row order-total attach on the pair-bounded rule frame
       "q245_roc_auc", // dense-model build (q122's plan) under the rank sum — same 1-row attaches as q242
-      "q248_topk_churn") // <=k matched frame theta-joined against the broadcast k-row depth grid (k*k bounded) + 1-row cut/size attaches
+      "q248_topk_churn", // <=k matched frame theta-joined against the broadcast k-row depth grid (k*k bounded) + 1-row cut/size attaches
+      "q251_source_influence") // broadcast |sources|+1-row helds frame crossed with the shared count scan (ablation-by-subtraction) + 1-row n_eval/full-model attaches
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
