@@ -737,7 +737,124 @@ object Dedup {
           .otherwise(lit(null).cast("double")).as("pair_completeness"))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (q252): score candidate
+    * pairs by log-likelihood-ratio agreement weights and triage them into
+    * match / possible / non-match — the decision layer that sits on top of
+    * blocking (q219 measures the candidate set; this scores it). Fellegi &
+    * Sunter 1969; Christen 2012 ch.6 (the same survey q219 cites).
+    *
+    * Comparison vector per pair: segment equality, account-balance band
+    * (floor(bal/1000)), and a last-digit stand-in for a noisy identifier
+    * field. Each field carries a fixed (m, u) conditional-agreement model;
+    * the pair weight is Σ log2(m/u) over agreeing fields plus
+    * Σ log2((1-m)/(1-u)) over disagreeing ones.
+    *
+    * Determinism: the four log2 weights are DRIVER-computed once and
+    * embedded as scaled-long (1e-9) literals in BOTH engines — per-pair
+    * weights are then pure integer sums, exact and order-free; the only
+    * doubles are the two terminal correctly-rounded divisions. Scale: pairs
+    * are generated ONLY within nation blocks via an equi-join on the block
+    * key (hash join + k<k' residual — never a cross product); per-block
+    * classification counts aggregate map-side, and the output is one row
+    * per block. At 100 TB the long weight sum holds to ~9e9 pairs per block
+    * (max |w| ~8.5e9 fp) — past that, swap the sum to decimal(38,0) the way
+    * q219 sizes its pair counts. */
+  def fellegiSunter(cust: DataFrame): DataFrame = {
+    val rec = cust.select(col("c_nationkey").as("nation"),
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal"),
+      (col("c_custkey") % 10).as("dig"))
+    val Seq((sa, sd), (ba, bd), (da, dd)) = FsFields.map(f => FsWeights(f._1))
+    val w = when(col("x.seg") === col("y.seg"), lit(sa)).otherwise(lit(sd)) +
+      when(col("x.bal") === col("y.bal"), lit(ba)).otherwise(lit(bd)) +
+      when(col("x.dig") === col("y.dig"), lit(da)).otherwise(lit(dd))
+    rec.as("x").join(rec.as("y"),
+        col("x.nation") === col("y.nation") && col("x.k") < col("y.k"))
+      .select(col("x.nation").as("nation"), w.as("w"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("w") >= FsUpperFp, 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("w") >= FsLowerFp && col("w") < FsUpperFp, 1L)
+          .otherwise(0L)).as("n_possible"),
+        sum(when(col("w") < FsLowerFp, 1L).otherwise(0L)).as("n_nonmatch"),
+        sum(col("w")).as("wsum"))
+      .select(col("nation"), col("n_pairs"), col("n_match"),
+        col("n_possible"), col("n_nonmatch"),
+        (col("wsum").cast("double") /
+          (col("n_pairs").cast("double") * lit(1.0e9))).as("avg_weight"))
+      .orderBy(col("nation"))
+  }
+
+  /** (field, m, u): P(agree | same entity), P(agree | different entities).
+    * Fixed model parameters — estimating them (EM) is a separate concern;
+    * the operator is the scoring pass every linkage engine runs per pair. */
+  private[graft] val FsFields: Seq[(String, Double, Double)] = Seq(
+    ("seg", 0.95, 0.20), ("bal", 0.90, 0.10), ("dig", 0.85, 0.10))
+  /** Driver-computed scaled-long (1e-9) agreement/disagreement weights —
+    * identical integer literals in the Column chain and the oracle SQL. */
+  private[graft] val FsWeights: Map[String, (Long, Long)] = {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    FsFields.map { case (f, m, u) =>
+      f -> (math.round(log2(m / u) * 1e9), math.round(log2((1 - m) / (1 - u)) * 1e9))
+    }.toMap
+  }
+  /** >= 4 bits of evidence → match; [0, 4) → possible; < 0 → non-match. */
+  private[graft] val FsUpperFp = 4000000000L
+  private[graft] val FsLowerFp = 0L
+
+  /** Positional duplicated-span coverage (q253): the fraction of each
+    * source's TOKENS that sit inside an 8-token span occurring more than
+    * once in the corpus — the span-level memorization/dedup signal of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), which q97's shared-shingle fraction approximates at the
+    * distinct-shingle level. This one unions the actual positional extents
+    * of duplicated spans, so a token shared by five overlapping duplicated
+    * grams counts once.
+    *
+    * Scale: grams are keyed by the 8-byte cross-engine h60 fingerprint
+    * (never the 8-word string) for the duplicate-count shuffle and the
+    * semi-join back; coverage positions explode only from grams already
+    * known duplicated (typically a small corpus fraction), and the
+    * per-(doc, pos) distinct union is partitioned by doc. Any h60 collision
+    * merges the same grams in both engines, so the oracle compare is exact
+    * by construction. The gram frame is cached: the duplicate-count
+    * aggregate and the semi-join probe are sibling consumers of one
+    * corpus-scale scan (see CACHE CONTRACT above). */
+  def dupSpanCoverage(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("ntok", size(col("w")))
+    val grams = CacheScope.cached(toks.filter(col("ntok") >= SpanN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, ntok - ${SpanN - 1}), " +
+          s"s -> named_struct('s', s, 'g', array_join(slice(w, s, $SpanN), ' ')))"))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.s").as("s"),
+        TextFunctions.h60(col("sg.g")).as("h")))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val covered = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${SpanN - 1})")).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tok"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("source"), col("ntok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("dup_tok")).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_fraction"))
+      .orderBy(col("source"))
+  }
+
+  private[graft] val SpanN = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_fs_linkage" -> ((s, d) => fellegiSunter(Tables.customer(s, d))),
+    "q253_dup_spans" -> ((s, d) => dupSpanCoverage(Tables.documents(s, d))),
     "q219_blocking_quality" -> ((s, d) => blockingQuality(Tables.documents(s, d))),
     "q206_norm_dedup_gain" -> ((s, d) => normDedupGain(Tables.documents(s, d))),
     "q202_lsh_quality" -> ((s, d) => lshQuality(Tables.documents(s, d))),
@@ -779,6 +896,66 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the four scaled-long log2 weights are the SAME driver-printed
+    // integer literals the Column chain uses — per-pair weights are exact
+    // integer sums in both engines; sum(w) drops from HUGEINT to BIGINT
+    // before the double cast (int64→double is correctly rounded,
+    // int128→double is not)
+    "q252_fs_linkage" -> {
+      val Seq((sa, sd), (ba, bd), (da, dd)) = FsFields.map(f => FsWeights(f._1))
+      s"""WITH c AS (
+         |  SELECT c_nationkey AS nation, c_custkey AS k, c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal,
+         |    c_custkey % 10 AS dig
+         |  FROM customer),
+         |p AS (
+         |  SELECT x.nation AS nation,
+         |    (CASE WHEN x.seg = y.seg THEN $sa ELSE $sd END
+         |     + CASE WHEN x.bal = y.bal THEN $ba ELSE $bd END
+         |     + CASE WHEN x.dig = y.dig THEN $da ELSE $dd END) AS w
+         |  FROM c x JOIN c y ON x.nation = y.nation AND x.k < y.k)
+         |SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN w >= $FsUpperFp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_match,
+         |  CAST(sum(CASE WHEN w >= $FsLowerFp AND w < $FsUpperFp
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+         |  CAST(sum(CASE WHEN w < $FsLowerFp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nonmatch,
+         |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1.0e9) AS avg_weight
+         |FROM p GROUP BY nation ORDER BY nation""".stripMargin
+    },
+    // grams keyed by the md5-h60 fingerprint exactly as the engine does,
+    // so any collision merges identically in both engines
+    "q253_dup_spans" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, w,
+         |    CAST(unnest(generate_series(1, ntok - ${SpanN - 1})) AS INT) AS s
+         |  FROM tk WHERE ntok >= $SpanN),
+         |g AS (
+         |  SELECT doc_id, s,
+         |    CAST(('0x' || substr(md5(array_to_string(w[s:s+${SpanN - 1}], ' ')),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM g0),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT g.doc_id, unnest(generate_series(g.s, g.s + ${SpanN - 1}))
+         |      AS pos
+         |    FROM g JOIN dup USING (h))),
+         |cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tok
+         |       FROM cov GROUP BY doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(COALESCE(cd.dup_tok, 0)) AS BIGINT) AS dup_tokens,
+         |  CAST(CAST(sum(COALESCE(cd.dup_tok, 0)) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE) AS dup_fraction
+         |FROM tk LEFT JOIN cd USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q219_blocking_quality" ->
       """WITH base AS (
         |  SELECT md5(trim(regexp_replace(

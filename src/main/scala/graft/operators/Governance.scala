@@ -403,7 +403,39 @@ object Governance {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------- q254 DP release
+
+  /** Differentially-private histogram release (q254): per-source document
+    * counts with Laplace(1/ε) noise — the standard ε-DP mechanism for count
+    * statistics (Dwork et al. 2006) a governance layer applies before
+    * publishing corpus composition externally. Sensitivity of a disjoint
+    * histogram is 1, so noise scale b = 1/ε.
+    *
+    * The noise is SEEDED: inverse-CDF Laplace on a uniform derived from the
+    * cross-engine h60 hash of the bucket key, so the release is
+    * reproducible and oracle-checkable (a production release would swap in
+    * a drawn seed — one string literal). Determinism: u = (k+0.5)/2^20 with
+    * k = h60 mod 2^20 is an exact dyadic rational (power-of-two divides),
+    * so both engines hand libm a BIT-IDENTICAL ln argument in (0,1]; the
+    * ln is grid-pinned per the round-11 transcendental rule, and every
+    * other step (abs, multiply, add) is correctly-rounded IEEE. Scale: one
+    * map-side-combined count aggregate; noise is a scalar expression on the
+    * |sources|-bounded result. */
+  def dpSourceCounts(docs: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    val negB = -1.0 / epsilon
+    val k = TextFunctions.h60(concat(lit("dp:"), col("source"))) % lit(1048576L)
+    val u = (k.cast("double") + lit(0.5)) / lit(1048576.0)
+    val c = u - lit(0.5)
+    val noise = lit(negB) * when(c < 0, lit(-1.0)).otherwise(lit(1.0)) *
+      Pin.grid9(log(lit(1.0) - lit(2.0) * abs(c)))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        (col("n").cast("double") + noise).as("noisy_count"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_dp_release" -> ((s, d) => dpSourceCounts(Tables.documents(s, d))),
     "q225_mann_whitney" -> ((s, d) => mannWhitney(Tables.documents(s, d))),
     "q240_trimmed_stats" -> ((s, d) => trimmedStats(Tables.documents(s, d))),
     "q227_blocklist" -> ((s, d) => blocklistAudit(Tables.documents(s, d))),
@@ -416,6 +448,25 @@ object Governance {
   )
 
   def oracles: Map[String, String] = Map(
+    // same seeded inverse-CDF Laplace: u is an exact dyadic rational from
+    // the md5-h60 hash, the ln is grid-pinned, and -1/ε is the identical
+    // driver-printed double literal
+    "q254_dp_release" -> {
+      val negB = Pin.sqlDouble(-1.0 / 1.0)
+      s"""WITH n AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY source),
+         |h AS (
+         |  SELECT source, n,
+         |    (CAST(CAST(('0x' || substr(md5('dp:' || source), 1, 15)) AS BIGINT)
+         |       % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+         |  FROM n)
+         |SELECT source,
+         |  CAST(n AS DOUBLE) + ($negB) *
+         |    (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END) *
+         |    (${Pin.grid9Sql("ln(1.0 - 2.0 * abs(u - 0.5))")}) AS noisy_count
+         |FROM h ORDER BY source""".stripMargin
+    },
     "q240_trimmed_stats" ->
       """WITH ranked AS (
         |  SELECT source, n_chars,

@@ -102,7 +102,12 @@ object ScaleRehearsal {
     "q236_sprt", "q237_burstiness", "q238_hapax_docs", "q239_slice_parity",
     "q240_trimmed_stats", "q241_scene_cuts", "q242_uncertainty",
     "q243_simpson", "q244_assoc_rules", "q245_roc_auc",
-    "q246_day_quantiles", "q247_entropy_rate", "q248_topk_churn")
+    "q246_day_quantiles", "q247_entropy_rate", "q248_topk_churn",
+    // round-11 late wave: LOSO ablation-by-subtraction over the corpus
+    // count scan, within-block linkage self-join, positional span-coverage
+    // gram pipeline (q254 is a |sources|-bounded scalar release and
+    // q249/q250 are commit-log protocol queries on bounded tables)
+    "q251_source_influence", "q252_fs_linkage", "q253_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
