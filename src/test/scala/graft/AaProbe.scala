@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   * A packed-long pair key (u << 32 | v) looked ~40% faster in one run
   * (16.6 vs 27.3 s) but the HOST was drifting 1.5-2x between runs that
   * evening (same variant measured 16.6 and 38.4 s on identical code;
-  * PLANS.md r11 "machine variance") — inconclusive; re-measure on a
-  * quiet machine before changing the production plan. */
+  * PLANS.md r11 "machine variance") — inconclusive at the time.
+  * RESOLVED on a quiet host (load <3.5, late r11): packed 54.2/32.6 s
+  * vs slice 22.0/25.7 s vs dblexpl 25.0/21.6 s — the packed key never
+  * beats the two-column key even warm (the 64-bit key defeats the
+  * hash-aggregate's two-long fast path it was meant to help, and the
+  * shift/add runs inside the exploded hot loop). The ~40% "win" was
+  * host noise. q213 keeps the (u, v) slice form. */
 object AaProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local("aa-probe", cores = 32)
