@@ -852,6 +852,70 @@ object Dedup {
 
   private[graft] val SpanN = 8
 
+  // --------------------------------------- q256 near-dup-aware split audit
+
+  /** Near-dup-cluster-aware split integrity (q256): assign every document
+    * to train/val/test (80/10/10) under two policies — per-document hash
+    * vs per-NEAR-DUP-cluster hash — and count the near-duplicate pairs
+    * that straddle splits under each. q174 proves the exact-duplicate
+    * (md5-content) version of this invariant; the contamination that
+    * actually poisons held-out evals is NEAR duplication (Lee et al.
+    * 2022), so this one draws clusters from the q49 transitive closure of
+    * q21's exact-Jaccard pairs. The cluster policy leaks 0 by
+    * construction (every pair is intra-cluster, and a cluster hashes to
+    * one split) — and the query PROVES it from the data.
+    *
+    * Determinism: splits come from the cross-engine h60 md5 fingerprint
+    * of the id string, mod 10 (buckets 0-7 train, 8 val, 9 test) — pure
+    * integer arithmetic both engines; cluster ids are component-min
+    * doc_ids (q49), so the cluster coin hashes the same string either
+    * side. All outputs are integer counts.
+    *
+    * Scale shape: the pair/closure cost IS q21+q49 (AllPairs prefix
+    * filtering, min-label CC — both already rehearsed sublinear); on top
+    * of that, one |docs|-row split tagging, two id-keyed joins of the
+    * SPARSE pair list against the tag frame, and constant-width
+    * aggregates. The pair frame is cached: CC and the leak counts are
+    * sibling consumers (CACHE CONTRACT above). */
+  def nearDupSplitAudit(docs: DataFrame): DataFrame = {
+    val pairs = CacheScope.cached(
+      jaccardPairs(docs).select(col("doc_a"), col("doc_b")))
+    val cc = connectedComponents(pairs)
+    val d = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+    def splitOf(id: Column): Column = {
+      val b = TextFunctions.h60(id.cast("string")) % 10
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    }
+    val tagged = CacheScope.cached(d
+      .withColumn("s_doc", splitOf(col("doc_id")))
+      .withColumn("s_cl", splitOf(col("cluster"))))
+    def policyRow(name: String, s: Column): DataFrame = {
+      val counts = tagged.agg(
+        sum(when(s === "train", 1L).otherwise(0L)).as("train_docs"),
+        sum(when(s === "val", 1L).otherwise(0L)).as("val_docs"),
+        sum(when(s === "test", 1L).otherwise(0L)).as("test_docs"))
+      counts.select(lit(name).as("policy"), col("train_docs"),
+        col("val_docs"), col("test_docs"))
+    }
+    val sa = tagged.select(col("doc_id").as("doc_a"),
+      col("s_doc").as("sa_doc"), col("s_cl").as("sa_cl"))
+    val sb = tagged.select(col("doc_id").as("doc_b"),
+      col("s_doc").as("sb_doc"), col("s_cl").as("sb_cl"))
+    val leaks = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .agg(coalesce(sum(when(col("sa_doc") =!= col("sb_doc"), 1L)
+        .otherwise(0L)), lit(0L)).as("leak_doc"),
+        coalesce(sum(when(col("sa_cl") =!= col("sb_cl"), 1L)
+          .otherwise(0L)), lit(0L)).as("leak_cl"))
+    val docPolicy = policyRow("doc_hash", col("s_doc"))
+      .crossJoin(broadcast(leaks.select(col("leak_doc").as("leaked_pairs"))))
+    val clPolicy = policyRow("cluster_hash", col("s_cl"))
+      .crossJoin(broadcast(leaks.select(col("leak_cl").as("leaked_pairs"))))
+    clPolicy.unionAll(docPolicy).orderBy(col("policy"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_fs_linkage" -> ((s, d) => fellegiSunter(Tables.customer(s, d))),
     "q253_dup_spans" -> ((s, d) => dupSpanCoverage(Tables.documents(s, d))),
@@ -870,7 +934,9 @@ object Dedup {
     "q49_dup_clusters" -> ((s, d) =>
       connectedComponents(jaccardPairs(Tables.documents(s, d)))),
     "q101_dedup_incremental" -> ((s, d) =>
-      jaccardPairsIncremental(Tables.documents(s, d), newMin = 250L))
+      jaccardPairsIncremental(Tables.documents(s, d), newMin = 250L)),
+    "q256_neardup_split" -> ((s, d) =>
+      nearDupSplitAudit(Tables.documents(s, d)))
   )
 
   /** DuckDB oracles. q22 shares q21's oracle: verified-candidate output
@@ -1140,6 +1206,73 @@ object Dedup {
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src
         |ORDER BY doc_id""".stripMargin,
+    // q49's closure CTEs + h60-mod-10 split coins under both policies;
+    // pure integer counts, leak counted over the exact pair list p
+    "q256_neardup_split" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a AS src, a AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s2.b FROM reach r JOIN sym s2 ON r.dst = s2.a),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |d AS (
+        |  SELECT d0.doc_id, coalesce(cl.cluster_id, d0.doc_id) AS cluster
+        |  FROM documents d0 LEFT JOIN cl ON d0.doc_id = cl.doc_id),
+        |tg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bd < 8 THEN 'train' WHEN bd = 8 THEN 'val'
+        |         ELSE 'test' END AS s_doc,
+        |    CASE WHEN bc < 8 THEN 'train' WHEN bc = 8 THEN 'val'
+        |         ELSE 'test' END AS s_cl
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 10 AS bd,
+        |      CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 10 AS bc
+        |    FROM d)),
+        |lk AS (
+        |  SELECT
+        |    coalesce(CAST(sum(CASE WHEN sa.s_doc <> sb.s_doc THEN 1 ELSE 0
+        |      END) AS BIGINT), 0) AS leak_doc,
+        |    coalesce(CAST(sum(CASE WHEN sa.s_cl <> sb.s_cl THEN 1 ELSE 0
+        |      END) AS BIGINT), 0) AS leak_cl
+        |  FROM p JOIN tg sa ON p.doc_a = sa.doc_id
+        |         JOIN tg sb ON p.doc_b = sb.doc_id)
+        |SELECT 'cluster_hash' AS policy,
+        |  CAST(sum(CASE WHEN s_cl = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS train_docs,
+        |  CAST(sum(CASE WHEN s_cl = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS val_docs,
+        |  CAST(sum(CASE WHEN s_cl = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS test_docs,
+        |  (SELECT leak_cl FROM lk) AS leaked_pairs
+        |FROM tg
+        |UNION ALL
+        |SELECT 'doc_hash',
+        |  CAST(sum(CASE WHEN s_doc = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN s_doc = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN s_doc = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT leak_doc FROM lk)
+        |FROM tg
+        |ORDER BY policy""".stripMargin,
     // winnowing, recomputed from first principles: positions -> md5-60bit
     // k-gram hashes -> window mins -> distinct fingerprint set -> candidate
     // pairs sharing a fingerprint with df <= 50 (the maxDf contract — see

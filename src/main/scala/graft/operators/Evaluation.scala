@@ -461,7 +461,51 @@ object Evaluation {
       .orderBy(col("dims"), col("query_id"))
   }
 
+  // --------------------------------------------------- q255 ANN MRR
+
+  /** q255 — mean reciprocal rank of the EXACT nearest neighbor inside the
+    * IVF top-k list: q179 asks "how much of the true top-k does the index
+    * return", q203 "does it preserve the order"; MRR answers the
+    * first-result question a retrieval UI or RAG context-builder actually
+    * cares about — at what rank does the index surface THE closest
+    * document (0 if not at all). Standard IR headline metric (Voorhees,
+    * TREC-8 1999).
+    *
+    * Determinism: ranks are integers from the shared q25/q29 retrieval
+    * plans (ties broken by neighbor_id); each reciprocal rank is the
+    * EXACT integer 1e12 div rank, summed as a long, so the per-query
+    * value and the corpus MRR are two/three correctly-rounded terminal
+    * divisions applied in the same order by both engines — no
+    * order-dependent double summation anywhere.
+    *
+    * Scale shape: both retrieval sides reuse the bounded-probe q25/q29
+    * plans (broadcast pinned query set, never corpus×corpus); on top,
+    * one (query, neighbor) left join over ≤k rows per query and one
+    * constant-width global aggregate broadcast back onto |queries| rows. */
+  def annMrr(spark: SparkSession, embs: DataFrame, k: Int = 10): DataFrame = {
+    val truth = Similarity.bruteForceTopK(spark, embs, k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(spark, embs, k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val ranked = truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id").as("true_nn"),
+        coalesce(col("rank").cast("long"), lit(0L)).as("ivf_rank"))
+      .withColumn("rr_fp",
+        when(col("ivf_rank") > 0,
+          expr("CAST(1000000000000 AS BIGINT) div ivf_rank"))
+          .otherwise(lit(0L)))
+    val summary = ranked.agg(sum(col("rr_fp")).as("sum_fp"),
+      count(lit(1)).as("n_queries"))
+    ranked.crossJoin(broadcast(summary))
+      .select(col("query_id"), col("true_nn"), col("ivf_rank"),
+        (col("rr_fp").cast("double") / lit(1.0e12)).as("reciprocal_rank"),
+        (col("sum_fp").cast("double") / col("n_queries").cast("double") /
+          lit(1.0e12)).as("mrr"))
+      .orderBy(col("query_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_ann_mrr" -> ((s, d) => annMrr(s, Tables.embeddings(s, d))),
     "q215_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, Tables.embeddings(s, d))),
     "q193_seq_patterns" -> (seqPatterns _),
     "q189_interarrival" -> (interArrival _),
@@ -648,6 +692,59 @@ object Evaluation {
         |  CAST(coalesce(d.dq, 0) AS DOUBLE) / CAST(i.iq AS DOUBLE) AS ndcg
         |FROM ideal i LEFT JOIN dcg d ON d.query_id = i.query_id
         |ORDER BY i.query_id""".stripMargin,
+    // q25's brute CTEs (rank = 1 truth) + q29's IVF CTEs; reciprocal ranks
+    // as exact 1e12 div rank integers, one global sum, terminal divisions
+    // in the same order as the Scala chain
+    "q255_ann_mrr" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |bs AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id) AS rank
+        |  FROM q JOIN v ON q.query_id <> v.vec_id),
+        |t1 AS (SELECT query_id, neighbor_id FROM bs WHERE rank = 1),
+        |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 16),
+        |ar AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.e, cent.c) DESC, cent.cell) AS arank
+        |  FROM v CROSS JOIN cent),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ar WHERE arank = 1),
+        |pr AS (
+        |  SELECT q.query_id, cent.cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, cent.c) DESC, cent.cell) AS crank
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT query_id, cell FROM pr WHERE crank <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.neighbor_id),
+        |si AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, c.neighbor_id) AS rank
+        |  FROM cand c JOIN v qv ON c.query_id = qv.vec_id
+        |  JOIN v nv ON c.neighbor_id = nv.vec_id),
+        |riv AS (SELECT query_id, neighbor_id, rank FROM si WHERE rank <= 10),
+        |rk AS (
+        |  SELECT t1.query_id, t1.neighbor_id AS true_nn,
+        |    CAST(coalesce(riv.rank, 0) AS BIGINT) AS ivf_rank
+        |  FROM t1 LEFT JOIN riv ON riv.query_id = t1.query_id
+        |    AND riv.neighbor_id = t1.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, true_nn, ivf_rank,
+        |    CASE WHEN ivf_rank > 0
+        |      THEN CAST(1000000000000 AS BIGINT) // ivf_rank
+        |      ELSE CAST(0 AS BIGINT) END AS rr_fp
+        |  FROM rk),
+        |s AS (SELECT CAST(sum(rr_fp) AS BIGINT) AS sum_fp,
+        |        CAST(count(*) AS BIGINT) AS n FROM rr)
+        |SELECT rr.query_id, rr.true_nn, rr.ivf_rank,
+        |  CAST(rr.rr_fp AS DOUBLE) / 1.0e12 AS reciprocal_rank,
+        |  CAST(s.sum_fp AS DOUBLE) / CAST(s.n AS DOUBLE) / 1.0e12 AS mrr
+        |FROM rr CROSS JOIN s ORDER BY rr.query_id""".stripMargin,
     "q179_ann_recall" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),

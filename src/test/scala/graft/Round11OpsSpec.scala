@@ -120,4 +120,78 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Governance.dpSourceCounts(docs).collect().toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------------------------------ q255
+
+  test("q255: MRR equals the driver-recomputed mean of exact reciprocal ranks") {
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Evaluation.annMrr(spark, embs).collect()
+    assert(rows.length === 10) // the pinned query set
+    val truth = graft.operators.Similarity.bruteForceTopK(spark, embs, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val fps = rows.map { r =>
+      val rk = r.getAs[Long]("ivf_rank")
+      assert(rk >= 0L && rk <= 10L)
+      assert(r.getAs[Long]("true_nn") === truth(r.getAs[Long]("query_id")))
+      val fp = if (rk > 0) 1000000000000L / rk else 0L
+      assert(r.getAs[Double]("reciprocal_rank") === fp.toDouble / 1.0e12)
+      if (rk === 1L) assert(r.getAs[Double]("reciprocal_rank") === 1.0)
+      fp
+    }
+    val mrr = fps.sum.toDouble / fps.length.toDouble / 1.0e12
+    rows.foreach(r => assert(r.getAs[Double]("mrr") === mrr))
+  }
+
+  // ------------------------------------------------------------------ q256
+
+  /** Driver twin of the engine's h60-mod-10 split coin. */
+  private def splitOf(id: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md5.take(15), 16) % 10 match {
+      case b if b < 8 => "train"
+      case 8 => "val"
+      case _ => "test"
+    }
+  }
+
+  test("q256: one exact-dup cluster leaks every crossing pair under doc-hash, zero under cluster-hash") {
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val ids = (1L to 40L).toSeq
+    val docs = docsOf(ids.map(i => (i, "s", text)))
+    val rows = Dedup.nearDupSplitAudit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // all 40 docs are one cluster with canonical id 1
+    val clusterSplit = splitOf("1")
+    val cl = rows("cluster_hash")
+    assert(cl.getAs[Long]("leaked_pairs") === 0L)
+    val clCounts = Map("train" -> cl.getAs[Long]("train_docs"),
+      "val" -> cl.getAs[Long]("val_docs"), "test" -> cl.getAs[Long]("test_docs"))
+    assert(clCounts(clusterSplit) === 40L)
+    assert(clCounts.values.sum === 40L)
+    // doc-hash: counts and crossing pairs from the driver twin
+    val s = ids.map(i => splitOf(i.toString))
+    val dh = rows("doc_hash")
+    assert(dh.getAs[Long]("train_docs") === s.count(_ == "train").toLong)
+    assert(dh.getAs[Long]("val_docs") === s.count(_ == "val").toLong)
+    assert(dh.getAs[Long]("test_docs") === s.count(_ == "test").toLong)
+    val crossing = (for {
+      i <- ids.indices; j <- ids.indices if i < j && s(i) != s(j)
+    } yield 1).size.toLong
+    assert(dh.getAs[Long]("leaked_pairs") === crossing)
+    assert(crossing > 0L) // the fixture straddles, so the audit bites
+  }
+
+  test("q256: an all-unique corpus leaks nothing and both policies agree") {
+    val docs = docsOf((1L to 12L).map(i =>
+      (i, "s", (1 to 15).map(j => s"u${i}_$j").mkString(" "))))
+    val rows = Dedup.nearDupSplitAudit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (cl, dh) = (rows("cluster_hash"), rows("doc_hash"))
+    Seq("train_docs", "val_docs", "test_docs", "leaked_pairs").foreach { c =>
+      assert(cl.getAs[Long](c) === dh.getAs[Long](c))
+    }
+    assert(cl.getAs[Long]("leaked_pairs") === 0L)
+  }
 }
