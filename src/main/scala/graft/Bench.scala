@@ -54,6 +54,12 @@ object Bench {
     * query into a nearly-spent budget overshoots the wall clock by that
     * query's full runtime — cheaper queries later in the order may still
     * fit, so skip per-query rather than aborting the pass. */
+  /** Between-query GC cadence: ~1 s/query suite pace → a collection every
+    * ~60-90 s, matching the 2-min periodic hygiene it replaces (see the
+    * untimed System.gc below). */
+  private val GcEveryN = 64
+  private var gcCountdown = GcEveryN
+
   private def runPass(spark: SparkSession, dir: String,
                       deadlineNs: Option[Long],
                       order: Option[Map[String, Double]] = None): Map[String, Double] = {
@@ -97,6 +103,17 @@ object Bench {
         // across the 100+-query session; untimed — the query's action
         // already completed.
         spark.catalog.clearCache()
+        // broadcast-block hygiene BETWEEN queries, not during: the
+        // session's 2-min ContextCleaner GC cadence (GraftSession) lands
+        // mid-query at a deterministic wall offset in a full pass — the
+        // same victim query absorbs a multi-second full-GC stall run
+        // after run (round-11: q254 read 6.3 s in two independent
+        // full-surface passes vs 0.47 s solo min-of-3). Bench relaxes
+        // the periodic cadence (main sets 30min) and instead collects
+        // here, every GcEveryN queries, in the untimed region — same
+        // heap-footprint guarantee, honest per-query numbers.
+        gcCountdown -= 1
+        if (gcCountdown <= 0) { System.gc(); gcCountdown = GcEveryN }
         if (ok) out(name) = t
         cut = deadlineNs.exists(System.nanoTime() > _)
       }
@@ -182,7 +199,12 @@ object Bench {
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt
-    ).getOrCreate()
+    )
+      // bench-only override of GraftSession's 2-min periodic-GC cadence:
+      // runPass collects explicitly between queries (untimed) instead, so
+      // no full-GC stall can land INSIDE a timed query (see runPass)
+      .config("spark.cleaner.periodicGC.interval", "30min")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // a SPARK_GRAFT_ONLY rerun writes to a SEPARATE file: round 9's
     // committed BENCH_DETAIL.json was accidentally overwritten by a
