@@ -44,16 +44,24 @@ object Bench {
 
   /** One timed pass. `deadlineNs` (absolute nanoTime) aborts BETWEEN
     * queries once exhausted — partial maps are fine for passes ≥ 2, whose
-    * only job is tightening the per-query min. `order`: passes ≥ 2 visit
-    * queries by DESCENDING pass-1 cost, so a pass the budget truncates has
-    * already re-timed the queries whose single-shot numbers carry the most
-    * JIT/compile inflation in absolute seconds (the total is a sum — the
-    * tail's 0.2 s entries barely move it). A query whose pass-1 cost does
-    * not fit the remaining budget is SKIPPED (not launched): the deadline
-    * can only abort between queries, and launching the most expensive
-    * query into a nearly-spent budget overshoots the wall clock by that
-    * query's full runtime — cheaper queries later in the order may still
-    * fit, so skip per-query rather than aborting the pass. */
+    * only job is tightening the per-query min. `order` carries pass-1
+    * costs (for the wontFit skip below); `priority`, when given, sets the
+    * visit order instead of raw cost: passes ≥ 2 visit queries by
+    * DESCENDING recoverable-excess-per-second — (pass1 − best-known) /
+    * best-known, the greedy knapsack order — so a truncated pass spends
+    * its budget where the min-fold gains the most total_sec per second
+    * burned (re-timing a 2.5 s query inflated to 6 s recovers more per
+    * second than re-timing the 40 s heavyweight at 1.2× its best; round
+    * 11: the full-surface pass ran on a loaded host and every number
+    * carried ~22% inflation, but pass 2 never fit — when it only half
+    * fits, this order matters). Queries with no history sort FIRST (their
+    * pass-1 number is the only one, so a re-time both seeds history and
+    * de-noises the artifact); cost breaks ties. A query whose pass-1 cost
+    * does not fit the remaining budget is SKIPPED (not launched): the
+    * deadline can only abort between queries, and launching the most
+    * expensive query into a nearly-spent budget overshoots the wall clock
+    * by that query's full runtime — cheaper queries later in the order may
+    * still fit, so skip per-query rather than aborting the pass. */
   /** Between-query GC cadence: ~1 s/query suite pace → a collection every
     * ~60-90 s, matching the 2-min periodic hygiene it replaces (see the
     * untimed System.gc below). */
@@ -62,13 +70,18 @@ object Bench {
 
   private def runPass(spark: SparkSession, dir: String,
                       deadlineNs: Option[Long],
-                      order: Option[Map[String, Double]] = None): Map[String, Double] = {
+                      order: Option[Map[String, Double]] = None,
+                      priority: Option[Map[String, Double]] = None): Map[String, Double] = {
     val out = scala.collection.mutable.Map.empty[String, Double]
     val base = selected
-    val it = order match {
-      case Some(prev) => base.toSeq
+    val it = (priority, order) match {
+      case (Some(pri), prev) => base.toSeq
+        .sortBy { case (n, _) =>
+          (-pri.getOrElse(n, Double.MaxValue),
+            -prev.flatMap(_.get(n)).getOrElse(0.0)) }.iterator
+      case (None, Some(prev)) => base.toSeq
         .sortBy { case (n, _) => -prev.getOrElse(n, Double.MaxValue) }.iterator
-      case None => base.iterator
+      case (None, None) => base.iterator
     }
     var cut = false
     var skipped = 0
@@ -232,7 +245,15 @@ object Bench {
         stop = true
       } else {
         val deadline = mainT0 + (budgetS * 1e9).toLong
-        results = minByQuery(results, runPass(spark, sfDir, Some(deadline), Some(results)))
+        // greedy knapsack order for a possibly-truncated pass: recoverable
+        // excess per second of re-run cost, vs the cross-round best-known
+        // min (see runPass scaladoc); no-history queries → MaxValue (first)
+        val pri = results.map { case (k, v) =>
+          k -> history.get(k).map(b => (v - b) / math.max(b, 0.1))
+            .getOrElse(Double.MaxValue)
+        }
+        results = minByQuery(results,
+          runPass(spark, sfDir, Some(deadline), Some(results), Some(pri)))
         passesDone += 1
         writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history)
         stop = passesDone >= passes
