@@ -68,6 +68,20 @@ object Bench {
   private val GcEveryN = 64
   private var gcCountdown = GcEveryN
 
+  /** Total driver GC pause milliseconds so far (all collectors). */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Per-query driver GC pause seconds observed during the LAST pass that
+    * timed the query (diagnostic: distinguishes "this query's plan is
+    * slow" from "this query absorbed a heap-hygiene stall" without a solo
+    * re-run — the round-11 q254 question, 5.8 s in-suite vs 0.47 s solo,
+    * which the between-query collect did NOT close). */
+  private val gcByQuery = scala.collection.mutable.Map.empty[String, Double]
+
   private def runPass(spark: SparkSession, dir: String,
                       deadlineNs: Option[Long],
                       order: Option[Map[String, Double]] = None,
@@ -94,6 +108,7 @@ object Bench {
       if (wontFit) { skipped += 1 }
       else {
       val t0 = System.nanoTime()
+      val gc0 = gcMillis
       // a failed query records NO time: recording the (near-zero) elapsed
       // of an instant failure would let minByQuery clobber a real pass-1
       // measurement with garbage — round-11: a pass-2 executor OOM killed
@@ -111,6 +126,10 @@ object Bench {
         cut = true
       } else {
         val t = (System.nanoTime() - t0) / 1e9
+        val gcS = (gcMillis - gc0) / 1e3
+        if (ok) gcByQuery(name) = gcS
+        if (gcS > 0.5)
+          System.err.println(f"[bench] $name: $gcS%.1f s of driver GC inside a $t%.1f s run")
         // drop per-query intermediate caches (shingle frames, CC edge
         // lists, tf aggregates) so storage memory doesn't accumulate
         // across the 100+-query session; untimed — the query's action
@@ -195,9 +214,14 @@ object Bench {
     val suspects = results.toSeq
       .filter { case (k, v) => history.get(k).exists(b => v > 2 * b && v > 1.0) }
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // diagnostic only (NOT min-folded — the value is from the last pass
+    // that timed the query): driver GC pause seconds absorbed inside the
+    // timed region, for queries where it is material (> 0.1 s)
+    val gc = gcByQuery.toSeq.filter(_._2 > 0.1).sortBy(_._1)
+      .map { case (k, v) => s""""$k": ${sec(v)}""" }.mkString("{", ", ", "}")
     try {
       val w = new java.io.PrintWriter(path)
-      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "suspect_vs_best": $suspects, "queries_sec": $detail}""")
+      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
   }
