@@ -9,14 +9,24 @@ import org.apache.spark.sql.SparkSession
   *   - results go to the `noop` sink, not `.count()` — count() lets the
   *     optimizer prune every computed column and drop sorts, which would
   *     time a different (cheaper) plan than the one users run;
-  *   - NO separate warmup pass: pass 1 at the target sf is both the JIT/
+  *   - NO separate warmup PASS: pass 1 at the target sf is both the JIT/
   *     codegen warmer and a timed pass, and per-query MIN over the passes
   *     discards its compilation overhead. (Re-measured in round 8: a
   *     sf0.001 warmup pass costs ~1.1 s/query — the per-query cost is
   *     ANALYSIS/PLANNING-bound, not data-bound — and shaved only ~20 s
   *     off the subsequent sf0.1 pass, so it starves the second timed pass
   *     instead of paying for itself. Round 5 reached the same conclusion
-  *     from the other direction.);
+  *     from the other direction.) — but ONE untimed warm-up QUERY runs
+  *     before pass 1: the first query of a cold session absorbs ~6 s of
+  *     one-time bootstrap (Janino/whole-stage-codegen first compile, the
+  *     parquet reader and noop committer paths, JIT of the timing loop
+  *     itself) that is not that query's plan cost. Round-11 measurement:
+  *     q254, a trivial |sources|-row count, read 6.47 s solo-cold vs
+  *     0.44 s warm — and as the first entry of the queries map it carried
+  *     the same ~6 s in EVERY full pass, which a single-pass artifact can
+  *     never re-time (the r10/r11 "q254 in-suite mystery": not GC — the
+  *     gc_sec ledger showed <0.1 s — just cold start). 6 s of budget buys
+  *     an honest first number;
   *   - per-query MIN over SPARK_GRAFT_BENCH_PASSES passes (default 2):
   *     single-shot timings on a shared host carry multi-second noise
   *     spikes from unrelated load, and min-of-N is the consistent
@@ -254,6 +264,16 @@ object Bench {
       .getOrElse("/root/repo") + detailName
     val sfBase = new java.io.File(sfDir).getName
     val history = readHistory(historyPath(detailPath), sfBase)
+    // untimed bootstrap warm-up (see methodology note above): the
+    // cheapest-by-history query — its warm cost is the smallest possible
+    // spend on absorbing the session's one-time ~6 s cold start
+    selected.toSeq
+      .minByOption { case (n, _) => history.getOrElse(n, Double.MaxValue) }
+      .foreach { case (n, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
+      }
     // pass 1: unbudgeted — every query MUST get a number
     var results = runPass(spark, sfDir, None)
     var passesDone = 1
