@@ -741,7 +741,112 @@ object Curation {
           .as("oov_rate"))
   }
 
+  // ------------------------------------------------------ q257 max-coverage
+
+  /** q257's selection budget (greedy rounds). */
+  private[operators] val CoverK = 5
+
+  /** q257 — greedy max-coverage document selection: the [[CoverK]] docs
+    * that maximize cumulative distinct word-trigram coverage, chosen by
+    * the classic greedy that is (1−1/e)-optimal for submodular coverage
+    * (Nemhauser, Wolsey & Fisher 1978). The coreset / data-selection
+    * primitive — "which K documents summarize the corpus" — next to
+    * q159's coverage CURVE (what a hash-ordered prefix happens to cover)
+    * and q207's MMR (relevance-diversity reranking): this one OPTIMIZES
+    * the cover.
+    *
+    * Spark-first scale design: the corpus-sized state is ONE cached
+    * (doc_id, shingle) posting frame (the same asset the dedup family
+    * builds); each of the K bounded rounds is a broadcast anti-join
+    * against the current winners' shingles — re-derived from the cached
+    * frame by winner-id filter, so the covered SET never reaches the
+    * driver — then a count aggregate and a 1-row TakeOrdered. Driver
+    * state: K (round, id, gain) tuples. Rounds are K scans, not K²; a
+    * larger K would add Minoux (1978) lazy-greedy bounds to skip
+    * re-evaluations, same frame.
+    *
+    * Exactness: all-integer. The shingle expression is set-equal to the
+    * oracle's list comprehension (the q21 contract); gains count distinct
+    * shingles; ties break on doc_id; covered_total is the exact running
+    * sum of gains (each round's gain counts exactly the newly covered
+    * shingles, disjoint from everything before). The oracle unrolls the
+    * K rounds as CTE pairs — the q136 lpCtes pattern. */
+  def maxCoverage(docs: DataFrame, k: Int = CoverK): DataFrame = {
+    val spark = docs.sparkSession
+    val post = CacheScope.cached(
+      Dedup.shingled(docs).select(col("doc_id"), explode(col("sh")).as("s")))
+    val winners = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
+    var total = 0L
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val ids = winners.map(_._2).toSeq
+      val remaining =
+        if (ids.isEmpty) post
+        else post.join(
+          post.filter(col("doc_id").isin(ids: _*)).select(col("s")).distinct(),
+          Seq("s"), "left_anti")
+      // bounded collect: exactly one (doc_id, gain) row per round
+      val top = remaining.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true // every shingle covered before K picks
+      else {
+        val gain = top.head.getLong(1)
+        total += gain
+        winners += ((round, top.head.getLong(0), gain, total))
+        round += 1
+      }
+    }
+    import spark.implicits._
+    winners.toSeq.toDF("round", "doc_id", "marginal_gain", "covered_total")
+      .orderBy(col("round"))
+  }
+
+  /** q257's oracle: the greedy unrolled as K CTE pairs (gN = marginal
+    * gains against the covered set cN−1, wN = that round's winner), the
+    * lpCtes unrolling pattern. Integer throughout; the running-sum window
+    * is cast back to BIGINT (DuckDB widens SUM to HUGEINT). */
+  private def maxCoverageOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val gain =
+        if (i == 1) s"g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM post GROUP BY 1)"
+        else
+          s"""g$i AS (
+             |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS gain FROM post p
+             |  WHERE p.s NOT IN (SELECT s FROM c${i - 1}) GROUP BY 1)""".stripMargin
+      val win =
+        s"""w$i AS (SELECT CAST($i AS INT) AS round, doc_id, gain FROM g$i
+           |  ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin
+      val cover =
+        if (i == k) "" // last round needs no updated cover
+        else if (i == 1)
+          s",\nc1 AS (SELECT DISTINCT p.s FROM post p JOIN w1 ON p.doc_id = w1.doc_id)"
+        else
+          s""",
+             |c$i AS (SELECT s FROM c${i - 1} UNION
+             |  SELECT p.s FROM post p JOIN w$i ON p.doc_id = w$i.doc_id)""".stripMargin
+      s"$gain,\n$win$cover"
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+       |                   for i in range(1, len(w)-1)]) AS s
+       |  FROM w WHERE len(w) >= 3),
+       |post AS (SELECT doc_id, unnest(s) AS s FROM sh),
+       |$rounds,
+       |sel AS (${(1 to k).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")})
+       |SELECT round, doc_id, gain AS marginal_gain,
+       |  CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+       |FROM sel ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_max_coverage" -> ((s, d) => maxCoverage(Tables.documents(s, d))),
     "q235_holdout_ppl" -> ((s, d) => holdoutPerplexity(s, Tables.documents(s, d))),
     "q205_shuffle_quality" -> ((s, d) => shuffleQuality(Tables.documents(s, d))),
     "q171_bigram_entropy" -> ((s, d) => bigramEntropy(s, Tables.documents(s, d))),
@@ -762,6 +867,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q257_max_coverage" -> maxCoverageOracle(CoverK),
     "q235_holdout_ppl" ->
       s"""WITH sp AS (
          |  SELECT doc_id, text,

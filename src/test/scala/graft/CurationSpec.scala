@@ -17,6 +17,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q257: greedy cover picks the hand-computed sequence and stops early") {
+    import spark.implicits._
+    // shingle sets: d1 {abc,bcd,cde}, d2 {abc,bcd} (subset of d1),
+    // d3 {xyz,yzw}, d4 {pqr}, d5 {abc} (subset), d6 none (<3 words)
+    val docs = Seq(
+      1L -> "a b c d e", 2L -> "a b c d", 3L -> "x y z w",
+      4L -> "p q r", 5L -> "a b c", 6L -> "m n"
+    ).toDF("doc_id", "text")
+    val out = Curation.maxCoverage(docs).collect()
+    // greedy: d1 (3), d3 (+2), d4 (+1); then every doc is covered → early
+    // stop at 3 rows despite k = 5
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1, 1L, 3L, 3L), (2, 3L, 2L, 5L), (3, 4L, 1L, 6L)))
+  }
+
+  test("q257: equal-gain ties break to the smaller doc_id") {
+    import spark.implicits._
+    val docs = Seq(3L -> "a b c", 1L -> "d e f", 2L -> "a b c")
+      .toDF("doc_id", "text")
+    val out = Curation.maxCoverage(docs).collect()
+    // all gains 1: round 1 goes to doc 1 (tie among 1/2/3 on gain? no —
+    // every doc has gain 1, smallest id wins), round 2 to doc 2 (its
+    // shingle differs from doc 1's), doc 3 is then fully covered
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 1L), (2, 2L)))
+  }
+
+  test("q257: sf0.01 gains non-increasing (submodularity) and totals exact") {
+    val out = Curation.maxCoverage(Tables.documents(spark, sf)).collect()
+    assert(out.length == 5)
+    val gains = out.map(_.getLong(2)).toSeq
+    assert(gains == gains.sorted.reverse, s"greedy gains must be non-increasing: $gains")
+    val totals = out.map(_.getLong(3)).toSeq
+    assert(totals == gains.scanLeft(0L)(_ + _).tail)
+  }
+
   test("q86: bins are contiguous from 0 per lang and fill monotonically") {
     val out = Curation.q86PackSequences(spark, sf).cache()
     // per lang: bin ids form 0..max with no gaps (concat-and-chunk never

@@ -110,7 +110,10 @@ object ScaleRehearsal {
     "q251_source_influence", "q252_fs_linkage", "q253_dup_spans",
     // q256 rides q21+q49's pair/closure plans plus id-keyed tag joins;
     // q255 is query-bounded retrieval like q179, included for the record
-    "q255_ann_mrr", "q256_neardup_split")
+    "q255_ann_mrr", "q256_neardup_split",
+    // round-11 close-out: K-round greedy cover over the shingle postings
+    // (corpus-scan per round, covered set stays distributed)
+    "q257_max_coverage")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
