@@ -6,7 +6,8 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
 
 /** Minimal ACID table format over plain parquet: an ordered commit log of
   * immutable version files, each an atomic unit of add/remove file
@@ -223,6 +224,67 @@ object TxLog {
       if (tryCommit(table, v, removes ++ adds)) committed = v
     }
     committed
+  }
+
+  /** Transactional row-level DELETE, copy-on-write: rewrite ONLY the
+    * files that contain rows matching `cond` (dropping those rows);
+    * every other file is untouched — no write amplification on the
+    * unaffected part of the table, the production-format delete
+    * contract and the right-to-be-forgotten primitive. SQL three-valued
+    * semantics: a row is deleted iff `cond` is TRUE — NULL-predicate
+    * rows survive.
+    *
+    * Mechanics: a distributed `input_file_name()` scan finds the
+    * affected files (driver state bounded by FILE count, never rows);
+    * the survivors of exactly those files are staged as new files (none
+    * when a file is wholly deleted), and remove(affected)+add(staged)
+    * publish as ONE commit with the optimize REBASE rule — a concurrent
+    * append's files are never touched and its rows survive; losing the
+    * CAS to a commit that removed an affected file restarts the pass
+    * against the new snapshot. Returns Some(version), or None when no
+    * row matches — deleting nothing is not a table change, so no
+    * version is published.
+    *
+    * Erasure timeline: time travel BEFORE the delete still reads the
+    * deleted rows (version files and data files are retained), so
+    * physical erasure completes when VACUUM passes the retention
+    * window — the standard two-step (logical delete, physical purge)
+    * contract. */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: Column): Option[Long] = {
+    val hit = coalesce(cond, lit(false))
+    while (true) {
+      val read0 = snapshot(table)
+      if (read0.isEmpty) return None
+      def absOf(rel: Seq[String]): Seq[String] =
+        rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+      val hits = spark.read.parquet(absOf(read0): _*)
+        .withColumn("_graft_file", input_file_name())
+        .filter(hit).select("_graft_file").distinct()
+        .collect().map(_.getString(0))
+      // input_file_name is scheme-qualified; match on the relative suffix
+      // (data/<uuid>/part-*.parquet is unique within the table)
+      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      if (affected.isEmpty) return None
+      val survivors = spark.read.parquet(absOf(affected): _*).filter(not(hit))
+      val adds =
+        if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
+        else stage(spark, table, survivors).map(Action("add", _))
+      val removes = affected.map(Action("remove", _))
+      var v = versions(table).last + 1
+      var done = false
+      var restart = false
+      while (!done && !restart) {
+        if (tryCommit(table, v, removes ++ adds)) done = true
+        else {
+          val nowLive = snapshot(table).toSet
+          if (affected.forall(nowLive)) v = versions(table).last + 1 // appends only
+          else restart = true // a racer rewrote an affected file: rebase
+        }
+      }
+      if (done) return Some(v)
+    }
+    None
   }
 
   /** Transactional OPTIMIZE: rewrite the current snapshot's files into

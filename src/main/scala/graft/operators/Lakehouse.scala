@@ -409,7 +409,47 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // --------------------------------------------- q258 TxLog delete
+
+  /** q258 — transactional row-level DELETE with time travel, driver-
+    * verified: land the (doc_id, lang) projection as two appends (split
+    * by id parity, so the table spans multiple immutable files), then
+    * [[graft.etl.TxLog.deleteWhere]] the "erasure requests"
+    * (doc_id % 7 == 0) and emit per-lang counts from BOTH the AS OF
+    * pre-delete snapshot and the latest snapshot. The oracle never sees
+    * the log — it recomputes both phases from the raw table, so the
+    * hash check verifies the protocol's visibility rules: time travel
+    * still reads every pre-delete row (erasure is logical until
+    * VACUUM), and the latest snapshot excludes EXACTLY the predicate
+    * rows (copy-on-write rewrote survivors faithfully).
+    *
+    * Integer/string output only. Scale shape: two distributed parquet
+    * appends + a file-pruned copy-on-write rewrite + two bounded
+    * rollups; the commit log stays driver-side metadata. */
+  def q258TxLogDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft-q258")
+      .resolve("t").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    // file-sized appends (coalesce 4): the default 32 scan partitions
+    // would land 64 tiny part files for a kilorow table, and every later
+    // snapshot/delete/read pays per-file overhead — the same file-sizing
+    // judgment OPTIMIZE exists for, applied at write time
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0).coalesce(4))
+    val v2 = graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 1).coalesce(4))
+    graft.etl.TxLog.deleteWhere(s, table, col("doc_id") % 7 === 0)
+    def phase(df: DataFrame, name: String): DataFrame = df
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("phase", lit(name))
+    phase(graft.etl.TxLog.read(s, table, asOf = Some(v2)), "pre_delete")
+      .unionByName(phase(graft.etl.TxLog.read(s, table), "post_delete"))
+      .select(col("phase"), col("lang"), col("n_docs"))
+      .orderBy(col("phase"), col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_txlog_delete" -> (q258TxLogDelete _),
     "q250_txlog_cdc" -> (q250TxLogCdc _),
     "q249_txlog_timetravel" -> (q249TxLogTimeTravel _),
     "q220_merkle_diff" -> (q220MerkleDiff _),
@@ -424,6 +464,16 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q258_txlog_delete" ->
+      """SELECT * FROM (
+        |  SELECT 'pre_delete' AS phase, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'post_delete' AS phase, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang)
+        |ORDER BY phase, lang""".stripMargin,
     "q250_txlog_cdc" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -181,6 +181,72 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq(1L, 2L, 3L, 4L, 99L), s"content changed: $ids")
   }
 
+  test("deleteWhere removes matching rows only; unaffected files untouched") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, "keep"), (2L, "purge")).toDF("id", "s").coalesce(1)) // v1
+    TxLog.append(spark, t,
+      Seq((10L, "keep"), (11L, "keep")).toDF("id", "s").coalesce(1)) // v2
+    val before = TxLog.snapshot(t)
+    val v = TxLog.deleteWhere(spark, t, col("s") === "purge")
+    assert(v.contains(3L))
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 10L, 11L))
+    // copy-on-write: the file with no matching rows is still live at its
+    // original path — only the affected file was rewritten
+    val after = TxLog.snapshot(t).toSet
+    assert(before.count(after) == 1, s"before=$before after=$after")
+    // time travel before the delete still reads the purged row; erasure
+    // completes at vacuum, not at delete
+    assert(TxLog.read(spark, t, asOf = Some(2L))
+      .filter(col("s") === "purge").count() == 1)
+  }
+
+  test("deleteWhere: no match commits nothing; NULL-predicate rows survive") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "s"))
+    assert(TxLog.deleteWhere(spark, t, col("s") === "zzz").isEmpty)
+    assert(TxLog.versions(t) == Seq(1L), "a no-op delete published a version")
+    // cond is NULL on the null row: it must survive (TRUE deletes only)
+    assert(TxLog.deleteWhere(spark, t, col("s") === "a").contains(2L))
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("deleteWhere drops a wholly-deleted file without staging a rewrite") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "x")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t, Seq((2L, "y")).toDF("id", "s").coalesce(1))
+    assert(TxLog.deleteWhere(spark, t, col("s") === "x").contains(3L))
+    assert(TxLog.snapshot(t).size == 1, "emptied file should not be replaced")
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("deleteWhere racing an append never loses the appended rows") {
+    import spark.implicits._
+    val t = tmp()
+    (1 to 3).foreach(i => TxLog.append(spark, t,
+      Seq((i.toLong, if (i == 2) "purge" else "keep")).toDF("id", "s")))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fd = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); TxLog.deleteWhere(spark, t, col("s") === "purge") } })
+    val fa = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); TxLog.append(spark, t, Seq((99L, "late")).toDF("id", "s")) } })
+    start.countDown()
+    fd.get(120, TimeUnit.SECONDS); fa.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    // serializable outcomes only: the delete removes id=2 and NOTHING
+    // else; the racing append's row always survives (rebase semantics)
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 99L))
+  }
+
   test("vacuum deletes only out-of-retention files; recent time travel intact") {
     import spark.implicits._
     val t = tmp()
