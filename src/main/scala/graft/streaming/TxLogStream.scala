@@ -46,4 +46,70 @@ object TxLogStream {
     TxLog.appendOnce(spark, table, batch, s"$appId/$batchId")
     ()
   }
+
+  // ------------------------------------------------------- CDC tail
+
+  /** One un-acked increment: the rows of versions `(fromV, toV]`, plus
+    * the ack that durably advances the consumer offset to `toV`. */
+  final case class Increment(df: DataFrame, fromV: Long, toV: Long,
+                             ack: () => Unit)
+
+  /** The OTHER half of the streaming story: a durable incremental
+    * consumer ("CDC tail") reading OUT of a TxLog table. Each [[poll]]
+    * returns the increment between the last ACKED version and the
+    * current head (file-level — an ordinary distributed scan of just
+    * the added files, via [[TxLog.changes]]), with an ack handle that
+    * persists the new offset.
+    *
+    * Delivery contract — the consumer side of exactly-once: a crash
+    * BETWEEN processing and ack replays the SAME increment on the next
+    * poll (at-least-once); a downstream that writes each increment with
+    * [[TxLog.appendOnce]] marker `"tail:<toV>"` makes the replay a
+    * no-op, upgrading the pipeline to exactly-once end-to-end — the
+    * same process-then-checkpoint discipline Spark's own sources use,
+    * here over the commit log itself.
+    *
+    * Offsets are versioned files (`<v>.ack`) published with the log's
+    * own createLink CAS, so racing consumers sharing one checkpoint dir
+    * cannot corrupt the offset — both may process an increment
+    * (at-least-once stands), but acks serialize and the offset only
+    * advances. Driver-side metadata only; bounded by commit count. */
+  object Tail {
+    private def ackDir(checkpoint: String): java.nio.file.Path =
+      java.nio.file.Paths.get(checkpoint, "acks")
+
+    /** Last durably-acked version (0 = nothing acked). */
+    def acked(checkpoint: String): Long = {
+      val d = ackDir(checkpoint)
+      if (!java.nio.file.Files.isDirectory(d)) return 0L
+      val it = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".ack"))
+          .map(_.stripSuffix(".ack").toLong)
+          .foldLeft(0L)(math.max)
+      } finally it.close()
+    }
+
+    /** The next un-acked increment, or None when the tail has caught up.
+      * Process the frame FIRST, then call `ack()` — acking first turns
+      * the contract into at-most-once. */
+    def poll(spark: SparkSession, table: String,
+             checkpoint: String): Option[Increment] = {
+      val from = acked(checkpoint)
+      val head = TxLog.versions(table).lastOption.getOrElse(0L)
+      if (head <= from) return None
+      val df = TxLog.changes(spark, table, from, Some(head))
+      Some(Increment(df, from, head, () => {
+        val d = ackDir(checkpoint)
+        java.nio.file.Files.createDirectories(d)
+        val tmp = d.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, Array.empty[Byte])
+        try java.nio.file.Files.createLink(d.resolve(s"$head.ack"), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally java.nio.file.Files.deleteIfExists(tmp)
+      }))
+    }
+  }
 }

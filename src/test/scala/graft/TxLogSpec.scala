@@ -247,6 +247,38 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 99L))
   }
 
+  test("CDC tail: replays before ack, delivers deltas after, exactly-once downstream") {
+    import spark.implicits._
+    import graft.streaming.TxLogStream
+    val src = tmp(); val dst = tmp()
+    val ckpt = Files.createTempDirectory("graft-tail").toString
+    TxLog.append(spark, src, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.append(spark, src, Seq((2L, "b")).toDF("id", "s"))
+    // first poll sees the whole backlog (0, 2]
+    val inc1 = TxLogStream.Tail.poll(spark, src, ckpt).get
+    assert((inc1.fromV, inc1.toV) == (0L, 2L))
+    assert(inc1.df.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // crash between process and ack: a fresh poll replays the SAME increment
+    val replay = TxLogStream.Tail.poll(spark, src, ckpt).get
+    assert((replay.fromV, replay.toV) == (0L, 2L))
+    // downstream writes with the tail marker: the replayed delivery is a
+    // no-op in dst, and the duplicate ack is idempotent
+    def deliver(i: TxLogStream.Increment): Unit = {
+      TxLog.appendOnce(spark, dst, i.df, s"tail:${i.toV}"); i.ack()
+    }
+    deliver(inc1); deliver(replay)
+    assert(TxLog.read(spark, dst).count() == 2)
+    // caught up → None; a new commit → only the delta
+    assert(TxLogStream.Tail.poll(spark, src, ckpt).isEmpty)
+    TxLog.append(spark, src, Seq((3L, "c")).toDF("id", "s"))
+    val inc2 = TxLogStream.Tail.poll(spark, src, ckpt).get
+    assert((inc2.fromV, inc2.toV) == (2L, 3L))
+    deliver(inc2)
+    assert(TxLog.read(spark, dst).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("vacuum deletes only out-of-retention files; recent time travel intact") {
     import spark.implicits._
     val t = tmp()
