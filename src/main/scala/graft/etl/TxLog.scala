@@ -119,6 +119,7 @@ object TxLog {
         case Action("add", p)    => live += p
         case Action("remove", p) => live -= p
         case Action("txn", _)    => () // idempotence marker, no file effect
+        case Action("schema", _) => () // schema declaration, no file effect
         case Action(other, p) =>
           throw new IllegalStateException(s"unknown log action $other for $p")
       }
@@ -179,11 +180,74 @@ object TxLog {
       .map(f => s"$rel/$f").sorted
   }
 
+  // ---------------------------------------------------------- schema
+
+  /** Declared table schema: the latest "schema" action in the log (its
+    * payload is base64-encoded StructType JSON — the log's line codec is
+    * a fixed two-field shape, so the nested JSON rides encoded). None
+    * for a pre-schema or empty table. Version files are scanned
+    * latest-first and are never deleted, so the declaration survives
+    * checkpointing and vacuum. */
+  def schemaOf(table: String, asOf: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
+      readActions(table, v).reverseIterator.collectFirst {
+        case Action("schema", enc) =>
+          org.apache.spark.sql.types.DataType.fromJson(new String(
+            java.util.Base64.getDecoder.decode(enc), StandardCharsets.UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+    }.nextOption()
+  }
+
+  private def schemaAction(s: org.apache.spark.sql.types.StructType): Action =
+    Action("schema", java.util.Base64.getEncoder.encodeToString(
+      org.apache.spark.sql.types.StructType(
+        s.fields.map(_.copy(nullable = true)))
+        .json.getBytes(StandardCharsets.UTF_8)))
+
+  /** Schema-on-write enforcement (the lakehouse guarantee a bare parquet
+    * directory lacks): compare by name → dataType, nullability ignored
+    * (parquet read widens it anyway). Returns the schema action to
+    * commit alongside the adds — Some on first declaration or an
+    * accepted widening — or throws on an undeclared new column / any
+    * type conflict. A SUBSET append (missing columns) is fine as-is:
+    * reads bind the DECLARED schema, so absent columns surface as null. */
+  private def enforceSchema(table: String, df: DataFrame,
+                            mergeSchema: Boolean): Option[Action] = {
+    val incoming = df.schema
+    schemaOf(table) match {
+      case None => Some(schemaAction(incoming))
+      case Some(declared) =>
+        val have = declared.map(f => f.name -> f.dataType).toMap
+        val conflicts = incoming.filter(f =>
+          have.get(f.name).exists(_ != f.dataType))
+        if (conflicts.nonEmpty) throw new IllegalArgumentException(
+          s"TxLog schema conflict on ${conflicts.map(_.name).mkString(", ")}: " +
+            "a column cannot change type")
+        val added = incoming.filterNot(f => have.contains(f.name))
+        if (added.isEmpty) None
+        else if (!mergeSchema) throw new IllegalArgumentException(
+          s"TxLog schema mismatch: new columns ${added.map(_.name).mkString(", ")} " +
+            "require mergeSchema = true")
+        else Some(schemaAction(org.apache.spark.sql.types.StructType(
+          declared.fields ++ added.map(_.copy(nullable = true)))))
+    }
+  }
+
   /** Transactional blind append: always safe to retry verbatim — the
-    * action set does not depend on the snapshot it lands on. Returns the
-    * committed version. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val adds = stage(spark, table, df).map(Action("add", _))
+    * action set does not depend on the snapshot it lands on (the schema
+    * check runs once up front; a racing widening of the same columns
+    * commits an equivalent declaration, which is convergent). Refuses a
+    * frame whose schema adds columns unless `mergeSchema` (schema
+    * evolution — the union schema is declared in the same commit) and
+    * always refuses a column changing type. Returns the committed
+    * version. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             mergeSchema: Boolean = false): Long = {
+    val decl = enforceSchema(table, df, mergeSchema)
+    val adds = stage(spark, table, df).map(Action("add", _)) ++ decl
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) v = versions(table).last + 1
     v
@@ -202,7 +266,9 @@ object TxLog {
   def appendOnce(spark: SparkSession, table: String, df: DataFrame,
                  txn: String): Option[Long] = {
     if (txnSeen(table, txn)) return None
-    val adds = stage(spark, table, df).map(Action("add", _)) :+ Action("txn", txn)
+    val decl = enforceSchema(table, df, mergeSchema = false)
+    val adds = (stage(spark, table, df).map(Action("add", _)) ++ decl) :+
+      Action("txn", txn)
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) {
       if (txnSeen(table, txn)) return None
@@ -216,7 +282,14 @@ object TxLog {
     * RECOMPUTED per attempt — losing the race re-reads the new snapshot,
     * so a concurrent append is not silently resurrected or lost. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val adds = stage(spark, table, df).map(Action("add", _))
+    // a full content replace REDEFINES the schema (no merge flag needed);
+    // time travel before it binds the contemporary declaration, so old
+    // snapshots keep reading with their own columns/types
+    val decl =
+      if (schemaOf(table).exists(d => d.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)))) None
+      else Some(schemaAction(df.schema))
+    val adds = stage(spark, table, df).map(Action("add", _)) ++ decl
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(0L) + 1
@@ -371,8 +444,22 @@ object TxLog {
         case Action("add", p) => p
       })
     require(added.nonEmpty, s"no adds in ($fromV, $hi] for $table")
-    spark.read.parquet(added.map(p => s"$table/$p"): _*)
+    boundRead(spark, table, added.map(p => s"$table/$p"), Some(hi))
   }
+
+  /** Scan `files` binding the DECLARED schema when one exists: with an
+    * evolved table, a bare parquet read would take whichever file's
+    * footer it samples first (older files silently drop the new
+    * columns); binding the log's declaration makes absent columns
+    * surface as null — schema comes from the log, not the files, the
+    * production-format read rule. Pre-schema tables read as before. */
+  private def boundRead(spark: SparkSession, table: String,
+                        files: Seq[String],
+                        asOf: Option[Long]): DataFrame =
+    schemaOf(table, asOf) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None    => spark.read.parquet(files: _*)
+    }
 
   /** Snapshot read, optionally AS OF a historical version. An empty
     * snapshot (e.g. a fresh overwrite target) raises like an empty
@@ -380,6 +467,6 @@ object TxLog {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val files = snapshot(table, asOf).map(p => s"$table/$p")
     require(files.nonEmpty, s"empty snapshot for $table asOf=$asOf")
-    spark.read.parquet(files: _*)
+    boundRead(spark, table, files, asOf)
   }
 }

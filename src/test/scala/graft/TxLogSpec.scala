@@ -279,6 +279,48 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("schema-on-write: new column refused without mergeSchema; evolution binds reads") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // undeclared new column → refused, nothing published
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq((2L, "b", 1.5)).toDF("id", "s", "score"))
+    }
+    assert(TxLog.versions(t) == Seq(1L), "refused append published a version")
+    // a column changing type is refused even with mergeSchema
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq((3, 9L)).toDF("id", "s"), mergeSchema = true)
+    }
+    // evolution: union schema declared in the SAME commit as the data
+    TxLog.append(spark, t,
+      Seq((2L, "b", 1.5)).toDF("id", "s", "score"), mergeSchema = true)
+    val out = TxLog.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    // the pre-evolution file surfaces null in the new column (schema
+    // binds from the log, not from whichever footer gets sampled)
+    assert(out.filter(col("id") === 1L).select(col("score")).head().isNullAt(0))
+    // time travel BEFORE the evolution binds the contemporary declaration
+    assert(TxLog.read(spark, t, asOf = Some(1L)).schema.fieldNames.toSeq
+      == Seq("id", "s"))
+    // a SUBSET append is fine as-is: its rows read with the missing
+    // column as null
+    TxLog.append(spark, t, Seq(Tuple1(5L)).toDF("id"))
+    assert(TxLog.read(spark, t).filter(col("id") === 5L)
+      .select(col("s"), col("score")).head().anyNull)
+  }
+
+  test("overwrite redefines the declared schema; old snapshots keep theirs") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.overwrite(spark, t, Seq((9L, true)).toDF("k", "flag"))
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "flag"))
+    val old = TxLog.read(spark, t, asOf = Some(1L))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(old.select(col("id")).head().getLong(0) == 1L)
+  }
+
   test("vacuum deletes only out-of-retention files; recent time travel intact") {
     import spark.implicits._
     val t = tmp()
