@@ -448,7 +448,42 @@ object Lakehouse {
       .orderBy(col("phase"), col("lang"))
   }
 
+  // --------------------------------------- q259 TxLog schema evolution
+
+  /** q259 — schema evolution under the commit log, driver-verified:
+    * land the (doc_id, lang) projection, then evolve the table with a
+    * mergeSchema append carrying the n_chars column for HALF the corpus
+    * (odd doc_ids). The latest snapshot binds the DECLARED union schema,
+    * so the pre-evolution rows must surface n_chars as null — the
+    * per-lang rollup splits counts by that nullness and sums the
+    * post-evolution chars, all integers the oracle recomputes from the
+    * raw table (even ids → null bucket, odd ids → summed). What the
+    * hash check actually verifies: the declaration binds reads (not
+    * whichever parquet footer gets sampled), evolution reaches exactly
+    * the evolved rows, and nothing was dropped or duplicated across the
+    * two schema generations. */
+  def q259TxLogEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft-q259")
+      .resolve("t").toString
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang")).coalesce(4))
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars")).coalesce(4),
+      mergeSchema = true)
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+        sum(when(col("n_chars").isNotNull, 1L).otherwise(0L)).as("n_evolved"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("evolved_chars"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_txlog_evolution" -> (q259TxLogEvolution _),
     "q258_txlog_delete" -> (q258TxLogDelete _),
     "q250_txlog_cdc" -> (q250TxLogCdc _),
     "q249_txlog_timetravel" -> (q249TxLogTimeTravel _),
@@ -464,6 +499,15 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q259_txlog_evolution" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_evolution,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_evolved,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS evolved_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q258_txlog_delete" ->
       """SELECT * FROM (
         |  SELECT 'pre_delete' AS phase, lang,
