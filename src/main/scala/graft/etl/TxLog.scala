@@ -51,8 +51,12 @@ object TxLog {
   private val LogDir = "_graft_log"
 
   /** One committed action: `op` is "add" or "remove", `path` is relative
-    * to the table root. */
-  final case class Action(op: String, path: String)
+    * to the table root. An "add" may carry an opaque file-stats token
+    * ([[TxStats]] — per-column min/max/nullCount from the parquet
+    * footer) that `readWhere` consults for data skipping; absent stats
+    * never affect correctness, only pruning power. */
+  final case class Action(op: String, path: String,
+                          stats: Option[String] = None)
 
   private def logPath(table: String): Path = Paths.get(table, LogDir)
 
@@ -84,17 +88,26 @@ object TxLog {
       .collect { case CheckpointName(v) => v.toLong }.sorted
   }
 
+  private def parseLine(line: String): Action = {
+    // fixed flat shape written by `render` — no general JSON dep; the
+    // optional stats field is base64 (quote-free), so the split is safe
+    val op = line.split("\"op\":\"")(1).takeWhile(_ != '"')
+    val path = line.split("\"path\":\"")(1).takeWhile(_ != '"')
+    val stats =
+      if (line.contains("\"stats\":\""))
+        Some(line.split("\"stats\":\"")(1).takeWhile(_ != '"'))
+      else None
+    Action(op, path, stats)
+  }
+
   private def readActions(table: String, v: Long): Seq[Action] =
     Files.readAllLines(versionFile(table, v), StandardCharsets.UTF_8)
-      .asScala.filter(_.nonEmpty).map { line =>
-        // fixed two-field shape written by `render` — no general JSON dep
-        val op = line.split("\"op\":\"")(1).takeWhile(_ != '"')
-        val path = line.split("\"path\":\"")(1).takeWhile(_ != '"')
-        Action(op, path)
-      }.toSeq
+      .asScala.filter(_.nonEmpty).map(parseLine).toSeq
 
-  private def render(a: Action): String =
-    s"""{"op":"${a.op}","path":"${a.path}"}"""
+  private def render(a: Action): String = a.stats match {
+    case Some(s) => s"""{"op":"${a.op}","path":"${a.path}","stats":"$s"}"""
+    case None    => s"""{"op":"${a.op}","path":"${a.path}"}"""
+  }
 
   /** Live file set (relative paths) at `asOf` (default: latest). Replay
     * starts from the latest checkpoint at-or-before the target version
@@ -102,29 +115,34 @@ object TxLog {
     * O(versions since last checkpoint), not O(table age). Version files
     * are never deleted, so time travel BEFORE the oldest checkpoint
     * still replays from scratch. */
-  def snapshot(table: String, asOf: Option[Long] = None): Seq[String] = {
+  def snapshot(table: String, asOf: Option[Long] = None): Seq[String] =
+    snapshotAdds(table, asOf).map(_.path)
+
+  /** Live `add` actions (path + stats token) at `asOf` — what
+    * stats-aware readers consume; [[snapshot]] is its path projection. */
+  def snapshotAdds(table: String, asOf: Option[Long] = None): Seq[Action] = {
     val vs = versions(table)
     val target = asOf.getOrElse(vs.lastOption.getOrElse(0L))
     val cp = checkpoints(table).filter(_ <= target).lastOption
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
     cp.foreach { c =>
       Files.readAllLines(logPath(table).resolve(f"$c%020d.checkpoint.json"),
         StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).foreach { line =>
-        val path = line.split("\"path\":\"")(1).takeWhile(_ != '"')
-        live += path
+        val a = parseLine(line)
+        live += a.path -> a.stats
       }
     }
     vs.filter(v => v > cp.getOrElse(0L) && v <= target).foreach { v =>
       readActions(table, v).foreach {
-        case Action("add", p)    => live += p
-        case Action("remove", p) => live -= p
-        case Action("txn", _)    => () // idempotence marker, no file effect
-        case Action("schema", _) => () // schema declaration, no file effect
-        case Action(other, p) =>
+        case Action("add", p, st)   => live += p -> st
+        case Action("remove", p, _) => live -= p
+        case Action("txn", _, _)    => () // idempotence marker, no file effect
+        case Action("schema", _, _) => () // schema declaration, no file effect
+        case Action(other, p, _) =>
           throw new IllegalStateException(s"unknown log action $other for $p")
       }
     }
-    live.toSeq
+    live.toSeq.map { case (p, st) => Action("add", p, st) }
   }
 
   /** Compact the action history at the current last version: publish
@@ -138,8 +156,7 @@ object TxLog {
       throw new IllegalStateException(s"no commits to checkpoint in $table"))
     val dir = logPath(table)
     val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    val body = snapshot(table, Some(v)).map(p => render(Action("add", p)))
-      .mkString("\n")
+    val body = snapshotAdds(table, Some(v)).map(render).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try Files.createLink(dir.resolve(f"$v%020d.checkpoint.json"), tmp)
@@ -170,14 +187,51 @@ object TxLog {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Write `df` as a new immutable data dir and return its part files
-    * (relative to the table root). */
-  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[String] = {
+  /** Parquet staging writes go through a per-session clone (shared
+    * SparkContext, own SQLConf) pinned to INT64 TIMESTAMP_MICROS: the
+    * deprecated INT96 default that Spark still writes for TimestampType
+    * carries NO footer statistics, which would blind [[TxStats]] data
+    * skipping on every time predicate. `outputTimestampType` is
+    * session-conf-only (no per-write option), and flipping it on the
+    * CALLER's session would silently change how all ITS outputs render
+    * downstream — the clone confines the choice to the table format.
+    * Keyed weakly by the owning session so stopped sessions collect. */
+  private val writerSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def writerSession(spark: SparkSession): SparkSession =
+    writerSessions.synchronized {
+      var ws = writerSessions.get(spark)
+      if (ws == null) {
+        ws = spark.newSession()
+        ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        writerSessions.put(spark, ws)
+      }
+      ws
+    }
+
+  /** Write `df` as a new immutable data dir and return its `add`
+    * actions (paths relative to the table root), each carrying the
+    * file's column stats harvested from the parquet FOOTER the writer
+    * just produced — metadata-only I/O, the write path stays
+    * single-pass ([[TxStats]]). Harvest failure degrades to a
+    * stats-less add (correct, just never skipped). */
+  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[Action] = {
     val rel = s"data/${UUID.randomUUID()}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+    // hand the frame to the stats-bearing writer session via a global
+    // temp view (the cross-session channel the public API provides)
+    val gv = s"graft_txlog_stage_${UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceGlobalTempView(gv)
+    try writerSession(spark).table(s"global_temp.$gv")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+    finally df.sparkSession.catalog.dropGlobalTempView(gv)
+    val conf = spark.sessionState.newHadoopConf()
     listDir(Paths.get(table, rel))
       .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
       .map(f => s"$rel/$f").sorted
+      .map { p =>
+        val abs = Paths.get(table, p).toAbsolutePath.toString
+        Action("add", p, TxStats.fromFooter(conf, abs).map(TxStats.encode))
+      }
   }
 
   // ---------------------------------------------------------- schema
@@ -193,7 +247,7 @@ object TxLog {
     val hi = asOf.getOrElse(Long.MaxValue)
     versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
       readActions(table, v).reverseIterator.collectFirst {
-        case Action("schema", enc) =>
+        case Action("schema", enc, _) =>
           org.apache.spark.sql.types.DataType.fromJson(new String(
             java.util.Base64.getDecoder.decode(enc), StandardCharsets.UTF_8))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -247,7 +301,7 @@ object TxLog {
   def append(spark: SparkSession, table: String, df: DataFrame,
              mergeSchema: Boolean = false): Long = {
     val decl = enforceSchema(table, df, mergeSchema)
-    val adds = stage(spark, table, df).map(Action("add", _)) ++ decl
+    val adds = stage(spark, table, df) ++ decl
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) v = versions(table).last + 1
     v
@@ -267,7 +321,7 @@ object TxLog {
                  txn: String): Option[Long] = {
     if (txnSeen(table, txn)) return None
     val decl = enforceSchema(table, df, mergeSchema = false)
-    val adds = (stage(spark, table, df).map(Action("add", _)) ++ decl) :+
+    val adds = (stage(spark, table, df) ++ decl) :+
       Action("txn", txn)
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) {
@@ -289,7 +343,7 @@ object TxLog {
       if (schemaOf(table).exists(d => d.map(f => (f.name, f.dataType)) ==
         df.schema.map(f => (f.name, f.dataType)))) None
       else Some(schemaAction(df.schema))
-    val adds = stage(spark, table, df).map(Action("add", _)) ++ decl
+    val adds = stage(spark, table, df) ++ decl
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(0L) + 1
@@ -342,7 +396,7 @@ object TxLog {
       val survivors = spark.read.parquet(absOf(affected): _*).filter(not(hit))
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
-        else stage(spark, table, survivors).map(Action("add", _))
+        else stage(spark, table, survivors)
       val removes = affected.map(Action("remove", _))
       var v = versions(table).last + 1
       var done = false
@@ -375,7 +429,7 @@ object TxLog {
       if (read0.isEmpty) return None
       val compact = spark.read.parquet(read0.map(p => s"$table/$p"): _*)
         .coalesce(targetFiles)
-      val adds = stage(spark, table, compact).map(Action("add", _))
+      val adds = stage(spark, table, compact)
       val removes = read0.map(Action("remove", _))
       var v = versions(table).last + 1
       var done = false
@@ -441,7 +495,7 @@ object TxLog {
     val hi = toV.getOrElse(versions(table).lastOption.getOrElse(0L))
     val added = versions(table).filter(v => v > fromV && v <= hi)
       .flatMap(v => readActions(table, v).collect {
-        case Action("add", p) => p
+        case Action("add", p, _) => p
       })
     require(added.nonEmpty, s"no adds in ($fromV, $hi] for $table")
     boundRead(spark, table, added.map(p => s"$table/$p"), Some(hi))
@@ -468,5 +522,58 @@ object TxLog {
     val files = snapshot(table, asOf).map(p => s"$table/$p")
     require(files.nonEmpty, s"empty snapshot for $table asOf=$asOf")
     boundRead(spark, table, files, asOf)
+  }
+
+  /** Result of stats-based pruning over a snapshot's live files. */
+  final case class Pruned(kept: Seq[Action], skipped: Seq[Action])
+
+  /** Partition the snapshot's files by whether their commit-log stats
+    * admit a row satisfying `cond`. The predicate is resolved, cast,
+    * and constant-folded by CATALYST against the table's read schema
+    * first (so `$"ts_col" >= "1995-01-01"` arrives as a typed
+    * timestamp literal), then evaluated conservatively against each
+    * file's min/max/nullCount ([[TxStats.mayTrue]]): a file is skipped
+    * only when provably free of matches; missing or undecodable stats
+    * keep it. Driver-side metadata work only — O(files), no data I/O. */
+  def prune(spark: SparkSession, table: String, cond: Column,
+            asOf: Option[Long] = None): Pruned = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    val adds = snapshotAdds(table, asOf)
+    require(adds.nonEmpty, s"empty snapshot for $table asOf=$asOf")
+    val base = boundRead(spark, table, adds.map(a => s"$table/${a.path}"), asOf)
+    val optimized = base.filter(cond).queryExecution.optimizedPlan
+    if (optimized.collectLeaves().forall(_.isInstanceOf[LocalRelation]))
+      return Pruned(Seq.empty, adds) // predicate folded to false: scan elided
+    val conds = optimized.collect { case f: LFilter => f.condition }
+    if (conds.isEmpty) return Pruned(adds, Seq.empty) // folded to true
+    val pred = conds.reduce(And)
+    val (kept, skipped) = adds.partition { a =>
+      a.stats.flatMap(TxStats.decode) match {
+        // a zero-row file can't produce a match regardless of predicate
+        case Some(fs) => fs.rows > 0 && TxStats.mayTrue(pred, fs)
+        case None     => true
+      }
+    }
+    Pruned(kept, skipped)
+  }
+
+  /** Stats-pruned snapshot read — the lakehouse data-skipping contract:
+    * consult the commit log's per-file min/max to open ONLY files that
+    * can hold matching rows, then re-apply `cond` as an ordinary filter
+    * over the survivors (pruning is file-granular; parquet row-group
+    * pushdown continues below it). Always row-for-row equal to
+    * `read(...).filter(cond)` — stats can only reduce I/O, never
+    * change results. */
+  def readWhere(spark: SparkSession, table: String, cond: Column,
+                asOf: Option[Long] = None): DataFrame = {
+    val pr = prune(spark, table, cond, asOf)
+    if (pr.kept.isEmpty) {
+      // provably no matching row anywhere: empty frame, table schema
+      val all = snapshotAdds(table, asOf).map(a => s"$table/${a.path}")
+      boundRead(spark, table, all, asOf).filter(lit(false))
+    } else
+      boundRead(spark, table, pr.kept.map(a => s"$table/${a.path}"), asOf)
+        .filter(cond)
   }
 }

@@ -482,7 +482,47 @@ object Lakehouse {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------ q260 TxLog data skipping
+
+  /** q260 — commit-log data skipping, driver-verified: orders land as
+    * four single-file appends bucketed by o_orderdate year range, then
+    * two [[graft.etl.TxLog.readWhere]] scans run — a timestamp-range
+    * predicate aligned with the bucketing (prunable) and a key
+    * predicate orthogonal to it (not prunable) — and the output carries
+    * BOTH the matching-row counts and the kept/skipped file counts from
+    * [[graft.etl.TxLog.prune]]. The oracle recomputes the skipping
+    * decision from raw data under the protocol's own rule (a file
+    * survives `col < lit` iff its per-bucket min is below the literal),
+    * so the hash check pins three things at once: pruning fires where
+    * footer stats prove absence, never drops a matching row (counts
+    * equal the raw filter's), and stays conservative where ranges
+    * overlap. Works at all because GraftSession writes timestamps as
+    * INT64 micros — the deprecated INT96 default carries no footer
+    * statistics at all. Integer/string output only. */
+  def q260TxLogSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-q260")
+      .resolve("t").toString
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val y = year(col("o_orderdate"))
+    // testdata o_orderdate spans 1995..2001 — four non-empty year buckets
+    Seq(y <= 1996, y === 1997 || y === 1998, y === 1999, y >= 2000)
+      .foreach(b => graft.etl.TxLog.append(s, table,
+        orders.filter(b).coalesce(1)))
+    Seq(
+      ("time_lt_cut", col("o_orderdate") < "1997-06-01"),
+      ("key_le_1000", col("o_orderkey") <= 1000L)
+    ).map { case (name, cond) =>
+      val pr = graft.etl.TxLog.prune(s, table, cond)
+      val n = graft.etl.TxLog.readWhere(s, table, cond).count()
+      (name, n, pr.kept.size.toLong, pr.skipped.size.toLong)
+    }.toDF("probe", "n_rows", "files_kept", "files_skipped")
+      .orderBy(col("probe"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_txlog_skipping" -> (q260TxLogSkipping _),
     "q259_txlog_evolution" -> (q259TxLogEvolution _),
     "q258_txlog_delete" -> (q258TxLogDelete _),
     "q250_txlog_cdc" -> (q250TxLogCdc _),
@@ -499,6 +539,32 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q260_txlog_skipping" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN year(o_orderdate) <= 1996 THEN 0
+        |              WHEN year(o_orderdate) <= 1998 THEN 1
+        |              WHEN year(o_orderdate) = 1999 THEN 2
+        |              ELSE 3 END AS bucket,
+        |         o_orderkey, o_orderdate
+        |  FROM orders),
+        |s AS (SELECT bucket, min(o_orderdate) AS mind, min(o_orderkey) AS mink
+        |      FROM b GROUP BY bucket)
+        |SELECT 'key_le_1000' AS probe,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey <= 1000) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s WHERE mink <= 1000)
+        |    AS files_kept,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s WHERE mink > 1000)
+        |    AS files_skipped
+        |UNION ALL
+        |SELECT 'time_lt_cut',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s
+        |     WHERE mind < TIMESTAMP '1997-06-01'),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s
+        |     WHERE mind >= TIMESTAMP '1997-06-01')
+        |ORDER BY probe""".stripMargin,
     "q259_txlog_evolution" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.etl.{TxLog, TxStats}
+
+/** Data skipping over TxLog's commit-log file stats: pruning must be
+  * exactly `read(...).filter(cond)` on every predicate shape (equality
+  * with the result guaranteed by construction — readWhere re-filters
+  * survivors — so what these tests PIN is that pruning actually fires
+  * where it should, never drops a matching file, and degrades to
+  * keep-everything on unsupported shapes and stats-less logs). */
+class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("skipping-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-skip").resolve("t").toString
+
+  /** Three single-file appends with disjoint id ranges and distinct
+    * langs; ids 200-299 carry null score, lang null on id%50==0. */
+  private def rangedTable(): String = {
+    import spark.implicits._
+    val t = tmp()
+    Seq(0, 1, 2).foreach { b =>
+      val df = (b * 100 until (b + 1) * 100).map { i =>
+        (i.toLong,
+          if (i % 50 == 0) null else Seq("de", "en", "fr")(b),
+          if (b == 2) null else java.lang.Double.valueOf(i / 10.0))
+      }.toDF("id", "lang", "score").coalesce(1)
+      TxLog.append(spark, t, df)
+    }
+    t
+  }
+
+  private def check(t: String, cond: Column,
+                    expectSkipped: Option[Int] = None): Unit = {
+    val pr = TxLog.prune(spark, t, cond)
+    expectSkipped.foreach(n => assert(pr.skipped.size == n,
+      s"expected $n skipped, got ${pr.skipped.size} for $cond"))
+    val got = TxLog.readWhere(spark, t, cond)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    val want = TxLog.read(spark, t).filter(cond)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"readWhere mismatch for $cond")
+  }
+
+  test("range and equality predicates prune disjoint-range files") {
+    val t = rangedTable()
+    check(t, col("id") === 150L, expectSkipped = Some(2))
+    check(t, col("id") < 100L, expectSkipped = Some(2))
+    check(t, col("id") >= 250L, expectSkipped = Some(2))
+    check(t, col("id") > 99L && col("id") < 201L, expectSkipped = Some(1))
+    check(t, col("id") === 150L || col("id") === 250L, expectSkipped = Some(1))
+    check(t, lit(75L) > col("id"), expectSkipped = Some(2)) // literal-left
+    check(t, col("id").isin(5L, 7L), expectSkipped = Some(2))
+    // out-of-range everywhere: every file skipped, empty result, schema kept
+    val pr = TxLog.prune(spark, t, col("id") === 999L)
+    assert(pr.kept.isEmpty && pr.skipped.size == 3)
+    val empty = TxLog.readWhere(spark, t, col("id") === 999L)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("id", "lang", "score"))
+  }
+
+  test("string, double, null and negation predicates stay exact") {
+    val t = rangedTable()
+    check(t, col("lang") === "en", expectSkipped = Some(2))
+    check(t, col("lang") < "en", expectSkipped = Some(2)) // only "de" file
+    check(t, col("lang").startsWith("f"), expectSkipped = Some(2))
+    check(t, col("score") > 15.0, expectSkipped = Some(2)) // b2 all-null too
+    check(t, col("score").isNull, expectSkipped = Some(2)) // only b2 has nulls
+    check(t, col("lang").isNull, expectSkipped = Some(0))  // every file has one
+    check(t, !(col("id") < 100L), expectSkipped = Some(1))
+    // three-valued NOT: the all-"en" file has no FALSE row (matches are
+    // true, nulls are null) — provably skippable, and the evaluator sees it
+    check(t, not(col("lang") === "en"), expectSkipped = Some(1))
+    // int literal comparison against long column (analyzer casts literal)
+    check(t, col("id") === 150, expectSkipped = Some(2))
+  }
+
+  test("typed literals fold through casts; unsupported shapes keep files") {
+    import spark.implicits._
+    val t = tmp()
+    val ts = Seq(
+      ("1995-01-03 00:00:00", 1L), ("1995-06-01 12:00:00", 2L),
+      ("1997-02-01 00:00:00", 3L), ("1998-11-30 23:59:59", 4L))
+      .toDF("s", "k").select(to_timestamp(col("s")).as("t"), col("k"))
+    TxLog.append(spark, t, ts.filter(col("k") <= 2).coalesce(1))
+    TxLog.append(spark, t, ts.filter(col("k") > 2).coalesce(1))
+    // string date literal: analysis casts it to timestamp, stats prune
+    val pr = TxLog.prune(spark, t, col("t") < "1996-01-01")
+    assert(pr.skipped.size == 1)
+    check2(t, col("t") < "1996-01-01", Seq(1L, 2L))
+    // unsupported expression shape: no pruning, correct result
+    val prU = TxLog.prune(spark, t, year(col("t")) === 1997)
+    assert(prU.skipped.isEmpty)
+    check2(t, year(col("t")) === 1997, Seq(3L))
+  }
+
+  private def check2(t: String, cond: Column, want: Seq[Long]): Unit =
+    assert(TxLog.readWhere(spark, t, cond)
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq == want)
+
+  test("stats survive checkpoint, recompute under optimize and delete") {
+    val t = rangedTable()
+    TxLog.checkpoint(t)
+    check(t, col("id") < 100L, expectSkipped = Some(2)) // read via checkpoint
+    TxLog.deleteWhere(spark, t, col("id") === 10L) // rewrites only file b0
+    check(t, col("id") < 100L, expectSkipped = Some(2)) // fresh stats on b0'
+    assert(TxLog.readWhere(spark, t, col("id") < 20L).count() == 19)
+    TxLog.optimize(spark, t, targetFiles = 1)
+    // single compacted file: full range, nothing prunable but still exact
+    check(t, col("id") === 150L, expectSkipped = Some(0))
+  }
+
+  test("a stats-less log (legacy lines) keeps every file and stays exact") {
+    val t = rangedTable()
+    // strip the stats field from every committed line: the pre-stats codec
+    val log = Paths.get(t, "_graft_log")
+    Files.list(log).iterator().asScala.filter(_.toString.endsWith(".json"))
+      .foreach { f =>
+        val stripped = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+          .map(_.replaceAll(""","stats":"[^"]*"""", "")).mkString("\n")
+        Files.write(f, stripped.getBytes(StandardCharsets.UTF_8))
+      }
+    assert(TxLog.snapshotAdds(t).forall(_.stats.isEmpty))
+    check(t, col("id") === 150L, expectSkipped = Some(0))
+    check(t, col("id") < 0L, expectSkipped = Some(0)) // nothing provable
+  }
+
+  test("footer stats match the data exactly (longs, strings, nulls)") {
+    val t = rangedTable()
+    val adds = TxLog.snapshotAdds(t)
+    assert(adds.size == 3 && adds.forall(_.stats.nonEmpty))
+    val fs = adds.map(a => TxStats.decode(a.stats.get).get)
+    assert(fs.map(_.rows).sum == 300L)
+    val ids = fs.map(_.cols("id"))
+    assert(ids.map(_.min.get.toLong).sorted == Seq(0L, 100L, 200L))
+    assert(ids.map(_.max.get.toLong).sorted == Seq(99L, 199L, 299L))
+    val langs = fs.map(_.cols("lang"))
+    assert(langs.forall(_.nulls == 2L)) // i%50==0 twice per 100-block
+    val dec = new String(java.util.Base64.getDecoder
+      .decode(langs.head.min.get), StandardCharsets.UTF_8)
+    assert(Seq("de", "en", "fr").contains(dec))
+    val scores = fs.map(_.cols("score"))
+    assert(scores.count(_.min.isEmpty) == 1) // the all-null file
+    assert(scores.count(_.nulls == 100L) == 1)
+  }
+}
