@@ -385,7 +385,10 @@ object TxLog {
       if (read0.isEmpty) return None
       def absOf(rel: Seq[String]): Seq[String] =
         rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
-      val hits = spark.read.parquet(absOf(read0): _*)
+      // bind the DECLARED schema (evolved tables: absent columns must
+      // surface as null in the predicate, and survivors must keep the
+      // full declared width, not whichever footer gets sampled)
+      val hits = boundRead(spark, table, absOf(read0), None)
         .withColumn("_graft_file", input_file_name())
         .filter(hit).select("_graft_file").distinct()
         .collect().map(_.getString(0))
@@ -393,7 +396,7 @@ object TxLog {
       // (data/<uuid>/part-*.parquet is unique within the table)
       val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
       if (affected.isEmpty) return None
-      val survivors = spark.read.parquet(absOf(affected): _*).filter(not(hit))
+      val survivors = boundRead(spark, table, absOf(affected), None).filter(not(hit))
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
         else stage(spark, table, survivors)
@@ -421,14 +424,35 @@ object TxLog {
     * and its rows survive. If the CAS loses to a commit that removed any
     * file we read (another optimize/overwrite), the whole pass restarts
     * against the new snapshot — content is provably unchanged either
-    * way. Returns the committed version, or None for an empty table. */
+    * way. Returns the committed version, or None for an empty table.
+    *
+    * `sortBy` turns compaction into CLUSTERING: a range repartition on
+    * the sort columns + an in-partition sort lands each output file
+    * with a disjoint sort-key range, so the footer stats the commit
+    * harvests make later `readWhere` predicates on those columns prune
+    * to O(matching files) — the OPTIMIZE/cluster-by contract of
+    * production table formats, and at 100 TB the difference between
+    * "scan the table" and "open one file". (Multi-dimensional layouts
+    * compose: add a q76-style interleaved-bit z-value column at append
+    * time and sortBy it.) Rows are only reordered, never changed, so
+    * snapshot content is identical either way. */
   def optimize(spark: SparkSession, table: String,
-               targetFiles: Int = 1): Option[Long] = {
+               targetFiles: Int = 1,
+               sortBy: Seq[String] = Nil): Option[Long] = {
     while (true) {
       val read0 = snapshot(table)
       if (read0.isEmpty) return None
-      val compact = spark.read.parquet(read0.map(p => s"$table/$p"): _*)
-        .coalesce(targetFiles)
+      // bind the DECLARED schema: on an evolved table a bare parquet
+      // read takes whichever footer it samples first and could compact
+      // the new columns away
+      val base = boundRead(spark, table, read0.map(p => s"$table/$p"), None)
+      val compact =
+        if (sortBy.isEmpty) base.coalesce(targetFiles)
+        else base
+          .repartitionByRange(targetFiles,
+            sortBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            sortBy.map(org.apache.spark.sql.functions.col): _*)
       val adds = stage(spark, table, compact)
       val removes = read0.map(Action("remove", _))
       var v = versions(table).last + 1

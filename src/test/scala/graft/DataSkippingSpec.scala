@@ -123,6 +123,21 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(t, col("id") === 150L, expectSkipped = Some(0))
   }
 
+  test("clustered optimize (sortBy) re-enables skipping on the sort key") {
+    val t = rangedTable()
+    // full compaction: one file spanning every lang — nothing prunable
+    TxLog.optimize(spark, t, targetFiles = 1)
+    check(t, col("lang") === "en", expectSkipped = Some(0))
+    // cluster by lang: disjoint lang ranges per file, pruning returns
+    TxLog.optimize(spark, t, targetFiles = 3, sortBy = Seq("lang"))
+    val pr = TxLog.prune(spark, t, col("lang") === "en")
+    assert(pr.skipped.nonEmpty, "clustered layout should prune lang probes")
+    check(t, col("lang") === "en")
+    check(t, col("id") === 150L) // orthogonal probe stays exact
+    // content identical through both rewrites
+    assert(TxLog.read(spark, t).count() == 300L)
+  }
+
   test("a stats-less log (legacy lines) keeps every file and stays exact") {
     val t = rangedTable()
     // strip the stats field from every committed line: the pre-stats codec

@@ -310,6 +310,28 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("s"), col("score")).head().anyNull)
   }
 
+  test("optimize and deleteWhere bind the declared schema on evolved tables") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.append(spark, t,
+      Seq((3L, "c", 1.5)).toDF("id", "s", "score"), mergeSchema = true)
+    // compaction must not take the pre-evolution footer and drop `score`
+    TxLog.optimize(spark, t, targetFiles = 1)
+    val out = TxLog.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(out.filter(col("id") === 3L)
+      .select(col("score")).head().getDouble(0) == 1.5)
+    assert(out.filter(col("id") === 1L).select(col("score")).head().isNullAt(0))
+    // delete on the EVOLVED column: pre-evolution rows evaluate it as
+    // null (predicate not TRUE) and must survive with full width
+    TxLog.deleteWhere(spark, t, col("score") > 1.0)
+    val left = TxLog.read(spark, t)
+    assert(left.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(left.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("overwrite redefines the declared schema; old snapshots keep theirs") {
     import spark.implicits._
     val t = tmp()
