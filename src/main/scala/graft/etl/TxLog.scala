@@ -548,6 +548,22 @@ object TxLog {
     boundRead(spark, table, files, asOf)
   }
 
+  /** Metadata-only table profile: exact row count and per-column
+    * min/max/nullCount folded from the commit log's per-file stats —
+    * the log-backed answer to `count(*)` / `min` / `max` that never
+    * opens a data file (driver-side, O(files)). Takes NO SparkSession:
+    * the signature itself is the zero-data-I/O guarantee. None when
+    * any live file lacks a decodable stats token (pre-stats logs) —
+    * partial knowledge is refused, never guessed; callers fall back to
+    * a scan. */
+  def describe(table: String, asOf: Option[Long] = None): Option[TxStats.TableAgg] = {
+    val adds = snapshotAdds(table, asOf)
+    if (adds.isEmpty) return None
+    val decoded = adds.map(_.stats.flatMap(TxStats.decode))
+    if (decoded.exists(_.isEmpty)) None
+    else TxStats.aggregate(decoded.map(_.get))
+  }
+
   /** Result of stats-based pruning over a snapshot's live files. */
   final case class Pruned(kept: Seq[Action], skipped: Seq[Action])
 

@@ -493,4 +493,56 @@ object TxStats {
     * Returns absolute-path → encoded token (missing on harvest failure). */
   def harvest(conf: Configuration, files: Seq[String]): Map[String, String] =
     files.flatMap(f => fromFooter(conf, f).map(fs => f -> encode(fs))).toMap
+
+  // ------------------------------------------- metadata-only aggregates
+
+  /** Table-level aggregate of one column folded across files: canonical
+    * min/max tokens in the column's domain (absent when every row is
+    * null), total null count, and the table row count. */
+  final case class ColAgg(tag: String, min: Option[String],
+                          max: Option[String], nulls: Long)
+  final case class TableAgg(rows: Long, cols: Map[String, ColAgg])
+
+  /** Fold per-file stats into exact TABLE-level aggregates — the
+    * metadata-only `count(*)` / `min` / `max` / null-count answer a
+    * log-backed table can give without opening one data file. Returns
+    * None when `files` is empty. A column survives into the result only
+    * when EVERY file tracks it with decodable bounds (or is provably
+    * all-null there) — file min/max are only global min/max if no file
+    * is missing; partial knowledge is dropped, never guessed. */
+  def aggregate(files: Seq[FileStats]): Option[TableAgg] =
+    if (files.isEmpty) None
+    else Some(TableAgg(
+      files.map(_.rows).sum,
+      files.head.cols.keySet
+        .filter(n => files.forall(_.cols.contains(n)))
+        .flatMap(n => colAgg(files, n).map(n -> _)).toMap))
+
+  private def colAgg(files: Seq[FileStats], name: String): Option[ColAgg] = {
+    val pairs = files.map(f => (f.rows, f.cols(name)))
+    val tag = pairs.head._2.tag
+    val usable = pairs.forall { case (rows, c) =>
+      c.tag == tag && c.nulls >= 0 &&
+        // bounds present, or the column is provably all-null in that file
+        ((c.min.nonEmpty && c.max.nonEmpty) || c.nulls == rows)
+    }
+    if (!usable) None
+    else {
+      val nulls = pairs.map(_._2.nulls).sum
+      val bounded = pairs.map(_._2).filter(c => c.min.nonEmpty && c.max.nonEmpty)
+      if (bounded.isEmpty) Some(ColAgg(tag, None, None, nulls))
+      else {
+        val lo = bounded.map(c => c.min.get -> keyOf(tag, c.min.get))
+        val hi = bounded.map(c => c.max.get -> keyOf(tag, c.max.get))
+        if ((lo ++ hi).exists(_._2.isEmpty)) None // undecodable: drop column
+        else Some(ColAgg(tag,
+          // same tag ⇒ same Key domain ⇒ keyCmp is total here
+          Some(lo.reduceLeft((a, b) =>
+            if (keyCmp(b._2.get, a._2.get).exists(_ < 0)) b else a)._1),
+          Some(hi.reduceLeft((a, b) =>
+            if (keyCmp(b._2.get, a._2.get).exists(_ > 0)) b else a)._1),
+          nulls))
+      }
+    }
+  }
 }

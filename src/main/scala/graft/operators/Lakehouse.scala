@@ -521,7 +521,38 @@ object Lakehouse {
       .orderBy(col("probe"))
   }
 
+  // ------------------------------------- q261 TxLog metadata describe
+
+  /** q261 — metadata-only table profile, driver-verified: orders land
+    * as four appends, then [[graft.etl.TxLog.describe]] answers exact
+    * row count, null counts, and min/max for the key and date columns
+    * from the COMMIT LOG ALONE — describe takes no SparkSession, so
+    * zero data I/O is guaranteed by its signature, not by discipline.
+    * The oracle recomputes the same profile by scanning the raw table,
+    * so the hash check pins the fold across files (sums of counts,
+    * min-of-mins, max-of-maxes in the exact key domain) against ground
+    * truth. Values render as the stats tokens themselves (decimal
+    * strings; timestamps as epoch micros — what INT64 TIMESTAMP_MICROS
+    * footers store), integer-exact in both engines. */
+  def q261TxLogDescribe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-q261")
+      .resolve("t").toString
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    (0 until 4).foreach(p => graft.etl.TxLog.append(s, table,
+      orders.filter(col("o_orderkey") % 4 === p).coalesce(2)))
+    val agg = graft.etl.TxLog.describe(table).getOrElse(
+      throw new IllegalStateException("stats missing from a fresh log"))
+    Seq("o_orderdate", "o_orderkey").map { c =>
+      val ca = agg.cols(c)
+      (c, agg.rows, ca.nulls, ca.min.getOrElse("-"), ca.max.getOrElse("-"))
+    }.toDF("col_name", "n_rows", "n_nulls", "min_val", "max_val")
+      .orderBy(col("col_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_txlog_describe" -> (q261TxLogDescribe _),
     "q260_txlog_skipping" -> (q260TxLogSkipping _),
     "q259_txlog_evolution" -> (q259TxLogEvolution _),
     "q258_txlog_delete" -> (q258TxLogDelete _),
@@ -539,6 +570,22 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q261_txlog_describe" ->
+      """SELECT 'o_orderdate' AS col_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  CAST(epoch_us(min(o_orderdate)) AS VARCHAR) AS min_val,
+        |  CAST(epoch_us(max(o_orderdate)) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(min(o_orderkey) AS VARCHAR),
+        |  CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
     "q260_txlog_skipping" ->
       """WITH b AS (
         |  SELECT CASE WHEN year(o_orderdate) <= 1996 THEN 0

@@ -153,6 +153,32 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(t, col("id") < 0L, expectSkipped = Some(0)) // nothing provable
   }
 
+  test("describe folds exact metadata aggregates; refuses partial stats") {
+    val t = rangedTable()
+    val agg = TxLog.describe(t).get
+    assert(agg.rows == 300L)
+    val id = agg.cols("id")
+    assert(id.min.contains("0") && id.max.contains("299") && id.nulls == 0L)
+    assert(agg.cols("lang").nulls == 6L)
+    val score = agg.cols("score") // one file is all-null: fold still exact
+    // parquet truncates double min to -0.0 by spec (sort-order safety):
+    // bounds are value-exact up to IEEE zero sign
+    assert(score.nulls == 100L &&
+      score.min.exists(_.toDouble == 0.0) && score.max.contains("19.9"))
+    // checkpointed logs keep describing
+    TxLog.checkpoint(t)
+    assert(TxLog.describe(t).get == agg)
+    // a stats-less (legacy) log refuses — never guesses
+    val log = Paths.get(t, "_graft_log")
+    Files.list(log).iterator().asScala.filter(_.toString.endsWith(".json"))
+      .foreach { f =>
+        val stripped = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+          .map(_.replaceAll(""","stats":"[^"]*"""", "")).mkString("\n")
+        Files.write(f, stripped.getBytes(StandardCharsets.UTF_8))
+      }
+    assert(TxLog.describe(t).isEmpty)
+  }
+
   test("footer stats match the data exactly (longs, strings, nulls)") {
     val t = rangedTable()
     val adds = TxLog.snapshotAdds(t)
