@@ -153,6 +153,43 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(t, col("id") < 0L, expectSkipped = Some(0)) // nothing provable
   }
 
+  test("decimal and date columns prune and describe exactly") {
+    import spark.implicits._
+    val t = tmp()
+    // two files: amounts [0.01, 9.99] vs [100.00, 999.99]; days in
+    // Jan-1995 vs Jun-1995 — decimal(12,2) exercises the INT64/INT32
+    // decimal footer path, a wider literal the exact-widening unwrap
+    Seq(0, 1).foreach { b =>
+      val lo = if (b == 0) 1 else 10000
+      val df = (0 until 50).map { i =>
+        (b * 50 + i.toLong,
+          BigDecimal(lo + i * 17L, 2),
+          java.sql.Date.valueOf(if (b == 0) f"1995-01-${i % 28 + 1}%02d"
+                                else f"1995-06-${i % 28 + 1}%02d"))
+      }.toDF("id", "amount", "day")
+        .select(col("id"), col("amount").cast("decimal(12,2)").as("amount"),
+          // precision > 18 lands as FIXED_LEN_BYTE_ARRAY in parquet
+          col("amount").cast("decimal(25,2)").as("amount_wide"),
+          col("day"))
+      TxLog.append(spark, t, df.coalesce(1))
+    }
+    check(t, col("amount") < BigDecimal("10.00"), expectSkipped = Some(1))
+    check(t, col("amount") >= BigDecimal("100.00"), expectSkipped = Some(1))
+    check(t, col("amount_wide") < BigDecimal("10.00"), expectSkipped = Some(1))
+    // a wider decimal literal: analyzer widens the column cast-exactly
+    check(t, col("amount") === lit(new java.math.BigDecimal("100.00"))
+      .cast("decimal(20,4)"), expectSkipped = Some(1))
+    check(t, col("day") < "1995-03-01", expectSkipped = Some(1))
+    check(t, col("day") === java.sql.Date.valueOf("1995-06-15"),
+      expectSkipped = Some(1))
+    val agg = TxLog.describe(t).get
+    assert(agg.rows == 100L)
+    assert(agg.cols("amount").tag == "dec:2")
+    assert(agg.cols("amount").min.contains("1") &&  // unscaled 0.01
+      agg.cols("amount").max.contains("10833"))     // 108.33
+    assert(agg.cols("day").tag == "date")
+  }
+
   test("describe folds exact metadata aggregates; refuses partial stats") {
     val t = rangedTable()
     val agg = TxLog.describe(t).get
