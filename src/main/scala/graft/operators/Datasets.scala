@@ -682,7 +682,80 @@ object Datasets {
       .orderBy(col("source"), col("fold"))
   }
 
+  /** q262's pinned parameters: hashed-feature bucket count, selection
+    * size, and fixed-point scale — shared with the generated oracle. */
+  private[operators] val DsirBuckets = 64
+  private[operators] val DsirK = 20
+  private val DsirScale = 1e9
+
+  /** q262 — DSIR-style importance selection (Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * rank candidate documents by how target-like their hashed-unigram
+    * profile is. Features are word unigrams hashed into B=64 buckets
+    * (h60 % B — cross-engine exact); the target distribution p comes
+    * from the 'en' slice, the proposal q from the candidate pool
+    * itself, both with add-½ smoothing; a doc's log-importance is
+    * Σ_b count_b·(ln p_b − ln q_b), and the top-K by weight (ties by
+    * doc_id) are selected — the deterministic top-k variant of the
+    * paper's Gumbel resampling (same ranking statistic; sampling noise
+    * has no place in a hash-checked oracle).
+    *
+    * Determinism: smoothed probabilities use integer-exact arguments
+    * (p_b ∝ 2·ct_b + 1 over 2·N_t + B — no fractional literals), each
+    * ln is grid9-pinned, the four-ln term is difference-paired like
+    * q158 (p == q cancels exactly), and per-doc summation rides
+    * floor(term·1e9) in decimal(38,0) — order-free and identical in
+    * DuckDB's HUGEINT. The 1e9 scale keeps |term·1e9| < 2^53 for docs
+    * up to ~10^5 tokens per bucket, so BOTH engines' floors operate in
+    * exact-double range; log_weight = sc/1e9 is one correctly-rounded
+    * division of identical integers, making the order (and the
+    * K-boundary) bit-identical cross-engine.
+    *
+    * Scale shape: one token-explode aggregate per side is the only
+    * corpus-sized work; both distributions are B-row frames broadcast
+    * back; the per-(doc,bucket) frame joins them map-side; the per-doc
+    * decimal sum is one partial+final aggregate; and the top-K runs as
+    * TakeOrderedAndProject (per-partition heaps, no global sort
+    * materialization). Driver state: K rows. At 100 TB the B-bucket
+    * side state is constant-size and the candidate scan is the same
+    * single pass every hashed-feature scorer in this module pays. */
+  def dsirSelection(docs: DataFrame): DataFrame = {
+    val bucket = (TextFunctions.h60(col("w")) % DsirBuckets).as("b")
+    val tb = docs.filter(col("lang") === "en")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .select(bucket)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val ntRow = tb.agg(sum(col("ct")).as("nt"))
+    val cb = docs.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), bucket)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val qb = cb.groupBy(col("b")).agg(sum(col("cnt")).as("cq"))
+    val nqRow = qb.agg(sum(col("cq")).as("nq"))
+    def lg(c: org.apache.spark.sql.Column) = Pin.grid9(log(c.cast("double")))
+    val term = col("cnt").cast("double") *
+      ((lg(lit(2L) * coalesce(col("ct"), lit(0L)) + lit(1L)) -
+        lg(lit(2L) * col("cq") + lit(1L))) +
+       (lg(lit(2L) * col("nq") + lit(DsirBuckets.toLong)) -
+        lg(lit(2L) * col("nt") + lit(DsirBuckets.toLong))))
+    cb.join(broadcast(tb), Seq("b"), "left")
+      .join(broadcast(qb), Seq("b"))
+      .crossJoin(broadcast(ntRow)).crossJoin(broadcast(nqRow))
+      .select(col("doc_id"), col("lang"), col("cnt"),
+        floor(term * lit(DsirScale)).cast("decimal(38,0)").as("t"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("t")).cast("decimal(38,0)").as("sc"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("sc").cast("double") / lit(DsirScale)).as("log_weight"))
+      .orderBy(desc("log_weight"), col("doc_id"))
+      .limit(DsirK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_dsir_selection" -> ((s, d) => dsirSelection(Tables.documents(s, d))),
     "q221_bootstrap_ci" -> ((s, d) => bootstrapMeans(Tables.documents(s, d))),
     "q222_stratified_kfold" -> ((s, d) => stratifiedKFold(Tables.documents(s, d))),
     "q169_hist_quantiles" -> ((s, d) => histQuantiles(Tables.documents(s, d))),
@@ -856,6 +929,43 @@ object Datasets {
         |FROM d JOIN num ON num.source = d.source AND num.num = d.dnum
         |GROUP BY d.source, d.n_s, d.dnum, d.n
         |ORDER BY d.source""".stripMargin,
+    // same pinned four-ln difference-paired term dag, same fixed-point
+    // floor(·1e9) HUGEINT summation; the h60 % 64 bucketing is the
+    // md5-prefix hash both engines compute identically
+    "q262_dsir_selection" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(tk.w), 1, 15)) AS BIGINT) % 64 AS b
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)),
+        |tb AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS ct
+        |  FROM tok WHERE lang = 'en' GROUP BY b),
+        |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tb),
+        |cb AS (
+        |  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok WHERE lang <> 'en' GROUP BY doc_id, lang, b),
+        |qb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cq FROM cb GROUP BY b),
+        |nq AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM qb),
+        |sums AS (
+        |  SELECT cb.doc_id, cb.lang,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    sum(CAST(floor(CAST(cnt AS DOUBLE) * (
+        |      (floor(ln(CAST(2 * COALESCE(tb.ct, 0) + 1 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |       - floor(ln(CAST(2 * qb.cq + 1 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |      + (floor(ln(CAST(2 * nq.nq + 64 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |         - floor(ln(CAST(2 * nt.nt + 64 AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |    ) * 1.0e9) AS HUGEINT)) AS sc
+        |  FROM cb
+        |  LEFT JOIN tb USING (b)
+        |  JOIN qb USING (b)
+        |  CROSS JOIN nt CROSS JOIN nq
+        |  GROUP BY cb.doc_id, cb.lang)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(sc AS DOUBLE) / 1.0e9 AS log_weight
+        |FROM sums
+        |ORDER BY log_weight DESC, doc_id
+        |LIMIT 20""".stripMargin,
     // same pinned term dag (p·((ln c_s − ln c) + (ln N − ln n_s))), same
     // fixed-point floor(·1e15) HUGEINT summation — order-free both sides
     "q158_kl_divergence" ->

@@ -209,7 +209,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q248_topk_churn", // <=k matched frame theta-joined against the broadcast k-row depth grid (k*k bounded) + 1-row cut/size attaches
       "q251_source_influence", // broadcast |sources|+1-row helds frame crossed with the shared count scan (ablation-by-subtraction) + 1-row n_eval/full-model attaches
       "q255_ann_mrr", // q25/q29's broadcast-query theta joins + 1-row MRR-summary attach on the |queries|-row frame
-      "q256_neardup_split") // two 1-row leak-count attaches on the 1-row policy count frames
+      "q256_neardup_split", // two 1-row leak-count attaches on the 1-row policy count frames
+      "q262_dsir_selection") // two 1-row token-total attaches on the bucket-joined doc frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

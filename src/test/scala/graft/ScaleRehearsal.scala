@@ -113,7 +113,10 @@ object ScaleRehearsal {
     "q255_ann_mrr", "q256_neardup_split",
     // round-11 close-out: K-round greedy cover over the shingle postings
     // (corpus-scan per round, covered set stays distributed)
-    "q257_max_coverage")
+    "q257_max_coverage",
+    // round-11 continuation: DSIR importance selection — token-explode
+    // aggregates + B-bounded broadcast joins + TakeOrdered top-K
+    "q262_dsir_selection")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
