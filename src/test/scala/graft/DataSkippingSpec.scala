@@ -86,6 +86,11 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(t, not(col("lang") === "en"), expectSkipped = Some(1))
     // int literal comparison against long column (analyzer casts literal)
     check(t, col("id") === 150, expectSkipped = Some(2))
+    // >10 values: the optimizer converts In to InSet — separate code path
+    check(t, col("id").isin(5L to 16L: _*), expectSkipped = Some(2))
+    check(t, col("id").isin(105L to 116L: _*), expectSkipped = Some(2))
+    check(t, col("lang").isin(('a' to 'l').map(c => s"${c}e"): _*),
+      expectSkipped = Some(2)) // ae..le: only "de" hits a file's range
   }
 
   test("typed literals fold through casts; unsupported shapes keep files") {
