@@ -325,8 +325,10 @@ object TxStats {
     case _ => false
   }
 
-  /** May some row of a file with stats `fs` evaluate `e` to TRUE? */
-  private[etl] def mayTrue(e: Expression, fs: FileStats): Boolean = e match {
+  /** May some row of a file with stats `fs` evaluate `e` to TRUE?
+    * (graft-visible: [[graft.sources.TxLogFileIndex]] evaluates the
+    * same contract on Catalyst-pushed data filters.) */
+  private[graft] def mayTrue(e: Expression, fs: FileStats): Boolean = e match {
     case And(l, r) => mayTrue(l, fs) && mayTrue(r, fs)
     case Or(l, r) => mayTrue(l, fs) || mayTrue(r, fs)
     case Not(c) => mayFalse(c, fs)

@@ -551,7 +551,40 @@ object Lakehouse {
       .orderBy(col("col_name"))
   }
 
+  // -------------------------------------- q263 TxLog FileIndex table
+
+  /** q263 — the Catalyst-integrated read path, driver-verified: orders
+    * land as four year-bucketed single-file appends, the table opens
+    * through [[graft.sources.TxLogTable]] (commit-log FileIndex under a
+    * stock parquet relation), and an ordinary SQL rollup with a
+    * time-range predicate runs against a VIEW of it — planning pushes
+    * the predicate into the index, which opens only the matching year
+    * buckets (DataSkippingSpec pins the file counts; here the oracle
+    * pins that the pruned read returns EXACTLY the raw table's answer).
+    * Alongside q260 (explicit readWhere protocol) this closes the loop:
+    * both skip paths, one contract. */
+  def q263TxLogTable(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft-q263")
+      .resolve("t").toString
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val y = year(col("o_orderdate"))
+    Seq(y <= 1996, y === 1997 || y === 1998, y === 1999, y >= 2000)
+      .foreach(b => graft.etl.TxLog.append(s, table,
+        orders.filter(b).coalesce(1)))
+    graft.sources.TxLogTable(s, table)
+      .createOrReplaceTempView("graft_q263_orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT year(o_orderdate)) AS n_years
+        |FROM graft_q263_orders
+        |WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_txlog_table" -> (q263TxLogTable _),
     "q261_txlog_describe" -> (q261TxLogDescribe _),
     "q260_txlog_skipping" -> (q260TxLogSkipping _),
     "q259_txlog_evolution" -> (q259TxLogEvolution _),
@@ -570,6 +603,13 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q263_txlog_table" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q261_txlog_describe" ->
       """SELECT 'o_orderdate' AS col_name,
         |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+import graft.etl.{TxLog, TxStats}
+
+/** Catalyst-integrated data skipping for [[TxLog]] tables: a custom
+  * `FileIndex` whose `listFiles` receives every query's data filters
+  * DURING PLANNING and consults the commit log's per-file stats
+  * ([[TxStats]]) to hand the parquet scan only the files that can hold
+  * matching rows — the production-lakehouse integration pattern (a
+  * log-derived file index under an ordinary relation), in contrast to
+  * `TxLog.readWhere`, which prunes for one explicit predicate at call
+  * time. Through [[TxLogTable.apply]] the table behaves like any other
+  * DataFrame: joins, aggregates, and views all prune automatically,
+  * and everything BELOW file granularity (row-group pushdown, column
+  * pruning, vectorized reading) is the stock parquet path — the index
+  * only swaps which files the scan sees.
+  *
+  * Snapshot isolation: the live file set is fixed at construction
+  * (optionally AS OF a version), so a concurrent commit never changes
+  * what a running query reads; `refresh()` is deliberately a no-op.
+  * Pruning is conservative exactly like readWhere: a file is dropped
+  * only when its stats PROVE no row matches; Spark re-applies the
+  * filters to the survivors, so correctness never depends on the
+  * stats. Driver-side metadata only — O(files) per planning pass.
+  */
+final class TxLogFileIndex(table: String, asOf: Option[Long] = None)
+    extends FileIndex {
+
+  /** (hadoop status, decoded stats) per live file, fixed at construction. */
+  private val entries: Seq[(FileStatus, Option[TxStats.FileStats])] =
+    TxLog.snapshotAdds(table, asOf).map { a =>
+      val p = Paths.get(table, a.path).toAbsolutePath
+      val st = new FileStatus(Files.size(p), false, 1, 0L,
+        Files.getLastModifiedTime(p).toMillis, new Path(p.toUri))
+      (st, a.stats.flatMap(TxStats.decode))
+    }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(Paths.get(table).toUri))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = entries.map(_._1.getLen).sum
+
+  override def inputFiles: Array[String] =
+    entries.map(_._1.getPath.toString).toArray
+
+  /** Snapshot-isolated by design: the set was pinned at construction. */
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = dataFilters.reduceOption(And) match {
+      case None => entries
+      case Some(pred) => entries.filter {
+        case (_, Some(fs)) => fs.rows > 0 && TxStats.mayTrue(pred, fs)
+        case (_, None)     => true // stats-less file: never skipped
+      }
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+  }
+}
+
+object TxLogTable {
+
+  /** Open a TxLog table as an ordinary DataFrame whose scan prunes
+    * files through the commit log's stats for WHATEVER filters each
+    * query pushes — `TxLogTable(spark, t).filter(...)`, joins against
+    * it, SQL over a view of it: all skip automatically. Binds the
+    * log's declared schema (evolved tables read with the union schema,
+    * absent columns as null); pre-schema tables fall back to parquet
+    * footer inference. */
+  def apply(spark: SparkSession, table: String,
+            asOf: Option[Long] = None): DataFrame = {
+    val idx = new TxLogFileIndex(table, asOf)
+    val schema = TxLog.schemaOf(table, asOf).getOrElse {
+      require(idx.inputFiles.nonEmpty, s"empty snapshot for $table asOf=$asOf")
+      spark.read.parquet(idx.inputFiles.toIndexedSeq: _*).schema
+    }
+    val rel = HadoopFsRelation(
+      location = idx,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+}

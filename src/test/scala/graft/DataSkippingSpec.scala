@@ -195,6 +195,53 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.cols("day").tag == "date")
   }
 
+  test("TxLogTable: Catalyst pushes query filters into commit-log pruning") {
+    val t = rangedTable()
+    // AQE off so executedPlan exposes the scan node's metrics directly
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one collect per frame: a re-execution resets scan metrics without
+      // recomputing the (lazy) selectedPartitions that populate them
+      def run(df: DataFrame): (Seq[org.apache.spark.sql.Row], Long) = {
+        val rows = df.collect().toSeq
+        val n = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.get
+        (rows, n)
+      }
+      val tab = graft.sources.TxLogTable(spark, t)
+      // plain filter: exact rows, one file opened
+      val (r1, n1) = run(tab.filter(col("id") < 100L).select(col("id")))
+      assert(r1.map(_.getLong(0)).sorted == (0L until 100L))
+      assert(n1 == 1L, "id<100 should open exactly one file")
+      // no filter: every file
+      assert(run(tab.select(col("id")))._2 == 3L)
+      // aggregate over a filter: pruning happens inside ordinary planning
+      val (r2, n2) = run(tab.filter(col("lang") === "fr")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n")))
+      assert(r2.head.getLong(1) == 98L)
+      assert(n2 == 1L, "lang='fr' rollup should open one file")
+      // SQL over a view of the table prunes the same way
+      tab.createOrReplaceTempView("skip_tab")
+      val (r3, n3) =
+        run(spark.sql("SELECT count(*) AS n FROM skip_tab WHERE id >= 200"))
+      assert(r3.head.getLong(0) == 100L)
+      assert(n3 == 1L, "SQL predicate should reach the index")
+      // time travel: AS OF the first commit sees only its file
+      val v1 = TxLog.versions(t).head
+      val old = graft.sources.TxLogTable(spark, t, asOf = Some(v1))
+      assert(old.count() == 100L)
+      // snapshot isolation: a new append is invisible to the open table
+      import spark.implicits._
+      TxLog.append(spark, t,
+        Seq((999L, "xx", 0.0)).toDF("id", "lang", "score").coalesce(1))
+      assert(tab.count() == 300L, "open table must keep its snapshot")
+      assert(graft.sources.TxLogTable(spark, t).count() == 301L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("describe folds exact metadata aggregates; refuses partial stats") {
     val t = rangedTable()
     val agg = TxLog.describe(t).get

@@ -106,7 +106,7 @@ object ScaleRehearsal {
     // round-11 late wave: LOSO ablation-by-subtraction over the corpus
     // count scan, within-block linkage self-join, positional span-coverage
     // gram pipeline (q254 is a |sources|-bounded scalar release and
-    // q249/q250/q258-q261 are commit-log protocol queries on bounded tables)
+    // q249/q250/q258-q261/q263 are commit-log protocol queries on bounded tables)
     "q251_source_influence", "q252_fs_linkage", "q253_dup_spans",
     // q256 rides q21+q49's pair/closure plans plus id-keyed tag joins;
     // q255 is query-bounded retrieval like q179, included for the record
