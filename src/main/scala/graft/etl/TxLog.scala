@@ -225,13 +225,31 @@ object TxLog {
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
     finally df.sparkSession.catalog.dropGlobalTempView(gv)
     val conf = spark.sessionState.newHadoopConf()
-    listDir(Paths.get(table, rel))
+    val parts = listDir(Paths.get(table, rel))
       .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
       .map(f => s"$rel/$f").sorted
-      .map { p =>
-        val abs = Paths.get(table, p).toAbsolutePath.toString
-        Action("add", p, TxStats.fromFooter(conf, abs).map(TxStats.encode))
+    // harvest footers in parallel: each is a small metadata read, but on
+    // an object store a wide commit (OPTIMIZE into N files) would pay
+    // N round-trips serially — bound the pool, keep the driver loop
+    def harvest(p: String): Option[String] = {
+      val abs = Paths.get(table, p).toAbsolutePath.toString
+      TxStats.fromFooter(conf, abs).map(TxStats.encode)
+    }
+    val stats: Map[String, Option[String]] =
+      if (parts.sizeIs <= 2) parts.map(p => p -> harvest(p)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, parts.size))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.sequence(parts.map(p => Future(p -> harvest(p)))),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
       }
+    parts.map(p => Action("add", p, stats(p)))
   }
 
   // ---------------------------------------------------------- schema
