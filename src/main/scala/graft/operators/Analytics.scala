@@ -860,7 +860,71 @@ object Analytics {
 
   // --------------------------------------------------------------------- //
 
+  /** q264's pinned experiment window boundary (the month's midpoint),
+    * shared with the generated oracle. */
+  private[operators] val CupedCutoff = "2024-01-16 00:00:00"
+
+  /** q264 — CUPED variance reduction for the A/B readout (Deng,
+    * Xu, Kohavi & Walker, WSDM 2013): per user, the PRE-period spend is
+    * a covariate X for the post-period metric Y; the adjusted metric
+    * Y − θ(X − X̄) with θ = cov(X,Y)/var(X) has variance
+    * var(Y)·(1 − ρ²) — the standard way an experimentation platform
+    * buys sensitivity without more traffic. Arms ride the q236 md5
+    * coin; the readout is per-arm n / mean / adjusted mean plus the
+    * pooled θ and the variance ratio 1 − ρ².
+    *
+    * Exactness: event values are cents-exact doubles, so per-user X/Y
+    * are EXACT integer cents (floor(v·100 + ½) per event), and every
+    * moment (Σx, Σy, Σx², Σxy, Σy², per arm and pooled) is an exact
+    * decimal(38,0) / HUGEINT sum. θ, means, and the ratio are then
+    * short chains of correctly-rounded IEEE ops on identical integers
+    * — bit-identical cross-engine with NO transcendental anywhere.
+    *
+    * Scale shape: one user-keyed aggregate over the scan (the only
+    * corpus-sized shuffle), a 2-row arm rollup, a 1-row pooled-moment
+    * attach — the q78 exact-moment shape applied to experiment
+    * analysis; driver state is 2 rows. */
+  def cupedLift(s: SparkSession, events: DataFrame): DataFrame = {
+    val cut = lit(CupedCutoff).cast("timestamp")
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val perUser = events
+      .select(col("user_id"), col("ts"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, col("c")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, col("c")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(graft.functions.TextFunctions.h60(col("user_id").cast("string"))
+          >= lit(1L << 59), "B").otherwise("A"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def moments(df: org.apache.spark.sql.RelationalGroupedDataset) = df.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("sxy"),
+      sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("syy"))
+    val arms = moments(perUser.groupBy(col("arm")))
+    val pooled = moments(perUser.groupBy())
+      .select(col("n").as("np"), col("sx").as("psx"), col("sy").as("psy"),
+        col("sxx").as("psxx"), col("sxy").as("psxy"), col("syy").as("psyy"))
+    val d = (c: Column) => c.cast("double")
+    val covN = d(col("np")) * d(col("psxy")) - d(col("psx")) * d(col("psy"))
+    val varNx = d(col("np")) * d(col("psxx")) - d(col("psx")) * d(col("psx"))
+    val varNy = d(col("np")) * d(col("psyy")) - d(col("psy")) * d(col("psy"))
+    val theta = covN / varNx
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n").as("n_users"),
+        (d(col("sy")) / d(col("n")) / lit(100.0)).as("mean_post"),
+        ((d(col("sy")) / d(col("n")) -
+          theta * (d(col("sx")) / d(col("n")) - d(col("psx")) / d(col("np"))))
+          / lit(100.0)).as("mean_post_adj"),
+        theta.as("theta"),
+        (lit(1.0) - covN * covN / (varNx * varNy)).as("var_ratio"))
+      .orderBy(col("arm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_cuped" -> ((s, d) => cupedLift(s, Tables.events(s, d))),
     "q236_sprt" -> ((s, d) => sprtReplay(s, Tables.events(s, d))),
     "q246_day_quantiles" -> ((s, d) => dayQuantiles(s, Tables.events(s, d))),
     "q248_topk_churn" -> ((s, d) => topkChurn(s, Tables.events(s, d))),
@@ -931,6 +995,56 @@ object Analytics {
     (1 to k).map(d => (d, math.pow(p, d - 1)))
 
   def oracles: Map[String, String] = Map(
+    // identical exact-cents moments (HUGEINT), identical double chains —
+    // no transcendental anywhere, so no grid pin is needed
+    "q264_cuped" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedCutoff'
+         |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedCutoff'
+         |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) >= 576460752303423488 THEN 'B' ELSE 'A' END AS arm
+         |  FROM events GROUP BY user_id),
+         |a AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+         |  FROM u GROUP BY arm),
+         |p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS np,
+         |    sum(CAST(x AS HUGEINT)) AS psx, sum(CAST(y AS HUGEINT)) AS psy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS psxx,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS psxy,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS psyy
+         |  FROM u)
+         |SELECT arm, n AS n_users,
+         |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_post,
+         |  (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+         |    ((CAST(np AS DOUBLE) * CAST(psxy AS DOUBLE)
+         |       - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)) /
+         |     (CAST(np AS DOUBLE) * CAST(psxx AS DOUBLE)
+         |       - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)))
+         |    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+         |       - CAST(psx AS DOUBLE) / CAST(np AS DOUBLE)))
+         |  / 100.0 AS mean_post_adj,
+         |  (CAST(np AS DOUBLE) * CAST(psxy AS DOUBLE)
+         |    - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)) /
+         |  (CAST(np AS DOUBLE) * CAST(psxx AS DOUBLE)
+         |    - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS theta,
+         |  1.0 - ((CAST(np AS DOUBLE) * CAST(psxy AS DOUBLE)
+         |          - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+         |       * (CAST(np AS DOUBLE) * CAST(psxy AS DOUBLE)
+         |          - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)))
+         |    / ((CAST(np AS DOUBLE) * CAST(psxx AS DOUBLE)
+         |        - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+         |     * (CAST(np AS DOUBLE) * CAST(psyy AS DOUBLE)
+         |        - CAST(psy AS DOUBLE) * CAST(psy AS DOUBLE))) AS var_ratio
+         |FROM a CROSS JOIN p
+         |ORDER BY arm""".stripMargin,
     "q246_day_quantiles" ->
       s"""WITH v AS (
          |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day, value, event_id

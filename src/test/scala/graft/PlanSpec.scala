@@ -210,7 +210,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q251_source_influence", // broadcast |sources|+1-row helds frame crossed with the shared count scan (ablation-by-subtraction) + 1-row n_eval/full-model attaches
       "q255_ann_mrr", // q25/q29's broadcast-query theta joins + 1-row MRR-summary attach on the |queries|-row frame
       "q256_neardup_split", // two 1-row leak-count attaches on the 1-row policy count frames
-      "q262_dsir_selection") // two 1-row token-total attaches on the bucket-joined doc frame
+      "q262_dsir_selection", // two 1-row token-total attaches on the bucket-joined doc frame
+      "q264_cuped") // 1-row pooled-moment attach on the 2-row arm frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

@@ -116,7 +116,9 @@ object ScaleRehearsal {
     "q257_max_coverage",
     // round-11 continuation: DSIR importance selection — token-explode
     // aggregates + B-bounded broadcast joins + TakeOrdered top-K
-    "q262_dsir_selection")
+    "q262_dsir_selection",
+    // CUPED: one user-keyed exact-cents aggregate + 2-row arm rollup
+    "q264_cuped")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
