@@ -707,6 +707,62 @@ object Analytics {
         (sum(col("r")) / count(lit(1)).cast("double")).as("intercept"))
   }
 
+  // ------------------------------------------------ q266 Mann-Kendall
+
+  /** q266 — Mann-Kendall trend test per event type (Mann 1945; Kendall
+    * 1975): q224's Theil–Sen estimates HOW FAST a daily metric moves;
+    * this answers IS IT MOVING AT ALL — S = Σ_{i<j} sign(m_j − m_i)
+    * over day pairs, the tie-corrected variance
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, and the continuity-corrected
+    * z = (S ∓ 1)/√var — the monitoring gate that flags a drifting
+    * quality metric before a threshold alarm would.
+    *
+    * Exactness: the daily metric is the exact cent SUM (no division),
+    * so every pairwise sign, S, and the tie spectrum are exact
+    * integers; var is one exact-integer difference divided by 18.0 and
+    * z adds one sqrt — both correctly-rounded IEEE, bit-identical
+    * cross-engine with no grid pin. All-tied series (var = 0) emit
+    * z = 0 by the same CASE in both engines.
+    *
+    * Scale shape: one (type, day) aggregate over the scan; the pair
+    * join is an EQUI-join on event_type with a day inequality — sort-
+    * merge, |types|·O(days²) pairs on a calendar-bounded grid (q224's
+    * cost shape, keyed instead of broadcast). */
+  def mannKendall(s: SparkSession, events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) DIV $dayUs").as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("m"))
+    val sStat = daily
+      .join(daily.select(col("event_type").as("et2"), col("day").as("day2"),
+        col("m").as("m2")),
+        col("event_type") === col("et2") && col("day2") > col("day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("m2") > col("m"), 1L)
+        .when(col("m2") < col("m"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    val n = col("n_days")
+    val varS = ((n * (n - 1) * (lit(2L) * n + 5) - col("tie_term"))
+      .cast("double") / lit(18.0)).as("var_s")
+    sStat.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), varS)
+      .withColumn("z",
+        when(col("var_s") <= 0.0, lit(0.0))
+          .when(col("s_stat") > 0,
+            (col("s_stat").cast("double") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + lit(1.0)) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .orderBy(col("event_type"))
+  }
+
   // ----------------------------------------------------- q236 SPRT A/B
 
   /** q236's pinned design: H1 says arm B draws θ₁ = 0.6 of conversions
@@ -924,6 +980,7 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_mann_kendall" -> ((s, d) => mannKendall(s, Tables.events(s, d))),
     "q264_cuped" -> ((s, d) => cupedLift(s, Tables.events(s, d))),
     "q236_sprt" -> ((s, d) => sprtReplay(s, Tables.events(s, d))),
     "q246_day_quantiles" -> ((s, d) => dayQuantiles(s, Tables.events(s, d))),
@@ -995,6 +1052,37 @@ object Analytics {
     (1 to k).map(d => (d, math.pow(p, d - 1)))
 
   def oracles: Map[String, String] = Map(
+    // exact-cents daily sums, integer S and tie spectrum, one /18.0 and
+    // one sqrt — no grid pin needed
+    "q266_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day > a.day
+        |  GROUP BY a.event_type),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, m, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY event_type, m)
+        |  GROUP BY event_type),
+        |v AS (
+        |  SELECT s.event_type, n_days, s_stat,
+        |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+        |      AS DOUBLE) / 18.0 AS var_s
+        |  FROM s JOIN ties ON s.event_type = ties.event_type)
+        |SELECT event_type, n_days, s_stat, var_s,
+        |  CASE WHEN var_s <= 0.0 THEN 0.0
+        |       WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |       ELSE 0.0 END AS z
+        |FROM v ORDER BY event_type""".stripMargin,
     // identical exact-cents moments (HUGEINT), identical double chains —
     // no transcendental anywhere, so no grid pin is needed
     "q264_cuped" ->

@@ -99,6 +99,52 @@ object Profiling {
       .orderBy(col("k"))
   }
 
+  // ---------------------------------------------------- q265 l-diversity
+
+  /** The ℓ thresholds (sensitive-value diversity floors) the release
+    * gate quotes — the sensitive domain here has 6 buckets, so 2/3/5
+    * span trivial to near-full diversity. */
+  private[graft] val LThresholds = Seq(2, 3, 5)
+
+  /** q265 — ℓ-diversity profile (Machanavajjhala et al., ICDE 2006):
+    * k-anonymity's q173 gate counts CLASS SIZES, but a class of 50
+    * customers all sharing one sensitive value still leaks it to a
+    * linking attacker — distinct ℓ-diversity requires every
+    * quasi-identifier class to contain at least ℓ distinct sensitive
+    * values. Same QI pair as q173 (nationkey, mktsegment); the
+    * sensitive attribute is the account-balance band
+    * floor(c_acctbal / 2000) — a 6-bucket domain whose per-class
+    * distinct count is the ℓ of that class. Per threshold: classes and
+    * rows below, the corpus minimum ℓ, and the at-risk fraction.
+    *
+    * Exactness: the band is floor of one correctly-rounded division —
+    * identical cross-engine; everything after is integer counting with
+    * one terminal double division. Scale shape: one QI groupBy with a
+    * distinct-count (class count bounded by the QI domain), a 3-row
+    * broadcast threshold attach — q173's cost with one extra distinct
+    * aggregation inside the same shuffle. */
+  def lDiversity(spark: SparkSession, customer: DataFrame): DataFrame = {
+    val cls = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("sv"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"), count_distinct(col("sv")).as("l"))
+    val ls = spark.createDataFrame(LThresholds.map(Tuple1(_)))
+      .toDF("l_min").select(col("l_min").cast("int").as("l_min"))
+    cls.crossJoin(broadcast(ls))
+      .groupBy(col("l_min"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_rows"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") < col("l_min"), 1L).otherwise(0L)).as("classes_below"),
+        sum(when(col("l") < col("l_min"), col("sz")).otherwise(0L)).as("rows_below"))
+      .select(col("l_min"), col("n_classes"), col("n_rows"), col("min_l"),
+        col("classes_below"), col("rows_below"),
+        (col("rows_below").cast("double") / col("n_rows").cast("double"))
+          .as("at_risk_frac"))
+      .orderBy(col("l_min"))
+  }
+
   // ------------------------------------------------ q174 split leakage
 
   /** q174 — leakage-safe train/validation split audit: split the corpus
@@ -580,6 +626,7 @@ object Profiling {
     "q198_benford" -> ((s, d) => benford(s, Tables.lineitem(s, d))),
     "q172_js_divergence" -> ((s, d) => jsDivergence(Tables.documents(s, d))),
     "q173_k_anonymity" -> ((s, d) => kAnonymity(s, Tables.customer(s, d))),
+    "q265_l_diversity" -> ((s, d) => lDiversity(s, Tables.customer(s, d))),
     "q174_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
     "q175_heaps_fit" -> ((s, d) => heapsFit(Tables.documents(s, d))),
     "q176_temp_mixture" -> ((s, d) => tempMixture(Tables.documents(s, d))),
@@ -794,6 +841,25 @@ object Profiling {
          |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(sz) AS DOUBLE) AS at_risk_frac
          |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q265_l_diversity" ->
+      s"""WITH cls AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS sz,
+         |    CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+         |      AS BIGINT) AS l
+         |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+         |ls AS (SELECT CAST(v.l AS INT) AS l_min
+         |       FROM (VALUES ${LThresholds.map(l => s"($l)").mkString(", ")}) v(l))
+         |SELECT l_min, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(min(l) AS BIGINT) AS min_l,
+         |  CAST(sum(CASE WHEN l < l_min THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS classes_below,
+         |  CAST(sum(CASE WHEN l < l_min THEN sz ELSE 0 END) AS BIGINT)
+         |    AS rows_below,
+         |  CAST(sum(CASE WHEN l < l_min THEN sz ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(sz) AS DOUBLE) AS at_risk_frac
+         |FROM cls CROSS JOIN ls GROUP BY l_min ORDER BY l_min""".stripMargin,
     "q174_split_leakage" ->
       """WITH d AS (SELECT doc_id, md5(text) AS ck FROM documents),
         |n AS (

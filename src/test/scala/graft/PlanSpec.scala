@@ -211,7 +211,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q255_ann_mrr", // q25/q29's broadcast-query theta joins + 1-row MRR-summary attach on the |queries|-row frame
       "q256_neardup_split", // two 1-row leak-count attaches on the 1-row policy count frames
       "q262_dsir_selection", // two 1-row token-total attaches on the bucket-joined doc frame
-      "q264_cuped") // 1-row pooled-moment attach on the 2-row arm frame
+      "q264_cuped", // 1-row pooled-moment attach on the 2-row arm frame
+      "q265_l_diversity") // q173's 3-row threshold attach on the QI-bounded class frame
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =

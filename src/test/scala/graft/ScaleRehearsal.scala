@@ -118,7 +118,10 @@ object ScaleRehearsal {
     // aggregates + B-bounded broadcast joins + TakeOrdered top-K
     "q262_dsir_selection",
     // CUPED: one user-keyed exact-cents aggregate + 2-row arm rollup
-    "q264_cuped")
+    "q264_cuped",
+    // l-diversity: QI-bounded class frame; Mann-Kendall: (type, day)
+    // aggregate + calendar-bounded keyed pair join
+    "q265_l_diversity", "q266_mann_kendall")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
