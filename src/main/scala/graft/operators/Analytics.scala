@@ -763,6 +763,73 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------- q267/q268 experiment health
+
+  /** χ²₁ 0.95 critical value (the SRM alarm threshold every platform
+    * quotes) and the z-quantile sum (two-sided α=0.05 ⇒ z₀.₉₇₅, power
+    * 0.8 ⇒ z₀.₈) — driver-side constants printed into BOTH engines via
+    * [[Pin.sqlDouble]], the q236 driver-printed-literal convention. */
+  private[operators] val SrmChi2Crit = 3.841458820694124
+  private[operators] val MdeZ = 1.959963984540054 + 0.8416212335729143
+
+  /** q267 — sample-ratio mismatch gate (Fabijan et al., KDD 2019 "
+    * Diagnosing Sample Ratio Mismatch"): before ANY experiment readout,
+    * test the arm sizes against the intended 50/50 split — a skewed
+    * ratio means broken assignment or logging, and every downstream
+    * metric is suspect. χ² against equal expectation reduces to
+    * (n_a − n_b)²/N; the flag compares it to the driver-printed
+    * χ²₁ 0.95 critical value. Exact integer counts; two IEEE ops;
+    * bit-identical. One distinct-user aggregate, single-row output. */
+  def srmCheck(s: SparkSession, events: DataFrame): DataFrame = {
+    val armB = graft.functions.TextFunctions.h60(col("user_id").cast("string")) >=
+      lit(1L << 59)
+    val d = (c: Column) => c.cast("double")
+    events.select(col("user_id")).distinct()
+      .select(when(armB, 1L).otherwise(0L).as("b"))
+      .agg(sum(lit(1L) - col("b")).as("n_a"), sum(col("b")).as("n_b"))
+      .select(
+        (col("n_a") + col("n_b")).as("n_users"), col("n_a"), col("n_b"),
+        ((d(col("n_a")) - d(col("n_b"))) * (d(col("n_a")) - d(col("n_b"))) /
+          d(col("n_a") + col("n_b"))).as("chi2"))
+      .withColumn("srm_flag", col("chi2") > lit(SrmChi2Crit))
+  }
+
+  /** q268 — minimum detectable effect at the current sample sizes
+    * (the power line every experiment design doc quotes): with
+    * per-user spend as the metric, MDE_abs = (z₀.₉₇₅ + z₀.₈)·σ̂·
+    * √(1/n_a + 1/n_b) — how small a lift THIS experiment could see at
+    * α=0.05 / power 0.8. σ̂ is the pooled sample sd from exact-cents
+    * integer moments (the q264 idiom); the z sum is a driver-printed
+    * constant; the output chain is divisions and one sqrt —
+    * bit-identical, no grid pin. One user-keyed aggregate + one global
+    * aggregate; single-row output. */
+  def mdeReport(s: SparkSession, events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val armB = graft.functions.TextFunctions.h60(col("user_id").cast("string")) >=
+      lit(1L << 59)
+    val perUser = events
+      .select(col("user_id"), cents.as("c"))
+      .groupBy(col("user_id")).agg(sum(col("c")).as("x"))
+      .select(col("x"), when(armB, 1L).otherwise(0L).as("b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    perUser.agg(
+      count(lit(1)).as("n"),
+      sum(lit(1L) - col("b")).as("n_a"), sum(col("b")).as("n_b"),
+      sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"))
+      .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+        (d(col("sx")) / d(col("n")) / lit(100.0)).as("mean_metric"),
+        (sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+          (d(col("n")) * (d(col("n")) - lit(1.0)))) / lit(100.0)).as("sd_metric"),
+        (lit(MdeZ) *
+          sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+            (d(col("n")) * (d(col("n")) - lit(1.0)))) *
+          sqrt(lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))
+          / lit(100.0)).as("mde_abs"))
+      .withColumn("mde_rel", col("mde_abs") / col("mean_metric"))
+  }
+
   // ----------------------------------------------------- q236 SPRT A/B
 
   /** q236's pinned design: H1 says arm B draws θ₁ = 0.6 of conversions
@@ -980,6 +1047,8 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_srm_check" -> ((s, d) => srmCheck(s, Tables.events(s, d))),
+    "q268_mde_report" -> ((s, d) => mdeReport(s, Tables.events(s, d))),
     "q266_mann_kendall" -> ((s, d) => mannKendall(s, Tables.events(s, d))),
     "q264_cuped" -> ((s, d) => cupedLift(s, Tables.events(s, d))),
     "q236_sprt" -> ((s, d) => sprtReplay(s, Tables.events(s, d))),
@@ -1052,6 +1121,61 @@ object Analytics {
     (1 to k).map(d => (d, math.pow(p, d - 1)))
 
   def oracles: Map[String, String] = Map(
+    // integer arm counts, two IEEE ops, driver-printed chi2 critical value
+    "q267_srm_check" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) >= 576460752303423488 THEN 1 ELSE 0 END AS b
+         |  FROM events),
+         |c AS (
+         |  SELECT CAST(sum(1 - b) AS BIGINT) AS n_a,
+         |    CAST(sum(b) AS BIGINT) AS n_b
+         |  FROM u)
+         |SELECT n_a + n_b AS n_users, n_a, n_b,
+         |  (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         |    * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+         |  (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         |    * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         |    / CAST(n_a + n_b AS DOUBLE) > ${Pin.sqlDouble(SrmChi2Crit)}
+         |    AS srm_flag
+         |FROM c""".stripMargin,
+    // exact-cents integer moments, driver-printed z sum, division/sqrt
+    // chains mirrored — no grid pin needed
+    "q268_mde_report" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) >= 576460752303423488 THEN 1 ELSE 0 END AS b
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(1 - b) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+         |    sum(CAST(x AS HUGEINT)) AS sx,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+         |  FROM pu)
+         |SELECT n AS n_users, n_a, n_b,
+         |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_metric,
+         |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+         |    AS sd_metric,
+         |  ${Pin.sqlDouble(MdeZ)} *
+         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) *
+         |    sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+         |    / 100.0 AS mde_abs,
+         |  (${Pin.sqlDouble(MdeZ)} *
+         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) *
+         |    sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+         |    / 100.0)
+         |  / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) AS mde_rel
+         |FROM m""".stripMargin,
     // exact-cents daily sums, integer S and tie spectrum, one /18.0 and
     // one sqrt — no grid pin needed
     "q266_mann_kendall" ->

@@ -121,7 +121,9 @@ object ScaleRehearsal {
     "q264_cuped",
     // l-diversity: QI-bounded class frame; Mann-Kendall: (type, day)
     // aggregate + calendar-bounded keyed pair join
-    "q265_l_diversity", "q266_mann_kendall")
+    "q265_l_diversity", "q266_mann_kendall",
+    // experiment health: distinct-user / user-keyed single aggregates
+    "q267_srm_check", "q268_mde_report")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
