@@ -720,18 +720,25 @@ object Datasets {
     * side state is constant-size and the candidate scan is the same
     * single pass every hashed-feature scorer in this module pays. */
   def dsirSelection(docs: DataFrame): DataFrame = {
-    val bucket = (TextFunctions.h60(col("w")) % DsirBuckets).as("b")
-    val tb = docs.filter(col("lang") === "en")
-      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .select(bucket)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val ntRow = tb.agg(sum(col("ct")).as("nt"))
-    val cb = docs.filter(col("lang") =!= "en")
+    // ONE corpus pass: explode + hash every token once; the target
+    // side's doc identity collapses in the grouping key, so both
+    // distributions fall out of the same aggregate and Spark's
+    // ReuseExchange runs the scan once for the tb and cb branches
+    val counts = docs
       .select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), col("lang"), bucket)
-      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .select((col("lang") === "en").as("tgt"), col("doc_id"), col("lang"),
+        (TextFunctions.h60(col("w")) % DsirBuckets).as("b"))
+      .groupBy(col("tgt"),
+        when(col("tgt"), lit(-1L)).otherwise(col("doc_id")).as("doc_id"),
+        when(col("tgt"), lit("")).otherwise(col("lang")).as("lang"),
+        col("b"))
       .agg(count(lit(1)).as("cnt"))
+    val tb = counts.filter(col("tgt"))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("ct"))
+    val ntRow = tb.agg(sum(col("ct")).as("nt"))
+    val cb = counts.filter(!col("tgt"))
+      .select(col("doc_id"), col("lang"), col("b"), col("cnt"))
     val qb = cb.groupBy(col("b")).agg(sum(col("cnt")).as("cq"))
     val nqRow = qb.agg(sum(col("cq")).as("nq"))
     def lg(c: org.apache.spark.sql.Column) = Pin.grid9(log(c.cast("double")))
