@@ -761,7 +761,36 @@ object Datasets {
       .limit(DsirK)
   }
 
+  /** q269 — Chao1 vocabulary-richness estimate per source (Chao 1984):
+    * how many distinct words a source WOULD show with unbounded
+    * sampling — V + f1(f1−1)/(2(f2+1)) from the frequency spectrum's
+    * singleton/doubleton counts (the bias-corrected form, defined at
+    * f2 = 0). The curation signal beside q175's Heaps growth-curve fit
+    * (trajectory) and q228's Good-Turing (unseen probability MASS):
+    * a source whose Chao1 far exceeds its observed vocabulary is
+    * under-sampled; one whose estimate ≈ V is exhausted.
+    *
+    * Exactness: integer spectrum counts; the estimate is one mirrored
+    * chain of correctly-rounded IEEE ops — bit-identical, no pin.
+    * Scale shape: the same single (source, word) count aggregate the
+    * q158 family pays, then a |sources|-bounded spectrum rollup. */
+  def chao1Richness(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    freq.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("vocab"), col("f1"), col("f2"),
+        (col("vocab").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("f2").cast("double") + lit(1.0)))).as("chao1"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_chao1" -> ((s, d) => chao1Richness(Tables.documents(s, d))),
     "q262_dsir_selection" -> ((s, d) => dsirSelection(Tables.documents(s, d))),
     "q221_bootstrap_ci" -> ((s, d) => bootstrapMeans(Tables.documents(s, d))),
     "q222_stratified_kfold" -> ((s, d) => stratifiedKFold(Tables.documents(s, d))),
@@ -936,6 +965,23 @@ object Datasets {
         |FROM d JOIN num ON num.source = d.source AND num.num = d.dnum
         |GROUP BY d.source, d.n_s, d.dnum, d.n
         |ORDER BY d.source""".stripMargin,
+    // integer spectrum counts, one mirrored IEEE chain — no pin needed
+    "q269_chao1" ->
+      """WITH freq AS (
+        |  SELECT source, tk.w AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)
+        |  GROUP BY source, tk.w),
+        |spec AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM freq GROUP BY source)
+        |SELECT source, vocab, f1, f2,
+        |  CAST(vocab AS DOUBLE) +
+        |    CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) /
+        |      (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1
+        |FROM spec ORDER BY source""".stripMargin,
     // same pinned four-ln difference-paired term dag, same fixed-point
     // floor(·1e9) HUGEINT summation; the h60 % 64 bucketing is the
     // md5-prefix hash both engines compute identically

@@ -123,7 +123,9 @@ object ScaleRehearsal {
     // aggregate + calendar-bounded keyed pair join
     "q265_l_diversity", "q266_mann_kendall",
     // experiment health: distinct-user / user-keyed single aggregates
-    "q267_srm_check", "q268_mde_report")
+    "q267_srm_check", "q268_mde_report",
+    // Chao1: the q158-family (source, word) count aggregate
+    "q269_chao1")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
