@@ -830,6 +830,65 @@ object Analytics {
       .withColumn("mde_rel", col("mde_abs") / col("mean_metric"))
   }
 
+  // ------------------------------------------- q270 ratio-metric delta
+
+  /** z₀.₉₇₅ for the q270 interval — driver-printed into both engines. */
+  private[operators] val DeltaZ = 1.959963984540054
+
+  /** q270 — delta-method CI for a RATIO metric (Deng, Knoblich & Lu,
+    * KDD 2018 "Applying the Delta Method in Metric Analytics"): revenue
+    * per event is a ratio of two user-level sums, so the naive
+    * per-observation variance is wrong (events within a user are
+    * correlated); the delta method gives
+    * var(R) ≈ (var_s − 2R·cov + R²·var_k) / (n·k̄²) from user-level
+    * moments of (spend s, event count k). Per arm: the ratio, its
+    * standard error, and the 95% interval — the readout experiment
+    * platforms actually ship for non-user-level metrics.
+    *
+    * Exactness: s is exact cents and k an exact count per user, so all
+    * six moments per arm are exact decimal(38,0)/HUGEINT sums; R, SE,
+    * and the interval are mirrored chains of correctly-rounded IEEE
+    * ops plus one sqrt, with the z quantile a driver-printed literal —
+    * bit-identical, no grid pin. Scale shape: one user-keyed aggregate
+    * (the corpus-sized shuffle), a 2-row arm rollup. */
+  def ratioDelta(s: SparkSession, events: DataFrame): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val armB = graft.functions.TextFunctions.h60(col("user_id").cast("string")) >=
+      lit(1L << 59)
+    val perUser = events
+      .select(col("user_id"), cents.as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("k"))
+      .select(col("s"), col("k"),
+        when(armB, "B").otherwise("A").as("arm"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val m = perUser.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("s"))).cast("decimal(38,0)").as("ss"),
+      sum(dec(col("k"))).cast("decimal(38,0)").as("sk"),
+      sum(dec(col("s")) * dec(col("s"))).cast("decimal(38,0)").as("sss"),
+      sum(dec(col("k")) * dec(col("k"))).cast("decimal(38,0)").as("skk"),
+      sum(dec(col("s")) * dec(col("k"))).cast("decimal(38,0)").as("ssk"))
+    val n = d(col("n"))
+    val r = d(col("ss")) / d(col("sk"))
+    val varS = (n * d(col("sss")) - d(col("ss")) * d(col("ss"))) /
+      (n * (n - lit(1.0)))
+    val varK = (n * d(col("skk")) - d(col("sk")) * d(col("sk"))) /
+      (n * (n - lit(1.0)))
+    val covSK = (n * d(col("ssk")) - d(col("ss")) * d(col("sk"))) /
+      (n * (n - lit(1.0)))
+    val meanK = d(col("sk")) / n
+    val se = sqrt((varS - lit(2.0) * r * covSK + r * r * varK) /
+      (n * meanK * meanK))
+    m.select(col("arm"), col("n").as("n_users"),
+        (r / lit(100.0)).as("ratio"),
+        (se / lit(100.0)).as("se"),
+        ((r - lit(DeltaZ) * se) / lit(100.0)).as("ci_lo"),
+        ((r + lit(DeltaZ) * se) / lit(100.0)).as("ci_hi"))
+      .orderBy(col("arm"))
+  }
+
   // ----------------------------------------------------- q236 SPRT A/B
 
   /** q236's pinned design: H1 says arm B draws θ₁ = 0.6 of conversions
@@ -1047,6 +1106,7 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_ratio_delta" -> ((s, d) => ratioDelta(s, Tables.events(s, d))),
     "q267_srm_check" -> ((s, d) => srmCheck(s, Tables.events(s, d))),
     "q268_mde_report" -> ((s, d) => mdeReport(s, Tables.events(s, d))),
     "q266_mann_kendall" -> ((s, d) => mannKendall(s, Tables.events(s, d))),
@@ -1121,6 +1181,45 @@ object Analytics {
     (1 to k).map(d => (d, math.pow(p, d - 1)))
 
   def oracles: Map[String, String] = Map(
+    // exact-cents user moments, mirrored delta-method chain, driver-printed z
+    "q270_ratio_delta" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS k,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) >= 576460752303423488 THEN 'B' ELSE 'A' END AS arm
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(s AS HUGEINT)) AS ss, sum(CAST(k AS HUGEINT)) AS sk,
+         |    sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS sss,
+         |    sum(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS skk,
+         |    sum(CAST(s AS HUGEINT) * CAST(k AS HUGEINT)) AS ssk
+         |  FROM pu GROUP BY arm),
+         |c AS (
+         |  SELECT arm, n,
+         |    CAST(ss AS DOUBLE) / CAST(sk AS DOUBLE) AS r,
+         |    (CAST(n AS DOUBLE) * CAST(sss AS DOUBLE)
+         |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_s,
+         |    (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+         |      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_k,
+         |    (CAST(n AS DOUBLE) * CAST(ssk AS DOUBLE)
+         |      - CAST(ss AS DOUBLE) * CAST(sk AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_sk,
+         |    CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS mean_k
+         |  FROM m),
+         |e AS (
+         |  SELECT arm, n, r,
+         |    sqrt((var_s - 2.0 * r * cov_sk + r * r * var_k)
+         |         / (CAST(n AS DOUBLE) * mean_k * mean_k)) AS se
+         |  FROM c)
+         |SELECT arm, n AS n_users, r / 100.0 AS ratio, se / 100.0 AS se,
+         |  (r - ${Pin.sqlDouble(DeltaZ)} * se) / 100.0 AS ci_lo,
+         |  (r + ${Pin.sqlDouble(DeltaZ)} * se) / 100.0 AS ci_hi
+         |FROM e ORDER BY arm""".stripMargin,
     // integer arm counts, two IEEE ops, driver-printed chi2 critical value
     "q267_srm_check" ->
       s"""WITH u AS (

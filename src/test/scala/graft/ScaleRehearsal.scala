@@ -125,7 +125,9 @@ object ScaleRehearsal {
     // experiment health: distinct-user / user-keyed single aggregates
     "q267_srm_check", "q268_mde_report",
     // Chao1: the q158-family (source, word) count aggregate
-    "q269_chao1")
+    "q269_chao1",
+    // delta-method ratio CI: one user-keyed aggregate + 2-row arm rollup
+    "q270_ratio_delta")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
