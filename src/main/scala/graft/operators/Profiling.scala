@@ -145,6 +145,59 @@ object Profiling {
       .orderBy(col("l_min"))
   }
 
+  // -------------------------------------------------------- q271 ICC
+
+  /** q271's fixed-point scale for the order-free Σ (Sx_g²/n_g) sum. */
+  private val IccScale = 1e6
+
+  /** q271 — intraclass correlation of document length within sources
+    * (one-way random-effects ICC(1), unbalanced ANOVA form with the
+    * k₀ group-size correction; Fisher 1925): HOW SOURCE-CLUSTERED is a
+    * per-doc metric — ICC ≈ 0 means sources are interchangeable for
+    * this metric (stratifying on source buys nothing); ICC near 1
+    * means the metric is really a SOURCE property and any per-doc
+    * screen on it silently filters whole sources. The variance-
+    * decomposition counterpart of q194's per-source mean test.
+    *
+    * Exactness: all base moments are exact integers; the one
+    * order-sensitive piece — Σ_g Sx_g²/n_g over the source frame —
+    * rides the q158 fixed-point floor(·1e6) decimal sum (each term is
+    * an identical IEEE chain, the truncation identical cross-engine);
+    * everything after is a mirrored double dag. Magnitude bound: the
+    * scaled term must stay under 2^63, i.e. per-source char sums up to
+    * ~3e6·√n_g — tens of GB of text per source; past that drop
+    * IccScale to 1 (at those magnitudes the term is integral long
+    * before the grid matters). Scale shape: one source-keyed moment
+    * aggregate (bounded by |sources|), a 1-row fold. */
+  def iccBySource(docs: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val g = docs.select(col("source"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"),
+        sum(dec(col("n_chars"))).cast("decimal(38,0)").as("sxg"),
+        sum(dec(col("n_chars")) * dec(col("n_chars")))
+          .cast("decimal(38,0)").as("sxxg"))
+    val folded = g.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("ng")).as("n_docs"),
+      sum(col("sxg")).cast("decimal(38,0)").as("sx"),
+      sum(col("sxxg")).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("ng")) * dec(col("ng"))).cast("decimal(38,0)").as("sng2"),
+      sum(floor(d(col("sxg")) * d(col("sxg")) / d(col("ng")) * lit(IccScale))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("tdec"))
+    val nn = d(col("n_docs")); val gg = d(col("n_sources"))
+    val t = d(col("tdec")) / lit(IccScale)
+    val ssb = t - d(col("sx")) * d(col("sx")) / nn
+    val ssw = d(col("sxx")) - t
+    val msb = ssb / (gg - lit(1.0))
+    val msw = ssw / (nn - gg)
+    val k0 = (nn - d(col("sng2")) / nn) / (gg - lit(1.0))
+    folded.select(col("n_docs"), col("n_sources"),
+      msb.as("ms_between"), msw.as("ms_within"), k0.as("k0"),
+      ((msb - msw) / (msb + (k0 - lit(1.0)) * msw)).as("icc"))
+  }
+
   // ------------------------------------------------ q174 split leakage
 
   /** q174 — leakage-safe train/validation split audit: split the corpus
@@ -627,6 +680,7 @@ object Profiling {
     "q172_js_divergence" -> ((s, d) => jsDivergence(Tables.documents(s, d))),
     "q173_k_anonymity" -> ((s, d) => kAnonymity(s, Tables.customer(s, d))),
     "q265_l_diversity" -> ((s, d) => lDiversity(s, Tables.customer(s, d))),
+    "q271_icc_source" -> ((s, d) => iccBySource(Tables.documents(s, d))),
     "q174_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
     "q175_heaps_fit" -> ((s, d) => heapsFit(Tables.documents(s, d))),
     "q176_temp_mixture" -> ((s, d) => tempMixture(Tables.documents(s, d))),
@@ -860,6 +914,39 @@ object Profiling {
          |  CAST(sum(CASE WHEN l < l_min THEN sz ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(sz) AS DOUBLE) AS at_risk_frac
          |FROM cls CROSS JOIN ls GROUP BY l_min ORDER BY l_min""".stripMargin,
+    // exact integer moments; the per-group ratio sum rides the q158
+    // fixed-point floor(·1e6) HUGEINT trick; mirrored double dag after
+    "q271_icc_source" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sxg,
+        |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxxg
+        |  FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(ng) AS BIGINT) AS n_docs,
+        |    sum(sxg) AS sx, sum(sxxg) AS sxx,
+        |    sum(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)) AS sng2,
+        |    sum(CAST(floor(CAST(sxg AS DOUBLE) * CAST(sxg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) * 1.0e6) AS HUGEINT)) AS tdec
+        |  FROM g),
+        |c AS (
+        |  SELECT n_docs, n_sources,
+        |    (CAST(tdec AS DOUBLE) / 1.0e6
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        / CAST(n_docs AS DOUBLE)) / (CAST(n_sources AS DOUBLE) - 1.0)
+        |      AS ms_between,
+        |    (CAST(sxx AS DOUBLE) - CAST(tdec AS DOUBLE) / 1.0e6)
+        |      / (CAST(n_docs AS DOUBLE) - CAST(n_sources AS DOUBLE))
+        |      AS ms_within,
+        |    (CAST(n_docs AS DOUBLE)
+        |      - CAST(sng2 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      / (CAST(n_sources AS DOUBLE) - 1.0) AS k0
+        |  FROM f)
+        |SELECT n_docs, n_sources, ms_between, ms_within, k0,
+        |  (ms_between - ms_within)
+        |    / (ms_between + (k0 - 1.0) * ms_within) AS icc
+        |FROM c""".stripMargin,
     "q174_split_leakage" ->
       """WITH d AS (SELECT doc_id, md5(text) AS ck FROM documents),
         |n AS (

@@ -127,7 +127,9 @@ object ScaleRehearsal {
     // Chao1: the q158-family (source, word) count aggregate
     "q269_chao1",
     // delta-method ratio CI: one user-keyed aggregate + 2-row arm rollup
-    "q270_ratio_delta")
+    "q270_ratio_delta",
+    // ICC: |sources|-bounded moment aggregate + 1-row fold
+    "q271_icc_source")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
