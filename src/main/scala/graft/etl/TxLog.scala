@@ -341,12 +341,18 @@ object TxLog {
     val decl = enforceSchema(table, df, mergeSchema = false)
     val adds = (stage(spark, table, df) ++ decl) :+
       Action("txn", txn)
-    var v = versions(table).lastOption.getOrElse(0L) + 1
-    while (!tryCommit(table, v, adds)) {
+    // check-then-CAS with the claim target read FIRST: if the same
+    // txn's replay lands between the marker check and the commit,
+    // base+1 is taken, the CAS fails, and the loop re-checks — the
+    // marker can never slip through the gap (same TOCTOU class as the
+    // deleteWhere/optimize validation ordering)
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
       if (txnSeen(table, txn)) return None
-      v = versions(table).last + 1
+      if (tryCommit(table, base + 1, adds)) committed = base + 1
     }
-    Some(v)
+    Some(committed)
   }
 
   /** Transactional overwrite: removes the files of the snapshot the
@@ -419,18 +425,27 @@ object TxLog {
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
         else stage(spark, table, survivors)
       val removes = affected.map(Action("remove", _))
-      var v = versions(table).last + 1
+      // validate-then-CAS, in THAT order relative to the claim target:
+      // read base = last version FIRST, validate the affected set
+      // against the snapshot AS OF base, then claim base+1 — if any
+      // commit lands in between, base+1 is taken, the CAS fails, and
+      // the loop re-validates. Validating against a snapshot read
+      // AFTER the claim target (the previous code) leaves a window
+      // where a racer's rewrite of an affected file passes unseen and
+      // this commit resurrects its rows (row duplication — caught by
+      // the TxLogSpec storm test).
       var done = false
       var restart = false
+      var committed = -1L
       while (!done && !restart) {
-        if (tryCommit(table, v, removes ++ adds)) done = true
-        else {
-          val nowLive = snapshot(table).toSet
-          if (affected.forall(nowLive)) v = versions(table).last + 1 // appends only
-          else restart = true // a racer rewrote an affected file: rebase
-        }
+        val base = versions(table).last
+        val live = snapshot(table, Some(base)).toSet
+        if (!affected.forall(live)) restart = true // racer rewrote: rebase
+        else if (tryCommit(table, base + 1, removes ++ adds)) {
+          done = true; committed = base + 1
+        } // else: lost the CAS — loop re-reads base and re-validates
       }
-      if (done) return Some(v)
+      if (done) return Some(committed)
     }
     None
   }
@@ -473,20 +488,22 @@ object TxLog {
             sortBy.map(org.apache.spark.sql.functions.col): _*)
       val adds = stage(spark, table, compact)
       val removes = read0.map(Action("remove", _))
-      var v = versions(table).last + 1
+      // same validate-then-CAS ordering as deleteWhere: base first,
+      // validate read0 as of base, claim base+1 — a CAS loss forces
+      // re-validation, so a racer's removal of a file we read can
+      // never slip between the check and the commit
       var done = false
       var restart = false
+      var committed = -1L
       while (!done && !restart) {
-        if (tryCommit(table, v, removes ++ adds)) done = true
-        else {
-          val nowLive = snapshot(table).toSet
-          if (read0.forall(nowLive)) v = versions(table).last + 1 // appends only
-          else restart = true // a racer removed something we read: rebase
+        val base = versions(table).last
+        val live = snapshot(table, Some(base)).toSet
+        if (!read0.forall(live)) restart = true // racer removed a read file
+        else if (tryCommit(table, base + 1, removes ++ adds)) {
+          done = true; committed = base + 1
         }
       }
-      // return the version THIS commit won — versions().last could
-      // already be a later writer's commit
-      if (done) return Some(v)
+      if (done) return Some(committed)
     }
     None
   }

@@ -247,6 +247,45 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 99L))
   }
 
+  test("mixed append/optimize/delete storm serializes to exact final content") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((0L, 0L)).toDF("id", "grp"))
+    // 3 appenders (disjoint id ranges, grp = appender), 1 compactor,
+    // 1 deleter (grp === 2 only) — all racing from a common latch
+    val pool = Executors.newFixedThreadPool(5)
+    val start = new CountDownLatch(1)
+    val futs = (1 to 3).map { a =>
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        (0 until 4).foreach { i =>
+          TxLog.append(spark, t,
+            Seq((a * 100L + i, a.toLong)).toDF("id", "grp")) }
+      } })
+    } :+ pool.submit(new Runnable { def run(): Unit = {
+      start.await()
+      (0 until 3).foreach(_ => TxLog.optimize(spark, t, targetFiles = 2))
+    } }) :+ pool.submit(new Runnable { def run(): Unit = {
+      start.await()
+      (0 until 3).foreach(_ => TxLog.deleteWhere(spark, t, col("grp") === 2L))
+    } })
+    start.countDown()
+    futs.foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    // a final delete after the storm: NOTHING of grp 2 survives, and
+    // every other row appended by anyone is present exactly once
+    TxLog.deleteWhere(spark, t, col("grp") === 2L)
+    val ids = TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == (Seq(0L) ++ (0 until 4).flatMap(i =>
+      Seq(100L + i, 300L + i))).sorted)
+    // the log replays cleanly at EVERY committed version (no torn state)
+    TxLog.versions(t).foreach(v => TxLog.snapshot(t, Some(v)))
+    // vacuum to latest-2 still reads the final snapshot
+    TxLog.vacuum(t, retainVersions = 2)
+    assert(TxLog.read(spark, t).count() == ids.size)
+  }
+
   test("CDC tail: replays before ack, delivers deltas after, exactly-once downstream") {
     import spark.implicits._
     import graft.streaming.TxLogStream
