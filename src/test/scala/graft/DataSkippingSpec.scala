@@ -242,6 +242,31 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("TxLogTable on an evolved table: union schema, conservative pruning") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      (0L until 50L).map(i => (i, "en")).toDF("id", "lang").coalesce(1))
+    TxLog.append(spark, t,
+      (50L until 100L).map(i => (i, "fr", i / 10.0)).toDF("id", "lang", "score")
+        .coalesce(1), mergeSchema = true)
+    val tab = graft.sources.TxLogTable(spark, t)
+    assert(tab.schema.fieldNames.toSeq == Seq("id", "lang", "score"))
+    // filter on the EVOLVED column: the pre-evolution file has no stats
+    // entry for it — conservatively kept (its rows read score as null,
+    // which never satisfies >), while range-disjoint new files prune
+    val got = tab.filter(col("score") > 7.0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (71L until 100L))
+    // time travel BEFORE evolution binds the contemporary schema
+    val v1 = TxLog.versions(t).head
+    assert(graft.sources.TxLogTable(spark, t, asOf = Some(v1))
+      .schema.fieldNames.toSeq == Seq("id", "lang"))
+    // pruning on a pre-evolution column still fires across generations
+    val pr = TxLog.prune(spark, t, col("id") < 50L)
+    assert(pr.skipped.size == 1)
+  }
+
   test("describe folds exact metadata aggregates; refuses partial stats") {
     val t = rangedTable()
     val agg = TxLog.describe(t).get
