@@ -266,7 +266,13 @@ object Bench {
     val history = readHistory(historyPath(detailPath), sfBase)
     // untimed bootstrap warm-up (see methodology note above): the
     // cheapest-by-history query — its warm cost is the smallest possible
-    // spend on absorbing the session's one-time ~6 s cold start
+    // spend on absorbing the session's one-time ~6 s cold start.
+    // CAVEAT for SPARK_GRAFT_ONLY single-query reruns: the warm-up picks
+    // from the SELECTED map, so a solo run warm-executes the very query
+    // it then times — solo numbers are warm-second-execution readings by
+    // construction, systematically faster than the same query's
+    // first-execution in-suite number (q213: 24.6 s solo-warm vs
+    // 37-55 s in-suite). Compare solo-vs-solo or suite-vs-suite only.
     selected.toSeq
       .minByOption { case (n, _) => history.getOrElse(n, Double.MaxValue) }
       .foreach { case (n, fn) =>
