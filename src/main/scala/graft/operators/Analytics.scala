@@ -889,6 +889,40 @@ object Analytics {
       .orderBy(col("arm"))
   }
 
+  // ------------------------------------------ q272 two-proportion test
+
+  /** q272 — pooled two-proportion z-test of conversion by arm (the
+    * fixed-horizon counterpart of q236's sequential test, and the
+    * single most-used experiment readout there is): a user converts if
+    * they ever make a HIGH-VALUE purchase (value > 150 — plain purchase
+    * existence saturates to p=1 on this event log and degenerates the
+    * pooled variance); z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b))
+    * with p̂ the pooled rate. Exactness: conversion and arm are exact
+    * integer facts (md5 coin, purchase existence), rates and z are one
+    * mirrored chain of correctly-rounded IEEE ops + one sqrt —
+    * bit-identical, no pin. Scale shape: one user-keyed aggregate over
+    * the scan, a 1-row fold. */
+  def twoProportion(s: SparkSession, events: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > lit(150.0), 1L).otherwise(0L)).as("conv"))
+      .select(col("conv"),
+        when(graft.functions.TextFunctions.h60(col("user_id").cast("string"))
+          >= lit(1L << 59), 1L).otherwise(0L).as("b"))
+    val m = perUser.agg(
+      sum(lit(1L) - col("b")).as("n_a"), sum(col("b")).as("n_b"),
+      sum(when(col("b") === 0L, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("b") === 1L, col("conv")).otherwise(0L)).as("c_b"))
+    val pa = d(col("c_a")) / d(col("n_a"))
+    val pb = d(col("c_b")) / d(col("n_b"))
+    val pp = (d(col("c_a")) + d(col("c_b"))) / (d(col("n_a")) + d(col("n_b")))
+    m.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+      pa.as("rate_a"), pb.as("rate_b"),
+      ((pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))).as("z"))
+  }
+
   // ----------------------------------------------------- q236 SPRT A/B
 
   /** q236's pinned design: H1 says arm B draws θ₁ = 0.6 of conversions
@@ -1107,6 +1141,7 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_ratio_delta" -> ((s, d) => ratioDelta(s, Tables.events(s, d))),
+    "q272_two_proportion" -> ((s, d) => twoProportion(s, Tables.events(s, d))),
     "q267_srm_check" -> ((s, d) => srmCheck(s, Tables.events(s, d))),
     "q268_mde_report" -> ((s, d) => mdeReport(s, Tables.events(s, d))),
     "q266_mann_kendall" -> ((s, d) => mannKendall(s, Tables.events(s, d))),
@@ -1181,6 +1216,33 @@ object Analytics {
     (1 to k).map(d => (d, math.pow(p, d - 1)))
 
   def oracles: Map[String, String] = Map(
+    // integer conversion facts, one mirrored rate/z chain — no pin needed
+    "q272_two_proportion" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) >= 576460752303423488 THEN 1 ELSE 0 END AS b
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(sum(1 - b) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM pu)
+        |SELECT n_a, n_b, c_a, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |  / sqrt(
+        |      ((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (1.0 - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  AS z
+        |FROM m""".stripMargin,
     // exact-cents user moments, mirrored delta-method chain, driver-printed z
     "q270_ratio_delta" ->
       s"""WITH pu AS (

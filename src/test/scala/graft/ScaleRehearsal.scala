@@ -129,7 +129,9 @@ object ScaleRehearsal {
     // delta-method ratio CI: one user-keyed aggregate + 2-row arm rollup
     "q270_ratio_delta",
     // ICC: |sources|-bounded moment aggregate + 1-row fold
-    "q271_icc_source")
+    "q271_icc_source",
+    // two-proportion z: one user-keyed aggregate + 1-row fold
+    "q272_two_proportion")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
