@@ -210,12 +210,24 @@ object Bench {
   } catch { case e: Throwable =>
     System.err.println(s"[bench] history write failed: ${e.getMessage}") }
 
+  /** 1-minute loadavg, or -1 where /proc is unavailable. Recorded at run
+    * start and end (BENCH_DETAIL + the metric line): bench numbers on a
+    * shared host are load-sensitive (round-11 shipped a 500 s single-pass
+    * artifact that judge re-measures proved was ~1.66× ambient-load
+    * inflation), so the artifact must carry the evidence to read itself —
+    * a high-load single-pass run IS suspect, and says so. */
+  private def loadavg1m: Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** Full-name per-query timings go to a repo-side file: the harness keeps
     * only the last 2000 chars of stdout, which a 109-entry full-name map
     * overflows. Rewritten after every pass (crash-tolerant). */
   private def writeDetail(path: String, sfDir: String, passesDone: Int,
                           elapsed: Double, results: Map[String, Double],
-                          history: Map[String, Double]): Unit = {
+                          history: Map[String, Double],
+                          loadStart: Double): Unit = {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
     // suspect = > 2× best-known AND > 1 s absolute (round-11: tightened
@@ -231,13 +243,14 @@ object Bench {
       .map { case (k, v) => s""""$k": ${sec(v)}""" }.mkString("{", ", ", "}")
     try {
       val w = new java.io.PrintWriter(path)
-      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
+      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
   }
 
   def main(args: Array[String]): Unit = {
     val mainT0 = System.nanoTime()
+    val loadStart = loadavg1m
     def elapsedS: Double = (System.nanoTime() - mainT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -247,9 +260,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt
     )
-      // bench-only override of GraftSession's 2-min periodic-GC cadence:
-      // runPass collects explicitly between queries (untimed) instead, so
-      // no full-GC stall can land INSIDE a timed query (see runPass)
+      // keep Spark's default 30-min periodic-GC cadence (NOT
+      // GraftSession.longSession): runPass collects explicitly between
+      // queries (untimed) instead, so no full-GC stall can land INSIDE a
+      // timed query (see runPass)
       .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -292,7 +306,7 @@ object Bench {
       .map(n => n -> history.getOrElse(n, Double.MaxValue)).toMap
     var results = runPass(spark, sfDir, None, None, Some(pass1Pri))
     var passesDone = 1
-    writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history)
+    writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history, loadStart)
     var stop = passesDone >= passes
     while (!stop) {
       // a later pass is useful even TRUNCATED (expensive-first order +
@@ -314,7 +328,7 @@ object Bench {
         results = minByQuery(results,
           runPass(spark, sfDir, Some(deadline), Some(results), Some(pri)))
         passesDone += 1
-        writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history)
+        writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history, loadStart)
         stop = passesDone >= passes
       }
     }
@@ -346,12 +360,21 @@ object Bench {
       s"duplicate query-name prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val sfName = new java.io.File(sfDir).getName
+    // load self-defense (round-12, VERDICT #2): the artifact records the
+    // ambient 1-min loadavg at entry and the pass count, and a SINGLE-pass
+    // run that STARTED under heavy load flags itself — that is exactly the
+    // shape of round-11's 1.66×-inflated artifact, and the reader should
+    // not need archaeology to distrust it. (End load mostly measures our
+    // own 32-core run, so only the start reading gates the flag.)
+    val degraded = passesDone == 1 && loadStart > 4.0
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec2(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"sf":"$sfName"$om}"""
+      val ld = s""","passes":$passesDone,"load_1m_start":${sec2(loadStart)}""" +
+        (if (degraded) ""","degraded":"single_pass_under_load"""" else "")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"sf":"$sfName"$ld$om}"""
     }
     val limit = 1900 // margin under the 2000-char capture window
     var kept = results.toSeq.sortBy(-_._2) // cheapest dropped first if needed

@@ -24,10 +24,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.tune(
+    val spark = graft.core.GraftSession.longSession(graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
       shufflePartitions = cpus.toInt
-    ).getOrCreate()
+    )).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

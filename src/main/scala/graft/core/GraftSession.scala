@@ -48,15 +48,21 @@ object GraftSession {
       // parallelism at 100 TB (tune with executor memory, not per query)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // ContextCleaner's periodic GC defaults to 30 min — LONGER than a
-      // whole bench run, so torrent broadcast blocks from hundreds of
-      // broadcast joins accrue on the heap until an allocation-pressure GC
-      // happens to run finalizers in time (round-11: a pass-2 q213 OOM at
-      // -Xmx8g killed the whole artifact). A 2-min cadence keeps the
-      // long-session footprint flat; per-query cost is one System.gc on
-      // the driver, off the timed path.
-      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
+
+  /** Aggressive ContextCleaner cadence for LONG-RUNNING multi-query
+    * sessions (Verify's 270+-query dump; any app looping queries for
+    * minutes): the default 30-min periodic GC is longer than the whole
+    * run, so torrent broadcast blocks from hundreds of broadcast joins
+    * accrue on the heap until an allocation-pressure GC happens to run
+    * finalizers in time (round-11: a pass-2 q213 OOM at -Xmx8g killed a
+    * whole bench artifact). Deliberately NOT in [[tune]] (round-12,
+    * ADVICE): a 2-min driver System.gc is the wrong default for ordinary
+    * sessions — the entry points that loop queries opt in. (Bench opts
+    * OUT even of this: it collects explicitly between queries, in the
+    * untimed region, so no GC stall can land inside a timed run.) */
+  def longSession(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.cleaner.periodicGC.interval", "2min")
 
   /** Local session for tests / ad-hoc runs. */
   def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {

@@ -103,20 +103,26 @@ object Tables {
     * metadata listing signature as `spreadDecision`, so a driver-side
     * testdata regeneration mid-JVM invalidates the entry instead of
     * serving a stale schema. */
-  // outer map is weak-keyed BY THE SESSION (round-11, ADVICE): identity
-  // hash codes can collide between a stopped test session and a live one
-  // in the same JVM (serving a plan bound to the dead session), and a
-  // strong key would retain every stopped session's DataFrames for the
-  // JVM's life across sbt-test multi-session runs. Reference identity is
-  // collision-free; weak keys let dead sessions' entries be collected.
+  // keyed by SESSION IDENTITY (round-11, ADVICE): identity hash codes can
+  // collide between a stopped test session and a live one in the same JVM
+  // (serving a plan bound to the dead session), so the session object
+  // itself is the key. NOT weak-keyed (round-12, ADVICE): the cached
+  // DataFrames strongly reference their owning session
+  // (Dataset.sparkSession), so a WeakHashMap's values would pin its own
+  // keys and nothing would ever collect — instead, entries whose
+  // session's SparkContext has stopped are EXPLICITLY evicted on every
+  // load, which is the actual lifecycle of sbt-test multi-session runs
+  // (each suite stops its context when done).
   private val frameMemo =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     val sig = listingSignature(s"$dir/$name.parquet")
     val perSession = frameMemo.synchronized {
+      val dead = frameMemo.keySet.iterator
+      while (dead.hasNext) if (dead.next().sparkContext.isStopped) dead.remove()
       var m = frameMemo.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]()

@@ -104,9 +104,27 @@ object TxLog {
     Files.readAllLines(versionFile(table, v), StandardCharsets.UTF_8)
       .asScala.filter(_.nonEmpty).map(parseLine).toSeq
 
-  private def render(a: Action): String = a.stats match {
-    case Some(s) => s"""{"op":"${a.op}","path":"${a.path}","stats":"$s"}"""
-    case None    => s"""{"op":"${a.op}","path":"${a.path}"}"""
+  /** The log's line codec is a fixed flat shape with NO escaping, so any
+    * quote, backslash, or control char in a field would write a line
+    * [[parseLine]] mis-splits — and one bad line poisons every later
+    * snapshot replay. Internal fields (op, uuid paths, base64 stats) are
+    * safe by construction; the txn marker is CALLER-supplied (streaming
+    * appId), so it is validated here at the single choke point every
+    * committed line passes through. */
+  private def safeField(s: String, what: String): String = {
+    require(s.forall(c => c >= ' ' && c != '"' && c != '\\'),
+      s"TxLog $what may not contain quotes, backslashes, or control " +
+        s"chars (got: ${s.take(80)})")
+    s
+  }
+
+  private def render(a: Action): String = {
+    safeField(a.op, "action op"); safeField(a.path, "action path")
+    a.stats.foreach(safeField(_, "stats token"))
+    a.stats match {
+      case Some(s) => s"""{"op":"${a.op}","path":"${a.path}","stats":"$s"}"""
+      case None    => s"""{"op":"${a.op}","path":"${a.path}"}"""
+    }
   }
 
   /** Live file set (relative paths) at `asOf` (default: latest). Replay
@@ -138,6 +156,7 @@ object TxLog {
         case Action("remove", p, _) => live -= p
         case Action("txn", _, _)    => () // idempotence marker, no file effect
         case Action("schema", _, _) => () // schema declaration, no file effect
+        case Action("commit", _, _) => () // commit timestamp, no file effect
         case Action(other, p, _) =>
           throw new IllegalStateException(s"unknown log action $other for $p")
       }
@@ -163,6 +182,52 @@ object TxLog {
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     finally Files.deleteIfExists(tmp)
     v
+  }
+
+  // ------------------------------------------------ commit timestamps
+
+  /** The commit-timestamp action for a new version: epoch millis,
+    * driver-injected when the caller needs determinism (tests, oracle
+    * queries), wall clock otherwise. Stored IN the action log (not file
+    * mtime — mtimes don't survive copies/restores), the Delta
+    * in-commit-timestamp pattern. */
+  private def tsAction(commitTs: Option[Long]): Action =
+    Action("commit", commitTs.getOrElse(System.currentTimeMillis()).toString)
+
+  /** Recorded commit timestamp of version `v` (None for versions written
+    * before timestamps landed in the format). */
+  def timestampOf(table: String, v: Long): Option[Long] =
+    readActions(table, v).collectFirst {
+      case Action("commit", ts, _) => ts.toLong
+    }
+
+  /** Resolve `AS OF TIMESTAMP`: the newest version whose commit
+    * timestamp is <= `ts`. Clock skew between writers can record a
+    * commit with a SMALLER timestamp than its predecessor; resolution
+    * uses the running max (each version's effective timestamp is the
+    * max of its own and every earlier one — Delta's monotonization
+    * rule), so answers are well-ordered: a later version never resolves
+    * for an earlier timestamp. Pre-timestamp versions inherit their
+    * predecessor's effective timestamp (0 at the head — i.e. they
+    * resolve for any ts >= 0, matching "this history predates the
+    * question"). None when the table has no commits at or before `ts`. */
+  def versionAsOf(table: String, ts: Long): Option[Long] = {
+    var eff = 0L
+    var best: Option[Long] = None
+    versions(table).foreach { v =>
+      timestampOf(table, v).foreach(t => eff = math.max(eff, t))
+      if (eff <= ts) best = Some(v)
+    }
+    best
+  }
+
+  /** Snapshot read `AS OF TIMESTAMP` — the other half of time travel
+    * next to version-addressed [[read]]. Boundary contract: a read at
+    * exactly a commit's timestamp sees that commit. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, ts: Long): DataFrame = {
+    val v = versionAsOf(table, ts).getOrElse(throw new IllegalArgumentException(
+      s"no committed version of $table at or before timestamp $ts"))
+    read(spark, table, Some(v))
   }
 
   /** Has a commit carrying idempotence marker `txn` already landed?
@@ -317,9 +382,10 @@ object TxLog {
     * always refuses a column changing type. Returns the committed
     * version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             commitTs: Option[Long] = None): Long = {
     val decl = enforceSchema(table, df, mergeSchema)
-    val adds = stage(spark, table, df) ++ decl
+    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) v = versions(table).last + 1
     v
@@ -336,11 +402,12 @@ object TxLog {
     * unreferenced by the log (invisible to readers; a vacuum would GC
     * them). */
   def appendOnce(spark: SparkSession, table: String, df: DataFrame,
-                 txn: String): Option[Long] = {
+                 txn: String, commitTs: Option[Long] = None): Option[Long] = {
+    safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
     val decl = enforceSchema(table, df, mergeSchema = false)
     val adds = (stage(spark, table, df) ++ decl) :+
-      Action("txn", txn)
+      Action("txn", txn) :+ tsAction(commitTs)
     // check-then-CAS with the claim target read FIRST: if the same
     // txn's replay lands between the marker check and the commit,
     // base+1 is taken, the CAS fails, and the loop re-checks — the
@@ -359,7 +426,8 @@ object TxLog {
     * commit lands on and adds the staged ones. The remove set is
     * RECOMPUTED per attempt — losing the race re-reads the new snapshot,
     * so a concurrent append is not silently resurrected or lost. */
-  def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+                commitTs: Option[Long] = None): Long = {
     // a full content replace REDEFINES the schema (no merge flag needed);
     // time travel before it binds the contemporary declaration, so old
     // snapshots keep reading with their own columns/types
@@ -367,7 +435,7 @@ object TxLog {
       if (schemaOf(table).exists(d => d.map(f => (f.name, f.dataType)) ==
         df.schema.map(f => (f.name, f.dataType)))) None
       else Some(schemaAction(df.schema))
-    val adds = stage(spark, table, df) ++ decl
+    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(0L) + 1
@@ -402,7 +470,7 @@ object TxLog {
     * window — the standard two-step (logical delete, physical purge)
     * contract. */
   def deleteWhere(spark: SparkSession, table: String,
-                  cond: Column): Option[Long] = {
+                  cond: Column, commitTs: Option[Long] = None): Option[Long] = {
     val hit = coalesce(cond, lit(false))
     while (true) {
       val read0 = snapshot(table)
@@ -424,7 +492,7 @@ object TxLog {
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
         else stage(spark, table, survivors)
-      val removes = affected.map(Action("remove", _))
+      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs)
       // validate-then-CAS, in THAT order relative to the claim target:
       // read base = last version FIRST, validate the affected set
       // against the snapshot AS OF base, then claim base+1 — if any
@@ -471,7 +539,8 @@ object TxLog {
     * snapshot content is identical either way. */
   def optimize(spark: SparkSession, table: String,
                targetFiles: Int = 1,
-               sortBy: Seq[String] = Nil): Option[Long] = {
+               sortBy: Seq[String] = Nil,
+               commitTs: Option[Long] = None): Option[Long] = {
     while (true) {
       val read0 = snapshot(table)
       if (read0.isEmpty) return None
@@ -486,7 +555,7 @@ object TxLog {
             sortBy.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(
             sortBy.map(org.apache.spark.sql.functions.col): _*)
-      val adds = stage(spark, table, compact)
+      val adds = stage(spark, table, compact) :+ tsAction(commitTs)
       val removes = read0.map(Action("remove", _))
       // same validate-then-CAS ordering as deleteWhere: base first,
       // validate read0 as of base, claim base+1 — a CAS loss forces
@@ -513,26 +582,46 @@ object TxLog {
     * Time travel OLDER than the retention window stops resolving — the
     * standard retention contract; version files themselves are kept, so
     * the log stays replayable and txn markers stay visible. Returns the
-    * deleted relative paths. */
-  def vacuum(table: String, retainVersions: Int = 2): Seq[String] = {
+    * deleted relative paths.
+    *
+    * Concurrent-writer safety: [[stage]] writes data files BEFORE the
+    * commit CAS publishes them, so "unreferenced by any retained
+    * snapshot" is NOT proof a file is garbage — it may be a racing
+    * writer's freshly staged commit-to-be, and deleting it would let
+    * that writer publish add-actions pointing at nothing (permanent
+    * corruption). Files younger than `minAgeMillis` (file mtime) are
+    * therefore skipped — the Delta-protocol retention-window guard
+    * (Armbrust et al. VLDB 2020 §4.3; Delta's
+    * `deletedFileRetentionDuration`). The default comfortably exceeds
+    * any stage→commit window; pass 0 ONLY when the caller can assert
+    * writer quiescence (tests do). */
+  def vacuum(table: String, retainVersions: Int = 2,
+             minAgeMillis: Long = 20L * 60 * 1000): Seq[String] = {
     val vs = versions(table)
     if (vs.isEmpty) return Seq.empty
     val retained = vs.takeRight(math.max(1, retainVersions))
     val keep = retained.flatMap(v => snapshot(table, Some(v))).toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMillis)
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished/unreadable: skip
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     listDir(dataRoot).foreach { sub =>
       val dir = dataRoot.resolve(sub)
       if (Files.isDirectory(dir)) {
         listDir(dir).foreach { f =>
           val rel = s"data/$sub/$f"
-          if ((f.startsWith("part-") && f.endsWith(".parquet")) && !keep(rel)) {
+          if ((f.startsWith("part-") && f.endsWith(".parquet")) && !keep(rel)
+              && oldEnough(dir.resolve(f))) {
             Files.deleteIfExists(dir.resolve(f))
             deleted += rel
           }
         }
-        if (listDir(dir).forall(n => !n.endsWith(".parquet")))
+        // sweep now-empty data dirs — but only past the age window too:
+        // a racing stage's dir can momentarily hold just _SUCCESS/.crc
+        if (oldEnough(dir) && listDir(dir).forall(n => !n.endsWith(".parquet")))
           { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
             Files.deleteIfExists(dir) }
       }
@@ -552,13 +641,20 @@ object TxLog {
   def changes(spark: SparkSession, table: String, fromV: Long,
               toV: Option[Long] = None): DataFrame = {
     val hi = toV.getOrElse(versions(table).lastOption.getOrElse(0L))
-    val added = versions(table).filter(v => v > fromV && v <= hi)
-      .flatMap(v => readActions(table, v).collect {
-        case Action("add", p, _) => p
-      })
+    val added = addedBetween(table, fromV, hi)
     require(added.nonEmpty, s"no adds in ($fromV, $hi] for $table")
     boundRead(spark, table, added.map(p => s"$table/$p"), Some(hi))
   }
+
+  /** Relative paths of the files ADDED by versions in `(fromV, toV]` —
+    * the file-level increment [[changes]] scans and the streaming CDC
+    * source ([[graft.sources.TxLogSource]]) plans micro-batches from.
+    * Driver-side metadata, O(versions in range). */
+  def addedBetween(table: String, fromV: Long, toV: Long): Seq[String] =
+    versions(table).filter(v => v > fromV && v <= toV)
+      .flatMap(v => readActions(table, v).collect {
+        case Action("add", p, _) => p
+      })
 
   /** Scan `files` binding the DECLARED schema when one exists: with an
     * evolved table, a bare parquet read would take whichever file's

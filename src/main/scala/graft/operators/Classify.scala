@@ -816,7 +816,19 @@ object Classify {
     * scores the q122 decimal(25,15) order-free chain; argmax ties to the
     * smallest label; accuracy a single double division with a FIXED
     * denominator (unscored docs count as wrong, so ablated models cannot
-    * shrink their own denominator). */
+    * shrink their own denominator).
+    *
+    * Perf decision (round 12, CLOSED): the delta-scoring rewrite (score
+    * the full model once + per-source corrections) stays REJECTED. The
+    * round-11 probes (PLANS.md "q251 stage probe") measured the premise
+    * away: the shared vocab appears in every source-lang, so the
+    * correction join carries 1.20M rows vs the current 1.26M — the win
+    * would be ~4 s of stage-count overhead at sf0.1, not data volume,
+    * while the rewrite re-pins every ln grid in BOTH engines
+    * (pin(ln(a/b)) ≠ pin(ln a) − pin(ln b)) — bit-exactness churn across
+    * 21 models for a constant-factor stage saving that vanishes on a
+    * real cluster (stage floors are local-mode artifacts). 9-10 s solo
+    * at sf0.1 is accepted as this operator's cost. */
   def q251SourceInfluence(s: SparkSession, dir: String): DataFrame =
     sourceInfluence(Tables.documents(s, dir))
 

@@ -21,6 +21,42 @@ object Lakehouse {
 
   private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
 
+  // ------------------------------------------- scratch-table lifecycle
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach(deleteRec) } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
+
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      scratchDirs.values.asScala.foreach(d =>
+        try deleteRec(d) catch { case _: Throwable => () })
+    }))
+  }
+
+  /** Per-query scratch TxLog table root. The returned DataFrame reads the
+    * table's files LAZILY (after the builder returns), so eager deletion
+    * is impossible — instead each query name keeps AT MOST ONE live
+    * scratch dir: a re-entry (bench pass 2+, per-pass re-runs) deletes
+    * the previous pass's table first (safe — the prior frame was fully
+    * consumed before the next pass starts), and a JVM shutdown hook
+    * sweeps the final generation. Bounds scratch disk to one small table
+    * per TxLog query instead of one per execution (round-12, ADVICE). */
+  private def tempTable(prefix: String): String = {
+    val fresh = java.nio.file.Files.createTempDirectory(prefix)
+    val old = scratchDirs.put(prefix, fresh)
+    if (old != null) try deleteRec(old) catch { case _: Throwable => () }
+    fresh.resolve("t").toString
+  }
+
   // q73 — SCD Type-2 dimension build: per customer, the history of
   // o_orderpriority as validity intervals. One window (lag to detect
   // changes), a filter, and a second bounded window (lead for valid_to,
@@ -359,8 +395,7 @@ object Lakehouse {
     * shape: two priority-keyed rollups (bounded output) + file-level
     * snapshot reads; log work is driver-side metadata only. */
   def q249TxLogTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files.createTempDirectory("graft-q249")
-      .resolve("t").toString
+    val table = tempTable("graft-q249")
     val orders = Tables.orders(s, dir)
     def half(parity: Int): DataFrame = orders
       .filter(col("o_orderkey") % 2 === parity)
@@ -390,8 +425,7 @@ object Lakehouse {
     * the distinct increments contributing to each priority, pinning
     * that increments neither merge nor split. Integer-only output. */
   def q250TxLogCdc(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files.createTempDirectory("graft-q250")
-      .resolve("t").toString
+    val table = tempTable("graft-q250")
     val orders = Tables.orders(s, dir)
     (0 until 3).foreach { p =>
       graft.etl.TxLog.append(s, table, orders
@@ -427,8 +461,7 @@ object Lakehouse {
     * appends + a file-pruned copy-on-write rewrite + two bounded
     * rollups; the commit log stays driver-side metadata. */
   def q258TxLogDelete(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files.createTempDirectory("graft-q258")
-      .resolve("t").toString
+    val table = tempTable("graft-q258")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     // file-sized appends (coalesce 4): the default 32 scan partitions
     // would land 64 tiny part files for a kilorow table, and every later
@@ -463,8 +496,7 @@ object Lakehouse {
     * the evolved rows, and nothing was dropped or duplicated across the
     * two schema generations. */
   def q259TxLogEvolution(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files.createTempDirectory("graft-q259")
-      .resolve("t").toString
+    val table = tempTable("graft-q259")
     val docs = Tables.documents(s, dir)
     graft.etl.TxLog.append(s, table,
       docs.filter(col("doc_id") % 2 === 0)
@@ -501,8 +533,7 @@ object Lakehouse {
     * statistics at all. Integer/string output only. */
   def q260TxLogSkipping(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val table = java.nio.file.Files.createTempDirectory("graft-q260")
-      .resolve("t").toString
+    val table = tempTable("graft-q260")
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
     val y = year(col("o_orderdate"))
@@ -536,8 +567,7 @@ object Lakehouse {
     * footers store), integer-exact in both engines. */
   def q261TxLogDescribe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val table = java.nio.file.Files.createTempDirectory("graft-q261")
-      .resolve("t").toString
+    val table = tempTable("graft-q261")
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
     (0 until 4).foreach(p => graft.etl.TxLog.append(s, table,
@@ -564,8 +594,7 @@ object Lakehouse {
     * Alongside q260 (explicit readWhere protocol) this closes the loop:
     * both skip paths, one contract. */
   def q263TxLogTable(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files.createTempDirectory("graft-q263")
-      .resolve("t").toString
+    val table = tempTable("graft-q263")
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val y = year(col("o_orderdate"))

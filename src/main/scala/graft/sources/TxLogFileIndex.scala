@@ -35,7 +35,7 @@ import graft.etl.{TxLog, TxStats}
   * stats. Driver-side metadata only — O(files) per planning pass.
   */
 final class TxLogFileIndex(table: String, asOf: Option[Long] = None)
-    extends FileIndex {
+    extends FileIndex with org.apache.spark.internal.Logging {
 
   /** (hadoop status, decoded stats) per live file, fixed at construction. */
   private val entries: Seq[(FileStatus, Option[TxStats.FileStats])] =
@@ -58,6 +58,13 @@ final class TxLogFileIndex(table: String, asOf: Option[Long] = None)
   /** Snapshot-isolated by design: the set was pinned at construction. */
   override def refresh(): Unit = ()
 
+  /** Files pruned by the LAST listFiles call (planning pass) — makes the
+    * skipping decision observable next to the plan instead of only via
+    * result hashes (round-11 VERDICT #8): `EXPLAIN` shows the scan, this
+    * shows what the scan never saw. One planning pass per query; the
+    * volatile write is driver-side only. */
+  @volatile var lastPrunedCount: Int = 0
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = dataFilters.reduceOption(And) match {
@@ -67,6 +74,10 @@ final class TxLogFileIndex(table: String, asOf: Option[Long] = None)
         case (_, None)     => true // stats-less file: never skipped
       }
     }
+    lastPrunedCount = entries.size - kept.size
+    if (lastPrunedCount > 0)
+      logInfo(s"TxLogFileIndex($table): pruned $lastPrunedCount of " +
+        s"${entries.size} files via commit-log stats")
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 }
@@ -81,7 +92,13 @@ object TxLogTable {
     * absent columns as null); pre-schema tables fall back to parquet
     * footer inference. */
   def apply(spark: SparkSession, table: String,
-            asOf: Option[Long] = None): DataFrame = {
+            asOf: Option[Long] = None): DataFrame =
+    withIndex(spark, table, asOf)._1
+
+  /** Same, returning the live [[TxLogFileIndex]] too, so callers (specs,
+    * diagnostics) can observe `lastPrunedCount` after an action. */
+  def withIndex(spark: SparkSession, table: String,
+                asOf: Option[Long] = None): (DataFrame, TxLogFileIndex) = {
     val idx = new TxLogFileIndex(table, asOf)
     val schema = TxLog.schemaOf(table, asOf).getOrElse {
       require(idx.inputFiles.nonEmpty, s"empty snapshot for $table asOf=$asOf")
@@ -94,6 +111,6 @@ object TxLogTable {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(rel)
+    (spark.baseRelationToDataFrame(rel), idx)
   }
 }

@@ -282,7 +282,7 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the log replays cleanly at EVERY committed version (no torn state)
     TxLog.versions(t).foreach(v => TxLog.snapshot(t, Some(v)))
     // vacuum to latest-2 still reads the final snapshot
-    TxLog.vacuum(t, retainVersions = 2)
+    TxLog.vacuum(t, retainVersions = 2, minAgeMillis = 0)
     assert(TxLog.read(spark, t).count() == ids.size)
   }
 
@@ -388,7 +388,7 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))     // v1
     TxLog.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))  // v2 removes v1's file
     TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))     // v3
-    val deleted = TxLog.vacuum(t, retainVersions = 2)          // keep v2, v3 views
+    val deleted = TxLog.vacuum(t, retainVersions = 2, minAgeMillis = 0)          // keep v2, v3 views
     assert(deleted.nonEmpty, "v1's overwritten file should be vacuumed")
     // v2 and v3 snapshots still read
     assert(TxLog.read(spark, t, asOf = Some(2L)).select(col("id"))
@@ -399,5 +399,67 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1Files = TxLog.snapshot(t, Some(1L))
     assert(v1Files.exists(p => !java.nio.file.Files.exists(
       java.nio.file.Paths.get(t, p))), "out-of-retention file still on disk")
+  }
+
+  test("vacuum retention window spares files younger than minAgeMillis") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))     // v1
+    TxLog.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))  // v2 orphans v1's file
+    // default window: v1's file is unreferenced by retained snapshots but
+    // SECONDS old — exactly what a racing writer's staged-not-yet-committed
+    // file looks like, so it must survive (round-12, ADVICE medium)
+    assert(TxLog.vacuum(t, retainVersions = 1).isEmpty)
+    TxLog.snapshot(t, Some(1L)).foreach(p => assert(java.nio.file.Files
+      .exists(java.nio.file.Paths.get(t, p)), s"young file $p deleted"))
+    // quiescence asserted by the caller: age 0 reclaims it
+    assert(TxLog.vacuum(t, retainVersions = 1, minAgeMillis = 0).nonEmpty)
+  }
+
+  test("txn markers and log fields reject quote/backslash/control chars") {
+    import spark.implicits._
+    val t = tmp()
+    val df = Seq((1L, "a")).toDF("id", "s")
+    // one bad marker would poison every later snapshot replay — refuse it
+    // at the API boundary, BEFORE any data stages (round-12, ADVICE)
+    Seq("app\"x/1", "app\\x/2", "app\nx/3").foreach { bad =>
+      intercept[IllegalArgumentException](TxLog.appendOnce(spark, t, df, bad))
+    }
+    assert(TxLog.versions(t).isEmpty, "a refused marker still committed")
+    assert(TxLog.appendOnce(spark, t, df, "app-x/1").contains(1L))
+  }
+
+  test("AS OF TIMESTAMP resolves versions; boundary reads its commit") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"), commitTs = Some(1000L))
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"), commitTs = Some(2000L))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"), commitTs = Some(3000L))
+    assert(TxLog.timestampOf(t, 2L).contains(2000L))
+    // strictly between commits → the earlier version
+    assert(TxLog.versionAsOf(t, 1500L).contains(1L))
+    // EXACTLY at a commit's timestamp → that version (boundary contract)
+    assert(TxLog.versionAsOf(t, 2000L).contains(2L))
+    // after the head → latest; before the first → none
+    assert(TxLog.versionAsOf(t, 99999L).contains(3L))
+    assert(TxLog.versionAsOf(t, 999L).isEmpty)
+    intercept[IllegalArgumentException](TxLog.readAsOfTimestamp(spark, t, 999L))
+    assert(TxLog.readAsOfTimestamp(spark, t, 2500L).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("AS OF TIMESTAMP monotonizes skewed clocks (running-max rule)") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"), commitTs = Some(5000L))
+    // a skewed writer records an EARLIER wall clock for a LATER version:
+    // its effective timestamp is max(5000, 4000) = 5000, so no timestamp
+    // can resolve v2 before v1
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"), commitTs = Some(4000L))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"), commitTs = Some(6000L))
+    assert(TxLog.versionAsOf(t, 4500L).isEmpty)   // before v1's 5000
+    assert(TxLog.versionAsOf(t, 5000L).contains(2L)) // v1 AND skewed v2 at 5000
+    assert(TxLog.versionAsOf(t, 5999L).contains(2L))
+    assert(TxLog.versionAsOf(t, 6000L).contains(3L))
   }
 }
