@@ -612,7 +612,126 @@ object Lakehouse {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // --------------------------------- q273 TxLog AS OF TIMESTAMP
+
+  /** q273 — timestamp-addressed time travel, driver-verified: the q249
+    * table shape (even-parity rollup as v1, odd as v2) with INJECTED
+    * commit timestamps (1000, 2000 — deterministic, driver-chosen), then
+    * three probes: strictly between commits (1500 → v1 only), exactly AT
+    * the second commit (2000 → v2, the boundary contract), and far past
+    * the head (99999 → latest). The oracle recomputes each probe's
+    * expected CONTENTS from the raw table, so the hash check pins the
+    * timestamp→version resolution rules — an earlier probe can never see
+    * a later commit, and the boundary lands inclusive. Integer/string
+    * output only; log work driver-side metadata. */
+  def q273TxLogAsOfTs(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q273")
+    val orders = Tables.orders(s, dir)
+    def half(parity: Int): DataFrame = orders
+      .filter(col("o_orderkey") % 2 === parity)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("parity", lit(parity.toLong))
+    graft.etl.TxLog.append(s, table, half(0), commitTs = Some(1000L))
+    graft.etl.TxLog.append(s, table, half(1), commitTs = Some(2000L))
+    Seq(1500L, 2000L, 99999L).map { ts =>
+      graft.etl.TxLog.readAsOfTimestamp(s, table, ts)
+        .withColumn("probe_ts", lit(ts))
+    }.reduce(_ unionByName _)
+      .select(col("probe_ts"), col("parity"), col("o_orderpriority"),
+        col("n_orders"))
+      .orderBy(col("probe_ts"), col("parity"), col("o_orderpriority"))
+  }
+
+  // ------------------------------------ q274 TxLog SQL INSERT (DSv2)
+
+  /** q274 — the SQL write seam, driver-verified: CREATE TABLE USING
+    * [[graft.sources.TxLogSource]], two INSERT INTO … SELECT statements
+    * landing the parity halves of the order rollup as two ACID commits,
+    * then a SQL read back THROUGH the table. The emitted version_count
+    * comes from the commit log itself (one version per INSERT — the
+    * statement↔commit contract), and the rollup contents the oracle
+    * recomputes from raw orders pin that SQL writes round-trip through
+    * the format losslessly. Alongside q263 (SQL read path) this closes
+    * the loop: the format is SQL-complete, both directions. */
+  def q274TxLogSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q274")
+    val view = s"graft_q274_orders_${System.nanoTime()}"
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    val name = s"graft_q274_t_${System.nanoTime()}"
+    s.sql(s"CREATE TABLE $name (o_orderpriority STRING, n_orders BIGINT, " +
+      s"parity BIGINT) USING graft.sources.TxLogSource OPTIONS (path '$table')")
+    try {
+      (0 to 1).foreach { p =>
+        s.sql(s"""INSERT INTO $name
+          |SELECT o_orderpriority, count(*) AS n_orders,
+          |  CAST($p AS BIGINT) AS parity
+          |FROM $view WHERE o_orderkey % 2 = $p
+          |GROUP BY o_orderpriority""".stripMargin)
+      }
+      s.sql(s"""SELECT o_orderpriority, parity, n_orders,
+        |  CAST(${graft.etl.TxLog.versions(table).size} AS BIGINT)
+        |    AS version_count
+        |FROM $name
+        |ORDER BY parity, o_orderpriority""".stripMargin)
+        // materialize BEFORE dropping the catalog entry: the returned
+        // frame must not depend on the temporary table name
+        .localCheckpoint(eager = true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.catalog.dropTempView(view); ()
+    }
+  }
+
+  // ------------------------------------- q275 TxLog CDC stream tail
+
+  /** q275 — the streaming CDC consumer, driver-verified: three commits
+    * land the key%3 slices of the order rollup, then
+    * `spark.readStream.format(TxLogSource)` drains the table with an
+    * AvailableNow trigger into a bounded driver buffer (foreachBatch,
+    * rollup-sized rows). The emitted aggregate folds EXACTLY the rows
+    * the stream delivered; the oracle recomputes the full rollup from
+    * raw orders — so the hash check pins the tail contract the batch
+    * q250 pins for `changes()`: every committed row arrives exactly
+    * once, regardless of how the trigger slices versions into
+    * micro-batches (the output deliberately depends only on the union,
+    * not the batching). n_slices counts the distinct commit tags seen,
+    * pinning that no slice was dropped or duplicated. */
+  def q275TxLogCdcStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tempTable("graft-q275")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q275-ckpt")
+    val orders = Tables.orders(s, dir)
+    (0 until 3).foreach { p =>
+      graft.etl.TxLog.append(s, table, orders
+        .filter(col("o_orderkey") % 3 === p)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("slice", lit(p.toLong)))
+    }
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val stream = s.readStream.format("graft.sources.TxLogSource").load(table)
+    val rollupSchema = stream.schema
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    deleteRec(ckpt)
+    s.createDataFrame(new java.util.ArrayList(got), rollupSchema)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        count_distinct(col("slice")).as("n_slices"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_txlog_cdc_stream" -> (q275TxLogCdcStream _),
+    "q274_txlog_sql_insert" -> (q274TxLogSqlInsert _),
+    "q273_txlog_asof_ts" -> (q273TxLogAsOfTs _),
     "q263_txlog_table" -> (q263TxLogTable _),
     "q261_txlog_describe" -> (q261TxLogDescribe _),
     "q260_txlog_skipping" -> (q260TxLogSkipping _),
@@ -632,6 +751,33 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q275_txlog_cdc_stream" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) AS n_slices
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q274_txlog_sql_insert" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey % 2 AS BIGINT) AS parity,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, parity, n_orders,
+        |  CAST(2 AS BIGINT) AS version_count
+        |FROM r ORDER BY parity, o_orderpriority""".stripMargin,
+    "q273_txlog_asof_ts" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey % 2 AS BIGINT) AS parity,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1500 AS BIGINT) AS probe_ts, parity, o_orderpriority,
+        |    n_orders FROM r WHERE parity = 0
+        |  UNION ALL
+        |  SELECT CAST(2000 AS BIGINT), parity, o_orderpriority, n_orders FROM r
+        |  UNION ALL
+        |  SELECT CAST(99999 AS BIGINT), parity, o_orderpriority, n_orders FROM r)
+        |ORDER BY probe_ts, parity, o_orderpriority""".stripMargin,
     "q263_txlog_table" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years
