@@ -518,6 +518,98 @@ object TxLog {
     None
   }
 
+  /** Transactional MERGE (keyed upsert), copy-on-write — the
+    * WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * core of the
+    * production-format MERGE INTO: every target row whose `keyCols`
+    * match a source row is REPLACED by that source row, source rows
+    * matching nothing are INSERTED, and target rows matching nothing
+    * survive untouched. Refuses a source with duplicate keys (the
+    * standard multiple-matches error — otherwise which row "wins" is
+    * nondeterministic); null source keys match nothing (SQL equality)
+    * and therefore insert.
+    *
+    * Mechanics, file-pruned like [[deleteWhere]]: a distributed
+    * `input_file_name()` scan semi-joined to the (broadcastable) source
+    * keys finds the AFFECTED files — by definition every file holding
+    * any matched key; their unmatched rows (anti-join) are re-staged
+    * together with the full source as the new files, and ONE commit
+    * publishes remove(affected) + add(staged). Unaffected files are
+    * never rewritten — no write amplification on the untouched part of
+    * the table. At 100 TB the scan is one pass over the target with a
+    * broadcast key set; driver state stays bounded by FILE count.
+    *
+    * Concurrency: the same validate-then-claim loop as deleteWhere /
+    * optimize — base version first, validate the affected set against
+    * the snapshot AS OF base, claim base+1; losing the CAS re-validates,
+    * a racer's rewrite of an affected file restarts the whole pass.
+    * A concurrent APPEND's files are never touched (rebase semantics) —
+    * note the documented caveat that such an append may itself carry
+    * matching keys, which this merge, pinned to its read snapshot,
+    * will not see (the serialized-history view: that append happened
+    * AFTER this merge). Returns the committed version. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String], commitTs: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val dupKeys = source.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
+        "which row wins would be nondeterministic")
+    val decl = enforceSchema(table, source, mergeSchema = false)
+    val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    while (true) {
+      val read0 = snapshot(table)
+      if (read0.isEmpty) { // empty table: MERGE degenerates to append
+        val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs)
+        var v = versions(table).lastOption.getOrElse(0L) + 1
+        var committed = -1L
+        while (committed < 0) {
+          if (tryCommit(table, v, adds)) committed = v
+          else v = versions(table).last + 1
+        }
+        return committed
+      }
+      def absOf(rel: Seq[String]): Seq[String] =
+        rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+      val hits = boundRead(spark, table, absOf(read0), None)
+        .withColumn("_graft_file", input_file_name())
+        .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0))
+      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      val survivors =
+        if (affected.isEmpty) None
+        else Some(boundRead(spark, table, absOf(affected), None)
+          .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti"))
+      // stage survivors and source as ONE write so the commit is one
+      // atomic unit; column order aligned to the declared schema
+      val declared = schemaOf(table).getOrElse(source.schema)
+      def aligned(df: DataFrame): DataFrame =
+        df.select(declared.fieldNames.filter(df.columns.contains)
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val staged = survivors match {
+        case Some(surv) => aligned(surv).unionByName(aligned(source),
+          allowMissingColumns = true)
+        case None       => aligned(source)
+      }
+      val adds = (stage(spark, table, staged) ++ decl) :+ tsAction(commitTs)
+      val removes = affected.map(Action("remove", _))
+      var done = false
+      var restart = false
+      var committed = -1L
+      while (!done && !restart) {
+        val base = versions(table).last
+        val live = snapshot(table, Some(base)).toSet
+        if (!affected.forall(live)) restart = true // racer rewrote: rebase
+        else if (tryCommit(table, base + 1, removes ++ adds)) {
+          done = true; committed = base + 1
+        }
+      }
+      if (done) return committed
+    }
+    -1L // unreachable
+  }
+
   /** Transactional OPTIMIZE: rewrite the current snapshot's files into
     * `targetFiles` parquet files and swap them in ONE commit — with
     * REBASE (not overwrite) semantics: the removes are exactly the files

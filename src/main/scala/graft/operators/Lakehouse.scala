@@ -728,7 +728,40 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ------------------------------------------- q276 TxLog MERGE
+
+  /** q276 — transactional keyed upsert (MERGE), driver-verified: the
+    * per-priority order rollup lands as two files (split at '2-HIGH'),
+    * then one [[graft.etl.TxLog.merge]] replaces the low-priority rows
+    * with bumped counts AND inserts a synthetic new priority — matched
+    * rows updated, unmatched source inserted, the high-priority file
+    * untouched (copy-on-write pruned to the one affected file; the
+    * TxLogSpec merge tests pin the file-level evidence, this query pins
+    * the CONTENT contract against an oracle that recomputes the merge
+    * result from raw orders with plain set algebra). version_count = 3
+    * pins that the whole upsert was ONE commit after two appends. */
+  def q276TxLogMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q276")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") <= "2-HIGH").coalesce(1))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") > "2-HIGH").coalesce(1))
+    val source = r.filter(col("o_orderpriority") <= "2-HIGH")
+      .select(col("o_orderpriority"), (col("n_orders") + 1000L).as("n_orders"))
+      .unionByName(Seq(("9-SYNTH", 42L)).toDF("o_orderpriority", "n_orders"))
+    graft.etl.TxLog.merge(s, table, source, Seq("o_orderpriority"))
+    graft.etl.TxLog.read(s, table)
+      .withColumn("version_count",
+        lit(graft.etl.TxLog.versions(table).size.toLong))
+      .select(col("o_orderpriority"), col("n_orders"), col("version_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_txlog_merge" -> (q276TxLogMerge _),
     "q275_txlog_cdc_stream" -> (q275TxLogCdcStream _),
     "q274_txlog_sql_insert" -> (q274TxLogSqlInsert _),
     "q273_txlog_asof_ts" -> (q273TxLogAsOfTs _),
@@ -751,6 +784,20 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q276_txlog_merge" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n_orders,
+        |  CAST(3 AS BIGINT) AS version_count FROM (
+        |  SELECT o_orderpriority, n_orders + 1000 AS n_orders FROM r
+        |  WHERE o_orderpriority <= '2-HIGH'
+        |  UNION ALL
+        |  SELECT o_orderpriority, n_orders FROM r
+        |  WHERE o_orderpriority > '2-HIGH'
+        |  UNION ALL
+        |  SELECT '9-SYNTH', CAST(42 AS BIGINT))
+        |ORDER BY o_orderpriority""".stripMargin,
     "q275_txlog_cdc_stream" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_orders,

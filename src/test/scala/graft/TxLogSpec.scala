@@ -448,6 +448,58 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("merge: matched rows replaced, unmatched inserted, cold files untouched") {
+    import spark.implicits._
+    val t = tmp()
+    // exactly two files: ids 1-2 and ids 10-11
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t, Seq((10L, "x"), (11L, "y")).toDF("id", "s").coalesce(1))
+    val before = TxLog.snapshot(t).toSet
+    assert(before.size == 2)
+    // source touches only the first file's keys (update 2) + inserts 3
+    val v = TxLog.merge(spark, t,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "s"), Seq("id"))
+    assert(v == 3L)
+    assert(TxLog.read(spark, t).collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c"), (10L, "x"), (11L, "y")))
+    // copy-on-write: the untouched file is still live at its original path
+    val after = TxLog.snapshot(t).toSet
+    assert(before.count(after) == 1, s"exactly the cold file should survive")
+    // time travel pre-merge still reads the old row
+    assert(TxLog.read(spark, t, asOf = Some(2L))
+      .filter(col("id") === 2L).head().getString(1) == "b")
+  }
+
+  test("merge: empty table inserts everything; duplicate source keys refused") {
+    import spark.implicits._
+    val t = tmp()
+    assert(TxLog.merge(spark, t, Seq((1L, "a")).toDF("id", "s"), Seq("id")) == 1L)
+    assert(TxLog.read(spark, t).count() == 1L)
+    intercept[IllegalArgumentException](TxLog.merge(spark, t,
+      Seq((5L, "x"), (5L, "y")).toDF("id", "s"), Seq("id")))
+    assert(TxLog.versions(t) == Seq(1L), "refused merge must not commit")
+  }
+
+  test("merge races an append: both serialize, no rows lost") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val f1 = pool.submit(new Runnable { def run(): Unit = { start.await()
+      TxLog.merge(spark, t, Seq((2L, "B2"), (3L, "c")).toDF("id", "s"), Seq("id")); () } })
+    val f2 = pool.submit(new Runnable { def run(): Unit = { start.await()
+      TxLog.append(spark, t, Seq((100L, "z")).toDF("id", "s")); () } })
+    start.countDown()
+    f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val got = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (100L, "z")),
+      s"merge+append must both land: $got")
+  }
+
   test("AS OF TIMESTAMP monotonizes skewed clocks (running-max rule)") {
     import spark.implicits._
     val t = tmp()
