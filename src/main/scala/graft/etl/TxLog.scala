@@ -138,30 +138,51 @@ object TxLog {
 
   /** Live `add` actions (path + stats token) at `asOf` — what
     * stats-aware readers consume; [[snapshot]] is its path projection. */
-  def snapshotAdds(table: String, asOf: Option[Long] = None): Seq[Action] = {
+  def snapshotAdds(table: String, asOf: Option[Long] = None): Seq[Action] =
+    replayState(table, asOf)._1
+
+  /** Live deletion-vector pointers at `asOf`: data-file path →
+    * (sidecar rel path, deleted-row cardinality). Empty for tables
+    * no merge-on-read delete ever touched — every pre-DV log replays
+    * exactly as before. */
+  def dvsAt(table: String, asOf: Option[Long] = None): Map[String, (String, Long)] =
+    replayState(table, asOf)._2
+
+  private def parseDvToken(st: String): (String, Long) = {
+    val i = st.lastIndexOf(':')
+    (st.substring(0, i), st.substring(i + 1).toLong)
+  }
+
+  /** One-pass log replay: live adds (insertion-ordered) + live DV map.
+    * DV rules: the latest "dv" action per file WINS (writers keep them
+    * cumulative — see [[deleteWhereMerge]]); an "add" or "remove" of the
+    * same path clears its DV (a rewrite starts clean; a removed file
+    * needs none). */
+  private def replayState(table: String, asOf: Option[Long])
+      : (Seq[Action], Map[String, (String, Long)]) = {
     val vs = versions(table)
     val target = asOf.getOrElse(vs.lastOption.getOrElse(0L))
     val cp = checkpoints(table).filter(_ <= target).lastOption
     val live = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    val dvs = scala.collection.mutable.Map[String, (String, Long)]()
+    def apply(a: Action): Unit = a match {
+      case Action("add", p, st)   => live += p -> st; dvs -= p
+      case Action("remove", p, _) => live -= p; dvs -= p
+      case Action("dv", p, Some(st)) => dvs(p) = parseDvToken(st)
+      case Action("txn", _, _)    => () // idempotence marker, no file effect
+      case Action("schema", _, _) => () // schema declaration, no file effect
+      case Action("commit", _, _) => () // commit timestamp, no file effect
+      case Action(other, p, _) =>
+        throw new IllegalStateException(s"unknown log action $other for $p")
+    }
     cp.foreach { c =>
       Files.readAllLines(logPath(table).resolve(f"$c%020d.checkpoint.json"),
-        StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).foreach { line =>
-        val a = parseLine(line)
-        live += a.path -> a.stats
-      }
+        StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)
+        .foreach(line => apply(parseLine(line)))
     }
-    vs.filter(v => v > cp.getOrElse(0L) && v <= target).foreach { v =>
-      readActions(table, v).foreach {
-        case Action("add", p, st)   => live += p -> st
-        case Action("remove", p, _) => live -= p
-        case Action("txn", _, _)    => () // idempotence marker, no file effect
-        case Action("schema", _, _) => () // schema declaration, no file effect
-        case Action("commit", _, _) => () // commit timestamp, no file effect
-        case Action(other, p, _) =>
-          throw new IllegalStateException(s"unknown log action $other for $p")
-      }
-    }
-    live.toSeq.map { case (p, st) => Action("add", p, st) }
+    vs.filter(v => v > cp.getOrElse(0L) && v <= target)
+      .foreach(v => readActions(table, v).foreach(apply))
+    (live.toSeq.map { case (p, st) => Action("add", p, st) }, dvs.toMap)
   }
 
   /** Compact the action history at the current last version: publish
@@ -175,7 +196,10 @@ object TxLog {
       throw new IllegalStateException(s"no commits to checkpoint in $table"))
     val dir = logPath(table)
     val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    val body = snapshotAdds(table, Some(v)).map(render).mkString("\n")
+    val (adds, dvs) = replayState(table, Some(v))
+    val body = (adds.map(render) ++ dvs.toSeq.sortBy(_._1).map {
+      case (p, (s, c)) => render(Action("dv", p, Some(s"$s:$c")))
+    }).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try Files.createLink(dir.resolve(f"$v%020d.checkpoint.json"), tmp)
@@ -473,14 +497,18 @@ object TxLog {
                   cond: Column, commitTs: Option[Long] = None): Option[Long] = {
     val hit = coalesce(cond, lit(false))
     while (true) {
-      val read0 = snapshot(table)
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
       if (read0.isEmpty) return None
       def absOf(rel: Seq[String]): Seq[String] =
         rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
       // bind the DECLARED schema (evolved tables: absent columns must
       // surface as null in the predicate, and survivors must keep the
-      // full declared width, not whichever footer gets sampled)
-      val hits = boundRead(spark, table, absOf(read0), None)
+      // full declared width, not whichever footer gets sampled); read
+      // through the DVs so already-MoR-deleted rows neither match nor
+      // get resurrected into the rewrite
+      val hits = applyDvs(spark, table,
+          boundRead(spark, table, absOf(read0), None), dv0)
         .withColumn("_graft_file", input_file_name())
         .filter(hit).select("_graft_file").distinct()
         .collect().map(_.getString(0))
@@ -488,7 +516,9 @@ object TxLog {
       // (data/<uuid>/part-*.parquet is unique within the table)
       val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
       if (affected.isEmpty) return None
-      val survivors = boundRead(spark, table, absOf(affected), None).filter(not(hit))
+      val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
+      val survivors = applyDvs(spark, table,
+        boundRead(spark, table, absOf(affected), None), affectedDvs).filter(not(hit))
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
         else stage(spark, table, survivors)
@@ -507,11 +537,160 @@ object TxLog {
       var committed = -1L
       while (!done && !restart) {
         val base = versions(table).last
-        val live = snapshot(table, Some(base)).toSet
-        if (!affected.forall(live)) restart = true // racer rewrote: rebase
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        // a racer rewriting an affected file OR changing its DV both
+        // invalidate the survivor set — rebase on either
+        if (!affected.forall(live) ||
+            affected.exists(f => dvB.get(f) != dv0.get(f)))
+          restart = true
         else if (tryCommit(table, base + 1, removes ++ adds)) {
           done = true; committed = base + 1
         } // else: lost the CAS — loop re-reads base and re-validates
+      }
+      if (done) return Some(committed)
+    }
+    None
+  }
+
+  // ------------------------------------------- deletion vectors (MoR)
+
+  /** Write a DV sidecar (sorted row positions, length-prefixed
+    * big-endian longs) under `dv/` and return its relative path. The
+    * name is a fresh UUID, so no write race exists; the file becomes
+    * meaningful only if its commit publishes. */
+  private def writeDvSidecar(table: String, positions: Seq[Long]): String = {
+    val rel = s"dv/${UUID.randomUUID()}.bin"
+    val p = Paths.get(table, rel)
+    Files.createDirectories(p.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(p, StandardOpenOption.CREATE_NEW,
+        StandardOpenOption.WRITE)))
+    try { out.writeLong(positions.size.toLong); positions.sorted.foreach(out.writeLong) }
+    finally out.close()
+    rel
+  }
+
+  private[graft] def readDvPositions(table: String, rel: String): Seq[Long] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(table, rel))))
+    try { val n = in.readLong().toInt; Seq.fill(n)(in.readLong()) }
+    finally in.close()
+  }
+
+  /** The table-relative join key a scan row exposes for DV matching:
+    * the last three path segments of the parquet metadata file path
+    * (`data/<uuid>/part-*.parquet` — unique within the table, immune to
+    * scheme/slash-count differences between URI renderings). */
+  private val DvKeyExpr = "substring_index(_metadata.file_path, '/', -3)"
+
+  /** The live DV (file-key, position) pairs as a broadcastable frame.
+    * Sidecars load on the driver — bounded by the live deleted-row
+    * count; a 100 TB deployment with massive DVs would move this into a
+    * distributed scan of the sidecars, same join shape downstream. */
+  private def dvFrame(spark: SparkSession, table: String,
+                      dvs: Map[String, (String, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      dvs.toSeq.flatMap { case (file, (sidecar, _)) =>
+        readDvPositions(table, sidecar)
+          .map(pos => org.apache.spark.sql.Row(file, pos))
+      }.asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("_graft_key", StringType), StructField("_graft_pos", LongType))))
+  }
+
+  /** Attach the DV join columns to a DIRECT file scan. Must run before
+    * any join/aggregate — parquet metadata columns resolve only on the
+    * scan relation itself. */
+  private def withDvKey(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    df.withColumn("_graft_key", expr(DvKeyExpr))
+      .withColumn("_graft_pos", expr("_metadata.row_index"))
+  }
+
+  /** Anti-filter a scan of `table`'s files by the given deletion
+    * vectors: a (file, row-position) pair named by any DV is dropped.
+    * Zero-cost no-op for DV-free tables. */
+  private def applyDvs(spark: SparkSession, table: String, df: DataFrame,
+                       dvs: Map[String, (String, Long)]): DataFrame = {
+    if (dvs.isEmpty) return df
+    import org.apache.spark.sql.functions.broadcast
+    withDvKey(df)
+      .join(broadcast(dvFrame(spark, table, dvs)),
+        Seq("_graft_key", "_graft_pos"), "left_anti")
+      .drop("_graft_key", "_graft_pos")
+  }
+
+  /** Transactional row-level DELETE, merge-on-READ — the deletion-vector
+    * alternative to [[deleteWhere]]'s copy-on-write: instead of
+    * rewriting every affected file, the commit publishes one sidecar
+    * per affected file naming the DELETED ROW POSITIONS, and readers
+    * anti-filter (file, position) pairs at scan time. Write cost is
+    * O(deleted rows), not O(bytes of every touched file) — the
+    * production-format trade (Delta deletion vectors / Iceberg
+    * positional deletes) for delete-heavy workloads; a later
+    * [[optimize]] materializes the DVs away (its rewrite drops the
+    * deleted rows and the add-resets-DV replay rule clears them).
+    *
+    * Cumulative rule: a file's latest DV REPLACES its predecessor, so
+    * this writer merges existing positions into the new sidecar —
+    * and the validate-then-claim loop additionally pins the affected
+    * files' DV STATE (not just their liveness) at the claim target,
+    * since a racing MoR delete's DV would otherwise be silently
+    * overwritten (un-deleting its rows). Matching runs on the
+    * DV-FILTERED scan, so already-deleted rows can't re-match; driver
+    * state is bounded by matched-row count for the sidecar write.
+    * Same SQL three-valued semantics and None-on-no-match contract as
+    * deleteWhere; time travel before the delete reads through the
+    * contemporaneous (possibly absent) DVs. */
+  def deleteWhereMerge(spark: SparkSession, table: String, cond: Column,
+                       commitTs: Option[Long] = None): Option[Long] = {
+    val hit = coalesce(cond, lit(false))
+    while (true) {
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
+      if (read0.isEmpty) return None
+      // attach the (file-key, position) columns ON the scan (metadata
+      // columns resolve only there), THEN anti-join the existing DVs so
+      // already-deleted rows can't re-match
+      val keyed = withDvKey(boundRead(spark, table,
+        read0.map(p => Paths.get(table, p).toAbsolutePath.toString), None))
+      val alive =
+        if (dv0.isEmpty) keyed
+        else keyed.join(
+          org.apache.spark.sql.functions.broadcast(dvFrame(spark, table, dv0)),
+          Seq("_graft_key", "_graft_pos"), "left_anti")
+      val matched = alive.filter(hit)
+        .select(org.apache.spark.sql.functions.col("_graft_key"),
+          org.apache.spark.sql.functions.col("_graft_pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (matched.isEmpty) return None
+      val byFile = matched.groupBy(_._1).map { case (k, ps) =>
+        k -> ps.map(_._2).toSeq
+      }
+      val affected = read0.filter(byFile.contains)
+      val dvActions = affected.map { f =>
+        val merged = (dv0.get(f).map { case (rel, _) =>
+          readDvPositions(table, rel)
+        }.getOrElse(Seq.empty) ++ byFile(f)).distinct
+        val rel = writeDvSidecar(table, merged)
+        Action("dv", f, Some(s"$rel:${merged.size}"))
+      } :+ tsAction(commitTs)
+      var done = false
+      var restart = false
+      var committed = -1L
+      while (!done && !restart) {
+        val base = versions(table).last
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        if (!affected.forall(live) ||
+            affected.exists(f => dvB.get(f) != dv0.get(f)))
+          restart = true // racer rewrote a file or landed a DV: rebase
+        else if (tryCommit(table, base + 1, dvActions)) {
+          done = true; committed = base + 1
+        }
       }
       if (done) return Some(committed)
     }
@@ -558,7 +737,8 @@ object TxLog {
     val decl = enforceSchema(table, source, mergeSchema = false)
     val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
     while (true) {
-      val read0 = snapshot(table)
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
       if (read0.isEmpty) { // empty table: MERGE degenerates to append
         val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs)
         var v = versions(table).lastOption.getOrElse(0L) + 1
@@ -571,15 +751,18 @@ object TxLog {
       }
       def absOf(rel: Seq[String]): Seq[String] =
         rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
-      val hits = boundRead(spark, table, absOf(read0), None)
+      val hits = applyDvs(spark, table,
+          boundRead(spark, table, absOf(read0), None), dv0)
         .withColumn("_graft_file", input_file_name())
         .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0))
       val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val survivors =
         if (affected.isEmpty) None
-        else Some(boundRead(spark, table, absOf(affected), None)
+        else Some(applyDvs(spark, table,
+          boundRead(spark, table, absOf(affected), None), affectedDvs)
           .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti"))
       // stage survivors and source as ONE write so the commit is one
       // atomic unit; column order aligned to the declared schema
@@ -599,8 +782,11 @@ object TxLog {
       var committed = -1L
       while (!done && !restart) {
         val base = versions(table).last
-        val live = snapshot(table, Some(base)).toSet
-        if (!affected.forall(live)) restart = true // racer rewrote: rebase
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        if (!affected.forall(live) ||
+            affected.exists(f => dvB.get(f) != dv0.get(f)))
+          restart = true // racer rewrote a file or changed its DV: rebase
         else if (tryCommit(table, base + 1, removes ++ adds)) {
           done = true; committed = base + 1
         }
@@ -634,12 +820,17 @@ object TxLog {
                sortBy: Seq[String] = Nil,
                commitTs: Option[Long] = None): Option[Long] = {
     while (true) {
-      val read0 = snapshot(table)
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
       if (read0.isEmpty) return None
       // bind the DECLARED schema: on an evolved table a bare parquet
       // read takes whichever footer it samples first and could compact
-      // the new columns away
-      val base = boundRead(spark, table, read0.map(p => s"$table/$p"), None)
+      // the new columns away. DVs are applied, so compaction MATERIALIZES
+      // merge-on-read deletes (the rewrite drops the rows; the
+      // add-resets-DV replay rule clears the vectors) — the PURGE
+      // semantics of the production formats.
+      val base = applyDvs(spark, table,
+        boundRead(spark, table, read0.map(p => s"$table/$p"), None), dv0)
       val compact =
         if (sortBy.isEmpty) base.coalesce(targetFiles)
         else base
@@ -658,8 +849,13 @@ object TxLog {
       var committed = -1L
       while (!done && !restart) {
         val base = versions(table).last
-        val live = snapshot(table, Some(base)).toSet
-        if (!read0.forall(live)) restart = true // racer removed a read file
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        // a racer removing a read file OR landing a DV on one both
+        // invalidate the compacted content (the rewrite would resurrect
+        // the racer's deleted rows) — rebase on either
+        if (!read0.forall(live) ||
+            read0.exists(f => dvB.get(f) != dv0.get(f))) restart = true
         else if (tryCommit(table, base + 1, removes ++ adds)) {
           done = true; committed = base + 1
         }
@@ -692,7 +888,10 @@ object TxLog {
     val vs = versions(table)
     if (vs.isEmpty) return Seq.empty
     val retained = vs.takeRight(math.max(1, retainVersions))
-    val keep = retained.flatMap(v => snapshot(table, Some(v))).toSet
+    val states = retained.map(v => replayState(table, Some(v)))
+    val keep = states.flatMap(_._1.map(_.path)).toSet
+    // DV sidecars referenced by any retained snapshot must survive too
+    val keepDv = states.flatMap(_._2.values.map(_._1)).toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return Seq.empty
     val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMillis)
@@ -716,6 +915,19 @@ object TxLog {
         if (oldEnough(dir) && listDir(dir).forall(n => !n.endsWith(".parquet")))
           { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
             Files.deleteIfExists(dir) }
+      }
+    }
+    // unreferenced DV sidecars (superseded by a newer vector, cleared by
+    // a rewrite, or out of retention) — same age guard: a racing MoR
+    // delete writes its sidecar BEFORE its commit publishes
+    val dvRoot = Paths.get(table, "dv")
+    if (Files.isDirectory(dvRoot)) {
+      listDir(dvRoot).foreach { f =>
+        val rel = s"dv/$f"
+        if (f.endsWith(".bin") && !keepDv(rel) && oldEnough(dvRoot.resolve(f))) {
+          Files.deleteIfExists(dvRoot.resolve(f))
+          deleted += rel
+        }
       }
     }
     deleted.toSeq
@@ -762,13 +974,15 @@ object TxLog {
       case None    => spark.read.parquet(files: _*)
     }
 
-  /** Snapshot read, optionally AS OF a historical version. An empty
-    * snapshot (e.g. a fresh overwrite target) raises like an empty
-    * parquet read would — callers check `versions` first. */
+  /** Snapshot read, optionally AS OF a historical version, with the
+    * snapshot's deletion vectors applied (no-op for DV-free tables). An
+    * empty snapshot (e.g. a fresh overwrite target) raises like an
+    * empty parquet read would — callers check `versions` first. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
-    val files = snapshot(table, asOf).map(p => s"$table/$p")
+    val (adds, dvs) = replayState(table, asOf)
+    val files = adds.map(a => s"$table/${a.path}")
     require(files.nonEmpty, s"empty snapshot for $table asOf=$asOf")
-    boundRead(spark, table, files, asOf)
+    applyDvs(spark, table, boundRead(spark, table, files, asOf), dvs)
   }
 
   /** Metadata-only table profile: exact row count and per-column
@@ -780,8 +994,11 @@ object TxLog {
     * partial knowledge is refused, never guessed; callers fall back to
     * a scan. */
   def describe(table: String, asOf: Option[Long] = None): Option[TxStats.TableAgg] = {
-    val adds = snapshotAdds(table, asOf)
+    val (adds, dvs) = replayState(table, asOf)
     if (adds.isEmpty) return None
+    // footer stats count DV-deleted rows and may bound deleted extrema:
+    // partial knowledge is refused, never guessed (the method's contract)
+    if (dvs.nonEmpty) return None
     val decoded = adds.map(_.stats.flatMap(TxStats.decode))
     if (decoded.exists(_.isEmpty)) None
     else TxStats.aggregate(decoded.map(_.get))
@@ -835,8 +1052,14 @@ object TxLog {
       // provably no matching row anywhere: empty frame, table schema
       val all = snapshotAdds(table, asOf).map(a => s"$table/${a.path}")
       boundRead(spark, table, all, asOf).filter(lit(false))
-    } else
-      boundRead(spark, table, pr.kept.map(a => s"$table/${a.path}"), asOf)
-        .filter(cond)
+    } else {
+      // footer stats predate DVs, so pruning stays conservative: a kept
+      // file whose matching rows were all DV-deleted just filters empty
+      val keptSet = pr.kept.map(_.path).toSet
+      val dvs = dvsAt(table, asOf).filter { case (f, _) => keptSet(f) }
+      applyDvs(spark, table,
+        boundRead(spark, table, pr.kept.map(a => s"$table/${a.path}"), asOf),
+        dvs).filter(cond)
+    }
   }
 }

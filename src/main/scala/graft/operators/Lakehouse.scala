@@ -760,7 +760,41 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // -------------------------------- q277 TxLog MoR delete (DVs)
+
+  /** q277 — merge-on-read DELETE via deletion vectors, driver-verified:
+    * the q258 shape (parity-split (doc_id, lang) projection, erasure of
+    * doc_id % 7 == 0) executed through
+    * [[graft.etl.TxLog.deleteWhereMerge]] instead of copy-on-write. The
+    * zero_rewrite column carries the protocol evidence — the live FILE
+    * SET is bit-identical before and after the delete (only sidecar
+    * vectors were published; write cost O(deleted rows)) — while the
+    * per-lang pre/post counts, recomputed by the oracle from the raw
+    * table, pin that readers anti-filter exactly the predicate rows and
+    * time travel still reads them. Together with q258, both delete
+    * strategies of the production formats are under the same hash gate. */
+  def q277TxLogMorDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q277")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0).coalesce(4))
+    val v2 = graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 1).coalesce(4))
+    val before = graft.etl.TxLog.snapshot(table).toSet
+    graft.etl.TxLog.deleteWhereMerge(s, table, col("doc_id") % 7 === 0)
+    val zeroRewrite = graft.etl.TxLog.snapshot(table).toSet == before
+    def phase(df: DataFrame, name: String): DataFrame = df
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("phase", lit(name))
+    phase(graft.etl.TxLog.read(s, table, asOf = Some(v2)), "pre_delete")
+      .unionByName(phase(graft.etl.TxLog.read(s, table), "post_delete"))
+      .withColumn("zero_rewrite", lit(zeroRewrite))
+      .select(col("phase"), col("lang"), col("n_docs"), col("zero_rewrite"))
+      .orderBy(col("phase"), col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_txlog_mor_delete" -> (q277TxLogMorDelete _),
     "q276_txlog_merge" -> (q276TxLogMerge _),
     "q275_txlog_cdc_stream" -> (q275TxLogCdcStream _),
     "q274_txlog_sql_insert" -> (q274TxLogSqlInsert _),
@@ -784,6 +818,16 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q277_txlog_mor_delete" ->
+      """SELECT *, CAST(TRUE AS BOOLEAN) AS zero_rewrite FROM (
+        |  SELECT 'pre_delete' AS phase, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'post_delete' AS phase, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang)
+        |ORDER BY phase, lang""".stripMargin,
     "q276_txlog_merge" ->
       """WITH r AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

@@ -99,6 +99,14 @@ object TxLogTable {
     * diagnostics) can observe `lastPrunedCount` after an action. */
   def withIndex(spark: SparkSession, table: String,
                 asOf: Option[Long] = None): (DataFrame, TxLogFileIndex) = {
+    // reader-capability gate (the Delta minReaderVersion pattern): a
+    // plain file relation CANNOT apply deletion vectors, and silently
+    // returning deleted rows would be corruption — refuse and point at
+    // the DV-aware reader
+    require(TxLog.dvsAt(table, asOf).isEmpty,
+      s"$table carries deletion vectors, which this file-index relation " +
+        "cannot apply — read via TxLog.read / TxLog.readWhere, or run " +
+        "TxLog.optimize to materialize the deletes first")
     val idx = new TxLogFileIndex(table, asOf)
     val schema = TxLog.schemaOf(table, asOf).getOrElse {
       require(idx.inputFiles.nonEmpty, s"empty snapshot for $table asOf=$asOf")

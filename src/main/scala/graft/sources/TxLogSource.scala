@@ -229,6 +229,9 @@ private[sources] class TxLogV1Relation(
     val spark = context.sparkSession
     if (TxLog.snapshot(path).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared).rdd
+    // a DV-carrying table must route through the DV-aware reader (no
+    // file skipping there); DV-free tables keep the pruning FileIndex
+    else if (TxLog.dvsAt(path).nonEmpty) TxLog.read(spark, path).rdd
     else TxLogTable(spark, path).rdd
   }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.etl.TxLog
+
+/** Deletion vectors (merge-on-read DELETE): write cost O(deleted rows),
+  * readers anti-filter (file, position) pairs, optimize materializes. */
+class TxLogDvSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("txlog-dv-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txdv").resolve("t").toString
+
+  private def ids(t: String, asOf: Option[Long] = None): Seq[Long] =
+    TxLog.read(spark, t, asOf).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+  test("MoR delete drops rows without rewriting any data file") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t, (10L to 12L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    val before = TxLog.snapshot(t).toSet
+    val v = TxLog.deleteWhereMerge(spark, t, col("id") % 2 === 0)
+    assert(v.contains(3L))
+    // every original file is STILL live (zero rewrite) — the deletes are
+    // vectors, not copies
+    assert(TxLog.snapshot(t).toSet == before)
+    assert(ids(t) == Seq(1L, 3L, 5L, 11L))
+    // time travel before the delete reads everything
+    assert(ids(t, Some(2L)) == (1L to 6L) ++ (10L to 12L))
+    // readWhere composes with DVs (pruning stays conservative)
+    assert(TxLog.readWhere(spark, t, col("id") <= 5L).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("MoR deletes are cumulative; no-match commits nothing; nulls survive") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+        .toDF("id", "s").coalesce(1))
+    assert(TxLog.deleteWhereMerge(spark, t, col("s") === "zzz").isEmpty)
+    assert(TxLog.versions(t) == Seq(1L))
+    assert(TxLog.deleteWhereMerge(spark, t, col("s") === "a").contains(2L))
+    // second MoR delete on the SAME file must keep the first's positions
+    assert(TxLog.deleteWhereMerge(spark, t, col("s") === "b").contains(3L))
+    // NULL-predicate row survives both (TRUE deletes only)
+    assert(ids(t) == Seq(3L))
+    // already-deleted rows can't re-match: deleting s='a' again is a no-op
+    assert(TxLog.deleteWhereMerge(spark, t, col("s") === "a").isEmpty)
+  }
+
+  test("optimize materializes DVs; describe refuses partial knowledge meanwhile") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 8L).map(i => (i, i * 10)).toDF("id", "v").coalesce(2))
+    assert(TxLog.describe(t).exists(_.rows == 8L))
+    TxLog.deleteWhereMerge(spark, t, col("id") <= 3L)
+    // footer stats now over-count: describe must refuse, not guess
+    assert(TxLog.describe(t).isEmpty)
+    assert(TxLog.dvsAt(t).nonEmpty)
+    val vOpt = TxLog.optimize(spark, t, targetFiles = 1)
+    assert(vOpt.isDefined)
+    // compaction dropped the deleted rows and cleared the vectors
+    assert(TxLog.dvsAt(t).isEmpty)
+    assert(ids(t) == (4L to 8L))
+    assert(TxLog.describe(t).exists(_.rows == 5L))
+    // historical snapshot still reads through its contemporaneous DVs
+    assert(ids(t, Some(2L)) == (4L to 8L))
+    assert(ids(t, Some(1L)) == (1L to 8L))
+  }
+
+  test("CoW delete and MERGE read through DVs (no resurrection)") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.deleteWhereMerge(spark, t, col("id") === 2L)
+    // a copy-on-write delete of id=5 rewrites the file: the rewrite must
+    // NOT bring id=2 back
+    TxLog.deleteWhere(spark, t, col("id") === 5L)
+    assert(ids(t) == Seq(1L, 3L, 4L, 6L))
+    assert(TxLog.dvsAt(t).isEmpty, "rewrite should clear the file's DV")
+    // now a MoR delete then a MERGE touching the same file
+    TxLog.deleteWhereMerge(spark, t, col("id") === 3L)
+    TxLog.merge(spark, t,
+      Seq((4L, "R4"), (7L, "r7")).toDF("id", "s"), Seq("id"))
+    assert(TxLog.read(spark, t).collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((1L, "r1"), (4L, "R4"), (6L, "r6"), (7L, "r7")))
+  }
+
+  test("file-index relation refuses DV tables; DSv2 SELECT reroutes") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 4L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.deleteWhereMerge(spark, t, col("id") === 2L)
+    intercept[IllegalArgumentException](graft.sources.TxLogTable(spark, t))
+    // the SQL read path silently takes the DV-aware reader instead
+    val name = "txdv_sql_t"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, s STRING) " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$t')")
+    try assert(spark.sql(s"SELECT id FROM $name ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("racing MoR deletes on one file serialize without losing positions") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 20L).map(i => (i, i)).toDF("id", "v").coalesce(1))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val f1 = pool.submit(new Runnable { def run(): Unit = { start.await()
+      TxLog.deleteWhereMerge(spark, t, col("id") <= 5L); () } })
+    val f2 = pool.submit(new Runnable { def run(): Unit = { start.await()
+      TxLog.deleteWhereMerge(spark, t, col("id") >= 16L); () } })
+    start.countDown()
+    f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    // both deletes present: the DV-state validation forces the loser to
+    // rebase onto the winner's vector instead of overwriting it
+    assert(ids(t) == (6L to 15L))
+    // vacuum with age-0 GCs the superseded sidecar, keeps the live one
+    val deleted = TxLog.vacuum(t, retainVersions = 1, minAgeMillis = 0)
+    assert(ids(t) == (6L to 15L), "vacuum must not break the live DV")
+  }
+}
