@@ -172,6 +172,8 @@ object TxLog {
       case Action("txn", _, _)    => () // idempotence marker, no file effect
       case Action("schema", _, _) => () // schema declaration, no file effect
       case Action("commit", _, _) => () // commit timestamp, no file effect
+      case Action("constraint", _, _)   => () // CHECK DDL, no file effect
+      case Action("unconstraint", _, _) => () // CHECK drop, no file effect
       case Action(other, p, _) =>
         throw new IllegalStateException(s"unknown log action $other for $p")
     }
@@ -397,6 +399,86 @@ object TxLog {
     }
   }
 
+  // --------------------------------------------- CHECK constraints
+
+  /** Live CHECK constraints at `asOf`: name → SQL predicate (the
+    * Delta-constraints pattern — schema-on-write's semantic sibling).
+    * Replayed from "constraint"/"unconstraint" actions, latest wins;
+    * the SQL rides base64 (the log codec is a fixed flat shape). */
+  def constraintsOf(table: String, asOf: Option[Long] = None): Map[String, String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("constraint", name, Some(enc)) =>
+          live(name) = new String(java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8)
+        case Action("unconstraint", name, _) => live -= name
+        case _ => ()
+      }
+    }
+    live.toMap
+  }
+
+  /** Declare a CHECK constraint: every EXISTING row must already
+    * satisfy `sqlPredicate` (one validating scan — the add-constraint
+    * contract; a constraint that is born violated is useless), and
+    * every later append/overwrite/merge validates its incoming rows
+    * against it before committing. NULL predicate results pass (SQL
+    * CHECK three-valued semantics). Returns the committed version. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    sqlPredicate: String,
+                    commitTs: Option[Long] = None): Long = {
+    safeField(name, "constraint name")
+    if (versions(table).nonEmpty && snapshot(table).nonEmpty) {
+      val bad = read(spark, table)
+        .filter(not(coalesce(org.apache.spark.sql.functions.expr(sqlPredicate),
+          lit(true))))
+        .limit(1).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name ($sqlPredicate): existing rows violate it")
+    }
+    val act = Seq(Action("constraint", name,
+      Some(java.util.Base64.getEncoder.encodeToString(
+        sqlPredicate.getBytes(StandardCharsets.UTF_8)))), tsAction(commitTs))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, act)) v = versions(table).last + 1
+    v
+  }
+
+  /** Drop a CHECK constraint (no-op commit if absent — idempotent DDL). */
+  def dropConstraint(table: String, name: String,
+                     commitTs: Option[Long] = None): Long = {
+    safeField(name, "constraint name")
+    val act = Seq(Action("unconstraint", name), tsAction(commitTs))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, act)) v = versions(table).last + 1
+    v
+  }
+
+  /** Validate incoming rows against the table's live constraints (ONE
+    * extra pass over `df`, all constraints OR-folded — rejected writes
+    * fail BEFORE staging). NULL results pass per SQL CHECK. */
+  private def enforceConstraints(table: String, df: DataFrame): Unit = {
+    val cs = constraintsOf(table)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.expr
+    val anyViolated = cs.values
+      .map(sql => not(coalesce(expr(sql), lit(true))))
+      .reduce(_ || _)
+    val offender = df.filter(anyViolated).limit(1).count()
+    if (offender > 0) {
+      // name the first violated constraint for the error (constraint
+      // count is small; one bounded probe per constraint)
+      val which = cs.find { case (_, sql) =>
+        df.filter(not(coalesce(expr(sql), lit(true)))).limit(1).count() > 0
+      }.map(_._1).getOrElse("?")
+      throw new IllegalArgumentException(
+        s"write to $table violates CHECK constraint $which " +
+          s"(${cs.getOrElse(which, "")})")
+    }
+  }
+
   /** Transactional blind append: always safe to retry verbatim — the
     * action set does not depend on the snapshot it lands on (the schema
     * check runs once up front; a racing widening of the same columns
@@ -409,6 +491,7 @@ object TxLog {
              mergeSchema: Boolean = false,
              commitTs: Option[Long] = None): Long = {
     val decl = enforceSchema(table, df, mergeSchema)
+    enforceConstraints(table, df)
     val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, adds)) v = versions(table).last + 1
@@ -430,6 +513,7 @@ object TxLog {
     safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
     val decl = enforceSchema(table, df, mergeSchema = false)
+    enforceConstraints(table, df)
     val adds = (stage(spark, table, df) ++ decl) :+
       Action("txn", txn) :+ tsAction(commitTs)
     // check-then-CAS with the claim target read FIRST: if the same
@@ -459,6 +543,7 @@ object TxLog {
       if (schemaOf(table).exists(d => d.map(f => (f.name, f.dataType)) ==
         df.schema.map(f => (f.name, f.dataType)))) None
       else Some(schemaAction(df.schema))
+    enforceConstraints(table, df)
     val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
     var committed = -1L
     while (committed < 0) {
@@ -735,6 +820,7 @@ object TxLog {
       s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
         "which row wins would be nondeterministic")
     val decl = enforceSchema(table, source, mergeSchema = false)
+    enforceConstraints(table, source)
     val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
     while (true) {
       val (adds0, dv0) = replayState(table, None)

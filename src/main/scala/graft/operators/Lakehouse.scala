@@ -793,7 +793,49 @@ object Lakehouse {
       .orderBy(col("phase"), col("lang"))
   }
 
+  // -------------------------------- q278 TxLog CHECK constraints
+
+  /** q278 — write-time CHECK constraints, driver-verified: declare
+    * `n_orders > 0` on the rollup table, then attempt two writes — a
+    * clean slice (lands) and a poisoned slice carrying a negative count
+    * (rejected BEFORE staging) — and emit the final table plus the
+    * audit columns: n_constraints from the live DDL state and
+    * rejected_rows_visible = how many poisoned rows a reader can see
+    * (pinned 0 by the oracle — the whole point of write-time
+    * enforcement: invalid data never becomes readable). The oracle
+    * recomputes the surviving contents from raw orders, so the hash
+    * check verifies both enforcement and non-interference with valid
+    * writes. */
+  def q278TxLogConstraints(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q278")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") <= "2-HIGH").coalesce(1))
+    graft.etl.TxLog.addConstraint(s, table, "positive_counts", "n_orders > 0")
+    // clean slice: passes the gate
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") > "2-HIGH").coalesce(1))
+    // poisoned slice: one negative count — the WHOLE write must bounce
+    val rejected =
+      try { graft.etl.TxLog.append(s, table,
+        r.select(col("o_orderpriority"),
+          (col("n_orders") * lit(-1L)).as("n_orders")).coalesce(1)); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "constraint gate failed to reject the poisoned write")
+    val visible = graft.etl.TxLog.read(s, table)
+      .filter(col("n_orders") <= 0L).count()
+    graft.etl.TxLog.read(s, table)
+      .withColumn("n_constraints",
+        lit(graft.etl.TxLog.constraintsOf(table).size.toLong))
+      .withColumn("rejected_rows_visible", lit(visible))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("n_constraints"), col("rejected_rows_visible"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_txlog_constraints" -> (q278TxLogConstraints _),
     "q277_txlog_mor_delete" -> (q277TxLogMorDelete _),
     "q276_txlog_merge" -> (q276TxLogMerge _),
     "q275_txlog_cdc_stream" -> (q275TxLogCdcStream _),
@@ -818,6 +860,12 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "q278_txlog_constraints" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(1 AS BIGINT) AS n_constraints,
+        |  CAST(0 AS BIGINT) AS rejected_rows_visible
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q277_txlog_mor_delete" ->
       """SELECT *, CAST(TRUE AS BOOLEAN) AS zero_rewrite FROM (
         |  SELECT 'pre_delete' AS phase, lang,

@@ -429,6 +429,33 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxLog.appendOnce(spark, t, df, "app-x/1").contains(1L))
   }
 
+  test("CHECK constraints gate writes; NULL passes; drop restores") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, Some("a"))).toDF("id", "s"))
+    TxLog.addConstraint(spark, t, "pos_id", "id > 0")
+    // a constraint born violated is refused with no commit
+    intercept[IllegalArgumentException](
+      TxLog.addConstraint(spark, t, "impossible", "id > 100"))
+    assert(!TxLog.constraintsOf(t).contains("impossible"))
+    // violating append rejected BEFORE committing anything
+    intercept[IllegalArgumentException](TxLog.append(spark, t,
+      Seq((-5L, Some("bad"))).toDF("id", "s")))
+    assert(TxLog.read(spark, t).count() == 1L)
+    // NULL predicate result passes (SQL CHECK three-valued logic)
+    TxLog.append(spark, t, Seq((null.asInstanceOf[java.lang.Long], Some("n")))
+      .toDF("id", "s").selectExpr("CAST(id AS BIGINT) AS id", "s"))
+    // merge and overwrite are gated too
+    intercept[IllegalArgumentException](TxLog.merge(spark, t,
+      Seq((-7L, Some("x"))).toDF("id", "s"), Seq("id")))
+    intercept[IllegalArgumentException](TxLog.overwrite(spark, t,
+      Seq((-1L, Some("y"))).toDF("id", "s")))
+    // drop the constraint: the same write now lands
+    TxLog.dropConstraint(t, "pos_id")
+    TxLog.append(spark, t, Seq((-5L, Some("ok"))).toDF("id", "s"))
+    assert(TxLog.read(spark, t).filter(col("id") === -5L).count() == 1L)
+  }
+
   test("AS OF TIMESTAMP resolves versions; boundary reads its commit") {
     import spark.implicits._
     val t = tmp()
