@@ -430,20 +430,28 @@ object TxLog {
                     sqlPredicate: String,
                     commitTs: Option[Long] = None): Long = {
     safeField(name, "constraint name")
-    if (versions(table).nonEmpty && snapshot(table).nonEmpty) {
-      val bad = read(spark, table)
-        .filter(not(coalesce(org.apache.spark.sql.functions.expr(sqlPredicate),
-          lit(true))))
-        .limit(1).count()
-      require(bad == 0L,
-        s"cannot add CHECK constraint $name ($sqlPredicate): existing rows violate it")
-    }
     val act = Seq(Action("constraint", name,
       Some(java.util.Base64.getEncoder.encodeToString(
         sqlPredicate.getBytes(StandardCharsets.UTF_8)))), tsAction(commitTs))
-    var v = versions(table).lastOption.getOrElse(0L) + 1
-    while (!tryCommit(table, v, act)) v = versions(table).last + 1
-    v
+    // validate-then-claim (the storm-test discipline, applied to DDL):
+    // validate the rows AS OF base, then claim base+1 — an append
+    // landing in between takes base+1, the CAS fails, and the loop
+    // REVALIDATES against the new rows, so a racing writer can never
+    // slip violating rows under a freshly validated constraint
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      if (base > 0 && snapshot(table, Some(base)).nonEmpty) {
+        val bad = read(spark, table, asOf = Some(base))
+          .filter(not(coalesce(org.apache.spark.sql.functions.expr(sqlPredicate),
+            lit(true))))
+          .limit(1).count()
+        require(bad == 0L,
+          s"cannot add CHECK constraint $name ($sqlPredicate): existing rows violate it")
+      }
+      if (tryCommit(table, base + 1, act)) committed = base + 1
+    }
+    committed
   }
 
   /** Drop a CHECK constraint (no-op commit if absent — idempotent DDL). */
@@ -456,11 +464,15 @@ object TxLog {
     v
   }
 
-  /** Validate incoming rows against the table's live constraints (ONE
+  /** Validate incoming rows against the given constraint set (ONE
     * extra pass over `df`, all constraints OR-folded — rejected writes
-    * fail BEFORE staging). NULL results pass per SQL CHECK. */
-  private def enforceConstraints(table: String, df: DataFrame): Unit = {
-    val cs = constraintsOf(table)
+    * fail BEFORE staging). NULL results pass per SQL CHECK. Writers
+    * capture the set they enforced and RE-ENFORCE in their CAS loop
+    * when the set changed at the claim target — the mirror image of
+    * addConstraint's validate-then-claim, closing the race where a DDL
+    * commit lands between a write's validation and its claim. */
+  private def enforceConstraints(table: String, df: DataFrame,
+                                 cs: Map[String, String]): Unit = {
     if (cs.isEmpty) return
     import org.apache.spark.sql.functions.expr
     val anyViolated = cs.values
@@ -491,11 +503,18 @@ object TxLog {
              mergeSchema: Boolean = false,
              commitTs: Option[Long] = None): Long = {
     val decl = enforceSchema(table, df, mergeSchema)
-    enforceConstraints(table, df)
+    var cs0 = constraintsOf(table)
+    enforceConstraints(table, df, cs0)
     val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
-    var v = versions(table).lastOption.getOrElse(0L) + 1
-    while (!tryCommit(table, v, adds)) v = versions(table).last + 1
-    v
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      // a DDL commit racing this write re-validates at the claim target
+      val csB = constraintsOf(table, Some(base))
+      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+      if (tryCommit(table, base + 1, adds)) committed = base + 1
+    }
+    committed
   }
 
   /** Exactly-once append: the commit carries `txn` as a marker action and
@@ -513,7 +532,8 @@ object TxLog {
     safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
     val decl = enforceSchema(table, df, mergeSchema = false)
-    enforceConstraints(table, df)
+    var cs0 = constraintsOf(table)
+    enforceConstraints(table, df, cs0)
     val adds = (stage(spark, table, df) ++ decl) :+
       Action("txn", txn) :+ tsAction(commitTs)
     // check-then-CAS with the claim target read FIRST: if the same
@@ -525,6 +545,8 @@ object TxLog {
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
       if (txnSeen(table, txn)) return None
+      val csB = constraintsOf(table, Some(base))
+      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
       if (tryCommit(table, base + 1, adds)) committed = base + 1
     }
     Some(committed)
@@ -543,13 +565,16 @@ object TxLog {
       if (schemaOf(table).exists(d => d.map(f => (f.name, f.dataType)) ==
         df.schema.map(f => (f.name, f.dataType)))) None
       else Some(schemaAction(df.schema))
-    enforceConstraints(table, df)
+    var cs0 = constraintsOf(table)
+    enforceConstraints(table, df, cs0)
     val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
     var committed = -1L
     while (committed < 0) {
-      val v = versions(table).lastOption.getOrElse(0L) + 1
-      val removes = snapshot(table).map(Action("remove", _))
-      if (tryCommit(table, v, removes ++ adds)) committed = v
+      val base = versions(table).lastOption.getOrElse(0L)
+      val csB = constraintsOf(table, Some(base))
+      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+      val removes = snapshot(table, Some(base)).map(Action("remove", _))
+      if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
     }
     committed
   }
@@ -820,18 +845,20 @@ object TxLog {
       s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
         "which row wins would be nondeterministic")
     val decl = enforceSchema(table, source, mergeSchema = false)
-    enforceConstraints(table, source)
+    var cs0 = constraintsOf(table)
+    enforceConstraints(table, source, cs0)
     val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
     while (true) {
       val (adds0, dv0) = replayState(table, None)
       val read0 = adds0.map(_.path)
       if (read0.isEmpty) { // empty table: MERGE degenerates to append
         val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs)
-        var v = versions(table).lastOption.getOrElse(0L) + 1
         var committed = -1L
         while (committed < 0) {
-          if (tryCommit(table, v, adds)) committed = v
-          else v = versions(table).last + 1
+          val base = versions(table).lastOption.getOrElse(0L)
+          val csB = constraintsOf(table, Some(base))
+          if (csB != cs0) { enforceConstraints(table, source, csB); cs0 = csB }
+          if (tryCommit(table, base + 1, adds)) committed = base + 1
         }
         return committed
       }
@@ -870,6 +897,8 @@ object TxLog {
         val base = versions(table).last
         val (addsB, dvB) = replayState(table, Some(base))
         val live = addsB.map(_.path).toSet
+        val csB = constraintsOf(table, Some(base))
+        if (csB != cs0) { enforceConstraints(table, source, csB); cs0 = csB }
         if (!affected.forall(live) ||
             affected.exists(f => dvB.get(f) != dv0.get(f)))
           restart = true // racer rewrote a file or changed its DV: rebase

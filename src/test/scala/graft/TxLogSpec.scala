@@ -456,6 +456,43 @@ class TxLogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxLog.read(spark, t).filter(col("id") === -5L).count() == 1L)
   }
 
+  test("constraint DDL racing a violating write: never both live (storm)") {
+    import spark.implicits._
+    // In every interleaving exactly one order exists: either the append
+    // serialized first (the DDL's as-of-base validation then sees the
+    // violating row and refuses) or the DDL serialized first (the
+    // append's claim-target recheck sees the new constraint and
+    // refuses). A live constraint coexisting with a visible violating
+    // row would mean one of the two validated against a stale snapshot.
+    (1 to 6).foreach { trial =>
+      val t = tmp()
+      TxLog.append(spark, t, Seq((1L, "ok")).toDF("id", "s"))
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val ddl = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = { start.await()
+          try { TxLog.addConstraint(spark, t, "pos", "id > 0"); true }
+          catch { case _: IllegalArgumentException => false } }
+      })
+      val wr = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = { start.await()
+          try { TxLog.append(spark, t, Seq((-9L, "bad")).toDF("id", "s")); true }
+          catch { case _: IllegalArgumentException => false } }
+      })
+      start.countDown()
+      val ddlLanded = ddl.get(120, TimeUnit.SECONDS)
+      val badLanded = wr.get(120, TimeUnit.SECONDS)
+      pool.shutdown()
+      val constraintLive = TxLog.constraintsOf(t).contains("pos")
+      val badVisible = TxLog.read(spark, t).filter(col("id") < 0L).count() > 0
+      assert(constraintLive == ddlLanded && badVisible == badLanded,
+        s"trial $trial: outcome bookkeeping inconsistent")
+      assert(!(constraintLive && badVisible),
+        s"trial $trial: constraint live AND violating row visible " +
+          s"(ddl=$ddlLanded write=$badLanded) — a stale-snapshot validation slipped through")
+    }
+  }
+
   test("AS OF TIMESTAMP resolves versions; boundary reads its commit") {
     import spark.implicits._
     val t = tmp()
