@@ -257,7 +257,75 @@ object Search {
       .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTopN)
   }
 
+  // ------------------------------------------------------------ q279
+
+  /** q279 — hybrid retrieval with reciprocal-rank fusion (RRF;
+    * Cormack/Clarke/Buettcher SIGIR 2009 — the fusion step of every
+    * production RAG stack that runs lexical AND dense retrieval): the
+    * q67 BM25 ranker (fixed query terms) and a dense cosine ranker
+    * (fixed query vector, vec_id 0 — embeddings align 1:1 with doc_ids)
+    * each produce a top-50 candidate list; fusion scores are
+    * floor(1e12 / (60 + rank)) summed across rankers — INTEGER-exact,
+    * the reason RRF (not score interpolation) is the oracle-friendly
+    * and production-robust choice: it needs no cross-ranker score
+    * calibration. Emits the fused top-20 with both source ranks (null
+    * where a ranker didn't surface the doc).
+    *
+    * Scale shape: the lexical side is candidate-bounded (only docs
+    * containing a query term rank); the dense side here is the q25
+    * brute baseline — at 100 TB the IVF index (q104) generates the
+    * same top-N candidate list and fusion is unchanged: RRF itself
+    * touches only 2×topN rows, and the global rank windows run on
+    * those bounded lists, never the corpus. Per-doc BM25 sums add at
+    * most |terms|=2 doubles, so the sum is order-free. */
+  def q279HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val terms = Seq("spark", "table")
+    val topN = 50
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("t"))
+    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avg_dl"))
+    val tf = tok.filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df_t"))
+    val k1 = lit(1.2); val b = lit(0.75)
+    val lexScore = tf.join(dlen, "doc_id").join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", graft.functions.Pin.grid9(
+        log((col("n_docs").cast("double") - col("df_t") + 0.5) /
+          (col("df_t") + 0.5) + 1.0)) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + k1 * (lit(1.0) - b + b * col("dl").cast("double") / col("avg_dl"))))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("lex_score"))
+    val wl = Window.orderBy(col("lex_score").desc, col("doc_id"))
+    val lex = lexScore.withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= topN).select(col("doc_id"), col("lex_rank"))
+    val embs = Tables.embeddings(s, dir)
+    val qv = embs.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+    val wd = Window.orderBy(col("cosine").desc, col("doc_id"))
+    val dense = embs.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qv))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("dense_rank", row_number().over(wd))
+      .filter(col("dense_rank") <= topN).select(col("doc_id"), col("dense_rank"))
+    val wf = Window.orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000000 div (60 + dense_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(wf))
+      .filter(col("fused_rank") <= 20)
+      .select(col("fused_rank"), col("doc_id"), col("rrf_score"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("fused_rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_hybrid_rrf" -> (q279HybridRrf _),
     "q211_rrf_fusion" -> ((s, d) => rrfFusion(Tables.documents(s, d))),
     "q207_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables.embeddings(s, d))),
     "q105_phrase_search" -> ((s, d) => phraseSearch(Tables.documents(s, d))),
@@ -349,6 +417,51 @@ object Search {
   }
 
   def oracles: Map[String, String] = Map(
+    "q279_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT d.doc_id, t.t
+        |  FROM documents d, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS t(t)),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_dl
+        |  FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'table') GROUP BY doc_id, t),
+        |dft AS (SELECT t, count(*) AS df_t FROM tf GROUP BY t),
+        |lexs AS (
+        |  SELECT tf.doc_id, sum(
+        |    (floor(ln((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        |      * 1.0e9 + 0.5) / 1.0e9) *
+        |      (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avg_dl)))
+        |    AS lex_score
+        |  FROM tf JOIN dlen USING (doc_id) JOIN dft USING (t) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY lex_score DESC, doc_id) AS INT) AS lex_rank
+        |  FROM lexs QUALIFY lex_rank <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |dens AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY cosine DESC, doc_id) AS INT) AS dense_rank
+        |  FROM dens QUALIFY dense_rank <= 50),
+        |fused AS (
+        |  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex.lex_rank, dense.dense_rank,
+        |    coalesce(1000000000000 // (60 + lex.lex_rank), 0) +
+        |      coalesce(1000000000000 // (60 + dense.dense_rank), 0) AS rrf_score
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+        |    AS fused_rank,
+        |  doc_id, CAST(rrf_score AS BIGINT) AS rrf_score, lex_rank, dense_rank
+        |FROM fused QUALIFY fused_rank <= 20 ORDER BY fused_rank""".stripMargin,
     "q211_rrf_fusion" -> rrfOracle,
     "q207_mmr_diversify" -> mmrOracle,
     // position-join formulation — independent of the Spark n-gram path

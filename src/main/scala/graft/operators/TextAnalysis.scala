@@ -338,6 +338,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q280 — tokenizer fertility by language: per-lang chars-per-BPE-token
+    * under the corpus-learned merges (q113/q114 machinery). Fertility
+    * parity across languages is the standard tokenizer-equity audit
+    * (languages a tokenizer fragments pay more tokens — so more compute
+    * and context — for the same text; cf. the public multilingual
+    * tokenizer analyses around XLM-R/BLOOM): the per-lang ratio of
+    * exact char and token sums surfaces exactly that skew.
+    *
+    * Scale shape: q114's scan-local encode (merge list folded into the
+    * scan as literal replaces, zero per-row shuffles) followed by ONE
+    * lang-keyed integer aggregate — corpus throughput stays scan-bound;
+    * the division happens once per language. */
+  def bpeFertility(spark: SparkSession, docs: DataFrame,
+                   steps: Int = BpeSteps): DataFrame = {
+    val enc = bpeEncode(spark, docs, steps)
+      .select(col("doc_id"), col("n_char_syms"), col("n_bpe_tokens"))
+    enc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_char_syms").cast("long")).as("chars"),
+        sum(col("n_bpe_tokens").cast("long")).as("bpe_tokens"))
+      .withColumn("fertility",
+        col("chars").cast("double") / col("bpe_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
+
   // --------------------------------------------------------------------- //
 
   /** q151's pinned n-gram width (the q87/q112 leakage convention). */
@@ -523,7 +549,8 @@ object TextAnalysis {
     "q32_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q33_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q113_bpe_merges" -> ((s, d) => bpeMerges(s, Tables.documents(s, d))),
-    "q114_bpe_encode" -> ((s, d) => bpeEncode(s, Tables.documents(s, d)))
+    "q114_bpe_encode" -> ((s, d) => bpeEncode(s, Tables.documents(s, d))),
+    "q280_bpe_fertility" -> ((s, d) => bpeFertility(s, Tables.documents(s, d)))
   )
 
   /** Chained-CTE DuckDB twin of the BPE learn loop: v0 = char-symbol vocab
@@ -568,6 +595,29 @@ object TextAnalysis {
           s"split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged, " +
           s"f AS freq FROM b$i").mkString(" UNION ALL ") +
       ") ORDER BY step"
+
+  private def bpeFertilitySql(steps: Int): String = {
+    val mcols = (1 to steps).map(i => s"(SELECT pair FROM b$i) AS pair$i").mkString(", ")
+    var enc = """trim(regexp_replace(w, '(.)', '\1 ', 'g'))"""
+    for (i <- 1 to steps) {
+      val p = s"' ' || pair$i || ' '"
+      val r = s"' ' || replace(pair$i, ' ', '') || ' '"
+      enc = s"trim(replace(replace(' ' || $enc || ' ', $p, $r), $p, $r))"
+    }
+    bpeLearnCtes(steps) + s""",
+      |m AS (SELECT $mcols),
+      |enc AS (
+      |  SELECT lang,
+      |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ch,
+      |    CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      |      w -> len(string_split($enc, ' '))), 'sum') AS BIGINT) AS tk
+      |  FROM documents, m)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ch) AS BIGINT) AS chars,
+      |  CAST(sum(tk) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(ch) AS DOUBLE) / CAST(sum(tk) AS DOUBLE) AS fertility
+      |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   private def bpeEncodeSql(steps: Int): String = {
     val mcols = (1 to steps).map(i => s"(SELECT pair FROM b$i) AS pair$i").mkString(", ")
@@ -769,6 +819,7 @@ object TextAnalysis {
         |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS fp_count
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q113_bpe_merges" -> bpeMergesSql(BpeSteps),
-    "q114_bpe_encode" -> bpeEncodeSql(BpeSteps)
+    "q114_bpe_encode" -> bpeEncodeSql(BpeSteps),
+    "q280_bpe_fertility" -> bpeFertilitySql(BpeSteps)
   )
 }
