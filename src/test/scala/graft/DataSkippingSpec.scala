@@ -143,6 +143,35 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxLog.read(spark, t).count() == 300L)
   }
 
+  test("z-order clustering prunes on BOTH dimensions via one sort key") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-zskip").resolve("t").toString
+    // 2-D grid in shuffled order: one-column clustering can serve only
+    // its own column; the interleaved-bit z-value serves both
+    def spread(c: org.apache.spark.sql.Column) = {
+      val x0 = c.bitwiseAND(lit(0xFFFFL))
+      val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+      (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    val grid = (0L until 1024L).map(i => (i % 32L, i / 32L)).toDF("x", "y")
+      .withColumn("zval", spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)))
+    TxLog.append(spark, t, grid.repartition(4)) // unclustered: 4 mixed files
+    assert(TxLog.prune(spark, t, col("x") < 8L).skipped.isEmpty,
+      "unclustered layout should prove nothing")
+    TxLog.optimize(spark, t, targetFiles = 8, sortBy = Seq("zval"))
+    // z-locality: a small x-range AND a small y-range each prune files,
+    // which single-column clustering cannot do for the second dimension
+    val prX = TxLog.prune(spark, t, col("x") < 8L)
+    val prY = TxLog.prune(spark, t, col("y") < 8L)
+    assert(prX.skipped.nonEmpty, "z-layout should prune the x probe")
+    assert(prY.skipped.nonEmpty, "z-layout should prune the y probe")
+    // correctness unchanged either way
+    assert(TxLog.readWhere(spark, t, col("x") < 8L && col("y") < 8L).count() == 64L)
+    assert(TxLog.read(spark, t).count() == 1024L)
+  }
+
   test("a stats-less log (legacy lines) keeps every file and stays exact") {
     val t = rangedTable()
     // strip the stats field from every committed line: the pre-stats codec

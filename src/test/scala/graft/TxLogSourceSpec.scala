@@ -114,6 +114,43 @@ class TxLogSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.isEmpty)
   }
 
+  test("table-to-table streaming pipeline: exactly-once end to end") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // the medallion shape over the format: commits land in A, a stream
+    // tails A and commits into B with per-batch idempotence markers —
+    // source offsets are checkpointed, sink commits are marker-gated, so
+    // BOTH halves of a crash replay are no-ops
+    val a = Files.createTempDirectory("graft-pipe-a").resolve("t").toString
+    val b = Files.createTempDirectory("graft-pipe-b").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-pipe-ckpt").toString
+    (1 to 3).foreach(i => TxLog.append(spark, a,
+      Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    def pump(): Unit = spark.readStream
+      .format("graft.sources.TxLogSource").load(a)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.TxLogStream.processBatch(spark, batch, b, "pipe", id)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    pump()
+    def ids(t: String): Seq[Long] = TxLog.read(spark, t).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(b) == Seq(1L, 2L, 3L))
+    // more source commits; second pump moves ONLY the delta
+    TxLog.append(spark, a, Seq((4L, "v4")).toDF("id", "s"))
+    pump()
+    assert(ids(b) == Seq(1L, 2L, 3L, 4L))
+    // crash replay of an already-committed batch: the sink marker makes
+    // it a no-op even when the SOURCE offset checkpoint is lost
+    val replayed = TxLog.changes(spark, b, 0L)
+    graft.streaming.TxLogStream.processBatch(spark, TxLog.read(spark, a), b, "pipe", 0L)
+    assert(ids(b) == Seq(1L, 2L, 3L, 4L), "replayed batch 0 must not duplicate")
+    assert(replayed.count() == 4L)
+  }
+
   test("SQL reads prune through the commit-log stats (pushed filter)") {
     val (t, path) = freshTable()
     // two single-file commits with disjoint id ranges → a selective
