@@ -145,6 +145,69 @@ object Profiling {
       .orderBy(col("l_min"))
   }
 
+  // ------------------------------------------------- q281 t-closeness
+
+  /** q281's distance ceilings (0.2/0.35/0.5 span strict→lenient). */
+  private[graft] val TThresholds = Seq(0.2, 0.35, 0.5)
+
+  /** q281 — t-closeness profile (Li, Li & Venkatasubramanian, ICDE
+    * 2007), completing the release-gate trio: q173 bounds class SIZE,
+    * q265 bounds sensitive-value COUNT, but a class can satisfy both
+    * while its sensitive DISTRIBUTION differs wildly from the corpus
+    * (a skewed class still leaks — the attacker learns the class is
+    * rich). t-closeness bounds, per quasi-identifier class, the Earth
+    * Mover's Distance between the class's sensitive distribution and
+    * the GLOBAL one over the ordered band domain: EMD_ordered =
+    * Σ_i |P_cum(i) − Q_cum(i)| / (m−1).
+    *
+    * Exactness: the cumulative-probability differences are rationals
+    * with common denominator sz·N — kept as INTEGER numerators
+    * (|cumcnt·N − cumg·sz|, magnitude ≤ N², far under 2^63 at any
+    * plausible sf) and summed exactly; t is ONE terminal double
+    * division per class. Same QI pair and acctbal-band sensitive
+    * attribute as q173/q265.
+    *
+    * Scale shape: two QI-keyed aggregates; the dense class×band grid is
+    * a broadcast attach bounded by |QI domain| × |band domain| (never
+    * row count); one windowed prefix sum over that bounded grid; a
+    * 3-row threshold attach. */
+  def tCloseness(spark: SparkSession, customer: DataFrame): DataFrame = {
+    val sv = customer.select(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / lit(2000.0)).cast("long").as("sv"))
+    val classes = sv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+    val global = sv.groupBy(col("sv")).agg(count(lit(1)).as("g"))
+    val tot = global.agg(sum(col("g")).as("nt"), count(lit(1)).as("m"))
+    val cells = sv.groupBy(col("c_nationkey"), col("c_mktsegment"), col("sv"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "sv"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("sv"))
+    val perClass = grid.crossJoin(broadcast(tot))
+      .withColumn("cumc", sum(col("cnt")).over(w))
+      .withColumn("cumg", sum(col("g")).over(w))
+      .withColumn("dterm", abs(col("cumc") * col("nt") - col("cumg") * col("sz")))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(max(col("sz")).as("sz"), sum(col("dterm")).as("dnum"),
+        max(col("nt")).as("nt"), max(col("m")).as("m"))
+      .withColumn("t_dist", col("dnum").cast("double") /
+        (col("sz") * col("nt") * (col("m") - 1L)).cast("double"))
+    val ts = spark.createDataFrame(TThresholds.map(Tuple1(_))).toDF("t_max")
+    perClass.crossJoin(broadcast(ts))
+      .groupBy(col("t_max"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"),
+        max(col("t_dist")).as("max_t"),
+        sum(when(col("t_dist") > col("t_max"), 1L).otherwise(0L)).as("classes_above"),
+        sum(when(col("t_dist") > col("t_max"), col("sz")).otherwise(0L)).as("rows_above"))
+      .withColumn("at_risk_frac",
+        col("rows_above").cast("double") / col("n_rows").cast("double"))
+      .select(col("t_max"), col("n_classes"), col("n_rows"), col("max_t"),
+        col("classes_above"), col("rows_above"), col("at_risk_frac"))
+      .orderBy(col("t_max"))
+  }
+
   // -------------------------------------------------------- q271 ICC
 
   /** q271's fixed-point scale for the order-free Σ (Sx_g²/n_g) sum. */
@@ -680,6 +743,7 @@ object Profiling {
     "q172_js_divergence" -> ((s, d) => jsDivergence(Tables.documents(s, d))),
     "q173_k_anonymity" -> ((s, d) => kAnonymity(s, Tables.customer(s, d))),
     "q265_l_diversity" -> ((s, d) => lDiversity(s, Tables.customer(s, d))),
+    "q281_t_closeness" -> ((s, d) => tCloseness(s, Tables.customer(s, d))),
     "q271_icc_source" -> ((s, d) => iccBySource(Tables.documents(s, d))),
     "q174_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
     "q175_heaps_fit" -> ((s, d) => heapsFit(Tables.documents(s, d))),
@@ -914,6 +978,50 @@ object Profiling {
          |  CAST(sum(CASE WHEN l < l_min THEN sz ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(sz) AS DOUBLE) AS at_risk_frac
          |FROM cls CROSS JOIN ls GROUP BY l_min ORDER BY l_min""".stripMargin,
+    "q281_t_closeness" ->
+      s"""WITH sv AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sv
+         |  FROM customer),
+         |cls AS (SELECT c_nationkey, c_mktsegment,
+         |          CAST(count(*) AS BIGINT) AS sz
+         |        FROM sv GROUP BY 1, 2),
+         |gband AS (SELECT sv, CAST(count(*) AS BIGINT) AS g FROM sv GROUP BY 1),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nt,
+         |               CAST(count(*) AS BIGINT) AS m FROM gband),
+         |cells AS (SELECT c_nationkey, c_mktsegment, sv,
+         |            CAST(count(*) AS BIGINT) AS cnt
+         |          FROM sv GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.sz,
+         |    gband.sv, gband.g, coalesce(cells.cnt, 0) AS cnt
+         |  FROM cls CROSS JOIN gband
+         |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+         |    AND cells.c_mktsegment = cls.c_mktsegment AND cells.sv = gband.sv),
+         |pre AS (
+         |  SELECT *,
+         |    sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+         |      ORDER BY sv) AS cumc,
+         |    sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+         |      ORDER BY sv) AS cumg
+         |  FROM grid),
+         |pc AS (
+         |  SELECT c_nationkey, c_mktsegment, max(sz) AS sz,
+         |    CAST(sum(abs(cumc * nt - cumg * sz)) AS BIGINT) AS dnum,
+         |    max(nt) AS nt, max(m) AS m
+         |  FROM pre CROSS JOIN tot GROUP BY 1, 2),
+         |pt AS (SELECT *, CAST(dnum AS DOUBLE)
+         |         / CAST(sz * nt * (m - 1) AS DOUBLE) AS t_dist FROM pc),
+         |th AS (SELECT unnest([${TThresholds.mkString(", ")}]) AS t_max)
+         |SELECT t_max, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows, max(t_dist) AS max_t,
+         |  CAST(sum(CASE WHEN t_dist > t_max THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS classes_above,
+         |  CAST(sum(CASE WHEN t_dist > t_max THEN sz ELSE 0 END) AS BIGINT)
+         |    AS rows_above,
+         |  CAST(sum(CASE WHEN t_dist > t_max THEN sz ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(sz) AS DOUBLE) AS at_risk_frac
+         |FROM pt CROSS JOIN th GROUP BY t_max ORDER BY t_max""".stripMargin,
     // exact integer moments; the per-group ratio sum rides the q158
     // fixed-point floor(·1e6) HUGEINT trick; mirrored double dag after
     "q271_icc_source" ->

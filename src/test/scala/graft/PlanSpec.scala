@@ -213,7 +213,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q262_dsir_selection", // two 1-row token-total attaches on the bucket-joined doc frame
       "q264_cuped", // 1-row pooled-moment attach on the 2-row arm frame
       "q265_l_diversity", // q173's 3-row threshold attach on the QI-bounded class frame
-      "q279_hybrid_rrf") // q67's 1-row BM25-stats attach + the 1-row dense-query-vector attach (both fusion inputs are top-N-bounded)
+      "q279_hybrid_rrf", // q67's 1-row BM25-stats attach + the 1-row dense-query-vector attach (both fusion inputs are top-N-bounded)
+      "q281_t_closeness") // dense class×band grid attach (|QI domain| × |band domain| bounded) + 1-row totals + 3-row threshold attaches
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
