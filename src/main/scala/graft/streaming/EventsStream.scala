@@ -288,6 +288,23 @@ object EventsStream {
   // --------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q282 — the STREAMING windowed rollup itself under the driver hash
+    // gate (until now streaming correctness was spec-only parity): the
+    // events stream drains through Structured Streaming's stateful
+    // window aggregation in COMPLETE mode with Trigger.AvailableNow —
+    // the final emission is the converged full state, which must equal
+    // the batch rollup the DuckDB oracle computes from the same table.
+    // What the hash pins: epoch-aligned 10-minute window assignment,
+    // exactly-once accumulation across micro-batch replays, and the
+    // decimal-exact value sums — through the streaming engine's state
+    // store, not the batch operator. Unique memory-sink name per call
+    // (bench re-runs share a session); the leaked in-memory table is
+    // window-count bounded.
+    "q282_stream_windows" -> ((s, d) => {
+      val res = runToBatch(s, windowedCounts(readStream(s, d)),
+        s"graft_q282_${System.nanoTime()}", outputMode = "complete")
+      res.orderBy(col("bucket"), col("event_type"))
+    }),
     "q19_sessionize" -> ((s, d) => sessionWindows(Tables.events(s, d))),
     "q47_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -297,6 +314,13 @@ object EventsStream {
   )
 
   def oracles: Map[String, String] = Map(
+    "q282_stream_windows" ->
+      """SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+        |    AS bucket,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
     "q47_interval_join" ->
       """SELECT p.user_id AS user_id, p.ts AS purchase_ts,
         |  p.value AS purchase_value, v.ts AS view_ts
