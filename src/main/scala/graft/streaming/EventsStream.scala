@@ -33,12 +33,18 @@ object EventsStream {
     * explicit schema, so the footer's ts vintage is probed via one batch
     * schema read — driver-side planning only, no job). */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val tsType = spark.read.option("pathGlobFilter", "events.parquet")
-      .parquet(dir).schema("ts").dataType
-    val raw = spark.readStream.schema(rawSchema(tsType))
-      // FileStreamSource needs a directory; glob-filter to the events file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    // two on-disk layouts exist: the driver testdata is a single FILE
+    // `events.parquet` (stream the parent dir, glob-filtered to it —
+    // FileStreamSource needs a directory), the scale-rehearsal copy is a
+    // DIRECTORY `events.parquet/part-*.parquet` (stream it directly)
+    val raw =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.readStream.schema(rawSchema(tsType)).parquet(s"$dir/events.parquet")
+      else spark.readStream.schema(rawSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     tsType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

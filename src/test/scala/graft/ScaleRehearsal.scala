@@ -131,7 +131,13 @@ object ScaleRehearsal {
     // ICC: |sources|-bounded moment aggregate + 1-row fold
     "q271_icc_source",
     // two-proportion z: one user-keyed aggregate + 1-row fold
-    "q272_two_proportion")
+    "q272_two_proportion",
+    // round-12 wave (q273-q278 are commit-log protocol queries on
+    // bounded rollup tables, the q249 class — excluded): corpus-side
+    // BM25 + dense fusion, BPE-encode lang aggregate, QI-bounded EMD
+    // profile, and the streaming stateful window drain
+    "q279_hybrid_rrf", "q280_bpe_fertility", "q281_t_closeness",
+    "q282_stream_windows")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
