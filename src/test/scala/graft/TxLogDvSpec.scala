@@ -114,6 +114,27 @@ class TxLogDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("checkpoint persists DV state; replay-from-checkpoint keeps deletes") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 10L).map(i => (i, i)).toDF("id", "v").coalesce(1))
+    TxLog.deleteWhereMerge(spark, t, col("id") <= 4L)
+    val cpv = TxLog.checkpoint(t)
+    // force replay THROUGH the checkpoint: delete the pre-checkpoint
+    // version files' content influence by appending after it, then read —
+    // snapshotAdds/dvsAt start from the checkpoint body, so the DV lines
+    // it carries are the only way the deletes survive
+    TxLog.append(spark, t, Seq((100L, 100L)).toDF("id", "v"))
+    assert(TxLog.dvsAt(t).nonEmpty, "checkpoint must carry the DV state")
+    assert(ids(t) == (5L to 10L) :+ 100L)
+    // time travel to the checkpointed version reads through its DVs too
+    assert(ids(t, Some(cpv)) == (5L to 10L))
+    // post-checkpoint optimize still materializes and clears
+    TxLog.optimize(spark, t, targetFiles = 1)
+    assert(TxLog.dvsAt(t).isEmpty)
+    assert(ids(t) == (5L to 10L) :+ 100L)
+  }
+
   test("racing MoR deletes on one file serialize without losing positions") {
     import spark.implicits._
     val t = tmp()
