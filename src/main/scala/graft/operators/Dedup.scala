@@ -956,6 +956,37 @@ object Dedup {
     "q34_dedup_winnow" -> ((s, d) => winnowPairs(Tables.documents(s, d))),
     "q49_dup_clusters" -> ((s, d) =>
       connectedComponents(jaccardPairs(Tables.documents(s, d)))),
+    // q284 — duplication-aware training weights: instead of DROPPING
+    // near-dups (q49's survivor view), weight every doc 1/|its cluster|
+    // so each distinct content contributes unit mass — the soft-dedup
+    // sampling scheme (the "repeated data gets epsilon extra value"
+    // stance of Muennighoff et al. 2023 argues for down-weighting over
+    // deletion), rolled up per source: raw vs EFFECTIVE doc counts is
+    // the honest size of each source after duplication. Weights are
+    // rationals 1/sz summed EXACTLY as floor(1e12/sz) longs (double
+    // summation would be order-dependent); one terminal division emits
+    // the effective count. Singletons form their own cluster (weight 1),
+    // so sum(eff_docs) ≈ distinct-content count. Scale shape: q49's
+    // closure plans + one doc-keyed size join + a |sources|-bounded
+    // rollup — nothing new touches the corpus.
+    "q284_dup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val withC = docs.select(col("doc_id"), col("source"))
+        .join(connectedComponents(jaccardPairs(docs)), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val sizes = withC.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      withC.join(sizes, "cluster_id")
+        .withColumn("w_fp", expr("1000000000000 div sz"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          count_distinct(col("cluster_id")).as("n_clusters"),
+          sum(col("w_fp")).as("eff_fp"))
+        .withColumn("eff_docs", col("eff_fp").cast("double") / lit(1e12))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          col("n_clusters"), col("eff_docs"))
+        .orderBy(col("source"))
+    }),
     "q101_dedup_incremental" -> ((s, d) =>
       jaccardPairsIncremental(Tables.documents(s, d), newMin = 250L)),
     "q256_neardup_split" -> ((s, d) =>
@@ -1212,6 +1243,44 @@ object Dedup {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure of the near-dup pairs via recursive CTE
+    "q284_dup_weights" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
+        |                   for i in range(1, len(w)-1)]) AS s
+        |  FROM w WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT a AS src, a AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |dc AS (
+        |  SELECT d.doc_id, d.source,
+        |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+        |       FROM dc GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(count(DISTINCT dc.cluster_id) AS BIGINT) AS n_clusters,
+        |  CAST(CAST(sum(1000000000000 // sz) AS BIGINT) AS DOUBLE) / 1e12
+        |    AS eff_docs
+        |FROM dc JOIN sz USING (cluster_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q49_dup_clusters" ->
       """WITH RECURSIVE
         |w AS (

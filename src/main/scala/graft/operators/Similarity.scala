@@ -309,6 +309,47 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_hard_triplets" -> ((s, d) => hardTriplets(s, Tables.embeddings(s, d))),
+    // q283 — SEMANTIC contamination audit: q168's evidence table in
+    // embedding space. Lexical shingle decontamination (q87/q168) misses
+    // paraphrased or translated leakage — near-identical MEANING with
+    // near-zero n-gram overlap — which is exactly what the embedding
+    // modality catches (the semantic-dedup rationale of SemDeDup,
+    // Abbas et al. 2023, applied to train/eval leakage). For every eval
+    // vector (vec_id < 100, the q87 eval-split convention; embeddings
+    // align 1:1 with doc_ids) the single closest TRAIN vector by cosine
+    // (tie → smaller id), plus a rank-based flag: the top ceil(n/20) of
+    // evals by best-match similarity are the audit's worklist — a
+    // DATA-DERIVED cutoff, so the flag column is non-vacuous at every
+    // sf (a fixed threshold would be all-false on this corpus — the
+    // q20 0-row-green lesson).
+    //
+    // Scale shape: the eval side is query-set-bounded and broadcast
+    // (q25's contract — never corpus×corpus); one pass over the train
+    // corpus; the per-eval argmax and the rank window run on |eval|
+    // rows. At 100 TB the IVF index (q104) generates the same top-1
+    // candidates and everything downstream is unchanged.
+    "q283_semantic_contam" -> ((s, d) => {
+      VectorFunctions.register(s)
+      val embs = Tables.embeddings(s, d)
+      val eval_ = embs.filter(col("vec_id") < 100L)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("q_emb"))
+      val train = embs.filter(col("vec_id") >= 100L)
+        .select(col("vec_id").as("train_id"), col("embedding").as("t_emb"))
+      val wBest = Window.partitionBy(col("eval_id"))
+        .orderBy(col("cosine").desc, col("train_id"))
+      val best = train.join(broadcast(eval_), lit(true))
+        .withColumn("cosine", VectorFunctions.cosineSim(col("q_emb"), col("t_emb")))
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("eval_id"), col("train_id"), col("cosine"))
+      val wRank = Window.orderBy(col("cosine").desc, col("eval_id"))
+      val n = best.count() // |eval| — bounded
+      best.withColumn("sim_rank", row_number().over(wRank))
+        .withColumn("flagged", col("sim_rank") <= lit((n + 19) / 20))
+        .select(col("eval_id"), col("train_id"), col("cosine"),
+          col("sim_rank"), col("flagged"))
+        .orderBy(col("eval_id"))
+    }),
     "q25_ann_brute" -> ((s, d) => bruteForceTopK(s, Tables.embeddings(s, d))),
     "q26_ann_lsh" -> ((s, d) => lshTopK(s, Tables.embeddings(s, d))),
     "q29_ann_ivf" -> ((s, d) => ivfTopK(s, Tables.embeddings(s, d))),
@@ -406,6 +447,30 @@ object Similarity {
         |  FROM sc)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin),
+    "q283_semantic_contam" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 100),
+        |tr AS (
+        |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS te
+        |  FROM embeddings WHERE vec_id >= 100),
+        |s AS (
+        |  SELECT eval_id, train_id,
+        |    list_cosine_similarity(qe, te) AS cosine
+        |  FROM ev CROSS JOIN tr),
+        |best AS (
+        |  SELECT eval_id, train_id, cosine,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY cosine DESC, train_id) AS rk
+        |  FROM s QUALIFY rk = 1),
+        |n AS (SELECT count(*) AS n_eval FROM best)
+        |SELECT eval_id, train_id, cosine,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, eval_id) AS INT)
+        |    AS sim_rank,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, eval_id)
+        |    <= (n_eval + 19) // 20 AS BOOLEAN) AS flagged
+        |FROM best CROSS JOIN n
+        |ORDER BY eval_id""".stripMargin,
     "q25_ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -214,7 +214,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q264_cuped", // 1-row pooled-moment attach on the 2-row arm frame
       "q265_l_diversity", // q173's 3-row threshold attach on the QI-bounded class frame
       "q279_hybrid_rrf", // q67's 1-row BM25-stats attach + the 1-row dense-query-vector attach (both fusion inputs are top-N-bounded)
-      "q281_t_closeness") // dense class×band grid attach (|QI domain| × |band domain| bounded) + 1-row totals + 3-row threshold attaches
+      "q281_t_closeness", // dense class×band grid attach (|QI domain| × |band domain| bounded) + 1-row totals + 3-row threshold attaches
+      "q283_semantic_contam") // q25's broadcast-query theta join (bounded eval set × train scan) + 1-row eval-count attach
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = plan(n)
       val bad =
