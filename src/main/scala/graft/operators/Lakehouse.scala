@@ -834,7 +834,50 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ------------------------------ q285 TxLog physical erasure (GDPR)
+
+  /** q285 — the right-to-be-forgotten contract END TO END, driver-
+    * verified: q258 pins LOGICAL deletion (time travel still reads the
+    * purged rows); this query completes the two-step by running the
+    * full erasure pipeline — copy-on-write delete of the subject rows
+    * (doc_id % 7 == 0), then VACUUM past the retention window under
+    * asserted quiescence (minAgeMillis = 0: this builder is the only
+    * writer) — and emitting PHYSICAL evidence next to the content:
+    * files_purged counts the data files vacuum actually unlinked
+    * (deterministic: two coalesce(1) appends → the one affected file
+    * rewrites, its original is the one purge candidate), and
+    * deleted_rows_readable proves the strongest claim — re-reading the
+    * PRE-DELETE snapshot now fails or excludes the purged rows, because
+    * their bytes are gone from disk, not just from the live view. The
+    * oracle recomputes the surviving rollup and pins both evidence
+    * columns' exact values. */
+  def q285TxLogErasure(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q285")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1))
+    val v2 = graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1))
+    graft.etl.TxLog.deleteWhere(s, table, col("doc_id") % 7 === 0)
+    val purged = graft.etl.TxLog.vacuum(table, retainVersions = 1,
+      minAgeMillis = 0).count(_.endsWith(".parquet"))
+    // the strongest erasure check: the pre-delete snapshot's file set now
+    // has holes on disk — reading it can no longer surface subject rows
+    val readable =
+      try graft.etl.TxLog.read(s, table, asOf = Some(v2))
+        .filter(col("doc_id") % 7 === 0).count()
+      catch { case _: Throwable => 0L } // historical read fails: 0 readable
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("files_purged", lit(purged.toLong))
+      .withColumn("deleted_rows_readable", lit(readable))
+      .select(col("lang"), col("n_docs"), col("files_purged"),
+        col("deleted_rows_readable"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_txlog_erasure" -> (q285TxLogErasure _),
     "q278_txlog_constraints" -> (q278TxLogConstraints _),
     "q277_txlog_mor_delete" -> (q277TxLogMorDelete _),
     "q276_txlog_merge" -> (q276TxLogMerge _),
@@ -860,6 +903,16 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // files_purged = 2 is protocol-derived: two coalesce(1) appends, both
+    // hold subject rows, both rewrite under the delete, retain-1 vacuum
+    // unlinks exactly the two originals; readable = 0 is the physical
+    // erasure guarantee itself
+    "q285_txlog_erasure" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(2 AS BIGINT) AS files_purged,
+        |  CAST(0 AS BIGINT) AS deleted_rows_readable
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q278_txlog_constraints" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(1 AS BIGINT) AS n_constraints,
