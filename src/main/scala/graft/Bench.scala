@@ -95,9 +95,13 @@ object Bench {
   private def runPass(spark: SparkSession, dir: String,
                       deadlineNs: Option[Long],
                       order: Option[Map[String, Double]] = None,
-                      priority: Option[Map[String, Double]] = None): Map[String, Double] = {
+                      priority: Option[Map[String, Double]] = None,
+                      only: Option[Set[String]] = None): Map[String, Double] = {
     val out = scala.collection.mutable.Map.empty[String, Double]
-    val base = selected
+    val base = only match {
+      case Some(keep) => selected.filter { case (n, _) => keep(n) }
+      case None       => selected
+    }
     val it = (priority, order) match {
       case (Some(pri), prev) => base.toSeq
         .sortBy { case (n, _) =>
@@ -221,21 +225,30 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** suspect = > 2× best-known AND > 1 s absolute (round-11: tightened
+    * from 3×/excess-over-best per VERDICT r10 #5 + ADVICE, so the q248
+    * class — 2.2× its best with no touching commit — self-flags). The
+    * SAME predicate drives the artifact's suspect list, the targeted
+    * re-measure sweep, and the degraded flag — one definition of "this
+    * number is probably noise". */
+  private def suspectsOf(results: Map[String, Double],
+                         history: Map[String, Double]): Seq[String] =
+    results.toSeq
+      .filter { case (k, v) => history.get(k).exists(b => v > 2 * b && v > 1.0) }
+      .map(_._1).sorted
+
   /** Full-name per-query timings go to a repo-side file: the harness keeps
     * only the last 2000 chars of stdout, which a 109-entry full-name map
     * overflows. Rewritten after every pass (crash-tolerant). */
   private def writeDetail(path: String, sfDir: String, passesDone: Int,
                           elapsed: Double, results: Map[String, Double],
                           history: Map[String, Double],
-                          loadStart: Double): Unit = {
+                          loadStart: Double,
+                          suspectPasses: Int = 0): Unit = {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
-    // suspect = > 2× best-known AND > 1 s absolute (round-11: tightened
-    // from 3×/excess-over-best per VERDICT r10 #5 + ADVICE, so the q248
-    // class — 2.2× its best with no touching commit — self-flags)
-    val suspects = results.toSeq
-      .filter { case (k, v) => history.get(k).exists(b => v > 2 * b && v > 1.0) }
-      .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspects = suspectsOf(results, history)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // diagnostic only (NOT min-folded — the value is from the last pass
     // that timed the query): driver GC pause seconds absorbed inside the
     // timed region, for queries where it is material (> 0.1 s)
@@ -243,7 +256,7 @@ object Bench {
       .map { case (k, v) => s""""$k": ${sec(v)}""" }.mkString("{", ", ", "}")
     try {
       val w = new java.io.PrintWriter(path)
-      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
+      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "suspect_passes": $suspectPasses, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
   }
@@ -332,6 +345,37 @@ object Bench {
         stop = passesDone >= passes
       }
     }
+    // targeted suspect re-measure (round-12 VERDICT #1): at 285+ queries a
+    // full second pass (~350 s quiet) can never fit the 420 s budget once
+    // pass 1 ran under load — but the ARTIFACT is only trustworthy if every
+    // suspect-vs-best-known number got a second sample. So after the normal
+    // pass loop, re-run ONLY the currently-suspect queries (greedy
+    // recoverable-excess order, per-query wontFit skip), with a small grace
+    // window past the budget: ~2 min of re-runs buys an artifact whose
+    // residual suspects are real, not host-load noise. Grace is bounded
+    // (default 120 s) so the worst-case wall clock stays inside the
+    // envelope the round-12 driver run proved survivable (~540 s).
+    val graceS = sys.env.get("SPARK_GRAFT_SUSPECT_GRACE_S")
+      .map(_.toDouble).getOrElse(120.0)
+    var suspectPasses = 0
+    var residual = suspectsOf(results, history)
+    while (residual.nonEmpty && suspectPasses < 3 &&
+           elapsedS < budgetS + graceS - 10.0) {
+      System.err.println(s"[bench] suspect sweep ${suspectPasses + 1}: " +
+        s"re-measuring ${residual.size} queries (${residual.mkString(", ")})")
+      val deadline = mainT0 + ((budgetS + graceS) * 1e9).toLong
+      val pri = results.map { case (k, v) =>
+        k -> history.get(k).map(b => (v - b) / math.max(b, 0.1))
+          .getOrElse(Double.MaxValue)
+      }
+      results = minByQuery(results,
+        runPass(spark, sfDir, Some(deadline), Some(results), Some(pri),
+          only = Some(residual.toSet)))
+      suspectPasses += 1
+      writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
+        loadStart, suspectPasses)
+      residual = suspectsOf(results, history)
+    }
     // fold this run's mins into the cross-round best-known record (only
     // when the full surface ran — a SPARK_GRAFT_ONLY rerun must never
     // write history, even to seed an empty one: solo-context mins are
@@ -360,20 +404,29 @@ object Bench {
       s"duplicate query-name prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val sfName = new java.io.File(sfDir).getName
-    // load self-defense (round-12, VERDICT #2): the artifact records the
-    // ambient 1-min loadavg at entry and the pass count, and a SINGLE-pass
-    // run that STARTED under heavy load flags itself — that is exactly the
-    // shape of round-11's 1.66×-inflated artifact, and the reader should
-    // not need archaeology to distrust it. (End load mostly measures our
-    // own 32-core run, so only the start reading gates the flag.)
-    val degraded = passesDone == 1 && loadStart > 4.0
+    // load self-defense, round-13 revision (VERDICT r12 "what's wrong" #2:
+    // the loadStart>4 gate had a blind spot — the r12 driver run started
+    // at 3.38 and degraded to 10.59 MID-run, escaping the flag). The
+    // robust signal is the suspect machinery itself: after the targeted
+    // sweep, any query still >2× its best-known either regressed for real
+    // (a commit touched it — visible in git) or the host stayed loaded
+    // through every sample; more than 2 residual suspects means the
+    // artifact as a whole can't be trusted as a regression signal and
+    // says so. The loadStart gate is kept for runs where the sweep never
+    // got to run (no history, or grace exhausted before any re-measure).
+    val degradedReason: Option[String] =
+      if (residual.size > 2) Some(s"residual_suspects")
+      else if (passesDone == 1 && suspectPasses == 0 && loadStart > 4.0)
+        Some("single_pass_under_load")
+      else None
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + sec2(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
-      val ld = s""","passes":$passesDone,"load_1m_start":${sec2(loadStart)}""" +
-        (if (degraded) ""","degraded":"single_pass_under_load"""" else "")
+      val ld = s""","passes":$passesDone,"suspect_passes":$suspectPasses""" +
+        s""","resid_suspects":${residual.size},"load_1m_start":${sec2(loadStart)}""" +
+        degradedReason.map(r => s""","degraded":"$r"""").getOrElse("")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"sf":"$sfName"$ld$om}"""
     }
     val limit = 1900 // margin under the 2000-char capture window

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: parallelize compute-heavy projections over small
     // relations (see ParallelizeExpensiveProjection scaladoc)
     ext.injectOptimizerRule(graft.plans.ParallelizeExpensiveProjection.apply)
+    // planner strategy: SQL DELETE / UPDATE / MERGE INTO against TxLog
+    // tables (see TxLogSqlDml scaladoc; also installable per-session via
+    // TxLogSqlDml.install)
+    ext.injectPlannerStrategy(_ => graft.sources.TxLogDmlStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

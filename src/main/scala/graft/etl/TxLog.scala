@@ -54,9 +54,17 @@ object TxLog {
     * to the table root. An "add" may carry an opaque file-stats token
     * ([[TxStats]] — per-column min/max/nullCount from the parquet
     * footer) that `readWhere` consults for data skipping; absent stats
-    * never affect correctness, only pruning power. */
+    * never affect correctness, only pruning power.
+    *
+    * `dataChange` (round-13, the Delta-protocol marker): false means the
+    * action REARRANGES existing rows without changing table content — an
+    * [[optimize]] rewrite. CDC consumers ([[changes]], the streaming
+    * source) skip dataChange=false adds, so a compaction is never
+    * re-delivered as new rows. Lines omit the field when true, so every
+    * pre-marker log replays identically (absent = true). */
   final case class Action(op: String, path: String,
-                          stats: Option[String] = None)
+                          stats: Option[String] = None,
+                          dataChange: Boolean = true)
 
   private def logPath(table: String): Path = Paths.get(table, LogDir)
 
@@ -97,7 +105,7 @@ object TxLog {
       if (line.contains("\"stats\":\""))
         Some(line.split("\"stats\":\"")(1).takeWhile(_ != '"'))
       else None
-    Action(op, path, stats)
+    Action(op, path, stats, dataChange = !line.contains("\"dataChange\":false"))
   }
 
   private def readActions(table: String, v: Long): Seq[Action] =
@@ -121,10 +129,9 @@ object TxLog {
   private def render(a: Action): String = {
     safeField(a.op, "action op"); safeField(a.path, "action path")
     a.stats.foreach(safeField(_, "stats token"))
-    a.stats match {
-      case Some(s) => s"""{"op":"${a.op}","path":"${a.path}","stats":"$s"}"""
-      case None    => s"""{"op":"${a.op}","path":"${a.path}"}"""
-    }
+    val st = a.stats.map(s => s""","stats":"$s"""").getOrElse("")
+    val dc = if (a.dataChange) "" else ""","dataChange":false"""
+    s"""{"op":"${a.op}","path":"${a.path}"$st$dc}"""
   }
 
   /** Live file set (relative paths) at `asOf` (default: latest). Replay
@@ -166,15 +173,15 @@ object TxLog {
     val live = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     def apply(a: Action): Unit = a match {
-      case Action("add", p, st)   => live += p -> st; dvs -= p
-      case Action("remove", p, _) => live -= p; dvs -= p
-      case Action("dv", p, Some(st)) => dvs(p) = parseDvToken(st)
-      case Action("txn", _, _)    => () // idempotence marker, no file effect
-      case Action("schema", _, _) => () // schema declaration, no file effect
-      case Action("commit", _, _) => () // commit timestamp, no file effect
-      case Action("constraint", _, _)   => () // CHECK DDL, no file effect
-      case Action("unconstraint", _, _) => () // CHECK drop, no file effect
-      case Action(other, p, _) =>
+      case Action("add", p, st, _)   => live += p -> st; dvs -= p
+      case Action("remove", p, _, _) => live -= p; dvs -= p
+      case Action("dv", p, Some(st), _) => dvs(p) = parseDvToken(st)
+      case Action("txn", _, _, _)    => () // idempotence marker, no file effect
+      case Action("schema", _, _, _) => () // schema declaration, no file effect
+      case Action("commit", _, _, _) => () // commit timestamp, no file effect
+      case Action("constraint", _, _, _)   => () // CHECK DDL, no file effect
+      case Action("unconstraint", _, _, _) => () // CHECK drop, no file effect
+      case Action(other, p, _, _) =>
         throw new IllegalStateException(s"unknown log action $other for $p")
     }
     cp.foreach { c =>
@@ -224,7 +231,7 @@ object TxLog {
     * before timestamps landed in the format). */
   def timestampOf(table: String, v: Long): Option[Long] =
     readActions(table, v).collectFirst {
-      case Action("commit", ts, _) => ts.toLong
+      case Action("commit", ts, _, _) => ts.toLong
     }
 
   /** Resolve `AS OF TIMESTAMP`: the newest version whose commit
@@ -356,7 +363,7 @@ object TxLog {
     val hi = asOf.getOrElse(Long.MaxValue)
     versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
       readActions(table, v).reverseIterator.collectFirst {
-        case Action("schema", enc, _) =>
+        case Action("schema", enc, _, _) =>
           org.apache.spark.sql.types.DataType.fromJson(new String(
             java.util.Base64.getDecoder.decode(enc), StandardCharsets.UTF_8))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -410,10 +417,10 @@ object TxLog {
     val live = scala.collection.mutable.LinkedHashMap[String, String]()
     versions(table).filter(_ <= hi).foreach { v =>
       readActions(table, v).foreach {
-        case Action("constraint", name, Some(enc)) =>
+        case Action("constraint", name, Some(enc), _) =>
           live(name) = new String(java.util.Base64.getDecoder.decode(enc),
             StandardCharsets.UTF_8)
-        case Action("unconstraint", name, _) => live -= name
+        case Action("unconstraint", name, _, _) => live -= name
         case _ => ()
       }
     }
@@ -663,6 +670,79 @@ object TxLog {
     None
   }
 
+  /** Transactional row-level UPDATE, copy-on-write — the engine half of
+    * SQL `UPDATE t SET c = expr WHERE cond` (round-12 VERDICT #3):
+    * rewrite ONLY the files containing rows matching `cond`, with each
+    * matching row's assigned columns replaced by the assignment
+    * expressions (evaluated against the row's ORIGINAL values — standard
+    * UPDATE semantics, so `SET a = b, b = a` swaps) and every other row
+    * and file untouched. Assignments cast to the declared column type —
+    * an UPDATE can change values, never the schema. SQL three-valued
+    * semantics: NULL `cond` rows are not updated. CHECK constraints are
+    * enforced on the rewritten rows BEFORE staging, and re-enforced in
+    * the claim loop when the constraint set changed (the append
+    * discipline). Same file-pruned mechanics, validate-then-claim OCC,
+    * and None-on-no-match contract as [[deleteWhere]]; the commit is a
+    * CHANGE commit for CDC purposes (its removes carry dataChange). */
+  def updateWhere(spark: SparkSession, table: String, cond: Column,
+                  assignments: Map[String, Column],
+                  commitTs: Option[Long] = None): Option[Long] = {
+    require(assignments.nonEmpty, "updateWhere requires at least one assignment")
+    val hit = coalesce(cond, lit(false))
+    while (true) {
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
+      if (read0.isEmpty) return None
+      def absOf(rel: Seq[String]): Seq[String] =
+        rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+      schemaOf(table).foreach { d =>
+        val unknown = assignments.keys.filterNot(d.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"updateWhere: columns not in the declared schema: ${unknown.mkString(", ")}")
+      }
+      val hits = applyDvs(spark, table,
+          boundRead(spark, table, absOf(read0), None), dv0)
+        .withColumn("_graft_file", input_file_name())
+        .filter(hit).select("_graft_file").distinct()
+        .collect().map(_.getString(0))
+      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      if (affected.isEmpty) return None
+      val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
+      val scan = applyDvs(spark, table,
+        boundRead(spark, table, absOf(affected), None), affectedDvs)
+      val rewritten = scan.select(scan.schema.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(v) => org.apache.spark.sql.functions
+            .when(hit, v.cast(f.dataType))
+            .otherwise(org.apache.spark.sql.functions.col(f.name)).as(f.name)
+          case None => org.apache.spark.sql.functions.col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      var cs0 = constraintsOf(table)
+      enforceConstraints(table, rewritten, cs0)
+      val adds = stage(spark, table, rewritten) :+ tsAction(commitTs)
+      val removes = affected.map(Action("remove", _))
+      var done = false
+      var restart = false
+      var committed = -1L
+      while (!done && !restart) {
+        val base = versions(table).last
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        val csB = constraintsOf(table, Some(base))
+        if (csB != cs0) { enforceConstraints(table, rewritten, csB); cs0 = csB }
+        if (!affected.forall(live) ||
+            affected.exists(f => dvB.get(f) != dv0.get(f)))
+          restart = true
+        else if (tryCommit(table, base + 1, removes ++ adds)) {
+          done = true; committed = base + 1
+        }
+      }
+      if (done) return Some(committed)
+    }
+    None
+  }
+
   // ------------------------------------------- deletion vectors (MoR)
 
   /** Write a DV sidecar (sorted row positions, length-prefixed
@@ -694,12 +774,38 @@ object TxLog {
     * scheme/slash-count differences between URI renderings). */
   private val DvKeyExpr = "substring_index(_metadata.file_path, '/', -3)"
 
+  /** Total live deletion-vector cardinality (deleted-row positions) at
+    * `asOf`, from the dv tokens alone — zero I/O beyond log replay. The
+    * number that bounds [[dvFrame]]'s driver memory and every
+    * DV-table read's planning cost; past [[DvCompactThreshold]] an
+    * [[optimize]] is overdue. */
+  def dvCardinality(table: String, asOf: Option[Long] = None): Long =
+    dvsAt(table, asOf).values.map(_._2).sum
+
+  /** Ceiling past which accumulated deletion vectors stop being "a small
+    * sidecar" and start costing real driver memory and per-read planning
+    * time (round-12 ADVICE #4): reads and MoR deletes WARN past it,
+    * recommending optimize (which materializes the DVs away). 4M
+    * positions ≈ 64 MB of driver rows — loud well before harm.
+    * Overridable for tests via -Dgraft.txlog.dv.warn=N. */
+  private def DvCompactThreshold: Long =
+    sys.props.get("graft.txlog.dv.warn").map(_.toLong).getOrElse(4L << 20)
+
+  private def warnDvCardinality(table: String, total: Long, where: String): Unit =
+    if (total > DvCompactThreshold)
+      System.err.println(s"[txlog] WARNING: $table carries $total live " +
+        s"deletion-vector positions ($where) — driver memory and planning " +
+        "cost grow with this; run TxLog.optimize to materialize the " +
+        "deletes and reset the vectors")
+
   /** The live DV (file-key, position) pairs as a broadcastable frame.
     * Sidecars load on the driver — bounded by the live deleted-row
-    * count; a 100 TB deployment with massive DVs would move this into a
-    * distributed scan of the sidecars, same join shape downstream. */
+    * count (warned past [[DvCompactThreshold]]); a 100 TB deployment
+    * with massive DVs would move this into a distributed scan of the
+    * sidecars, same join shape downstream. */
   private def dvFrame(spark: SparkSession, table: String,
                       dvs: Map[String, (String, Long)]): DataFrame = {
+    warnDvCardinality(table, dvs.values.map(_._2).sum, "read path")
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val rows: java.util.List[org.apache.spark.sql.Row] =
@@ -802,7 +908,10 @@ object TxLog {
           done = true; committed = base + 1
         }
       }
-      if (done) return Some(committed)
+      if (done) {
+        warnDvCardinality(table, dvCardinality(table), "after deleteWhereMerge")
+        return Some(committed)
+      }
     }
     None
   }
@@ -851,19 +960,31 @@ object TxLog {
     while (true) {
       val (adds0, dv0) = replayState(table, None)
       val read0 = adds0.map(_.path)
+      def absOf(rel: Seq[String]): Seq[String] =
+        rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
       if (read0.isEmpty) { // empty table: MERGE degenerates to append
         val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs)
         var committed = -1L
-        while (committed < 0) {
+        var restarted = false
+        while (committed < 0 && !restarted) {
           val base = versions(table).lastOption.getOrElse(0L)
           val csB = constraintsOf(table, Some(base))
           if (csB != cs0) { enforceConstraints(table, source, csB); cs0 = csB }
-          if (tryCommit(table, base + 1, adds)) committed = base + 1
+          // a racer appending between "table is empty" and this commit may
+          // carry matching keys — same conflict as below: rebase (the
+          // outer pass re-reads a non-empty snapshot and merges properly)
+          val nowLive = snapshot(table, Some(base))
+          if (nowLive.nonEmpty &&
+              boundRead(spark, table, absOf(nowLive), None)
+                .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+                .limit(1).count() > 0)
+            restarted = true
+          else if (tryCommit(table, base + 1, adds)) committed = base + 1
         }
-        return committed
-      }
-      def absOf(rel: Seq[String]): Seq[String] =
-        rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+        if (committed > 0) return committed
+        // else: fall through the outer while to re-run against the
+        // now-non-empty snapshot
+      } else {
       val hits = applyDvs(spark, table,
           boundRead(spark, table, absOf(read0), None), dv0)
         .withColumn("_graft_file", input_file_name())
@@ -890,6 +1011,7 @@ object TxLog {
       }
       val adds = (stage(spark, table, staged) ++ decl) :+ tsAction(commitTs)
       val removes = affected.map(Action("remove", _))
+      val read0Set = read0.toSet
       var done = false
       var restart = false
       var committed = -1L
@@ -899,14 +1021,35 @@ object TxLog {
         val live = addsB.map(_.path).toSet
         val csB = constraintsOf(table, Some(base))
         if (csB != cs0) { enforceConstraints(table, source, csB); cs0 = csB }
+        // concurrent-append conflict detection (round-12 ADVICE #2): a
+        // racer's APPEND may itself carry rows matching the merge keys —
+        // committing alongside it would leave two live rows per matched
+        // key, silently breaking the keyed-upsert invariant (Delta raises
+        // ConcurrentAppendException here; we REBASE instead — the restart
+        // re-reads the snapshot, the racer's file joins `affected`, and
+        // the upsert replaces its rows too). Probe cost: one bounded scan
+        // of ONLY the files added since the read snapshot, broadcast
+        // semi-joined to the keys — zero when no appends raced. Sustained
+        // key-matching append storms could livelock the rebase; that
+        // trade (progress-vs-failure) mirrors every rebase loop here.
+        val newFiles = addsB.map(_.path).filterNot(read0Set)
+        lazy val newFilesCarryKeys = {
+          val dvNew = dvB.filter { case (f, _) => newFiles.contains(f) }
+          applyDvs(spark, table,
+            boundRead(spark, table, absOf(newFiles), None), dvNew)
+            .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+            .limit(1).count() > 0
+        }
         if (!affected.forall(live) ||
-            affected.exists(f => dvB.get(f) != dv0.get(f)))
-          restart = true // racer rewrote a file or changed its DV: rebase
+            affected.exists(f => dvB.get(f) != dv0.get(f)) ||
+            (newFiles.nonEmpty && newFilesCarryKeys))
+          restart = true // racer rewrote a file, changed a DV, or appended matching keys: rebase
         else if (tryCommit(table, base + 1, removes ++ adds)) {
           done = true; committed = base + 1
         }
       }
       if (done) return committed
+      } // end non-empty-snapshot branch
     }
     -1L // unreachable
   }
@@ -953,8 +1096,17 @@ object TxLog {
             sortBy.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(
             sortBy.map(org.apache.spark.sql.functions.col): _*)
-      val adds = stage(spark, table, compact) :+ tsAction(commitTs)
-      val removes = read0.map(Action("remove", _))
+      // a compaction REARRANGES rows, it never changes content — mark
+      // every action dataChange=false so CDC consumers (changes(), the
+      // streaming source) skip the rewrite instead of re-delivering
+      // every survivor row (round-12 ADVICE #1). Exception: when DVs are
+      // being materialized the rewrite DOES change visible content
+      // layout semantics for historical readers — but not table content;
+      // the deleted rows were already invisible, so dataChange stays
+      // false (Delta marks DV-materializing OPTIMIZE the same way).
+      val adds = stage(spark, table, compact)
+        .map(_.copy(dataChange = false)) :+ tsAction(commitTs)
+      val removes = read0.map(Action("remove", _, None, dataChange = false))
       // same validate-then-CAS ordering as deleteWhere: base first,
       // validate read0 as of base, claim base+1 — a CAS loss forces
       // re-validation, so a racer's removal of a file we read can
@@ -1051,28 +1203,68 @@ object TxLog {
   /** Incremental (CDC-style) read: the rows ADDED by versions in
     * `(fromV, toV]` — the consumer contract of an incremental pipeline:
     * process `changes(lastSeen)`, checkpoint `toV`, repeat, and the union
-    * of all increments equals the full table (for an append-only table;
-    * an overwrite's removes are not re-emitted — readers needing
-    * remove-awareness replay the action log directly). File-level, not
-    * row-level: a version's adds are whole immutable files, so the
-    * increment is an ordinary distributed parquet scan of just those
-    * files — no diffing, no full-table read. */
+    * of all increments equals the full table for an APPEND-ONLY history.
+    * File-level, not row-level: a version's adds are whole immutable
+    * files, so the increment is an ordinary distributed parquet scan of
+    * just those files — no diffing, no full-table read.
+    *
+    * Non-append histories (round-12 ADVICE #1 — the double-count fix):
+    * an [[optimize]]'s rewrite adds carry dataChange=false and are
+    * ALWAYS skipped (a compaction is not new rows); a CHANGE commit
+    * (copy-on-write delete/merge/update/overwrite removes, or a
+    * deletion-vector publish) makes the exactly-once union contract
+    * unsatisfiable at file level, so this call FAILS LOUDLY on one
+    * unless `skipChangeCommits` — the Delta-source option by the same
+    * name — in which case the change commit's versions are skipped
+    * entirely (the consumer accepts missed updates/deletes). A range
+    * with nothing to deliver returns an empty frame in the declared
+    * schema. */
   def changes(spark: SparkSession, table: String, fromV: Long,
-              toV: Option[Long] = None): DataFrame = {
+              toV: Option[Long] = None,
+              skipChangeCommits: Boolean = false): DataFrame = {
     val hi = toV.getOrElse(versions(table).lastOption.getOrElse(0L))
-    val added = addedBetween(table, fromV, hi)
-    require(added.nonEmpty, s"no adds in ($fromV, $hi] for $table")
-    boundRead(spark, table, added.map(p => s"$table/$p"), Some(hi))
+    val added = cdcAddedBetween(table, fromV, hi, skipChangeCommits)
+    if (added.isEmpty) {
+      val s = schemaOf(table, Some(hi)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no adds in ($fromV, $hi] for $table and no declared schema " +
+            "to shape an empty increment"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else boundRead(spark, table, added.map(p => s"$table/$p"), Some(hi))
   }
 
-  /** Relative paths of the files ADDED by versions in `(fromV, toV]` —
-    * the file-level increment [[changes]] scans and the streaming CDC
-    * source ([[graft.sources.TxLogSource]]) plans micro-batches from.
-    * Driver-side metadata, O(versions in range). */
+  /** Relative paths of the files a CDC consumer must deliver for
+    * `(fromV, toV]` — the file-level increment [[changes]] scans and the
+    * streaming source ([[graft.sources.TxLogSource]]) plans micro-batches
+    * from. Per version: dataChange=false adds (compaction rewrites) are
+    * skipped; a version carrying a dataChange remove or a DV action is a
+    * CHANGE COMMIT — IllegalStateException unless `skipChangeCommits`,
+    * which drops the whole version. Driver-side metadata, O(versions in
+    * range). */
+  def cdcAddedBetween(table: String, fromV: Long, toV: Long,
+                      skipChangeCommits: Boolean = false): Seq[String] =
+    versions(table).filter(v => v > fromV && v <= toV).flatMap { v =>
+      val acts = readActions(table, v)
+      val isChange = acts.exists(a =>
+        (a.op == "remove" && a.dataChange) || a.op == "dv")
+      if (isChange && !skipChangeCommits)
+        throw new IllegalStateException(
+          s"version $v of $table is a change commit (delete/merge/update/" +
+            "overwrite): its rows cannot be delivered exactly-once at file " +
+            "level. Pass skipChangeCommits=true (or the streaming option " +
+            "skipChangeCommits) to skip such versions, accepting missed " +
+            "row updates/deletes.")
+      if (isChange) Seq.empty
+      else acts.collect { case Action("add", p, _, true) => p }
+    }
+
+  /** Pre-round-13 name for the raw add listing (every add in the range,
+    * change commits and compactions included) — still what log-replay
+    * tooling wants; CDC consumers use [[cdcAddedBetween]]. */
   def addedBetween(table: String, fromV: Long, toV: Long): Seq[String] =
     versions(table).filter(v => v > fromV && v <= toV)
       .flatMap(v => readActions(table, v).collect {
-        case Action("add", p, _) => p
+        case Action("add", p, _, _) => p
       })
 
   /** Scan `files` binding the DECLARED schema when one exists: with an

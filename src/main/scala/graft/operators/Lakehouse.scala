@@ -876,7 +876,88 @@ object Lakehouse {
       .orderBy(col("lang"))
   }
 
+  // ----------------------------------- q286 TxLog SQL DML (round 13)
+
+  /** q286 — the SQL DML surface end-to-end, driver-verified: the
+    * per-priority order rollup lands as one TxLog append, then THREE SQL
+    * statements run against the registered table through the injected
+    * planner strategy ([[graft.sources.TxLogSqlDml]]) — DELETE a
+    * priority, UPDATE the low-priority counts, MERGE an upsert (replace
+    * '1-URGENT', insert a synthetic '9-SQL') — and the emitted rollup
+    * plus version_count = 4 pin the statement↔commit contract: each
+    * statement is exactly ONE TxLog version carrying the full protocol
+    * (file-pruned copy-on-write, OCC, constraint enforcement). The
+    * oracle recomputes the final contents with plain set algebra from
+    * raw orders, so the hash check verifies all three statements'
+    * semantics — including that UPDATE reads pre-update values and that
+    * MERGE replaces matched rows wholesale. Round13OpsSpec separately
+    * pins SQL ≡ API result and racing-statement serialization. */
+  def q286TxLogSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q286")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(2))
+    graft.sources.TxLogSqlDml.install(s)
+    val name = s"graft_q286_t_${System.nanoTime()}"
+    s.sql(s"CREATE TABLE $name (o_orderpriority STRING, n_orders BIGINT) " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$table')")
+    try {
+      s.sql(s"DELETE FROM $name WHERE o_orderpriority = '3-MEDIUM'")
+      s.sql(s"UPDATE $name SET n_orders = n_orders + 5 " +
+        s"WHERE o_orderpriority <= '2-HIGH'")
+      s.sql(
+        s"""MERGE INTO $name USING (
+           |  SELECT '1-URGENT' AS o_orderpriority,
+           |         CAST(777 AS BIGINT) AS n_orders
+           |  UNION ALL SELECT '9-SQL', CAST(42 AS BIGINT)) src
+           |ON $name.o_orderpriority = src.o_orderpriority
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderpriority, n_orders,
+           |  CAST(${graft.etl.TxLog.versions(table).size} AS BIGINT)
+           |    AS version_count
+           |FROM $name ORDER BY o_orderpriority""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally { s.sql(s"DROP TABLE IF EXISTS $name"); () }
+  }
+
+  // --------------------------- q287 TxLog time travel via read options
+
+  /** q287 — SQL-surface time travel (round-12 VERDICT #4), driver-
+    * verified: the q273 fixture (parity halves with injected commit
+    * timestamps 1000/2000) read back through the DSv2 OPTIONS —
+    * `.option("versionAsOf", 1)` and `.option("timestampAsOf", …)` on a
+    * plain `spark.read.format(TxLogSource)` — instead of the TxLog API.
+    * Three probes (version 1; ts 1500 strictly between commits; ts 2000
+    * exactly at the second commit, the inclusive boundary) and the
+    * oracle recomputes each probe's contents from raw orders, pinning
+    * that option-addressed reads route through the same monotonized
+    * resolution rules as the API (q273) — one time-travel semantics,
+    * both doors. */
+  def q287TxLogTravelOptions(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q287")
+    val orders = Tables.orders(s, dir)
+    def half(parity: Int): DataFrame = orders
+      .filter(col("o_orderkey") % 2 === parity)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("parity", lit(parity.toLong))
+    graft.etl.TxLog.append(s, table, half(0), commitTs = Some(1000L))
+    graft.etl.TxLog.append(s, table, half(1), commitTs = Some(2000L))
+    def load(k: String, v: String): DataFrame =
+      s.read.format("graft.sources.TxLogSource").option(k, v).load(table)
+    load("versionAsOf", "1").withColumn("probe", lit("v1"))
+      .unionByName(load("timestampAsOf", "1500").withColumn("probe", lit("ts1500")))
+      .unionByName(load("timestampAsOf", "2000").withColumn("probe", lit("ts2000")))
+      .select(col("probe"), col("parity"), col("o_orderpriority"),
+        col("n_orders"))
+      .orderBy(col("probe"), col("parity"), col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_txlog_travel_options" -> (q287TxLogTravelOptions _),
+    "q286_txlog_sql_dml" -> (q286TxLogSqlDml _),
     "q285_txlog_erasure" -> (q285TxLogErasure _),
     "q278_txlog_constraints" -> (q278TxLogConstraints _),
     "q277_txlog_mor_delete" -> (q277TxLogMorDelete _),
@@ -903,6 +984,38 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // version_count = 4 is the statement↔commit contract: 1 append + 3
+    // SQL statements; '1-URGENT' lands as 777 whether matched or inserted
+    "q286_txlog_sql_dml" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT * FROM r WHERE o_orderpriority <> '3-MEDIUM'),
+        |u AS (SELECT o_orderpriority,
+        |        CASE WHEN o_orderpriority <= '2-HIGH' THEN n_orders + 5
+        |             ELSE n_orders END AS n_orders FROM d),
+        |m AS (
+        |  SELECT o_orderpriority, n_orders FROM u
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL SELECT '1-URGENT', CAST(777 AS BIGINT)
+        |  UNION ALL SELECT '9-SQL', CAST(42 AS BIGINT))
+        |SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(4 AS BIGINT) AS version_count
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+    "q287_txlog_travel_options" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey % 2 AS BIGINT) AS parity,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT 'v1' AS probe, parity, o_orderpriority, n_orders FROM r
+        |  WHERE parity = 0
+        |  UNION ALL
+        |  SELECT 'ts1500', parity, o_orderpriority, n_orders FROM r
+        |  WHERE parity = 0
+        |  UNION ALL
+        |  SELECT 'ts2000', parity, o_orderpriority, n_orders FROM r)
+        |ORDER BY probe, parity, o_orderpriority""".stripMargin,
     // files_purged = 2 is protocol-derived: two coalesce(1) appends, both
     // hold subject rows, both rewrite under the delete, retain-1 vacuum
     // unlinks exactly the two originals; readable = 0 is the physical

@@ -46,12 +46,17 @@ import graft.etl.TxLog
   * this mirrors the public Delta `USING delta` integration pattern. */
 class TxLogSource extends TableProvider {
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TxLogSource.declaredOrInferred(TxLogSource.pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = TxLogSource.pathOf(options)
+    TxLogSource.declaredOrInferred(path, TxLogSource.asOfOf(path, options))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new TxLogDsv2Table(TxLogSource.normalize(properties.get("path")), schema)
+                        properties: java.util.Map[String, String]): Table = {
+    val path = TxLogSource.normalize(properties.get("path"))
+    new TxLogDsv2Table(path, schema,
+      TxLogSource.asOfOf(path, new CaseInsensitiveStringMap(properties)))
+  }
 
   /** CREATE TABLE (cols…) on a fresh path supplies the schema externally;
     * the first INSERT commits it as the table's declaration. */
@@ -74,35 +79,67 @@ object TxLogSource {
     normalize(p)
   }
 
-  /** Log-declared schema; else footer inference over the live snapshot;
-    * else (fresh/empty table) an empty struct — CREATE TABLE's external
-    * metadata supersedes this via supportsExternalMetadata. */
-  private[sources] def declaredOrInferred(path: String): StructType =
-    TxLog.schemaOf(path).getOrElse {
-      val files = TxLog.snapshot(path).map(p => s"$path/$p")
+  /** Log-declared schema (AS OF the time-travel target when one is set —
+    * an evolved table reads each snapshot with its contemporary columns);
+    * else footer inference over the live snapshot; else (fresh/empty
+    * table) an empty struct — CREATE TABLE's external metadata supersedes
+    * this via supportsExternalMetadata. */
+  private[sources] def declaredOrInferred(path: String,
+                                          asOf: Option[Long] = None): StructType =
+    TxLog.schemaOf(path, asOf).getOrElse {
+      val files = TxLog.snapshot(path, asOf).map(p => s"$path/$p")
       if (files.isEmpty) new StructType()
       else SparkSession.active.read.parquet(files: _*).schema
     }
+
+  /** SQL time travel via read options (round-12 VERDICT #4):
+    * `.option("versionAsOf", 3)` pins a version, `.option("timestampAsOf",
+    * epochMillis)` resolves through the commit-timestamp monotonization
+    * rules ([[TxLog.versionAsOf]]). At most one may be set; resolution is
+    * driver-side log metadata. None = latest snapshot. */
+  private[sources] def asOfOf(path: String,
+                              options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = Option(options.get("versionAsOf")).map(_.trim.toLong)
+    val ts = Option(options.get("timestampAsOf")).map(_.trim.toLong)
+    require(v.isEmpty || ts.isEmpty,
+      "set at most one of versionAsOf / timestampAsOf")
+    v.orElse(ts.map(t => TxLog.versionAsOf(path, t).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version of $path at or before timestamp $t"))))
+  }
 }
 
-private[sources] class TxLogDsv2Table(path: String, declared: StructType)
+private[sources] class TxLogDsv2Table(path: String, declared: StructType,
+                                      tableAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
+
+  /** Table root on disk — the handle the SQL-DML strategy routes through. */
+  private[sources] def tablePath: String = path
 
   override def name(): String = s"txlog($path)"
 
   override def schema(): StructType =
-    if (declared.nonEmpty) declared else TxLogSource.declaredOrInferred(path)
+    if (declared.nonEmpty) declared
+    else TxLogSource.declaredOrInferred(path, tableAsOf)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TxLogV1Scan(path, schema())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel arrives through getTable properties on the
+    // DataFrameReader path and through the scan options on catalyst
+    // re-plans — honor both, scan options winning when present
+    val asOf = TxLogSource.asOfOf(path, options).orElse(tableAsOf)
+    val skipChanges = options.getBoolean("skipChangeCommits", false)
+    () => new TxLogV1Scan(path, schema(), asOf, skipChanges)
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(tableAsOf.isEmpty, "cannot write to a time-travel snapshot")
     new TxLogWriteBuilder(path, overwrite = false)
+  }
 }
 
 /** V1Scan bridge: materializes the scan through [[TxLogTable]]'s
@@ -115,15 +152,21 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType)
   * tails the commit log, one micro-batch offset per COMMITTED version,
   * so uncommitted staged files are never readable and replay of any
   * offset range is deterministic (version files are immutable). */
-private[sources] class TxLogV1Scan(path: String, declared: StructType)
+private[sources] class TxLogV1Scan(path: String, declared: StructType,
+                                   asOf: Option[Long] = None,
+                                   skipChangeCommits: Boolean = false)
     extends V1Scan {
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new TxLogV1Relation(context, path, declared).asInstanceOf[T]
+    new TxLogV1Relation(context, path, declared, asOf).asInstanceOf[T]
   override def toMicroBatchStream(
-      checkpointLocation: String): streaming.MicroBatchStream =
-    new TxLogMicroBatchStream(path, declared)
+      checkpointLocation: String): streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "versionAsOf / timestampAsOf do not apply to a stream (a stream " +
+        "tails the live log); use batch read for historical snapshots")
+    new TxLogMicroBatchStream(path, declared, skipChangeCommits)
+  }
 }
 
 /** CDC micro-batch source over the commit log. Offsets ARE version
@@ -135,8 +178,17 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType)
   * Spark's own vectorized parquet reader, so the scan path — codegen,
   * row-group pruning — is the stock one, only file selection is ours.
   * Exactly-once: Spark's offset checkpoint replays a crashed batch with
-  * the SAME version range, which maps to the same immutable files. */
-private[sources] class TxLogMicroBatchStream(path: String, declared: StructType)
+  * the SAME version range, which maps to the same immutable files.
+  *
+  * Non-append histories (round-12 ADVICE #1): an optimize's rewrite adds
+  * carry dataChange=false and are never delivered (a compaction is not
+  * new rows); a CHANGE commit (copy-on-write delete/merge/update/
+  * overwrite, or a deletion-vector publish) fails the stream LOUDLY
+  * unless `.option("skipChangeCommits", true)` — the Delta-source
+  * contract: silent re-delivery of rewritten survivor rows double-counts
+  * downstream, so the consumer must opt in to skipping. */
+private[sources] class TxLogMicroBatchStream(path: String, declared: StructType,
+                                             skipChangeCommits: Boolean = false)
     extends streaming.MicroBatchStream {
 
   private case class VOffset(v: Long) extends streaming.Offset {
@@ -156,7 +208,7 @@ private[sources] class TxLogMicroBatchStream(path: String, declared: StructType)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val lo = start.asInstanceOf[VOffset].v
     val hi = end.asInstanceOf[VOffset].v
-    TxLog.addedBetween(path, lo, hi).map { rel =>
+    TxLog.cdcAddedBetween(path, lo, hi, skipChangeCommits).map { rel =>
       val p = java.nio.file.Paths.get(path, rel)
       TxLogFilePartition(p.toAbsolutePath.toString,
         java.nio.file.Files.size(p)): org.apache.spark.sql.connector.read.InputPartition
@@ -221,18 +273,19 @@ private[sources] class TxLogCdcReaderFactory(
 }
 
 private[sources] class TxLogV1Relation(
-    context: SQLContext, path: String, declared: StructType)
+    context: SQLContext, path: String, declared: StructType,
+    asOf: Option[Long] = None)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = declared
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
-    if (TxLog.snapshot(path).isEmpty)
+    if (TxLog.snapshot(path, asOf).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared).rdd
     // a DV-carrying table must route through the DV-aware reader (no
     // file skipping there); DV-free tables keep the pruning FileIndex
-    else if (TxLog.dvsAt(path).nonEmpty) TxLog.read(spark, path).rdd
-    else TxLogTable(spark, path).rdd
+    else if (TxLog.dvsAt(path, asOf).nonEmpty) TxLog.read(spark, path, asOf).rdd
+    else TxLogTable(spark, path, asOf).rdd
   }
 }
 

@@ -1,20 +1,33 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [--json PATH]
 
 Reads each <name>/ parquet result written by graft.Verify, runs the matching
 SQL from oracle_sql.json in DuckDB over the testdata tables, and compares:
 row count, column names, and a value hash over rows sorted by all columns
 (column order normalized by name). Floats compared after round(9).
+
+Parallel (round-13, VERDICT r12 #7): queries are independent, so they fan
+out over a ProcessPoolExecutor (one DuckDB connection per worker, built in
+the pool initializer). 285 queries: ~14 min single-threaded -> ~1.5 min at
+16 workers on this host. Output is gathered and printed in sorted-name
+order, so the text and --json artifacts are byte-identical to the serial
+version's.
 """
 import sys, json, glob, os
+import concurrent.futures as cf
 import duckdb
 import pandas as pd
 import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# per-worker state, built once by the pool initializer
+_CON = None
+_ORACLE = None
+_OUT_DIR = None
 
 def dtype_class(dt) -> str:
     """Pandas-representation class for the dtype-parity lint (round 11).
@@ -55,6 +68,61 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+def _init_worker(sf_dir, out_dir):
+    global _CON, _ORACLE, _OUT_DIR
+    _CON = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            _CON.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    _ORACLE = json.load(open(f"{out_dir}/oracle_sql.json"))
+    _OUT_DIR = out_dir
+
+def check_one(name):
+    """Run one query's compare; returns (name, ok_or_None, line, record)."""
+    d = os.path.join(_OUT_DIR, name)
+    files = glob.glob(f"{d}/*.parquet")
+    got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+    def rec(rows_m, schema_m, hash_m, s_rows, o_rows, err):
+        return {"rows_match": rows_m, "schema_match": schema_m,
+                "hash_match": hash_m, "spark_rows": s_rows,
+                "oracle_rows": o_rows, "err": err}
+    if name not in _ORACLE:
+        return (name, None, f"  ROWS-ONLY {name}: rows={len(got)}",
+                rec(None, None, None, len(got), None, "rows-only (no oracle SQL)"))
+    try:
+        exp = _CON.execute(_ORACLE[name]).fetchdf()
+    except Exception as e:
+        return (name, False, f"✗ {name}: oracle SQL failed: {e}",
+                rec(False, False, False, len(got), None,
+                    f"oracle SQL failed: {str(e)[:200]}"))
+    g, e = canon(got), canon(exp)
+    rows_m = len(g) == len(e)
+    schema_m = list(g.columns) == list(e.columns)
+    hash_m = False
+    ok, err, line = True, None, None
+    if not schema_m:
+        line = f"✗ {name}: columns differ spark={list(g.columns)} duck={list(e.columns)}"
+        err, ok = "columns differ", False
+    elif not rows_m:
+        line = f"✗ {name}: rows differ spark={len(g)} duck={len(e)}"
+        err, ok = "row counts differ", False
+    elif (clash := dtype_lint(name, g, e)):
+        line = (f"✗ {name}: dtype-representation clash (driver hash would "
+                f"differ on equal values): {clash}")
+        err, ok = f"dtype clash: {clash}", False
+    else:
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                          check_exact=False, rtol=0, atol=1e-9)
+            hash_m = True
+        except AssertionError as ex:
+            line = f"✗ {name}: values differ: {str(ex)[:500]}"
+            err, ok = f"values differ: {str(ex)[:200]}", False
+    if ok:
+        line = f"✓ {name}: rows={len(g)}"
+    return (name, ok, line, rec(rows_m, schema_m, hash_m, len(g), len(e), err))
+
 def main():
     # optional: --json PATH writes a driver-shaped per-query record
     # (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) —
@@ -67,69 +135,24 @@ def main():
         json_out = args[i + 1]
         del args[i:i + 2]
     out_dir, sf_dir = args[0], args[1]
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(n for n in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, n)))
+    workers = min(16, os.cpu_count() or 4, max(1, len(names)))
+    results = {}
+    with cf.ProcessPoolExecutor(max_workers=workers,
+                                initializer=_init_worker,
+                                initargs=(sf_dir, out_dir)) as pool:
+        for res in pool.map(check_one, names):
+            results[res[0]] = res
     n_pass = n_fail = 0
     record = {}
-    def rec(name, rows_m, schema_m, hash_m, s_rows, o_rows, err):
-        record[name] = {"rows_match": rows_m, "schema_match": schema_m,
-                        "hash_match": hash_m, "spark_rows": s_rows,
-                        "oracle_rows": o_rows, "err": err}
-    for name in sorted(os.listdir(out_dir)):
-        d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
-        files = glob.glob(f"{d}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
-        if name not in oracle:
-            print(f"  ROWS-ONLY {name}: rows={len(got)}")
-            rec(name, None, None, None, len(got), None, "rows-only (no oracle SQL)")
-            continue
-        try:
-            exp = con.execute(oracle[name]).fetchdf()
-        except Exception as e:
-            print(f"✗ {name}: oracle SQL failed: {e}")
-            rec(name, False, False, False, len(got), None,
-                f"oracle SQL failed: {str(e)[:200]}")
-            n_fail += 1
-            continue
-        g, e = canon(got), canon(exp)
-        ok = True
-        err = None
-        rows_m = len(g) == len(e)
-        schema_m = list(g.columns) == list(e.columns)
-        hash_m = False
-        if not schema_m:
-            print(f"✗ {name}: columns differ spark={list(g.columns)} duck={list(e.columns)}")
-            err = "columns differ"
-            ok = False
-        elif not rows_m:
-            print(f"✗ {name}: rows differ spark={len(g)} duck={len(e)}")
-            err = "row counts differ"
-            ok = False
-        elif (clash := dtype_lint(name, g, e)):
-            print(f"✗ {name}: dtype-representation clash (driver hash would "
-                  f"differ on equal values): {clash}")
-            err = f"dtype clash: {clash}"
-            ok = False
-        else:
-            try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                              check_exact=False, rtol=0, atol=1e-9)
-                hash_m = True
-            except AssertionError as ex:
-                print(f"✗ {name}: values differ: {str(ex)[:500]}")
-                err = f"values differ: {str(ex)[:200]}"
-                ok = False
-        rec(name, rows_m, schema_m, hash_m, len(g), len(e), err)
-        if ok:
-            print(f"✓ {name}: rows={len(g)}")
+    for name in names:
+        _, ok, line, entry = results[name]
+        print(line)
+        record[name] = entry
+        if ok is True:
             n_pass += 1
-        else:
+        elif ok is False:
             n_fail += 1
     if json_out:
         with open(json_out, "w") as f:
