@@ -137,7 +137,12 @@ object ScaleRehearsal {
     // BM25 + dense fusion, BPE-encode lang aggregate, QI-bounded EMD
     // profile, and the streaming stateful window drain
     "q279_hybrid_rrf", "q280_bpe_fertility", "q281_t_closeness",
-    "q282_stream_windows")
+    "q282_stream_windows",
+    // round-12 late wave (VERDICT r12 #5): broadcast-eval × one train
+    // scan argmax; q49-closure + integer weight fold; and the erasure
+    // pipeline (protocol query, but its coalesce(1) fixture writes are
+    // data-sized — rehearsed to keep that cost honest on the record)
+    "q283_semantic_contam", "q284_dup_weights", "q285_txlog_erasure")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.etl.TxLog
+
+/** Cross-process OCC storm (round-12 VERDICT #6): every prior storm spec
+  * raced writers as THREADS of one JVM, which shares everything above the
+  * filesystem — this one spawns two REAL java processes (each with its own
+  * SparkSession) racing appends, optimize, and a retention-windowed vacuum
+  * on one table. What it pins: the link(2) CAS serializes across process
+  * boundaries (contiguous version history, no lost commit), the rebase
+  * loops converge under real contention, vacuum's mtime window protects a
+  * concurrent writer's staged-but-uncommitted files, and the final log
+  * replays cleanly — every appended row exactly once. */
+class TxLogProcessStormSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("txlog-proc-storm", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def spawn(table: String, writerId: Long, n: Int,
+                    mode: String): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd = (Seq(java) ++ addOpens ++ Seq(
+      "-Xmx2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.TxLogStormProc", table, writerId.toString, n.toString, mode))
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(Files.createTempFile("storm-out", ".log").toFile)
+      .start()
+  }
+
+  test("two real JVMs racing appends + optimize + vacuum serialize cleanly") {
+    val table = Files.createTempDirectory("graft-proc-storm")
+      .resolve("t").toString
+    val nPer = 5
+    val p1 = spawn(table, 1L, nPer, "append")
+    val p2 = spawn(table, 2L, nPer, "mixed")
+    assert(p1.waitFor() == 0, "append writer process failed")
+    assert(p2.waitFor() == 0, "mixed writer process failed")
+    // serialized, gapless history: the CAS admitted exactly one winner per
+    // version number across process boundaries
+    val vs = TxLog.versions(table)
+    assert(vs == (1L to vs.size))
+    // no lost commit, no duplicate, no resurrection: every appended row
+    // exactly once (optimize only rearranges; vacuum's retention window
+    // never touched a young staged file)
+    val got = TxLog.read(spark, table).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ((0 until nPer).map(i => 1000L + i) ++
+      (0 until nPer).map(i => 2000L + i)).sorted
+    assert(got == expect)
+    // the log replays without error through a checkpoint too
+    TxLog.checkpoint(table)
+    assert(TxLog.read(spark, table).count() == expect.size.toLong)
+  }
+}
