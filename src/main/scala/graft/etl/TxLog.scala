@@ -798,23 +798,60 @@ object TxLog {
         "cost grow with this; run TxLog.optimize to materialize the " +
         "deletes and reset the vectors")
 
-  /** The live DV (file-key, position) pairs as a broadcastable frame.
-    * Sidecars load on the driver — bounded by the live deleted-row
-    * count (warned past [[DvCompactThreshold]]); a 100 TB deployment
-    * with massive DVs would move this into a distributed scan of the
-    * sidecars, same join shape downstream. */
+  /** Positions past which the DV frame stops being driver-built +
+    * broadcast and becomes a DISTRIBUTED sidecar scan + shuffled
+    * anti-join (round-13, the ADVICE r12 #4 scale path): a broadcast
+    * join materializes its build side on the driver regardless of where
+    * the rows were produced, so the only way to keep driver memory flat
+    * under massive DVs is to change the JOIN strategy, not just the
+    * load site. Below the threshold the broadcast path is strictly
+    * faster (no scan shuffle). Overridable for tests via
+    * -Dgraft.txlog.dv.distributed=N. */
+  private def DvDistributedThreshold: Long =
+    sys.props.get("graft.txlog.dv.distributed").map(_.toLong).getOrElse(1L << 20)
+
+  /** The live DV (file-key, position) pairs as a frame. Small DV sets
+    * load on the driver (one local read per sidecar); past
+    * [[DvDistributedThreshold]] the sidecars are read ON EXECUTORS via
+    * the Hadoop filesystem of the table path (works for local disk here
+    * and object stores on a real cluster), one task per sidecar. */
   private def dvFrame(spark: SparkSession, table: String,
                       dvs: Map[String, (String, Long)]): DataFrame = {
-    warnDvCardinality(table, dvs.values.map(_._2).sum, "read path")
-    import scala.jdk.CollectionConverters._
+    val total = dvs.values.map(_._2).sum
+    warnDvCardinality(table, total, "read path")
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val rows: java.util.List[org.apache.spark.sql.Row] =
-      dvs.toSeq.flatMap { case (file, (sidecar, _)) =>
-        readDvPositions(table, sidecar)
-          .map(pos => org.apache.spark.sql.Row(file, pos))
-      }.asJava
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField("_graft_key", StringType), StructField("_graft_pos", LongType))))
+    val schema = StructType(Seq(
+      StructField("_graft_key", StringType), StructField("_graft_pos", LongType)))
+    if (total <= DvDistributedThreshold) {
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        dvs.toSeq.flatMap { case (file, (sidecar, _)) =>
+          readDvPositions(table, sidecar)
+            .map(pos => org.apache.spark.sql.Row(file, pos))
+        }.asJava
+      spark.createDataFrame(rows, schema)
+    } else {
+      val open = org.apache.spark.sql.graft.GraftSqlBridge
+        .serializableHadoopOpen(spark)
+      val meta = dvs.toSeq.map { case (file, (sidecar, _)) =>
+        (file, Paths.get(table, sidecar).toAbsolutePath.toString)
+      }
+      val sess = spark
+      import sess.implicits._
+      meta.toDF("_graft_key", "_graft_sidecar")
+        .repartition(math.min(meta.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .as[(String, String)]
+        .flatMap { case (key, sidecarPath) =>
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(open(sidecarPath)))
+          try {
+            val n = in.readLong().toInt
+            Vector.fill(n)((key, in.readLong()))
+          } finally in.close()
+        }
+        .toDF("_graft_key", "_graft_pos")
+    }
   }
 
   /** Attach the DV join columns to a DIRECT file scan. Must run before
@@ -828,14 +865,24 @@ object TxLog {
 
   /** Anti-filter a scan of `table`'s files by the given deletion
     * vectors: a (file, row-position) pair named by any DV is dropped.
-    * Zero-cost no-op for DV-free tables. */
+    * Zero-cost no-op for DV-free tables. Small DV sets broadcast (no
+    * scan shuffle); past [[DvDistributedThreshold]] the anti-join
+    * shuffles both sides on (file, position) so no single machine ever
+    * holds the full position set — the honest cost of merge-on-read
+    * under delete-heavy history until an optimize materializes it. */
   private def applyDvs(spark: SparkSession, table: String, df: DataFrame,
                        dvs: Map[String, (String, Long)]): DataFrame = {
     if (dvs.isEmpty) return df
     import org.apache.spark.sql.functions.broadcast
+    val total = dvs.values.map(_._2).sum
+    val frame = dvFrame(spark, table, dvs)
+    // above the threshold the merge hint is load-bearing: Catalyst cannot
+    // size a flatMap output and would happily size-estimate the position
+    // set back onto the driver as a broadcast build side
+    val right = if (total <= DvDistributedThreshold) broadcast(frame)
+                else frame.hint("merge")
     withDvKey(df)
-      .join(broadcast(dvFrame(spark, table, dvs)),
-        Seq("_graft_key", "_graft_pos"), "left_anti")
+      .join(right, Seq("_graft_key", "_graft_pos"), "left_anti")
       .drop("_graft_key", "_graft_pos")
   }
 

@@ -94,13 +94,17 @@ object TxLogStream {
 
     /** The next un-acked increment, or None when the tail has caught up.
       * Process the frame FIRST, then call `ack()` — acking first turns
-      * the contract into at-most-once. */
+      * the contract into at-most-once. Inherits [[TxLog.changes]]'
+      * round-13 CDC semantics: optimize rewrites are silently skipped
+      * (never re-delivered), and a CHANGE commit in the range fails the
+      * poll loudly unless `skipChangeCommits` opts in to skipping it. */
     def poll(spark: SparkSession, table: String,
-             checkpoint: String): Option[Increment] = {
+             checkpoint: String,
+             skipChangeCommits: Boolean = false): Option[Increment] = {
       val from = acked(checkpoint)
       val head = TxLog.versions(table).lastOption.getOrElse(0L)
       if (head <= from) return None
-      val df = TxLog.changes(spark, table, from, Some(head))
+      val df = TxLog.changes(spark, table, from, Some(head), skipChangeCommits)
       Some(Increment(df, from, head, () => {
         val d = ackDir(checkpoint)
         java.nio.file.Files.createDirectories(d)

@@ -14,6 +14,13 @@ import org.apache.spark.sql.classic
   *   - a catalyst `Expression` → user-facing `Column` (Spark 4 removed
   *     the public Column(expr) constructor in the column-node refactor).
   *
+  * plus one `private[spark]` one:
+  *
+  *   - a serializable Hadoop-filesystem opener (the executor-side
+  *     deletion-vector sidecar read needs the session's Hadoop conf on
+  *     executors; `SerializableConfiguration` is the canonical vehicle
+  *     every Spark datasource uses and has no public twin).
+  *
   * Nothing else of Spark's internals is reached through here — keep it
   * that way: every use site is a place the public API genuinely has no
   * door, not a convenience. */
@@ -23,4 +30,16 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** A serializable `path => InputStream` bound to this session's Hadoop
+    * configuration (broadcast once; the closure ships with tasks). */
+  def serializableHadoopOpen(spark: SparkSession): String => java.io.InputStream = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    (path: String) => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(bc.value.value).open(p)
+    }
+  }
 }

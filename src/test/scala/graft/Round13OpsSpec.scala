@@ -258,6 +258,36 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---------------------------- distributed DV loading (scale path)
+
+  test("massive-DV reads route through the distributed sidecar scan") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, (1L to 200L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(4))
+    TxLog.deleteWhereMerge(spark, t, col("id") % 3 === 0)
+    val expect = (1L to 200L).filter(_ % 3 != 0)
+    // baseline: broadcast path
+    assert(TxLog.read(spark, t).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == expect)
+    // force the distributed path (threshold below the 66 live positions)
+    // and assert identical content through the shuffled anti-join
+    System.setProperty("graft.txlog.dv.distributed", "4")
+    try {
+      val got = TxLog.read(spark, t)
+      assert(got.select(col("id")).collect()
+        .map(_.getLong(0)).sorted.toSeq == expect)
+      // the plan really did demote: no broadcast join on the DV side
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "distributed DV path must not broadcast the position set")
+      // a second MoR delete through the same path stays cumulative
+      TxLog.deleteWhereMerge(spark, t, col("id") === 1L)
+      assert(TxLog.read(spark, t).select(col("id")).collect()
+        .map(_.getLong(0)).sorted.toSeq == expect.filterNot(_ == 1L))
+    } finally System.clearProperty("graft.txlog.dv.distributed")
+  }
+
   // ------------------------------------------ time travel read options
 
   test("versionAsOf / timestampAsOf read options pin snapshots") {
