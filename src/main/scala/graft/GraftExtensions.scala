@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables (see TxLogSqlDml scaladoc; also installable per-session via
     // TxLogSqlDml.install)
     ext.injectPlannerStrategy(_ => graft.sources.TxLogDmlStrategy)
+    // delegating parser: OPTIMIZE / VACUUM maintenance statements for
+    // TxLog tables (not Spark grammar; everything else passes through)
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

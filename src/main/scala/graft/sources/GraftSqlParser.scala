@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL maintenance statements for TxLog tables (the last SQL-surface gap
+  * after round-13's DML): a delegating parser that recognizes
+  *
+  * {{{
+  *   OPTIMIZE t [INTO n FILES] [CLUSTER BY (c1, c2, ...)]
+  *   VACUUM t [RETAIN n VERSIONS]
+  * }}}
+  *
+  * (t = a session-catalog table created USING TxLogSource, or a quoted
+  * table-root path) and hands EVERYTHING else to Spark's own parser
+  * byte-for-byte — the two verbs are not Spark grammar, so the only
+  * alternative door is ANTLR surgery. The produced plans are leaf
+  * commands planned by [[TxLogDmlStrategy]] into the same driver-side
+  * exec node as the DML statements, calling [[graft.etl.TxLog.optimize]]
+  * / [[graft.etl.TxLog.vacuum]] — CLUSTER BY is sort-clustering
+  * compaction (disjoint sort-key ranges per output file, feeding the
+  * footer-stats skipping), and VACUUM keeps the concurrent-writer mtime
+  * retention guard.
+  *
+  * Install via `spark.sql.extensions=graft.GraftExtensions` (parsers,
+  * unlike strategies, have no imperative per-session hook). Mirrors the
+  * public Delta SQL surface's OPTIMIZE/VACUUM verbs as a PROTOCOL
+  * surface — the grammar here is original and minimal. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenance(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // whole-statement matches; (?is) = case-insensitive, dot-matches-newline
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+('[^']+'|[\w.]+)\s*(?:INTO\s+(\d+)\s+FILES)?\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+('[^']+'|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+
+  private[sources] def maintenance(sql: String): Option[LogicalPlan] =
+    sql match {
+      case OptimizeRe(ident, files, cluster) =>
+        Some(OptimizeTxLogTable(ident,
+          Option(files).map(_.toInt).getOrElse(1),
+          Option(cluster).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)))
+      case VacuumRe(ident, retain) =>
+        Some(VacuumTxLogTable(ident, Option(retain).map(_.toInt).getOrElse(2)))
+      case _ => None
+    }
+
+  /** Resolve the statement's table reference to a TxLog root: a quoted
+    * literal is a path; anything else is a session-catalog table whose
+    * CREATE options carry the path. */
+  private[sources] def resolvePath(spark: org.apache.spark.sql.SparkSession,
+                                   ident: String): String = {
+    val raw =
+      if (ident.startsWith("'") && ident.endsWith("'"))
+        ident.substring(1, ident.length - 1)
+      else {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(ident))
+        require(meta.provider.exists(_.toLowerCase.contains("txlog")),
+          s"$ident is not a TxLog table (provider ${meta.provider})")
+        meta.storage.properties.get("path")
+          .orElse(meta.properties.get("path"))
+          .orElse(meta.storage.locationUri.map(_.toString))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$ident carries no path option"))
+      }
+    TxLogSource.normalize(raw)
+  }
+}
+
+/** `OPTIMIZE` as a resolved leaf command (no children, no output — the
+  * analyzer passes it through; TxLogDmlStrategy plans it). */
+case class OptimizeTxLogTable(ident: String, targetFiles: Int,
+                              clusterBy: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `VACUUM` as a resolved leaf command. */
+case class VacuumTxLogTable(ident: String, retainVersions: Int)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}

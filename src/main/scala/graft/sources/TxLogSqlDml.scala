@@ -151,6 +151,22 @@ object TxLogDmlStrategy extends SparkStrategy {
       TxLogDmlExec("UPDATE", path,
         spark => { TxLog.updateWhere(spark, path, c, assigns); () }) :: Nil
 
+    // SQL maintenance verbs from GraftSqlParser — same exec node, same
+    // driver-side protocol calls
+    case OptimizeTxLogTable(ident, files, cluster) =>
+      TxLogDmlExec("OPTIMIZE", ident, spark => {
+        graft.etl.TxLog.optimize(spark,
+          GraftSqlParser.resolvePath(spark, ident),
+          targetFiles = files, sortBy = cluster); ()
+      }) :: Nil
+
+    case VacuumTxLogTable(ident, retain) =>
+      TxLogDmlExec("VACUUM", ident, spark => {
+        graft.etl.TxLog.vacuum(
+          GraftSqlParser.resolvePath(spark, ident),
+          retainVersions = retain); ()
+      }) :: Nil
+
     case m: MergeIntoTable => m.targetTable match {
       case Rel(path) =>
         if (!(isStarUpdate(m.matchedActions) &&

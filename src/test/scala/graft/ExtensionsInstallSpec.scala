@@ -51,4 +51,40 @@ class ExtensionsInstallSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.parallelize.maxBytes")
     } finally spark.stop()
   }
+
+  test("extensions session runs OPTIMIZE / VACUUM maintenance SQL on TxLog tables") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[2]").appName("ext-maint")
+        .config("spark.sql.extensions", "graft.GraftExtensions"),
+      shufflePartitions = 2).getOrCreate()
+    try {
+      import spark.implicits._
+      import graft.etl.TxLog
+      val t = java.nio.file.Files.createTempDirectory("graft-maint")
+        .resolve("t").toString
+      (0 until 4).foreach(i => TxLog.append(spark, t,
+        Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1)))
+      assert(TxLog.snapshot(t).size == 4)
+      val name = s"maint_t_${System.nanoTime()}"
+      spark.sql(s"CREATE TABLE $name (id BIGINT, s STRING) USING " +
+        s"graft.sources.TxLogSource OPTIONS (path '$t')")
+      // OPTIMIZE by table name, clustered: 4 files -> 2 sorted files
+      spark.sql(s"OPTIMIZE $name INTO 2 FILES CLUSTER BY (id)")
+      assert(TxLog.snapshot(t).size == 2)
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 4L)
+      // VACUUM by quoted path; young pre-compaction files survive the
+      // default retention window (mtime guard), so nothing is deleted
+      spark.sql(s"VACUUM '$t' RETAIN 1 VERSIONS")
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 4L)
+      // parser passthrough: ordinary SQL is untouched by the delegate
+      assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+      // ...and a maintenance verb on a non-TxLog table fails loudly
+      intercept[Exception] {
+        spark.sql("OPTIMIZE nonexistent_table_xyz")
+      }
+      spark.sql(s"DROP TABLE $name")
+    } finally spark.stop()
+  }
 }
