@@ -1245,33 +1245,33 @@ object Dedup {
     // transitive closure of the near-dup pairs via recursive CTE
     "q284_dup_weights" ->
       """WITH RECURSIVE
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
         |                   for i in range(1, len(w)-1)]) AS s
         |  FROM w WHERE len(w) >= 3),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
-        |sym AS (
+        |sym AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION SELECT doc_b, doc_a FROM p),
-        |reach AS (
+        |reach AS MATERIALIZED (
         |  SELECT a AS src, a AS dst FROM sym
         |  UNION
         |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
-        |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |cl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS cluster_id
         |       FROM reach GROUP BY src),
-        |dc AS (
+        |dc AS MATERIALIZED (
         |  SELECT d.doc_id, d.source,
         |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
-        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+        |sz AS MATERIALIZED (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
         |       FROM dc GROUP BY 1)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1283,23 +1283,23 @@ object Dedup {
         |GROUP BY source ORDER BY source""".stripMargin,
     "q49_dup_clusters" ->
       """WITH RECURSIVE
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
         |                   for i in range(1, len(w)-1)]) AS s
         |  FROM w WHERE len(w) >= 3),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
-        |sym AS (
+        |sym AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION SELECT doc_b, doc_a FROM p),
-        |reach AS (
+        |reach AS MATERIALIZED (
         |  SELECT a AS src, a AS dst FROM sym
         |  UNION
         |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
@@ -1310,32 +1310,32 @@ object Dedup {
     // pure integer counts, leak counted over the exact pair list p
     "q256_neardup_split" ->
       """WITH RECURSIVE
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct([list_aggr(w[i:i+2], 'string_agg', ' ')
         |                   for i in range(1, len(w)-1)]) AS s
         |  FROM w WHERE len(w) >= 3),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
-        |sym AS (
+        |sym AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION SELECT doc_b, doc_a FROM p),
-        |reach AS (
+        |reach AS MATERIALIZED (
         |  SELECT a AS src, a AS dst FROM sym
         |  UNION
         |  SELECT r.src, s2.b FROM reach r JOIN sym s2 ON r.dst = s2.a),
-        |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |cl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS cluster_id
         |       FROM reach GROUP BY src),
-        |d AS (
+        |d AS MATERIALIZED (
         |  SELECT d0.doc_id, coalesce(cl.cluster_id, d0.doc_id) AS cluster
         |  FROM documents d0 LEFT JOIN cl ON d0.doc_id = cl.doc_id),
-        |tg AS (
+        |tg AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN bd < 8 THEN 'train' WHEN bd = 8 THEN 'val'
         |         ELSE 'test' END AS s_doc,
@@ -1348,7 +1348,7 @@ object Dedup {
         |      CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))
         |        AS BIGINT) % 10 AS bc
         |    FROM d)),
-        |lk AS (
+        |lk AS MATERIALIZED (
         |  SELECT
         |    coalesce(CAST(sum(CASE WHEN sa.s_doc <> sb.s_doc THEN 1 ELSE 0
         |      END) AS BIGINT), 0) AS leak_doc,

@@ -446,6 +446,11 @@ object EmbeddingStats {
        |  n$PowerRounds.nrm / tr.trace AS explained_ratio
        |FROM v$PowerRounds CROSS JOIN n$PowerRounds CROSS JOIN tr
        |ORDER BY dim""".stripMargin
+      // MATERIALIZED is load-bearing (round 13): DuckDB inlines plain CTEs
+      // per reference, and this chain references each vK 2-3 times across
+      // 8 rounds — the whole gram pipeline re-evaluates exponentially
+      // (measured 504 s -> 0.16 s at sf0.01, byte-identical result)
+      .replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
   }
 
   def oracles: Map[String, String] = Map(

@@ -954,12 +954,12 @@ object Graph {
     // identical to the star-contraction fixed point
     "q141_cc_star" ->
       """WITH RECURSIVE
-        |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |sym AS (
+        |op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sym AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM op a JOIN op b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |reach AS (
+        |reach AS MATERIALIZED (
         |  SELECT a AS src, a AS dst FROM sym
         |  UNION
         |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)

@@ -588,13 +588,20 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** MATERIALIZED is load-bearing on every BPE oracle (round 13): DuckDB
+    * inlines plain CTEs per reference, and the merge chain references each
+    * round's CTEs repeatedly — the learn pipeline re-evaluates
+    * exponentially (q113: 20 s -> 0.1 s at sf0.01, identical results). */
+  private def materialized(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   private def bpeMergesSql(steps: Int): String =
-    bpeLearnCtes(steps) + "\nSELECT * FROM (" +
+    materialized(bpeLearnCtes(steps) + "\nSELECT * FROM (" +
       (1 to steps).map(i =>
         s"SELECT CAST($i AS INT) AS step, split_part(pair, ' ', 1) AS lhs, " +
           s"split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged, " +
           s"f AS freq FROM b$i").mkString(" UNION ALL ") +
-      ") ORDER BY step"
+      ") ORDER BY step")
 
   private def bpeFertilitySql(steps: Int): String = {
     val mcols = (1 to steps).map(i => s"(SELECT pair FROM b$i) AS pair$i").mkString(", ")
@@ -604,7 +611,7 @@ object TextAnalysis {
       val r = s"' ' || replace(pair$i, ' ', '') || ' '"
       enc = s"trim(replace(replace(' ' || $enc || ' ', $p, $r), $p, $r))"
     }
-    bpeLearnCtes(steps) + s""",
+    materialized(bpeLearnCtes(steps) + s""",
       |m AS (SELECT $mcols),
       |enc AS (
       |  SELECT lang,
@@ -616,7 +623,7 @@ object TextAnalysis {
       |  CAST(sum(ch) AS BIGINT) AS chars,
       |  CAST(sum(tk) AS BIGINT) AS bpe_tokens,
       |  CAST(sum(ch) AS DOUBLE) / CAST(sum(tk) AS DOUBLE) AS fertility
-      |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM enc GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   private def bpeEncodeSql(steps: Int): String = {
@@ -627,7 +634,7 @@ object TextAnalysis {
       val r = s"' ' || replace(pair$i, ' ', '') || ' '"
       enc = s"trim(replace(replace(' ' || $enc || ' ', $p, $r), $p, $r))"
     }
-    bpeLearnCtes(steps) + s""",
+    materialized(bpeLearnCtes(steps) + s""",
       |m AS (SELECT $mcols)
       |SELECT doc_id,
       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_char_syms,
@@ -637,7 +644,7 @@ object TextAnalysis {
       |    CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
       |      w -> len(string_split($enc, ' '))), 'sum') AS DOUBLE) AS compression
       |FROM documents, m
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY doc_id""".stripMargin)
   }
 
   private val langCase: String = {

@@ -8,6 +8,7 @@ set -euo pipefail
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 sbt -batch package
-cp target/scala-2.13/*.jar dist/graft.jar
+# the glob must exclude the -tests jar sbt may also have built
+cp "$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)" dist/graft.jar
 tools/srctree_hash.sh > dist/graft.jar.srchash
 echo "rebuilt dist/graft.jar (srchash $(cat dist/graft.jar.srchash))"
