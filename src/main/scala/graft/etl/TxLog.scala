@@ -670,6 +670,65 @@ object TxLog {
     None
   }
 
+  /** Transactional keyed DELETE, copy-on-write — the engine half of SQL
+    * `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE` (the
+    * CDC-apply deletion shape): remove every target row whose `keyCols`
+    * match a source row; null source keys match nothing (SQL equality).
+    * File-pruned like [[deleteWhere]] — a broadcast semi-join finds the
+    * affected files, their unmatched rows re-stage, ONE commit publishes
+    * remove+add. Validation matches deleteWhere (affected files live, DV
+    * state unchanged); a concurrent append carrying matching keys is NOT
+    * a conflict — the delete is pinned to its read snapshot, so the
+    * racer's rows survive, the serializable delete-then-append history
+    * (unlike [[merge]], no uniqueness invariant is at stake). Returns
+    * Some(version), or None when no key matches. */
+  def deleteMatched(spark: SparkSession, table: String, source: DataFrame,
+                    keyCols: Seq[String],
+                    commitTs: Option[Long] = None): Option[Long] = {
+    require(keyCols.nonEmpty, "deleteMatched requires at least one key column")
+    val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    import org.apache.spark.sql.functions.broadcast
+    while (true) {
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
+      if (read0.isEmpty) return None
+      def absOf(rel: Seq[String]): Seq[String] =
+        rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+      val hits = applyDvs(spark, table,
+          boundRead(spark, table, absOf(read0), None), dv0)
+        .withColumn("_graft_file", input_file_name())
+        .join(broadcast(keys), keyCols, "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0))
+      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      if (affected.isEmpty) return None
+      val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
+      val survivors = applyDvs(spark, table,
+        boundRead(spark, table, absOf(affected), None), affectedDvs)
+        .join(broadcast(keys), keyCols, "left_anti")
+      val adds =
+        if (survivors.isEmpty) Seq.empty
+        else stage(spark, table, survivors)
+      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs)
+      var done = false
+      var restart = false
+      var committed = -1L
+      while (!done && !restart) {
+        val base = versions(table).last
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        if (!affected.forall(live) ||
+            affected.exists(f => dvB.get(f) != dv0.get(f)))
+          restart = true
+        else if (tryCommit(table, base + 1, removes ++ adds)) {
+          done = true; committed = base + 1
+        }
+      }
+      if (done) return Some(committed)
+    }
+    None
+  }
+
   /** Transactional row-level UPDATE, copy-on-write — the engine half of
     * SQL `UPDATE t SET c = expr WHERE cond` (round-12 VERDICT #3):
     * rewrite ONLY the files containing rows matching `cond`, with each

@@ -129,6 +129,10 @@ object TxLogDmlStrategy extends SparkStrategy {
         k.name == v.name
       case _ => false
     }
+  private def isDeleteOnly(as: Seq[MergeAction]): Boolean = as match {
+    case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(None)) => true
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
 
@@ -169,14 +173,18 @@ object TxLogDmlStrategy extends SparkStrategy {
 
     case m: MergeIntoTable => m.targetTable match {
       case Rel(path) =>
-        if (!(isStarUpdate(m.matchedActions) &&
-              isStarInsert(m.notMatchedActions) &&
-              m.notMatchedBySourceActions.isEmpty))
+        val deleteOnly = isDeleteOnly(m.matchedActions) &&
+          m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
+        val starUpsert = isStarUpdate(m.matchedActions) &&
+          isStarInsert(m.notMatchedActions) &&
+          m.notMatchedBySourceActions.isEmpty
+        if (!deleteOnly && !starUpsert)
           throw new UnsupportedOperationException(
-            "MERGE INTO a TxLog table supports exactly WHEN MATCHED THEN " +
-              "UPDATE SET * / WHEN NOT MATCHED THEN INSERT * (the keyed " +
-              "upsert); conditional, partial-column, or BY SOURCE clauses " +
-              "are not supported")
+            "MERGE INTO a TxLog table supports WHEN MATCHED THEN UPDATE " +
+              "SET * / WHEN NOT MATCHED THEN INSERT * (the keyed upsert) " +
+              "or a lone WHEN MATCHED THEN DELETE (the keyed delete); " +
+              "conditional, partial-column, or BY SOURCE clauses are not " +
+              "supported")
         val keyCols = keyColsOf(m.mergeCondition,
           AttributeSet(m.targetTable.output),
           AttributeSet(m.sourceTable.output)).distinct
@@ -185,7 +193,9 @@ object TxLogDmlStrategy extends SparkStrategy {
         val sourcePlan = m.sourceTable
         TxLogDmlExec("MERGE", path, spark => {
           val source = GraftSqlBridge.ofRows(spark, sourcePlan)
-          TxLog.merge(spark, path, source, keyCols); ()
+          if (deleteOnly) TxLog.deleteMatched(spark, path, source, keyCols)
+          else TxLog.merge(spark, path, source, keyCols)
+          ()
         }) :: Nil
       case _ => Nil
     }

@@ -189,13 +189,57 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TxLog.merge(spark, t2,
         Seq((3L, "x"), (9L, "n")).toDF("id", "s"), Seq("id"))
       assert(rows(t) == rows(t2))
-      // unsupported MERGE forms fail loudly, not subtly
+      // unsupported MERGE forms fail loudly, not subtly (a CONDITIONAL
+      // matched action is outside the supported star-upsert/keyed-delete)
       intercept[UnsupportedOperationException] {
         spark.sql(
           s"""MERGE INTO $name USING (SELECT 1L AS id, 'q' AS s) src
              |ON $name.id = src.id
-             |WHEN MATCHED THEN DELETE""".stripMargin)
+             |WHEN MATCHED AND src.s = 'q' THEN UPDATE SET *""".stripMargin)
       }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("SQL DML handles subqueries, IN-lists, CASE, and MERGE DELETE") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      (1L to 4L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t,
+      (5L to 8L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1))
+    graft.sources.TxLogSqlDml.install(spark)
+    val name = s"r13_edge_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, s STRING) USING " +
+      s"graft.sources.TxLogSource OPTIONS (path '$t')")
+    try {
+      // subquery-bearing conditions re-resolve against the fresh scan
+      spark.sql(s"DELETE FROM $name WHERE id IN (SELECT 2L AS x)")
+      spark.sql(s"DELETE FROM $name WHERE id IN (3, 999)")
+      spark.sql(s"UPDATE $name SET s = CASE WHEN id = 1 THEN 'one' " +
+        s"ELSE s END WHERE id <= 4")
+      assert(rows(t).take(2) == Seq((1L, "one"), (4L, "s4")))
+      // WHEN MATCHED THEN DELETE = keyed delete; the untouched file
+      // (ids 5-8, added by version 2 and never rewritten since) must
+      // survive the delete bit-identically
+      val secondFile = TxLog.snapshot(t)
+        .intersect(TxLog.snapshot(t, Some(2L))).head
+      spark.sql(
+        s"""MERGE INTO $name USING (SELECT 1L AS id UNION ALL SELECT 4L) src
+           |ON $name.id = src.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(rows(t) == (5L to 8L).map(i => (i, s"s$i")))
+      assert(TxLog.snapshot(t).contains(secondFile),
+        "unmatched file must not rewrite under a keyed delete")
+      // API equivalence
+      val t2 = tmp()
+      TxLog.append(spark, t2, (1L to 8L).map(i => (i, s"s$i")).toDF("id", "s"))
+      TxLog.deleteMatched(spark, t2,
+        Seq(1L, 2L, 3L, 4L).toDF("id"), Seq("id"))
+      assert(rows(t2) == rows(t))
+      // no-match delete commits nothing
+      val vs = TxLog.versions(t2).size
+      assert(TxLog.deleteMatched(spark, t2, Seq(777L).toDF("id"), Seq("id")).isEmpty)
+      assert(TxLog.versions(t2).size == vs)
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
