@@ -559,6 +559,25 @@ object TxLog {
     Some(committed)
   }
 
+  /** Publish a MARKER-ONLY commit carrying `txn` (no file actions):
+    * the "this logical batch completed" record a multi-statement
+    * consumer (streaming CDC-apply) writes AFTER its content commits,
+    * so a crash replay can skip the whole batch. Skipped (None) when
+    * the marker already exists — same check-then-CAS discipline as
+    * [[appendOnce]]. */
+  def commitMarker(table: String, txn: String,
+                   commitTs: Option[Long] = None): Option[Long] = {
+    safeField(txn, "txn marker")
+    val acts = Seq(Action("txn", txn), tsAction(commitTs))
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      if (txnSeen(table, txn)) return None
+      if (tryCommit(table, base + 1, acts)) committed = base + 1
+    }
+    Some(committed)
+  }
+
   /** Transactional overwrite: removes the files of the snapshot the
     * commit lands on and adds the staged ones. The remove set is
     * RECOMPUTED per attempt — losing the race re-reads the new snapshot,

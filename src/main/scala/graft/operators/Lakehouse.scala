@@ -955,7 +955,57 @@ object Lakehouse {
       .orderBy(col("probe"), col("parity"), col("o_orderpriority"))
   }
 
+  // --------------------------- q288 TxLog SQL MERGE DELETE (round 13)
+
+  /** q288 — the keyed CDC-apply delete as SQL, driver-verified: the q276
+    * two-file rollup fixture, then ONE statement — `MERGE INTO … WHEN
+    * MATCHED THEN DELETE` with the low-priority key set as source —
+    * removes exactly the matched rows. Evidence columns pin the protocol:
+    * version_count = 3 (two appends + one statement-commit) and
+    * file_untouched = the high-priority file survived BIT-IDENTICALLY
+    * (the delete is file-pruned; unmatched files never rewrite — write
+    * amplification zero outside the matched set). The oracle recomputes
+    * the surviving rollup from raw orders, so the hash check pins the
+    * match semantics; Round13OpsSpec separately pins SQL ≡
+    * [[graft.etl.TxLog.deleteMatched]]. */
+  def q288TxLogMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q288")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") <= "2-HIGH").coalesce(1))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") > "2-HIGH").coalesce(1))
+    val untouched = graft.etl.TxLog.snapshot(table)(1) // the >2-HIGH file
+    graft.sources.TxLogSqlDml.install(s)
+    val name = s"graft_q288_t_${System.nanoTime()}"
+    val view = s"graft_q288_orders_${System.nanoTime()}"
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $name (o_orderpriority STRING, n_orders BIGINT) " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$table')")
+    try {
+      s.sql(
+        s"""MERGE INTO $name USING (
+           |  SELECT DISTINCT o_orderpriority FROM $view
+           |  WHERE o_orderpriority <= '2-HIGH') src
+           |ON $name.o_orderpriority = src.o_orderpriority
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+      val fileUntouched = graft.etl.TxLog.snapshot(table).contains(untouched)
+      s.sql(
+        s"""SELECT o_orderpriority, n_orders,
+           |  CAST(${graft.etl.TxLog.versions(table).size} AS BIGINT)
+           |    AS version_count,
+           |  CAST($fileUntouched AS BOOLEAN) AS file_untouched
+           |FROM $name ORDER BY o_orderpriority""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.catalog.dropTempView(view); ()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_txlog_merge_delete" -> (q288TxLogMergeDelete _),
     "q287_txlog_travel_options" -> (q287TxLogTravelOptions _),
     "q286_txlog_sql_dml" -> (q286TxLogSqlDml _),
     "q285_txlog_erasure" -> (q285TxLogErasure _),
@@ -984,6 +1034,15 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // version_count = 3: two appends + one MERGE-DELETE statement;
+    // file_untouched TRUE is the file-pruning guarantee itself
+    "q288_txlog_merge_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(3 AS BIGINT) AS version_count,
+        |  CAST(TRUE AS BOOLEAN) AS file_untouched
+        |FROM orders WHERE o_orderpriority > '2-HIGH'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // version_count = 4 is the statement↔commit contract: 1 append + 3
     // SQL statements; '1-URGENT' lands as 777 whether matched or inserted
     "q286_txlog_sql_dml" ->

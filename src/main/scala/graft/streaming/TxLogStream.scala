@@ -47,6 +47,61 @@ object TxLogStream {
     ()
   }
 
+  // --------------------------------------------- streaming CDC-apply
+
+  /** Structured-Streaming keyed UPSERT into the table format — the
+    * CDC-APPLY sink (round 13): each micro-batch MERGEs into `table` on
+    * `keyCols` (matched rows replaced, new keys inserted). With `opCol`,
+    * rows whose op value is `"D"` are applied as a keyed DELETE instead
+    * ([[TxLog.deleteMatched]]) and the op column is dropped from the
+    * upserted rows — the Debezium-style apply loop. Each batch must be
+    * key-unique after op-splitting (MERGE's multiple-matches rule);
+    * compact multi-op keys upstream.
+    *
+    * Exactly-once END STATE under crash replay, two layers: the content
+    * operations are themselves idempotent (re-merging identical rows
+    * replaces them with themselves; re-deleting absent keys is a
+    * no-commit no-op), and a MARKER commit (`<appId>/<batchId>`)
+    * published after the batch's content lets an already-completed
+    * batch's replay skip entirely — only a crash INSIDE the batch window
+    * re-runs the idempotent ops. Readers therefore converge to the same
+    * snapshot regardless of where the writer crashed; only the version
+    * COUNT can differ, never content. */
+  def applyCdc(spark: SparkSession, stream: DataFrame, table: String,
+               keyCols: Seq[String], checkpoint: String,
+               opCol: Option[String] = None,
+               appId: String = "graft-cdc-apply"): Unit =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(spark, batch, table, keyCols, opCol, appId, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** One CDC-apply batch — public so crash replay is spec-testable. */
+  private[graft] def applyBatch(spark: SparkSession, batch: DataFrame,
+                                table: String, keyCols: Seq[String],
+                                opCol: Option[String], appId: String,
+                                batchId: Long): Unit = {
+    val txn = s"$appId/$batchId"
+    if (TxLog.txnSeen(table, txn)) return // completed batch: whole replay skips
+    import org.apache.spark.sql.functions.col
+    opCol match {
+      case None =>
+        if (!batch.isEmpty) { TxLog.merge(spark, table, batch, keyCols); () }
+      case Some(op) =>
+        val deletes = batch.filter(col(op) === "D")
+          .select(keyCols.map(col): _*)
+        val upserts = batch.filter(col(op) =!= "D").drop(op)
+        if (!deletes.isEmpty) { TxLog.deleteMatched(spark, table, deletes, keyCols); () }
+        if (!upserts.isEmpty) { TxLog.merge(spark, table, upserts, keyCols); () }
+    }
+    TxLog.commitMarker(table, txn)
+    ()
+  }
+
   // ------------------------------------------------------- CDC tail
 
   /** One un-acked increment: the rows of versions `(fromV, toV]`, plus
