@@ -7,7 +7,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
 
 /** Minimal ACID table format over plain parquet: an ordered commit log of
   * immutable version files, each an atomic unit of add/remove file
@@ -223,9 +223,13 @@ object TxLog {
     * driver-injected when the caller needs determinism (tests, oracle
     * queries), wall clock otherwise. Stored IN the action log (not file
     * mtime — mtimes don't survive copies/restores), the Delta
-    * in-commit-timestamp pattern. */
-  private def tsAction(commitTs: Option[Long]): Action =
-    Action("commit", commitTs.getOrElse(System.currentTimeMillis()).toString)
+    * in-commit-timestamp pattern. The stats slot carries the OPERATION
+    * NAME (the Delta commitInfo pattern reduced to one token) — what
+    * [[history]]/DESCRIBE HISTORY surfaces; pre-operation logs parse
+    * with stats=None and report "UNKNOWN". */
+  private def tsAction(commitTs: Option[Long], op: String): Action =
+    Action("commit", commitTs.getOrElse(System.currentTimeMillis()).toString,
+      Some(op))
 
   /** Recorded commit timestamp of version `v` (None for versions written
     * before timestamps landed in the format). */
@@ -233,6 +237,48 @@ object TxLog {
     readActions(table, v).collectFirst {
       case Action("commit", ts, _, _) => ts.toLong
     }
+
+  // ------------------------------------------------- commit history
+
+  /** One audit row per committed version — the DESCRIBE HISTORY unit.
+    * `operation` comes from the commit action's operation token
+    * ("UNKNOWN" for versions written before operations landed — the
+    * format change is purely additive); the counts summarize the
+    * version's own actions, NOT the resulting snapshot. `dataChange`
+    * is false only when every add/remove in the version is a
+    * rearrangement (an OPTIMIZE) — the same bit CDC consumers key on. */
+  final case class Commit(version: Long, timestamp: Option[Long],
+                          operation: String, numAdds: Int, numRemoves: Int,
+                          numDvs: Int, dataChange: Boolean)
+
+  /** Full commit history, version-ascending. Driver-side metadata only:
+    * O(versions) small-file reads, no data I/O — the audit surface of
+    * the production formats (Delta DESCRIBE HISTORY). Version files are
+    * never deleted (vacuum keeps them; checkpoints only shortcut
+    * replay), so history is complete for the table's whole life. */
+  def history(table: String): Seq[Commit] =
+    versions(table).map { v =>
+      val acts = readActions(table, v)
+      val adds = acts.filter(_.op == "add")
+      val removes = acts.filter(_.op == "remove")
+      val dvs = acts.count(_.op == "dv")
+      val commit = acts.find(_.op == "commit")
+      Commit(v,
+        commit.map(_.path.toLong),
+        commit.flatMap(_.stats).getOrElse("UNKNOWN"),
+        adds.size, removes.size, dvs,
+        (adds ++ removes).exists(_.dataChange) || dvs > 0)
+    }
+
+  /** [[history]] as a DataFrame (what the SQL verb returns). Built with
+    * a local relation — the history is O(versions) driver metadata, not
+    * distributed data. */
+  def historyDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    history(table).toDF()
+      .select(col("version"), col("timestamp"), col("operation"),
+        col("numAdds"), col("numRemoves"), col("numDvs"), col("dataChange"))
+  }
 
   /** Resolve `AS OF TIMESTAMP`: the newest version whose commit
     * timestamp is <= `ts`. Clock skew between writers can record a
@@ -439,7 +485,7 @@ object TxLog {
     safeField(name, "constraint name")
     val act = Seq(Action("constraint", name,
       Some(java.util.Base64.getEncoder.encodeToString(
-        sqlPredicate.getBytes(StandardCharsets.UTF_8)))), tsAction(commitTs))
+        sqlPredicate.getBytes(StandardCharsets.UTF_8)))), tsAction(commitTs, "ADD CONSTRAINT"))
     // validate-then-claim (the storm-test discipline, applied to DDL):
     // validate the rows AS OF base, then claim base+1 — an append
     // landing in between takes base+1, the CAS fails, and the loop
@@ -465,7 +511,7 @@ object TxLog {
   def dropConstraint(table: String, name: String,
                      commitTs: Option[Long] = None): Long = {
     safeField(name, "constraint name")
-    val act = Seq(Action("unconstraint", name), tsAction(commitTs))
+    val act = Seq(Action("unconstraint", name), tsAction(commitTs, "DROP CONSTRAINT"))
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, act)) v = versions(table).last + 1
     v
@@ -512,7 +558,7 @@ object TxLog {
     val decl = enforceSchema(table, df, mergeSchema)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
+    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs, "WRITE")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
@@ -542,7 +588,7 @@ object TxLog {
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
     val adds = (stage(spark, table, df) ++ decl) :+
-      Action("txn", txn) :+ tsAction(commitTs)
+      Action("txn", txn) :+ tsAction(commitTs, "STREAMING WRITE")
     // check-then-CAS with the claim target read FIRST: if the same
     // txn's replay lands between the marker check and the commit,
     // base+1 is taken, the CAS fails, and the loop re-checks — the
@@ -568,7 +614,7 @@ object TxLog {
   def commitMarker(table: String, txn: String,
                    commitTs: Option[Long] = None): Option[Long] = {
     safeField(txn, "txn marker")
-    val acts = Seq(Action("txn", txn), tsAction(commitTs))
+    val acts = Seq(Action("txn", txn), tsAction(commitTs, "TXN MARKER"))
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
@@ -593,7 +639,7 @@ object TxLog {
       else Some(schemaAction(df.schema))
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs)
+    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs, "OVERWRITE")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
@@ -658,7 +704,7 @@ object TxLog {
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
         else stage(spark, table, survivors)
-      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs)
+      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs, "DELETE")
       // validate-then-CAS, in THAT order relative to the claim target:
       // read base = last version FIRST, validate the affected set
       // against the snapshot AS OF base, then claim base+1 — if any
@@ -728,7 +774,7 @@ object TxLog {
       val adds =
         if (survivors.isEmpty) Seq.empty
         else stage(spark, table, survivors)
-      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs)
+      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs, "DELETE")
       var done = false
       var restart = false
       var committed = -1L
@@ -798,7 +844,7 @@ object TxLog {
       }.toIndexedSeq: _*)
       var cs0 = constraintsOf(table)
       enforceConstraints(table, rewritten, cs0)
-      val adds = stage(spark, table, rewritten) :+ tsAction(commitTs)
+      val adds = stage(spark, table, rewritten) :+ tsAction(commitTs, "UPDATE")
       val removes = affected.map(Action("remove", _))
       var done = false
       var restart = false
@@ -1018,7 +1064,7 @@ object TxLog {
         }.getOrElse(Seq.empty) ++ byFile(f)).distinct
         val rel = writeDvSidecar(table, merged)
         Action("dv", f, Some(s"$rel:${merged.size}"))
-      } :+ tsAction(commitTs)
+      } :+ tsAction(commitTs, "DELETE")
       var done = false
       var restart = false
       var committed = -1L
@@ -1088,7 +1134,7 @@ object TxLog {
       def absOf(rel: Seq[String]): Seq[String] =
         rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
       if (read0.isEmpty) { // empty table: MERGE degenerates to append
-        val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs)
+        val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs, "MERGE")
         var committed = -1L
         var restarted = false
         while (committed < 0 && !restarted) {
@@ -1134,7 +1180,7 @@ object TxLog {
           allowMissingColumns = true)
         case None       => aligned(source)
       }
-      val adds = (stage(spark, table, staged) ++ decl) :+ tsAction(commitTs)
+      val adds = (stage(spark, table, staged) ++ decl) :+ tsAction(commitTs, "MERGE")
       val removes = affected.map(Action("remove", _))
       val read0Set = read0.toSet
       var done = false
@@ -1230,7 +1276,7 @@ object TxLog {
       // the deleted rows were already invisible, so dataChange stays
       // false (Delta marks DV-materializing OPTIMIZE the same way).
       val adds = stage(spark, table, compact)
-        .map(_.copy(dataChange = false)) :+ tsAction(commitTs)
+        .map(_.copy(dataChange = false)) :+ tsAction(commitTs, "OPTIMIZE")
       val removes = read0.map(Action("remove", _, None, dataChange = false))
       // same validate-then-CAS ordering as deleteWhere: base first,
       // validate read0 as of base, claim base+1 — a CAS loss forces
@@ -1323,6 +1369,147 @@ object TxLog {
       }
     }
     deleted.toSeq
+  }
+
+  // ---------------------------------------------------------- restore
+
+  /** RESTORE the table to the snapshot of `toVersion`, committed as a
+    * NEW version — roll-forward undo, the Delta `RESTORE TABLE` verb:
+    * history is preserved (time travel still reads every version), the
+    * rollback itself is auditable, and concurrent writers serialize
+    * against it like any other commit. The restore commit makes the
+    * live state — file set, deletion vectors, declared schema, CHECK
+    * constraints — EQUAL to the target version's by diffing the two
+    * replayed states and emitting only the difference:
+    *
+    *  - files live now but not at `toVersion` → `remove`
+    *  - files live at `toVersion` but not now → `add` (original stats
+    *    token, so data skipping survives the round trip)
+    *  - files live in BOTH but with different DV state → the target's
+    *    `dv` action, or a re-`add` when the target had none (the
+    *    add-resets-DV replay rule is the format's only DV-clear)
+    *
+    * All restore actions carry dataChange=true — re-surfaced rows ARE
+    * new rows to a CDC consumer (Delta marks RESTORE the same way).
+    * Fails if any target data file or DV sidecar no longer exists on
+    * disk (VACUUM past the target makes it unrestorable — the standard
+    * retention trade), naming the missing files. Validate-then-claim:
+    * diffs are computed against the snapshot AS OF the claim base and
+    * recomputed on CAS loss, so a racing append is either wholly before
+    * the restore (and gets rolled back by it) or wholly after (and
+    * survives it) — never half-applied. Returns the committed version,
+    * or None when the live state already equals the target (restore to
+    * HEAD is a no-op, like Delta's). Driver-side metadata only — no
+    * data file is read, moved, or rewritten; at 100 TB a restore is
+    * O(files) log work regardless of table bytes. Takes no
+    * SparkSession — the signature itself is the zero-data-I/O
+    * guarantee (the [[describe]] convention). */
+  def restore(table: String, toVersion: Long,
+              commitTs: Option[Long] = None): Option[Long] = {
+    require(versions(table).contains(toVersion),
+      s"cannot RESTORE $table to version $toVersion: not a committed version")
+    val (addsT, dvT) = replayState(table, Some(toVersion))
+    val statsT = addsT.map(a => a.path -> a.stats).toMap
+    // unrestorable-target check once up front (disk state, not log state)
+    val missingData = addsT.map(_.path)
+      .filterNot(p => Files.exists(Paths.get(table, p)))
+    val missingDv = dvT.values.map(_._1).toSeq
+      .filterNot(p => Files.exists(Paths.get(table, p)))
+    require(missingData.isEmpty && missingDv.isEmpty,
+      s"cannot RESTORE $table to version $toVersion: " +
+        s"${(missingData ++ missingDv).size} referenced files were vacuumed " +
+        s"(first: ${(missingData ++ missingDv).headOption.getOrElse("")})")
+    val targetSchema = schemaOf(table, Some(toVersion))
+    val targetCs = constraintsOf(table, Some(toVersion))
+    while (true) {
+      val base = versions(table).last
+      val (addsB, dvB) = replayState(table, Some(base))
+      val liveT = statsT.keySet
+      val liveB = addsB.map(_.path).toSet
+      val removes = addsB.map(_.path).filterNot(liveT)
+        .map(Action("remove", _))
+      val readds = addsT.filterNot(a => liveB.contains(a.path))
+        .map(a => Action("add", a.path, a.stats))
+      val dvFixes = addsT.map(_.path).filter(liveB).flatMap { p =>
+        (dvT.get(p), dvB.get(p)) match {
+          case (same1, same2) if same1 == same2 => None
+          case (Some((sc, n)), _) => Some(Action("dv", p, Some(s"$sc:$n")))
+          case (None, _) => Some(Action("add", p, statsT(p)))
+        }
+      }
+      val schemaFix =
+        if (targetSchema.isDefined && targetSchema != schemaOf(table, Some(base)))
+          targetSchema.map(schemaAction).toSeq
+        else Seq.empty
+      val csB = constraintsOf(table, Some(base))
+      val csFixes =
+        csB.keysIterator.filterNot(targetCs.contains)
+          .map(Action("unconstraint", _)).toSeq ++
+        targetCs.collect { case (n, sql) if csB.get(n) != Some(sql) =>
+          Action("constraint", n,
+            Some(java.util.Base64.getEncoder.encodeToString(
+              sql.getBytes(StandardCharsets.UTF_8))))
+        }
+      val diff = removes ++ readds ++ dvFixes ++ schemaFix ++ csFixes
+      if (diff.isEmpty) return None
+      if (tryCommit(table, base + 1, diff :+ tsAction(commitTs, "RESTORE")))
+        return Some(base + 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------ clone
+
+  /** CLONE a snapshot of `src` (latest, or `asOf`) into a fresh table
+    * `dst` as that table's version 1 — a zero-copy table fork, the Delta
+    * `CLONE` verb. All snapshot state crosses: live files (original
+    * stats tokens, so skipping survives), deletion vectors, declared
+    * schema, CHECK constraints. Data bytes are HARD-LINKED, not copied
+    * (falling back to a copy when the filesystem refuses, e.g. across
+    * mount points), so the clone costs O(files) driver metadata at any
+    * table size — and, unlike a path-sharing shallow clone, each table
+    * then owns an independent link: VACUUM on either side only unlinks
+    * its own name, the inode survives until both drop it, so a clone
+    * can never dangle (the Delta shallow-clone footgun this design
+    * deliberately closes; on an object store the same contract needs
+    * pointer files + source-retention, which is why Delta documents the
+    * danger instead). The two logs are independent from birth: writes,
+    * deletes, optimize, restore on one side never appear on the other.
+    * Relative paths are preserved verbatim — fresh UUIDs on every later
+    * write mean the namespaces cannot collide. Returns dst's version 1.
+    * Cite: Delta Lake SHALLOW CLONE semantics (public docs) re-expressed
+    * for a POSIX store. */
+  def cloneTable(src: String, dst: String, asOf: Option[Long] = None,
+                 commitTs: Option[Long] = None): Long = {
+    require(versions(dst).isEmpty,
+      s"CLONE target $dst already exists (${versions(dst).size} versions)")
+    val (adds, dvs) = replayState(src, asOf)
+    require(adds.nonEmpty, s"empty snapshot for $src asOf=$asOf")
+    def linkOver(rel: String): Unit = {
+      val from = Paths.get(src, rel)
+      val to = Paths.get(dst, rel)
+      Files.createDirectories(to.getParent)
+      try Files.createLink(to, from)
+      catch { case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+        Files.copy(from, to) // cross-device fallback: correct, just not free
+      }
+    }
+    adds.foreach(a => linkOver(a.path))
+    dvs.values.foreach { case (sidecar, _) => linkOver(sidecar) }
+    val meta = schemaOf(src, asOf).map(schemaAction).toSeq ++
+      constraintsOf(src, asOf).toSeq.sortBy(_._1).map { case (n, sql) =>
+        Action("constraint", n,
+          Some(java.util.Base64.getEncoder.encodeToString(
+            sql.getBytes(StandardCharsets.UTF_8))))
+      }
+    val dvActs = dvs.toSeq.sortBy(_._1).map { case (p, (sc, n)) =>
+      Action("dv", p, Some(s"$sc:$n"))
+    }
+    val acts = meta ++ adds ++ dvActs :+ tsAction(commitTs, "CLONE")
+    if (!tryCommit(dst, 1L, acts)) throw new IllegalStateException(
+      s"CLONE target $dst was created concurrently")
+    1L
   }
 
   /** Incremental (CDC-style) read: the rows ADDED by versions in

@@ -1004,7 +1004,134 @@ object Lakehouse {
     }
   }
 
+  // ------------------------------ q289 TxLog DESCRIBE HISTORY (round 13)
+
+  /** q289 — the audit surface, driver-verified: five commits with
+    * INJECTED timestamps (two parity appends, a copy-on-write DELETE, an
+    * OPTIMIZE, a RESTORE back to v2), then `DESCRIBE HISTORY` planned
+    * through [[graft.sources.GraftSqlParser]] + the DML strategy. Each
+    * history row is joined with the ROW COUNT of its version's snapshot
+    * (time travel), so the hash check pins four contracts at once: the
+    * operation tag per commit, the in-commit timestamp, the dataChange
+    * bit (the OPTIMIZE rearrangement is the one non-change commit), and
+    * that RESTORE really returned the table to the v2 row set. File
+    * counts are deliberately NOT emitted — they depend on shuffle
+    * partitioning, not semantics. History is O(versions) driver-side
+    * metadata; no data file is read except the five bounded rollup
+    * snapshot counts. */
+  def q289TxLogHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q289")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), (col("o_orderkey") % 2).as("parity"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("parity") === 0).coalesce(1), commitTs = Some(1000L))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("parity") === 1).coalesce(1), commitTs = Some(2000L))
+    graft.etl.TxLog.deleteWhere(s, table,
+      col("o_orderpriority") === "3-MEDIUM", commitTs = Some(3000L))
+    graft.etl.TxLog.optimize(s, table, targetFiles = 1,
+      commitTs = Some(4000L))
+    graft.etl.TxLog.restore(table, 2L, commitTs = Some(5000L))
+    graft.sources.TxLogSqlDml.install(s)
+    val hist = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(s"DESCRIBE HISTORY '$table'").get)
+    val counts = graft.etl.TxLog.versions(table)
+      .map(v => (v, graft.etl.TxLog.read(s, table, Some(v)).count()))
+      .toDF("version", "n_rows")
+    hist.select(col("version"), col("timestamp").as("commit_ts"),
+        col("operation"), col("dataChange").as("data_change"))
+      .join(counts, Seq("version"))
+      .orderBy(col("version"))
+  }
+
+  // ---------------------------------- q290 TxLog SQL RESTORE (round 13)
+
+  /** q290 — transactional undo as SQL, driver-verified: a rollup append
+    * (ts 1000), a copy-on-write DELETE of '1-URGENT', then ONE statement
+    * — `RESTORE TABLE … TO TIMESTAMP AS OF 1500` — rolls the table back
+    * to v1 as commit v3. The output carries the rollup BOTH post-delete
+    * and post-restore plus the statement's own result row (resolved
+    * target version, committed version), so the hash check pins: the
+    * timestamp resolves to the pre-delete snapshot, the restore is a NEW
+    * commit (history grows to 3, nothing is rewritten in place), and the
+    * restored content is bit-equal to what the delete removed. The
+    * restore itself is O(files) driver-side log diffing — no data I/O at
+    * any table size. */
+  def q290TxLogRestoreSql(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q290")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1), commitTs = Some(1000L))
+    graft.etl.TxLog.deleteWhere(s, table,
+      col("o_orderpriority") === "1-URGENT", commitTs = Some(2000L))
+    val postDelete = graft.etl.TxLog.read(s, table)
+      .withColumn("phase", lit("post_delete"))
+      .localCheckpoint(eager = true) // pin the pre-restore snapshot
+    graft.sources.TxLogSqlDml.install(s)
+    val res = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"RESTORE TABLE '$table' TO TIMESTAMP AS OF 1500").get)
+      .head()
+    val postRestore = graft.etl.TxLog.read(s, table)
+      .withColumn("phase", lit("post_restore"))
+    postDelete.unionByName(postRestore)
+      .withColumn("restored_to", lit(res.getLong(0)))
+      .withColumn("committed_v", lit(res.getLong(1)))
+      .withColumn("version_count",
+        lit(graft.etl.TxLog.versions(table).size.toLong))
+      .select(col("phase"), col("o_orderpriority"), col("n_orders"),
+        col("restored_to"), col("committed_v"), col("version_count"))
+      .orderBy(col("phase"), col("o_orderpriority"))
+  }
+
+  // -------------------------------------- q291 TxLog CLONE (round 13)
+
+  /** q291 — the zero-copy table fork, driver-verified: a rollup append
+    * (v1), a merge-on-read DELETE of '1-URGENT' (v2, live deletion
+    * vector), then ONE statement — `CREATE TABLE '…' SHALLOW CLONE '…'`
+    * — forks the snapshot. Afterwards each side mutates independently
+    * (an append lands on the clone; a copy-on-write DELETE of '5-LOW'
+    * lands on the source) and the output carries BOTH rollups plus the
+    * version counts, so the hash check pins: the DV state crossed the
+    * clone (no resurrected '1-URGENT' row), and neither side's
+    * post-clone write leaked into the other. The clone itself is
+    * O(files) driver metadata — hard links, no data I/O at any size. */
+  def q291TxLogClone(s: SparkSession, dir: String): DataFrame = {
+    val src = tempTable("graft-q291s")
+    val dstDir = tempTable("graft-q291d")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, src, r.coalesce(1), commitTs = Some(1000L))
+    graft.etl.TxLog.deleteWhereMerge(s, src,
+      col("o_orderpriority") === "1-URGENT", commitTs = Some(2000L))
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"CREATE TABLE '$dstDir' SHALLOW CLONE '$src'").get).head()
+    import s.implicits._
+    graft.etl.TxLog.append(s, dstDir,
+      Seq(("9-CLONE", 42L)).toDF("o_orderpriority", "n_orders").coalesce(1),
+      commitTs = Some(3000L))
+    graft.etl.TxLog.deleteWhere(s, src,
+      col("o_orderpriority") === "5-LOW", commitTs = Some(3000L))
+    graft.etl.TxLog.read(s, src).withColumn("phase", lit("src"))
+      .unionByName(
+        graft.etl.TxLog.read(s, dstDir).withColumn("phase", lit("clone")))
+      .withColumn("src_versions",
+        lit(graft.etl.TxLog.versions(src).size.toLong))
+      .withColumn("clone_versions",
+        lit(graft.etl.TxLog.versions(dstDir).size.toLong))
+      .select(col("phase"), col("o_orderpriority"), col("n_orders"),
+        col("src_versions"), col("clone_versions"))
+      .orderBy(col("phase"), col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_txlog_clone" -> (q291TxLogClone _),
+    "q290_txlog_restore_sql" -> (q290TxLogRestoreSql _),
+    "q289_txlog_history" -> (q289TxLogHistory _),
     "q288_txlog_merge_delete" -> (q288TxLogMergeDelete _),
     "q287_txlog_travel_options" -> (q287TxLogTravelOptions _),
     "q286_txlog_sql_dml" -> (q286TxLogSqlDml _),
@@ -1034,6 +1161,61 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // src = rollup minus URGENT (DV) minus LOW (post-clone CoW delete);
+    // clone = rollup minus URGENT plus its own appended row. Version
+    // counts: src 3 (append, DV delete, CoW delete), clone 2 (clone,
+    // append) — the independence contract in two integers.
+    "q291_txlog_clone" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT phase, o_orderpriority, n_orders,
+        |  CAST(3 AS BIGINT) AS src_versions,
+        |  CAST(2 AS BIGINT) AS clone_versions
+        |FROM (
+        |  SELECT 'src' AS phase, o_orderpriority, n_orders FROM r
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+        |  UNION ALL
+        |  SELECT 'clone', o_orderpriority, n_orders FROM r
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'clone', '9-CLONE', CAST(42 AS BIGINT))
+        |ORDER BY phase, o_orderpriority""".stripMargin,
+    // operations/timestamps/dataChange are protocol constants; row counts
+    // per version are recomputed from raw orders (v5 = the restored v2)
+    "q289_txlog_history" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey % 2 AS BIGINT) AS parity
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM r WHERE parity = 0) AS v1,
+        |  (SELECT count(*) FROM r) AS v2,
+        |  (SELECT count(*) FROM r WHERE o_orderpriority <> '3-MEDIUM') AS v3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(1000 AS BIGINT)
+        |      AS commit_ts, 'WRITE' AS operation,
+        |    CAST(TRUE AS BOOLEAN) AS data_change, v1 AS n_rows FROM c
+        |  UNION ALL SELECT 2, 2000, 'WRITE', TRUE, v2 FROM c
+        |  UNION ALL SELECT 3, 3000, 'DELETE', TRUE, v3 FROM c
+        |  UNION ALL SELECT 4, 4000, 'OPTIMIZE', FALSE, v3 FROM c
+        |  UNION ALL SELECT 5, 5000, 'RESTORE', TRUE, v2 FROM c)
+        |ORDER BY version""".stripMargin,
+    // restored_to = 1 (ts 1500 resolves the first commit), committed = 3
+    // (the restore is a NEW version), version_count = 3
+    "q290_txlog_restore_sql" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT phase, o_orderpriority, n_orders,
+        |  CAST(1 AS BIGINT) AS restored_to,
+        |  CAST(3 AS BIGINT) AS committed_v,
+        |  CAST(3 AS BIGINT) AS version_count
+        |FROM (
+        |  SELECT 'post_delete' AS phase, o_orderpriority, n_orders FROM r
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'post_restore', o_orderpriority, n_orders FROM r)
+        |ORDER BY phase, o_orderpriority""".stripMargin,
     // version_count = 3: two appends + one MERGE-DELETE statement;
     // file_untouched TRUE is the file-pruning guarantee itself
     "q288_txlog_merge_delete" ->

@@ -586,7 +586,64 @@ object Mining {
       .limit(topN)
   }
 
+  // ------------------------------- q292 heavy hitters (Misra–Gries)
+
+  /** Per-partition Misra–Gries summaries of a token stream, merged by a
+    * bounded groupBy — the candidate-generation half of the two-pass
+    * exact heavy-hitters plan ([[heavyHitters]]). Each partition keeps k
+    * counters (classic MG: hit → increment, room → insert, full →
+    * decrement-all and drop zeros); the emitted (token, residual) rows
+    * are ≤ k per partition, so the merge shuffle is O(k × partitions)
+    * REGARDLESS of corpus size. Guarantee (Misra & Gries 1982; mergeable
+    * across partitions per Agarwal et al., PODS 2012): any token with
+    * global frequency > n/(k+1) survives in at least one partition's
+    * summary, because summed residuals undercount true frequency by at
+    * most Σᵢ nᵢ/(k+1) = n/(k+1). mapPartitions is justified here: the
+    * counter-eviction loop is genuinely per-partition imperative state
+    * no builtin aggregate expresses. */
+  private[graft] def mgCandidates(tokens: DataFrame, k: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens.select(col("token")).as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1
+        else if (m.size < k) m(t) = 1L
+        else {
+          val kept = m.collect { case (kk, c) if c > 1 => kk -> (c - 1) }
+          m.clear(); m ++= kept
+        }
+      }
+      m.iterator
+    }.toDF("token", "residual")
+      .groupBy(col("token")).agg(sum(col("residual")).as("residual"))
+  }
+
+  /** q292 — exact heavy hitters over the corpus token stream via the
+    * two-pass sketch plan: (1) [[mgCandidates]] — one scan, k counters
+    * per partition, a O(k × partitions) merge; (2) an exact recount of
+    * candidate tokens only (broadcast semi-join, so the second scan
+    * shuffles candidate occurrences, never the full vocabulary), kept
+    * when strictly above n/k. The MG guarantee makes the candidate set a
+    * superset of every token with frequency > n/(k+1) ⊇ the > n/k
+    * answer, so the result is EXACT — the oracle recomputes it by brute
+    * groupBy. At 100 TB this is the difference between shuffling a
+    * full-vocabulary aggregate (billions of keys) and shuffling ≤
+    * k × partitions summary rows + the heavy tokens' own occurrences.
+    * Tokenization is the repo-standard whitespace twin. */
+  def heavyHitters(docs: DataFrame, k: Int = 200): DataFrame = {
+    val toks = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val n = toks.count()
+    val cands = mgCandidates(toks, k).select(col("token"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * lit(k) > lit(n))
+      .orderBy(col("n_occ").desc, col("token"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q244_assoc_rules" -> ((s, d) => assocRules(s, Tables.lineitem(s, d))),
     "q228_good_turing" -> ((s, d) => goodTuring(s, Tables.documents(s, d))),
     "q218_kneser_ney" -> ((s, d) => kneserNey(s, Tables.documents(s, d))),
@@ -608,6 +665,15 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    // brute-force twin of the two-pass MG plan: exact by construction
+    "q292_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM t GROUP BY token
+        |HAVING count(*) * 200 > (SELECT count(*) FROM t)
+        |ORDER BY n_occ DESC, token""".stripMargin,
     "q244_assoc_rules" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders

@@ -1,10 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 /** SQL maintenance statements for TxLog tables (the last SQL-surface gap
   * after round-13's DML): a delegating parser that recognizes
@@ -12,6 +12,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   *   OPTIMIZE t [INTO n FILES] [CLUSTER BY (c1, c2, ...)]
   *   VACUUM t [RETAIN n VERSIONS]
+  *   DESCRIBE HISTORY t
+  *   RESTORE [TABLE] t TO VERSION AS OF n
+  *   RESTORE [TABLE] t TO TIMESTAMP AS OF millis
+  *   CREATE TABLE '<path>' [SHALLOW] CLONE t [VERSION AS OF n]
   * }}}
   *
   * (t = a session-catalog table created USING TxLogSource, or a quoted
@@ -58,8 +62,19 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+('[^']+'|[\w.]+)\s*(?:INTO\s+(\d+)\s+FILES)?\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+('[^']+'|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|[\w.]+)\s*;?\s*""".r
+  private val RestoreVersionRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTimestampRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+('[^']+')\s+(?:SHALLOW\s+)?CLONE\s+('[^']+'|[\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
-  private[sources] def maintenance(sql: String): Option[LogicalPlan] =
+  /** private[graft]: oracle queries plan maintenance statements directly
+    * (GraftSqlBridge.ofRows) — Verify/Bench sessions are built without
+    * the extensions conf, and a ParserInterface cannot install post-hoc. */
+  private[graft] def maintenance(sql: String): Option[LogicalPlan] =
     sql match {
       case OptimizeRe(ident, files, cluster) =>
         Some(OptimizeTxLogTable(ident,
@@ -68,6 +83,13 @@ object GraftSqlParser {
             .getOrElse(Seq.empty)))
       case VacuumRe(ident, retain) =>
         Some(VacuumTxLogTable(ident, Option(retain).map(_.toInt).getOrElse(2)))
+      case HistoryRe(ident) => Some(DescribeTxLogHistory(ident))
+      case RestoreVersionRe(ident, v) =>
+        Some(RestoreTxLogTable(ident, Some(v.toLong), None))
+      case RestoreTimestampRe(ident, ts) =>
+        Some(RestoreTxLogTable(ident, None, Some(ts.toLong)))
+      case CloneRe(dst, src, v) =>
+        Some(CloneTxLogTable(dst, src, Option(v).map(_.toLong)))
       case _ => None
     }
 
@@ -106,4 +128,40 @@ case class OptimizeTxLogTable(ident: String, targetFiles: Int,
 case class VacuumTxLogTable(ident: String, retainVersions: Int)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
+}
+
+/** `DESCRIBE HISTORY` as a resolved rows-returning leaf command: one
+  * audit row per committed version ([[graft.etl.TxLog.history]]). */
+case class DescribeTxLogHistory(ident: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", LongType)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("numAdds", IntegerType, nullable = false)(),
+    AttributeReference("numRemoves", IntegerType, nullable = false)(),
+    AttributeReference("numDvs", IntegerType, nullable = false)(),
+    AttributeReference("dataChange", BooleanType, nullable = false)())
+}
+
+/** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF …` as a resolved
+  * rows-returning leaf command: exactly one of version/timestamp is set
+  * (the regexes guarantee it); returns the resolved target version and
+  * the committed restore version (null = live state already equal). */
+case class RestoreTxLogTable(ident: String, version: Option[Long],
+                             timestamp: Option[Long])
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType)())
+}
+
+/** `CREATE TABLE '<path>' [SHALLOW] CLONE src [VERSION AS OF n]` as a
+  * resolved rows-returning leaf command: the destination is a QUOTED
+  * PATH (a not-yet-existing table cannot resolve through the catalog);
+  * the source may be either form. Returns the clone's version (1). */
+case class CloneTxLogTable(dst: String, src: String, version: Option[Long])
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType, nullable = false)())
 }

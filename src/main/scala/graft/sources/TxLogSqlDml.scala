@@ -171,6 +171,34 @@ object TxLogDmlStrategy extends SparkStrategy {
           retainVersions = retain); ()
       }) :: Nil
 
+    case h: DescribeTxLogHistory =>
+      TxLogMetaExec(h.output, "DESCRIBE HISTORY", h.ident, spark =>
+        TxLog.history(GraftSqlParser.resolvePath(spark, h.ident)).map { c =>
+          InternalRow(c.version, c.timestamp.map(Long.box).orNull,
+            org.apache.spark.unsafe.types.UTF8String.fromString(c.operation),
+            c.numAdds, c.numRemoves, c.numDvs, c.dataChange)
+        }) :: Nil
+
+    case c: CloneTxLogTable =>
+      TxLogMetaExec(c.output, "CLONE", c.dst, spark => {
+        val srcPath = GraftSqlParser.resolvePath(spark, c.src)
+        val dstPath = TxLogSource.normalize(
+          c.dst.substring(1, c.dst.length - 1)) // grammar: always quoted
+        Seq(InternalRow(TxLog.cloneTable(srcPath, dstPath, c.version)))
+      }) :: Nil
+
+    case r: RestoreTxLogTable =>
+      TxLogMetaExec(r.output, "RESTORE", r.ident, spark => {
+        val path = GraftSqlParser.resolvePath(spark, r.ident)
+        val v = r.version.getOrElse(
+          TxLog.versionAsOf(path, r.timestamp.get).getOrElse(
+            throw new IllegalArgumentException(
+              s"RESTORE ${r.ident}: no committed version at or before " +
+                s"timestamp ${r.timestamp.get}")))
+        val committed = TxLog.restore(path, v)
+        Seq(InternalRow(v, committed.map(Long.box).orNull))
+      }) :: Nil
+
     case m: MergeIntoTable => m.targetTable match {
       case Rel(path) =>
         val deleteOnly = isDeleteOnly(m.matchedActions) &&
@@ -222,4 +250,21 @@ private[sources] case class TxLogDmlExec(kind: String, table: String,
     done
     session.sparkContext.emptyRDD[InternalRow]
   }
+}
+
+/** Rows-returning sibling of [[TxLogDmlExec]] for the metadata verbs
+  * (DESCRIBE HISTORY, RESTORE): the body is driver-side log replay whose
+  * result is O(versions) audit rows, so the node materializes them once
+  * and serves both execution entry points from the same array. */
+private[sources] case class TxLogMetaExec(out: Seq[Attribute], kind: String,
+                                          table: String,
+                                          rows: SparkSession => Seq[InternalRow])
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = out
+  override def simpleString(maxFields: Int): String =
+    s"TxLogMetaExec $kind txlog($table)"
+  private lazy val result: Array[InternalRow] = rows(session).toArray
+  override def executeCollect(): Array[InternalRow] = result
+  override protected def doExecute(): RDD[InternalRow] =
+    session.sparkContext.parallelize(result.toSeq, 1)
 }

@@ -150,4 +150,44 @@ class MiningLakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.filter(col("merge_action") === "inserted").count() == nInsert)
     assert(m.filter(col("merge_action") === "retained").count() == nRetain)
   }
+
+  // ------------------------------ q292 Misra–Gries heavy hitters
+
+  test("q292: MG candidates are a superset of every > n/(k+1) token") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      // many small partitions stress the per-partition eviction + merge
+      .repartition(16)
+      .cache()
+    val n = toks.count()
+    // k far below the vocabulary forces constant eviction churn, but
+    // n/(k+1) must sit under the corpus's ~3.5% heavy-token plateau
+    val k = 40
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .filter(col("c") * (k + 1) > lit(n))
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(exact.nonEmpty, "fixture should have >n/41 tokens")
+    val cands = Mining.mgCandidates(toks, k)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(exact.subsetOf(cands),
+      s"MG guarantee violated: missing ${exact -- cands}")
+    // the summary merge is bounded: at most k survivors per partition
+    assert(cands.size <= 16 * k)
+    toks.unpersist(); ()
+  }
+
+  test("q292: two-pass heavy hitters == brute-force exact groupBy") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val got = Mining.heavyHitters(docs, k = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val n = toks.count()
+    val want = toks.groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * 200 > lit(n))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
 }

@@ -1,0 +1,270 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.etl.TxLog
+
+/** Round-13 TxLog audit + undo surface: per-commit operation metadata
+  * (history / DESCRIBE HISTORY) and RESTORE-to-version as a new commit —
+  * file set, deletion vectors, schema, and CHECK constraints all diffed
+  * back to the target snapshot, with history preserved. */
+class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("restore-spec", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-restore").resolve("t").toString
+
+  private def rows(t: String, asOf: Option[Long] = None): Seq[(Long, String)] =
+    TxLog.read(spark, t, asOf).select(col("id"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+  // ------------------------------------------------------- history
+
+  test("history records one operation-tagged row per commit") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+      commitTs = Some(1000L))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1),
+      commitTs = Some(2000L))
+    TxLog.deleteWhere(spark, t, col("id") === 2L, commitTs = Some(3000L))
+    TxLog.optimize(spark, t, targetFiles = 1, commitTs = Some(4000L))
+    TxLog.addConstraint(spark, t, "pos", "id > 0", commitTs = Some(5000L))
+    TxLog.merge(spark, t, Seq((3L, "c2"), (9L, "i")).toDF("id", "s"),
+      Seq("id"), commitTs = Some(6000L))
+    val h = TxLog.history(t)
+    assert(h.map(_.version) == (1L to 6L))
+    assert(h.map(_.operation) ==
+      Seq("WRITE", "WRITE", "DELETE", "OPTIMIZE", "ADD CONSTRAINT", "MERGE"))
+    assert(h.map(_.timestamp) == (1L to 6L).map(v => Some(v * 1000)))
+    // dataChange: the OPTIMIZE rearrangement and the metadata-only DDL
+    // are the only non-change commits
+    assert(h.map(_.dataChange) == Seq(true, true, true, false, false, true))
+    // the delete is copy-on-write: it removed the hit file and (here)
+    // staged survivors; optimize removed everything it compacted
+    assert(h(2).numRemoves == 1 && h(3).numRemoves >= 1)
+    assert(h(4).numAdds == 0 && h(4).numRemoves == 0)
+    // DataFrame twin carries the same rows in declared column order
+    val df = TxLog.historyDf(spark, t)
+    assert(df.columns.toSeq == Seq("version", "timestamp", "operation",
+      "numAdds", "numRemoves", "numDvs", "dataChange"))
+    assert(df.count() == 6)
+    assert(df.filter(col("operation") === "MERGE").head().getLong(0) == 6L)
+  }
+
+  test("history reports DV commits and pre-operation logs degrade to UNKNOWN") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      (1L to 8L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.deleteWhereMerge(spark, t, col("id") === 3L)
+    val h = TxLog.history(t)
+    assert(h(1).operation == "DELETE" && h(1).numDvs == 1 && h(1).dataChange)
+    // a legacy commit whose commit action has no operation token
+    val legacy = tmp()
+    TxLog.append(spark, legacy, Seq((1L, "x")).toDF("id", "s").coalesce(1))
+    val vf = java.nio.file.Paths.get(legacy, "_graft_log",
+      f"${1L}%020d.json")
+    val stripped = new String(Files.readAllBytes(vf)).linesIterator.map {
+      l => if (l.contains("\"op\":\"commit\""))
+        l.replaceAll(""","stats":"[^"]*"""", "") else l
+    }.mkString("\n")
+    Files.write(vf, stripped.getBytes)
+    assert(TxLog.history(legacy).head.operation == "UNKNOWN")
+  }
+
+  // ------------------------------------------------------- restore
+
+  test("restore rolls the file set back as a new commit; history intact") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    TxLog.deleteWhere(spark, t, col("id") <= 2L)
+    assert(rows(t) == Seq((3L, "c")))
+    val v = TxLog.restore(t, 2L)
+    assert(v.contains(4L))
+    assert(rows(t) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the rollback is itself history: the deleted state is still
+    // addressable, and the restore commit is operation-tagged
+    assert(rows(t, asOf = Some(3L)) == Seq((3L, "c")))
+    assert(TxLog.history(t).last.operation == "RESTORE")
+    // restore to the state the table already has: no-op, no commit
+    assert(TxLog.restore(t, 4L).isEmpty)
+    assert(TxLog.restore(t, 2L).isEmpty) // v4 == v2 content by file set
+    assert(TxLog.versions(t).size == 4)
+    // restore targets must be committed versions
+    intercept[IllegalArgumentException](TxLog.restore(t, 99L))
+  }
+
+  test("restore reinstates and clears deletion-vector state both ways") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      (1L to 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.deleteWhereMerge(spark, t, col("id") === 2L) // v2: DV
+    TxLog.deleteWhereMerge(spark, t, col("id") === 4L) // v3: cumulative DV
+    assert(rows(t).map(_._1) == Seq(1L, 3L, 5L, 6L))
+    // back to v2: the cumulative DV must shrink to {2}
+    assert(TxLog.restore(t, 2L).contains(4L))
+    assert(rows(t).map(_._1) == Seq(1L, 3L, 4L, 5L, 6L))
+    // back to v1: the DV must clear entirely (add-resets-DV replay rule)
+    assert(TxLog.restore(t, 1L).contains(5L))
+    assert(rows(t).map(_._1) == (1L to 6L))
+    // forward again to v3: both deletes return
+    assert(TxLog.restore(t, 3L).contains(6L))
+    assert(rows(t).map(_._1) == Seq(1L, 3L, 5L, 6L))
+  }
+
+  test("restore rolls back schema evolution and CHECK constraints") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    TxLog.addConstraint(spark, t, "pos", "id > 0")
+    TxLog.append(spark, t,
+      Seq((2L, "b", 7.5)).toDF("id", "s", "score").coalesce(1),
+      mergeSchema = true)
+    assert(TxLog.schemaOf(t).get.fieldNames.contains("score"))
+    assert(TxLog.restore(t, 1L).contains(4L))
+    // declared schema narrowed back; the constraint added after v1 gone
+    assert(TxLog.schemaOf(t).get.fieldNames.toSeq == Seq("id", "s"))
+    assert(TxLog.constraintsOf(t).isEmpty)
+    assert(rows(t) == Seq((1L, "a")))
+    // a violating append that the dropped constraint would have blocked
+    // now lands (proves the constraint state really rolled back)
+    TxLog.append(spark, t, Seq((-5L, "neg")).toDF("id", "s").coalesce(1))
+    assert(rows(t).map(_._1).contains(-5L))
+  }
+
+  test("restore fails loudly when the target's files were vacuumed") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    TxLog.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    TxLog.overwrite(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    // age 0 under test quiescence: v1's file is unreferenced and purged
+    TxLog.vacuum(t, retainVersions = 1, minAgeMillis = 0L)
+    val e = intercept[IllegalArgumentException](TxLog.restore(t, 1L))
+    assert(e.getMessage.contains("vacuumed"))
+    // the latest snapshot is untouched by the failed restore
+    assert(rows(t) == Seq((3L, "c")))
+  }
+
+  test("restore serializes against racing appends (wholly before or after)") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val r = Future(TxLog.restore(t, 1L))
+      val a = Future(TxLog.append(spark, t,
+        Seq((9L, "z")).toDF("id", "s").coalesce(1)))
+      val (rv, av) = (Await.result(r, 60.seconds).get,
+        Await.result(a, 60.seconds))
+      assert(Set(rv, av) == Set(3L, 4L)) // serialized, no lost commit
+      val ids = rows(t).map(_._1)
+      // append before restore -> rolled back with v2; append after ->
+      // survives alongside v1's row. Either is a serial history.
+      assert(ids == Seq(1L) || ids == Seq(1L, 9L), s"got $ids")
+      if (av > rv) assert(ids == Seq(1L, 9L))
+    } finally pool.shutdown()
+  }
+
+  // -------------------------------------------------------- clone
+
+  test("clone forks snapshot state; the two logs evolve independently") {
+    import spark.implicits._
+    val src = tmp(); val dst = tmp()
+    TxLog.append(spark, src,
+      (1L to 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.addConstraint(spark, src, "pos", "id > 0")
+    TxLog.deleteWhereMerge(spark, src, col("id") === 2L) // live DV
+    TxLog.append(spark, src, Seq((7L, "late")).toDF("id", "s").coalesce(1))
+    // clone AT the DV version (v3): the late append must not cross
+    assert(TxLog.cloneTable(src, dst, asOf = Some(3L)) == 1L)
+    assert(rows(dst).map(_._1) == Seq(1L, 3L, 4L, 5L, 6L))
+    assert(TxLog.history(dst).head.operation == "CLONE")
+    // stats tokens crossed: metadata-only describe answers on the clone
+    assert(TxLog.describe(dst).isEmpty == TxLog.describe(src).isEmpty)
+    // constraints crossed: a violating append on the clone is refused
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, dst, Seq((-1L, "bad")).toDF("id", "s").coalesce(1))
+    }
+    // independence: writes on either side stay invisible to the other
+    TxLog.append(spark, dst, Seq((100L, "c")).toDF("id", "s").coalesce(1))
+    TxLog.deleteWhere(spark, src, col("id") === 5L)
+    assert(rows(src).map(_._1) == Seq(1L, 3L, 4L, 6L, 7L))
+    assert(rows(dst).map(_._1) == Seq(1L, 3L, 4L, 5L, 6L, 100L))
+    // a second clone into the same target is refused
+    intercept[IllegalArgumentException](TxLog.cloneTable(src, dst))
+  }
+
+  test("clone survives source vacuum (hard links, not path sharing)") {
+    import spark.implicits._
+    val src = tmp(); val dst = tmp()
+    TxLog.append(spark, src, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    TxLog.cloneTable(src, dst)
+    // rewrite src and purge its history under test quiescence: the v1
+    // data file is unlinked from SRC, but the clone holds its own link
+    TxLog.overwrite(spark, src, Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    TxLog.overwrite(spark, src, Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    val purged = TxLog.vacuum(src, retainVersions = 1, minAgeMillis = 0L)
+    assert(purged.nonEmpty)
+    assert(rows(dst) == Seq((1L, "a")))
+    assert(rows(src) == Seq((3L, "c")))
+  }
+
+  test("CREATE TABLE CLONE statement plans through the DML strategy") {
+    import spark.implicits._
+    val src = tmp(); val dst = tmp()
+    TxLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1))
+    TxLog.append(spark, src, Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    graft.sources.TxLogSqlDml.install(spark)
+    def run(sql: String) = org.apache.spark.sql.graft.GraftSqlBridge
+      .ofRows(spark, graft.sources.GraftSqlParser.maintenance(sql).get)
+    val r = run(s"CREATE TABLE '$dst' SHALLOW CLONE '$src' VERSION AS OF 1")
+    assert(r.head().getLong(0) == 1L)
+    assert(rows(dst) == Seq((1L, "a"), (2L, "b"))) // v1 only
+  }
+
+  // ------------------------------------------------------ SQL verbs
+
+  test("DESCRIBE HISTORY / RESTORE statements plan through the DML strategy") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), commitTs = Some(1000L))
+    TxLog.deleteWhere(spark, t, col("id") === 1L, commitTs = Some(2000L))
+    graft.sources.TxLogSqlDml.install(spark)
+    def run(sql: String) = org.apache.spark.sql.graft.GraftSqlBridge
+      .ofRows(spark, graft.sources.GraftSqlParser.maintenance(sql).get)
+    val h = run(s"DESCRIBE HISTORY '$t'")
+    assert(h.columns.toSeq.take(3) == Seq("version", "timestamp", "operation"))
+    assert(h.select("operation").as[String].collect().toSeq ==
+      Seq("WRITE", "DELETE"))
+    // timestamp-addressed SQL restore resolves v1 and commits v3
+    val r = run(s"RESTORE TABLE '$t' TO TIMESTAMP AS OF 1500").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(rows(t) == Seq((1L, "a"), (2L, "b")))
+    // version-addressed form, no-op case: committed_version is null
+    assert(run(s"RESTORE '$t' TO VERSION AS OF 3").head().isNullAt(1))
+    // unparseable / non-maintenance SQL is not claimed by the grammar
+    assert(graft.sources.GraftSqlParser.maintenance("SELECT 1").isEmpty)
+  }
+}
