@@ -181,6 +181,7 @@ object TxLog {
       case Action("commit", _, _, _) => () // commit timestamp, no file effect
       case Action("constraint", _, _, _)   => () // CHECK DDL, no file effect
       case Action("unconstraint", _, _, _) => () // CHECK drop, no file effect
+      case Action("bloom", _, _, _)  => () // bloom-index DDL, no file effect
       case Action(other, p, _, _) =>
         throw new IllegalStateException(s"unknown log action $other for $p")
     }
@@ -365,8 +366,13 @@ object TxLog {
     // temp view (the cross-session channel the public API provides)
     val gv = s"graft_txlog_stage_${UUID.randomUUID().toString.replace("-", "")}"
     df.createOrReplaceGlobalTempView(gv)
+    // declared bloom columns ride as per-write parquet options, so every
+    // staged file (append, overwrite, CoW rewrite, optimize) embeds them
+    val bloomOpts = bloomColsOf(table)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     try writerSession(spark).table(s"global_temp.$gv")
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+      .write.options(bloomOpts)
+      .mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
     finally df.sparkSession.catalog.dropGlobalTempView(gv)
     val conf = spark.sessionState.newHadoopConf()
     val parts = listDir(Paths.get(table, rel))
@@ -512,6 +518,44 @@ object TxLog {
                      commitTs: Option[Long] = None): Long = {
     safeField(name, "constraint name")
     val act = Seq(Action("unconstraint", name), tsAction(commitTs, "DROP CONSTRAINT"))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, act)) v = versions(table).last + 1
+    v
+  }
+
+  // ------------------------------------------------- bloom-index DDL
+
+  /** Columns whose data files carry parquet BLOOM FILTERS, latest
+    * declaration ≤ asOf wins (the schemaOf scan pattern). Empty for
+    * tables the DDL never touched. */
+  def bloomColsOf(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
+      readActions(table, v).reverseIterator.collectFirst {
+        case Action("bloom", cols, _, _) =>
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    }.nextOption().getOrElse(Seq.empty)
+  }
+
+  /** Declare the bloom-indexed column set (replaces any previous set;
+    * empty clears). Every LATER staged write — appends, overwrites, and
+    * all copy-on-write rewrites, since they share [[stage]] — embeds a
+    * parquet bloom filter per declared column, which (a) the reader's
+    * row-group filter uses once a file is scheduled, and (b)
+    * [[prune]]/[[readWhere]] use at PLANNING time to drop whole files
+    * from equality lookups that min/max stats cannot prune (unclustered
+    * high-cardinality keys span every file's range). Files written
+    * before the DDL simply carry no bloom and are never skipped by it —
+    * run OPTIMIZE to backfill, exactly the production-format posture
+    * (Delta bloom filter index, public docs). */
+  def setBloomColumns(table: String, cols: Seq[String],
+                      commitTs: Option[Long] = None): Long = {
+    cols.foreach(safeField(_, "bloom column"))
+    require(cols.forall(c => !c.contains(",") && c.nonEmpty),
+      "bloom column names must be non-empty and comma-free")
+    val act = Seq(Action("bloom", cols.mkString(",")),
+      tsAction(commitTs, "SET BLOOM"))
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, act)) v = versions(table).last + 1
     v
@@ -1654,7 +1698,35 @@ object TxLog {
         case None     => true
       }
     }
-    Pruned(kept, skipped)
+    // bloom step: equality conjuncts on declared bloom columns probe the
+    // STATS-SURVIVING files' embedded blooms (bounded driver metadata
+    // I/O, after range pruning already shrank the candidate set). Only a
+    // provable miss in every row group skips; anything else keeps.
+    val bloomCols = bloomColsOf(table, asOf)
+    val probes =
+      if (bloomCols.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+        def eqs(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[(String, Any)] = e match {
+          case And(l, r) => eqs(l) ++ eqs(r)
+          case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+            Seq(a.name -> l.value)
+          case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+            Seq(a.name -> l.value)
+          case _ => Seq.empty
+        }
+        eqs(pred).filter(p => bloomCols.contains(p._1))
+      }
+    if (probes.isEmpty) Pruned(kept, skipped)
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val (keptB, skippedB) = kept.partition { a =>
+        !probes.exists { case (c, v) => TxStats.bloomExcludes(conf,
+          Paths.get(table, a.path).toAbsolutePath.toString, c, v) }
+      }
+      Pruned(keptB, skipped ++ skippedB)
+    }
   }
 
   /** Stats-pruned snapshot read — the lakehouse data-skipping contract:

@@ -204,6 +204,58 @@ object TxStats {
     } finally reader.close()
   }.toOption
 
+  // ------------------------------------------------ bloom file probes
+
+  /** Does `file` PROVABLY lack `value` in `col`, per the parquet BLOOM
+    * FILTERS its writer embedded? True only when EVERY row group carries
+    * a bloom for the column, the value's type matches the column's
+    * parquet primitive exactly, and no bloom might contain it — any
+    * surprise (no bloom, type mismatch, I/O error) answers false, the
+    * keep-the-file direction, mirroring [[mayTrue]]'s conservatism.
+    * Metadata-plus-bloom I/O only (blooms are a few KB per row group);
+    * the complement of min/max skipping: an UNCLUSTERED high-cardinality
+    * point lookup defeats range stats (every file spans the domain) but
+    * a bloom answers it per file. Same construct as the Delta/parquet
+    * bloom filter index (public docs); false positives only ever KEEP a
+    * file. Spark's vectorized reader independently applies the same
+    * blooms at row-group level once the file IS scheduled — this probe
+    * removes the file from the plan entirely. */
+  def bloomExcludes(conf: Configuration, file: String, col: String,
+                    value: Any): Boolean = Try {
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      blocks.nonEmpty && blocks.forall { block =>
+        block.getColumns.asScala.find(cc =>
+          cc.getPath.size == 1 && cc.getPath.iterator().next() == col) match {
+          case None => false
+          case Some(cc) =>
+            val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+            if (bf == null) false
+            else {
+              val hash = (cc.getPrimitiveType.getPrimitiveTypeName, value) match {
+                case (PrimitiveTypeName.INT64, l: java.lang.Long) =>
+                  Some(bf.hash(l.longValue()))
+                case (PrimitiveTypeName.INT32, i: java.lang.Integer) =>
+                  Some(bf.hash(i.intValue()))
+                case (PrimitiveTypeName.DOUBLE, d: java.lang.Double) =>
+                  Some(bf.hash(d.doubleValue()))
+                case (PrimitiveTypeName.FLOAT, f: java.lang.Float) =>
+                  Some(bf.hash(f.floatValue()))
+                case (PrimitiveTypeName.BINARY, s: UTF8String) =>
+                  Some(bf.hash(Binary.fromConstantByteArray(s.getBytes)))
+                case (PrimitiveTypeName.BINARY, s: String) =>
+                  Some(bf.hash(Binary.fromString(s)))
+                case _ => None // type surprise: never exclude
+              }
+              hash.exists(h => !bf.findHash(h))
+            }
+        }
+      }
+    } finally reader.close()
+  }.getOrElse(false)
+
   // ------------------------------------------- comparison value domain
 
   /** Comparison key: exact decimal for every numeric-ish domain

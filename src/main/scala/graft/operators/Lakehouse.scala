@@ -1128,7 +1128,54 @@ object Lakehouse {
       .orderBy(col("phase"), col("o_orderpriority"))
   }
 
+  // ----------------------------- q293 TxLog bloom skipping (round 13)
+
+  /** q293 — bloom-filter file skipping, driver-verified: `SET BLOOM` DDL
+    * on o_orderkey, then the orders slice lands as TWO files split by
+    * KEY PARITY — their min/max ranges overlap almost entirely, so range
+    * stats keep both files for any interior point lookup; only the
+    * per-file parquet bloom can tell them apart. 16 deterministic
+    * interior keys (ranks 100-115 of the sorted key set — data-derived,
+    * so the oracle picks the identical keys) probe [[TxLog.prune]] +
+    * [[TxLog.readWhere]]: every probe returns its exactly-one row (no
+    * bloom false NEGATIVE is possible — misses only keep), files_total
+    * pins the snapshot, and bloom_effective aggregates "at least one
+    * probe skipped a file the stats kept" — per-probe skip counts are
+    * deliberately NOT emitted (a ~1% false positive keeps a file without
+    * breaking anything; determinism lives in the aggregate, the q20
+    * 0-row lesson applied to probabilistic structure). At 100 TB this is
+    * the unclustered-point-lookup story: range stats are blind when
+    * every file spans the key domain; blooms cut the scheduled file set
+    * before the scan exists. */
+  def q293TxLogBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q293")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.etl.TxLog.setBloomColumns(table, Seq("o_orderkey"),
+      commitTs = Some(900L))
+    graft.etl.TxLog.append(s, table,
+      orders.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+      commitTs = Some(1000L))
+    graft.etl.TxLog.append(s, table,
+      orders.filter(col("o_orderkey") % 2 === 1).coalesce(1),
+      commitTs = Some(2000L))
+    val keys = orders.orderBy(col("o_orderkey")).limit(116)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).drop(100)
+    val probes = keys.map { k =>
+      val pr = graft.etl.TxLog.prune(s, table, col("o_orderkey") === k)
+      val n = graft.etl.TxLog.readWhere(s, table, col("o_orderkey") === k)
+        .count()
+      (k, n, (pr.kept.size + pr.skipped.size).toLong, pr.kept.size.toLong)
+    }.toSeq
+    val bloomEffective = probes.map(_._4).sum < probes.map(_._3).sum
+    probes.map(p => (p._1, p._2, p._3, bloomEffective))
+      .toDF("o_orderkey", "n_rows", "files_total", "bloom_effective")
+      .orderBy(col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_txlog_bloom" -> (q293TxLogBloom _),
     "q291_txlog_clone" -> (q291TxLogClone _),
     "q290_txlog_restore_sql" -> (q290TxLogRestoreSql _),
     "q289_txlog_history" -> (q289TxLogHistory _),
@@ -1161,6 +1208,20 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // keys = ranks 100-115 of the sorted key set (same derivation both
+    // sides); n_rows = exact per-key count; bloom_effective TRUE is the
+    // aggregate skipping pin (per-probe counts stay unemitted — bloom
+    // false positives may keep a file, never drop one)
+    "q293_txlog_bloom" ->
+      """WITH k AS (
+        |  SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        |  LIMIT 16 OFFSET 100)
+        |SELECT k.o_orderkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE o.o_orderkey = k.o_orderkey) AS n_rows,
+        |  CAST(2 AS BIGINT) AS files_total,
+        |  CAST(TRUE AS BOOLEAN) AS bloom_effective
+        |FROM k ORDER BY o_orderkey""".stripMargin,
     // src = rollup minus URGENT (DV) minus LOW (post-clone CoW delete);
     // clone = rollup minus URGENT plus its own appended row. Version
     // counts: src 3 (append, DV delete, CoW delete), clone 2 (clone,

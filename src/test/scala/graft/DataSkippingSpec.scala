@@ -349,4 +349,104 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores.count(_.min.isEmpty) == 1) // the all-null file
     assert(scores.count(_.nulls == 100L) == 1)
   }
+
+  // ------------------------------------------- bloom file skipping
+
+  /** Two single-file appends with INTERLEAVED ids (even/odd) — byte-for-
+    * byte overlapping min/max ranges, so range stats can never separate
+    * them; only the per-file bloom can. */
+  private def interleavedBloomTable(): String = {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.setBloomColumns(t, Seq("id", "lang"))
+    Seq(0, 1).foreach { par =>
+      val df = (0 until 500).map { i =>
+        ((2 * i + par).toLong, s"l${2 * i + par}")
+      }.toDF("id", "lang").coalesce(1)
+      TxLog.append(spark, t, df)
+    }
+    t
+  }
+
+  test("bloom DDL: equality lookups prune files range stats cannot") {
+    val t = interleavedBloomTable()
+    // ranges fully overlap: stats alone keep both files for any id probe
+    // in range; the bloom separates parity. A few probes may keep both
+    // on a false positive (~1%), but across 40 probes pruning must fire
+    // and content must stay exact for every one.
+    var pruned = 0
+    (0 until 40).foreach { k =>
+      val id = (7 * k + 13) % 1000
+      val pr = TxLog.prune(spark, t, col("id") === id.toLong)
+      assert(pr.kept.size + pr.skipped.size == 2)
+      assert(pr.kept.nonEmpty) // a true hit is never bloomed away
+      if (pr.skipped.size == 1) pruned += 1
+      val got = TxLog.readWhere(spark, t, col("id") === id.toLong)
+        .select(col("lang")).collect().map(_.getString(0)).toSeq
+      assert(got == Seq(s"l$id"))
+    }
+    assert(pruned >= 30, s"bloom pruned only $pruned of 40 point lookups")
+    // string column blooms prune the same way (exactness + firing rate)
+    var prunedS = 0
+    (0 until 20).foreach { k =>
+      val id = (11 * k + 3) % 1000
+      val pr = TxLog.prune(spark, t, col("lang") === s"l$id")
+      if (pr.skipped.size == 1) prunedS += 1
+      val got = TxLog.readWhere(spark, t, col("lang") === s"l$id")
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(id.toLong))
+    }
+    assert(prunedS >= 15, s"string bloom pruned only $prunedS of 20")
+    // a probe for an ABSENT value usually skips both files entirely
+    val prAbsent = TxLog.prune(spark, t, col("id") === 99999L)
+    assert(prAbsent.kept.size <= 2)
+    assert(TxLog.readWhere(spark, t, col("id") === 99999L).count() == 0)
+  }
+
+  test("bloom conservatism: undeclared columns, pre-DDL files, non-equality") {
+    import spark.implicits._
+    val t = tmp()
+    // file written BEFORE the DDL carries no bloom → never bloom-skipped
+    TxLog.append(spark, t,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "lang").coalesce(1))
+    TxLog.setBloomColumns(t, Seq("id"))
+    TxLog.append(spark, t,
+      (100 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "lang").coalesce(1))
+    // probe a value only in the pre-DDL file: range stats separate these
+    // (disjoint ids), so force the bloom question with an out-of-range
+    // equality on the bloomless file — it must be KEPT by bloom logic
+    // (range stats already skip it; emulate via direct probe)
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = TxLog.snapshotAdds(t)
+    val pre = adds.head.path; val post = adds.last.path
+    def abs(p: String) = java.nio.file.Paths.get(t, p).toAbsolutePath.toString
+    // bloomless file: never "excludes", even for absent values
+    assert(!graft.etl.TxStats.bloomExcludes(conf, abs(pre), "id",
+      java.lang.Long.valueOf(9999L)))
+    // bloomed file: excludes absent, keeps present
+    assert(graft.etl.TxStats.bloomExcludes(conf, abs(post), "id",
+      java.lang.Long.valueOf(9999L)))
+    assert(!graft.etl.TxStats.bloomExcludes(conf, abs(post), "id",
+      java.lang.Long.valueOf(150L)))
+    // undeclared column on the bloomed file: no bloom → never excludes
+    assert(!graft.etl.TxStats.bloomExcludes(conf, abs(post), "lang",
+      org.apache.spark.unsafe.types.UTF8String.fromString("zzz")))
+    // type mismatch never excludes (int probe against INT64 column)
+    assert(!graft.etl.TxStats.bloomExcludes(conf, abs(post), "id",
+      java.lang.Integer.valueOf(9999)))
+    // non-equality predicates take the stats path only (exactness pinned)
+    val got = TxLog.readWhere(spark, t, col("id") >= 50L && col("id") < 150L)
+      .count()
+    assert(got == 100L)
+    // rewrites PRESERVE blooms: optimize compacts, new file still answers
+    TxLog.optimize(spark, t, targetFiles = 1)
+    val one = TxLog.snapshotAdds(t).head.path
+    assert(graft.etl.TxStats.bloomExcludes(conf, abs(one), "id",
+      java.lang.Long.valueOf(9999L)))
+    assert(!graft.etl.TxStats.bloomExcludes(conf, abs(one), "id",
+      java.lang.Long.valueOf(42L)))
+    // DDL is visible in history and survives as table metadata
+    assert(TxLog.history(t).map(_.operation).contains("SET BLOOM"))
+    assert(TxLog.bloomColsOf(t) == Seq("id"))
+  }
 }
