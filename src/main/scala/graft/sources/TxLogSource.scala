@@ -133,7 +133,11 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     // re-plans — honor both, scan options winning when present
     val asOf = TxLogSource.asOfOf(path, options).orElse(tableAsOf)
     val skipChanges = options.getBoolean("skipChangeCommits", false)
-    () => new TxLogV1Scan(path, schema(), asOf, skipChanges)
+    // streaming-only: first version whose changes are DELIVERED
+    // ("latest" = only commits after stream start), the Delta-source
+    // option by the same name; absent = full backlog from version 1
+    val startingV = Option(options.get("startingVersion")).map(_.trim)
+    () => new TxLogV1Scan(path, schema(), asOf, skipChanges, startingV)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -154,7 +158,8 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
   * offset range is deterministic (version files are immutable). */
 private[sources] class TxLogV1Scan(path: String, declared: StructType,
                                    asOf: Option[Long] = None,
-                                   skipChangeCommits: Boolean = false)
+                                   skipChangeCommits: Boolean = false,
+                                   startingVersion: Option[String] = None)
     extends V1Scan {
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -165,7 +170,21 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
     require(asOf.isEmpty,
       "versionAsOf / timestampAsOf do not apply to a stream (a stream " +
         "tails the live log); use batch read for historical snapshots")
-    new TxLogMicroBatchStream(path, declared, skipChangeCommits)
+    // resolve startingVersion AT STREAM BUILD: "latest" pins to the head
+    // version as of start, a number v delivers changes from v inclusive.
+    // Offsets are version numbers, so "deliver from v" = initial offset
+    // v-1; Spark's checkpoint overrides initialOffset on restart, which
+    // is exactly the Delta-source contract (the option only applies to a
+    // FRESH checkpoint).
+    val init = startingVersion.map {
+      case s if s.equalsIgnoreCase("latest") =>
+        TxLog.versions(path).lastOption.getOrElse(0L)
+      case s =>
+        val v = s.toLong
+        require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $v")
+        v - 1
+    }.getOrElse(0L)
+    new TxLogMicroBatchStream(path, declared, skipChangeCommits, init)
   }
 }
 
@@ -188,14 +207,16 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
   * contract: silent re-delivery of rewritten survivor rows double-counts
   * downstream, so the consumer must opt in to skipping. */
 private[sources] class TxLogMicroBatchStream(path: String, declared: StructType,
-                                             skipChangeCommits: Boolean = false)
+                                             skipChangeCommits: Boolean = false,
+                                             initOffset: Long = 0L)
     extends streaming.MicroBatchStream {
 
   private case class VOffset(v: Long) extends streaming.Offset {
     override def json(): String = v.toString
   }
 
-  override def initialOffset(): streaming.Offset = VOffset(0L) // full backlog
+  override def initialOffset(): streaming.Offset =
+    VOffset(initOffset) // 0 = full backlog; startingVersion shifts it
   override def latestOffset(): streaming.Offset =
     VOffset(TxLog.versions(path).lastOption.getOrElse(0L))
   override def deserializeOffset(json: String): streaming.Offset =

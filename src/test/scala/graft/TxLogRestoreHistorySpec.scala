@@ -243,6 +243,39 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(dst) == Seq((1L, "a"), (2L, "b"))) // v1 only
   }
 
+  // ------------------------------------------- startingVersion stream
+
+  test("startingVersion: the stream tail starts where the consumer asks") {
+    import spark.implicits._
+    val t = tmp()
+    (1 to 4).foreach(i => TxLog.append(spark, t,
+      Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1)))
+    def drain(opts: Map[String, String]): Seq[Long] = {
+      val ckpt = Files.createTempDirectory("graft-sv-ckpt").toString
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      var r = spark.readStream.format("graft.sources.TxLogSource")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(t).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("id")).collect().foreach(x => buf.add(x.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      buf.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq.sorted
+    }
+    // absent = full backlog; v3 = changes from version 3 inclusive
+    assert(drain(Map.empty) == Seq(1L, 2L, 3L, 4L))
+    assert(drain(Map("startingVersion" -> "3")) == Seq(3L, 4L))
+    // "latest" at start of stream: nothing until NEW commits land
+    assert(drain(Map("startingVersion" -> "latest")) == Seq.empty)
+    TxLog.append(spark, t, Seq((9L, "new")).toDF("id", "s").coalesce(1))
+    assert(drain(Map("startingVersion" -> "5")) == Seq(9L))
+    // invalid values fail loudly at stream build
+    intercept[Exception](drain(Map("startingVersion" -> "0")))
+  }
+
   // ------------------------------------------------------ SQL verbs
 
   test("DESCRIBE HISTORY / RESTORE statements plan through the DML strategy") {
