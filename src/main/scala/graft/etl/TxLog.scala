@@ -7,7 +7,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, pmod, shiftleft}
 
 /** Minimal ACID table format over plain parquet: an ordered commit log of
   * immutable version files, each an atomic unit of add/remove file
@@ -1288,10 +1288,33 @@ object TxLog {
     * compose: add a q76-style interleaved-bit z-value column at append
     * time and sortBy it.) Rows are only reordered, never changed, so
     * snapshot content is identical either way. */
+  /** Morton spread: interleave zeros between the low 16 bits (standard
+    * magic-number bit spread, public-domain bit-twiddling — the same
+    * construction as the Lakehouse q76 layout key). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-way Morton key over the low 16 bits of two numeric columns. */
+  private def zKey(cols: Seq[String]): Column =
+    spread16(pmod(col(cols.head).cast("long"), lit(65536L)))
+      .bitwiseOR(shiftleft(
+        spread16(pmod(col(cols(1)).cast("long"), lit(65536L))), 1))
+
   def optimize(spark: SparkSession, table: String,
                targetFiles: Int = 1,
                sortBy: Seq[String] = Nil,
-               commitTs: Option[Long] = None): Option[Long] = {
+               commitTs: Option[Long] = None,
+               zorderBy: Seq[String] = Nil): Option[Long] = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "OPTIMIZE takes CLUSTER BY or ZORDER BY, not both")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      "ZORDER BY interleaves exactly two numeric columns (the Morton " +
+        "spread is 2-way; N-way needs a different bit stride)")
     while (true) {
       val (adds0, dv0) = replayState(table, None)
       val read0 = adds0.map(_.path)
@@ -1305,7 +1328,20 @@ object TxLog {
       val base = applyDvs(spark, table,
         boundRead(spark, table, read0.map(p => s"$table/$p"), None), dv0)
       val compact =
-        if (sortBy.isEmpty) base.coalesce(targetFiles)
+        if (zorderBy.nonEmpty) {
+          // 2-way Morton interleave of the low 16 bits of each key
+          // (the q76 layout, applied as a compaction): range-partition
+          // + in-partition sort on the z-value, then DROP it — the
+          // schema is unchanged, but each output file now covers a
+          // compact rectangle in (a, b) space, so footer min/max prune
+          // on EITHER column. At 100 TB the range exchange samples
+          // boundaries; no global sort materializes.
+          base.withColumn("_graft_z", zKey(zorderBy))
+            .repartitionByRange(targetFiles, col("_graft_z"))
+            .sortWithinPartitions(col("_graft_z"))
+            .drop("_graft_z")
+        }
+        else if (sortBy.isEmpty) base.coalesce(targetFiles)
         else base
           .repartitionByRange(targetFiles,
             sortBy.map(org.apache.spark.sql.functions.col): _*)

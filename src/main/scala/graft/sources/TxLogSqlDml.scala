@@ -157,11 +157,11 @@ object TxLogDmlStrategy extends SparkStrategy {
 
     // SQL maintenance verbs from GraftSqlParser — same exec node, same
     // driver-side protocol calls
-    case OptimizeTxLogTable(ident, files, cluster) =>
+    case OptimizeTxLogTable(ident, files, cluster, zorder) =>
       TxLogDmlExec("OPTIMIZE", ident, spark => {
         graft.etl.TxLog.optimize(spark,
           GraftSqlParser.resolvePath(spark, ident),
-          targetFiles = files, sortBy = cluster); ()
+          targetFiles = files, sortBy = cluster, zorderBy = zorder); ()
       }) :: Nil
 
     case VacuumTxLogTable(ident, retain) =>

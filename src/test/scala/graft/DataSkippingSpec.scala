@@ -350,6 +350,50 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores.count(_.nulls == 100L) == 1)
   }
 
+  test("OPTIMIZE ZORDER BY prunes on BOTH keys; content and schema unchanged") {
+    import spark.implicits._
+    val t = tmp()
+    // 4 appends in (a, b)-hostile order: every file spans both domains
+    val rnd = new scala.util.Random(11)
+    (0 until 4).foreach { _ =>
+      val df = (0 until 250).map { _ =>
+        (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, rnd.nextLong())
+      }.toDF("a", "b", "payload").coalesce(1)
+      TxLog.append(spark, t, df)
+    }
+    val before = TxLog.read(spark, t).select(col("payload"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def skippedFor(c: Column): Int = TxLog.prune(spark, t, c).skipped.size
+    // pre-optimize: random layout, nothing prunes on either key
+    assert(skippedFor(col("a") < 64L) == 0)
+    assert(skippedFor(col("b") < 64L) == 0)
+    TxLog.optimize(spark, t, targetFiles = 8, zorderBy = Seq("a", "b"))
+    assert(TxLog.snapshot(t).size == 8)
+    // post-optimize: the Morton layout makes corner probes prune on BOTH
+    assert(skippedFor(col("a") < 64L) >= 2, "zorder should prune on a")
+    assert(skippedFor(col("b") < 64L) >= 2, "zorder should prune on b")
+    // rows only rearranged; schema free of the internal z column
+    val after = TxLog.read(spark, t).select(col("payload"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("a", "b", "payload"))
+    // the SQL verb drives the same path
+    graft.sources.TxLogSqlDml.install(spark)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      graft.sources.GraftSqlParser.maintenance(
+        s"OPTIMIZE '$t' INTO 4 FILES ZORDER BY (a, b)").get).collect()
+    assert(TxLog.snapshot(t).size == 4)
+    assert(TxLog.read(spark, t).select(col("payload"))
+      .collect().map(_.getLong(0)).sorted.toSeq == before)
+    // CLUSTER BY and ZORDER BY are mutually exclusive; 2 columns exactly
+    intercept[IllegalArgumentException] {
+      TxLog.optimize(spark, t, sortBy = Seq("a"), zorderBy = Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.optimize(spark, t, zorderBy = Seq("a"))
+    }
+  }
+
   // ------------------------------------------- bloom file skipping
 
   /** Two single-file appends with INTERLEAVED ids (even/odd) — byte-for-
