@@ -1174,7 +1174,95 @@ object Lakehouse {
       .orderBy(col("o_orderkey"))
   }
 
+  // ------------------------------ q294 TxLog OPTIMIZE ZORDER (round 13)
+
+  /** q294 — multi-dimensional clustering under the oracle: four appends
+    * land the orders slice with SYNTHETIC bounded keys a = orderkey mod
+    * 1000, b = custkey mod 1000 in z-hostile order (every file spans
+    * both domains, so nothing prunes), then ONE statement — `OPTIMIZE …
+    * INTO 8 FILES ZORDER BY (a, b)` — rewrites the layout. Three probes
+    * (corner stripe on a, corner stripe on b, and a point rectangle)
+    * emit their exact row counts (the oracle recomputes each from raw
+    * orders — content invariance through the rewrite) plus a
+    * pruned_files BOOLEAN per probe: after Morton clustering EVERY probe
+    * must skip at least one of the 8 files on min/max stats alone — the
+    * both-dimensions guarantee one-column sorting cannot give. Exact
+    * skip counts stay unemitted (range-partition boundaries are
+    * quantile-sampled; determinism lives in the boolean, the q293
+    * discipline). */
+  def q294TxLogZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q294")
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      pmod(col("o_orderkey"), lit(1000L)).as("a"),
+      pmod(col("o_custkey"), lit(1000L)).as("b"))
+    (0 until 4).foreach { p =>
+      graft.etl.TxLog.append(s, table,
+        base.filter(pmod(col("o_orderkey"), lit(4L)) === p).coalesce(1),
+        commitTs = Some(1000L * (p + 1)))
+    }
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"OPTIMIZE '$table' INTO 8 FILES ZORDER BY (a, b)").get).collect()
+    val probes = Seq(
+      ("a_stripe", col("a") < 125L),
+      ("b_stripe", col("b") < 125L),
+      ("corner", col("a") < 250L && col("b") < 250L))
+    probes.map { case (name, cond) =>
+      val pr = graft.etl.TxLog.prune(s, table, cond)
+      val n = graft.etl.TxLog.readWhere(s, table, cond).count()
+      (name, n, (pr.kept.size + pr.skipped.size).toLong, pr.skipped.nonEmpty)
+    }.toDF("probe", "n_rows", "files_total", "pruned_files")
+      .orderBy(col("probe"))
+  }
+
+  // ----------------------- q295 TxLog stream startingVersion (round 13)
+
+  /** q295 — the mid-log CDC consumer, driver-verified: the q275 fixture
+    * (three commits, key%3 slices of the order rollup) but the stream
+    * starts with `.option("startingVersion", 2)` — the tail must deliver
+    * versions 2 and 3 ONLY, never slice 0. The emitted rollup folds
+    * exactly the delivered rows; the oracle recomputes slices 1-2 from
+    * raw orders, so the hash check pins both the inclusive-start rule
+    * and that the skipped backlog stays skipped. n_slices = 2 pins no
+    * over- or under-delivery. */
+  def q295TxLogStreamFrom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tempTable("graft-q295")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q295-ckpt")
+    val orders = Tables.orders(s, dir)
+    (0 until 3).foreach { p =>
+      graft.etl.TxLog.append(s, table, orders
+        .filter(col("o_orderkey") % 3 === p)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("slice", lit(p.toLong)))
+    }
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val stream = s.readStream.format("graft.sources.TxLogSource")
+      .option("startingVersion", "2").load(table)
+    val rollupSchema = stream.schema
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    deleteRec(ckpt)
+    s.createDataFrame(new java.util.ArrayList(got), rollupSchema)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        count_distinct(col("slice")).as("n_slices"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_txlog_stream_from" -> (q295TxLogStreamFrom _),
+    "q294_txlog_zorder" -> (q294TxLogZorder _),
     "q293_txlog_bloom" -> (q293TxLogBloom _),
     "q291_txlog_clone" -> (q291TxLogClone _),
     "q290_txlog_restore_sql" -> (q290TxLogRestoreSql _),
@@ -1208,6 +1296,38 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // probe row counts recomputed from raw orders through the same
+    // synthetic key derivation; pruned_files TRUE per probe is the
+    // both-dimensions clustering pin (exact skip counts unemitted —
+    // range boundaries are quantile-sampled)
+    "q294_txlog_zorder" ->
+      """WITH k AS (
+        |  SELECT o_orderkey % 1000 AS a, o_custkey % 1000 AS b
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'a_stripe' AS probe,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM k WHERE a < 125)
+        |      AS n_rows,
+        |    CAST(8 AS BIGINT) AS files_total,
+        |    CAST(TRUE AS BOOLEAN) AS pruned_files
+        |  UNION ALL
+        |  SELECT 'b_stripe',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM k WHERE b < 125),
+        |    CAST(8 AS BIGINT), TRUE
+        |  UNION ALL
+        |  SELECT 'corner',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM k
+        |       WHERE a < 250 AND b < 250),
+        |    CAST(8 AS BIGINT), TRUE)
+        |ORDER BY probe""".stripMargin,
+    // startingVersion=2 delivers versions 2..3 only: slices 1 and 2
+    "q295_txlog_stream_from" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(2 AS BIGINT) AS n_slices
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // keys = ranks 100-115 of the sorted key set (same derivation both
     // sides); n_rows = exact per-key count; bloom_effective TRUE is the
     // aggregate skipping pin (per-probe counts stay unemitted — bloom

@@ -142,7 +142,14 @@ object ScaleRehearsal {
     // scan argmax; q49-closure + integer weight fold; and the erasure
     // pipeline (protocol query, but its coalesce(1) fixture writes are
     // data-sized — rehearsed to keep that cost honest on the record)
-    "q283_semantic_contam", "q284_dup_weights", "q285_txlog_erasure")
+    "q283_semantic_contam", "q284_dup_weights", "q285_txlog_erasure",
+    // round-13 continuation: Misra–Gries two-pass heavy hitters (token
+    // scan + bounded summary merge + candidate-restricted recount), and
+    // the bloom-skipping query whose fixture appends are data-sized
+    // (the probes themselves are per-file metadata). q289-q291 are
+    // commit-log protocol queries on bounded rollup tables — excluded
+    // by the q249-class rule.
+    "q292_heavy_hitters", "q293_txlog_bloom")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
