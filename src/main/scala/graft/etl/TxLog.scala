@@ -523,6 +523,32 @@ object TxLog {
     v
   }
 
+  /** ALTER TABLE … ADD COLUMNS as a metadata-only commit: widen the
+    * declared schema (new columns nullable — existing files lack them,
+    * so reads must surface null). No data file is touched at any table
+    * size; the write-side twin is `append(mergeSchema = true)`, which
+    * widens implicitly on first use. CAS loop re-reads the declaration
+    * at the claim target, so racing DDL/writes serialize. */
+  def addColumns(table: String, cols: org.apache.spark.sql.types.StructType,
+                 commitTs: Option[Long] = None): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val declared = schemaOf(table, Some(base)).getOrElse(
+        throw new IllegalStateException(
+          s"$table has no declared schema to evolve"))
+      val clash = cols.fieldNames.filter(declared.fieldNames.contains(_))
+      require(clash.isEmpty,
+        s"ADD COLUMNS: already declared: ${clash.mkString(", ")}")
+      val widened = org.apache.spark.sql.types.StructType(
+        declared.fields ++ cols.fields.map(_.copy(nullable = true)))
+      val act = Seq(schemaAction(widened), tsAction(commitTs, "ADD COLUMNS"))
+      if (tryCommit(table, base + 1, act)) committed = base + 1
+    }
+    committed
+  }
+
   // ------------------------------------------------- bloom-index DDL
 
   /** Columns whose data files carry parquet BLOOM FILTERS, latest

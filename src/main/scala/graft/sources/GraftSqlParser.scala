@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   RESTORE [TABLE] t TO VERSION AS OF n
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF millis
   *   CREATE TABLE '<path>' [SHALLOW] CLONE t [VERSION AS OF n]
+  *   ALTER TABLE '<path>' ADD COLUMNS (name TYPE, ...)
   * }}}
+  *
+  * ALTER TABLE accepts the QUOTED-PATH form only — an unquoted name
+  * must keep flowing to Spark's own ALTER grammar for catalog tables
+  * (this parser cannot know at parse time whether a name is TxLog).
   *
   * (t = a session-catalog table created USING TxLogSource, or a quoted
   * table-root path) and hands EVERYTHING else to Spark's own parser
@@ -68,6 +73,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val AddColumnsRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ADD\s+COLUMNS?\s*\(([^)]*)\)\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+')\s+(?:SHALLOW\s+)?CLONE\s+('[^']+'|[\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
@@ -90,6 +97,8 @@ object GraftSqlParser {
         Some(RestoreTxLogTable(ident, Some(v.toLong), None))
       case RestoreTimestampRe(ident, ts) =>
         Some(RestoreTxLogTable(ident, None, Some(ts.toLong)))
+      case AddColumnsRe(ident, colsDdl) =>
+        Some(AlterTxLogAddColumns(ident, colsDdl.trim))
       case CloneRe(dst, src, v) =>
         Some(CloneTxLogTable(dst, src, Option(v).map(_.toLong)))
       case _ => None
@@ -167,4 +176,12 @@ case class CloneTxLogTable(dst: String, src: String, version: Option[Long])
     extends LeafNode with Command {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("cloned_version", LongType, nullable = false)())
+}
+
+/** `ALTER TABLE '<path>' ADD COLUMNS (…)` as a resolved leaf command:
+  * quoted-path targets only (see class scaladoc); the column list stays
+  * raw DDL text, parsed by StructType.fromDDL at execution. */
+case class AlterTxLogAddColumns(ident: String, colsDdl: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
 }

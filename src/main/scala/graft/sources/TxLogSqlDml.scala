@@ -171,6 +171,12 @@ object TxLogDmlStrategy extends SparkStrategy {
           retainVersions = retain); ()
       }) :: Nil
 
+    case a: AlterTxLogAddColumns =>
+      TxLogDmlExec("ALTER", a.ident, spark => {
+        TxLog.addColumns(GraftSqlParser.resolvePath(spark, a.ident),
+          org.apache.spark.sql.types.StructType.fromDDL(a.colsDdl)); ()
+      }) :: Nil
+
     case h: DescribeTxLogHistory =>
       TxLogMetaExec(h.output, "DESCRIBE HISTORY", h.ident, spark =>
         TxLog.history(GraftSqlParser.resolvePath(spark, h.ident)).map { c =>

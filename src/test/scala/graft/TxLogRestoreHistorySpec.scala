@@ -243,6 +243,39 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(dst) == Seq((1L, "a"), (2L, "b"))) // v1 only
   }
 
+  // --------------------------------------------- ALTER ADD COLUMNS
+
+  test("ALTER TABLE ADD COLUMNS widens metadata only; reads/writes follow") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    graft.sources.TxLogSqlDml.install(spark)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      graft.sources.GraftSqlParser.maintenance(
+        s"ALTER TABLE '$t' ADD COLUMNS (score DOUBLE, tag STRING)").get)
+      .collect()
+    // metadata-only: still one data file, two versions, op tagged
+    assert(TxLog.snapshot(t).size == 1)
+    assert(TxLog.history(t).last.operation == "ADD COLUMNS")
+    assert(TxLog.schemaOf(t).get.fieldNames.toSeq ==
+      Seq("id", "s", "score", "tag"))
+    // old rows surface null in the new columns
+    val r = TxLog.read(spark, t).select(col("id"), col("score"), col("tag"))
+      .head()
+    assert(r.getLong(0) == 1L && r.isNullAt(1) && r.isNullAt(2))
+    // a write carrying the new columns now lands WITHOUT mergeSchema
+    TxLog.append(spark, t,
+      Seq((2L, "b", 0.5, "x")).toDF("id", "s", "score", "tag").coalesce(1))
+    assert(TxLog.read(spark, t).count() == 2)
+    // duplicate / empty declarations fail loudly
+    intercept[IllegalArgumentException] {
+      TxLog.addColumns(t, org.apache.spark.sql.types.StructType.fromDDL("id INT"))
+    }
+    // unquoted names are NOT claimed: stock ALTER grammar keeps flowing
+    assert(graft.sources.GraftSqlParser.maintenance(
+      "ALTER TABLE sometable ADD COLUMNS (x INT)").isEmpty)
+  }
+
   // ------------------------------------------- startingVersion stream
 
   test("startingVersion: the stream tail starts where the consumer asks") {
