@@ -642,7 +642,72 @@ object Mining {
       .orderBy(col("n_occ").desc, col("token"))
   }
 
+  // --------------------------- q296 streaming heavy hitters (round 13)
+
+  /** Layout-aware documents stream (the EventsStream.readStream pattern:
+    * driver testdata is a single FILE, the scale rehearsal a DIRECTORY). */
+  private def docsReadStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+      s.readStream.schema(schema).parquet(s"$dir/documents.parquet")
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** q296 — the STREAMING twin of [[heavyHitters]], same answer, same
+    * oracle: each micro-batch reduces to its own bounded MG summary
+    * ([[mgCandidates]] — ≤ k × partitions rows, collected), which merges
+    * into a k-counter DRIVER state by the mergeable-summaries rule (sum
+    * counters, subtract the (k+1)-th largest, drop non-positive —
+    * Agarwal et al., PODS 2012): repeated pairwise merging preserves the
+    * n/(k+1) total undercount, so after the drain the state is a
+    * candidate superset of every > n/k token and one exact recount
+    * finishes the job. State is O(k) REGARDLESS of stream length or
+    * vocabulary — the bounded-state story per-key streaming counts can't
+    * give at 100 TB. The hash gate pins streaming ≡ batch ≡ brute-force
+    * oracle, through the engine's micro-batch replay machinery. */
+  def streamHeavyHitters(s: SparkSession, dir: String,
+                         k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val state = scala.collection.mutable.HashMap[String, Long]()
+    var total = 0L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q296-ckpt")
+    val toksStream = docsReadStream(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    toksStream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.persist()
+        try {
+          total += batch.count()
+          mgCandidates(batch, k).collect().foreach { r =>
+            val t = r.getString(0)
+            state(t) = state.getOrElse(t, 0L) + r.getLong(1)
+          }
+          if (state.size > k) { // (k+1)-th largest is the merge cut
+            val cut = state.values.toSeq.sorted(Ordering[Long].reverse)(k)
+            val kept = state.collect {
+              case (t, c) if c - cut > 0 => t -> (c - cut)
+            }
+            state.clear(); state ++= kept
+          }
+        } finally { batch.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val cands = state.keys.toSeq.toDF("token")
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * lit(k) > lit(total))
+      .orderBy(col("n_occ").desc, col("token"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_stream_heavy_hitters" -> (streamHeavyHitters(_, _)),
     "q292_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q244_assoc_rules" -> ((s, d) => assocRules(s, Tables.lineitem(s, d))),
     "q228_good_turing" -> ((s, d) => goodTuring(s, Tables.documents(s, d))),
@@ -665,6 +730,15 @@ object Mining {
     * recursive-CTE closure → survivor join); q72 recomputes the int8
     * quantization and both ranking stages from first principles. */
   def oracles: Map[String, String] = Map(
+    // the streaming path must land on the identical exact answer
+    "q296_stream_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM t GROUP BY token
+        |HAVING count(*) * 200 > (SELECT count(*) FROM t)
+        |ORDER BY n_occ DESC, token""".stripMargin,
     // brute-force twin of the two-pass MG plan: exact by construction
     "q292_heavy_hitters" ->
       """WITH t AS (
