@@ -281,6 +281,30 @@ object TxLog {
         col("numAdds"), col("numRemoves"), col("numDvs"), col("dataChange"))
   }
 
+  /** Table-level profile — the DESCRIBE DETAIL unit. `numRows` is the
+    * commit-log stats fold net of live deletion vectors (None when any
+    * live file lacks a stats token — partial knowledge refused, the
+    * [[describe]] contract); everything else is pure log state. */
+  final case class Detail(numVersions: Long, numFiles: Long,
+                          numRows: Option[Long], numDeletedRows: Long,
+                          numConstraints: Int, bloomCols: Seq[String])
+
+  /** DESCRIBE DETAIL: one profile row from driver-side log replay only —
+    * no data file opens at any table size. */
+  def detail(table: String, asOf: Option[Long] = None): Detail = {
+    val (adds, dvs) = replayState(table, asOf)
+    val deleted = dvs.values.map(_._2).sum
+    val statRows = adds.map(_.stats.flatMap(TxStats.decode).map(_.rows))
+    val rows =
+      if (statRows.exists(_.isEmpty)) None
+      else Some(statRows.map(_.get).sum - deleted)
+    Detail(
+      versions(table).count(v => asOf.forall(v <= _)),
+      adds.size, rows, deleted,
+      constraintsOf(table, asOf).size,
+      bloomColsOf(table, asOf))
+  }
+
   /** Resolve `AS OF TIMESTAMP`: the newest version whose commit
     * timestamp is <= `ts`. Clock skew between writers can record a
     * commit with a SMALLER timestamp than its predecessor; resolution

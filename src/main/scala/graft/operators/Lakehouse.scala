@@ -1260,7 +1260,39 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ----------------------------- q297 TxLog DESCRIBE DETAIL (round 13)
+
+  /** q297 — the table-level audit row, driver-verified: two parity
+    * rollup files, a CHECK constraint, a bloom DDL, and a merge-on-read
+    * DELETE, then ONE statement — `DESCRIBE DETAIL` — whose single row
+    * must report the exact version/file/constraint/bloom state AND the
+    * live row count as stats-fold-minus-DV (never opening a data file).
+    * The oracle recomputes numRows/numDeletedRows from raw orders, so
+    * the hash check pins that the metadata-only answer equals the
+    * data-derived truth — the zero-I/O `count(*)` contract at any
+    * table size. */
+  def q297TxLogDetail(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q297")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), (col("o_orderkey") % 2).as("parity"))
+      .agg(count(lit(1)).as("n_orders"))
+    (0 to 1).foreach(p => graft.etl.TxLog.append(s, table,
+      r.filter(col("parity") === p).coalesce(1),
+      commitTs = Some(1000L * (p + 1))))
+    graft.etl.TxLog.addConstraint(s, table, "n_pos", "n_orders > 0",
+      commitTs = Some(3000L))
+    graft.etl.TxLog.setBloomColumns(table, Seq("o_orderpriority"),
+      commitTs = Some(4000L))
+    graft.etl.TxLog.deleteWhereMerge(s, table,
+      col("o_orderpriority") === "1-URGENT", commitTs = Some(5000L))
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"DESCRIBE DETAIL '$table'").get)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_txlog_detail" -> (q297TxLogDetail _),
     "q295_txlog_stream_from" -> (q295TxLogStreamFrom _),
     "q294_txlog_zorder" -> (q294TxLogZorder _),
     "q293_txlog_bloom" -> (q293TxLogBloom _),
@@ -1296,6 +1328,20 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // numRows / numDeletedRows recomputed from raw orders; the rest is
+    // protocol state (5 commits, 2 files, 1 constraint, 1 bloom column)
+    "q297_txlog_detail" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey % 2 AS BIGINT) AS parity
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS numVersions,
+        |  CAST(2 AS BIGINT) AS numFiles,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM r
+        |     WHERE o_orderpriority <> '1-URGENT') AS numRows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM r
+        |     WHERE o_orderpriority = '1-URGENT') AS numDeletedRows,
+        |  CAST(1 AS INTEGER) AS numConstraints,
+        |  'o_orderpriority' AS bloomCols""".stripMargin,
     // probe row counts recomputed from raw orders through the same
     // synthetic key derivation; pruned_files TRUE per probe is the
     // both-dimensions clustering pin (exact skip counts unemitted —

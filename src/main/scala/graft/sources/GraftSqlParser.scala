@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   OPTIMIZE t [INTO n FILES] [CLUSTER BY (c1, ...)] [ZORDER BY (a, b)]
   *   VACUUM t [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY t
+  *   DESCRIBE DETAIL t
   *   RESTORE [TABLE] t TO VERSION AS OF n
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF millis
   *   CREATE TABLE '<path>' [SHALLOW] CLONE t [VERSION AS OF n]
@@ -69,6 +70,8 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+('[^']+'|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|[\w.]+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+('[^']+'|[\w.]+)\s*;?\s*""".r
   private val RestoreVersionRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampRe =
@@ -93,6 +96,7 @@ object GraftSqlParser {
       case VacuumRe(ident, retain) =>
         Some(VacuumTxLogTable(ident, Option(retain).map(_.toInt).getOrElse(2)))
       case HistoryRe(ident) => Some(DescribeTxLogHistory(ident))
+      case DetailRe(ident) => Some(DescribeTxLogDetail(ident))
       case RestoreVersionRe(ident, v) =>
         Some(RestoreTxLogTable(ident, Some(v.toLong), None))
       case RestoreTimestampRe(ident, ts) =>
@@ -184,4 +188,17 @@ case class CloneTxLogTable(dst: String, src: String, version: Option[Long])
 case class AlterTxLogAddColumns(ident: String, colsDdl: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
+}
+
+/** `DESCRIBE DETAIL` as a resolved rows-returning leaf command: one
+  * table-profile row ([[graft.etl.TxLog.detail]]). */
+case class DescribeTxLogDetail(ident: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("numVersions", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("numRows", LongType)(),
+    AttributeReference("numDeletedRows", LongType, nullable = false)(),
+    AttributeReference("numConstraints", IntegerType, nullable = false)(),
+    AttributeReference("bloomCols", StringType, nullable = false)())
 }

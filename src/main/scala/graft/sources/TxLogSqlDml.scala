@@ -177,6 +177,16 @@ object TxLogDmlStrategy extends SparkStrategy {
           org.apache.spark.sql.types.StructType.fromDDL(a.colsDdl)); ()
       }) :: Nil
 
+    case d: DescribeTxLogDetail =>
+      TxLogMetaExec(d.output, "DESCRIBE DETAIL", d.ident, spark => {
+        val t = TxLog.detail(GraftSqlParser.resolvePath(spark, d.ident))
+        Seq(InternalRow(t.numVersions, t.numFiles,
+          t.numRows.map(Long.box).orNull, t.numDeletedRows,
+          t.numConstraints,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            t.bloomCols.mkString(","))))
+      }) :: Nil
+
     case h: DescribeTxLogHistory =>
       TxLogMetaExec(h.output, "DESCRIBE HISTORY", h.ident, spark =>
         TxLog.history(GraftSqlParser.resolvePath(spark, h.ident)).map { c =>

@@ -243,6 +243,32 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(dst) == Seq((1L, "a"), (2L, "b"))) // v1 only
   }
 
+  // ------------------------------------------------ DESCRIBE DETAIL
+
+  test("detail folds the table profile from the log only") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      (1L to 8L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t,
+      (9L to 12L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.addConstraint(spark, t, "pos", "id > 0")
+    TxLog.deleteWhereMerge(spark, t, col("id") <= 2L)
+    val d = TxLog.detail(t)
+    assert(d == TxLog.Detail(4L, 2L, Some(10L), 2L, 1, Seq.empty))
+    // asOf profiles the historical snapshot
+    assert(TxLog.detail(t, Some(2L)) ==
+      TxLog.Detail(2L, 2L, Some(12L), 0L, 0, Seq.empty))
+    // stats-less files refuse the row count, never guess (None)
+    val vf = java.nio.file.Paths.get(t, "_graft_log", f"${1L}%020d.json")
+    val stripped = new String(Files.readAllBytes(vf)).linesIterator.map {
+      l => if (l.contains("\"op\":\"add\""))
+        l.replaceAll(""","stats":"[^"]*"""", "") else l
+    }.mkString("\n")
+    Files.write(vf, stripped.getBytes)
+    assert(TxLog.detail(t).numRows.isEmpty)
+  }
+
   // --------------------------------------------- ALTER ADD COLUMNS
 
   test("ALTER TABLE ADD COLUMNS widens metadata only; reads/writes follow") {
