@@ -182,6 +182,7 @@ object TxLog {
       case Action("constraint", _, _, _)   => () // CHECK DDL, no file effect
       case Action("unconstraint", _, _, _) => () // CHECK drop, no file effect
       case Action("bloom", _, _, _)  => () // bloom-index DDL, no file effect
+      case Action("rename", _, _, _) => () // column-mapping DDL, no file effect
       case Action(other, p, _, _) =>
         throw new IllegalStateException(s"unknown log action $other for $p")
     }
@@ -298,11 +299,12 @@ object TxLog {
     val rows =
       if (statRows.exists(_.isEmpty)) None
       else Some(statRows.map(_.get).sum - deleted)
+    val inv = renameMap(table, asOf).map(_.swap)
     Detail(
       versions(table).count(v => asOf.forall(v <= _)),
       adds.size, rows, deleted,
       constraintsOf(table, asOf).size,
-      bloomColsOf(table, asOf))
+      bloomColsOf(table, asOf).map(p => inv.getOrElse(p, p)))
   }
 
   /** Resolve `AS OF TIMESTAMP`: the newest version whose commit
@@ -389,9 +391,18 @@ object TxLog {
     // hand the frame to the stats-bearing writer session via a global
     // temp view (the cross-session channel the public API provides)
     val gv = s"graft_txlog_stage_${UUID.randomUUID().toString.replace("-", "")}"
-    df.createOrReplaceGlobalTempView(gv)
-    // declared bloom columns ride as per-write parquet options, so every
-    // staged file (append, overwrite, CoW rewrite, optimize) embeds them
+    // column mapping: every data file carries PHYSICAL names, whatever
+    // the logical names say today — rename the frame at the write seam
+    // (single select, so logical-name swaps cannot mis-chain)
+    val rm = renameMap(table)
+    val physDf =
+      if (rm.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(physicalOf(rm, c))): _*)
+    physDf.createOrReplaceGlobalTempView(gv)
+    // declared bloom columns (stored physical) ride as per-write parquet
+    // options, so every staged file (append, overwrite, CoW rewrite,
+    // optimize) embeds them
     val bloomOpts = bloomColsOf(table)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     try writerSession(spark).table(s"global_temp.$gv")
@@ -477,6 +488,10 @@ object TxLog {
         else if (!mergeSchema) throw new IllegalArgumentException(
           s"TxLog schema mismatch: new columns ${added.map(_.name).mkString(", ")} " +
             "require mergeSchema = true")
+        else if (added.map(_.name)
+            .exists(renameMap(table).values.toSet)) throw new
+          IllegalArgumentException("mergeSchema: a new column collides " +
+            "with the physical name of a renamed column")
         else Some(schemaAction(org.apache.spark.sql.types.StructType(
           declared.fields ++ added.map(_.copy(nullable = true)))))
     }
@@ -565,10 +580,79 @@ object TxLog {
       val clash = cols.fieldNames.filter(declared.fieldNames.contains(_))
       require(clash.isEmpty,
         s"ADD COLUMNS: already declared: ${clash.mkString(", ")}")
+      // a new column's physical name is its logical name — it must not
+      // collide with the physical name a RENAMEd column still writes
+      val physClash = cols.fieldNames
+        .filter(renameMap(table, Some(base)).values.toSet)
+      require(physClash.isEmpty,
+        s"ADD COLUMNS: ${physClash.mkString(", ")} collides with the " +
+          "physical name of a renamed column")
       val widened = org.apache.spark.sql.types.StructType(
         declared.fields ++ cols.fields.map(_.copy(nullable = true)))
       val act = Seq(schemaAction(widened), tsAction(commitTs, "ADD COLUMNS"))
       if (tryCommit(table, base + 1, act)) committed = base + 1
+    }
+    committed
+  }
+
+  // --------------------------------------- column mapping (RENAME)
+
+  /** Logical → physical column names at `asOf` — the Delta
+    * column-mapping idea reduced to a rename chain: a column's PHYSICAL
+    * name (what every data file and stats token carries) is its name at
+    * first declaration, forever; RENAME only re-points the logical
+    * name. Replayed in commit order ("rename" actions, payload
+    * `old>new`); identity entries are never stored, so the map is empty
+    * for tables RENAME never touched and every such path is
+    * byte-for-byte the pre-mapping one. */
+  def renameMap(table: String, asOf: Option[Long] = None): Map[String, String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("rename", payload, _, _) =>
+          val i = payload.indexOf('>')
+          val (o, n) = (payload.substring(0, i), payload.substring(i + 1))
+          val phys = m.getOrElse(o, o)
+          m -= o
+          if (n != phys) m(n) = phys else m -= n
+        case _ => ()
+      }
+    }
+    m.toMap
+  }
+
+  /** The physical name of logical column `c` (identity when unmapped). */
+  private def physicalOf(m: Map[String, String], c: String): String =
+    m.getOrElse(c, c)
+
+  /** RENAME COLUMN as a metadata-only commit: re-point the logical name
+    * and re-declare the schema in one version — no data file is touched
+    * at any table size. Readers on the core API (read / readWhere /
+    * prune / DML / changes) translate transparently; the DSv2 relation
+    * and the streaming tail GATE loudly on mapped tables (the
+    * reader-capability discipline the DV path set — partial support
+    * must fail, never silently misread). RESTORE across a rename
+    * refuses for the same reason. */
+  def renameColumn(table: String, oldName: String, newName: String,
+                   commitTs: Option[Long] = None): Long = {
+    safeField(oldName, "column name"); safeField(newName, "column name")
+    require(!oldName.contains(">") && !newName.contains(">") &&
+      oldName.nonEmpty && newName.nonEmpty, "invalid column name")
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val declared = schemaOf(table, Some(base)).getOrElse(
+        throw new IllegalStateException(s"$table has no declared schema"))
+      require(declared.fieldNames.contains(oldName),
+        s"RENAME COLUMN: no column $oldName (have ${declared.fieldNames.mkString(", ")})")
+      require(!declared.fieldNames.contains(newName),
+        s"RENAME COLUMN: $newName already exists")
+      val renamed = org.apache.spark.sql.types.StructType(declared.fields.map(
+        f => if (f.name == oldName) f.copy(name = newName) else f))
+      val acts = Seq(Action("rename", s"$oldName>$newName"),
+        schemaAction(renamed), tsAction(commitTs, "RENAME COLUMN"))
+      if (tryCommit(table, base + 1, acts)) committed = base + 1
     }
     committed
   }
@@ -604,7 +688,11 @@ object TxLog {
     cols.foreach(safeField(_, "bloom column"))
     require(cols.forall(c => !c.contains(",") && c.nonEmpty),
       "bloom column names must be non-empty and comma-free")
-    val act = Seq(Action("bloom", cols.mkString(",")),
+    // stored PHYSICAL (what files and footers carry) — stable across
+    // later renames; probes translate logical → physical at read
+    val rm = renameMap(table)
+    val act = Seq(Action("bloom",
+      cols.map(physicalOf(rm, _)).mkString(",")),
       tsAction(commitTs, "SET BLOOM"))
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, act)) v = versions(table).last + 1
@@ -1553,6 +1641,10 @@ object TxLog {
     val targetCs = constraintsOf(table, Some(toVersion))
     while (true) {
       val base = versions(table).last
+      if (renameMap(table, Some(toVersion)) != renameMap(table, Some(base)))
+        throw new UnsupportedOperationException(
+          s"RESTORE $table to $toVersion crosses a column RENAME — " +
+            "rename back first (restoring mapping state is not supported)")
       val (addsB, dvB) = replayState(table, Some(base))
       val liveT = statsT.keySet
       val liveB = addsB.map(_.path).toSet
@@ -1627,7 +1719,13 @@ object TxLog {
     }
     adds.foreach(a => linkOver(a.path))
     dvs.values.foreach { case (sidecar, _) => linkOver(sidecar) }
-    val meta = schemaOf(src, asOf).map(schemaAction).toSeq ++
+    // the rename CHAIN is copied verbatim, in commit order — replaying
+    // it reproduces the logical→physical map exactly (a flattened form
+    // can mis-chain when renames swap names through each other)
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val renames = versions(src).filter(_ <= hi).flatMap(v =>
+      readActions(src, v).filter(_.op == "rename"))
+    val meta = renames ++ schemaOf(src, asOf).map(schemaAction).toSeq ++
       constraintsOf(src, asOf).toSeq.sortBy(_._1).map { case (n, sql) =>
         Action("constraint", n,
           Some(java.util.Base64.getEncoder.encodeToString(
@@ -1717,11 +1815,21 @@ object TxLog {
     * production-format read rule. Pre-schema tables read as before. */
   private def boundRead(spark: SparkSession, table: String,
                         files: Seq[String],
-                        asOf: Option[Long]): DataFrame =
+                        asOf: Option[Long]): DataFrame = {
+    val m = renameMap(table, asOf)
     schemaOf(table, asOf) match {
+      case Some(s) if m.nonEmpty =>
+        // column mapping: files carry PHYSICAL names; bind the physical
+        // schema at the scan, surface the logical one via aliases
+        val phys = org.apache.spark.sql.types.StructType(
+          s.fields.map(f => f.copy(name = physicalOf(m, f.name))))
+        spark.read.schema(phys).parquet(files: _*)
+          .select(s.fieldNames.toSeq
+            .map(ln => col(physicalOf(m, ln)).as(ln)): _*)
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None    => spark.read.parquet(files: _*)
     }
+  }
 
   /** Snapshot read, optionally AS OF a historical version, with the
     * snapshot's deletion vectors applied (no-op for DV-free tables). An
@@ -1750,7 +1858,13 @@ object TxLog {
     if (dvs.nonEmpty) return None
     val decoded = adds.map(_.stats.flatMap(TxStats.decode))
     if (decoded.exists(_.isEmpty)) None
-    else TxStats.aggregate(decoded.map(_.get))
+    else TxStats.aggregate(decoded.map(_.get)).map { agg =>
+      // stats are keyed by physical names; surface the logical ones
+      val inv = renameMap(table, asOf).map(_.swap)
+      if (inv.isEmpty) agg
+      else agg.copy(cols = agg.cols.map { case (p, c) =>
+        inv.getOrElse(p, p) -> c })
+    }
   }
 
   /** Result of stats-based pruning over a snapshot's live files. */
@@ -1776,7 +1890,17 @@ object TxLog {
       return Pruned(Seq.empty, adds) // predicate folded to false: scan elided
     val conds = optimized.collect { case f: LFilter => f.condition }
     if (conds.isEmpty) return Pruned(adds, Seq.empty) // folded to true
-    val pred = conds.reduce(And)
+    // stats tokens and blooms are keyed by PHYSICAL column names —
+    // re-anchor the resolved predicate's attributes before consulting them
+    val rm = renameMap(table, asOf)
+    val pred = {
+      val logical = conds.reduce(And)
+      if (rm.isEmpty) logical
+      else logical.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if rm.contains(a.name) => a.withName(rm(a.name))
+      }
+    }
     val (kept, skipped) = adds.partition { a =>
       a.stats.flatMap(TxStats.decode) match {
         // a zero-row file can't produce a match regardless of predicate

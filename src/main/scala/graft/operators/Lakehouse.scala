@@ -1291,7 +1291,45 @@ object Lakehouse {
         s"DESCRIBE DETAIL '$table'").get)
   }
 
+  // ------------------------------ q298 TxLog RENAME COLUMN (round 13)
+
+  /** q298 — column mapping under the oracle: the rollup lands as v1,
+    * ONE statement — `ALTER TABLE … RENAME COLUMN n_orders TO
+    * order_count` — re-points the logical name without touching the
+    * data file, then an append UNDER THE NEW NAME lands as a second
+    * physical file and the read folds both. The oracle recomputes the
+    * rollup from raw orders under the new name, so the hash check pins:
+    * old files translate physical→logical on read, new writes translate
+    * logical→physical on stage (both files carry the SAME physical
+    * column), and the rename was metadata-only (n_files = 2, operation
+    * tag in history). */
+  def q298TxLogRename(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q298")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1), commitTs = Some(1000L))
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"ALTER TABLE '$table' RENAME COLUMN n_orders TO order_count").get)
+      .collect()
+    graft.etl.TxLog.append(s, table,
+      Seq(("9-RENAMED", 42L)).toDF("o_orderpriority", "order_count")
+        .coalesce(1), commitTs = Some(3000L))
+    val op = graft.etl.TxLog.history(table)
+      .find(_.operation == "RENAME COLUMN").map(_.operation).getOrElse("?")
+    graft.etl.TxLog.read(s, table)
+      .withColumn("renamed_op", lit(op))
+      .withColumn("n_files",
+        lit(graft.etl.TxLog.snapshot(table).size.toLong))
+      .select(col("o_orderpriority"), col("order_count"),
+        col("renamed_op"), col("n_files"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_txlog_rename" -> (q298TxLogRename _),
     "q297_txlog_detail" -> (q297TxLogDetail _),
     "q295_txlog_stream_from" -> (q295TxLogStreamFrom _),
     "q294_txlog_zorder" -> (q294TxLogZorder _),
@@ -1328,6 +1366,17 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // the rollup under the renamed column + the post-rename append;
+    // n_files = 2 pins the rename as metadata-only
+    "q298_txlog_rename" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, order_count,
+        |  'RENAME COLUMN' AS renamed_op, CAST(2 AS BIGINT) AS n_files
+        |FROM (SELECT * FROM r
+        |      UNION ALL SELECT '9-RENAMED', CAST(42 AS BIGINT))
+        |ORDER BY o_orderpriority""".stripMargin,
     // numRows / numDeletedRows recomputed from raw orders; the rest is
     // protocol state (5 commits, 2 files, 1 constraint, 1 bloom column)
     "q297_txlog_detail" ->

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF millis
   *   CREATE TABLE '<path>' [SHALLOW] CLONE t [VERSION AS OF n]
   *   ALTER TABLE '<path>' ADD COLUMNS (name TYPE, ...)
+  *   ALTER TABLE '<path>' RENAME COLUMN old TO new
   * }}}
   *
   * ALTER TABLE accepts the QUOTED-PATH form only — an unquoted name
@@ -76,6 +77,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RenameColRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val AddColumnsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ADD\s+COLUMNS?\s*\(([^)]*)\)\s*;?\s*""".r
   private val CloneRe =
@@ -101,6 +104,8 @@ object GraftSqlParser {
         Some(RestoreTxLogTable(ident, Some(v.toLong), None))
       case RestoreTimestampRe(ident, ts) =>
         Some(RestoreTxLogTable(ident, None, Some(ts.toLong)))
+      case RenameColRe(ident, o, n) =>
+        Some(AlterTxLogRenameColumn(ident, o, n))
       case AddColumnsRe(ident, colsDdl) =>
         Some(AlterTxLogAddColumns(ident, colsDdl.trim))
       case CloneRe(dst, src, v) =>
@@ -201,4 +206,12 @@ case class DescribeTxLogDetail(ident: String)
     AttributeReference("numDeletedRows", LongType, nullable = false)(),
     AttributeReference("numConstraints", IntegerType, nullable = false)(),
     AttributeReference("bloomCols", StringType, nullable = false)())
+}
+
+/** `ALTER TABLE '<path>' RENAME COLUMN old TO new` (quoted-path form
+  * only, like ADD COLUMNS): a metadata-only column-mapping commit. */
+case class AlterTxLogRenameColumn(ident: String, oldName: String,
+                                  newName: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
 }

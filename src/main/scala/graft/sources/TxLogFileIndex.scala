@@ -107,6 +107,12 @@ object TxLogTable {
       s"$table carries deletion vectors, which this file-index relation " +
         "cannot apply — read via TxLog.read / TxLog.readWhere, or run " +
         "TxLog.optimize to materialize the deletes first")
+    // same reader-capability discipline for column mapping: the index
+    // binds the logical schema onto physical-named files
+    require(TxLog.renameMap(table, asOf).isEmpty,
+      s"$table uses column mapping (RENAME COLUMN), which this " +
+        "file-index relation cannot translate — read via TxLog.read / " +
+        "TxLog.readWhere")
     val idx = new TxLogFileIndex(table, asOf)
     val schema = TxLog.schemaOf(table, asOf).getOrElse {
       require(idx.inputFiles.nonEmpty, s"empty snapshot for $table asOf=$asOf")

@@ -170,6 +170,12 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
     require(asOf.isEmpty,
       "versionAsOf / timestampAsOf do not apply to a stream (a stream " +
         "tails the live log); use batch read for historical snapshots")
+    // reader-capability gate: the stream binds the declared (logical)
+    // schema straight onto files that carry PHYSICAL names — a renamed
+    // column would silently read as null, which is corruption
+    require(TxLog.renameMap(path).isEmpty,
+      s"$path uses column mapping (RENAME COLUMN); the streaming reader " +
+        "lacks that capability — tail via TxLog.changes instead")
     // resolve startingVersion AT STREAM BUILD: "latest" pins to the head
     // version as of start, a number v delivers changes from v inclusive.
     // Offsets are version numbers, so "deliver from v" = initial offset
@@ -303,9 +309,12 @@ private[sources] class TxLogV1Relation(
     val spark = context.sparkSession
     if (TxLog.snapshot(path, asOf).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared).rdd
-    // a DV-carrying table must route through the DV-aware reader (no
-    // file skipping there); DV-free tables keep the pruning FileIndex
-    else if (TxLog.dvsAt(path, asOf).nonEmpty) TxLog.read(spark, path, asOf).rdd
+    // a DV-carrying or column-mapped table must route through the
+    // capability-aware reader (no file skipping there); plain tables
+    // keep the pruning FileIndex
+    else if (TxLog.dvsAt(path, asOf).nonEmpty ||
+             TxLog.renameMap(path, asOf).nonEmpty)
+      TxLog.read(spark, path, asOf).rdd
     else TxLogTable(spark, path, asOf).rdd
   }
 }

@@ -171,6 +171,12 @@ object TxLogDmlStrategy extends SparkStrategy {
           retainVersions = retain); ()
       }) :: Nil
 
+    case r: AlterTxLogRenameColumn =>
+      TxLogDmlExec("ALTER", r.ident, spark => {
+        TxLog.renameColumn(GraftSqlParser.resolvePath(spark, r.ident),
+          r.oldName, r.newName); ()
+      }) :: Nil
+
     case a: AlterTxLogAddColumns =>
       TxLogDmlExec("ALTER", a.ident, spark => {
         TxLog.addColumns(GraftSqlParser.resolvePath(spark, a.ident),

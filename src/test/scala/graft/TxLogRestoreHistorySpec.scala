@@ -243,6 +243,90 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(dst) == Seq((1L, "a"), (2L, "b"))) // v1 only
   }
 
+  // --------------------------------------- column mapping (RENAME)
+
+  test("RENAME COLUMN is metadata-only; reads, writes, pruning translate") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.setBloomColumns(t, Seq("id"))
+    TxLog.append(spark, t,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, t,
+      (101L to 200L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    graft.sources.TxLogSqlDml.install(spark)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      graft.sources.GraftSqlParser.maintenance(
+        s"ALTER TABLE '$t' RENAME COLUMN id TO doc_id").get).collect()
+    // no data file was touched; the op is tagged
+    assert(TxLog.snapshot(t).size == 2)
+    assert(TxLog.history(t).last.operation == "RENAME COLUMN")
+    assert(TxLog.renameMap(t) == Map("doc_id" -> "id"))
+    // reads surface the logical name with the original values
+    val r = TxLog.read(spark, t)
+    assert(r.columns.toSeq == Seq("doc_id", "s"))
+    assert(r.agg(sum(col("doc_id"))).head().getLong(0) == (1L to 200L).sum)
+    // stats pruning AND blooms translate logical -> physical: the probe
+    // names doc_id, the footers/blooms carry id
+    val pr = TxLog.prune(spark, t, col("doc_id") === 150L)
+    assert(pr.skipped.size == 1) // range stats alone separate the halves
+    assert(TxLog.readWhere(spark, t, col("doc_id") === 150L).count() == 1)
+    // writes under the NEW logical name land as the physical column
+    TxLog.append(spark, t,
+      Seq((201L, "new")).toDF("doc_id", "s").coalesce(1))
+    assert(TxLog.read(spark, t).count() == 201)
+    // DML through SQL names translate too (deleteWhere is boundRead-based)
+    TxLog.deleteWhere(spark, t, col("doc_id") === 201L)
+    assert(TxLog.read(spark, t).count() == 200)
+    // rename back: identity map again, nothing stored
+    TxLog.renameColumn(t, "doc_id", "id")
+    assert(TxLog.renameMap(t).isEmpty)
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id", "s"))
+  }
+
+  test("column mapping: capability gates, guards, clone carry") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    TxLog.renameColumn(t, "s", "label")
+    // DSv2 relation routes through the mapping-aware reader (correct
+    // rows, logical names); the pruning file index refuses loudly
+    val name = s"rename_gate_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, label STRING) USING " +
+      s"graft.sources.TxLogSource OPTIONS (path '$t')")
+    try {
+      val row = spark.sql(s"SELECT id, label FROM $name").head()
+      assert(row.getLong(0) == 1L && row.getString(1) == "a")
+    } finally spark.sql(s"DROP TABLE $name")
+    intercept[IllegalArgumentException] {
+      graft.sources.TxLogTable(spark, t)
+    }
+    // the streaming tail gates loudly
+    intercept[Exception] {
+      spark.readStream.format("graft.sources.TxLogSource").load(t)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rn-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // ADD COLUMNS may not collide with a renamed column's physical name
+    intercept[IllegalArgumentException] {
+      TxLog.addColumns(t, org.apache.spark.sql.types.StructType.fromDDL("s INT"))
+    }
+    // RESTORE across the rename refuses
+    TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "label").coalesce(1))
+    intercept[UnsupportedOperationException](TxLog.restore(t, 1L))
+    // clone carries the mapping (chain copied verbatim)
+    val c = tmp()
+    TxLog.cloneTable(t, c)
+    assert(TxLog.renameMap(c) == Map("label" -> "s"))
+    assert(TxLog.read(spark, c).columns.toSeq == Seq("id", "label"))
+    // describe/detail surface logical names
+    TxLog.setBloomColumns(t, Seq("label"))
+    assert(TxLog.detail(t).bloomCols == Seq("label"))
+    assert(TxLog.describe(c).forall(_.cols.keySet == Set("id", "label")))
+  }
+
   // ------------------------------------------------ DESCRIBE DETAIL
 
   test("detail folds the table profile from the log only") {
