@@ -1328,7 +1328,75 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ----------------------- q299 end-to-end streaming pipeline (round 13)
+
+  /** q299 — the whole ingestion loop under one oracle hash: the events
+    * STREAM drains into a TxLog table through the exactly-once sink
+    * (appendOnce txn markers), a SECOND drain over the same checkpoint
+    * must add zero versions (the crash-replay/idempotence contract,
+    * asserted as the emitted second_run_added = 0), and the CDC batch
+    * read (`changes(0)`) — not a direct table read — feeds the rollup
+    * the oracle recomputes from raw events. One query therefore pins
+    * source → exactly-once commit → CDC tail ≡ batch truth, the full
+    * producer/consumer loop a production pipeline runs. Row volume is
+    * the events slice; log work is O(versions) driver metadata. */
+  def q299TxLogPipeline(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q299")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q299-ckpt")
+    def drain(): Unit = graft.streaming.TxLogStream.ingest(s,
+      graft.streaming.EventsStream.readStream(s, dir)
+        .select(col("event_type"), col("value")),
+      table, ckpt.toString, appId = "graft-q299")
+    drain()
+    val v1 = graft.etl.TxLog.versions(table).size
+    drain() // same checkpoint: AvailableNow re-drain must be a no-op
+    val added = graft.etl.TxLog.versions(table).size - v1
+    val out = graft.etl.TxLog.changes(s, table, 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("second_run_added", lit(added.toLong))
+      .orderBy(col("event_type"))
+    deleteRec(ckpt)
+    out
+  }
+
+  // ------------------------ q300 curation pipeline capstone (round 13)
+
+  /** q300 — the document-curation pipeline composed end-to-end, one
+    * oracle hash: plant deterministic duplicates (doc_id % 40 == 0
+    * re-landed under shifted ids — raw corpora at these SFs carry no
+    * exact dups, the q20 lesson), then quality-filter (n_chars >= 200,
+    * the CCNet-style length rule), exact-dedup (one survivor per text,
+    * min doc_id wins), shard by doc_id % 8, and emit the per-shard
+    * manifest plus the global drop ledger (n_quality_dropped,
+    * n_dup_dropped riding on every row). Every stage exists as its own
+    * verified operator (q95/q20/q96); this pins their COMPOSITION — the
+    * thing a user actually runs. All shuffles are keyed aggregates; the
+    * dedup groupBy carries (text-hash, min-id), never pairs. */
+  def q300CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val corpus = docs.unionByName(planted)
+    val quality = corpus.filter(col("n_chars") >= 200)
+    val nQualityDropped = corpus.count() - quality.count()
+    val survivors = quality
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("n_chars")).as("n_chars"))
+    val nDupDropped = quality.count() - survivors.count()
+    survivors
+      .groupBy((col("doc_id") % 8).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_quality_dropped", lit(nQualityDropped))
+      .withColumn("n_dup_dropped", lit(nDupDropped))
+      .orderBy(col("shard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_curation_pipeline" -> (q300CurationPipeline _),
+    "q299_txlog_pipeline" -> (q299TxLogPipeline _),
     "q298_txlog_rename" -> (q298TxLogRename _),
     "q297_txlog_detail" -> (q297TxLogDetail _),
     "q295_txlog_stream_from" -> (q295TxLogStreamFrom _),
@@ -1366,6 +1434,38 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // full loop: stream-ingested rows CDC-read back == raw events;
+    // second_run_added = 0 is the exactly-once idempotence pin
+    "q299_txlog_pipeline" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(0 AS BIGINT) AS second_run_added
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // the composed pipeline re-derived stage by stage: plant, filter,
+    // dedup (min doc_id per text), shard, manifest + drop ledger
+    "q300_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, n_chars FROM documents
+        |  WHERE doc_id % 40 = 0),
+        |quality AS (SELECT * FROM corpus WHERE n_chars >= 200),
+        |survivors AS (
+        |  SELECT text, min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        |  FROM quality GROUP BY text),
+        |ledger AS (SELECT
+        |  (SELECT count(*) FROM corpus) - (SELECT count(*) FROM quality)
+        |    AS n_quality_dropped,
+        |  (SELECT count(*) FROM quality) - (SELECT count(*) FROM survivors)
+        |    AS n_dup_dropped)
+        |SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST((SELECT n_quality_dropped FROM ledger) AS BIGINT)
+        |    AS n_quality_dropped,
+        |  CAST((SELECT n_dup_dropped FROM ledger) AS BIGINT)
+        |    AS n_dup_dropped
+        |FROM survivors GROUP BY 1 ORDER BY shard""".stripMargin,
     // the rollup under the renamed column + the post-rename append;
     // n_files = 2 pins the rename as metadata-only
     "q298_txlog_rename" ->
