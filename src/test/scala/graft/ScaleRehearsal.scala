@@ -149,7 +149,12 @@ object ScaleRehearsal {
     // (the probes themselves are per-file metadata). q289-q291 are
     // commit-log protocol queries on bounded rollup tables — excluded
     // by the q249-class rule.
-    "q292_heavy_hitters", "q293_txlog_bloom")
+    "q292_heavy_hitters", "q293_txlog_bloom",
+    // round-13 capstones: the streaming MG drain and the streaming
+    // ingest pipeline move the full events/documents volume; the
+    // curation pipeline is three keyed aggregates over the corpus
+    "q296_stream_heavy_hitters", "q299_txlog_pipeline",
+    "q300_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
