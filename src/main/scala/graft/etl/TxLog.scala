@@ -183,6 +183,13 @@ object TxLog {
       case Action("unconstraint", _, _, _) => () // CHECK drop, no file effect
       case Action("bloom", _, _, _)  => () // bloom-index DDL, no file effect
       case Action("rename", _, _, _) => () // column-mapping DDL, no file effect
+      case Action("protocol", feats, _, _) => // reader-capability declaration
+        val unknown = feats.split(",").map(_.trim).filter(_.nonEmpty)
+          .filterNot(SupportedFeatures)
+        if (unknown.nonEmpty) throw new UnsupportedOperationException(
+          s"table requires reader features this engine lacks: " +
+            s"${unknown.mkString(", ")} (supported: " +
+            s"${SupportedFeatures.toSeq.sorted.mkString(", ")})")
       case Action(other, p, _, _) =>
         throw new IllegalStateException(s"unknown log action $other for $p")
     }
@@ -562,6 +569,40 @@ object TxLog {
     v
   }
 
+  // --------------------------------------- protocol (reader features)
+
+  /** Reader features THIS engine implements. A `protocol` action in the
+    * log names the features a correct read of the table REQUIRES
+    * (deletion vectors would silently resurrect rows; column mapping
+    * would silently null out renamed columns); replay throws on any it
+    * doesn't recognize — the Delta minReaderVersion idea as named
+    * feature flags, making the format safely evolvable: a future writer
+    * feature this engine predates turns into a loud structured error,
+    * never a wrong answer. Soft features (blooms, stats) are absent by
+    * design — ignoring them never corrupts. */
+  private val SupportedFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping")
+
+  /** Features declared required by the log at `asOf`. Monotone: each
+    * protocol action carries the FULL set (latest wins). */
+  def protocolOf(table: String, asOf: Option[Long] = None): Set[String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
+      readActions(table, v).reverseIterator.collectFirst {
+        case Action("protocol", feats, _, _) =>
+          feats.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
+    }.nextOption().getOrElse(Set.empty)
+  }
+
+  /** The protocol action a feature-introducing commit must carry when
+    * `feature` is not yet declared (None when already present). */
+  private def protocolAction(table: String, feature: String): Option[Action] = {
+    val cur = protocolOf(table)
+    if (cur.contains(feature)) None
+    else Some(Action("protocol", (cur + feature).toSeq.sorted.mkString(",")))
+  }
+
   /** ALTER TABLE … ADD COLUMNS as a metadata-only commit: widen the
     * declared schema (new columns nullable — existing files lack them,
     * so reads must surface null). No data file is touched at any table
@@ -650,8 +691,9 @@ object TxLog {
         s"RENAME COLUMN: $newName already exists")
       val renamed = org.apache.spark.sql.types.StructType(declared.fields.map(
         f => if (f.name == oldName) f.copy(name = newName) else f))
-      val acts = Seq(Action("rename", s"$oldName>$newName"),
-        schemaAction(renamed), tsAction(commitTs, "RENAME COLUMN"))
+      val acts = protocolAction(table, "column-mapping").toSeq ++
+        Seq(Action("rename", s"$oldName>$newName"),
+          schemaAction(renamed), tsAction(commitTs, "RENAME COLUMN"))
       if (tryCommit(table, base + 1, acts)) committed = base + 1
     }
     committed
@@ -1246,7 +1288,8 @@ object TxLog {
         }.getOrElse(Seq.empty) ++ byFile(f)).distinct
         val rel = writeDvSidecar(table, merged)
         Action("dv", f, Some(s"$rel:${merged.size}"))
-      } :+ tsAction(commitTs, "DELETE")
+      } ++ protocolAction(table, "deletion-vectors") :+
+        tsAction(commitTs, "DELETE")
       var done = false
       var restart = false
       var committed = -1L
@@ -1725,7 +1768,12 @@ object TxLog {
     val hi = asOf.getOrElse(Long.MaxValue)
     val renames = versions(src).filter(_ <= hi).flatMap(v =>
       readActions(src, v).filter(_.op == "rename"))
-    val meta = renames ++ schemaOf(src, asOf).map(schemaAction).toSeq ++
+    val proto = protocolOf(src, asOf)
+    val protoActs =
+      if (proto.isEmpty) Seq.empty
+      else Seq(Action("protocol", proto.toSeq.sorted.mkString(",")))
+    val meta = protoActs ++ renames ++
+      schemaOf(src, asOf).map(schemaAction).toSeq ++
       constraintsOf(src, asOf).toSeq.sortBy(_._1).map { case (n, sql) =>
         Action("constraint", n,
           Some(java.util.Base64.getEncoder.encodeToString(

@@ -327,6 +327,40 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxLog.describe(c).forall(_.cols.keySet == Set("id", "label")))
   }
 
+  // ------------------------------------- protocol (reader features)
+
+  test("feature-introducing commits declare protocol; unknown features fail replay") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      (1L to 4L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1))
+    assert(TxLog.protocolOf(t).isEmpty) // plain tables declare nothing
+    TxLog.deleteWhereMerge(spark, t, col("id") === 2L)
+    assert(TxLog.protocolOf(t) == Set("deletion-vectors"))
+    TxLog.renameColumn(t, "s", "label")
+    assert(TxLog.protocolOf(t) == Set("column-mapping", "deletion-vectors"))
+    // re-introducing a declared feature adds no second declaration
+    val before = TxLog.versions(t).size
+    TxLog.deleteWhereMerge(spark, t, col("id") === 3L)
+    assert(TxLog.protocolOf(t) == Set("column-mapping", "deletion-vectors"))
+    // clone carries the declaration
+    val c = tmp()
+    TxLog.cloneTable(t, c)
+    assert(TxLog.protocolOf(c) == Set("column-mapping", "deletion-vectors"))
+    // a FUTURE feature this engine predates: loud structured refusal,
+    // never a wrong answer
+    val vNext = TxLog.versions(t).last + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_graft_log", f"$vNext%020d.json"),
+      """{"op":"protocol","path":"deletion-vectors,frobnication-v2"}"""
+        .getBytes)
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.read(spark, t).count()
+    }
+    assert(e.getMessage.contains("frobnication-v2"))
+    assert(TxLog.read(spark, t, asOf = Some(before.toLong)).count() == 3)
+  }
+
   // ------------------------------------------------ DESCRIBE DETAIL
 
   test("detail folds the table profile from the log only") {
