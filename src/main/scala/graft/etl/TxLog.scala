@@ -61,10 +61,22 @@ object TxLog {
     * [[optimize]] rewrite. CDC consumers ([[changes]], the streaming
     * source) skip dataChange=false adds, so a compaction is never
     * re-delivered as new rows. Lines omit the field when true, so every
-    * pre-marker log replays identically (absent = true). */
+    * pre-marker log replays identically (absent = true).
+    *
+    * `part` (round-13, Hive/Delta `partitionValues`): for an "add" on a
+    * PARTITIONED table, the file's partition tuple as an opaque token
+    * ([[encodePartValues]]) — every row in the file carries exactly
+    * these values in its partition columns (the writer splits by value,
+    * so the invariant holds by construction). Consulted for exact
+    * partition pruning and partition-aligned ops ([[replaceWhere]]);
+    * the partition COLUMNS also remain ordinary columns in the data
+    * file (the Iceberg identity-partition model), so any reader that
+    * ignores the token is still correct. Absent on unpartitioned
+    * tables and on every pre-partitioning log line. */
   final case class Action(op: String, path: String,
                           stats: Option[String] = None,
-                          dataChange: Boolean = true)
+                          dataChange: Boolean = true,
+                          part: Option[String] = None)
 
   private def logPath(table: String): Path = Paths.get(table, LogDir)
 
@@ -105,7 +117,12 @@ object TxLog {
       if (line.contains("\"stats\":\""))
         Some(line.split("\"stats\":\"")(1).takeWhile(_ != '"'))
       else None
-    Action(op, path, stats, dataChange = !line.contains("\"dataChange\":false"))
+    val part =
+      if (line.contains("\"part\":\""))
+        Some(line.split("\"part\":\"")(1).takeWhile(_ != '"'))
+      else None
+    Action(op, path, stats,
+      dataChange = !line.contains("\"dataChange\":false"), part = part)
   }
 
   private def readActions(table: String, v: Long): Seq[Action] =
@@ -129,9 +146,11 @@ object TxLog {
   private def render(a: Action): String = {
     safeField(a.op, "action op"); safeField(a.path, "action path")
     a.stats.foreach(safeField(_, "stats token"))
+    a.part.foreach(safeField(_, "partition token"))
     val st = a.stats.map(s => s""","stats":"$s"""").getOrElse("")
     val dc = if (a.dataChange) "" else ""","dataChange":false"""
-    s"""{"op":"${a.op}","path":"${a.path}"$st$dc}"""
+    val pt = a.part.map(p => s""","part":"$p"""").getOrElse("")
+    s"""{"op":"${a.op}","path":"${a.path}"$st$dc$pt}"""
   }
 
   /** Live file set (relative paths) at `asOf` (default: latest). Replay
@@ -170,27 +189,28 @@ object TxLog {
     val vs = versions(table)
     val target = asOf.getOrElse(vs.lastOption.getOrElse(0L))
     val cp = checkpoints(table).filter(_ <= target).lastOption
-    val live = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    val live = scala.collection.mutable.LinkedHashMap[String, Action]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     def apply(a: Action): Unit = a match {
-      case Action("add", p, st, _)   => live += p -> st; dvs -= p
-      case Action("remove", p, _, _) => live -= p; dvs -= p
-      case Action("dv", p, Some(st), _) => dvs(p) = parseDvToken(st)
-      case Action("txn", _, _, _)    => () // idempotence marker, no file effect
-      case Action("schema", _, _, _) => () // schema declaration, no file effect
-      case Action("commit", _, _, _) => () // commit timestamp, no file effect
-      case Action("constraint", _, _, _)   => () // CHECK DDL, no file effect
-      case Action("unconstraint", _, _, _) => () // CHECK drop, no file effect
-      case Action("bloom", _, _, _)  => () // bloom-index DDL, no file effect
-      case Action("rename", _, _, _) => () // column-mapping DDL, no file effect
-      case Action("protocol", feats, _, _) => // reader-capability declaration
+      case Action("add", p, _, _, _)    => live += p -> a; dvs -= p
+      case Action("remove", p, _, _, _) => live -= p; dvs -= p
+      case Action("dv", p, Some(st), _, _) => dvs(p) = parseDvToken(st)
+      case Action("txn", _, _, _, _)    => () // idempotence marker, no file effect
+      case Action("schema", _, _, _, _) => () // schema declaration, no file effect
+      case Action("commit", _, _, _, _) => () // commit timestamp, no file effect
+      case Action("constraint", _, _, _, _)   => () // CHECK DDL, no file effect
+      case Action("unconstraint", _, _, _, _) => () // CHECK drop, no file effect
+      case Action("bloom", _, _, _, _)  => () // bloom-index DDL, no file effect
+      case Action("rename", _, _, _, _) => () // column-mapping DDL, no file effect
+      case Action("partcols", _, _, _, _) => () // partitioning DDL, no file effect
+      case Action("protocol", feats, _, _, _) => // reader-capability declaration
         val unknown = feats.split(",").map(_.trim).filter(_.nonEmpty)
           .filterNot(SupportedFeatures)
         if (unknown.nonEmpty) throw new UnsupportedOperationException(
           s"table requires reader features this engine lacks: " +
             s"${unknown.mkString(", ")} (supported: " +
             s"${SupportedFeatures.toSeq.sorted.mkString(", ")})")
-      case Action(other, p, _, _) =>
+      case Action(other, p, _, _, _) =>
         throw new IllegalStateException(s"unknown log action $other for $p")
     }
     cp.foreach { c =>
@@ -200,7 +220,7 @@ object TxLog {
     }
     vs.filter(v => v > cp.getOrElse(0L) && v <= target)
       .foreach(v => readActions(table, v).foreach(apply))
-    (live.toSeq.map { case (p, st) => Action("add", p, st) }, dvs.toMap)
+    (live.values.toSeq, dvs.toMap)
   }
 
   /** Compact the action history at the current last version: publish
@@ -244,7 +264,7 @@ object TxLog {
     * before timestamps landed in the format). */
   def timestampOf(table: String, v: Long): Option[Long] =
     readActions(table, v).collectFirst {
-      case Action("commit", ts, _, _) => ts.toLong
+      case Action("commit", ts, _, _, _) => ts.toLong
     }
 
   // ------------------------------------------------- commit history
@@ -393,7 +413,11 @@ object TxLog {
     * just produced — metadata-only I/O, the write path stays
     * single-pass ([[TxStats]]). Harvest failure degrades to a
     * stats-less add (correct, just never skipped). */
-  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[Action] = {
+  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[Action] =
+    stage(spark, table, df, partColsOf(table))
+
+  private def stage(spark: SparkSession, table: String, df: DataFrame,
+                    partCols: Seq[String]): Seq[Action] = {
     val rel = s"data/${UUID.randomUUID()}"
     // hand the frame to the stats-bearing writer session via a global
     // temp view (the cross-session channel the public API provides)
@@ -406,20 +430,59 @@ object TxLog {
       if (rm.isEmpty) df
       else df.select(df.columns.toSeq.map(c =>
         col(c).as(physicalOf(rm, c))): _*)
-    physDf.createOrReplaceGlobalTempView(gv)
+    // partitioned tables: split files by partition VALUE via sacrificial
+    // duplicate columns — partitionBy moves the dups into hive dirs and
+    // drops them from file content, so the real partition columns stay
+    // ordinary data columns in every file (identity-partition model)
+    partCols.foreach(c => require(physDf.columns.contains(c),
+      s"write to partitioned table $table is missing partition column $c"))
+    val stagedDf = partCols.foldLeft(physDf)(
+      (d, c) => d.withColumn(PartDirPrefix + c, col(c)))
+    stagedDf.createOrReplaceGlobalTempView(gv)
     // declared bloom columns (stored physical) ride as per-write parquet
     // options, so every staged file (append, overwrite, CoW rewrite,
     // optimize) embeds them
     val bloomOpts = bloomColsOf(table)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
-    try writerSession(spark).table(s"global_temp.$gv")
-      .write.options(bloomOpts)
-      .mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
-    finally df.sparkSession.catalog.dropGlobalTempView(gv)
+    try {
+      val w = writerSession(spark).table(s"global_temp.$gv")
+        .write.options(bloomOpts).mode(SaveMode.ErrorIfExists)
+      (if (partCols.isEmpty) w
+       else w.partitionBy(partCols.map(PartDirPrefix + _): _*))
+        .parquet(s"$table/$rel")
+    } finally df.sparkSession.catalog.dropGlobalTempView(gv)
     val conf = spark.sessionState.newHadoopConf()
-    val parts = listDir(Paths.get(table, rel))
-      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
-      .map(f => s"$rel/$f").sorted
+    val root = Paths.get(table, rel)
+    val parts: Seq[String] = {
+      // recursive: partitioned stages land part files under hive dirs
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        })
+        .map(p => s"$rel/${root.relativize(p).toString}").toSeq.sorted
+      finally s.close()
+    }
+    // partition tuple per file, parsed from its hive dir segments (the
+    // engine wrote them one call up — parse failure is a bug, not a
+    // compatibility case)
+    def partTokenOf(relPath: String): Option[String] = {
+      if (partCols.isEmpty) return None
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val byName = relPath.split('/').iterator
+        .filter(_.startsWith(PartDirPrefix)).map { seg =>
+          val i = seg.indexOf('=')
+          require(i > 0, s"malformed partition dir segment $seg")
+          val name = seg.substring(PartDirPrefix.length, i)
+          val raw = ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+          name -> (if (raw == HiveNullPart) None else Some(raw))
+        }.toMap
+      require(byName.keySet == partCols.toSet,
+        s"staged file $relPath carries partition dirs ${byName.keySet} " +
+          s"but the table partitions by $partCols")
+      Some(encodePartValues(partCols.map(c => c -> byName(c))))
+    }
     // harvest footers in parallel: each is a small metadata read, but on
     // an object store a wide commit (OPTIMIZE into N files) would pay
     // N round-trips serially — bound the pool, keep the driver loop
@@ -441,7 +504,7 @@ object TxLog {
             scala.concurrent.duration.Duration.Inf).toMap
         } finally pool.shutdown()
       }
-    parts.map(p => Action("add", p, stats(p)))
+    parts.map(p => Action("add", p, stats(p), part = partTokenOf(p)))
   }
 
   // ---------------------------------------------------------- schema
@@ -457,7 +520,7 @@ object TxLog {
     val hi = asOf.getOrElse(Long.MaxValue)
     versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
       readActions(table, v).reverseIterator.collectFirst {
-        case Action("schema", enc, _, _) =>
+        case Action("schema", enc, _, _, _) =>
           org.apache.spark.sql.types.DataType.fromJson(new String(
             java.util.Base64.getDecoder.decode(enc), StandardCharsets.UTF_8))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -515,10 +578,10 @@ object TxLog {
     val live = scala.collection.mutable.LinkedHashMap[String, String]()
     versions(table).filter(_ <= hi).foreach { v =>
       readActions(table, v).foreach {
-        case Action("constraint", name, Some(enc), _) =>
+        case Action("constraint", name, Some(enc), _, _) =>
           live(name) = new String(java.util.Base64.getDecoder.decode(enc),
             StandardCharsets.UTF_8)
-        case Action("unconstraint", name, _, _) => live -= name
+        case Action("unconstraint", name, _, _, _) => live -= name
         case _ => ()
       }
     }
@@ -581,7 +644,7 @@ object TxLog {
     * never a wrong answer. Soft features (blooms, stats) are absent by
     * design — ignoring them never corrupts. */
   private val SupportedFeatures: Set[String] =
-    Set("deletion-vectors", "column-mapping")
+    Set("deletion-vectors", "column-mapping", "partitioning")
 
   /** Features declared required by the log at `asOf`. Monotone: each
     * protocol action carries the FULL set (latest wins). */
@@ -589,7 +652,7 @@ object TxLog {
     val hi = asOf.getOrElse(Long.MaxValue)
     versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
       readActions(table, v).reverseIterator.collectFirst {
-        case Action("protocol", feats, _, _) =>
+        case Action("protocol", feats, _, _, _) =>
           feats.split(",").map(_.trim).filter(_.nonEmpty).toSet
       }
     }.nextOption().getOrElse(Set.empty)
@@ -651,7 +714,7 @@ object TxLog {
     val m = scala.collection.mutable.LinkedHashMap[String, String]()
     versions(table).filter(_ <= hi).foreach { v =>
       readActions(table, v).foreach {
-        case Action("rename", payload, _, _) =>
+        case Action("rename", payload, _, _, _) =>
           val i = payload.indexOf('>')
           val (o, n) = (payload.substring(0, i), payload.substring(i + 1))
           val phys = m.getOrElse(o, o)
@@ -680,6 +743,11 @@ object TxLog {
     safeField(oldName, "column name"); safeField(newName, "column name")
     require(!oldName.contains(">") && !newName.contains(">") &&
       oldName.nonEmpty && newName.nonEmpty, "invalid column name")
+    // partition tuples and hive dirs are keyed by the partition column's
+    // declared name — renaming one would orphan every committed tuple
+    require(!partColsOf(table).contains(oldName),
+      s"RENAME COLUMN: $oldName is a partition column of $table; " +
+        "partition columns cannot be renamed (rewrite into a new table)")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
@@ -708,7 +776,7 @@ object TxLog {
     val hi = asOf.getOrElse(Long.MaxValue)
     versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
       readActions(table, v).reverseIterator.collectFirst {
-        case Action("bloom", cols, _, _) =>
+        case Action("bloom", cols, _, _, _) =>
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       }
     }.nextOption().getOrElse(Seq.empty)
@@ -739,6 +807,269 @@ object TxLog {
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, act)) v = versions(table).last + 1
     v
+  }
+
+  // ------------------------------------- partitioning (PARTITIONED BY)
+
+  /** Hive's null-partition directory sentinel (public convention). */
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Prefix of the sacrificial duplicate columns the partitioned stage
+    * writes through `partitionBy` — the writer moves THESE into hive
+    * directories (and drops them from file content) while the original
+    * partition columns remain ordinary data columns in every file (the
+    * Iceberg identity-partition model: readers that ignore partition
+    * metadata are still correct; the metadata only prunes). */
+  private val PartDirPrefix = "__gp_"
+
+  /** Column types a table may partition by. Deliberately the
+    * low-cardinality, exactly-stringifiable set — floats (rounding),
+    * timestamps (zone/format ambiguity in dir names), and nested types
+    * are refused loudly; partition on a derived date/string column
+    * instead (the guidance every production format gives). */
+  private val PartitionableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, IntegerType, LongType, ShortType, ByteType,
+      BooleanType, DateType)
+  }
+
+  /** Declared partition columns (empty = unpartitioned). Latest
+    * "partcols" action at-or-before `asOf` wins; names ride
+    * newline-joined base64 (the log codec is a fixed flat shape).
+    * Partitioning is declared at FIRST write and immutable after —
+    * repartitioning a table is a rewrite, not a DDL flip. */
+  def partColsOf(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    versions(table).filter(_ <= hi).reverseIterator.flatMap { v =>
+      readActions(table, v).reverseIterator.collectFirst {
+        case Action("partcols", enc, _, _, _) =>
+          new String(java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty).toSeq
+      }
+    }.nextOption().getOrElse(Seq.empty)
+  }
+
+  private def partColsAction(cols: Seq[String]): Action =
+    Action("partcols", java.util.Base64.getEncoder.encodeToString(
+      cols.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+
+  /** Encode one file's partition tuple as the opaque `part` token: one
+    * line per column, `b64(name) b64(value)` with `-` for the null
+    * sentinel, the whole body base64 (same discipline as [[TxStats]]'s
+    * token — names and values may hold anything, the log line may not). */
+  private[graft] def encodePartValues(vals: Seq[(String, Option[String])]): String = {
+    def b(s: String) = java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+    java.util.Base64.getEncoder.encodeToString(
+      vals.map { case (c, v) => s"${b(c)} ${v.map(b).getOrElse("-")}" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Decode a `part` token; declared order preserved. Throws on a
+    * malformed token — partition metadata is written by this engine
+    * only, so corruption is a bug, not a compatibility case. */
+  private[graft] def decodePartValues(token: String): Seq[(String, Option[String])] = {
+    def un(s: String) = new String(java.util.Base64.getDecoder.decode(s),
+      StandardCharsets.UTF_8)
+    new String(java.util.Base64.getDecoder.decode(token), StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        val Array(c, v) = line.split(' ')
+        un(c) -> (if (v == "-") None else Some(un(v)))
+      }
+  }
+
+  /** Effective partition columns for a write + the declaration action to
+    * ride with it (first partitioned write only). Immutable once set;
+    * declaring partitioning on a table that already has live
+    * UNPARTITIONED files is refused (those files carry no partition
+    * tuple, so partition-aligned ops over them would be guesses). */
+  private def partDecl(table: String, df: DataFrame,
+                       partitionBy: Seq[String],
+                       replacesAll: Boolean = false): (Seq[String], Seq[Action]) = {
+    val declared = partColsOf(table)
+    if (declared.nonEmpty) {
+      require(partitionBy.isEmpty || partitionBy == declared,
+        s"$table is partitioned by (${declared.mkString(", ")}); a write " +
+          s"may not re-partition it by (${partitionBy.mkString(", ")})")
+      (declared, Seq.empty)
+    } else if (partitionBy.nonEmpty) {
+      require(partitionBy.distinct == partitionBy,
+        "duplicate partition column")
+      val types = df.schema.map(f => f.name -> f.dataType).toMap
+      partitionBy.foreach { c =>
+        val dt = types.getOrElse(c, throw new IllegalArgumentException(
+          s"partition column $c is not a column of the write"))
+        require(PartitionableTypes.contains(dt),
+          s"partition column $c has unsupported type $dt (supported: " +
+            "string, int, long, short, byte, boolean, date)")
+        safeField(c, "partition column")
+      }
+      require(replacesAll || snapshot(table).isEmpty,
+        s"$table already has live unpartitioned files; partitioning must " +
+          "be declared on the first write or an OVERWRITE (rewrite into " +
+          "a new table to repartition)")
+      (partitionBy,
+        partColsAction(partitionBy) +:
+          protocolAction(table, "partitioning").toSeq)
+    } else (Seq.empty, Seq.empty)
+  }
+
+  /** Typed point-stats for one partition column: the dir-string value
+    * re-expressed in [[TxStats]]'s canonical token domain, min = max =
+    * value (a partitioned file is single-valued by construction), so
+    * the EXISTING conservative evaluator gives EXACT pruning on
+    * partition predicates. None on any surprise — conservative, the
+    * file is just never partition-pruned. */
+  private def partColStats(dt: org.apache.spark.sql.types.DataType,
+                           v: Option[String],
+                           rows: Long): Option[TxStats.ColStats] = {
+    import org.apache.spark.sql.types._
+    val tag = dt match {
+      case StringType => "string"
+      case IntegerType | ShortType | ByteType => "int"
+      case LongType => "long"
+      case BooleanType => "bool"
+      case DateType => "date"
+      case _ => return None
+    }
+    v match {
+      case None => Some(TxStats.ColStats(tag, None, None, nulls = rows))
+      case Some(s) =>
+        scala.util.Try {
+          val token = dt match {
+            case StringType => java.util.Base64.getEncoder
+              .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+            case DateType =>
+              java.time.LocalDate.parse(s).toEpochDay.toString
+            case BooleanType =>
+              require(s == "true" || s == "false"); s
+            case _ => java.lang.Long.parseLong(s).toString
+          }
+          TxStats.ColStats(tag, Some(token), Some(token), nulls = 0L)
+        }.toOption
+    }
+  }
+
+  /** Per-snapshot stats resolver: footer stats merged with the file's
+    * partition point-stats (partition entries win — they are exact by
+    * the single-valued-file invariant). Resolves the schema ONCE;
+    * apply the returned function per add action (O(files) calls,
+    * driver-side metadata only). Partition columns refuse renames, so
+    * token names == physical names == logical names. */
+  private[graft] def statsResolver(table: String, asOf: Option[Long])
+      : Action => Option[TxStats.FileStats] = {
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      schemaOf(table, asOf)
+        .map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    (a: Action) => {
+      val footer = a.stats.flatMap(TxStats.decode)
+      a.part match {
+        case None => footer
+        case Some(token) =>
+          val rows = footer.map(_.rows).getOrElse(1L)
+          val pcols = scala.util.Try(decodePartValues(token)).toOption
+            .getOrElse(Seq.empty)
+            .flatMap { case (c, v) =>
+              types.get(c).flatMap(dt =>
+                partColStats(dt, v, rows).map(c -> _))
+            }.toMap
+          footer.map(fs => fs.copy(cols = fs.cols ++ pcols))
+            .orElse(if (pcols.isEmpty) None
+                    else Some(TxStats.FileStats(rows, pcols)))
+      }
+    }
+  }
+
+  /** INSERT OVERWRITE of a table REGION — Delta's `replaceWhere`,
+    * restricted to the case where it is provably exact: `cond` may
+    * reference only PARTITION columns, so every live file is wholly
+    * inside or wholly outside the region (single-valued files), and
+    * the swap is remove(matching files) + add(staged) in ONE commit —
+    * no copy-on-write, no read of unaffected partitions, the
+    * partition-overwrite contract at any scale. Validates Delta's
+    * invariant first: every INCOMING row must satisfy `cond` (one
+    * bounded probe), so the region named is exactly the region
+    * replaced. A predicate the partition stats cannot decide for some
+    * file fails loudly rather than guessing. OCC: the remove set is
+    * recomputed per CAS attempt, so a racing append into the region is
+    * replaced too (its rows are part of the region being redefined),
+    * while appends OUTSIDE the region are never touched. Returns the
+    * committed version. */
+  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+                   cond: Column, commitTs: Option[Long] = None): Long = {
+    val partCols = partColsOf(table)
+    require(partCols.nonEmpty,
+      s"replaceWhere requires a partitioned table; $table is unpartitioned")
+    // resolve the predicate against the INCOMING frame (it must carry
+    // the partition columns anyway) — the ANALYZED plan keeps the
+    // Filter node verbatim; fold the literal side by evaluating
+    // foldable subtrees (a string date literal becomes a typed value),
+    // so the point-stats evaluator sees Literal comparisons
+    val fplan = df.filter(cond).queryExecution.analyzed
+    val conds = fplan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    require(conds.nonEmpty,
+      "replaceWhere predicate resolved to no filter; pass a real region predicate")
+    val pred = conds.reduce(
+      org.apache.spark.sql.catalyst.expressions.And.apply).transformUp {
+      case e: org.apache.spark.sql.catalyst.expressions.Expression
+          if e.foldable =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+    }
+    val refs = pred.references.map(_.name).toSet
+    require(refs.nonEmpty && refs.subsetOf(partCols.toSet),
+      s"replaceWhere predicate may reference only partition columns " +
+        s"(${partCols.mkString(", ")}); got ${refs.mkString(", ")}")
+    // Delta's invariant: every incoming row is inside the region
+    require(df.filter(!cond || cond.isNull).limit(1).count() == 0L,
+      "replaceWhere: the incoming frame has rows outside the predicate " +
+        "region — the write would silently widen the region")
+    var cs0 = constraintsOf(table)
+    enforceConstraints(table, df, cs0)
+    val adds = stage(spark, table, df) :+ tsAction(commitTs, "REPLACEWHERE")
+    val resolve = statsResolver(table, None)
+    // a file is replaced iff provably all-in; kept iff provably all-out
+    def classify(a: Action): Boolean = {
+      val fs = resolve(a).getOrElse(throw new IllegalStateException(
+        s"replaceWhere: live file ${a.path} carries no partition tuple"))
+      val in = TxStats.mayTrue(pred, fs)
+      val out = TxStats.mayFalse(pred, fs)
+      require(in ^ out, s"replaceWhere predicate is not partition-" +
+        s"decidable for file ${a.path} — use equality/range/IN over " +
+        "partition columns")
+      in
+    }
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val csB = constraintsOf(table, Some(base))
+      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+      val (liveAdds, dvs) = replayState(table, Some(base))
+      val victims = liveAdds.filter(classify)
+      require(victims.forall(a => !dvs.contains(a.path)),
+        "replaceWhere over files carrying deletion vectors: OPTIMIZE " +
+          "first to materialize the deletes (the whole-file swap would " +
+          "drop the DV state silently otherwise)")
+      val removes = victims.map(a => Action("remove", a.path))
+      if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+    }
+    committed
+  }
+
+  /** `input_file_name()` returns a percent-ENCODED URI; a partitioned
+    * table's relative paths contain hive-escaped dir segments that may
+    * themselves hold '%', which the URI re-encodes ("%20" → "%2520") —
+    * so the CoW affected-file match must compare DECODED paths, never
+    * raw suffixes. Unpartitioned paths (uuid + part files) decode to
+    * themselves, so this is behavior-preserving for them. */
+  private def fileHitSet(hits: Seq[String]): String => Boolean = {
+    val decoded = hits.map { h =>
+      scala.util.Try(Paths.get(java.net.URI.create(h)).toString).getOrElse(h)
+    }
+    (rel: String) => decoded.exists(_.endsWith("/" + rel))
   }
 
   /** Validate incoming rows against the given constraint set (ONE
@@ -778,11 +1109,14 @@ object TxLog {
     * version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
              mergeSchema: Boolean = false,
-             commitTs: Option[Long] = None): Long = {
+             commitTs: Option[Long] = None,
+             partitionBy: Seq[String] = Nil): Long = {
     val decl = enforceSchema(table, df, mergeSchema)
+    val (partCols, partActs) = partDecl(table, df, partitionBy)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs, "WRITE")
+    val adds = (stage(spark, table, df, partCols) ++ decl ++ partActs) :+
+      tsAction(commitTs, "WRITE")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
@@ -853,7 +1187,8 @@ object TxLog {
     * RECOMPUTED per attempt — losing the race re-reads the new snapshot,
     * so a concurrent append is not silently resurrected or lost. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
-                commitTs: Option[Long] = None): Long = {
+                commitTs: Option[Long] = None,
+                partitionBy: Seq[String] = Nil): Long = {
     // a full content replace REDEFINES the schema (no merge flag needed);
     // time travel before it binds the contemporary declaration, so old
     // snapshots keep reading with their own columns/types
@@ -861,9 +1196,12 @@ object TxLog {
       if (schemaOf(table).exists(d => d.map(f => (f.name, f.dataType)) ==
         df.schema.map(f => (f.name, f.dataType)))) None
       else Some(schemaAction(df.schema))
+    val (partCols, partActs) = partDecl(table, df, partitionBy,
+      replacesAll = true)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+ tsAction(commitTs, "OVERWRITE")
+    val adds = (stage(spark, table, df, partCols) ++ decl ++ partActs) :+
+      tsAction(commitTs, "OVERWRITE")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
@@ -920,7 +1258,7 @@ object TxLog {
         .collect().map(_.getString(0))
       // input_file_name is scheme-qualified; match on the relative suffix
       // (data/<uuid>/part-*.parquet is unique within the table)
-      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val survivors = applyDvs(spark, table,
@@ -989,7 +1327,7 @@ object TxLog {
         .join(broadcast(keys), keyCols, "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0))
-      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val survivors = applyDvs(spark, table,
@@ -1053,7 +1391,7 @@ object TxLog {
         .withColumn("_graft_file", input_file_name())
         .filter(hit).select("_graft_file").distinct()
         .collect().map(_.getString(0))
-      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val scan = applyDvs(spark, table,
@@ -1387,7 +1725,7 @@ object TxLog {
         .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0))
-      val affected = read0.filter(r => hits.exists(_.endsWith("/" + r)))
+      val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val survivors =
         if (affected.isEmpty) None
@@ -1522,7 +1860,18 @@ object TxLog {
             .sortWithinPartitions(col("_graft_z"))
             .drop("_graft_z")
         }
-        else if (sortBy.isEmpty) base.coalesce(targetFiles)
+        else if (sortBy.isEmpty) {
+          val partCols = partColsOf(table)
+          if (partCols.isEmpty) base.coalesce(targetFiles)
+          // partitioned: hash on the partition tuple, so each value
+          // lands wholly in ONE task and the partitionBy writer emits
+          // exactly one compacted file per partition — partition-aligned
+          // compaction with up-to-|partitions|-way parallelism (session
+          // shuffle parallelism, NOT targetFiles: "one file" is per
+          // partition here), no global coalesce bottleneck at scale
+          else base.repartition(
+            partCols.map(org.apache.spark.sql.functions.col): _*)
+        }
         else base
           .repartitionByRange(targetFiles,
             sortBy.map(org.apache.spark.sql.functions.col): _*)
@@ -1843,7 +2192,7 @@ object TxLog {
             "skipChangeCommits) to skip such versions, accepting missed " +
             "row updates/deletes.")
       if (isChange) Seq.empty
-      else acts.collect { case Action("add", p, _, true) => p }
+      else acts.collect { case Action("add", p, _, true, _) => p }
     }
 
   /** Pre-round-13 name for the raw add listing (every add in the range,
@@ -1852,7 +2201,7 @@ object TxLog {
   def addedBetween(table: String, fromV: Long, toV: Long): Seq[String] =
     versions(table).filter(v => v > fromV && v <= toV)
       .flatMap(v => readActions(table, v).collect {
-        case Action("add", p, _, _) => p
+        case Action("add", p, _, _, _) => p
       })
 
   /** Scan `files` binding the DECLARED schema when one exists: with an
@@ -1949,8 +2298,12 @@ object TxLog {
             if rm.contains(a.name) => a.withName(rm(a.name))
       }
     }
+    // footer stats merged with partition point-stats (exact by the
+    // single-valued-file invariant) — partition predicates prune even
+    // on files whose footer harvest failed
+    val resolve = statsResolver(table, asOf)
     val (kept, skipped) = adds.partition { a =>
-      a.stats.flatMap(TxStats.decode) match {
+      resolve(a) match {
         // a zero-row file can't produce a match regardless of predicate
         case Some(fs) => fs.rows > 0 && TxStats.mayTrue(pred, fs)
         case None     => true

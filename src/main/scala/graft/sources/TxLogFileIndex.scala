@@ -37,14 +37,20 @@ import graft.etl.{TxLog, TxStats}
 final class TxLogFileIndex(table: String, asOf: Option[Long] = None)
     extends FileIndex with org.apache.spark.internal.Logging {
 
-  /** (hadoop status, decoded stats) per live file, fixed at construction. */
-  private val entries: Seq[(FileStatus, Option[TxStats.FileStats])] =
+  /** (hadoop status, decoded stats) per live file, fixed at
+    * construction. Stats are footer min/max merged with the file's
+    * partition point-stats ([[TxLog.statsResolver]]) — on a PARTITIONED
+    * table every pushed partition predicate prunes exactly, even for
+    * files whose footer harvest failed. */
+  private val entries: Seq[(FileStatus, Option[TxStats.FileStats])] = {
+    val resolve = TxLog.statsResolver(table, asOf)
     TxLog.snapshotAdds(table, asOf).map { a =>
       val p = Paths.get(table, a.path).toAbsolutePath
       val st = new FileStatus(Files.size(p), false, 1, 0L,
         Files.getLastModifiedTime(p).toMillis, new Path(p.toUri))
-      (st, a.stats.flatMap(TxStats.decode))
+      (st, resolve(a))
     }
+  }
 
   override def rootPaths: Seq[Path] = Seq(new Path(Paths.get(table).toUri))
 

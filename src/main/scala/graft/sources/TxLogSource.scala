@@ -54,8 +54,20 @@ class TxLogSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val path = TxLogSource.normalize(properties.get("path"))
+    // CREATE TABLE … PARTITIONED BY (c, …) arrives as identity
+    // transforms; anything else (bucket, days, …) is refused loudly —
+    // the format's partitioning is identity-only (partition on a
+    // derived column instead, the Delta posture)
+    val partCols = partitioning.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs.head.fieldNames().length == 1,
+        s"txlog supports PARTITIONED BY plain columns only, got $t")
+      refs.head.fieldNames().head
+    }
     new TxLogDsv2Table(path, schema,
-      TxLogSource.asOfOf(path, new CaseInsensitiveStringMap(properties)))
+      TxLogSource.asOfOf(path, new CaseInsensitiveStringMap(properties)),
+      partCols)
   }
 
   /** CREATE TABLE (cols…) on a fresh path supplies the schema externally;
@@ -110,7 +122,8 @@ object TxLogSource {
 }
 
 private[sources] class TxLogDsv2Table(path: String, declared: StructType,
-                                      tableAsOf: Option[Long] = None)
+                                      tableAsOf: Option[Long] = None,
+                                      createPartCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Table root on disk — the handle the SQL-DML strategy routes through. */
@@ -127,6 +140,17 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Declared partitioning: the log's declaration once a write landed,
+    * else what CREATE TABLE carried (pre-first-INSERT window). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cols = TxLog.partColsOf(path) match {
+      case declared if declared.nonEmpty => declared
+      case _ => createPartCols
+    }
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel arrives through getTable properties on the
     // DataFrameReader path and through the scan options on catalyst
@@ -142,7 +166,7 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(tableAsOf.isEmpty, "cannot write to a time-travel snapshot")
-    new TxLogWriteBuilder(path, overwrite = false)
+    new TxLogWriteBuilder(path, overwrite = false, createPartCols)
   }
 }
 
@@ -322,17 +346,25 @@ private[sources] class TxLogV1Relation(
 /** INSERT INTO → append commit; INSERT OVERWRITE (truncate) → overwrite
   * commit. Each SQL statement is ONE TxLog version: racing INSERTs
   * serialize on the version CAS exactly like API writers. */
-private[sources] class TxLogWriteBuilder(path: String, overwrite: Boolean)
+private[sources] class TxLogWriteBuilder(path: String, overwrite: Boolean,
+                                         partCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
-  override def truncate(): WriteBuilder = new TxLogWriteBuilder(path, overwrite = true)
+  override def truncate(): WriteBuilder =
+    new TxLogWriteBuilder(path, overwrite = true, partCols)
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteIgnored: Boolean): Unit = {
-          if (overwrite) TxLog.overwrite(data.sparkSession, path, data)
-          else TxLog.append(data.sparkSession, path, data)
+          // partCols: CREATE TABLE's PARTITIONED BY — the first INSERT
+          // declares it in the log alongside the schema; later inserts
+          // pass it through and partDecl verifies it matches
+          if (overwrite)
+            TxLog.overwrite(data.sparkSession, path, data,
+              partitionBy = partCols)
+          else TxLog.append(data.sparkSession, path, data,
+            partitionBy = partCols)
           ()
         }
       }

@@ -35,27 +35,41 @@ class TxLogProcessStormSpec extends AnyFunSuite with BeforeAndAfterAll {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private def spawn(table: String, writerId: Long, n: Int,
-                    mode: String): Process = {
+                    mode: String): (Process, java.io.File) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cmd = (Seq(java) ++ addOpens ++ Seq(
       "-Xmx2g",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.TxLogStormProc", table, writerId.toString, n.toString, mode))
-    new ProcessBuilder(cmd: _*)
+    val log = Files.createTempFile("storm-out", ".log").toFile
+    (new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
-      .redirectOutput(Files.createTempFile("storm-out", ".log").toFile)
-      .start()
+      .redirectOutput(log)
+      .start(), log)
+  }
+
+  /** Child exit must be 0; on failure the child's log tail IS the
+    * diagnosis (an opaque "process failed" hid an entire round's only
+    * red test), so surface it in the assertion message. */
+  private def awaitOk(p: Process, log: java.io.File, what: String): Unit = {
+    val rc = p.waitFor()
+    if (rc != 0) {
+      val tail = scala.util.Try(
+        new String(Files.readAllBytes(log.toPath)).takeRight(4000))
+        .getOrElse("<child log unreadable>")
+      fail(s"$what exited $rc; child log tail:\n$tail")
+    }
   }
 
   test("two real JVMs racing appends + optimize + vacuum serialize cleanly") {
     val table = Files.createTempDirectory("graft-proc-storm")
       .resolve("t").toString
     val nPer = 5
-    val p1 = spawn(table, 1L, nPer, "append")
-    val p2 = spawn(table, 2L, nPer, "mixed")
-    assert(p1.waitFor() == 0, "append writer process failed")
-    assert(p2.waitFor() == 0, "mixed writer process failed")
+    val (p1, l1) = spawn(table, 1L, nPer, "append")
+    val (p2, l2) = spawn(table, 2L, nPer, "mixed")
+    awaitOk(p1, l1, "append writer process")
+    awaitOk(p2, l2, "mixed writer process")
     // serialized, gapless history: the CAS admitted exactly one winner per
     // version number across process boundaries
     val vs = TxLog.versions(table)
