@@ -1394,7 +1394,76 @@ object Lakehouse {
       .orderBy(col("shard"))
   }
 
+  // ---------------------- q301 partitioned TxLog table (round 13)
+
+  /** q301 — PARTITIONED BY end-to-end, driver-verified: the documents
+    * projection lands as ONE partitioned TxLog append (identity
+    * partitioning on `lang`; one file per language), then a partition-
+    * predicate read of the lexicographically-first language goes through
+    * [[graft.etl.TxLog.readWhere]], and the evidence columns pin the
+    * partition-pruning contract the oracle recomputes from raw data:
+    * files_kept = 1 (the target language's file), files_skipped =
+    * |languages| - 1 (never opened — at 100 TB the difference between
+    * scanning one partition and the table), partition_files =
+    * |languages| (the writer emitted exactly one single-valued file per
+    * partition). The per-slice rollup inside the kept partition pins
+    * that pruning changed I/O, not results. */
+  def q301TxLogPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q301")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    graft.etl.TxLog.append(s, table, docs.coalesce(1),
+      partitionBy = Seq("lang"))
+    val target = docs.agg(min(col("lang"))).collect()(0).getString(0)
+    val pr = graft.etl.TxLog.prune(s, table, col("lang") === target)
+    val nFiles = graft.etl.TxLog.snapshotAdds(table).size.toLong
+    graft.etl.TxLog.readWhere(s, table, col("lang") === target)
+      .groupBy(col("lang"), (col("doc_id") % 5).as("slice"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("files_kept", lit(pr.kept.size.toLong))
+      .withColumn("files_skipped", lit(pr.skipped.size.toLong))
+      .withColumn("partition_files", lit(nFiles))
+      .select(col("lang"), col("slice"), col("n_docs"), col("files_kept"),
+        col("files_skipped"), col("partition_files"))
+      .orderBy(col("slice"))
+  }
+
+  // ------------------------- q302 replaceWhere partition overwrite
+
+  /** q302 — partition-region INSERT OVERWRITE ([[graft.etl.TxLog
+    * .replaceWhere]]), driver-verified: the per-priority order rollup
+    * lands partitioned by priority (5 single-valued files), then the
+    * '1-URGENT' region is replaced with shifted contents in ONE commit.
+    * Evidence columns pin the no-write-amplification contract:
+    * untouched_files = 4 — every other partition's file is BIT-IDENTICAL
+    * (same path, never read, never rewritten; at 100 TB replacing a
+    * day's partition costs that day, not the table) — and
+    * replaced_files = 1. The oracle recomputes the final table (shifted
+    * urgent row + originals) from raw orders, so the hash verifies the
+    * swap replaced exactly the named region. */
+  def q302TxLogReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q302")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1),
+      partitionBy = Seq("o_orderpriority"))
+    val before = graft.etl.TxLog.snapshotAdds(table).map(_.path).toSet
+    val repl = r.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderpriority"),
+        (col("n_orders") + 100000L).as("n_orders"))
+    graft.etl.TxLog.replaceWhere(s, table, repl,
+      col("o_orderpriority") === "1-URGENT")
+    val after = graft.etl.TxLog.snapshotAdds(table).map(_.path).toSet
+    graft.etl.TxLog.read(s, table)
+      .withColumn("untouched_files", lit(before.intersect(after).size.toLong))
+      .withColumn("replaced_files", lit(before.diff(after).size.toLong))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("untouched_files"), col("replaced_files"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_txlog_replace_where" -> (q302TxLogReplaceWhere _),
+    "q301_txlog_partitioned" -> (q301TxLogPartitioned _),
     "q300_curation_pipeline" -> (q300CurationPipeline _),
     "q299_txlog_pipeline" -> (q299TxLogPipeline _),
     "q298_txlog_rename" -> (q298TxLogRename _),
@@ -1434,6 +1503,33 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // partition pruning recomputed from raw data: the target language's
+    // slice rollup, 1 file kept, |langs|-1 skipped, one file per lang
+    "q301_txlog_partitioned" ->
+      """WITH tgt AS (SELECT min(lang) AS lang FROM documents),
+        |  nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n
+        |         FROM documents)
+        |SELECT d.lang, CAST(d.doc_id % 5 AS BIGINT) AS slice,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(1 AS BIGINT) AS files_kept,
+        |  (SELECT n - 1 FROM nl) AS files_skipped,
+        |  (SELECT n FROM nl) AS partition_files
+        |FROM documents d, tgt WHERE d.lang = tgt.lang
+        |GROUP BY d.lang, d.doc_id % 5
+        |ORDER BY slice""".stripMargin,
+    // region swap recomputed with set algebra: the urgent partition's
+    // shifted rollup + every other priority untouched; 4 files never
+    // rewritten, exactly 1 replaced
+    "q302_txlog_replace_where" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN n_orders + 100000 ELSE n_orders END AS BIGINT)
+        |    AS n_orders,
+        |  CAST(4 AS BIGINT) AS untouched_files,
+        |  CAST(1 AS BIGINT) AS replaced_files
+        |FROM r ORDER BY o_orderpriority""".stripMargin,
     // full loop: stream-ingested rows CDC-read back == raw events;
     // second_run_added = 0 is the exactly-once idempotence pin
     "q299_txlog_pipeline" ->
