@@ -878,6 +878,45 @@ object TxLog {
       }
   }
 
+  /** Shared declaration-time validation: partition columns exist in the
+    * schema, carry partitionable types, and don't repeat. */
+  private def validatePartCols(schema: org.apache.spark.sql.types.StructType,
+                               partitionBy: Seq[String]): Unit = {
+    require(partitionBy.distinct == partitionBy, "duplicate partition column")
+    val types = schema.map(f => f.name -> f.dataType).toMap
+    partitionBy.foreach { c =>
+      val dt = types.getOrElse(c, throw new IllegalArgumentException(
+        s"partition column $c is not a column of the write"))
+      require(PartitionableTypes.contains(dt),
+        s"partition column $c has unsupported type $dt (supported: " +
+          "string, int, long, short, byte, boolean, date)")
+      safeField(c, "partition column")
+    }
+  }
+
+  /** CREATE TABLE as a metadata-only first commit: declare the schema
+    * (and partitioning) BEFORE any data arrives, so the declaration is
+    * durable in the log rather than pending the first INSERT (a
+    * freshly-created empty table SELECTs zero rows with the right
+    * columns, DESCRIBEs, and enforces schema-on-write immediately — the
+    * production CREATE semantics). The CAS claims version 1; losing it
+    * means the table already exists — an error, not a retry. */
+  def create(table: String,
+             schema: org.apache.spark.sql.types.StructType,
+             partitionBy: Seq[String] = Nil,
+             commitTs: Option[Long] = None): Long = {
+    require(schema.nonEmpty, "CREATE TABLE needs at least one column")
+    validatePartCols(schema, partitionBy)
+    val acts = (schemaAction(schema) +:
+      (if (partitionBy.isEmpty) Seq.empty
+       else partColsAction(partitionBy) +:
+         protocolAction(table, "partitioning").toSeq)) :+
+      tsAction(commitTs, "CREATE TABLE")
+    if (!tryCommit(table, 1L, acts)) throw new IllegalStateException(
+      s"CREATE TABLE: $table already exists (version 1 is taken)")
+    1L
+  }
+
   /** Effective partition columns for a write + the declaration action to
     * ride with it (first partitioned write only). Immutable once set;
     * declaring partitioning on a table that already has live
@@ -893,17 +932,7 @@ object TxLog {
           s"may not re-partition it by (${partitionBy.mkString(", ")})")
       (declared, Seq.empty)
     } else if (partitionBy.nonEmpty) {
-      require(partitionBy.distinct == partitionBy,
-        "duplicate partition column")
-      val types = df.schema.map(f => f.name -> f.dataType).toMap
-      partitionBy.foreach { c =>
-        val dt = types.getOrElse(c, throw new IllegalArgumentException(
-          s"partition column $c is not a column of the write"))
-        require(PartitionableTypes.contains(dt),
-          s"partition column $c has unsupported type $dt (supported: " +
-            "string, int, long, short, byte, boolean, date)")
-        safeField(c, "partition column")
-      }
+      validatePartCols(df.schema, partitionBy)
       require(replacesAll || snapshot(table).isEmpty,
         s"$table already has live unpartitioned files; partitioning must " +
           "be declared on the first write or an OVERWRITE (rewrite into " +
@@ -1027,9 +1056,11 @@ object TxLog {
     require(df.filter(!cond || cond.isNull).limit(1).count() == 0L,
       "replaceWhere: the incoming frame has rows outside the predicate " +
         "region — the write would silently widen the region")
+    val decl = enforceSchema(table, df, mergeSchema = false)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = stage(spark, table, df) :+ tsAction(commitTs, "REPLACEWHERE")
+    val adds = (stage(spark, table, df) ++ decl) :+
+      tsAction(commitTs, "REPLACEWHERE")
     val resolve = statsResolver(table, None)
     // a file is replaced iff provably all-in; kept iff provably all-out
     def classify(a: Action): Boolean = {
@@ -1053,6 +1084,95 @@ object TxLog {
         "replaceWhere over files carrying deletion vectors: OPTIMIZE " +
           "first to materialize the deletes (the whole-file swap would " +
           "drop the DV state silently otherwise)")
+      val removes = victims.map(a => Action("remove", a.path))
+      if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+    }
+    committed
+  }
+
+  /** CONVERT TO TXLOG: adopt an existing plain-parquet directory as a
+    * TxLog table WITHOUT rewriting a byte — register every live parquet
+    * file as a version-1 add (footer stats harvested, metadata I/O
+    * only) plus the inferred schema declaration. At 100 TB this is the
+    * difference between "migrate the table" (days of rewrite) and "one
+    * metadata commit"; the public CONVERT TO DELTA contract.
+    *
+    * Hive-partitioned layouts (`c=v` dir segments) are REFUSED loudly:
+    * their files omit the partition columns from content, while this
+    * format's identity-partition invariant keeps them in every file —
+    * adopting such a tree would silently read those columns as null.
+    * Rewrite through a partitioned [[append]] instead.
+    *
+    * The conversion claims version 1, so racing a concurrent convert
+    * (or any writer) loses the CAS and errors — never a double adopt. */
+  def convert(spark: SparkSession, table: String,
+              commitTs: Option[Long] = None): Long = {
+    require(versions(table).isEmpty, s"$table is already a TxLog table")
+    val root = Paths.get(table)
+    require(Files.isDirectory(root), s"$table is not a directory")
+    val rels: Seq[String] = {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    }
+    require(rels.nonEmpty, s"no parquet files to convert under $table")
+    rels.filter(_.contains('=')).take(1).foreach { r =>
+      throw new IllegalArgumentException(
+        s"CONVERT: $table looks hive-partitioned ($r) — its files omit " +
+          "the partition columns from content; rewrite through a " +
+          "partitioned append instead of converting in place")
+    }
+    // schema from the files themselves (union across footers, so a
+    // schema-evolved directory declares the widest shape)
+    val schema = spark.read.option("mergeSchema", "true").parquet(table).schema
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = rels.map { r =>
+      val abs = Paths.get(table, r).toAbsolutePath.toString
+      Action("add", r, TxStats.fromFooter(conf, abs).map(TxStats.encode))
+    }
+    val acts = (adds :+ schemaAction(schema)) :+ tsAction(commitTs, "CONVERT")
+    if (!tryCommit(table, 1L, acts)) throw new IllegalStateException(
+      s"CONVERT: $table gained a commit while converting — version 1 taken")
+    1L
+  }
+
+  /** DYNAMIC partition overwrite: replace exactly the partitions PRESENT
+    * in `df`, leave every other partition untouched — the
+    * `partitionOverwriteMode=dynamic` contract, as one commit. The
+    * incoming frame is staged first (its files' partition tuples ARE
+    * the touched set — no separate distinct pass over the data), then
+    * the CAS loop removes the live files whose tuple matches a touched
+    * tuple; token equality is tuple equality (canonical encoding). A
+    * racing append into a touched partition is replaced on rebase —
+    * the partition is being redefined; appends elsewhere are never
+    * read or touched. Returns the committed version. */
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+                          commitTs: Option[Long] = None): Long = {
+    val partCols = partColsOf(table)
+    require(partCols.nonEmpty,
+      s"overwritePartitions requires a partitioned table; $table is " +
+        "unpartitioned (use overwrite)")
+    val decl = enforceSchema(table, df, mergeSchema = false)
+    var cs0 = constraintsOf(table)
+    enforceConstraints(table, df, cs0)
+    val adds = (stage(spark, table, df) ++ decl) :+
+      tsAction(commitTs, "OVERWRITE PARTITIONS")
+    val touched = adds.flatMap(_.part).toSet
+    require(touched.nonEmpty, "overwritePartitions: empty incoming frame " +
+      "names no partition — nothing to overwrite")
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val csB = constraintsOf(table, Some(base))
+      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+      val (liveAdds, dvs) = replayState(table, Some(base))
+      val victims = liveAdds.filter(_.part.exists(touched))
+      require(victims.forall(a => !dvs.contains(a.path)),
+        "overwritePartitions over files carrying deletion vectors: " +
+          "OPTIMIZE first to materialize the deletes")
       val removes = victims.map(a => Action("remove", a.path))
       if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
     }

@@ -1461,7 +1461,113 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ---------------- q303 native SQL time travel via the catalog
+
+  /** q303 — STOCK Spark time-travel syntax end-to-end, driver-verified:
+    * the priority rollup lands as two TxLog commits with injected
+    * in-commit timestamps (1000/2000 ms), then THREE reads go through
+    * [[graft.sources.GraftCatalog]] with no custom parser — `VERSION AS
+    * OF 1`, `TIMESTAMP AS OF timestamp_millis(1500)` (the epoch-anchored
+    * form, timezone-proof), and the bare latest — and the phased union
+    * pins that version binding, timestamp monotonization, and the
+    * catalog's snapshot isolation all agree with the oracle's set
+    * algebra over raw orders. Completes the SQL time-travel surface the
+    * round-12 verdict called a seam: q287 pinned the OPTIONS route, this
+    * pins the native syntax route. */
+  def q303TxLogCatalogTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q303")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") <= "2-HIGH").coalesce(1),
+      commitTs = Some(1000L))
+    graft.etl.TxLog.append(s, table,
+      r.filter(col("o_orderpriority") > "2-HIGH").coalesce(1),
+      commitTs = Some(2000L))
+    def phase(sql: String, name: String): DataFrame =
+      s.sql(sql).withColumn("phase", lit(name))
+    phase(s"SELECT * FROM graft.`$table` VERSION AS OF 1", "v1")
+      .unionByName(phase(s"SELECT * FROM graft.`$table` " +
+        "TIMESTAMP AS OF timestamp_millis(1500)", "ts_mid"))
+      .unionByName(phase(s"SELECT * FROM graft.`$table`", "latest"))
+      .select(col("phase"), col("o_orderpriority"), col("n_orders"))
+      .orderBy(col("phase"), col("o_orderpriority"))
+  }
+
+  // -------------------------- q304 CONVERT TO TXLOG (in-place adopt)
+
+  /** q304 — metadata-only table adoption, driver-verified: a per-status
+    * order rollup lands as a PLAIN parquet directory (two stock Spark
+    * writes — no log), then [[graft.etl.TxLog.convert]] claims it as a
+    * TxLog table in ONE commit, and the emitted evidence pins the
+    * contract the oracle recomputes from raw orders: files_registered
+    * = 2 (both pre-existing files now live adds), adopted_in_place
+    * (no path moved into the staged-data layout — zero bytes
+    * rewritten; at 100 TB adoption costs a footer read per file, not a
+    * rewrite), version_count = 2 (the convert + one post-adopt append
+    * that proves the table is a full citizen of the protocol). */
+  def q304TxLogConvert(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q304")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_orders"))
+    // plain parquet, two files, written by stock Spark — not a TxLog path
+    r.filter(col("o_orderstatus") <= "F").coalesce(1).write.parquet(table)
+    r.filter(col("o_orderstatus") > "F").coalesce(1)
+      .write.mode("append").parquet(table)
+    graft.etl.TxLog.convert(s, table)
+    val adds = graft.etl.TxLog.snapshotAdds(table)
+    val inPlace = adds.forall(a => !a.path.startsWith("data/"))
+    import s.implicits._
+    graft.etl.TxLog.append(s, table,
+      Seq(("9-SYNTH", 42L)).toDF("o_orderstatus", "n_orders"))
+    graft.etl.TxLog.read(s, table)
+      .withColumn("files_registered", lit(adds.size.toLong))
+      .withColumn("adopted_in_place", lit(inPlace))
+      .withColumn("version_count",
+        lit(graft.etl.TxLog.versions(table).size.toLong))
+      .select(col("o_orderstatus"), col("n_orders"), col("files_registered"),
+        col("adopted_in_place"), col("version_count"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ------------------ q305 dynamic partition overwrite (one commit)
+
+  /** q305 — `partitionOverwriteMode=dynamic` semantics
+    * ([[graft.etl.TxLog.overwritePartitions]]), driver-verified: the
+    * priority rollup lands partitioned by priority (5 single-valued
+    * files), then ONE commit overwrites exactly the two partitions the
+    * incoming frame touches (urgent + high, shifted by 200000) — no
+    * predicate named, the data names its own region. Evidence pins the
+    * swap: untouched_files = 3 (bit-identical paths), replaced_files =
+    * 2; the oracle recomputes the final table with set algebra from raw
+    * orders. Together with q302 (static replaceWhere) both partition-
+    * overwrite modes of the production formats are under the hash. */
+  def q305TxLogDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q305")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1),
+      partitionBy = Seq("o_orderpriority"))
+    val before = graft.etl.TxLog.snapshotAdds(table).map(_.path).toSet
+    val incoming = r.filter(col("o_orderpriority") <= "2-HIGH")
+      .select(col("o_orderpriority"),
+        (col("n_orders") + 200000L).as("n_orders"))
+    graft.etl.TxLog.overwritePartitions(s, table, incoming)
+    val after = graft.etl.TxLog.snapshotAdds(table).map(_.path).toSet
+    graft.etl.TxLog.read(s, table)
+      .withColumn("untouched_files",
+        lit(before.intersect(after).size.toLong))
+      .withColumn("replaced_files", lit(before.diff(after).size.toLong))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("untouched_files"), col("replaced_files"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_txlog_dynamic_overwrite" -> (q305TxLogDynamicOverwrite _),
+    "q304_txlog_convert" -> (q304TxLogConvert _),
+    "q303_txlog_catalog_travel" -> (q303TxLogCatalogTravel _),
     "q302_txlog_replace_where" -> (q302TxLogReplaceWhere _),
     "q301_txlog_partitioned" -> (q301TxLogPartitioned _),
     "q300_curation_pipeline" -> (q300CurationPipeline _),
@@ -1503,6 +1609,42 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // adopted contents == the rollup the plain writes held, plus the
+    // post-adopt synthetic row; 2 files registered in place, 2 versions
+    "q304_txlog_convert" ->
+      """SELECT o_orderstatus, n_orders,
+        |  CAST(2 AS BIGINT) AS files_registered,
+        |  CAST(TRUE AS BOOLEAN) AS adopted_in_place,
+        |  CAST(2 AS BIGINT) AS version_count
+        |FROM (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1
+        |  UNION ALL SELECT '9-SYNTH', CAST(42 AS BIGINT))
+        |ORDER BY o_orderstatus""".stripMargin,
+    // dynamic overwrite recomputed with set algebra: urgent+high shifted,
+    // the other three priorities byte-untouched
+    "q305_txlog_dynamic_overwrite" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CAST(CASE WHEN o_orderpriority <= '2-HIGH'
+        |       THEN n_orders + 200000 ELSE n_orders END AS BIGINT)
+        |    AS n_orders,
+        |  CAST(3 AS BIGINT) AS untouched_files,
+        |  CAST(2 AS BIGINT) AS replaced_files
+        |FROM r ORDER BY o_orderpriority""".stripMargin,
+    // three time-travel phases recomputed with set algebra: v1 and the
+    // mid-timestamp read see the first commit only, latest sees both
+    "q303_txlog_catalog_travel" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT phase, o_orderpriority, n_orders FROM (
+        |  SELECT 'v1' AS phase, * FROM r WHERE o_orderpriority <= '2-HIGH'
+        |  UNION ALL
+        |  SELECT 'ts_mid', * FROM r WHERE o_orderpriority <= '2-HIGH'
+        |  UNION ALL
+        |  SELECT 'latest', * FROM r)
+        |ORDER BY phase, o_orderpriority""".stripMargin,
     // partition pruning recomputed from raw data: the target language's
     // slice rollup, 1 file kept, |langs|-1 skipped, one file per lang
     "q301_txlog_partitioned" ->

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.TxLog
+
+/** Path-keyed `TableCatalog` for TxLog tables — the seam that gives the
+  * format STOCK Spark SQL time travel: registering it as
+  * `spark.sql.catalog.graft = graft.sources.GraftCatalog` makes
+  *
+  * {{{
+  *   SELECT * FROM graft.`/data/events_t`                      -- latest
+  *   SELECT * FROM graft.`/data/events_t` VERSION AS OF 3      -- by version
+  *   SELECT * FROM graft.`/data/events_t` TIMESTAMP AS OF '…'  -- by commit ts
+  *   CREATE TABLE graft.`/data/new_t` (id BIGINT, day DATE)
+  *     PARTITIONED BY (day)
+  *   INSERT INTO graft.`/data/new_t` …
+  * }}}
+  *
+  * parse and resolve with NO custom parser: Spark's analyzer routes
+  * `VERSION AS OF` to [[loadTable(Identifier,String)]] and
+  * `TIMESTAMP AS OF` to [[loadTable(Identifier,Long)]] (micros), the
+  * public DSv2 time-travel contract. The identifier IS the table path
+  * (one backticked part, no namespaces) — the same authority model as
+  * the rest of the format: the filesystem is the catalog, so there is
+  * no second metadata store to drift from the log.
+  *
+  * CREATE TABLE through this catalog commits the declaration
+  * immediately ([[TxLog.create]] — schema + partitioning as version 1),
+  * unlike the OPTIONS-path provider where CREATE's metadata waits for
+  * the first INSERT in the session catalog. DROP only unregisters
+  * nothing (the catalog holds no state) and is refused to avoid
+  * implying data deletion; VACUUM and filesystem lifecycle own that. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  /** The single identifier part is the table's filesystem path. */
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"graft catalog identifiers are table paths with no namespace " +
+        s"(got ${ident.namespace().mkString(".")}.${ident.name()})")
+    TxLogSource.normalize(ident.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxLog.versions(pathOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (TxLog.versions(p).isEmpty) throw new NoSuchTableException(ident)
+    new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p))
+  }
+
+  /** `VERSION AS OF v` — bind the snapshot AND its contemporary schema
+    * (an evolved table reads each version with its own columns). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF takes a numeric TxLog version, got '$version'")
+    }
+    require(TxLog.versions(p).contains(v),
+      s"no committed version $v of $p (have ${TxLog.versions(p).mkString(", ")})")
+    new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p, Some(v)), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds; resolution
+    * uses the log's monotonized in-commit timestamps
+    * ([[TxLog.versionAsOf]] takes millis). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    val v = TxLog.versionAsOf(p, timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version of $p at or before timestamp " +
+          s"${timestamp / 1000L} ms"))
+    new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p, Some(v)), Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (TxLog.versions(p).nonEmpty) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+        refs.head.fieldNames().length == 1,
+        s"txlog supports PARTITIONED BY plain columns only, got $t")
+      refs.head.fieldNames().head
+    }
+    TxLog.create(p, schema, partCols)
+    new TxLogDsv2Table(p, schema, None, partCols)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through the graft catalog is not supported — use the TxLog " +
+        "DDL statements (ALTER TABLE ADD COLUMNS / RENAME COLUMN via the " +
+        "session-catalog table, or the TxLog API)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP through the graft catalog is refused: the path IS the table " +
+        "and this catalog holds no registration to remove — delete the " +
+        "directory (after VACUUM) to drop the data")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME through the graft catalog is not supported — the path is " +
+        "the identity; CLONE to a new path instead")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // pathless: the filesystem is the namespace
+}
