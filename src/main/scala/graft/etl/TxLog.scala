@@ -7,7 +7,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, pmod, shiftleft}
+import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, not, pmod, shiftleft}
 
 /** Minimal ACID table format over plain parquet: an ordered commit log of
   * immutable version files, each an atomic unit of add/remove file
@@ -203,6 +203,7 @@ object TxLog {
       case Action("bloom", _, _, _, _)  => () // bloom-index DDL, no file effect
       case Action("rename", _, _, _, _) => () // column-mapping DDL, no file effect
       case Action("partcols", _, _, _, _) => () // partitioning DDL, no file effect
+      case Action("gencol", _, _, _, _)   => () // generated-column DDL, no file effect
       case Action("protocol", feats, _, _, _) => // reader-capability declaration
         val unknown = feats.split(",").map(_.trim).filter(_.nonEmpty)
           .filterNot(SupportedFeatures)
@@ -809,6 +810,99 @@ object TxLog {
     v
   }
 
+  // ----------------------------------------------- generated columns
+
+  /** Live generated-column declarations at `asOf`: name → SQL
+    * expression (the Delta `GENERATED ALWAYS AS` pattern). Stored like
+    * CHECK constraints ("gencol" actions, expression base64 in the
+    * stats slot); declaration-only — production formats pin generation
+    * expressions at creation, so there is no drop action. */
+  def generatedColsOf(table: String, asOf: Option[Long] = None): Map[String, String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("gencol", name, Some(enc), _, _) =>
+          live(name) = new String(java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8)
+        case _ => ()
+      }
+    }
+    live.toMap
+  }
+
+  /** Declare `name` as GENERATED ALWAYS AS (`sqlExpr`) over the other
+    * columns. Writers that omit the column get it MATERIALIZED; writers
+    * that supply it are VALIDATED row-for-row against the expression
+    * (one bounded probe — a mismatched value is a lie about the
+    * generation invariant and the whole write bounces). Declaration
+    * requires an EMPTY table (the production-format posture: generation
+    * is a creation-time property; backfilling historical rows would
+    * rewrite data a DDL must not touch). The column must already be in
+    * the declared schema — declare it via [[create]]. Chained
+    * generation (an expression referencing another generated column) is
+    * refused: materialization is one pass, not a fixpoint. */
+  def addGeneratedColumn(spark: SparkSession, table: String, name: String,
+                         sqlExpr: String,
+                         commitTs: Option[Long] = None): Long = {
+    safeField(name, "generated column name")
+    require(snapshot(table).isEmpty,
+      s"$table has live data; generated columns are declared before any " +
+        "write (CREATE the table, declare, then load)")
+    val declared = schemaOf(table).getOrElse(throw new IllegalStateException(
+      s"$table has no declared schema — CREATE it first"))
+    require(declared.fieldNames.contains(name),
+      s"generated column $name is not in the declared schema " +
+        s"(${declared.fieldNames.mkString(", ")})")
+    val gcs = generatedColsOf(table)
+    require(!gcs.contains(name), s"$name is already generated")
+    // the expression must analyze against the NON-generated columns only
+    val others = org.apache.spark.sql.types.StructType(
+      declared.fields.filterNot(f => f.name == name || gcs.contains(f.name)))
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), others)
+    val resolved = probe.select(expr(sqlExpr)).schema.head.dataType
+    val declaredType = declared(declared.fieldIndex(name)).dataType
+    require(resolved == declaredType,
+      s"generation expression for $name yields $resolved but the column " +
+        s"is declared $declaredType — cast inside the expression")
+    val enc = java.util.Base64.getEncoder.encodeToString(
+      sqlExpr.getBytes(StandardCharsets.UTF_8))
+    val acts = Seq(Action("gencol", name, Some(enc)),
+      tsAction(commitTs, "ADD GENERATED COLUMN"))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, acts)) v = versions(table).last + 1
+    v
+  }
+
+  /** Apply the table's generated columns to an incoming frame:
+    * materialize the absent ones, validate the supplied ones (SQL
+    * null-safe equality, so a null generation result must be written as
+    * null). Runs BEFORE schema enforcement in every user-facing writer. */
+  private def applyGenerated(table: String, df: DataFrame): DataFrame = {
+    val gcs = generatedColsOf(table)
+    if (gcs.isEmpty) return df
+    val have = df.columns.toSet
+    val (supplied, absent) = gcs.partition { case (n, _) => have(n) }
+    // validate the supplied ones in ONE bounded probe
+    if (supplied.nonEmpty) {
+      val anyLie = supplied.map { case (n, e) =>
+        not(col(n) <=> expr(e))
+      }.reduce(_ || _)
+      if (df.filter(anyLie).limit(1).count() > 0) {
+        val which = supplied.find { case (n, e) =>
+          df.filter(not(col(n) <=> expr(e))).limit(1).count() > 0
+        }.map(_._1).getOrElse("?")
+        throw new IllegalArgumentException(
+          s"write to $table supplies generated column $which with values " +
+            s"that differ from GENERATED ALWAYS AS " +
+            s"(${supplied.getOrElse(which, "")}) — drop the column from " +
+            "the write to have it materialized")
+      }
+    }
+    absent.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
   // ------------------------------------- partitioning (PARTITIONED BY)
 
   /** Hive's null-partition directory sentinel (public convention). */
@@ -1025,8 +1119,9 @@ object TxLog {
     * replaced too (its rows are part of the region being redefined),
     * while appends OUTSIDE the region are never touched. Returns the
     * committed version. */
-  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+  def replaceWhere(spark: SparkSession, table: String, df0: DataFrame,
                    cond: Column, commitTs: Option[Long] = None): Long = {
+    val df = applyGenerated(table, df0)
     val partCols = partColsOf(table)
     require(partCols.nonEmpty,
       s"replaceWhere requires a partitioned table; $table is unpartitioned")
@@ -1149,8 +1244,9 @@ object TxLog {
     * racing append into a touched partition is replaced on rebase —
     * the partition is being redefined; appends elsewhere are never
     * read or touched. Returns the committed version. */
-  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+  def overwritePartitions(spark: SparkSession, table: String, df0: DataFrame,
                           commitTs: Option[Long] = None): Long = {
+    val df = applyGenerated(table, df0)
     val partCols = partColsOf(table)
     require(partCols.nonEmpty,
       s"overwritePartitions requires a partitioned table; $table is " +
@@ -1227,10 +1323,11 @@ object TxLog {
     * evolution — the union schema is declared in the same commit) and
     * always refuses a column changing type. Returns the committed
     * version. */
-  def append(spark: SparkSession, table: String, df: DataFrame,
+  def append(spark: SparkSession, table: String, df0: DataFrame,
              mergeSchema: Boolean = false,
              commitTs: Option[Long] = None,
              partitionBy: Seq[String] = Nil): Long = {
+    val df = applyGenerated(table, df0)
     val decl = enforceSchema(table, df, mergeSchema)
     val (partCols, partActs) = partDecl(table, df, partitionBy)
     var cs0 = constraintsOf(table)
@@ -1258,10 +1355,11 @@ object TxLog {
     * replay is also caught. Orphaned data dirs from skipped replays are
     * unreferenced by the log (invisible to readers; a vacuum would GC
     * them). */
-  def appendOnce(spark: SparkSession, table: String, df: DataFrame,
+  def appendOnce(spark: SparkSession, table: String, df0: DataFrame,
                  txn: String, commitTs: Option[Long] = None): Option[Long] = {
     safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
+    val df = applyGenerated(table, df0)
     val decl = enforceSchema(table, df, mergeSchema = false)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
@@ -1306,9 +1404,10 @@ object TxLog {
     * commit lands on and adds the staged ones. The remove set is
     * RECOMPUTED per attempt — losing the race re-reads the new snapshot,
     * so a concurrent append is not silently resurrected or lost. */
-  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+  def overwrite(spark: SparkSession, table: String, df0: DataFrame,
                 commitTs: Option[Long] = None,
                 partitionBy: Seq[String] = Nil): Long = {
+    val df = applyGenerated(table, df0)
     // a full content replace REDEFINES the schema (no merge flag needed);
     // time travel before it binds the contemporary declaration, so old
     // snapshots keep reading with their own columns/types

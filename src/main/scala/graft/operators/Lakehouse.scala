@@ -1564,7 +1564,56 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // --------------------- q306 generated columns (+ derived partition)
+
+  /** q306 — GENERATED ALWAYS AS end-to-end, driver-verified: an events
+    * table is CREATEd with a `day DATE` column declared GENERATED AS
+    * `CAST(ts AS DATE)` AND used as the partition column — the
+    * production idiom (writers never compute the partition key; the
+    * format does, so it can never lie). One append of raw events (no
+    * day column) materializes the 30 day-partitions; the evidence pins
+    * all three contracts at once: the per-type rollup of the FIRST day
+    * equals the oracle's recompute from raw events (materialization is
+    * the declared expression), files_kept/skipped = 1/29 (the derived
+    * column prunes like any partition column), and
+    * lying_write_rejected — a write SUPPLYING a wrong day bounces
+    * whole, so the generation invariant survives hostile writers. */
+  def q306TxLogGenerated(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val table = tempTable("graft-q306")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    graft.etl.TxLog.create(table, StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("day", DateType))),
+      partitionBy = Seq("day"))
+    graft.etl.TxLog.addGeneratedColumn(s, table, "day", "CAST(ts AS DATE)")
+    graft.etl.TxLog.append(s, table, ev.coalesce(1))
+    val target = graft.etl.TxLog.read(s, table)
+      .agg(min(col("day"))).collect()(0).getDate(0)
+    val pr = graft.etl.TxLog.prune(s, table, col("day") === lit(target))
+    val rejected =
+      try { graft.etl.TxLog.append(s, table, ev.limit(1)
+        .withColumn("day", lit("1999-01-01").cast("date"))); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "generated-column gate failed to reject a lying write")
+    graft.etl.TxLog.readWhere(s, table, col("day") === lit(target))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("files_kept", lit(pr.kept.size.toLong))
+      .withColumn("files_skipped", lit(pr.skipped.size.toLong))
+      .withColumn("lying_write_rejected", lit(rejected))
+      // day as ISO string: Spark date32 lands as pandas objects while
+      // DuckDB DATE fetches datetime64 — equal values, different dtype
+      // class, which the driver hash distinguishes
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("n_events"), col("files_kept"), col("files_skipped"),
+        col("lying_write_rejected"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_txlog_generated" -> (q306TxLogGenerated _),
     "q305_txlog_dynamic_overwrite" -> (q305TxLogDynamicOverwrite _),
     "q304_txlog_convert" -> (q304TxLogConvert _),
     "q303_txlog_catalog_travel" -> (q303TxLogCatalogTravel _),
@@ -1609,6 +1658,20 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // the generated day == CAST(ts AS DATE) recomputed raw; first day's
+    // rollup, 1 partition kept of |days|, lying write rejected
+    "q306_txlog_generated" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |  tgt AS (SELECT min(day) AS day FROM e),
+        |  nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n FROM e)
+        |SELECT CAST(e.day AS VARCHAR) AS day, e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(1 AS BIGINT) AS files_kept,
+        |  (SELECT n - 1 FROM nd) AS files_skipped,
+        |  CAST(TRUE AS BOOLEAN) AS lying_write_rejected
+        |FROM e, tgt WHERE e.day = tgt.day
+        |GROUP BY e.day, e.event_type
+        |ORDER BY event_type""".stripMargin,
     // adopted contents == the rollup the plain writes held, plus the
     // post-adopt synthetic row; 2 files registered in place, 2 versions
     "q304_txlog_convert" ->
