@@ -1104,6 +1104,45 @@ object TxLog {
     }
   }
 
+  /** Split `adds` into (inside, outside) a partition predicate — exact
+    * by the single-valued-file invariant. The predicate is resolved and
+    * constant-folded by Catalyst against a read of the given files (the
+    * parquet relation keeps the Filter node; literal casts fold), must
+    * reference ONLY partition columns, and must be decidable for every
+    * file (provably all-in or all-out) — anything else fails loudly
+    * rather than guessing a region boundary. Driver-side metadata,
+    * O(files). */
+  private def partitionSplit(spark: SparkSession, table: String,
+                             cond: Column, adds: Seq[Action])
+      : (Seq[Action], Seq[Action]) = {
+    val partCols = partColsOf(table)
+    require(partCols.nonEmpty,
+      s"a partition predicate requires a partitioned table; $table is " +
+        "unpartitioned")
+    val base = boundRead(spark, table, adds.map(a => s"$table/${a.path}"), None)
+    val conds = base.filter(cond).queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    require(conds.nonEmpty,
+      "partition predicate resolved to no filter; pass a real region predicate")
+    val pred = conds.reduce(
+      org.apache.spark.sql.catalyst.expressions.And.apply)
+    val refs = pred.references.map(_.name).toSet
+    require(refs.nonEmpty && refs.subsetOf(partCols.toSet),
+      s"partition predicate may reference only partition columns " +
+        s"(${partCols.mkString(", ")}); got ${refs.mkString(", ")}")
+    val resolve = statsResolver(table, None)
+    adds.partition { a =>
+      val fs = resolve(a).getOrElse(throw new IllegalStateException(
+        s"live file ${a.path} carries no partition tuple"))
+      val in = TxStats.mayTrue(pred, fs)
+      val out = TxStats.mayFalse(pred, fs)
+      require(in ^ out, s"partition predicate is not decidable for file " +
+        s"${a.path} — use equality/range/IN over partition columns")
+      in
+    }
+  }
+
   /** INSERT OVERWRITE of a table REGION — Delta's `replaceWhere`,
     * restricted to the case where it is provably exact: `cond` may
     * reference only PARTITION columns, so every live file is wholly
@@ -2047,16 +2086,30 @@ object TxLog {
                targetFiles: Int = 1,
                sortBy: Seq[String] = Nil,
                commitTs: Option[Long] = None,
-               zorderBy: Seq[String] = Nil): Option[Long] = {
+               zorderBy: Seq[String] = Nil,
+               where: Option[Column] = None): Option[Long] = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "OPTIMIZE takes CLUSTER BY or ZORDER BY, not both")
     require(zorderBy.isEmpty || zorderBy.size == 2,
       "ZORDER BY interleaves exactly two numeric columns (the Morton " +
         "spread is 2-way; N-way needs a different bit stride)")
     while (true) {
-      val (adds0, dv0) = replayState(table, None)
+      val (all0, dvAll0) = replayState(table, None)
+      if (all0.isEmpty) return None
+      // OPTIMIZE … WHERE (partition-scoped compaction): rewrite ONLY the
+      // files of the named partitions — at 100 TB, compacting today's
+      // ingest must not read yesterday's table. Exact by the
+      // single-valued-file invariant; non-partition predicates refused.
+      val adds0 = where match {
+        case None => all0
+        case Some(c) => partitionSplit(spark, table, c, all0)._1
+      }
+      if (adds0.isEmpty) return None // nothing in the named region
       val read0 = adds0.map(_.path)
-      if (read0.isEmpty) return None
+      val dv0 = {
+        val scoped = read0.toSet
+        dvAll0.filter { case (f, _) => scoped(f) }
+      }
       // bind the DECLARED schema: on an evolved table a bare parquet
       // read takes whichever footer it samples first and could compact
       // the new columns away. DVs are applied, so compaction MATERIALIZES

@@ -1612,7 +1612,50 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  // ------------------- q307 OPTIMIZE ... WHERE (partition-scoped)
+
+  /** q307 — partition-scoped compaction via SQL
+    * (`OPTIMIZE t WHERE <partition predicate>`), driver-verified: two
+    * partitioned appends leave 2 files per priority (10 total), then
+    * the statement compacts ONLY the '1-URGENT' partition. Evidence
+    * pins the scale contract — compacting today's ingest must not read
+    * yesterday's table: untouched_files = 8 (every other partition's
+    * files bit-identical, never opened), urgent_files_after = 1, and
+    * the summed contents (each priority's count twice) match the
+    * oracle's recompute, so the rewrite rearranged without changing a
+    * row. The rewrite rides dataChange=false like whole-table OPTIMIZE
+    * (spec-pinned); q294/q274 cover the other OPTIMIZE forms. */
+  def q307TxLogOptimizeWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q307")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1),
+      partitionBy = Seq("o_orderpriority"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1))
+    def paths(p: String => Boolean): Set[String] =
+      graft.etl.TxLog.snapshotAdds(table).filter(a =>
+        graft.etl.TxLog.decodePartValues(a.part.get).head._2.exists(p))
+        .map(_.path).toSet
+    val othersBefore = paths(_ != "1-URGENT")
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"OPTIMIZE '$table' WHERE o_orderpriority = '1-URGENT'").get)
+      .collect()
+    val untouched = (othersBefore intersect paths(_ != "1-URGENT")).size
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_orders")).as("n_orders"))
+      .withColumn("untouched_files", lit(untouched.toLong))
+      .withColumn("urgent_files_after",
+        lit(paths(_ == "1-URGENT").size.toLong))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("untouched_files"), col("urgent_files_after"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_txlog_optimize_where" -> (q307TxLogOptimizeWhere _),
     "q306_txlog_generated" -> (q306TxLogGenerated _),
     "q305_txlog_dynamic_overwrite" -> (q305TxLogDynamicOverwrite _),
     "q304_txlog_convert" -> (q304TxLogConvert _),
@@ -1658,6 +1701,15 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // scoped compaction rearranges, never changes: each priority's count
+    // twice (two appends), 8 files untouched, urgent compacted to 1
+    "q307_txlog_optimize_where" ->
+      """SELECT o_orderpriority,
+        |  CAST(2 * count(*) AS BIGINT) AS n_orders,
+        |  CAST(8 AS BIGINT) AS untouched_files,
+        |  CAST(1 AS BIGINT) AS urgent_files_after
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the generated day == CAST(ts AS DATE) recomputed raw; first day's
     // rollup, 1 partition kept of |days|, lying write rejected
     "q306_txlog_generated" ->

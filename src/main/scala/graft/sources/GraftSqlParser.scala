@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   * after round-13's DML): a delegating parser that recognizes
   *
   * {{{
-  *   OPTIMIZE t [INTO n FILES] [CLUSTER BY (c1, ...)] [ZORDER BY (a, b)]
+  *   OPTIMIZE t [INTO n FILES] [WHERE partition-predicate]
+  *     [CLUSTER BY (c1, ...)] [ZORDER BY (a, b)]
   *   VACUUM t [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY t
   *   DESCRIBE DETAIL t
@@ -66,7 +67,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   // whole-statement matches; (?is) = case-insensitive, dot-matches-newline
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+('[^']+'|[\w.]+)\s*(?:INTO\s+(\d+)\s+FILES)?\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+('[^']+'|[\w.]+)\s*(?:INTO\s+(\d+)\s+FILES)?\s*(?:WHERE\s+(.+?)(?=\s+CLUSTER\s+BY|\s+ZORDER\s+BY|\s*;?\s*$))?\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+('[^']+'|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
@@ -89,13 +90,14 @@ object GraftSqlParser {
     * the extensions conf, and a ParserInterface cannot install post-hoc. */
   private[graft] def maintenance(sql: String): Option[LogicalPlan] =
     sql match {
-      case OptimizeRe(ident, files, cluster, zorder) =>
+      case OptimizeRe(ident, files, whereSql, cluster, zorder) =>
         def cols(g: String) = Option(g)
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         Some(OptimizeTxLogTable(ident,
           Option(files).map(_.toInt).getOrElse(1),
-          cols(cluster), cols(zorder)))
+          cols(cluster), cols(zorder),
+          Option(whereSql).map(_.trim).filter(_.nonEmpty)))
       case VacuumRe(ident, retain) =>
         Some(VacuumTxLogTable(ident, Option(retain).map(_.toInt).getOrElse(2)))
       case HistoryRe(ident) => Some(DescribeTxLogHistory(ident))
@@ -140,7 +142,8 @@ object GraftSqlParser {
   * analyzer passes it through; TxLogDmlStrategy plans it). */
 case class OptimizeTxLogTable(ident: String, targetFiles: Int,
                               clusterBy: Seq[String],
-                              zorderBy: Seq[String] = Nil)
+                              zorderBy: Seq[String] = Nil,
+                              whereSql: Option[String] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

@@ -157,11 +157,12 @@ object TxLogDmlStrategy extends SparkStrategy {
 
     // SQL maintenance verbs from GraftSqlParser — same exec node, same
     // driver-side protocol calls
-    case OptimizeTxLogTable(ident, files, cluster, zorder) =>
+    case OptimizeTxLogTable(ident, files, cluster, zorder, whereSql) =>
       TxLogDmlExec("OPTIMIZE", ident, spark => {
         graft.etl.TxLog.optimize(spark,
           GraftSqlParser.resolvePath(spark, ident),
-          targetFiles = files, sortBy = cluster, zorderBy = zorder); ()
+          targetFiles = files, sortBy = cluster, zorderBy = zorder,
+          where = whereSql.map(org.apache.spark.sql.functions.expr)); ()
       }) :: Nil
 
     case VacuumTxLogTable(ident, retain) =>

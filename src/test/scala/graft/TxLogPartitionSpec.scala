@@ -198,6 +198,34 @@ class TxLogPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("OPTIMIZE WHERE compacts only the named partition (API + SQL)") {
+    val t = tmp()
+    TxLog.append(spark, t, df(Seq((1L, "en"), (2L, "fr"))),
+      partitionBy = Seq("lang"))
+    TxLog.append(spark, t, df(Seq((3L, "en"), (4L, "fr"))))
+    assert(TxLog.snapshotAdds(t).size == 4)
+    def paths(lang: String): Set[String] = TxLog.snapshotAdds(t)
+      .filter(a => TxLog.decodePartValues(a.part.get).head._2.contains(lang))
+      .map(_.path).toSet
+    val frBefore = paths("fr")
+    TxLog.optimize(spark, t, where = Some(col("lang") === "en"))
+    assert(paths("en").size == 1)          // en compacted 2 -> 1
+    assert(paths("fr") == frBefore)        // fr files bit-identical
+    assert(TxLog.read(spark, t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // SQL form through the maintenance parser + DML strategy
+    graft.sources.TxLogSqlDml.install(spark)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      graft.sources.GraftSqlParser.maintenance(
+        s"OPTIMIZE '$t' WHERE lang = 'fr'").get).collect()
+    assert(paths("fr").size == 1)
+    assert(TxLog.read(spark, t).count() == 4L)
+    // non-partition predicates are refused
+    intercept[IllegalArgumentException] {
+      TxLog.optimize(spark, t, where = Some(col("id") > 0L))
+    }
+  }
+
   test("CoW delete stays correct on a partitioned table (URI-decoded match)") {
     val t = tmp()
     // a partition value with a char hive escapes (space) exercises the
