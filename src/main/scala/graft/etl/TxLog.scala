@@ -316,7 +316,8 @@ object TxLog {
     * [[describe]] contract); everything else is pure log state. */
   final case class Detail(numVersions: Long, numFiles: Long,
                           numRows: Option[Long], numDeletedRows: Long,
-                          numConstraints: Int, bloomCols: Seq[String])
+                          numConstraints: Int, bloomCols: Seq[String],
+                          partitionColumns: Seq[String] = Nil)
 
   /** DESCRIBE DETAIL: one profile row from driver-side log replay only —
     * no data file opens at any table size. */
@@ -332,7 +333,8 @@ object TxLog {
       versions(table).count(v => asOf.forall(v <= _)),
       adds.size, rows, deleted,
       constraintsOf(table, asOf).size,
-      bloomColsOf(table, asOf).map(p => inv.getOrElse(p, p)))
+      bloomColsOf(table, asOf).map(p => inv.getOrElse(p, p)),
+      partColsOf(table, asOf))
   }
 
   /** Resolve `AS OF TIMESTAMP`: the newest version whose commit
@@ -484,6 +486,33 @@ object TxLog {
           s"but the table partitions by $partCols")
       Some(encodePartValues(partCols.map(c => c -> byName(c))))
     }
+    // FLATTEN the partitioned layout: the hive dirs exist only to carry
+    // the tuple out of the writer — once parsed into the log token they
+    // are a liability (a 4th path segment breaks the fixed-depth DV row
+    // key, and escaped values breed URI-decode hazards), so each file
+    // moves up to the standard `data/<uuid>/<name>` depth (atomic
+    // rename, metadata-only; the p<i>- prefix keeps same-named files
+    // from sibling partitions distinct). The table's on-disk layout is
+    // therefore IDENTICAL for partitioned and unpartitioned tables;
+    // partition placement lives in the log, where the protocol reads it.
+    val staged: Seq[(String, Option[String])] =
+      if (partCols.isEmpty) parts.map(p => p -> None)
+      else {
+        val moved = parts.zipWithIndex.map { case (p, i) =>
+          val tok = partTokenOf(p)
+          val flat = s"$rel/p$i-${p.split('/').last}"
+          Files.move(Paths.get(table, p), Paths.get(table, flat))
+          flat -> tok
+        }
+        // drop the now-empty hive dirs (deepest first)
+        val s = Files.walk(root)
+        try s.iterator().asScala.toSeq
+          .filter(d => Files.isDirectory(d) && d != root)
+          .sortBy(-_.getNameCount)
+          .foreach(d => scala.util.Try(Files.deleteIfExists(d)))
+        finally s.close()
+        moved
+      }
     // harvest footers in parallel: each is a small metadata read, but on
     // an object store a wide commit (OPTIMIZE into N files) would pay
     // N round-trips serially — bound the pool, keep the driver loop
@@ -491,21 +520,22 @@ object TxLog {
       val abs = Paths.get(table, p).toAbsolutePath.toString
       TxStats.fromFooter(conf, abs).map(TxStats.encode)
     }
+    val finalPaths = staged.map(_._1)
     val stats: Map[String, Option[String]] =
-      if (parts.sizeIs <= 2) parts.map(p => p -> harvest(p)).toMap
+      if (finalPaths.sizeIs <= 2) finalPaths.map(p => p -> harvest(p)).toMap
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, parts.size))
+          math.min(8, finalPaths.size))
         try {
           import scala.concurrent.{Await, ExecutionContext, Future}
           implicit val ec: ExecutionContext =
             ExecutionContext.fromExecutorService(pool)
           Await.result(
-            Future.sequence(parts.map(p => Future(p -> harvest(p)))),
+            Future.sequence(finalPaths.map(p => Future(p -> harvest(p)))),
             scala.concurrent.duration.Duration.Inf).toMap
         } finally pool.shutdown()
       }
-    parts.map(p => Action("add", p, stats(p), part = partTokenOf(p)))
+    staged.map { case (p, tok) => Action("add", p, stats(p), part = tok) }
   }
 
   // ---------------------------------------------------------- schema
@@ -1102,6 +1132,36 @@ object TxLog {
                     else Some(TxStats.FileStats(rows, pcols)))
       }
     }
+  }
+
+  /** One partition's metadata profile: the tuple (declared order),
+    * live file count, and exact row count when every file carries
+    * decodable footer stats (DV-deleted rows subtracted) — None
+    * otherwise, the [[describe]] refusal discipline. */
+  final case class PartitionInfo(values: Seq[(String, Option[String])],
+                                 numFiles: Long, numRows: Option[Long])
+
+  /** SHOW PARTITIONS from the commit log only — no data file opens at
+    * any table size: group the live adds by partition tuple, fold
+    * footer row counts net of deletion vectors. Sorted by the rendered
+    * tuple for a stable listing. */
+  def partitions(table: String, asOf: Option[Long] = None): Seq[PartitionInfo] = {
+    val partCols = partColsOf(table, asOf)
+    require(partCols.nonEmpty,
+      s"SHOW PARTITIONS requires a partitioned table; $table is unpartitioned")
+    val (adds, dvs) = replayState(table, asOf)
+    adds.groupBy(_.part).toSeq.map { case (tok, as) =>
+      val values = tok.map(decodePartValues).getOrElse(
+        partCols.map(_ -> None)) // pre-declaration files (none in practice)
+      val rowsPerFile = as.map { a =>
+        a.stats.flatMap(TxStats.decode).map(_.rows -
+          dvs.get(a.path).map(_._2).getOrElse(0L))
+      }
+      PartitionInfo(values, as.size.toLong,
+        if (rowsPerFile.exists(_.isEmpty)) None
+        else Some(rowsPerFile.map(_.get).sum))
+    }.sortBy(_.values.map { case (c, v) =>
+      s"$c=${v.getOrElse("~")}" }.mkString(","))
   }
 
   /** Split `adds` into (inside, outside) a partition predicate — exact

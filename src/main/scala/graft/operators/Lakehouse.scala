@@ -1654,7 +1654,35 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ---------------------- q308 SHOW PARTITIONS (zero-I/O listing)
+
+  /** q308 — `SHOW PARTITIONS` from commit-log metadata only, driver-
+    * verified: two partitioned appends (2 files per priority) then a
+    * merge-on-read DELETE of the whole '5-LOW' partition via deletion
+    * vectors — no file removed, rows masked. The listing the statement
+    * returns pins both halves of the metadata contract the oracle
+    * recomputes from raw orders: numFiles = 2 everywhere (DVs never
+    * rewrite), numRows = 2 per partition except 5-LOW = 0 (footer rows
+    * NET of deletion vectors — at 100 TB the listing is O(files)
+    * driver metadata, zero data opens, and still row-exact). */
+  def q308TxLogShowPartitions(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q308")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1),
+      partitionBy = Seq("o_orderpriority"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1))
+    graft.etl.TxLog.deleteWhereMerge(s, table,
+      col("o_orderpriority") === "5-LOW")
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"SHOW PARTITIONS '$table'").get)
+      .orderBy(col("partition"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_txlog_show_partitions" -> (q308TxLogShowPartitions _),
     "q307_txlog_optimize_where" -> (q307TxLogOptimizeWhere _),
     "q306_txlog_generated" -> (q306TxLogGenerated _),
     "q305_txlog_dynamic_overwrite" -> (q305TxLogDynamicOverwrite _),
@@ -1701,6 +1729,15 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // the metadata listing recomputed: every priority has 2 files; rows
+    // are 2 per partition except the DV-erased 5-LOW at 0
+    "q308_txlog_show_partitions" ->
+      """SELECT 'o_orderpriority=' || o_orderpriority AS partition,
+        |  CAST(2 AS BIGINT) AS numFiles,
+        |  CAST(CASE WHEN o_orderpriority = '5-LOW' THEN 0 ELSE 2 END
+        |    AS BIGINT) AS numRows
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |ORDER BY partition""".stripMargin,
     // scoped compaction rearranges, never changes: each priority's count
     // twice (two appends), 8 files untouched, urgent compacted to 1
     "q307_txlog_optimize_where" ->
@@ -1843,7 +1880,8 @@ object Lakehouse {
         |  (SELECT CAST(count(*) AS BIGINT) FROM r
         |     WHERE o_orderpriority = '1-URGENT') AS numDeletedRows,
         |  CAST(1 AS INTEGER) AS numConstraints,
-        |  'o_orderpriority' AS bloomCols""".stripMargin,
+        |  'o_orderpriority' AS bloomCols,
+        |  '' AS partitionColumns""".stripMargin,
     // probe row counts recomputed from raw orders through the same
     // synthetic key derivation; pruned_files TRUE per probe is the
     // both-dimensions clustering pin (exact skip counts unemitted —

@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   RESTORE [TABLE] t TO VERSION AS OF n
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF millis
   *   CREATE TABLE '<path>' [SHALLOW] CLONE t [VERSION AS OF n]
+  *   SHOW PARTITIONS '<path>'
   *   ALTER TABLE '<path>' ADD COLUMNS (name TYPE, ...)
   *   ALTER TABLE '<path>' RENAME COLUMN old TO new
   * }}}
@@ -82,6 +83,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val AddColumnsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ADD\s+COLUMNS?\s*\(([^)]*)\)\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+('[^']+')\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+')\s+(?:SHALLOW\s+)?CLONE\s+('[^']+'|[\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
@@ -102,6 +105,7 @@ object GraftSqlParser {
         Some(VacuumTxLogTable(ident, Option(retain).map(_.toInt).getOrElse(2)))
       case HistoryRe(ident) => Some(DescribeTxLogHistory(ident))
       case DetailRe(ident) => Some(DescribeTxLogDetail(ident))
+      case ShowPartitionsRe(ident) => Some(ShowTxLogPartitions(ident))
       case RestoreVersionRe(ident, v) =>
         Some(RestoreTxLogTable(ident, Some(v.toLong), None))
       case RestoreTimestampRe(ident, ts) =>
@@ -208,7 +212,21 @@ case class DescribeTxLogDetail(ident: String)
     AttributeReference("numRows", LongType)(),
     AttributeReference("numDeletedRows", LongType, nullable = false)(),
     AttributeReference("numConstraints", IntegerType, nullable = false)(),
-    AttributeReference("bloomCols", StringType, nullable = false)())
+    AttributeReference("bloomCols", StringType, nullable = false)(),
+    AttributeReference("partitionColumns", StringType, nullable = false)())
+}
+
+/** `SHOW PARTITIONS '<path>'` as a resolved rows-returning leaf command
+  * (quoted-path form only, like ALTER — an unquoted name must keep
+  * flowing to Spark's own SHOW PARTITIONS for catalog tables): one row
+  * per live partition tuple from the commit log, zero data I/O
+  * ([[graft.etl.TxLog.partitions]]). */
+case class ShowTxLogPartitions(ident: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("numRows", LongType)())
 }
 
 /** `ALTER TABLE '<path>' RENAME COLUMN old TO new` (quoted-path form

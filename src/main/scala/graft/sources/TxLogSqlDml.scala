@@ -191,8 +191,21 @@ object TxLogDmlStrategy extends SparkStrategy {
           t.numRows.map(Long.box).orNull, t.numDeletedRows,
           t.numConstraints,
           org.apache.spark.unsafe.types.UTF8String.fromString(
-            t.bloomCols.mkString(","))))
+            t.bloomCols.mkString(",")),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            t.partitionColumns.mkString(","))))
       }) :: Nil
+
+    case sp: ShowTxLogPartitions =>
+      TxLogMetaExec(sp.output, "SHOW PARTITIONS", sp.ident, spark =>
+        TxLog.partitions(GraftSqlParser.resolvePath(spark, sp.ident)).map { pi =>
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              pi.values.map { case (c, v) =>
+                s"$c=${v.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+              }.mkString("/")),
+            pi.numFiles, pi.numRows.map(Long.box).orNull)
+        }) :: Nil
 
     case h: DescribeTxLogHistory =>
       TxLogMetaExec(h.output, "DESCRIBE HISTORY", h.ident, spark =>

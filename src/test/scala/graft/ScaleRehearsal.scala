@@ -154,7 +154,14 @@ object ScaleRehearsal {
     // ingest pipeline move the full events/documents volume; the
     // curation pipeline is three keyed aggregates over the corpus
     "q296_stream_heavy_hitters", "q299_txlog_pipeline",
-    "q300_curation_pipeline")
+    "q300_curation_pipeline",
+    // round-13 partitioning wave: the two data-sized members — q301
+    // writes the documents corpus through the partitioned stage (one
+    // file per language) then reads one partition; q306 materializes a
+    // generated day column over all events into 30 day-partitions.
+    // q302/q303/q304/q305/q307 are commit-log protocol queries on
+    // bounded rollup tables — excluded by the q249-class rule.
+    "q301_txlog_partitioned", "q306_txlog_generated")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(

@@ -86,6 +86,12 @@ class TxLogPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       partitionBy = Seq("lang"))
     assert(TxLog.partColsOf(t) == Seq("lang"))
     assert(TxLog.snapshotAdds(t).forall(_.part.isDefined))
+    // time travel BEFORE the declaration still reads the unpartitioned
+    // snapshot (its files carry no tuples; the resolver passes footer
+    // stats through untouched)
+    assert(TxLog.read(spark, t, asOf = Some(1L))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(TxLog.partColsOf(t, asOf = Some(1L)).isEmpty)
   }
 
   test("partition pruning is exact — with and without footer stats") {
@@ -198,6 +204,37 @@ class TxLogPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("SHOW PARTITIONS lists tuples + DV-net rows from metadata only") {
+    val t = tmp()
+    TxLog.append(spark, t, df(Seq((1L, "en"), (2L, "fr"), (3L, null))),
+      partitionBy = Seq("lang"))
+    TxLog.deleteWhereMerge(spark, t, col("lang") === "fr")
+    val ps = TxLog.partitions(t)
+    assert(ps.size == 3 && ps.forall(_.numFiles == 1L))
+    def rowsOf(v: Option[String]): Option[Long] =
+      ps.find(_.values.head._2 == v).get.numRows
+    assert(rowsOf(Some("en")).contains(1L))
+    assert(rowsOf(Some("fr")).contains(0L)) // DV-masked, file still live
+    assert(rowsOf(None).contains(1L))       // null partition listed
+    intercept[IllegalArgumentException] {
+      val t2 = tmp()
+      TxLog.append(spark, t2, df(Seq((1L, "en"))))
+      TxLog.partitions(t2) // unpartitioned refused
+    }
+  }
+
+  test("exactly-once streaming append inherits partitioning") {
+    val t = tmp()
+    TxLog.append(spark, t, df(Seq((1L, "en"))), partitionBy = Seq("lang"))
+    assert(TxLog.appendOnce(spark, t, df(Seq((2L, "fr"))),
+      txn = "batch-1").isDefined)
+    // crash-replay of the same batch is a no-op, not a duplicate
+    assert(TxLog.appendOnce(spark, t, df(Seq((2L, "fr"))),
+      txn = "batch-1").isEmpty)
+    assert(TxLog.read(spark, t).count() == 2L)
+    assert(TxLog.snapshotAdds(t).forall(_.part.isDefined))
+  }
+
   test("OPTIMIZE WHERE compacts only the named partition (API + SQL)") {
     val t = tmp()
     TxLog.append(spark, t, df(Seq((1L, "en"), (2L, "fr"))),
@@ -224,6 +261,39 @@ class TxLogPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       TxLog.optimize(spark, t, where = Some(col("id") > 0L))
     }
+  }
+
+  test("replaceWhere racing an append serializes: both linearizations valid, nothing lost") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val t = tmp()
+    TxLog.append(spark, t, df(Seq((1L, "en"), (2L, "fr"))),
+      partitionBy = Seq("lang"))
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val fAppend = pool.submit(new Runnable {
+      def run(): Unit = { gate.await()
+        TxLog.append(spark, t, df(Seq((3L, "en"), (4L, "de")))) }
+    })
+    val fReplace = pool.submit(new Runnable {
+      def run(): Unit = { gate.await()
+        TxLog.replaceWhere(spark, t, df(Seq((10L, "en"))),
+          col("lang") === "en") }
+    })
+    gate.countDown()
+    fAppend.get(120, TimeUnit.SECONDS); fReplace.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    val got = TxLog.read(spark, t).select(col("id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // fr and de rows survive under EVERY linearization; en is either
+    // the replacement alone (append-then-replace: the racer's en row
+    // was part of the redefined region) or replacement + appended row
+    // (replace-then-append)
+    assert(got.contains((2L, "fr")) && got.contains((4L, "de")), got)
+    val en = got.filter(_._2 == "en").map(_._1)
+    assert(en == Set(10L) || en == Set(10L, 3L), got)
+    // history is gapless — the CAS admitted one winner per version
+    val vs = TxLog.versions(t)
+    assert(vs == (1L to vs.size))
   }
 
   test("CoW delete stays correct on a partitioned table (URI-decoded match)") {
