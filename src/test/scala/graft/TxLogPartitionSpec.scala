@@ -204,6 +204,38 @@ class TxLogPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("multi-column partitioning: tuple order, conjunct pruning, listing") {
+    import spark.implicits._
+    val t = tmp()
+    val d = Seq((1L, "en", 0L), (2L, "en", 1L), (3L, "fr", 0L), (4L, "fr", 1L))
+      .toDF("id", "lang", "bucket")
+    TxLog.append(spark, t, d.coalesce(1), partitionBy = Seq("lang", "bucket"))
+    assert(TxLog.partColsOf(t) == Seq("lang", "bucket"))
+    val adds = TxLog.snapshotAdds(t)
+    assert(adds.size == 4)
+    // tuples carry BOTH columns in declared order
+    assert(adds.forall(a =>
+      TxLog.decodePartValues(a.part.get).map(_._1) == Seq("lang", "bucket")))
+    // conjunct across both partition dimensions prunes to one file
+    val pr = TxLog.prune(spark, t,
+      col("lang") === "fr" && col("bucket") === 1L)
+    assert(pr.kept.size == 1 && pr.skipped.size == 3)
+    // single-dimension predicate prunes to that dimension's slice
+    assert(TxLog.prune(spark, t, col("bucket") === 0L).kept.size == 2)
+    assert(TxLog.readWhere(spark, t,
+      col("lang") === "fr" && col("bucket") === 1L)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // listing shows 4 tuples, 1 row each
+    val ps = TxLog.partitions(t)
+    assert(ps.size == 4 && ps.forall(_.numRows.contains(1L)))
+    // replaceWhere on a two-dimensional region
+    TxLog.replaceWhere(spark, t,
+      Seq((10L, "fr", 1L)).toDF("id", "lang", "bucket"),
+      col("lang") === "fr" && col("bucket") === 1L)
+    assert(TxLog.read(spark, t).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 10L))
+  }
+
   test("SHOW PARTITIONS lists tuples + DV-net rows from metadata only") {
     val t = tmp()
     TxLog.append(spark, t, df(Seq((1L, "en"), (2L, "fr"), (3L, null))),

@@ -86,4 +86,28 @@ class TxLogProcessStormSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxLog.checkpoint(table)
     assert(TxLog.read(spark, table).count() == expect.size.toLong)
   }
+
+  test("two real JVMs racing PARTITIONED appends + scoped optimize + vacuum") {
+    val table = Files.createTempDirectory("graft-proc-storm-part")
+      .resolve("t").toString
+    val nPer = 5
+    val (p1, l1) = spawn(table, 1L, nPer, "part-append")
+    val (p2, l2) = spawn(table, 2L, nPer, "part-mixed")
+    awaitOk(p1, l1, "partitioned append writer process")
+    awaitOk(p2, l2, "partitioned mixed writer process")
+    val vs = TxLog.versions(table)
+    assert(vs == (1L to vs.size))
+    // every appended row exactly once, and every live file still
+    // carries a single-valued partition tuple after the storm
+    val got = TxLog.read(spark, table).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ((0 until nPer).map(i => 1000L + i) ++
+      (0 until nPer).map(i => 2000L + i)).sorted
+    assert(got == expect)
+    assert(TxLog.snapshotAdds(table).forall(_.part.isDefined))
+    assert(TxLog.partColsOf(table) == Seq("part"))
+    // partition listing still exact post-storm
+    assert(TxLog.partitions(table).map(_.numRows.getOrElse(-1L)).sum ==
+      expect.size.toLong)
+  }
 }

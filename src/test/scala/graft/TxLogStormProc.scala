@@ -26,14 +26,37 @@ object TxLogStormProc {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       import spark.implicits._
+      import org.apache.spark.sql.functions.col
       (0 until n).foreach { i =>
-        graft.etl.TxLog.append(spark, table,
-          Seq(writerId * 1000L + i).toDF("id").coalesce(1))
-        if (mode == "mixed" && i % 2 == 1) {
-          graft.etl.TxLog.optimize(spark, table, targetFiles = 1)
-          // default retention window: young staged files must survive a
-          // concurrent writer's stage->commit gap
-          graft.etl.TxLog.vacuum(table, retainVersions = 2)
+        val id = writerId * 1000L + i
+        mode match {
+          case "append" =>
+            graft.etl.TxLog.append(spark, table,
+              Seq(id).toDF("id").coalesce(1))
+          case "mixed" =>
+            graft.etl.TxLog.append(spark, table,
+              Seq(id).toDF("id").coalesce(1))
+            if (i % 2 == 1) {
+              graft.etl.TxLog.optimize(spark, table, targetFiles = 1)
+              // default retention window: young staged files must survive
+              // a concurrent writer's stage->commit gap
+              graft.etl.TxLog.vacuum(table, retainVersions = 2)
+            }
+          // partitioned twin: the flattened hive-stage write path under
+          // real cross-JVM contention, plus a partition-scoped optimize
+          case "part-append" =>
+            graft.etl.TxLog.append(spark, table,
+              Seq((id, s"p${id % 2}")).toDF("id", "part").coalesce(1),
+              partitionBy = Seq("part"))
+          case "part-mixed" =>
+            graft.etl.TxLog.append(spark, table,
+              Seq((id, s"p${id % 2}")).toDF("id", "part").coalesce(1),
+              partitionBy = Seq("part"))
+            if (i % 2 == 1) {
+              graft.etl.TxLog.optimize(spark, table,
+                where = Some(col("part") === "p0"))
+              graft.etl.TxLog.vacuum(table, retainVersions = 2)
+            }
         }
       }
     } finally spark.stop()
