@@ -1455,14 +1455,16 @@ object TxLog {
     * unreferenced by the log (invisible to readers; a vacuum would GC
     * them). */
   def appendOnce(spark: SparkSession, table: String, df0: DataFrame,
-                 txn: String, commitTs: Option[Long] = None): Option[Long] = {
+                 txn: String, commitTs: Option[Long] = None,
+                 partitionBy: Seq[String] = Nil): Option[Long] = {
     safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
     val df = applyGenerated(table, df0)
     val decl = enforceSchema(table, df, mergeSchema = false)
+    val (partCols, partActs) = partDecl(table, df, partitionBy)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+
+    val adds = (stage(spark, table, df, partCols) ++ decl ++ partActs) :+
       Action("txn", txn) :+ tsAction(commitTs, "STREAMING WRITE")
     // check-then-CAS with the claim target read FIRST: if the same
     // txn's replay lands between the marker check and the commit,

@@ -1681,7 +1681,54 @@ object Lakehouse {
       .orderBy(col("partition"))
   }
 
+  // --------------------- q309 native streaming sink (round 13)
+
+  /** q309 — the NATIVE streaming sink under the oracle hash:
+    * `writeStream.format(txlog)` (no foreachBatch — the
+    * StreamSinkProvider path, [[graft.sources.TxLogSink]]) drains the
+    * events stream into a TxLog table, a second drain over the SAME
+    * checkpoint must add zero versions (second_run_added = 0, the
+    * checkpoint half of exactly-once), every published commit must carry
+    * its `<appId>/<batchId>` txn marker (markers_ok — the crash-replay
+    * half), and the table READ (snapshot, not CDC — q299 already pins
+    * the CDC tail) reproduces the rollup the oracle recomputes from raw
+    * events. Distinct from q299 by the write path under test: here the
+    * micro-batch plan is rebound executor-side
+    * ([[org.apache.spark.sql.graft.MicroBatch.rebind]]) — zero driver
+    * materialization, so the sink's scale shape is the ordinary
+    * distributed parquet write plus O(1) driver commit per batch. */
+  def q309TxLogNativeSink(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q309")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q309-ckpt")
+    def drain(): Unit =
+      graft.streaming.EventsStream.readStream(s, dir)
+        .select(col("event_type"), col("value"))
+        .writeStream.format("graft.sources.TxLogSource")
+        .option("path", table)
+        .option("checkpointLocation", ckpt.toString)
+        .option("txnAppId", "graft-q309")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    val v1 = graft.etl.TxLog.versions(table).size
+    drain() // same checkpoint: AvailableNow re-drain must be a no-op
+    val added = graft.etl.TxLog.versions(table).size - v1
+    val markersOk = graft.etl.TxLog.versions(table).forall { v =>
+      java.nio.file.Files.readString(java.nio.file.Paths.get(table,
+        "_graft_log", f"$v%020d.json")).contains("\"op\":\"txn\"")
+    }
+    val out = graft.etl.TxLog.read(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("second_run_added", lit(added.toLong))
+      .withColumn("markers_ok", lit(markersOk))
+      .orderBy(col("event_type"))
+    deleteRec(ckpt)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_txlog_native_sink" -> (q309TxLogNativeSink _),
     "q308_txlog_show_partitions" -> (q308TxLogShowPartitions _),
     "q307_txlog_optimize_where" -> (q307TxLogOptimizeWhere _),
     "q306_txlog_generated" -> (q306TxLogGenerated _),
@@ -1731,6 +1778,14 @@ object Lakehouse {
   def oracles: Map[String, String] = Map(
     // the metadata listing recomputed: every priority has 2 files; rows
     // are 2 per partition except the DV-erased 5-LOW at 0
+    // the native sink ingested every event exactly once; the rollup is
+    // recomputed from raw events, evidence columns pin idempotence
+    "q309_txlog_native_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(0 AS BIGINT) AS second_run_added,
+        |  TRUE AS markers_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q308_txlog_show_partitions" ->
       """SELECT 'o_orderpriority=' || o_orderpriority AS partition,
         |  CAST(2 AS BIGINT) AS numFiles,

@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, StreamSinkProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -44,7 +45,36 @@ import graft.etl.TxLog
   * Cite: the reference has no transactional SQL write surface at all
   * (gold is overwrite-parquet, `/root/reference/src/etl/silver_to_gold.py:61-67`);
   * this mirrors the public Delta `USING delta` integration pattern. */
-class TxLogSource extends TableProvider {
+class TxLogSource extends TableProvider with StreamSinkProvider {
+
+  /** Native streaming sink (round 13): `df.writeStream.format("txlog")
+    * .option("path", dir).start()` — no foreachBatch boilerplate, the
+    * public Delta sink posture (Delta's `DeltaDataSource` is likewise a
+    * `StreamSinkProvider`; implementing it here routes DataStreamWriter
+    * to the V1 sink path while batch SQL keeps the TableProvider path).
+    *
+    * Exactly-once: each micro-batch commits through [[TxLog.appendOnce]]
+    * with marker `<queryId>/<batchId>`. The query id is the STABLE
+    * StreamingQuery.id persisted in checkpoint metadata (not the
+    * per-restart runId), so a restarted stream's replay of a committed
+    * batch finds its own marker and no-ops — the appId/version txn
+    * pattern. `.option("txnAppId", ...)` overrides the scope for
+    * pipelines that re-checkpoint.
+    *
+    * `.partitionBy(cols)` threads through to the commit's partition
+    * declaration (first write declares, later writes must match). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"txlog sink is append-only (each micro-batch is one ACID commit); " +
+        s"got $outputMode — aggregate with watermarked append or " +
+        "maintain state via TxLogStream.applyCdc instead")
+    val path = TxLogSource.normalize(parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog sink requires a path option")))
+    new TxLogSink(path, parameters.get("txnAppId"), partitionColumns)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = TxLogSource.pathOf(options)
@@ -73,6 +103,32 @@ class TxLogSource extends TableProvider {
   /** CREATE TABLE (cols…) on a fresh path supplies the schema externally;
     * the first INSERT commits it as the table's declaration. */
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** V1 streaming sink: one TxLog commit per micro-batch, idempotent under
+  * Spark's at-least-once batch replay. The data write is the ordinary
+  * distributed staged-parquet write (executors consume the micro-batch's
+  * own physical RDD via [[org.apache.spark.sql.graft.MicroBatch.rebind]]
+  * — zero driver materialization); only the commit publish is driver-side,
+  * so at 100 TB the log grows with commit COUNT, not data volume. */
+private[graft] class TxLogSink(path: String, txnAppId: Option[String],
+                               partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val appId = txnAppId.orElse(Option(SparkSession.active.sparkContext
+      .getLocalProperty("sql.streaming.queryId"))).getOrElse(
+      throw new IllegalStateException(
+        "txlog sink: no streaming queryId on this thread and no txnAppId " +
+          "option — cannot scope exactly-once markers"))
+    val batch = org.apache.spark.sql.graft.MicroBatch.rebind(data)
+    TxLog.appendOnce(SparkSession.active, path, batch, s"$appId/$batchId",
+      partitionBy = partitionColumns)
+    ()
+  }
+
+  override def toString: String = s"TxLogSink($path)"
 }
 
 object TxLogSource {
