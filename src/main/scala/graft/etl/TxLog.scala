@@ -204,6 +204,7 @@ object TxLog {
       case Action("rename", _, _, _, _) => () // column-mapping DDL, no file effect
       case Action("partcols", _, _, _, _) => () // partitioning DDL, no file effect
       case Action("gencol", _, _, _, _)   => () // generated-column DDL, no file effect
+      case Action("drop", _, _, _, _)     => () // column tombstone, no file effect
       case Action("protocol", feats, _, _, _) => // reader-capability declaration
         val unknown = feats.split(",").map(_.trim).filter(_.nonEmpty)
           .filterNot(SupportedFeatures)
@@ -593,6 +594,10 @@ object TxLog {
             .exists(renameMap(table).values.toSet)) throw new
           IllegalArgumentException("mergeSchema: a new column collides " +
             "with the physical name of a renamed column")
+        else if (added.map(_.name).exists(droppedPhysicalOf(table)))
+          throw new IllegalArgumentException(
+            "mergeSchema: a new column re-declares a DROPped physical " +
+              "name still carried by old data files; use a different name")
         else Some(schemaAction(org.apache.spark.sql.types.StructType(
           declared.fields ++ added.map(_.copy(nullable = true)))))
     }
@@ -722,6 +727,14 @@ object TxLog {
       require(physClash.isEmpty,
         s"ADD COLUMNS: ${physClash.mkString(", ")} collides with the " +
           "physical name of a renamed column")
+      // a tombstoned physical name still lives in pre-drop data files —
+      // re-declaring it would resurrect stale values from those files
+      val tomb = cols.fieldNames
+        .filter(droppedPhysicalOf(table, Some(base)))
+      require(tomb.isEmpty,
+        s"ADD COLUMNS: ${tomb.mkString(", ")} was DROPped — old data " +
+          "files still carry the physical column; use a different name " +
+          "or rewrite the table")
       val widened = org.apache.spark.sql.types.StructType(
         declared.fields ++ cols.fields.map(_.copy(nullable = true)))
       val act = Seq(schemaAction(widened), tsAction(commitTs, "ADD COLUMNS"))
@@ -793,6 +806,89 @@ object TxLog {
       val acts = protocolAction(table, "column-mapping").toSeq ++
         Seq(Action("rename", s"$oldName>$newName"),
           schemaAction(renamed), tsAction(commitTs, "RENAME COLUMN"))
+      if (tryCommit(table, base + 1, acts)) committed = base + 1
+    }
+    committed
+  }
+
+  /** Physical names tombstoned by DROP COLUMN at any version ≤ asOf
+    * ("drop" actions, replayed as a set). Data files written before a
+    * drop still CARRY the physical column, so re-declaring a column
+    * under a tombstoned physical name would resurrect stale values from
+    * those files — [[addColumns]] refuses instead (the loud-refusal
+    * discipline; Delta solves the same hazard with column-mapping ids,
+    * here the tombstone set is the cheaper equivalent). */
+  def droppedPhysicalOf(table: String, asOf: Option[Long] = None): Set[String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    versions(table).filter(_ <= hi).flatMap { v =>
+      readActions(table, v).collect { case Action("drop", p, _, _, _) => p }
+    }.toSet
+  }
+
+  /** Crude-but-conservative "does this stored SQL expression mention
+    * column `c`" probe (word-boundary match, case-insensitive): used to
+    * refuse dropping a column a CHECK constraint or generated-column
+    * expression still reads. False positives refuse a legal drop (safe,
+    * loud); false negatives are impossible for identifier references. */
+  private def referencesCol(sqlExpr: String, c: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
+      "(?![A-Za-z0-9_`])").r.findFirstIn(sqlExpr).isDefined
+
+  /** ALTER TABLE … DROP COLUMN as a metadata-only commit: narrow the
+    * declared schema and tombstone the physical name in one version — no
+    * data file is touched at any table size (old files keep the bytes;
+    * readers bind the declared schema, so the column simply stops being
+    * projected, and any later copy-on-write rewrite sheds it
+    * physically). Time travel to a pre-drop version still reads the
+    * column — the declaration is versioned — and RESTORE across a drop
+    * is ALLOWED (unlike RENAME): the restore's schema fix re-declares
+    * the column over files that still carry it, which is exactly what
+    * restoring means. Refuses loudly when the column is a partition
+    * key, the last column, bloom-indexed, generated / read by a
+    * generation expression, or read by a CHECK constraint. */
+  def dropColumn(table: String, name: String,
+                 commitTs: Option[Long] = None): Long = {
+    safeField(name, "column name")
+    require(!partColsOf(table).contains(name),
+      s"DROP COLUMN: $name is a partition column of $table; partition " +
+        "columns cannot be dropped (rewrite into a new table)")
+    val gens = generatedColsOf(table)
+    require(!gens.contains(name),
+      s"DROP COLUMN: $name is GENERATED ALWAYS AS — generation is a " +
+        "creation-time property; rewrite into a new table")
+    val genRefs = gens.filter { case (_, e) => referencesCol(e, name) }
+    require(genRefs.isEmpty,
+      s"DROP COLUMN: generated column(s) ${genRefs.keys.mkString(", ")} " +
+        s"read $name")
+    val csRefs = constraintsOf(table).filter { case (_, e) =>
+      referencesCol(e, name) }
+    require(csRefs.isEmpty,
+      s"DROP COLUMN: CHECK constraint(s) ${csRefs.keys.mkString(", ")} " +
+        s"read $name — DROP CONSTRAINT first")
+    val phys = physicalOf(renameMap(table), name)
+    require(!bloomColsOf(table).contains(phys),
+      s"DROP COLUMN: $name is bloom-indexed — SET BLOOM without it first")
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val declared = schemaOf(table, Some(base)).getOrElse(
+        throw new IllegalStateException(s"$table has no declared schema"))
+      require(declared.fieldNames.contains(name),
+        s"DROP COLUMN: no column $name (have ${declared.fieldNames.mkString(", ")})")
+      require(declared.length > 1,
+        s"DROP COLUMN: $name is the only column of $table")
+      val narrowed = org.apache.spark.sql.types.StructType(
+        declared.fields.filterNot(_.name == name))
+      // a RENAMEd column's mapping entry must die with it: were it to
+      // survive, a later fresh column under the same logical name would
+      // bind the old PHYSICAL bytes through the map — stale-data
+      // resurrection. The rename-back action clears the chain entry
+      // (replay nets to identity) while time travel before the drop
+      // still sees the historical mapping.
+      val unmap =
+        if (phys != name) Seq(Action("rename", s"$name>$phys")) else Nil
+      val acts = unmap ++ Seq(Action("drop", phys), schemaAction(narrowed),
+        tsAction(commitTs, "DROP COLUMN"))
       if (tryCommit(table, base + 1, acts)) committed = base + 1
     }
     committed
@@ -2592,9 +2688,18 @@ object TxLog {
     else TxStats.aggregate(decoded.map(_.get)).map { agg =>
       // stats are keyed by physical names; surface the logical ones
       val inv = renameMap(table, asOf).map(_.swap)
-      if (inv.isEmpty) agg
-      else agg.copy(cols = agg.cols.map { case (p, c) =>
-        inv.getOrElse(p, p) -> c })
+      val mapped =
+        if (inv.isEmpty) agg
+        else agg.copy(cols = agg.cols.map { case (p, c) =>
+          inv.getOrElse(p, p) -> c })
+      // a DROPped column's stats (still in pre-drop files' tokens) must
+      // not surface in the profile of a schema that no longer has it
+      schemaOf(table, asOf) match {
+        case Some(s) =>
+          val live = s.fieldNames.toSet
+          mapped.copy(cols = mapped.cols.filter { case (n, _) => live(n) })
+        case None => mapped
+      }
     }
   }
 

@@ -1727,7 +1727,51 @@ object Lakehouse {
     out
   }
 
+  // --------------------- q310 DROP COLUMN (round 13)
+
+  /** q310 — ALTER TABLE DROP COLUMN end-to-end under the oracle: the
+    * order rollup lands WITH a sum_price column, SQL DROP COLUMN narrows
+    * the declaration (metadata-only — n_files pins that the data file
+    * was never rewritten), a post-drop append omits the column, and the
+    * final read carries only the surviving columns. Evidence columns pin
+    * the whole contract the oracle recomputes from raw orders:
+    * pre_drop_cols / post_drop_cols (3 → 2 declared columns),
+    * n_files = 2 (both appends' files live and untouched — at 100 TB a
+    * drop costs one driver commit, zero data I/O), and the history tag.
+    * Time-travel visibility of the dropped column is spec-pinned
+    * (TxLogDropColumnSpec); the tombstoned re-add refusal likewise. */
+  def q310TxLogDropColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q310")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("sum_price"))
+    graft.etl.TxLog.append(s, table, r.coalesce(1), commitTs = Some(1000L))
+    val preCols = graft.etl.TxLog.schemaOf(table).get.length.toLong
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"ALTER TABLE '$table' DROP COLUMN sum_price").get).collect()
+    graft.etl.TxLog.append(s, table,
+      Seq(("9-ADDED", 42L)).toDF("o_orderpriority", "n_orders").coalesce(1),
+      commitTs = Some(3000L))
+    val postCols = graft.etl.TxLog.schemaOf(table).get.length.toLong
+    val op = graft.etl.TxLog.history(table)
+      .find(_.operation == "DROP COLUMN").map(_.operation).getOrElse("?")
+    graft.etl.TxLog.read(s, table)
+      .withColumn("dropped_op", lit(op))
+      .withColumn("n_files",
+        lit(graft.etl.TxLog.snapshot(table).size.toLong))
+      .withColumn("pre_drop_cols", lit(preCols))
+      .withColumn("post_drop_cols", lit(postCols))
+      .select(col("o_orderpriority"), col("n_orders"), col("dropped_op"),
+        col("n_files"), col("pre_drop_cols"), col("post_drop_cols"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_txlog_drop_column" -> (q310TxLogDropColumn _),
     "q309_txlog_native_sink" -> (q309TxLogNativeSink _),
     "q308_txlog_show_partitions" -> (q308TxLogShowPartitions _),
     "q307_txlog_optimize_where" -> (q307TxLogOptimizeWhere _),
@@ -1778,6 +1822,18 @@ object Lakehouse {
   def oracles: Map[String, String] = Map(
     // the metadata listing recomputed: every priority has 2 files; rows
     // are 2 per partition except the DV-erased 5-LOW at 0
+    // the drop was metadata-only: rollup recomputed from raw orders
+    // (sans the dropped column) + the appended row; evidence constants
+    "q310_txlog_drop_column" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  'DROP COLUMN' AS dropped_op, CAST(2 AS BIGINT) AS n_files,
+        |  CAST(3 AS BIGINT) AS pre_drop_cols,
+        |  CAST(2 AS BIGINT) AS post_drop_cols
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT '9-ADDED', CAST(42 AS BIGINT), 'DROP COLUMN',
+        |  CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT)
+        |ORDER BY o_orderpriority""".stripMargin,
     // the native sink ingested every event exactly once; the rollup is
     // recomputed from raw events, evidence columns pin idempotence
     "q309_txlog_native_sink" ->

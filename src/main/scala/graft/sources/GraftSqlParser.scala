@@ -81,6 +81,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AddColumnsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ADD\s+COLUMNS?\s*\(([^)]*)\)\s*;?\s*""".r
   private val ShowPartitionsRe =
@@ -112,6 +114,8 @@ object GraftSqlParser {
         Some(RestoreTxLogTable(ident, None, Some(ts.toLong)))
       case RenameColRe(ident, o, n) =>
         Some(AlterTxLogRenameColumn(ident, o, n))
+      case DropColRe(ident, c) =>
+        Some(AlterTxLogDropColumn(ident, c))
       case AddColumnsRe(ident, colsDdl) =>
         Some(AlterTxLogAddColumns(ident, colsDdl.trim))
       case CloneRe(dst, src, v) =>
@@ -233,6 +237,14 @@ case class ShowTxLogPartitions(ident: String)
   * only, like ADD COLUMNS): a metadata-only column-mapping commit. */
 case class AlterTxLogRenameColumn(ident: String, oldName: String,
                                   newName: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE '<path>' DROP COLUMN name` (quoted-path form only): a
+  * metadata-only schema narrowing with a physical-name tombstone
+  * ([[graft.etl.TxLog.dropColumn]]). */
+case class AlterTxLogDropColumn(ident: String, colName: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

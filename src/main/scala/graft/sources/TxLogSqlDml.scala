@@ -178,6 +178,12 @@ object TxLogDmlStrategy extends SparkStrategy {
           r.oldName, r.newName); ()
       }) :: Nil
 
+    case d: AlterTxLogDropColumn =>
+      TxLogDmlExec("ALTER", d.ident, spark => {
+        TxLog.dropColumn(GraftSqlParser.resolvePath(spark, d.ident),
+          d.colName); ()
+      }) :: Nil
+
     case a: AlterTxLogAddColumns =>
       TxLogDmlExec("ALTER", a.ident, spark => {
         TxLog.addColumns(GraftSqlParser.resolvePath(spark, a.ident),
