@@ -1578,6 +1578,29 @@ object TxLog {
     Some(committed)
   }
 
+  /** TRUNCATE TABLE: one commit removing every live file (and thereby
+    * clearing DV state — removes drop sidecar registrations with their
+    * files). Schema, partitioning, constraints, generated columns and
+    * bloom declarations all SURVIVE — truncate empties content, never
+    * identity (the SQL-standard posture). Data files stay on disk for
+    * time travel until VACUUM. The remove set is recomputed per CAS
+    * attempt, so a racing append is either wholly truncated (it
+    * committed first) or wholly survives (it committed after) — never
+    * half. Returns the committed version, or None when already empty
+    * (no content commit for a no-op, mirroring the DML family). */
+  def truncate(table: String, commitTs: Option[Long] = None): Option[Long] = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val live = snapshot(table, Some(base))
+      if (live.isEmpty) return None
+      val acts = live.map(Action("remove", _)) :+
+        tsAction(commitTs, "TRUNCATE")
+      if (tryCommit(table, base + 1, acts)) committed = base + 1
+    }
+    Some(committed)
+  }
+
   /** Publish a MARKER-ONLY commit carrying `txn` (no file actions):
     * the "this logical batch completed" record a multi-statement
     * consumer (streaming CDC-apply) writes AFTER its content commits,

@@ -1770,7 +1770,37 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ------------------ q311 CTAS + TRUNCATE round-trip (round 13)
+
+  /** q311 — CREATE TABLE AS SELECT and TRUNCATE TABLE under one oracle
+    * hash: CTAS through the graft catalog creates-and-fills the order
+    * rollup in one SQL statement (plain-TableCatalog contract:
+    * createTable commit + the INSERT's ACID commit), TRUNCATE empties
+    * the live set in one metadata commit (files stay for time travel —
+    * the pre-truncate snapshot is what the query then reads, proving
+    * travel across a truncate), and a second TRUNCATE must be a no-op
+    * (None — the DML no-op discipline). Evidence columns pin all three;
+    * the rollup content is recomputed by the oracle from raw orders.
+    * Scale: CTAS is the ordinary distributed write + O(1) commits;
+    * TRUNCATE is O(live files) driver metadata, zero data I/O. */
+  def q311TxLogCtas(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q311")
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    Tables.orders(s, dir).createOrReplaceTempView("q311_orders")
+    s.sql(s"CREATE TABLE graft.`$table` AS " +
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders " +
+      "FROM q311_orders GROUP BY o_orderpriority")
+    val vT = graft.etl.TxLog.truncate(table).get
+    val emptied = graft.etl.TxLog.snapshot(table).isEmpty
+    val secondNoop = graft.etl.TxLog.truncate(table).isEmpty
+    graft.etl.TxLog.read(s, table, asOf = Some(vT - 1))
+      .withColumn("truncated_empty", lit(emptied))
+      .withColumn("second_noop", lit(secondNoop))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_txlog_ctas" -> (q311TxLogCtas _),
     "q310_txlog_drop_column" -> (q310TxLogDropColumn _),
     "q309_txlog_native_sink" -> (q309TxLogNativeSink _),
     "q308_txlog_show_partitions" -> (q308TxLogShowPartitions _),
@@ -1822,6 +1852,12 @@ object Lakehouse {
   def oracles: Map[String, String] = Map(
     // the metadata listing recomputed: every priority has 2 files; rows
     // are 2 per partition except the DV-erased 5-LOW at 0
+    // CTAS content ≡ the rollup the oracle recomputes; truncate evidence
+    "q311_txlog_ctas" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  TRUE AS truncated_empty, TRUE AS second_noop
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the drop was metadata-only: rollup recomputed from raw orders
     // (sans the dropped column) + the appended row; evidence constants
     "q310_txlog_drop_column" ->

@@ -81,6 +81,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val TruncateRe =
+    """(?is)\s*TRUNCATE\s+TABLE\s+('[^']+')\s*;?\s*""".r
   private val DropColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AddColumnsRe =
@@ -116,6 +118,8 @@ object GraftSqlParser {
         Some(AlterTxLogRenameColumn(ident, o, n))
       case DropColRe(ident, c) =>
         Some(AlterTxLogDropColumn(ident, c))
+      case TruncateRe(ident) =>
+        Some(TruncateTxLogTable(ident))
       case AddColumnsRe(ident, colsDdl) =>
         Some(AlterTxLogAddColumns(ident, colsDdl.trim))
       case CloneRe(dst, src, v) =>
@@ -245,6 +249,15 @@ case class AlterTxLogRenameColumn(ident: String, oldName: String,
   * metadata-only schema narrowing with a physical-name tombstone
   * ([[graft.etl.TxLog.dropColumn]]). */
 case class AlterTxLogDropColumn(ident: String, colName: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `TRUNCATE TABLE '<path>'` (quoted-path form only — unquoted names
+  * keep flowing to Spark's own TRUNCATE for catalog tables): one commit
+  * removing every live file; identity (schema/partitioning/constraints)
+  * survives ([[graft.etl.TxLog.truncate]]). */
+case class TruncateTxLogTable(ident: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

@@ -184,6 +184,11 @@ object TxLogDmlStrategy extends SparkStrategy {
           d.colName); ()
       }) :: Nil
 
+    case t: TruncateTxLogTable =>
+      TxLogDmlExec("TRUNCATE", t.ident, spark => {
+        TxLog.truncate(GraftSqlParser.resolvePath(spark, t.ident)); ()
+      }) :: Nil
+
     case a: AlterTxLogAddColumns =>
       TxLogDmlExec("ALTER", a.ident, spark => {
         TxLog.addColumns(GraftSqlParser.resolvePath(spark, a.ident),
