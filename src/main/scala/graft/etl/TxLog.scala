@@ -205,6 +205,8 @@ object TxLog {
       case Action("partcols", _, _, _, _) => () // partitioning DDL, no file effect
       case Action("gencol", _, _, _, _)   => () // generated-column DDL, no file effect
       case Action("drop", _, _, _, _)     => () // column tombstone, no file effect
+      case Action("property", _, _, _, _)   => () // table property, no file effect
+      case Action("unproperty", _, _, _, _) => () // property unset, no file effect
       case Action("protocol", feats, _, _, _) => // reader-capability declaration
         val unknown = feats.split(",").map(_.trim).filter(_.nonEmpty)
           .filterNot(SupportedFeatures)
@@ -665,6 +667,55 @@ object TxLog {
     val act = Seq(Action("unconstraint", name), tsAction(commitTs, "DROP CONSTRAINT"))
     var v = versions(table).lastOption.getOrElse(0L) + 1
     while (!tryCommit(table, v, act)) v = versions(table).last + 1
+    v
+  }
+
+  // ------------------------------------------------ table properties
+
+  /** Live table properties at `asOf` ("property"/"unproperty" actions,
+    * latest wins — the constraintsOf replay shape). Values ride base64
+    * in the stats slot (the log codec is a fixed flat shape); keys are
+    * free-form metadata the engine never interprets — the Delta
+    * TBLPROPERTIES posture (user tags, pipeline provenance, retention
+    * hints for external tooling). O(versions) driver metadata. */
+  def propertiesOf(table: String, asOf: Option[Long] = None): Map[String, String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("property", k, Some(enc), _, _) =>
+          live(k) = new String(java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8)
+        case Action("unproperty", k, _, _, _) => live -= k
+        case _ => ()
+      }
+    }
+    live.toMap
+  }
+
+  /** SET TBLPROPERTIES: declare/overwrite `props` in one commit. */
+  def setProperties(table: String, props: Map[String, String],
+                    commitTs: Option[Long] = None): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.keys.foreach(safeField(_, "property key"))
+    val acts = props.toSeq.map { case (k, v) =>
+      Action("property", k, Some(java.util.Base64.getEncoder.encodeToString(
+        v.getBytes(StandardCharsets.UTF_8))))
+    } :+ tsAction(commitTs, "SET TBLPROPERTIES")
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, acts)) v = versions(table).last + 1
+    v
+  }
+
+  /** UNSET TBLPROPERTIES (absent keys are a no-op — idempotent DDL). */
+  def unsetProperties(table: String, keys: Seq[String],
+                      commitTs: Option[Long] = None): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    keys.foreach(safeField(_, "property key"))
+    val acts = keys.map(Action("unproperty", _)) :+
+      tsAction(commitTs, "UNSET TBLPROPERTIES")
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, acts)) v = versions(table).last + 1
     v
   }
 
@@ -2385,7 +2436,8 @@ object TxLog {
     * any stage→commit window; pass 0 ONLY when the caller can assert
     * writer quiescence (tests do). */
   def vacuum(table: String, retainVersions: Int = 2,
-             minAgeMillis: Long = 20L * 60 * 1000): Seq[String] = {
+             minAgeMillis: Long = 20L * 60 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     val vs = versions(table)
     if (vs.isEmpty) return Seq.empty
     val retained = vs.takeRight(math.max(1, retainVersions))
@@ -2407,13 +2459,14 @@ object TxLog {
           val rel = s"data/$sub/$f"
           if ((f.startsWith("part-") && f.endsWith(".parquet")) && !keep(rel)
               && oldEnough(dir.resolve(f))) {
-            Files.deleteIfExists(dir.resolve(f))
+            if (!dryRun) Files.deleteIfExists(dir.resolve(f))
             deleted += rel
           }
         }
         // sweep now-empty data dirs — but only past the age window too:
         // a racing stage's dir can momentarily hold just _SUCCESS/.crc
-        if (oldEnough(dir) && listDir(dir).forall(n => !n.endsWith(".parquet")))
+        if (!dryRun && oldEnough(dir) &&
+            listDir(dir).forall(n => !n.endsWith(".parquet")))
           { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
             Files.deleteIfExists(dir) }
       }
@@ -2426,7 +2479,7 @@ object TxLog {
       listDir(dvRoot).foreach { f =>
         val rel = s"dv/$f"
         if (f.endsWith(".bin") && !keepDv(rel) && oldEnough(dvRoot.resolve(f))) {
-          Files.deleteIfExists(dvRoot.resolve(f))
+          if (!dryRun) Files.deleteIfExists(dvRoot.resolve(f))
           deleted += rel
         }
       }

@@ -1799,7 +1799,44 @@ object Lakehouse {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ---------- q312 TBLPROPERTIES + VACUUM DRY RUN (round 13)
+
+  /** q312 — the metadata verbs under one oracle hash: SET TBLPROPERTIES
+    * (one value data-derived — the nation row count — so the hash is
+    * grounded in table content, not constants), an overwrite SET of one
+    * key, UNSET of another, then SHOW TBLPROPERTIES rows via the SQL
+    * surface. Evidence columns ride the VACUUM DRY RUN contract: after
+    * an overwrite supersedes the seed file, the preview (retain 1, age
+    * 0) must list exactly one candidate and must NOT have deleted it
+    * (preview_files / preview_intact). All O(versions)+O(files) driver
+    * metadata — zero data I/O at any scale. */
+  def q312TxLogProperties(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q312")
+    val nations = Tables.nation(s, dir).count()
+    graft.etl.TxLog.append(s, table,
+      Seq((1L, "seed")).toDF("id", "s").coalesce(1), commitTs = Some(1000L))
+    graft.sources.TxLogSqlDml.install(s)
+    def run(sql: String) = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(
+      s, graft.sources.GraftSqlParser.maintenance(sql).get)
+    run(s"ALTER TABLE '$table' SET TBLPROPERTIES " +
+      s"('owner'='graft', 'tier'='bronze', 'n_nations'='$nations')").collect()
+    run(s"ALTER TABLE '$table' SET TBLPROPERTIES ('tier'='gold')").collect()
+    run(s"ALTER TABLE '$table' UNSET TBLPROPERTIES ('owner')").collect()
+    graft.etl.TxLog.overwrite(s, table,
+      Seq((2L, "live")).toDF("id", "s").coalesce(1), commitTs = Some(3000L))
+    val preview = graft.etl.TxLog.vacuum(table, retainVersions = 1,
+      minAgeMillis = 0L, dryRun = true)
+    val intact = preview.forall(rel =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(table, rel)))
+    run(s"SHOW TBLPROPERTIES '$table'")
+      .withColumn("preview_files", lit(preview.size.toLong))
+      .withColumn("preview_intact", lit(intact))
+      .orderBy(col("key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_txlog_properties" -> (q312TxLogProperties _),
     "q311_txlog_ctas" -> (q311TxLogCtas _),
     "q310_txlog_drop_column" -> (q310TxLogDropColumn _),
     "q309_txlog_native_sink" -> (q309TxLogNativeSink _),
@@ -1852,6 +1889,16 @@ object Lakehouse {
   def oracles: Map[String, String] = Map(
     // the metadata listing recomputed: every priority has 2 files; rows
     // are 2 per partition except the DV-erased 5-LOW at 0
+    // live property set after set/overwrite/unset; one value grounded in
+    // nation's row count; dry-run evidence constants
+    "q312_txlog_properties" ->
+      """SELECT * FROM (
+        |  SELECT 'n_nations' AS key, CAST(count(*) AS VARCHAR) AS value,
+        |    CAST(1 AS BIGINT) AS preview_files, TRUE AS preview_intact
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'tier', 'gold', CAST(1 AS BIGINT), TRUE)
+        |ORDER BY key""".stripMargin,
     // CTAS content ≡ the rollup the oracle recomputes; truncate evidence
     "q311_txlog_ctas" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,

@@ -70,7 +70,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+('[^']+'|[\w.]+)\s*(?:INTO\s+(\d+)\s+FILES)?\s*(?:WHERE\s+(.+?)(?=\s+CLUSTER\s+BY|\s+ZORDER\s+BY|\s*;?\s*$))?\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+('[^']+'|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+('[^']+'|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+('[^']+'|[\w.]+)\s*;?\s*""".r
   private val DetailRe =
@@ -81,6 +81,12 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val UnsetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+('[^']+')\s*;?\s*""".r
   private val TruncateRe =
     """(?is)\s*TRUNCATE\s+TABLE\s+('[^']+')\s*;?\s*""".r
   private val DropColRe =
@@ -91,6 +97,29 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+PARTITIONS\s+('[^']+')\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+('[^']+')\s+(?:SHALLOW\s+)?CLONE\s+('[^']+'|[\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+
+  /** Parse `'k'='v', 'k2'='v2'` (quoted pairs, commas inside values
+    * unsupported — refused loudly rather than mis-split). */
+  private[sources] def parsePropPairs(raw: String): Map[String, String] = {
+    if (raw.isEmpty) return Map.empty
+    val PairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
+    raw.split(",").map {
+      case PairRe(k, v) => k -> v
+      case other => throw new IllegalArgumentException(
+        s"SET TBLPROPERTIES expects 'key'='value' pairs, got: $other")
+    }.toMap
+  }
+
+  /** Parse `'k', 'k2'` (quoted key list). */
+  private[sources] def parsePropKeys(raw: String): Seq[String] = {
+    if (raw.isEmpty) return Nil
+    val KeyRe = """\s*'([^']*)'\s*""".r
+    raw.split(",").toSeq.map {
+      case KeyRe(k) => k
+      case other => throw new IllegalArgumentException(
+        s"UNSET TBLPROPERTIES expects 'key' entries, got: $other")
+    }
+  }
 
   /** private[graft]: oracle queries plan maintenance statements directly
     * (GraftSqlBridge.ofRows) — Verify/Bench sessions are built without
@@ -105,8 +134,10 @@ object GraftSqlParser {
           Option(files).map(_.toInt).getOrElse(1),
           cols(cluster), cols(zorder),
           Option(whereSql).map(_.trim).filter(_.nonEmpty)))
-      case VacuumRe(ident, retain) =>
-        Some(VacuumTxLogTable(ident, Option(retain).map(_.toInt).getOrElse(2)))
+      case VacuumRe(ident, retain, dry) =>
+        val keep = Option(retain).map(_.toInt).getOrElse(2)
+        Some(if (dry != null) VacuumTxLogDryRun(ident, keep)
+             else VacuumTxLogTable(ident, keep))
       case HistoryRe(ident) => Some(DescribeTxLogHistory(ident))
       case DetailRe(ident) => Some(DescribeTxLogDetail(ident))
       case ShowPartitionsRe(ident) => Some(ShowTxLogPartitions(ident))
@@ -120,6 +151,12 @@ object GraftSqlParser {
         Some(AlterTxLogDropColumn(ident, c))
       case TruncateRe(ident) =>
         Some(TruncateTxLogTable(ident))
+      case SetPropsRe(ident, pairs) =>
+        Some(AlterTxLogSetProperties(ident, pairs.trim))
+      case UnsetPropsRe(ident, keys) =>
+        Some(AlterTxLogUnsetProperties(ident, keys.trim))
+      case ShowPropsRe(ident) =>
+        Some(ShowTxLogProperties(ident))
       case AddColumnsRe(ident, colsDdl) =>
         Some(AlterTxLogAddColumns(ident, colsDdl.trim))
       case CloneRe(dst, src, v) =>
@@ -251,6 +288,40 @@ case class AlterTxLogRenameColumn(ident: String, oldName: String,
 case class AlterTxLogDropColumn(ident: String, colName: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE '<path>' SET TBLPROPERTIES ('k'='v', …)`: free-form
+  * table metadata in the commit log ([[graft.etl.TxLog.setProperties]]).
+  * The pair list stays raw text, parsed at execution. */
+case class AlterTxLogSetProperties(ident: String, pairsRaw: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', …)`. */
+case class AlterTxLogUnsetProperties(ident: String, keysRaw: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `SHOW TBLPROPERTIES '<path>'`: one (key, value) row per live
+  * property, zero data I/O. */
+case class ShowTxLogProperties(ident: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+}
+
+/** `VACUUM '<path>' [RETAIN n VERSIONS] DRY RUN`: rows-returning
+  * preview — every file the real VACUUM would unlink right now (same
+  * retention AND the same mtime age window, so the preview matches the
+  * action, not a superset), with nothing deleted. The public Delta
+  * VACUUM DRY RUN posture. */
+case class VacuumTxLogDryRun(ident: String, retain: Int)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)())
 }
 
 /** `TRUNCATE TABLE '<path>'` (quoted-path form only — unquoted names

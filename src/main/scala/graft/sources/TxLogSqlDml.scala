@@ -184,6 +184,34 @@ object TxLogDmlStrategy extends SparkStrategy {
           d.colName); ()
       }) :: Nil
 
+    case sp: AlterTxLogSetProperties =>
+      TxLogDmlExec("ALTER", sp.ident, spark => {
+        TxLog.setProperties(GraftSqlParser.resolvePath(spark, sp.ident),
+          GraftSqlParser.parsePropPairs(sp.pairsRaw)); ()
+      }) :: Nil
+
+    case up: AlterTxLogUnsetProperties =>
+      TxLogDmlExec("ALTER", up.ident, spark => {
+        TxLog.unsetProperties(GraftSqlParser.resolvePath(spark, up.ident),
+          GraftSqlParser.parsePropKeys(up.keysRaw)); ()
+      }) :: Nil
+
+    case shp: ShowTxLogProperties =>
+      TxLogMetaExec(shp.output, "SHOW TBLPROPERTIES", shp.ident, spark =>
+        TxLog.propertiesOf(GraftSqlParser.resolvePath(spark, shp.ident))
+          .toSeq.sortBy(_._1).map { case (k, v) =>
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(k),
+              org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          }) :: Nil
+
+    case vd: VacuumTxLogDryRun =>
+      TxLogMetaExec(vd.output, "VACUUM DRY RUN", vd.ident, spark =>
+        TxLog.vacuum(GraftSqlParser.resolvePath(spark, vd.ident),
+          retainVersions = vd.retain, dryRun = true).map(rel =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String
+            .fromString(rel)))) :: Nil
+
     case t: TruncateTxLogTable =>
       TxLogDmlExec("TRUNCATE", t.ident, spark => {
         TxLog.truncate(GraftSqlParser.resolvePath(spark, t.ident)); ()
