@@ -670,6 +670,70 @@ object TxLog {
     v
   }
 
+  /** Widenings ALTER COLUMN TYPE accepts: value-preserving AND verified
+    * against Spark 4's vectorized parquet reader (an old file's narrow
+    * physical column decodes under the wider declared type — the
+    * type-widening support the Delta feature by the same name relies
+    * on). long→double is refused (lossy above 2^53); decimal, string
+    * and temporal changes are refused (representation changes). */
+  private val WidenOk: Set[(org.apache.spark.sql.types.DataType,
+                            org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set[(DataType, DataType)](
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ByteType, DoubleType), (ShortType, IntegerType),
+      (ShortType, LongType), (ShortType, DoubleType),
+      (IntegerType, LongType), (IntegerType, DoubleType),
+      (FloatType, DoubleType))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN name TYPE wider — type widening as a
+    * metadata-only commit (the public Delta type-widening feature): only
+    * the declared type changes; no data file is touched at any table
+    * size. Old files keep the narrow physical type and decode under the
+    * wider declaration (reader-verified); footer-stats pruning stays
+    * exact because comparisons run in the exact-decimal Key domain
+    * (TxStats.keyOf) regardless of the stats token's original tag; bloom
+    * probes on pre-widen files answer "keep" (type surprise never
+    * excludes — skip benefit resumes after OPTIMIZE rewrites them).
+    * Writers must supply the widened type from this commit on (schema-
+    * on-write type equality — the loud Delta posture). RESTORE across a
+    * type change refuses: re-narrowing the declaration over files
+    * already written WIDE would mis-decode them. Partition and
+    * generated columns are refused (tuple rendering / expression output
+    * types are pinned at declaration). */
+  def widenColumn(table: String, name: String,
+                  newType: org.apache.spark.sql.types.DataType,
+                  commitTs: Option[Long] = None): Long = {
+    safeField(name, "column name")
+    require(!partColsOf(table).contains(name),
+      s"ALTER COLUMN: $name is a partition column of $table; partition " +
+        "tuple rendering is pinned at declaration")
+    val gens = generatedColsOf(table)
+    require(!gens.contains(name) &&
+      !gens.exists { case (_, e) => referencesCol(e, name) },
+      s"ALTER COLUMN: $name is generated or read by a generation " +
+        "expression (output types are pinned at declaration)")
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val declared = schemaOf(table, Some(base)).getOrElse(
+        throw new IllegalStateException(s"$table has no declared schema"))
+      val field = declared.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN: no column $name (have ${declared.fieldNames.mkString(", ")})"))
+      require(WidenOk((field.dataType, newType)),
+        s"ALTER COLUMN: ${field.dataType.simpleString} -> " +
+          s"${newType.simpleString} is not a supported widening " +
+          "(value-preserving widenings only; rewrite the table otherwise)")
+      val widened = org.apache.spark.sql.types.StructType(declared.fields.map(
+        f => if (f.name == name) f.copy(dataType = newType) else f))
+      val acts = Seq(schemaAction(widened), tsAction(commitTs, "ALTER COLUMN"))
+      if (tryCommit(table, base + 1, acts)) committed = base + 1
+    }
+    committed
+  }
+
   // ------------------------------------------------ table properties
 
   /** Live table properties at `asOf` ("property"/"unproperty" actions,
@@ -2543,6 +2607,18 @@ object TxLog {
         throw new UnsupportedOperationException(
           s"RESTORE $table to $toVersion crosses a column RENAME — " +
             "rename back first (restoring mapping state is not supported)")
+      // a type widening between target and base means files may already
+      // carry the WIDE physical type; re-declaring the narrow type over
+      // them would mis-decode — refuse (the rename-gate discipline)
+      for (t <- schemaOf(table, Some(toVersion)); b <- schemaOf(table, Some(base))) {
+        val bTypes = b.fields.map(f => f.name -> f.dataType).toMap
+        val changed = t.fields.filter(f =>
+          bTypes.get(f.name).exists(_ != f.dataType)).map(_.name)
+        if (changed.nonEmpty) throw new UnsupportedOperationException(
+          s"RESTORE $table to $toVersion crosses a column TYPE change " +
+            s"(${changed.mkString(", ")}) — files written after the " +
+            "widening would mis-decode under the narrow declaration")
+      }
       val (addsB, dvB) = replayState(table, Some(base))
       val liveT = statsT.keySet
       val liveB = addsB.map(_.path).toSet

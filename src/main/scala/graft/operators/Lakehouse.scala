@@ -1835,7 +1835,42 @@ object Lakehouse {
       .orderBy(col("key"))
   }
 
+  // --------------- q313 ALTER COLUMN type widening (round 13)
+
+  /** q313 — type widening end-to-end under the oracle: the nation keys
+    * land as INT (narrow era), SQL ALTER COLUMN widens the declaration
+    * to BIGINT in one metadata commit (no file rewritten), a wide-era
+    * append carries a value no INT can hold, and the mixed-era read
+    * aggregates EXACTLY across the seam (narrow physical files decode
+    * under the wide declaration). Pruning evidence: a BIGINT-typed
+    * predicate against the int-era file's stats still prunes exactly —
+    * the exact-decimal key domain is type-agnostic, so kept=1/skipped=1.
+    * The oracle recomputes the totals from raw nation. At 100 TB a
+    * widen costs one driver commit; no scan, no rewrite. */
+  def q313TxLogWiden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = tempTable("graft-q313")
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("int").as("key"), col("n_name"))
+    graft.etl.TxLog.append(s, table, n.coalesce(1), commitTs = Some(1000L))
+    graft.sources.TxLogSqlDml.install(s)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s,
+      graft.sources.GraftSqlParser.maintenance(
+        s"ALTER TABLE '$table' ALTER COLUMN key TYPE BIGINT").get).collect()
+    graft.etl.TxLog.append(s, table,
+      Seq((9999999999L, "WIDE-ERA")).toDF("key", "n_name").coalesce(1),
+      commitTs = Some(3000L))
+    val pr = graft.etl.TxLog.prune(s, table, col("key") >= 9999999999L)
+    graft.etl.TxLog.read(s, table)
+      .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("sum_key"))
+      .withColumn("kept", lit(pr.kept.size.toLong))
+      .withColumn("skipped", lit(pr.skipped.size.toLong))
+      .withColumn("new_type",
+        lit(graft.etl.TxLog.schemaOf(table).get("key").dataType.simpleString))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_txlog_widen" -> (q313TxLogWiden _),
     "q312_txlog_properties" -> (q312TxLogProperties _),
     "q311_txlog_ctas" -> (q311TxLogCtas _),
     "q310_txlog_drop_column" -> (q310TxLogDropColumn _),
@@ -1889,6 +1924,14 @@ object Lakehouse {
   def oracles: Map[String, String] = Map(
     // the metadata listing recomputed: every priority has 2 files; rows
     // are 2 per partition except the DV-erased 5-LOW at 0
+    // mixed-era totals recomputed from raw nation + the wide-era row;
+    // pruning and type evidence constants
+    "q313_txlog_widen" ->
+      """SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+        |  CAST(sum(n_nationkey) + 9999999999 AS BIGINT) AS sum_key,
+        |  CAST(1 AS BIGINT) AS kept, CAST(1 AS BIGINT) AS skipped,
+        |  'bigint' AS new_type
+        |FROM nation""".stripMargin,
     // live property set after set/overwrite/unset; one value grounded in
     // nation's row count; dry-run evidence constants
     "q312_txlog_properties" ->

@@ -81,6 +81,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val WidenColRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()]+)\s*;?\s*""".r
   private val SetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsRe =
@@ -149,6 +151,8 @@ object GraftSqlParser {
         Some(AlterTxLogRenameColumn(ident, o, n))
       case DropColRe(ident, c) =>
         Some(AlterTxLogDropColumn(ident, c))
+      case WidenColRe(ident, c, tpe) =>
+        Some(AlterTxLogWidenColumn(ident, c, tpe))
       case TruncateRe(ident) =>
         Some(TruncateTxLogTable(ident))
       case SetPropsRe(ident, pairs) =>
@@ -286,6 +290,16 @@ case class AlterTxLogRenameColumn(ident: String, oldName: String,
   * metadata-only schema narrowing with a physical-name tombstone
   * ([[graft.etl.TxLog.dropColumn]]). */
 case class AlterTxLogDropColumn(ident: String, colName: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN name TYPE wider` (quoted-path
+  * form only): metadata-only type widening
+  * ([[graft.etl.TxLog.widenColumn]]); the type text is parsed by
+  * StructType.fromDDL at execution. */
+case class AlterTxLogWidenColumn(ident: String, colName: String,
+                                 typeDdl: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

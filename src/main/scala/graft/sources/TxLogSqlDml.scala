@@ -184,6 +184,14 @@ object TxLogDmlStrategy extends SparkStrategy {
           d.colName); ()
       }) :: Nil
 
+    case w: AlterTxLogWidenColumn =>
+      TxLogDmlExec("ALTER", w.ident, spark => {
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"c ${w.typeDdl}").head.dataType
+        TxLog.widenColumn(GraftSqlParser.resolvePath(spark, w.ident),
+          w.colName, dt); ()
+      }) :: Nil
+
     case sp: AlterTxLogSetProperties =>
       TxLogDmlExec("ALTER", sp.ident, spark => {
         TxLog.setProperties(GraftSqlParser.resolvePath(spark, sp.ident),
