@@ -161,7 +161,13 @@ object ScaleRehearsal {
     // generated day column over all events into 30 day-partitions.
     // q302/q303/q304/q305/q307 are commit-log protocol queries on
     // bounded rollup tables — excluded by the q249-class rule.
-    "q301_txlog_partitioned", "q306_txlog_generated")
+    "q301_txlog_partitioned", "q306_txlog_generated",
+    // round-13 continuation: the native streaming sink moves the full
+    // events volume through writeStream (micro-batch rebind + staged
+    // parquet write). q310-q313 (drop column / CTAS+truncate /
+    // tblproperties / widen) are commit-log protocol queries on nation/
+    // orders-bounded rollups — excluded by the q249-class rule.
+    "q309_txlog_native_sink")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
