@@ -368,8 +368,18 @@ object Bench {
         k -> history.get(k).map(b => (v - b) / math.max(b, 0.1))
           .getOrElse(Double.MaxValue)
       }
+      // wontFit cost estimate for a SUSPECT is its best-known (clamped to
+      // 2x best, floor 10 s), NOT the inflated pass-1 sample: estimating
+      // with the distorted number guarantees the WORST distortions are
+      // exactly the ones never re-sampled (round 13: a 240 s single-sample
+      // q213 vs 28 s best was skipped by every sweep as "won't fit"). If
+      // the re-run really is that slow, the deadline abort stops further
+      // queries and the last writeDetail still lands — bounded overshoot,
+      // honest artifact.
+      val sweepCost = results ++ residual.flatMap(n =>
+        history.get(n).map(b => n -> math.max(2.0 * b, 10.0)))
       results = minByQuery(results,
-        runPass(spark, sfDir, Some(deadline), Some(results), Some(pri),
+        runPass(spark, sfDir, Some(deadline), Some(sweepCost), Some(pri),
           only = Some(residual.toSet)))
       suspectPasses += 1
       writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
