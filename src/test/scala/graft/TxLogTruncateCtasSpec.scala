@@ -78,6 +78,38 @@ class TxLogTruncateCtasSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("storm: truncate racing appends — every append wholly survives or is wholly truncated") {
+    import spark.implicits._
+    val t = freshPath()
+    TxLog.append(spark, t, Seq((0L, "seed")).toDF("id", "s").coalesce(1))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val futs = (1 to 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await()
+          TxLog.append(spark, t,
+            Seq((w.toLong, s"w$w")).toDF("id", "s").coalesce(1)) }
+      })
+    }
+    val truncF = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { start.await(); TxLog.truncate(t).get }
+    })
+    start.countDown()
+    val appendVs = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    val vT = truncF.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // serialized versions, none lost
+    assert(TxLog.versions(t) == (1L to 6L), "6 commits must serialize")
+    // the truncate's snapshot is empty; appends that committed after it
+    // survive wholly — final row ids = exactly the post-truncate writers
+    assert(TxLog.snapshot(t, Some(vT)).isEmpty)
+    val survivors = appendVs.zipWithIndex.collect {
+      case (v, i) if v > vT => (i + 1).toLong }.sorted
+    val finalIds = TxLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalIds == survivors,
+      s"live rows $finalIds must be exactly the post-truncate appends $survivors")
+  }
+
   test("CTAS with PARTITIONED BY declares identity partitioning") {
     val t = freshPath()
     spark.range(0, 10)
