@@ -196,6 +196,7 @@ object TxLog {
       case Action("remove", p, _, _, _) => live -= p; dvs -= p
       case Action("dv", p, Some(st), _, _) => dvs(p) = parseDvToken(st)
       case Action("txn", _, _, _, _)    => () // idempotence marker, no file effect
+      case Action("cdc", _, _, _, _)    => () // change-feed sidecar, no snapshot effect
       case Action("schema", _, _, _, _) => () // schema declaration, no file effect
       case Action("commit", _, _, _, _) => () // commit timestamp, no file effect
       case Action("constraint", _, _, _, _)   => () // CHECK DDL, no file effect
@@ -706,17 +707,21 @@ object TxLog {
                   newType: org.apache.spark.sql.types.DataType,
                   commitTs: Option[Long] = None): Long = {
     safeField(name, "column name")
-    require(!partColsOf(table).contains(name),
-      s"ALTER COLUMN: $name is a partition column of $table; partition " +
-        "tuple rendering is pinned at declaration")
-    val gens = generatedColsOf(table)
-    require(!gens.contains(name) &&
-      !gens.exists { case (_, e) => referencesCol(e, name) },
-      s"ALTER COLUMN: $name is generated or read by a generation " +
-        "expression (output types are pinned at declaration)")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
+      // cross-cutting invariants re-read AT THE CLAIM TARGET on every
+      // retry (round-14, ADVICE r13 — the dropColumn rationale): racing
+      // partition/generated-column DDL must not slip between a one-shot
+      // validation and the winning commit
+      require(!partColsOf(table, Some(base)).contains(name),
+        s"ALTER COLUMN: $name is a partition column of $table; partition " +
+          "tuple rendering is pinned at declaration")
+      val gens = generatedColsOf(table, Some(base))
+      require(!gens.contains(name) &&
+        !gens.exists { case (_, e) => referencesCol(e, name) },
+        s"ALTER COLUMN: $name is generated or read by a generation " +
+          "expression (output types are pinned at declaration)")
       val declared = schemaOf(table, Some(base)).getOrElse(
         throw new IllegalStateException(s"$table has no declared schema"))
       val field = declared.fields.find(_.name == name).getOrElse(
@@ -795,7 +800,8 @@ object TxLog {
     * never a wrong answer. Soft features (blooms, stats) are absent by
     * design — ignoring them never corrupts. */
   private val SupportedFeatures: Set[String] =
-    Set("deletion-vectors", "column-mapping", "partitioning")
+    Set("deletion-vectors", "column-mapping", "partitioning",
+      "change-data-feed")
 
   /** Features declared required by the log at `asOf`. Monotone: each
     * protocol action carries the FULL set (latest wins). */
@@ -964,28 +970,33 @@ object TxLog {
   def dropColumn(table: String, name: String,
                  commitTs: Option[Long] = None): Long = {
     safeField(name, "column name")
-    require(!partColsOf(table).contains(name),
-      s"DROP COLUMN: $name is a partition column of $table; partition " +
-        "columns cannot be dropped (rewrite into a new table)")
-    val gens = generatedColsOf(table)
-    require(!gens.contains(name),
-      s"DROP COLUMN: $name is GENERATED ALWAYS AS — generation is a " +
-        "creation-time property; rewrite into a new table")
-    val genRefs = gens.filter { case (_, e) => referencesCol(e, name) }
-    require(genRefs.isEmpty,
-      s"DROP COLUMN: generated column(s) ${genRefs.keys.mkString(", ")} " +
-        s"read $name")
-    val csRefs = constraintsOf(table).filter { case (_, e) =>
-      referencesCol(e, name) }
-    require(csRefs.isEmpty,
-      s"DROP COLUMN: CHECK constraint(s) ${csRefs.keys.mkString(", ")} " +
-        s"read $name — DROP CONSTRAINT first")
-    val phys = physicalOf(renameMap(table), name)
-    require(!bloomColsOf(table).contains(phys),
-      s"DROP COLUMN: $name is bloom-indexed — SET BLOOM without it first")
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption.getOrElse(0L)
+      // cross-cutting invariants re-read AT THE CLAIM TARGET on every
+      // retry, like append() does for constraints (round-14, ADVICE r13):
+      // a concurrent ADD CONSTRAINT / SET BLOOM / generated-column DDL
+      // landing between a one-shot validation and the winning commit
+      // would otherwise drop a column new DDL depends on
+      require(!partColsOf(table, Some(base)).contains(name),
+        s"DROP COLUMN: $name is a partition column of $table; partition " +
+          "columns cannot be dropped (rewrite into a new table)")
+      val gens = generatedColsOf(table, Some(base))
+      require(!gens.contains(name),
+        s"DROP COLUMN: $name is GENERATED ALWAYS AS — generation is a " +
+          "creation-time property; rewrite into a new table")
+      val genRefs = gens.filter { case (_, e) => referencesCol(e, name) }
+      require(genRefs.isEmpty,
+        s"DROP COLUMN: generated column(s) ${genRefs.keys.mkString(", ")} " +
+          s"read $name")
+      val csRefs = constraintsOf(table, Some(base)).filter { case (_, e) =>
+        referencesCol(e, name) }
+      require(csRefs.isEmpty,
+        s"DROP COLUMN: CHECK constraint(s) ${csRefs.keys.mkString(", ")} " +
+          s"read $name — DROP CONSTRAINT first")
+      val phys = physicalOf(renameMap(table, Some(base)), name)
+      require(!bloomColsOf(table, Some(base)).contains(phys),
+        s"DROP COLUMN: $name is bloom-indexed — SET BLOOM without it first")
       val declared = schemaOf(table, Some(base)).getOrElse(
         throw new IllegalStateException(s"$table has no declared schema"))
       require(declared.fieldNames.contains(name),
@@ -1815,12 +1826,18 @@ object TxLog {
       val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
-      val survivors = applyDvs(spark, table,
-        boundRead(spark, table, absOf(affected), None), affectedDvs).filter(not(hit))
+      val scanAff = applyDvs(spark, table,
+        boundRead(spark, table, absOf(affected), None), affectedDvs)
+      val survivors = scanAff.filter(not(hit))
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
         else stage(spark, table, survivors)
-      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs, "DELETE")
+      // CDF record (property-gated): exactly the deleted rows — the
+      // survivors merely move files, which is not a row change
+      val cdc = cdcStage(spark, table,
+        scanAff.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
+      val removes = affected.map(Action("remove", _)) ++ cdc :+
+        tsAction(commitTs, "DELETE")
       // validate-then-CAS, in THAT order relative to the claim target:
       // read base = last version FIRST, validate the affected set
       // against the snapshot AS OF base, then claim base+1 — if any
@@ -1884,13 +1901,18 @@ object TxLog {
       val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
-      val survivors = applyDvs(spark, table,
+      val scanAff = applyDvs(spark, table,
         boundRead(spark, table, absOf(affected), None), affectedDvs)
-        .join(broadcast(keys), keyCols, "left_anti")
+      val survivors = scanAff.join(broadcast(keys), keyCols, "left_anti")
       val adds =
         if (survivors.isEmpty) Seq.empty
         else stage(spark, table, survivors)
-      val removes = affected.map(Action("remove", _)) :+ tsAction(commitTs, "DELETE")
+      // CDF record (property-gated): exactly the key-matched rows
+      val cdc = cdcStage(spark, table,
+        scanAff.join(broadcast(keys), keyCols, "left_semi")
+          .withColumn(ChangeTypeCol, lit("delete")))
+      val removes = affected.map(Action("remove", _)) ++ cdc :+
+        tsAction(commitTs, "DELETE")
       var done = false
       var restart = false
       var committed = -1L
@@ -1960,7 +1982,20 @@ object TxLog {
       }.toIndexedSeq: _*)
       var cs0 = constraintsOf(table)
       enforceConstraints(table, rewritten, cs0)
-      val adds = stage(spark, table, rewritten) :+ tsAction(commitTs, "UPDATE")
+      // CDF record (property-gated): pre/post image pairs of exactly the
+      // hit rows — the unchanged rows of affected files merely move files
+      val cdc = cdcStage(spark, table, {
+        val pre = scan.filter(hit)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = scan.filter(hit).select(scan.schema.fields.map { f =>
+          assignments.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(org.apache.spark.sql.functions.col(f.name))
+        }.toIndexedSeq: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        pre.unionByName(post)
+      })
+      val adds = (stage(spark, table, rewritten) ++ cdc) :+
+        tsAction(commitTs, "UPDATE")
       val removes = affected.map(Action("remove", _))
       var done = false
       var restart = false
@@ -1985,21 +2020,11 @@ object TxLog {
 
   // ------------------------------------------- deletion vectors (MoR)
 
-  /** Write a DV sidecar (sorted row positions, length-prefixed
-    * big-endian longs) under `dv/` and return its relative path. The
-    * name is a fresh UUID, so no write race exists; the file becomes
-    * meaningful only if its commit publishes. */
-  private def writeDvSidecar(table: String, positions: Seq[Long]): String = {
-    val rel = s"dv/${UUID.randomUUID()}.bin"
-    val p = Paths.get(table, rel)
-    Files.createDirectories(p.getParent)
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      Files.newOutputStream(p, StandardOpenOption.CREATE_NEW,
-        StandardOpenOption.WRITE)))
-    try { out.writeLong(positions.size.toLong); positions.sorted.foreach(out.writeLong) }
-    finally out.close()
-    rel
-  }
+  // Sidecar FORMAT (written executor-side inside deleteWhereMerge, read
+  // back by readDvPositions / dvFrame): length-prefixed big-endian longs —
+  // writeLong(count) then the SORTED row positions. The name is a fresh
+  // UUID under `dv/`, so no write race exists; the file becomes meaningful
+  // only if its commit publishes.
 
   private[graft] def readDvPositions(table: String, rel: String): Seq[Long] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
@@ -2143,8 +2168,10 @@ object TxLog {
     * files' DV STATE (not just their liveness) at the claim target,
     * since a racing MoR delete's DV would otherwise be silently
     * overwritten (un-deleting its rows). Matching runs on the
-    * DV-FILTERED scan, so already-deleted rows can't re-match; driver
-    * state is bounded by matched-row count for the sidecar write.
+    * DV-FILTERED scan, so already-deleted rows can't re-match; the
+    * sidecars are merged and written ON EXECUTORS (grouped by file), so
+    * driver state is bounded by AFFECTED-FILE count — matched-row
+    * cardinality never lands on the driver.
     * Same SQL three-valued semantics and None-on-no-match contract as
     * deleteWhere; time travel before the delete reads through the
     * contemporaneous (possibly absent) DVs. */
@@ -2165,22 +2192,62 @@ object TxLog {
         else keyed.join(
           org.apache.spark.sql.functions.broadcast(dvFrame(spark, table, dv0)),
           Seq("_graft_key", "_graft_pos"), "left_anti")
-      val matched = alive.filter(hit)
+      // Matched (file, position) pairs are grouped per file, merged with
+      // the file's existing DV, sorted and WRITTEN ON EXECUTORS — the
+      // driver receives one (fileKey, sidecarRel, cardinality) row per
+      // AFFECTED FILE, never the positions themselves (round-14, VERDICT
+      // r13 #2: the prior path collected every matched position, so a MoR
+      // delete matching 10^8 rows at 100 TB OOMed the driver while the
+      // READ side already had its distributed threshold). One shuffle on
+      // the file key; per-task state is one file's position set, bounded
+      // by that file's row count — the same bound the eventual read-side
+      // anti-join pays per file. Sidecars that lose the CAS below stay
+      // unreferenced and age out via vacuum, exactly like the staged
+      // data files of a losing append.
+      val open = org.apache.spark.sql.graft.GraftSqlBridge
+        .serializableHadoopOpen(spark)
+      val create = org.apache.spark.sql.graft.GraftSqlBridge
+        .serializableHadoopCreate(spark)
+      val tableAbs = Paths.get(table).toAbsolutePath.toString
+      val priorRel: Map[String, String] = dv0.map { case (f, (rel, _)) => f -> rel }
+      val sess = spark
+      import sess.implicits._
+      val written: Array[(String, String, Long)] = alive.filter(hit)
         .select(org.apache.spark.sql.functions.col("_graft_key"),
           org.apache.spark.sql.functions.col("_graft_pos"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      if (matched.isEmpty) return None
-      val byFile = matched.groupBy(_._1).map { case (k, ps) =>
-        k -> ps.map(_._2).toSeq
-      }
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (key, it) =>
+          val fresh = it.map(_._2).toArray
+          val existing: Array[Long] = priorRel.get(key) match {
+            case Some(rel) =>
+              val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+                open(s"$tableAbs/$rel")))
+              try { val n = in.readLong().toInt; Array.fill(n)(in.readLong()) }
+              finally in.close()
+            case None => Array.empty[Long]
+          }
+          val merged = (existing ++ fresh).distinct.sorted
+          val rel = s"dv/${UUID.randomUUID()}.bin"
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            create(s"$tableAbs/$rel")))
+          try { out.writeLong(merged.length.toLong); merged.foreach(out.writeLong) }
+          finally out.close()
+          (key, rel, merged.length.toLong)
+        }.collect()
+      if (written.isEmpty) return None
+      val byFile: Map[String, (String, Long)] =
+        written.map { case (f, rel, n) => f -> (rel, n) }.toMap
       val affected = read0.filter(byFile.contains)
+      // CDF record (property-gated): the newly-deleted rows in full — the
+      // DV delta alone names positions, not content
+      val cdc = cdcStage(spark, table,
+        alive.filter(hit).drop("_graft_key", "_graft_pos")
+          .withColumn(ChangeTypeCol, lit("delete")))
       val dvActions = affected.map { f =>
-        val merged = (dv0.get(f).map { case (rel, _) =>
-          readDvPositions(table, rel)
-        }.getOrElse(Seq.empty) ++ byFile(f)).distinct
-        val rel = writeDvSidecar(table, merged)
-        Action("dv", f, Some(s"$rel:${merged.size}"))
-      } ++ protocolAction(table, "deletion-vectors") :+
+        val (rel, n) = byFile(f)
+        Action("dv", f, Some(s"$rel:$n"))
+      } ++ cdc ++ protocolAction(table, "deletion-vectors") :+
         tsAction(commitTs, "DELETE")
       var done = false
       var restart = false
@@ -2281,11 +2348,12 @@ object TxLog {
         .collect().map(_.getString(0))
       val affected = read0.filter(fileHitSet(hits.toIndexedSeq))
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
-      val survivors =
+      val scanAffOpt =
         if (affected.isEmpty) None
         else Some(applyDvs(spark, table,
-          boundRead(spark, table, absOf(affected), None), affectedDvs)
-          .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti"))
+          boundRead(spark, table, absOf(affected), None), affectedDvs))
+      val survivors = scanAffOpt.map(
+        _.join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti"))
       // stage survivors and source as ONE write so the commit is one
       // atomic unit; column order aligned to the declared schema
       val declared = schemaOf(table).getOrElse(source.schema)
@@ -2297,7 +2365,27 @@ object TxLog {
           allowMissingColumns = true)
         case None       => aligned(source)
       }
-      val adds = (stage(spark, table, staged) ++ decl) :+ tsAction(commitTs, "MERGE")
+      // CDF record (property-gated): matched target rows as update
+      // pre-images, their replacing source rows as post-images, unmatched
+      // source rows as inserts. Only when the commit actually removes
+      // files — an affected-free merge is an add-only commit whose
+      // inserts derive at read time without cdc files.
+      val cdc = scanAffOpt.map { scanAff =>
+        cdcStage(spark, table, {
+          val tKeys = scanAff
+            .select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+          val pre = aligned(scanAff)
+            .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+          val post = aligned(source).join(tKeys, keyCols, "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage"))
+          val ins = aligned(source).join(tKeys, keyCols, "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert"))
+          pre.unionByName(post).unionByName(ins)
+        })
+      }.getOrElse(Nil)
+      val adds = (stage(spark, table, staged) ++ decl ++ cdc) :+
+        tsAction(commitTs, "MERGE")
       val removes = affected.map(Action("remove", _))
       val read0Set = read0.toSet
       var done = false
@@ -2340,6 +2428,269 @@ object TxLog {
       } // end non-empty-snapshot branch
     }
     -1L // unreachable
+  }
+
+  /** One WHEN clause of a general [[mergeClauses]] MERGE. `kind` is
+    * "update" / "delete" (matched and not-matched-by-source lists) or
+    * "insert" (not-matched list). `condition` and the assignment VALUES
+    * are Columns over the join aliases — target columns as `t.<col>`,
+    * source columns as `s.<col>` (e.g. `expr("s.qty + t.qty")`); a None
+    * condition always applies. `assigns` maps TARGET column name →
+    * value; for updates, unassigned columns keep the target value; for
+    * inserts, unassigned columns become NULL (the SQL INSERT (cols)
+    * VALUES contract). Generated columns must not be assigned — they are
+    * recomputed from the post-clause row. */
+  case class MergeClause(kind: String, condition: Option[Column],
+                         assigns: Map[String, Column])
+
+  /** General transactional MERGE — the full production-format grammar
+    * over the same file-pruned copy-on-write as [[merge]] (round-14,
+    * VERDICT r13 #4):
+    *
+    * {{{
+    *   WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs)
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+    * }}}
+    *
+    * Clause lists are ordered, FIRST-MATCH-WINS (a NULL condition result
+    * counts as no-match, per SQL); a target row hitting no applicable
+    * clause survives unchanged, a source row hitting no insert clause is
+    * ignored. The source schema is arbitrary — only the `s.<col>`
+    * references in conditions/assignments bind it, so partial-column
+    * CDC feeds (key + delta) work without padding to the target schema.
+    * Assigned values are cast to the declared column type; CHECK
+    * constraints are enforced on the POST-clause rows; generated columns
+    * are recomputed from the post-clause row (direct assignment refused).
+    * Duplicate source keys are refused like [[merge]].
+    *
+    * Mechanics: one scan of the target LEFT-joined to the source finds
+    * the files holding any row a clause would CHANGE (matched rows whose
+    * first applicable clause fires, or unmatched-by-source rows hitting a
+    * BY SOURCE clause) — files whose rows all fall through survive
+    * un-rewritten, so a guarded `WHEN MATCHED AND c` rewrites only the
+    * files where `c` fires, not every key-matched file. Affected files
+    * are re-read, clause CASE-expressions compute the surviving rows,
+    * insert clauses run over the key-anti-joined source, and ONE commit
+    * publishes remove(affected) + add(staged). Driver state stays
+    * O(affected files).
+    *
+    * Concurrency: the [[merge]] validate-then-claim loop, with the
+    * conflict window widened to match the wider read: a racing append's
+    * rows would be subject to BY SOURCE clauses, so when any BY SOURCE
+    * clause exists ANY new file since the read snapshot forces a rebase
+    * (restart re-reads the snapshot); otherwise only key-carrying new
+    * files do (the [[merge]] probe). A claim-time CHECK-constraint change
+    * also restarts (the staged rows must re-validate against the new
+    * set). Returns the committed version, or None when no row changed. */
+  def mergeClauses(spark: SparkSession, table: String, source: DataFrame,
+                   keyCols: Seq[String],
+                   matched: Seq[MergeClause],
+                   notMatched: Seq[MergeClause],
+                   notMatchedBySource: Seq[MergeClause] = Nil,
+                   commitTs: Option[Long] = None): Option[Long] = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    matched.foreach(c => require(c.kind == "update" || c.kind == "delete",
+      s"WHEN MATCHED clause must be update/delete, got ${c.kind}"))
+    notMatched.foreach(c => require(c.kind == "insert",
+      s"WHEN NOT MATCHED clause must be insert, got ${c.kind}"))
+    notMatchedBySource.foreach(c => require(c.kind == "update" || c.kind == "delete",
+      s"WHEN NOT MATCHED BY SOURCE clause must be update/delete, got ${c.kind}"))
+    require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
+      "MERGE requires at least one WHEN clause")
+    val declared = schemaOf(table).getOrElse(throw new IllegalStateException(
+      s"$table has no declared schema — general MERGE needs one"))
+    val gens = generatedColsOf(table)
+    (matched ++ notMatched ++ notMatchedBySource).foreach(_.assigns.keys.foreach { k =>
+      require(declared.fieldNames.contains(k),
+        s"MERGE assigns unknown column $k (have ${declared.fieldNames.mkString(", ")})")
+      require(!gens.contains(k),
+        s"MERGE must not assign generated column $k — it is recomputed " +
+          "from the post-clause row (list the stored columns instead)")
+    })
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
+        "which clause row wins would be nondeterministic")
+    var cs0 = constraintsOf(table)
+    // marker column: distinguishes "matched" from "source key columns
+    // happen to be null" after the left join
+    val srcAliased = source.withColumn("_graft_src_hit", lit(true)).alias("s")
+    val keys = source.select(keyCols.map(col): _*).distinct()
+
+    // guard_i = base && !cond_1..i-1 && cond_i — ordered first-match-wins,
+    // NULL condition results count as false (SQL)
+    def guards(clauses: Seq[MergeClause], base: Column): Seq[Column] = {
+      var notPrev = lit(true)
+      clauses.map { c =>
+        val ci = c.condition.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+        val g = base && notPrev && ci
+        notPrev = notPrev && not(ci)
+        g
+      }
+    }
+    // post-clause value of target column f under (guard, clause) pairs:
+    // first firing update-clause's assignment (or t.f when that clause
+    // leaves f alone), else t.f
+    def survivorCol(f: org.apache.spark.sql.types.StructField,
+                    gcs: Seq[(Column, MergeClause)]): Column = {
+      val branches = gcs.collect { case (g, c) if c.kind == "update" =>
+        (g, c.assigns.getOrElse(f.name, col(s"t.${f.name}")))
+      }
+      branches.foldRight(col(s"t.${f.name}")) { case ((g, v), e) =>
+        org.apache.spark.sql.functions.when(g, v).otherwise(e)
+      }.cast(f.dataType).as(f.name)
+    }
+    def insertCol(f: org.apache.spark.sql.types.StructField,
+                  gcs: Seq[(Column, MergeClause)]): Column =
+      gcs.foldRight(lit(null).cast(f.dataType): Column) { case ((g, c), e) =>
+        org.apache.spark.sql.functions.when(g,
+          c.assigns.getOrElse(f.name, lit(null)).cast(f.dataType)).otherwise(e)
+      }.cast(f.dataType).as(f.name)
+    // recompute generated columns from the post-clause row (Delta's
+    // generated-column MERGE semantics)
+    def regen(df: DataFrame): DataFrame =
+      if (gens.isEmpty) df
+      else df.select(declared.fields.map(f =>
+        gens.get(f.name).map(e => expr(e).cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))).toIndexedSeq: _*)
+    def absOf(rel: Seq[String]): Seq[String] =
+      rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+
+    while (true) {
+      val (adds0, dv0) = replayState(table, None)
+      val read0 = adds0.map(_.path)
+      val matchedCol = coalesce(col("_graft_src_hit"), lit(false))
+      val mGuards = guards(matched, matchedCol)
+      val sGuards = guards(notMatchedBySource, not(matchedCol))
+      val iGuards = guards(notMatched, lit(true))
+      val anyChange = (mGuards ++ sGuards).reduceOption(_ || _).getOrElse(lit(false))
+      val deleted = (mGuards.zip(matched) ++ sGuards.zip(notMatchedBySource))
+        .collect { case (g, c) if c.kind == "delete" => g }
+        .reduceOption(_ || _).getOrElse(lit(false))
+
+      // ---- inserts: source rows matching NO live target key, through the
+      // insert clauses (computed against the read snapshot; the claim loop
+      // below restarts if new keys land meanwhile)
+      val unmatchedSrc =
+        if (read0.isEmpty) srcAliased
+        else srcAliased.join(
+          applyDvs(spark, table, boundRead(spark, table, absOf(read0), None), dv0)
+            .select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+      val inserts: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else Some(unmatchedSrc
+          .filter(iGuards.reduce(_ || _))
+          .select(declared.fields.map(f => insertCol(f, iGuards.zip(notMatched)))
+            .toIndexedSeq: _*))
+
+      // ---- affected files + rewritten survivors (+ the joined frame,
+      // kept for the CDF record below)
+      val (affected, rewritten, joinedOpt) =
+        if (read0.isEmpty || (matched.isEmpty && notMatchedBySource.isEmpty))
+          (Seq.empty[String], None: Option[DataFrame], None: Option[DataFrame])
+        else {
+          // join CONDITION (not USING): USING coalesces the key columns
+          // away, which would break `s.<key>` / `t.<key>` references in
+          // clause conditions and assignments
+          val onKeys = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+            .reduce(_ && _)
+          val scanAll = applyDvs(spark, table,
+            boundRead(spark, table, absOf(read0), None), dv0)
+            .withColumn("_graft_file", input_file_name()).alias("t")
+          val hits = scanAll.join(srcAliased, onKeys, "left_outer")
+            .filter(anyChange)
+            .select(col("_graft_file")).distinct()
+            .collect().map(_.getString(0))
+          val aff = read0.filter(fileHitSet(hits.toIndexedSeq))
+          if (aff.isEmpty) (aff, None, None)
+          else {
+            val affDvs = dv0.filter { case (f, _) => aff.contains(f) }
+            val scanAff = applyDvs(spark, table,
+              boundRead(spark, table, absOf(aff), None), affDvs).alias("t")
+            val joined = scanAff.join(srcAliased, onKeys, "left_outer")
+            val surv = joined.filter(not(deleted))
+              .select(declared.fields.map(f => survivorCol(f,
+                mGuards.zip(matched) ++ sGuards.zip(notMatchedBySource)))
+                .toIndexedSeq: _*)
+            (aff, Some(surv), Some(joined))
+          }
+        }
+
+      val stagedFrame: Option[DataFrame] = (rewritten, inserts) match {
+        case (Some(r), Some(i)) => Some(regen(r.unionByName(i)))
+        case (Some(r), None)    => Some(regen(r))
+        case (None, Some(i)) =>
+          // no rewrites: only commit if any row actually inserts (probe
+          // bounded to one row)
+          if (i.limit(1).count() == 0) None else Some(regen(i))
+        case (None, None) => None
+      }
+      if (stagedFrame.isEmpty && affected.isEmpty) return None
+      stagedFrame.foreach(enforceConstraints(table, _, cs0))
+      // CDF record (property-gated, and only for change commits — an
+      // affected-free merge is add-only and its inserts derive at read):
+      // update pre/post pairs per firing update clause, deletes per
+      // firing delete clause, plus this commit's insert rows
+      val cdcActs: Seq[Action] =
+        if (affected.isEmpty) Nil
+        else cdcStage(spark, table, {
+          val joined = joinedOpt.get
+          val allGcs = mGuards.zip(matched) ++ sGuards.zip(notMatchedBySource)
+          val tCols = declared.fields.map(f =>
+            col(s"t.${f.name}").cast(f.dataType).as(f.name)).toIndexedSeq
+          val updateAny = allGcs
+            .collect { case (g, c) if c.kind == "update" => g }
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val pre = joined.filter(updateAny).select(tCols: _*)
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+          val post = regen(joined.filter(updateAny)
+            .select(declared.fields.map(f => survivorCol(f, allGcs))
+              .toIndexedSeq: _*))
+            .withColumn(ChangeTypeCol, lit("update_postimage"))
+          val dels = joined.filter(deleted).select(tCols: _*)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          (Seq(pre, post, dels) ++ inserts.map(i =>
+            regen(i).withColumn(ChangeTypeCol, lit("insert"))))
+            .reduce(_ unionByName _)
+        })
+      val adds = (stagedFrame.map(stage(spark, table, _)).getOrElse(Nil) ++
+        cdcActs) :+ tsAction(commitTs, "MERGE")
+      val removes = affected.map(Action("remove", _))
+      val read0Set = read0.toSet
+
+      var done = false
+      var restart = false
+      var committed = -1L
+      while (!done && !restart) {
+        val base = versions(table).lastOption.getOrElse(0L)
+        val (addsB, dvB) = replayState(table, Some(base))
+        val live = addsB.map(_.path).toSet
+        val csB = constraintsOf(table, Some(base))
+        val newFiles = addsB.map(_.path).filterNot(read0Set)
+        lazy val newFilesCarryKeys = {
+          val dvNew = dvB.filter { case (f, _) => newFiles.contains(f) }
+          applyDvs(spark, table,
+            boundRead(spark, table, absOf(newFiles), None), dvNew)
+            .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+            .limit(1).count() > 0
+        }
+        if (csB != cs0) { cs0 = csB; restart = true }
+        else if (!affected.forall(live) ||
+            affected.exists(f => dvB.get(f) != dv0.get(f)) ||
+            (newFiles.nonEmpty &&
+              (notMatchedBySource.nonEmpty || newFilesCarryKeys)))
+          restart = true
+        else if (tryCommit(table, base + 1, removes ++ adds)) {
+          done = true; committed = base + 1
+        }
+      }
+      if (done) return Some(committed)
+      // else: rebase — re-run the whole pass against the new snapshot
+    }
+    None // unreachable
   }
 
   /** Transactional OPTIMIZE: rewrite the current snapshot's files into
@@ -2545,6 +2896,44 @@ object TxLog {
         if (f.endsWith(".bin") && !keepDv(rel) && oldEnough(dvRoot.resolve(f))) {
           if (!dryRun) Files.deleteIfExists(dvRoot.resolve(f))
           deleted += rel
+        }
+      }
+      // checksum siblings (`.<name>.bin.crc`) that Hadoop's local
+      // filesystem writes next to executor-written sidecars: sweep any
+      // whose `.bin` is gone (same age guard — the .bin may be mid-write)
+      listDir(dvRoot).foreach { f =>
+        if (f.startsWith(".") && f.endsWith(".crc") &&
+            !Files.exists(dvRoot.resolve(f.stripPrefix(".").stripSuffix(".crc"))) &&
+            oldEnough(dvRoot.resolve(f))) {
+          if (!dryRun) Files.deleteIfExists(dvRoot.resolve(f))
+        }
+      }
+    }
+    // CDC sidecars: a version's cdc files are its change-feed record, and
+    // like time travel, CDF reaches back only to vacuum retention — cdc
+    // files NOT referenced by a retained-window version (older history,
+    // or a losing CAS round's orphans) are swept past the same age guard
+    val cdcRoot = Paths.get(table, "cdc")
+    if (Files.isDirectory(cdcRoot)) {
+      val keepCdc = vs.filter(_ >= retained.head)
+        .flatMap(v => readActions(table, v).collect {
+          case Action("cdc", p, _, _, _) => p
+        }).toSet
+      listDir(cdcRoot).foreach { sub =>
+        val dir = cdcRoot.resolve(sub)
+        if (Files.isDirectory(dir)) {
+          listDir(dir).foreach { f =>
+            val rel = s"cdc/$sub/$f"
+            if (f.startsWith("part-") && f.endsWith(".parquet") &&
+                !keepCdc(rel) && oldEnough(dir.resolve(f))) {
+              if (!dryRun) Files.deleteIfExists(dir.resolve(f))
+              deleted += rel
+            }
+          }
+          if (!dryRun && oldEnough(dir) &&
+              listDir(dir).forall(n => !n.endsWith(".parquet")))
+            { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
+              Files.deleteIfExists(dir) }
         }
       }
     }
@@ -2785,6 +3174,152 @@ object TxLog {
       .flatMap(v => readActions(table, v).collect {
         case Action("add", p, _, _, _) => p
       })
+
+  // -------------------------------------- change data feed (CDF)
+
+  /** CDF enablement — the Delta `enableChangeDataFeed` table-property
+    * pattern: row-level change capture costs one extra write of the
+    * changed rows per DML commit, so it is opt-in per table
+    * (`SET TBLPROPERTIES ('graft.changeDataFeed' = 'true')`). Append,
+    * compaction and whole-file commits never need cdc files (their
+    * record derives from the data files — see [[changeFeed]]), so the
+    * property's cost lands only on row-level DML. */
+  val CdfProperty = "graft.changeDataFeed"
+  private def cdfEnabled(table: String): Boolean =
+    propertiesOf(table).get(CdfProperty).contains("true")
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Stage a CDC frame (data columns + `_change_type`) under `cdc/` and
+    * return the "cdc" actions naming its part files. Like data staging,
+    * the files become meaningful only if the commit publishes — losing
+    * CAS rounds orphan theirs, and [[vacuum]] sweeps unreferenced cdc
+    * files past the age guard. */
+  private def stageCdc(spark: SparkSession, table: String,
+                       df: DataFrame): Seq[Action] = {
+    val rel = s"cdc/${UUID.randomUUID()}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+    val root = Paths.get(table, rel)
+    val s = Files.walk(root)
+    val parts = try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && {
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      })
+      .map(p => s"$rel/${root.relativize(p).toString}").toSeq.sorted
+    finally s.close()
+    parts.map(Action("cdc", _))
+  }
+
+  /** The cdc actions for a row-level DML commit, or Nil when the table
+    * has CDF off. `rows` is evaluated lazily — an extra scan pass only
+    * when the property asks for it. */
+  private def cdcStage(spark: SparkSession, table: String,
+                       rows: => DataFrame): Seq[Action] =
+    if (!cdfEnabled(table)) Nil
+    else stageCdc(spark, table, rows) ++ protocolAction(table, "change-data-feed")
+
+  /** Row-level CHANGE FEED for `(fromV, toV]` — Delta CDF semantics
+    * (round-14, VERDICT r13 #5): every row change, as the declared
+    * columns AS OF toV plus `_change_type` ∈ insert | delete |
+    * update_preimage | update_postimage and `_commit_version`. Folding
+    * the feed onto the snapshot at fromV reproduces the snapshot at toV
+    * (the oracle contract: apply deletes+update_preimages as removals,
+    * inserts+update_postimages as additions, as multisets).
+    *
+    * Per-version sources:
+    *   - a commit carrying cdc actions (row-level DML on a CDF-enabled
+    *     table): its cdc files verbatim — the exact record, update
+    *     pre/post pairs included;
+    *   - dataChange appends: added files' rows as `insert` (the Delta
+    *     derivation rule — add-only commits need no cdc files);
+    *   - dataChange=false rewrites (optimize / clone): invisible;
+    *   - change commits WITHOUT cdc (CDF off or pre-CDF history): a
+    *     DERIVED coarse record — removed files' rows at v-1 as `delete`,
+    *     deletion-vector deltas as `delete`, added files' rows as
+    *     `insert`. The fold is still multiset-correct, but churn is
+    *     over-reported: a CoW rewrite's surviving rows appear as
+    *     delete+insert pairs and updates are unpaired. [[changes]]'
+    *     skipChangeCommits/throw posture is thereby RETIRED for CDF
+    *     consumers — every commit kind is deliverable.
+    *
+    * Costs and bounds: driver work is O(versions in range) log replay;
+    * each version contributes a bounded scan of just its cdc/changed
+    * files. Column renames inside the range surface as nulls for
+    * increments written under the old name (alignment is by name at
+    * toV — the Delta CDF schema-evolution caveat). CDF reads reach back
+    * only as far as [[vacuum]] retention, like time travel. */
+  def changeFeed(spark: SparkSession, table: String, fromV: Long,
+                 toV: Option[Long] = None): DataFrame = {
+    val hi = toV.getOrElse(versions(table).lastOption.getOrElse(0L))
+    val declared = schemaOf(table, Some(hi)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no declared schema — CDF needs one"))
+    def absOf(rel: Seq[String]): Seq[String] =
+      rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+    def shape(df: DataFrame, ct: Option[String], v: Long): DataFrame = {
+      val dataCols = declared.fields.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)).toSeq
+      val ctCol = ct.map(lit(_)).getOrElse(col(ChangeTypeCol))
+        .cast("string").as(ChangeTypeCol)
+      df.select(dataCols ++ Seq(ctCol, lit(v).as(CommitVersionCol)): _*)
+    }
+    val frames: Seq[DataFrame] =
+      versions(table).filter(v => v > fromV && v <= hi).flatMap { v =>
+        val acts = readActions(table, v)
+        val cdcFiles = acts.collect { case Action("cdc", p, _, _, _) => p }
+        if (cdcFiles.nonEmpty)
+          Seq(shape(spark.read.parquet(absOf(cdcFiles): _*), None, v))
+        else {
+          val adds = acts.collect { case Action("add", p, _, true, _) => p }
+          val removes = acts.collect { case Action("remove", p, _, true, _) => p }
+          val dvNew = acts.collect { case Action("dv", p, Some(st), _, _) =>
+            p -> parseDvToken(st) }
+          val ins =
+            if (adds.isEmpty) Nil
+            else Seq(shape(boundRead(spark, table, absOf(adds), Some(v)),
+              Some("insert"), v))
+          val dels =
+            if (removes.isEmpty) Nil
+            else {
+              val priorDvs = dvsAt(table, Some(v - 1))
+                .filter { case (f, _) => removes.contains(f) }
+              Seq(shape(applyDvs(spark, table,
+                boundRead(spark, table, absOf(removes), Some(v - 1)), priorDvs),
+                Some("delete"), v))
+            }
+          val dvDels = dvNew.map { case (f, (rel, _)) =>
+            // positions newly dead at v: the fresh sidecar minus the
+            // file's prior vector (cumulative-DV rule)
+            val prior = dvsAt(table, Some(v - 1)).get(f)
+              .map { case (r, _) => readDvPositions(table, r).toSet }
+              .getOrElse(Set.empty[Long])
+            val fresh = readDvPositions(table, rel).filterNot(prior)
+            val sess = spark
+            import sess.implicits._
+            val posDf = fresh.toDF("_graft_pos")
+            shape(boundRead(spark, table, absOf(Seq(f)), Some(v - 1))
+              .withColumn("_graft_pos", expr("_metadata.row_index"))
+              .join(org.apache.spark.sql.functions.broadcast(posDf),
+                Seq("_graft_pos"), "left_semi")
+              .drop("_graft_pos"),
+              Some("delete"), v)
+          }
+          ins ++ dels ++ dvDels
+        }
+      }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType(declared.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
 
   /** Scan `files` binding the DECLARED schema when one exists: with an
     * evolved table, a bare parquet read would take whichever file's

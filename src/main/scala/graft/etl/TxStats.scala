@@ -572,25 +572,47 @@ object TxStats {
         .filter(n => files.forall(_.cols.contains(n)))
         .flatMap(n => colAgg(files, n).map(n -> _)).toMap))
 
+  /** Comparison DOMAIN of a stats tag: tags whose Keys share one total
+    * order. After ALTER COLUMN TYPE widening, old files keep their
+    * narrow tag (int) while new files carry the wide one (long/double) —
+    * all four numeric tags decode into the same exact-decimal Num
+    * domain, so mixed-tag columns still aggregate exactly instead of
+    * being silently dropped from describe()'s metadata profile until an
+    * OPTIMIZE rewrites every pre-widen file (round-14, ADVICE r13). */
+  private def domainOf(tag: String): String = tag match {
+    case "int" | "long" | "float" | "double" => "num"
+    case other => other
+  }
+
+  /** The widest tag present (the declared type after widening): double
+    * beats long beats int/float — matches the [[graft.etl.TxLog]]
+    * WidenOk graph (int→long, int→double, float→double). */
+  private def widestTag(tags: Seq[String]): String =
+    if (tags.contains("double")) "double"
+    else if (tags.contains("long")) "long"
+    else tags.head
+
   private def colAgg(files: Seq[FileStats], name: String): Option[ColAgg] = {
     val pairs = files.map(f => (f.rows, f.cols(name)))
-    val tag = pairs.head._2.tag
+    val dom = domainOf(pairs.head._2.tag)
     val usable = pairs.forall { case (rows, c) =>
-      c.tag == tag && c.nulls >= 0 &&
+      domainOf(c.tag) == dom && c.nulls >= 0 &&
         // bounds present, or the column is provably all-null in that file
         ((c.min.nonEmpty && c.max.nonEmpty) || c.nulls == rows)
     }
     if (!usable) None
     else {
+      val tag = widestTag(pairs.map(_._2.tag))
       val nulls = pairs.map(_._2.nulls).sum
       val bounded = pairs.map(_._2).filter(c => c.min.nonEmpty && c.max.nonEmpty)
       if (bounded.isEmpty) Some(ColAgg(tag, None, None, nulls))
       else {
-        val lo = bounded.map(c => c.min.get -> keyOf(tag, c.min.get))
-        val hi = bounded.map(c => c.max.get -> keyOf(tag, c.max.get))
+        // decode each file's bounds under ITS OWN tag (mixed-era tables)
+        val lo = bounded.map(c => c.min.get -> keyOf(c.tag, c.min.get))
+        val hi = bounded.map(c => c.max.get -> keyOf(c.tag, c.max.get))
         if ((lo ++ hi).exists(_._2.isEmpty)) None // undecodable: drop column
         else Some(ColAgg(tag,
-          // same tag ⇒ same Key domain ⇒ keyCmp is total here
+          // same domain ⇒ same Key order ⇒ keyCmp is total here
           Some(lo.reduceLeft((a, b) =>
             if (keyCmp(b._2.get, a._2.get).exists(_ < 0)) b else a)._1),
           Some(hi.reduceLeft((a, b) =>

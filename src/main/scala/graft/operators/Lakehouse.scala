@@ -1869,7 +1869,91 @@ object Lakehouse {
         lit(graft.etl.TxLog.schemaOf(table).get("key").dataType.simpleString))
   }
 
+  // --------------- q314 general MERGE grammar (round 14)
+
+  /** q314 — the FULL MERGE grammar under one oracle hash (VERDICT r13
+    * #4): conditional matched DELETE, conditional partial-column UPDATE
+    * (siblings untouched), guarded NOT MATCHED INSERT with explicit
+    * columns, and NOT MATCHED BY SOURCE UPDATE — one
+    * [[graft.etl.TxLog.mergeClauses]] call = one OCC commit. The oracle
+    * recomputes the post-merge table as plain set algebra over raw
+    * documents (left join + first-match-wins CASE + anti-join union), so
+    * the hash pins clause ORDER (the delete guard shadows the update
+    * guard), guard semantics on both sides' columns, and the
+    * partial-update/insert column rules. Integer/string output.
+    *
+    * Scale shape: one target scan left-joined to a broadcastable source
+    * finds affected files; only files whose rows FIRE a clause rewrite
+    * (a guarded match leaves unfired files untouched); driver state is
+    * O(affected files). */
+  def q314TxLogMergeGrammar(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q314")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 100).as("n"))
+        .coalesce(4))
+    val source = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), (col("doc_id") % 50).as("delta"))
+    graft.etl.TxLog.mergeClauses(s, table, source, Seq("doc_id"),
+      matched = Seq(
+        graft.etl.TxLog.MergeClause("delete", Some(expr("t.n >= 80")), Map.empty),
+        graft.etl.TxLog.MergeClause("update", Some(expr("s.delta >= 10")),
+          Map("n" -> expr("t.n + s.delta")))),
+      notMatched = Seq(
+        graft.etl.TxLog.MergeClause("insert", Some(expr("s.delta > 40")),
+          Map("doc_id" -> expr("s.doc_id"), "lang" -> lit("ins"),
+            "n" -> expr("s.delta")))),
+      notMatchedBySource = Seq(
+        graft.etl.TxLog.MergeClause("update", Some(expr("t.n < 3")),
+          Map("lang" -> expr("upper(t.lang)")))))
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("lang"))
+  }
+
+  // --------------- q315 row-level change data feed (round 14)
+
+  /** q315 — the CHANGE DATA FEED under one oracle hash (VERDICT r13 #5):
+    * with `graft.changeDataFeed=true`, an UPDATE, a copy-on-write DELETE
+    * and a merge-on-read (deletion-vector) DELETE each publish their
+    * exact row-level record, and `changeFeed` replays them as
+    * update_preimage/update_postimage/delete rows with no churn from the
+    * rewrites themselves (survivor rows moving files is NOT a change).
+    * The oracle recomputes the expected record by applying the same
+    * three operations SEQUENTIALLY in SQL (the delete images must carry
+    * the POST-update values — ordering is what the hash pins), grouped
+    * by change type. Folding this feed onto the v0 snapshot reproduces
+    * the final table (spec-verified; the grouped sums pin it here).
+    *
+    * Scale shape: CDC capture is one property-gated extra write of the
+    * CHANGED rows per DML commit (the Delta CDF trade); the feed read is
+    * a bounded scan of each version's cdc files, O(versions) driver
+    * metadata. */
+  def q315TxLogChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q315")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.select(col("doc_id"), (col("doc_id") % 100).as("n")).coalesce(4))
+    graft.etl.TxLog.setProperties(table,
+      Map(graft.etl.TxLog.CdfProperty -> "true"))
+    val v0 = graft.etl.TxLog.versions(table).last
+    graft.etl.TxLog.updateWhere(s, table, col("doc_id") % 5 === 0,
+      Map("n" -> (col("n") + 1000)))
+    graft.etl.TxLog.deleteWhere(s, table, col("doc_id") % 7 === 0)
+    graft.etl.TxLog.deleteWhereMerge(s, table, col("doc_id") % 11 === 0)
+    graft.etl.TxLog.changeFeed(s, table, v0)
+      .groupBy(col(graft.etl.TxLog.ChangeTypeCol).as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("change_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_txlog_change_feed" -> (q315TxLogChangeFeed _),
+    "q314_txlog_merge_grammar" -> (q314TxLogMergeGrammar _),
     "q313_txlog_widen" -> (q313TxLogWiden _),
     "q312_txlog_properties" -> (q312TxLogProperties _),
     "q311_txlog_ctas" -> (q311TxLogCtas _),
@@ -1922,6 +2006,54 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // post-merge table recomputed as set algebra: first-match-wins CASE
+    // over the left join (delete guard shadows update guard), anti-join
+    // union for the guarded inserts
+    "q314_txlog_merge_grammar" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 100 AS n
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, doc_id % 50 AS delta
+        |      FROM documents WHERE doc_id % 3 = 0),
+        |m AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN s.doc_id IS NULL AND t.n < 3 THEN upper(t.lang)
+        |         ELSE t.lang END AS lang,
+        |    CASE WHEN s.doc_id IS NOT NULL AND NOT (t.n >= 80)
+        |              AND s.delta >= 10 THEN t.n + s.delta
+        |         ELSE t.n END AS n
+        |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |  WHERE NOT (s.doc_id IS NOT NULL AND t.n >= 80)),
+        |i AS (
+        |  SELECT s.doc_id, 'ins' AS lang, s.delta AS n
+        |  FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+        |  WHERE t.doc_id IS NULL AND s.delta > 40),
+        |allr AS (SELECT * FROM m UNION ALL SELECT * FROM i)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
+    // the expected row-level record, the three DML ops applied
+    // SEQUENTIALLY (delete images carry post-update values)
+    "q315_txlog_change_feed" ->
+      """WITH base AS (SELECT doc_id, doc_id % 100 AS n FROM documents),
+        |pre AS (SELECT 'update_preimage' AS change_type, doc_id, n
+        |        FROM base WHERE doc_id % 5 = 0),
+        |post AS (SELECT 'update_postimage' AS change_type, doc_id,
+        |                n + 1000 AS n
+        |         FROM base WHERE doc_id % 5 = 0),
+        |st1 AS (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 = 0 THEN n + 1000 ELSE n END AS n
+        |        FROM base),
+        |del1 AS (SELECT 'delete' AS change_type, doc_id, n
+        |         FROM st1 WHERE doc_id % 7 = 0),
+        |del2 AS (SELECT 'delete' AS change_type, doc_id, n
+        |         FROM st1 WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+        |feed AS (SELECT * FROM pre UNION ALL SELECT * FROM post
+        |         UNION ALL SELECT * FROM del1 UNION ALL SELECT * FROM del2)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
     // the metadata listing recomputed: every priority has 2 files; rows
     // are 2 per partition except the DV-erased 5-LOW at 0
     // mixed-era totals recomputed from raw nation + the wide-era row;

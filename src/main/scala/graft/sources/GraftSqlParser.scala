@@ -81,8 +81,11 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?('[^']+'|[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // the type group admits commas/spaces (DECIMAL(10,2)) so an unsupported
+  // widening reaches widenColumn's loud refusal instead of falling through
+  // to Spark's parser with an opaque error (round-14, ADVICE r13)
   private val WidenColRe =
-    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(),\s]+?)\s*;?\s*""".r
   private val SetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+')\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsRe =
@@ -102,14 +105,25 @@ object GraftSqlParser {
 
   /** Parse `'k'='v', 'k2'='v2'` (quoted pairs, commas inside values
     * unsupported — refused loudly rather than mis-split). */
+  /** Parse `'k'='v', 'k2'='v2'`. Quote-aware pair scan (round-14, ADVICE
+    * r13): a naive split-on-comma refused any VALUE containing a comma,
+    * making the SQL surface accept a narrower value domain than
+    * TxLog.setProperties with no hint why — instead, scan pair-by-pair
+    * with one anchored regex so commas INSIDE quoted tokens pass. */
   private[sources] def parsePropPairs(raw: String): Map[String, String] = {
-    if (raw.isEmpty) return Map.empty
-    val PairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
-    raw.split(",").map {
-      case PairRe(k, v) => k -> v
-      case other => throw new IllegalArgumentException(
-        s"SET TBLPROPERTIES expects 'key'='value' pairs, got: $other")
-    }.toMap
+    if (raw.trim.isEmpty) return Map.empty
+    val PairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*(?:,|$)""".r
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var pos = 0
+    while (pos < raw.length) {
+      PairRe.findPrefixMatchOf(raw.subSequence(pos, raw.length)) match {
+        case Some(m) => out += (m.group(1) -> m.group(2)); pos += m.end
+        case None => throw new IllegalArgumentException(
+          s"SET TBLPROPERTIES expects 'key'='value' pairs, got: " +
+            raw.substring(pos))
+      }
+    }
+    out.toMap
   }
 
   /** Parse `'k', 'k2'` (quoted key list). */

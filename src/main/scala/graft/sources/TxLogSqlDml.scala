@@ -41,12 +41,21 @@ import graft.etl.TxLog
   * public ExperimentalMethods hook) or session-wide with
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Supported MERGE form: the WHEN MATCHED THEN UPDATE SET * / WHEN NOT
-  * MATCHED THEN INSERT * core (matching [[TxLog.merge]]'s keyed-upsert
-  * contract) with an equality-conjunction ON clause; anything else —
-  * conditional actions, partial-column updates, NOT MATCHED BY SOURCE —
-  * fails loudly at planning rather than executing something subtly
-  * different. Cite: the reference's posture is ad-hoc SQL over gold
+  * Supported MERGE grammar (round 14 — the full production form): an
+  * equality-conjunction ON clause, plus ordered conditional clauses
+  *
+  * {{{
+  *   WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... | UPDATE SET * | DELETE
+  *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (...) | INSERT *
+  *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+  * }}}
+  *
+  * The unconditional SET * / INSERT * keyed upsert (and the lone
+  * matched DELETE) keep the [[TxLog.merge]]/[[TxLog.deleteMatched]]
+  * fast path; everything else routes to [[TxLog.mergeClauses]], the
+  * general first-match-wins engine over the same file-pruned CoW.
+  * Non-equality ON clauses and WITH SCHEMA EVOLUTION still fail loudly
+  * at planning. Cite: the reference's posture is ad-hoc SQL over gold
   * tables (/root/reference/src/gold_catalog.py:80-84); this extends it
   * to transactional writes. */
 object TxLogSqlDml {
@@ -132,6 +141,58 @@ object TxLogDmlStrategy extends SparkStrategy {
   private def isDeleteOnly(as: Seq[MergeAction]): Boolean = as match {
     case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(None)) => true
     case _ => false
+  }
+
+  /** Two-sided rebind for the GENERAL merge path: resolved expression →
+    * Column over the [[TxLog.mergeClauses]] join aliases (target
+    * attributes → `t.<name>`, source attributes → `s.<name>`) — unlike
+    * [[rebind]]'s by-name form, MERGE clause expressions routinely
+    * reference SAME-NAMED columns of both sides (`SET v = s.v + t.v`),
+    * so the side each attribute id belongs to must survive rebinding. */
+  private def rebindTS(e: Expression, targetOut: AttributeSet,
+                       sourceOut: AttributeSet): Column =
+    GraftSqlBridge.column(e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    })
+
+  /** One analyzer MergeAction → one [[TxLog.MergeClause]]. Star actions
+    * expand to every target column taken from the same-named source
+    * column (the analyzer may have done this already — both spellings
+    * land here). */
+  private def clauseOf(a: MergeAction, targetOut: AttributeSet,
+                       sourceOut: AttributeSet,
+                       targetCols: Seq[String]): TxLog.MergeClause = {
+    def rb(e: Expression): Column = rebindTS(e, targetOut, sourceOut)
+    def assignMap(assigns: Seq[Assignment]): Map[String, Column] =
+      assigns.map { asgn =>
+        val name = asgn.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            "MERGE on a TxLog table assigns top-level columns only; got " +
+              other.sql)
+        }
+        name -> rb(asgn.value)
+      }.toMap
+    def starAssigns: Map[String, Column] =
+      targetCols.map(c =>
+        c -> org.apache.spark.sql.functions.col(s"s.$c")).toMap
+    a match {
+      case UpdateStarAction(cond) =>
+        TxLog.MergeClause("update", cond.map(rb), starAssigns)
+      case UpdateAction(cond, assigns, _) =>
+        TxLog.MergeClause("update", cond.map(rb), assignMap(assigns))
+      case org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond) =>
+        TxLog.MergeClause("delete", cond.map(rb), Map.empty)
+      case InsertStarAction(cond) =>
+        TxLog.MergeClause("insert", cond.map(rb), starAssigns)
+      case InsertAction(cond, assigns) =>
+        TxLog.MergeClause("insert", cond.map(rb), assignMap(assigns))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action on a TxLog table: $other")
+    }
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -284,30 +345,43 @@ object TxLogDmlStrategy extends SparkStrategy {
 
     case m: MergeIntoTable => m.targetTable match {
       case Rel(path) =>
+        if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+          "MERGE WITH SCHEMA EVOLUTION into a TxLog table is not " +
+            "supported — ALTER TABLE ... ADD COLUMNS first")
+        val targetOut = AttributeSet(m.targetTable.output)
+        val sourceOut = AttributeSet(m.sourceTable.output)
+        val keyCols = keyColsOf(m.mergeCondition, targetOut, sourceOut).distinct
+        if (keyCols.isEmpty) throw new UnsupportedOperationException(
+          "MERGE INTO a TxLog table requires at least one key equality")
+        val sourcePlan = m.sourceTable
         val deleteOnly = isDeleteOnly(m.matchedActions) &&
           m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty
         val starUpsert = isStarUpdate(m.matchedActions) &&
           isStarInsert(m.notMatchedActions) &&
           m.notMatchedBySourceActions.isEmpty
-        if (!deleteOnly && !starUpsert)
-          throw new UnsupportedOperationException(
-            "MERGE INTO a TxLog table supports WHEN MATCHED THEN UPDATE " +
-              "SET * / WHEN NOT MATCHED THEN INSERT * (the keyed upsert) " +
-              "or a lone WHEN MATCHED THEN DELETE (the keyed delete); " +
-              "conditional, partial-column, or BY SOURCE clauses are not " +
-              "supported")
-        val keyCols = keyColsOf(m.mergeCondition,
-          AttributeSet(m.targetTable.output),
-          AttributeSet(m.sourceTable.output)).distinct
-        if (keyCols.isEmpty) throw new UnsupportedOperationException(
-          "MERGE INTO a TxLog table requires at least one key equality")
-        val sourcePlan = m.sourceTable
-        TxLogDmlExec("MERGE", path, spark => {
-          val source = GraftSqlBridge.ofRows(spark, sourcePlan)
-          if (deleteOnly) TxLog.deleteMatched(spark, path, source, keyCols)
-          else TxLog.merge(spark, path, source, keyCols)
-          ()
-        }) :: Nil
+        if (deleteOnly || starUpsert)
+          // fast path: the unconditional keyed upsert/delete core — whole
+          // files replaced by source rows, no per-column CASE machinery
+          TxLogDmlExec("MERGE", path, spark => {
+            val source = GraftSqlBridge.ofRows(spark, sourcePlan)
+            if (deleteOnly) TxLog.deleteMatched(spark, path, source, keyCols)
+            else TxLog.merge(spark, path, source, keyCols)
+            ()
+          }) :: Nil
+        else {
+          // general grammar (round-14, VERDICT r13 #4): conditional WHEN
+          // clauses, partial-column UPDATE SET, NOT MATCHED BY SOURCE —
+          // rebound into TxLog.MergeClause lists over the t/s join aliases
+          val targetCols = m.targetTable.output.map(_.name)
+          val mc = m.matchedActions.map(clauseOf(_, targetOut, sourceOut, targetCols))
+          val nc = m.notMatchedActions.map(clauseOf(_, targetOut, sourceOut, targetCols))
+          val sc = m.notMatchedBySourceActions.map(clauseOf(_, targetOut, sourceOut, targetCols))
+          TxLogDmlExec("MERGE", path, spark => {
+            TxLog.mergeClauses(spark, path,
+              GraftSqlBridge.ofRows(spark, sourcePlan), keyCols, mc, nc, sc)
+            ()
+          }) :: Nil
+        }
       case _ => Nil
     }
 

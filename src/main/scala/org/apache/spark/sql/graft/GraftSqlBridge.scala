@@ -42,4 +42,19 @@ object GraftSqlBridge {
       p.getFileSystem(bc.value.value).open(p)
     }
   }
+
+  /** The write twin of [[serializableHadoopOpen]]: a serializable
+    * `path => OutputStream` with create-new semantics (overwrite=false —
+    * fresh-UUID writers must never clobber), for executor-side
+    * deletion-vector sidecar writes. Parent directories are created as
+    * needed (Hadoop `create` semantics). */
+  def serializableHadoopCreate(spark: SparkSession): String => java.io.OutputStream = {
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    (path: String) => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(bc.value.value).create(p, false)
+    }
+  }
 }

@@ -189,13 +189,20 @@ class Round13OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TxLog.merge(spark, t2,
         Seq((3L, "x"), (9L, "n")).toDF("id", "s"), Seq("id"))
       assert(rows(t) == rows(t2))
-      // unsupported MERGE forms fail loudly, not subtly (a CONDITIONAL
-      // matched action is outside the supported star-upsert/keyed-delete)
+      // round 14: a CONDITIONAL matched action routes to the general
+      // mergeClauses engine instead of failing (VERDICT r13 #4) — the
+      // guard fires only where its condition holds
+      spark.sql(
+        s"""MERGE INTO $name USING (SELECT 1L AS id, 'q' AS s UNION ALL
+           |SELECT 9L, 'z') src ON $name.id = src.id
+           |WHEN MATCHED AND src.s = 'q' THEN UPDATE SET *""".stripMargin)
+      assert(rows(t) == Seq((1L, "q"), (3L, "x"), (9L, "n")))
+      // still-unsupported forms fail loudly (non-equality ON)
       intercept[UnsupportedOperationException] {
         spark.sql(
           s"""MERGE INTO $name USING (SELECT 1L AS id, 'q' AS s) src
-             |ON $name.id = src.id
-             |WHEN MATCHED AND src.s = 'q' THEN UPDATE SET *""".stripMargin)
+             |ON $name.id > src.id
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }

@@ -155,4 +155,33 @@ class TxLogDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deleted = TxLog.vacuum(t, retainVersions = 1, minAgeMillis = 0)
     assert(ids(t) == (6L to 15L), "vacuum must not break the live DV")
   }
+
+  test("executor-side sidecar writes: multi-file delete, driver-path parity") {
+    import spark.implicits._
+    val t = tmp()
+    // 4 files × 250 rows: the matched set spans every file, so the
+    // grouped executor write produces one sidecar per file — driver state
+    // is 4 (file, rel, count) rows, never the 500 matched positions
+    (0 until 4).foreach { b =>
+      TxLog.append(spark, t,
+        (b * 250L until (b + 1) * 250L).map(i => (i, i % 2)).toDF("id", "par")
+          .coalesce(1))
+    }
+    assert(TxLog.snapshot(t).size == 4)
+    val v = TxLog.deleteWhereMerge(spark, t, col("par") === 1L)
+    assert(v.contains(5L))
+    // parity with the reference semantics: exactly the odd ids are gone
+    assert(ids(t) == (0L until 1000L).filter(_ % 2 == 0))
+    // every file carries a DV naming exactly its own deleted positions:
+    // cardinality sums to the matched count, and a SECOND delete on the
+    // same files merges executor-side with the existing sidecars
+    assert(TxLog.dvCardinality(t) == 500L)
+    assert(TxLog.deleteWhereMerge(spark, t, col("id") < 10L).contains(6L))
+    assert(TxLog.dvCardinality(t) == 505L)
+    assert(ids(t) == (10L until 1000L).filter(_ % 2 == 0))
+    // optimize still materializes executor-written DVs away
+    TxLog.optimize(spark, t, targetFiles = 2)
+    assert(TxLog.dvCardinality(t) == 0L)
+    assert(ids(t) == (10L until 1000L).filter(_ % 2 == 0))
+  }
 }
