@@ -78,7 +78,9 @@ class TxLogSource extends TableProvider with StreamSinkProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = TxLogSource.pathOf(options)
-    TxLogSource.declaredOrInferred(path, TxLogSource.asOfOf(path, options))
+    val base = TxLogSource.declaredOrInferred(path, TxLogSource.asOfOf(path, options))
+    if (options.getBoolean("readChangeFeed", false)) TxLogSource.cdfSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -152,6 +154,21 @@ object TxLogSource {
     * else footer inference over the live snapshot; else (fresh/empty
     * table) an empty struct — CREATE TABLE's external metadata supersedes
     * this via supportsExternalMetadata. */
+  /** Output shape of a `readChangeFeed` scan: the data columns plus the
+    * Delta-CDF metadata pair. */
+  private[sources] def cdfSchema(data: StructType): StructType =
+    StructType(data.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(TxLog.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(TxLog.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Strip the CDF metadata pair back off (the data schema a CDF scan
+    * reads files with). */
+  private[sources] def dataSchemaOf(out: StructType): StructType =
+    StructType(out.fields.filterNot(f =>
+      f.name == TxLog.ChangeTypeCol || f.name == TxLog.CommitVersionCol))
+
   private[sources] def declaredOrInferred(path: String,
                                           asOf: Option[Long] = None): StructType =
     TxLog.schemaOf(path, asOf).getOrElse {
@@ -217,7 +234,14 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     // ("latest" = only commits after stream start), the Delta-source
     // option by the same name; absent = full backlog from version 1
     val startingV = Option(options.get("startingVersion")).map(_.trim)
-    () => new TxLogV1Scan(path, schema(), asOf, skipChanges, startingV)
+    // CDF mode (round-14): rows arrive as data columns + _change_type +
+    // _commit_version; normalize via dataSchemaOf so the flag composes
+    // whether the table was built with or without the option
+    val cdf = options.getBoolean("readChangeFeed", false)
+    val outSchema =
+      if (cdf) TxLogSource.cdfSchema(TxLogSource.dataSchemaOf(schema()))
+      else schema()
+    () => new TxLogV1Scan(path, outSchema, asOf, skipChanges, startingV, cdf)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -239,12 +263,19 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
 private[sources] class TxLogV1Scan(path: String, declared: StructType,
                                    asOf: Option[Long] = None,
                                    skipChangeCommits: Boolean = false,
-                                   startingVersion: Option[String] = None)
+                                   startingVersion: Option[String] = None,
+                                   cdf: Boolean = false)
     extends V1Scan {
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new TxLogV1Relation(context, path, declared, asOf).asInstanceOf[T]
+    if (cdf)
+      // batch CDF: (startingVersion-1, asOf-or-latest] through the exact/
+      // derived changeFeed — the coarse record is acceptable in batch
+      // (see TxLog.cdfPlan for why streams are stricter)
+      new TxLogCdfRelation(context, path, declared,
+        startingVersion.map(_.toLong - 1).getOrElse(0L), asOf).asInstanceOf[T]
+    else new TxLogV1Relation(context, path, declared, asOf).asInstanceOf[T]
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream = {
     require(asOf.isEmpty,
@@ -270,7 +301,8 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
         require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $v")
         v - 1
     }.getOrElse(0L)
-    new TxLogMicroBatchStream(path, declared, skipChangeCommits, init)
+    if (cdf) new TxLogCdfMicroBatchStream(path, declared, init)
+    else new TxLogMicroBatchStream(path, declared, skipChangeCommits, init)
   }
 }
 
@@ -345,6 +377,131 @@ private[sources] class TxLogMicroBatchStream(path: String, declared: StructType,
 
 private[sources] case class TxLogFilePartition(abs: String, len: Long)
     extends org.apache.spark.sql.connector.read.InputPartition
+
+/** CHANGE-FEED micro-batch source (round-14, VERDICT r13 #5): offsets are
+  * version numbers like [[TxLogMicroBatchStream]], but batch (start, end]
+  * delivers ROW-LEVEL CHANGES — each version's exact CDC sidecars (rows
+  * carry their own `_change_type`; update pre/post pairs included) or,
+  * for add-only commits, the added files tagged `insert`. Compactions
+  * deliver nothing. A change commit without a CDC record fails loudly
+  * with the table property named ([[graft.etl.TxLog.cdfPlan]]) — the
+  * retirement of skipChangeCommits-or-throw as the only way past
+  * row-level DML in a stream. Exactly-once for the same reason as the
+  * plain stream: offset ranges map to immutable published files. */
+private[sources] class TxLogCdfMicroBatchStream(path: String,
+                                                outSchema: StructType,
+                                                initOffset: Long = 0L)
+    extends streaming.MicroBatchStream {
+
+  private val dataSchema = TxLogSource.dataSchemaOf(outSchema)
+  private val cdcFileSchema = StructType(dataSchema.fields :+
+    org.apache.spark.sql.types.StructField(TxLog.ChangeTypeCol,
+      org.apache.spark.sql.types.StringType))
+
+  private case class VOffset(v: Long) extends streaming.Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): streaming.Offset = VOffset(initOffset)
+  override def latestOffset(): streaming.Offset =
+    VOffset(TxLog.versions(path).lastOption.getOrElse(0L))
+  override def deserializeOffset(json: String): streaming.Offset =
+    VOffset(json.trim.toLong)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val lo = start.asInstanceOf[VOffset].v
+    val hi = end.asInstanceOf[VOffset].v
+    TxLog.cdfPlan(path, lo, hi).map { case (kind, abs, v) =>
+      TxLogCdfFilePartition(kind, abs,
+        java.nio.file.Files.size(java.nio.file.Paths.get(abs)), v)
+        : org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val spark = SparkSession.active
+    def reader(schema: StructType) =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat().buildReaderWithPartitionValues(
+          spark, dataSchema = schema,
+          partitionSchema = new StructType(),
+          requiredSchema = schema, filters = Nil,
+          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> "false"),
+          hadoopConf = spark.sessionState.newHadoopConf())
+    new TxLogCdfReaderFactory(reader(cdcFileSchema), reader(dataSchema))
+  }
+}
+
+private[sources] case class TxLogCdfFilePartition(kind: String, abs: String,
+                                                  len: Long, version: Long)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Per-partition reader: cdc files already carry `_change_type` (last
+  * column), so only `_commit_version` is appended; add-only files get the
+  * constant ("insert", version) pair. Appending rides a catalyst
+  * JoinedRow — no per-field type dispatch. */
+private[sources] class TxLogCdfReaderFactory(
+    cdcRead: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    dataRead: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val fp = partition.asInstanceOf[TxLogCdfFilePartition]
+    val file = org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(fp.abs), 0L, fp.len)
+    val extra: org.apache.spark.sql.catalyst.InternalRow = fp.kind match {
+      case "cdc" =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](fp.version))
+      case _ =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String
+            .fromString("insert"), fp.version))
+    }
+    val base = (if (fp.kind == "cdc") cdcRead else dataRead)(file)
+      .flatMap {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          import scala.jdk.CollectionConverters._
+          b.rowIterator().asScala
+        case r => Iterator.single(r)
+      }
+    new org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+      private val joiner =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean =
+        if (base.hasNext) { cur = joiner(base.next(), extra).copy(); true }
+        else false
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Batch half of the DSv2 CDF read: `(fromV, asOf-or-latest]` through
+  * [[graft.etl.TxLog.changeFeed]] (exact where CDC records exist, coarse
+  * derived elsewhere — acceptable in batch, see cdfPlan). */
+private[sources] class TxLogCdfRelation(
+    context: SQLContext, path: String, out: StructType,
+    fromV: Long, asOf: Option[Long])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = out
+  override def buildScan(): RDD[Row] =
+    TxLog.changeFeed(context.sparkSession, path, fromV, asOf).rdd
+}
 
 private[sources] class TxLogCdcReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>

@@ -89,6 +89,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("maintenance verbs accept graft-catalog identifiers (round 14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    import graft.sources.GraftSqlParser
+    val t = tmp()
+    graft.sources.TxLogSqlDml.install(spark)
+    TxLog.append(spark, t, Seq((1L, "p0"), (2L, "p1")).toDF("id", "part")
+      .coalesce(1), partitionBy = Seq("part"))
+    TxLog.setProperties(t, Map("tier" -> "gold"))
+    // same planning seam the extensions parser routes through; the
+    // identifier is the DSv2 catalog form, not a quoted path
+    def run(sql: String) = GraftSqlBridge.ofRows(spark,
+      GraftSqlParser.maintenance(sql).getOrElse(
+        fail(s"statement not recognized: $sql"))).collect()
+    val props = run(s"SHOW TBLPROPERTIES graft.`$t`")
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("tier" -> "gold"))
+    val parts = run(s"SHOW PARTITIONS graft.`$t`")
+      .map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("part=p0", "part=p1"))
+    // the DML verbs compose with the same identifier form
+    run(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES ('owner'='ops')")
+    assert(TxLog.propertiesOf(t) == Map("tier" -> "gold", "owner" -> "ops"))
+    run(s"DESCRIBE HISTORY graft.`$t`")
+    // an identifier under an UNREGISTERED catalog name is NOT intercepted
+    assert(GraftSqlParser.maintenance(
+      s"SHOW TBLPROPERTIES nosuch.`$t`").isEmpty)
+  }
+
   test("catalog refuses what it cannot mean: DROP, RENAME, namespaces") {
     import spark.implicits._
     val t = tmp()

@@ -1,9 +1,7 @@
 package graft
 
-import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -26,53 +24,11 @@ import graft.etl.{BronzeIngest, GoldCatalog, Pipeline}
   */
 class ObjectStorePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  // ---- the in-process object store ------------------------------------- //
-  // PUT/GET/HEAD/DELETE /<key>; GET /?list=<prefix> → `FILE <size> <key>`
-  // lines. Bucket-agnostic: the key embeds the bucket (authority).
+  // ---- the in-process object store (shared: TestObjectServer) ---------- //
 
-  private val store = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-  private var server: HttpServer = _
+  private val objectServer = new TestObjectServer
+  private def store = objectServer.store
   private var endpoint: String = _
-
-  private def handle(ex: HttpExchange): Unit = {
-    val key = ex.getRequestURI.getPath.stripPrefix("/")
-    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
-    try {
-      (ex.getRequestMethod, query) match {
-        case ("GET", q) if q.startsWith("list=") =>
-          val prefix = java.net.URLDecoder.decode(q.stripPrefix("list="), "UTF-8")
-          val body = store.entrySet().stream().toArray.toSeq
-            .map(_.asInstanceOf[java.util.Map.Entry[String, Array[Byte]]])
-            .filter(_.getKey.startsWith(prefix))
-            .sortBy(_.getKey)
-            .map(e => s"FILE ${e.getValue.length} ${e.getKey}")
-            .mkString("\n").getBytes(StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
-          if (body.nonEmpty) ex.getResponseBody.write(body)
-        case ("PUT", _) =>
-          store.put(key, ex.getRequestBody.readAllBytes())
-          ex.sendResponseHeaders(200, -1)
-        case ("GET", _) =>
-          Option(store.get(key)) match {
-            case Some(b) =>
-              ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length)
-              if (b.nonEmpty) ex.getResponseBody.write(b)
-            case None => ex.sendResponseHeaders(404, -1)
-          }
-        case ("HEAD", _) =>
-          Option(store.get(key)) match {
-            case Some(b) =>
-              ex.getResponseHeaders.set("X-Object-Length", b.length.toString)
-              ex.sendResponseHeaders(200, -1)
-            case None => ex.sendResponseHeaders(404, -1)
-          }
-        case ("DELETE", _) =>
-          store.remove(key)
-          ex.sendResponseHeaders(200, -1)
-        case _ => ex.sendResponseHeaders(405, -1)
-      }
-    } finally ex.close()
-  }
 
   lazy val spark: SparkSession = {
     val s = GraftSession.local("objectstore-spec", cores = 4)
@@ -84,15 +40,12 @@ class ObjectStorePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def beforeAll(): Unit = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", handle _)
-    server.start()
-    endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+    endpoint = objectServer.start()
   }
 
   override def afterAll(): Unit = {
     spark.stop()
-    server.stop(0)
+    objectServer.stop()
   }
 
   private def fixture(name: String): String =

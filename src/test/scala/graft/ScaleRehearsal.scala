@@ -167,7 +167,13 @@ object ScaleRehearsal {
     // parquet write). q310-q313 (drop column / CTAS+truncate /
     // tblproperties / widen) are commit-log protocol queries on nation/
     // orders-bounded rollups — excluded by the q249-class rule.
-    "q309_txlog_native_sink")
+    "q309_txlog_native_sink",
+    // round-14 wave (VERDICT r13 #7): the general-merge and change-feed
+    // queries move the full documents corpus through TxLog — data-sized
+    // fixture appends, a clause-guarded CoW rewrite with cdc sidecar
+    // writes, and the feed read-back. The other round-14 additions are
+    // commit-log protocol queries on bounded tables (q249 class).
+    "q314_txlog_merge_grammar", "q315_txlog_change_feed")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(

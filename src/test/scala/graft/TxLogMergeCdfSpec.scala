@@ -219,6 +219,78 @@ class TxLogMergeCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
       empty.columns.contains(TxLog.ChangeTypeCol))
   }
 
+  test("streaming CDF: readChangeFeed tails row-level changes, exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmp()
+    val ckpt = Files.createTempDirectory("graft-cdf-ckpt").toString
+    TxLog.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n").coalesce(1))
+    TxLog.setProperties(t, Map(TxLog.CdfProperty -> "true"))
+    TxLog.updateWhere(spark, t, col("id") === 1L, Map("n" -> lit(11L)))
+    TxLog.deleteWhere(spark, t, col("id") === 2L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def drain(): Unit = spark.readStream
+      .format("graft.sources.TxLogSource")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col(TxLog.ChangeTypeCol), col("id"), col("n")).collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain()
+    val first = got.toArray(Array.empty[(String, Long, Long)]).toSeq.sorted
+    assert(first == Seq(
+      ("delete", 2L, 20L),
+      ("insert", 1L, 10L), ("insert", 2L, 20L),
+      ("update_postimage", 1L, 11L), ("update_preimage", 1L, 10L)),
+      s"got $first")
+    // restart on the same checkpoint delivers only NEW changes — and a
+    // change commit no longer needs skipChangeCommits to stream
+    got.clear()
+    TxLog.deleteWhereMerge(spark, t, col("id") === 1L)
+    drain()
+    val second = got.toArray(Array.empty[(String, Long, Long)]).toSeq.sorted
+    assert(second == Seq(("delete", 1L, 11L)), s"got $second")
+    // a change commit WITHOUT a CDC record refuses loudly in a stream,
+    // naming the property (the batch changeFeed still derives it)
+    val t2 = tmp()
+    TxLog.append(spark, t2, Seq((1L, "a", 1L)).toDF("id", "s", "n").coalesce(1))
+    TxLog.deleteWhere(spark, t2, col("id") === 1L) // CDF off: no record
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.TxLogSource")
+        .option("readChangeFeed", "true").load(t2)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cdf-ckpt2").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage != null && (e.getMessage.contains(TxLog.CdfProperty) ||
+      Option(e.getCause).exists(_.getMessage.contains(TxLog.CdfProperty))),
+      s"error must name the property, got: ${e.getMessage}")
+  }
+
+  test("batch DSv2 CDF read: readChangeFeed over the whole history") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n").coalesce(1))
+    TxLog.setProperties(t, Map(TxLog.CdfProperty -> "true"))
+    TxLog.updateWhere(spark, t, col("id") === 2L, Map("n" -> lit(22L)))
+    val feed = spark.read.format("graft.sources.TxLogSource")
+      .option("readChangeFeed", "true").load(t)
+    val got = feed.select(col(TxLog.ChangeTypeCol), col("id"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got == Seq(("insert", 1L, 10L), ("insert", 2L, 20L),
+      ("update_postimage", 2L, 22L), ("update_preimage", 2L, 20L)))
+  }
+
   test("changeFeed: mergeClauses CDC record and vacuum retention") {
     import spark.implicits._
     val t = tmp(); seed(t)
