@@ -114,18 +114,34 @@ object Bench {
     * user's reused plan pays — while data-bound queries (≥ the threshold)
     * keep their honest cold single timing. Doubling a 0.8 s query costs
     * ~0.3 s of wall and removes ~0.5 s of warmup noise from the artifact;
-    * doubling the 45 s heavyweight would cost 45 s to remove ~1, so the
+    * doubling the 37 s heavyweight would cost 37 s to remove ~8, so the
     * threshold is where the trade flips. clearCache runs BETWEEN the two
     * executions, so the second run re-executes all data work from scratch
-    * (same semantics as a global pass 2) — only code warmth carries. */
-  private val FloorThresholdS = 2.0
+    * (same semantics as a global pass 2) — only code warmth carries.
+    *
+    * 3.0 (round-14, measured twice): the 2-3 s band reads 1.4-2.2x its
+    * best-known in a quiet single pass — best-knowns came from min-of-2
+    * second executions, so the warmup share GROWS with plan complexity
+    * (more generated classes). T=5 was tried and REVERTED: it bought
+    * ~40 s off the reported total but pushed pass-1 wall to ~880 s,
+    * past the sweep window — and round-14's back-to-back quiet runs
+    * showed ±30% host variance (one read 420 s, the next 549 with q213
+    * at 91 s carrying 9.7 s of GC), so the tail's single samples NEED
+    * the suspect sweep to stay trustworthy. T=3 keeps quiet pass-1 wall
+    * ~795 s, inside the sweep window, trading ~20 s of reported floor
+    * for a robust artifact. The doubling honors a WALL guard (budgetS):
+    * once elapsed exceeds the budget, remaining queries fall back to
+    * single timing — a loaded host degrades toward the r13 single-pass
+    * behavior instead of overshooting the harness envelope. */
+  private val FloorThresholdS = 3.0
 
   private def runPass(spark: SparkSession, dir: String,
                       deadlineNs: Option[Long],
                       order: Option[Map[String, Double]] = None,
                       priority: Option[Map[String, Double]] = None,
                       only: Option[Set[String]] = None,
-                      doubleFloor: Option[Map[String, Double]] = None): Map[String, Double] = {
+                      doubleFloor: Option[Map[String, Double]] = None,
+                      doubleUntilNs: Option[Long] = None): Map[String, Double] = {
     val out = scala.collection.mutable.Map.empty[String, Double]
     val base = only match {
       case Some(keep) => selected.filter { case (n, _) => keep(n) }
@@ -196,6 +212,7 @@ object Bench {
               .getOrElse(t1 >= 0 && t1 < FloorThresholdS)
           }
           if (floorBound && t1 >= 0 && !cut &&
+              doubleUntilNs.forall(System.nanoTime() < _) &&
               deadlineNs.forall(System.nanoTime() + (t1 * 1e9).toLong < _)) {
             timeOnce() match {
               case None =>
@@ -326,15 +343,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2).max(1)
-    // 560 s (round 14, was 420): at 313 queries even a QUIET pass 1 ran
-    // ~500 s — the per-fresh-plan warmup floor, not any query's plan (see
-    // FloorThresholdS) — so a 420 s budget guaranteed a degraded artifact
-    // (no pass 2, no sweeps). The envelope evidence: the round-13 driver
-    // run used 918 s of wall clock and its artifact landed normally, so
-    // 560 + 120 grace stays comfortably inside the harness's tolerance
-    // while giving the floor-doubled pass 1 (~530 s quiet) room for
-    // suspect sweeps.
-    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble).getOrElse(560.0)
+    // 700 s (round 14, was 420): at 315 queries even a QUIET pass 1 runs
+    // ~760 s of wall with floor-doubling (~850 at the T=5 band) while
+    // REPORTING ~380 s — the per-fresh-plan warmup floor is wall the
+    // artifact deliberately spends to read steady state (see
+    // FloorThresholdS). The budget now serves two guards: pass-1 floor
+    // doubling stops once elapsed exceeds it (a loaded host degrades
+    // toward single-pass, never overshooting), and later passes/sweeps
+    // gate on it as before. Envelope evidence: the round-13 driver run
+    // used 918 s of wall clock and its artifact landed normally.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble).getOrElse(700.0)
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt
@@ -384,7 +402,8 @@ object Bench {
     val pass1Pri = selected.keys
       .map(n => n -> history.getOrElse(n, Double.MaxValue)).toMap
     var results = runPass(spark, sfDir, None, None, Some(pass1Pri),
-      doubleFloor = Some(history))
+      doubleFloor = Some(history),
+      doubleUntilNs = Some(mainT0 + (budgetS * 1e9).toLong))
     var passesDone = 1
     writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history, loadStart)
     var stop = passesDone >= passes
@@ -422,8 +441,13 @@ object Bench {
     // residual suspects are real, not host-load noise. Grace is bounded
     // (default 120 s) so the worst-case wall clock stays inside the
     // envelope the round-12 driver run proved survivable (~540 s).
+    // 150 s (round 14, was 120): the sweep is the tail's only second
+    // sample (see FloorThresholdS — quiet pass-1 wall is ~795 s against
+    // the 700 s budget), and back-to-back quiet runs showed ±50 s of
+    // host variance; worst-case wall stays ~890 s, inside the 918 s the
+    // r13 driver run proved survivable.
     val graceS = sys.env.get("SPARK_GRAFT_SUSPECT_GRACE_S")
-      .map(_.toDouble).getOrElse(120.0)
+      .map(_.toDouble).getOrElse(150.0)
     var suspectPasses = 0
     var residual = suspectsOf(results, history)
     while (residual.nonEmpty && suspectPasses < 3 &&

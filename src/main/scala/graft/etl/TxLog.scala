@@ -1941,6 +1941,14 @@ object TxLog {
         require(unknown.isEmpty,
           s"updateWhere: columns not in the declared schema: ${unknown.mkString(", ")}")
       }
+      // generated columns: direct assignment refused, and the rewrite
+      // below RECOMPUTES them from the post-assignment row — without
+      // this, updating a base column left the stored generated value
+      // stale, silently breaking GENERATED ALWAYS AS (round 14)
+      val gens = generatedColsOf(table)
+      assignments.keys.foreach(k => require(!gens.contains(k),
+        s"updateWhere must not assign generated column $k — it is " +
+          "recomputed from the post-update row"))
       val hits = applyDvs(spark, table,
           boundRead(spark, table, absOf(read0), None), dv0)
         .withColumn("_graft_file", input_file_name())
@@ -1951,7 +1959,7 @@ object TxLog {
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val scan = applyDvs(spark, table,
         boundRead(spark, table, absOf(affected), None), affectedDvs)
-      val rewritten = scan.select(scan.schema.fields.map { f =>
+      val assigned = scan.select(scan.schema.fields.map { f =>
         assignments.get(f.name) match {
           case Some(v) => org.apache.spark.sql.functions
             .when(hit, v.cast(f.dataType))
@@ -1959,6 +1967,15 @@ object TxLog {
           case None => org.apache.spark.sql.functions.col(f.name)
         }
       }.toIndexedSeq: _*)
+      // recompute generated columns over the post-assignment row
+      // (identity for unchanged rows — generation is deterministic)
+      val rewritten =
+        if (gens.isEmpty) assigned
+        else assigned.select(assigned.schema.fields.map { f =>
+          gens.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name))
+            .getOrElse(org.apache.spark.sql.functions.col(f.name))
+        }.toIndexedSeq: _*)
       var cs0 = constraintsOf(table)
       enforceConstraints(table, rewritten, cs0)
       // CDF record (property-gated): pre/post image pairs of exactly the
@@ -1966,10 +1983,15 @@ object TxLog {
       val cdc = cdcStage(spark, table, {
         val pre = scan.filter(hit)
           .withColumn(ChangeTypeCol, lit("update_preimage"))
-        val post = scan.filter(hit).select(scan.schema.fields.map { f =>
+        val post0 = scan.filter(hit).select(scan.schema.fields.map { f =>
           assignments.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(org.apache.spark.sql.functions.col(f.name))
         }.toIndexedSeq: _*)
+        val post = (if (gens.isEmpty) post0
+          else post0.select(post0.schema.fields.map { f =>
+            gens.get(f.name).map(e => expr(e).cast(f.dataType).as(f.name))
+              .getOrElse(org.apache.spark.sql.functions.col(f.name))
+          }.toIndexedSeq: _*))
           .withColumn(ChangeTypeCol, lit("update_postimage"))
         pre.unionByName(post)
       })
@@ -2279,9 +2301,14 @@ object TxLog {
     * matching keys, which this merge, pinned to its read snapshot,
     * will not see (the serialized-history view: that append happened
     * AFTER this merge). Returns the committed version. */
-  def merge(spark: SparkSession, table: String, source: DataFrame,
+  def merge(spark: SparkSession, table: String, source0: DataFrame,
             keyCols: Seq[String], commitTs: Option[Long] = None): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
+    // generated columns: materialize absent ones, validate supplied ones —
+    // the same applyGenerated gate every append-family writer runs
+    // (round 14: merge previously accepted a source whose generated
+    // values LIED, where append refused)
+    val source = applyGenerated(table, source0)
     val dupKeys = source.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
     require(dupKeys == 0L,

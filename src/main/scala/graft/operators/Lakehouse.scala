@@ -1951,7 +1951,64 @@ object Lakehouse {
       .orderBy(col("change_type"))
   }
 
+  // --------------- q316 incremental view maintenance over CDF (round 14)
+
+  /** q316 — the canonical CDF consumer: INCREMENTAL MATERIALIZED-VIEW
+    * MAINTENANCE. A per-language (count, sum) view is built once at v0,
+    * then three DML commits land (UPDATE, CoW DELETE, a plain append) and
+    * the view is brought current by folding ONLY the change feed —
+    * insert/update_postimage rows add, delete/update_preimage rows
+    * subtract (the self-maintainable-aggregate rule) — with NO rescan of
+    * the base table. The oracle recomputes the final aggregate from
+    * scratch via the sequential CTE chain, so the hash pins that
+    * increment-folding ≡ full recomputation, including the MIXED feed
+    * (exact CDC sidecars for the DML, derived inserts for the append) in
+    * one range. Integer-only output.
+    *
+    * Scale shape: the maintenance cost is O(changed rows), not O(table) —
+    * at 100 TB this is the difference between a view refresh that reads
+    * terabytes and one that reads the day's increments. */
+  def q316TxLogIncrementalView(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q316")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.select(col("doc_id"), col("lang"), (col("doc_id") % 100).as("n"))
+        .coalesce(4))
+    graft.etl.TxLog.setProperties(table,
+      Map(graft.etl.TxLog.CdfProperty -> "true"))
+    val v0 = graft.etl.TxLog.versions(table).last
+    // the view AS OF v0 — built once, never rebuilt
+    val view0 = graft.etl.TxLog.read(s, table, Some(v0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"))
+    // three increments: exact-CDC update + delete, derived-insert append
+    graft.etl.TxLog.updateWhere(s, table, col("doc_id") % 5 === 0,
+      Map("n" -> (col("n") + 1000)))
+    graft.etl.TxLog.deleteWhere(s, table, col("doc_id") % 7 === 0)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          lit(7L).as("n")).coalesce(1))
+    // fold the feed: signed count/sum deltas per language
+    val feed = graft.etl.TxLog.changeFeed(s, table, v0)
+    val sign = org.apache.spark.sql.functions
+      .when(col(graft.etl.TxLog.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val delta = feed.groupBy(col("lang"))
+      .agg(sum(sign).as("d_rows"), sum(sign * col("n")).as("d_sum"))
+    view0.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_n"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("sum_n"))
+      .filter(col("n_rows") > 0)
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_txlog_incremental_view" -> (q316TxLogIncrementalView _),
     "q315_txlog_change_feed" -> (q315TxLogChangeFeed _),
     "q314_txlog_merge_grammar" -> (q314TxLogMergeGrammar _),
     "q313_txlog_widen" -> (q313TxLogWiden _),
@@ -2032,6 +2089,20 @@ object Lakehouse {
         |  CAST(sum(n) AS BIGINT) AS sum_n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
+    // the maintained view ≡ the final table aggregated from scratch,
+    // via the same sequential op chain (update, delete, append)
+    "q316_txlog_incremental_view" ->
+      """WITH base AS (SELECT doc_id, lang, doc_id % 100 AS n FROM documents),
+        |st1 AS (SELECT doc_id, lang,
+        |          CASE WHEN doc_id % 5 = 0 THEN n + 1000 ELSE n END AS n
+        |        FROM base),
+        |st2 AS (SELECT * FROM st1 WHERE doc_id % 7 <> 0),
+        |app AS (SELECT doc_id + 1000000 AS doc_id, lang, 7 AS n
+        |        FROM base WHERE doc_id % 9 = 0),
+        |fin AS (SELECT * FROM st2 UNION ALL SELECT * FROM app)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // the expected row-level record, the three DML ops applied
     // SEQUENTIALLY (delete images carry post-update values)
     "q315_txlog_change_feed" ->

@@ -100,4 +100,36 @@ class TxLogGeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 4L))
   }
+
+  test("UPDATE recomputes generated columns; MERGE validates them (round 14)") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.create(t, schema)
+    TxLog.addGeneratedColumn(spark, t, "day", "CAST(ts AS DATE)")
+    TxLog.append(spark, t, rows(Seq(1L, 2L)))
+    // updating the BASE column regenerates the stored derived value —
+    // previously the stale pre-update day survived the rewrite
+    TxLog.updateWhere(spark, t, col("id") === 1L,
+      Map("ts" -> lit(Timestamp.valueOf("2024-02-09 10:00:00"))))
+    val got = TxLog.read(spark, t)
+      .select(col("id"), col("day").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "2024-02-09", s"generated column must regenerate, got $got")
+    // assigning the generated column directly refuses
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, t, col("id") === 1L,
+        Map("day" -> lit("1999-12-31").cast("date")))
+    }
+    // MERGE: an omitted generated column materializes; a lying one bounces
+    TxLog.merge(spark, t, rows(Seq(2L, 9L)), Seq("id"))
+    val after = TxLog.read(spark, t)
+      .select(col("id"), col("day").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(9L) == "2024-01-01" && after.size == 3) // ts = 01-0{(9%3)+1}
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, t,
+        rows(Seq(7L)).withColumn("day", lit("1999-12-31").cast("date")),
+        Seq("id"))
+    }
+  }
 }
