@@ -2302,7 +2302,8 @@ object TxLog {
     * will not see (the serialized-history view: that append happened
     * AFTER this merge). Returns the committed version. */
   def merge(spark: SparkSession, table: String, source0: DataFrame,
-            keyCols: Seq[String], commitTs: Option[Long] = None): Long = {
+            keyCols: Seq[String], commitTs: Option[Long] = None,
+            mergeSchema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     // generated columns: materialize absent ones, validate supplied ones —
     // the same applyGenerated gate every append-family writer runs
@@ -2314,7 +2315,11 @@ object TxLog {
     require(dupKeys == 0L,
       s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
         "which row wins would be nondeterministic")
-    val decl = enforceSchema(table, source, mergeSchema = false)
+    // mergeSchema = MERGE WITH SCHEMA EVOLUTION (round 14): source-only
+    // columns widen the declaration in the SAME commit (append's
+    // evolution rule); survivors null-fill via the allowMissingColumns
+    // union below, and readers bind the union declaration
+    val decl = enforceSchema(table, source, mergeSchema)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, source, cs0)
     val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
@@ -2361,8 +2366,14 @@ object TxLog {
       val survivors = scanAffOpt.map(
         _.join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti"))
       // stage survivors and source as ONE write so the commit is one
-      // atomic unit; column order aligned to the declared schema
-      val declared = schemaOf(table).getOrElse(source.schema)
+      // atomic unit; column order aligned to the declared schema — the
+      // UNION declaration under schema evolution, so source-only columns
+      // survive alignment (survivors null-fill in the union below)
+      val declared = {
+        val base = schemaOf(table).getOrElse(source.schema)
+        org.apache.spark.sql.types.StructType(base.fields ++
+          source.schema.fields.filterNot(f => base.fieldNames.contains(f.name)))
+      }
       def aligned(df: DataFrame): DataFrame =
         df.select(declared.fieldNames.filter(df.columns.contains)
           .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)

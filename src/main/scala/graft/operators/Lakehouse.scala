@@ -2007,7 +2007,47 @@ object Lakehouse {
       .orderBy(col("lang"))
   }
 
+  // --------------- q317 MERGE WITH SCHEMA EVOLUTION (round 14)
+
+  /** q317 — schema-evolving MERGE under the oracle: the target lands as
+    * (doc_id, lang), the upsert source carries a NEW column (n_chars) and
+    * widens the declaration IN the merge commit — matched rows replaced
+    * WITH the new column, unmatched source rows inserted, surviving
+    * pre-evolution rows read the new column as NULL (the union-schema
+    * read rule). The oracle recomputes the post-merge table with plain
+    * set algebra where the survivor branch selects NULL. A second probe
+    * pins that time travel BEFORE the merge still reads the narrow
+    * 2-column shape (schema is versioned like data). Integer/string
+    * output.
+    *
+    * Scale shape: evolution is one metadata declaration inside the same
+    * OCC commit — no file rewritten beyond the merge's own CoW; old
+    * files are never touched to add the column. */
+  def q317TxLogMergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q317")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang")).coalesce(4))
+    val v0 = graft.etl.TxLog.versions(table).last
+    graft.etl.TxLog.merge(s, table,
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("doc_id"), mergeSchema = true)
+    val now = graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        count(col("n_chars")).as("n_with_chars"))
+    val thenCols = graft.etl.TxLog.read(s, table, Some(v0)).columns.length
+    now.withColumn("cols_before", lit(thenCols.toLong))
+      .withColumn("cols_after",
+        lit(graft.etl.TxLog.schemaOf(table).get.fields.length.toLong))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_txlog_merge_evolution" -> (q317TxLogMergeEvolution _),
     "q316_txlog_incremental_view" -> (q316TxLogIncrementalView _),
     "q315_txlog_change_feed" -> (q315TxLogChangeFeed _),
     "q314_txlog_merge_grammar" -> (q314TxLogMergeGrammar _),
@@ -2089,6 +2129,24 @@ object Lakehouse {
         |  CAST(sum(n) AS BIGINT) AS sum_n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
+    // post-evolution table recomputed: matched rows carry source
+    // n_chars, unmatched source rows insert, survivors read NULL
+    "q317_txlog_merge_evolution" ->
+      """WITH t AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |fin AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+        |    s.n_chars
+        |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |  UNION ALL
+        |  SELECT s.doc_id, s.lang, s.n_chars
+        |  FROM s LEFT JOIN t ON s.doc_id = t.doc_id WHERE t.doc_id IS NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars,
+        |  CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+        |  CAST(2 AS BIGINT) AS cols_before, CAST(3 AS BIGINT) AS cols_after
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // the maintained view ≡ the final table aggregated from scratch,
     // via the same sequential op chain (update, delete, append)
     "q316_txlog_incremental_view" ->

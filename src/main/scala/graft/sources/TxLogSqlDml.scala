@@ -345,9 +345,6 @@ object TxLogDmlStrategy extends SparkStrategy {
 
     case m: MergeIntoTable => m.targetTable match {
       case Rel(path) =>
-        if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-          "MERGE WITH SCHEMA EVOLUTION into a TxLog table is not " +
-            "supported — ALTER TABLE ... ADD COLUMNS first")
         val targetOut = AttributeSet(m.targetTable.output)
         val sourceOut = AttributeSet(m.sourceTable.output)
         val keyCols = keyColsOf(m.mergeCondition, targetOut, sourceOut).distinct
@@ -361,13 +358,21 @@ object TxLogDmlStrategy extends SparkStrategy {
           m.notMatchedBySourceActions.isEmpty
         if (deleteOnly || starUpsert)
           // fast path: the unconditional keyed upsert/delete core — whole
-          // files replaced by source rows, no per-column CASE machinery
+          // files replaced by source rows, no per-column CASE machinery.
+          // WITH SCHEMA EVOLUTION rides the star path: source-only
+          // columns widen the declaration in the same commit.
           TxLogDmlExec("MERGE", path, spark => {
             val source = GraftSqlBridge.ofRows(spark, sourcePlan)
             if (deleteOnly) TxLog.deleteMatched(spark, path, source, keyCols)
-            else TxLog.merge(spark, path, source, keyCols)
+            else TxLog.merge(spark, path, source, keyCols,
+              mergeSchema = m.withSchemaEvolution)
             ()
           }) :: Nil
+        else if (m.withSchemaEvolution)
+          throw new UnsupportedOperationException(
+            "MERGE WITH SCHEMA EVOLUTION on a TxLog table is supported " +
+              "for the UPDATE SET * / INSERT * form only — with explicit " +
+              "clauses, ALTER TABLE ... ADD COLUMNS first")
         else {
           // general grammar (round-14, VERDICT r13 #4): conditional WHEN
           // clauses, partial-column UPDATE SET, NOT MATCHED BY SOURCE —

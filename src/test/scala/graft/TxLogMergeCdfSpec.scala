@@ -149,6 +149,45 @@ class TxLogMergeCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "d", 40L), (7L, "g", 70L)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns widen the declaration") {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    // API: source carries a NEW column; mergeSchema widens in one commit
+    TxLog.merge(spark, t,
+      Seq((2L, "b2", 20L), (3L, "c", 30L)).toDF("id", "s", "extra"),
+      Seq("id"), mergeSchema = true)
+    val got = TxLog.read(spark, t)
+      .select(col("id"), col("s"), col("extra"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    // survivor row 1 null-fills the new column; matched row 2 replaced
+    assert(got == Seq((1L, "a", -1L), (2L, "b2", 20L), (3L, "c", 30L)))
+    assert(TxLog.schemaOf(t).get.fieldNames.toSeq == Seq("id", "s", "extra"))
+    // without the flag, the same source still refuses
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, t,
+        Seq((1L, "x", 1L, 9L)).toDF("id", "s", "extra", "more"), Seq("id"))
+    }
+    // SQL surface: WITH SCHEMA EVOLUTION on the star form
+    graft.sources.TxLogSqlDml.install(spark)
+    val name = s"r14_evo_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name (id BIGINT, s STRING, extra BIGINT) " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$t')")
+    try {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $name USING
+           |(SELECT 9L AS id, 'i' AS s, 90L AS extra, 900L AS more) src
+           |ON $name.id = src.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(TxLog.schemaOf(t).get.fieldNames.toSeq ==
+        Seq("id", "s", "extra", "more"))
+      assert(TxLog.read(spark, t).filter(col("id") === 9L)
+        .select(col("more")).head().getLong(0) == 900L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   // ------------------------------------------------------------- CDF
 
   /** Multiset fold of a change feed onto a start snapshot: removals are
