@@ -375,22 +375,50 @@ object Bench {
       .getOrElse("/root/repo") + detailName
     val sfBase = new java.io.File(sfDir).getName
     val history = readHistory(historyPath(detailPath), sfBase)
-    // untimed bootstrap warm-up (see methodology note above): the
-    // cheapest-by-history query — its warm cost is the smallest possible
-    // spend on absorbing the session's one-time ~6 s cold start.
+    // untimed bootstrap warm-up (see methodology note above) — ROUND-14
+    // REVISION: cheapest queries by history until ~8 s of best-known work
+    // is spent, not just the single cheapest. Measured cause: pass 1
+    // visits the HEAVIEST query first, and its first-in-suite cost on a
+    // near-cold JVM is wildly variable (q213: 50-91 s cold-first vs
+    // 37.8 s after ~10 s of prior queries — the round-14 probe; the one
+    // run where no-history newcomers accidentally ran first read 36.8).
+    // ~8 s of untimed mixed-shape work (scans, shuffles, aggregates,
+    // codegen paths) buys the tail a warm JVM deterministically instead
+    // of by ordering accident; the 6 s single-query rationale from
+    // round 11 still holds, this just stops UNDER-warming.
     // CAVEAT for SPARK_GRAFT_ONLY single-query reruns: the warm-up picks
     // from the SELECTED map, so a solo run warm-executes the very query
     // it then times — solo numbers are warm-second-execution readings by
     // construction, systematically faster than the same query's
-    // first-execution in-suite number (q213: 24.6 s solo-warm vs
-    // 37-55 s in-suite). Compare solo-vs-solo or suite-vs-suite only.
-    selected.toSeq
-      .minByOption { case (n, _) => history.getOrElse(n, Double.MaxValue) }
-      .foreach { case (n, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
-      }
+    // first-execution in-suite number. Compare solo-vs-solo or
+    // suite-vs-suite only.
+    locally {
+      val WarmBudgetS = 8.0
+      // prefer MID-WEIGHT queries (real scans/shuffles/aggregates —
+      // best-known in [0.5, 3.0) s) over trivial ones: the probe that
+      // fixed q213 warmed with ~10 s of 2-3 s TxLog/join queries, and a
+      // pile of 0.15 s plans exercises far fewer hot paths per second
+      val mid = selected.toSeq.filter { case (n, _) =>
+        history.get(n).exists(b => b >= 0.5 && b < 3.0) }
+      val pool = if (mid.nonEmpty) mid
+        else selected.toSeq.sortBy { case (n, _) =>
+          history.getOrElse(n, Double.MaxValue) }
+      var spent = 0.0
+      // heaviest-of-mid first: ~3 × ~2.5 s plans warm more code per
+      // second than ~12 × 0.6 s ones
+      pool.sortBy { case (n, _) => -history.getOrElse(n, 1.0) }
+        .takeWhile { case (n, _) =>
+          val keep = spent < WarmBudgetS
+          if (keep) spent += history.getOrElse(n, 1.0)
+          keep
+        }
+        .foreach { case (n, fn) =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
+        }
+      spark.catalog.clearCache()
+    }
     // pass 1: unbudgeted — every query MUST get a number. Visit by
     // DESCENDING best-known cost (unknown-cost queries first), not map
     // order: the allocation-heavy tail queries meet the freshest heap
@@ -450,11 +478,20 @@ object Bench {
       .map(_.toDouble).getOrElse(150.0)
     var suspectPasses = 0
     var residual = suspectsOf(results, history)
+    // round-14: pass 1 ALONE can overrun budget+grace on a noisy host
+    // (measured: the same tree read 420 s one run and 570 the next, with
+    // the inflation concentrated in the FIRST-visited heavy tail and 57
+    // single-sample suspects) — and the old gate starved the sweep
+    // exactly then, leaving the artifact unreadable as a regression
+    // signal. The FIRST sweep is therefore always entitled to its own
+    // bounded window (graceS from now); later sweeps still require the
+    // normal headroom. Worst-case wall = pass-1 + graceS + one query.
     while (residual.nonEmpty && suspectPasses < 3 &&
-           elapsedS < budgetS + graceS - 10.0) {
+           (suspectPasses == 0 || elapsedS < budgetS + graceS - 10.0)) {
       System.err.println(s"[bench] suspect sweep ${suspectPasses + 1}: " +
         s"re-measuring ${residual.size} queries (${residual.mkString(", ")})")
-      val deadline = mainT0 + ((budgetS + graceS) * 1e9).toLong
+      val deadline = math.max(mainT0 + ((budgetS + graceS) * 1e9).toLong,
+        System.nanoTime() + (graceS * 1e9).toLong)
       val pri = results.map { case (k, v) =>
         k -> history.get(k).map(b => (v - b) / math.max(b, 0.1))
           .getOrElse(Double.MaxValue)
