@@ -1699,7 +1699,24 @@ object TxLog {
       val base = versions(table).lastOption.getOrElse(0L)
       val live = snapshot(table, Some(base))
       if (live.isEmpty) return None
-      val acts = live.map(Action("remove", _)) :+
+      // CDF-enabled tables record the truncated rows as deletes (round-15,
+      // ADVICE r14 #2): without a cdc record this commit would wedge every
+      // streaming readChangeFeed forever. The SparkSession-free signature
+      // is kept for the common case; row capture borrows the active
+      // session (one bounded read of the snapshot being dropped, restaged
+      // per CAS attempt because the snapshot may have moved).
+      val cdc =
+        if (!cdfEnabled(table)) Nil
+        else {
+          val s = SparkSession.getActiveSession
+            .orElse(SparkSession.getDefaultSession).getOrElse(
+              throw new IllegalStateException(
+                s"TRUNCATE of CDF-enabled $table needs an active " +
+                  "SparkSession to record the deleted rows"))
+          cdcStage(s, table, read(s, table, Some(base))
+            .withColumn(ChangeTypeCol, lit("delete")))
+        }
+      val acts = live.map(Action("remove", _)) ++ cdc :+
         tsAction(commitTs, "TRUNCATE")
       if (tryCommit(table, base + 1, acts)) committed = base + 1
     }
@@ -1752,7 +1769,20 @@ object TxLog {
       val csB = constraintsOf(table, Some(base))
       if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
       val removes = snapshot(table, Some(base)).map(Action("remove", _))
-      if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+      // CDF record (round-15, ADVICE r14 #2): a content replace is
+      // delete(old rows) + insert(new rows) to a row-level consumer —
+      // without it the commit wedges streaming readChangeFeed. Skipped
+      // when nothing is removed (add-only commits derive their inserts at
+      // read time, the merge() rule); restaged per CAS attempt because
+      // the removed snapshot may have moved.
+      val cdc =
+        if (removes.isEmpty || !cdfEnabled(table)) Nil
+        else cdcStage(spark, table,
+          read(spark, table, Some(base))
+            .withColumn(ChangeTypeCol, lit("delete"))
+            .unionByName(df.withColumn(ChangeTypeCol, lit("insert")),
+              allowMissingColumns = true))
+      if (tryCommit(table, base + 1, removes ++ adds ++ cdc)) committed = base + 1
     }
     committed
   }
@@ -2398,7 +2428,13 @@ object TxLog {
             .withColumn(ChangeTypeCol, lit("update_postimage"))
           val ins = aligned(source).join(tKeys, keyCols, "left_anti")
             .withColumn(ChangeTypeCol, lit("insert"))
-          pre.unionByName(post).unionByName(ins)
+          // allowMissingColumns: under schema evolution (or a
+          // subset-column source) `pre` is aligned from the OLD declared
+          // columns while post/ins carry the source's — the CDC record
+          // null-fills either side, matching changeFeed's read-time
+          // shape() rule (round-15, ADVICE r14 #1)
+          pre.unionByName(post, allowMissingColumns = true)
+            .unionByName(ins, allowMissingColumns = true)
         })
       }.getOrElse(Nil)
       val adds = (stage(spark, table, staged) ++ decl ++ cdc) :+
@@ -2884,6 +2920,18 @@ object TxLog {
       try Files.getLastModifiedTime(p).toMillis <= cutoff
       catch { case _: java.io.IOException => false } // vanished/unreadable: skip
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // best-effort depth-first delete for the final directory sweeps: a
+    // crashed stage can leave a non-empty `_temporary` subdirectory, where
+    // a flat deleteIfExists throws DirectoryNotEmptyException and aborts
+    // the WHOLE vacuum (round-15, ADVICE r14 #5) — recurse instead, and
+    // swallow per-entry IO failures so one bad entry never aborts the pass
+    def deleteResidual(p: Path): Unit = {
+      try {
+        if (Files.isDirectory(p))
+          listDir(p).foreach(n => deleteResidual(p.resolve(n)))
+        Files.deleteIfExists(p)
+      } catch { case _: java.io.IOException => () }
+    }
     listDir(dataRoot).foreach { sub =>
       val dir = dataRoot.resolve(sub)
       if (Files.isDirectory(dir)) {
@@ -2899,8 +2947,7 @@ object TxLog {
         // a racing stage's dir can momentarily hold just _SUCCESS/.crc
         if (!dryRun && oldEnough(dir) &&
             listDir(dir).forall(n => !n.endsWith(".parquet")))
-          { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
-            Files.deleteIfExists(dir) }
+          deleteResidual(dir)
       }
     }
     // unreferenced DV sidecars (superseded by a newer vector, cleared by
@@ -2949,8 +2996,7 @@ object TxLog {
           }
           if (!dryRun && oldEnough(dir) &&
               listDir(dir).forall(n => !n.endsWith(".parquet")))
-            { listDir(dir).foreach(n => Files.deleteIfExists(dir.resolve(n)))
-              Files.deleteIfExists(dir) }
+            deleteResidual(dir)
         }
       }
     }
@@ -2989,7 +3035,12 @@ object TxLog {
     * data file is read, moved, or rewritten; at 100 TB a restore is
     * O(files) log work regardless of table bytes. Takes no
     * SparkSession — the signature itself is the zero-data-I/O
-    * guarantee (the [[describe]] convention). */
+    * guarantee (the [[describe]] convention). EXCEPTION: a CDF-enabled
+    * table additionally records the row-level diff as a cdc sidecar
+    * (one bounded read of only the changed files, via the active
+    * session) — the property's documented price, without which the
+    * commit would wedge streaming readChangeFeed (round-15, ADVICE
+    * r14 #2). */
   def restore(table: String, toVersion: Long,
               commitTs: Option[Long] = None): Option[Long] = {
     require(versions(table).contains(toVersion),
@@ -3054,7 +3105,53 @@ object TxLog {
         }
       val diff = removes ++ readds ++ dvFixes ++ schemaFix ++ csFixes
       if (diff.isEmpty) return None
-      if (tryCommit(table, base + 1, diff :+ tsAction(commitTs, "RESTORE")))
+      // CDF record (round-15, ADVICE r14 #2): re-surfaced rows ARE new
+      // rows and rolled-back rows ARE deletes to a row-level consumer —
+      // a restore without a cdc record wedges streaming readChangeFeed.
+      // Coarse-per-file but multiset-correct: files leaving the live set
+      // (and the base-live rows of DV-changed files) record as delete;
+      // files entering (and the target-live rows of DV-changed files) as
+      // insert. Only on CDF-enabled tables — which also suspends the
+      // zero-data-I/O guarantee for exactly this verb, the property's
+      // documented price.
+      val cdc =
+        if (!cdfEnabled(table) ||
+            (removes.isEmpty && readds.isEmpty && dvFixes.isEmpty)) Nil
+        else {
+          val s = SparkSession.getActiveSession
+            .orElse(SparkSession.getDefaultSession).getOrElse(
+              throw new IllegalStateException(
+                s"RESTORE of CDF-enabled $table needs an active " +
+                  "SparkSession to record the row-level diff"))
+          def absOf(rel: Seq[String]): Seq[String] =
+            rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+          val dvChanged = dvFixes.map(_.path)
+          val delPaths = removes.map(_.path) ++ dvChanged
+          val insPaths = readds.map(_.path) ++ dvChanged
+          val dels =
+            if (delPaths.isEmpty) None
+            else Some(applyDvs(s, table,
+              boundRead(s, table, absOf(delPaths), Some(base)),
+              dvB.filter { case (f, _) => delPaths.contains(f) })
+              .withColumn(ChangeTypeCol, lit("delete")))
+          val ins =
+            if (insPaths.isEmpty) None
+            else Some(applyDvs(s, table,
+              boundRead(s, table, absOf(insPaths), Some(toVersion)),
+              dvT.filter { case (f, _) => insPaths.contains(f) })
+              .withColumn(ChangeTypeCol, lit("insert")))
+          val frame = (dels, ins) match {
+            case (Some(d), Some(i)) =>
+              d.unionByName(i, allowMissingColumns = true)
+            case (Some(d), None) => d
+            case (None, Some(i)) => i
+            case _ => throw new IllegalStateException(
+              "unreachable: content diff with no changed files")
+          }
+          cdcStage(s, table, frame)
+        }
+      if (tryCommit(table, base + 1,
+          (diff ++ cdc) :+ tsAction(commitTs, "RESTORE")))
         return Some(base + 1)
     }
     None
@@ -3202,8 +3299,8 @@ object TxLog {
     * record derives from the data files — see [[changeFeed]]), so the
     * property's cost lands only on row-level DML. */
   val CdfProperty = "graft.changeDataFeed"
-  private def cdfEnabled(table: String): Boolean =
-    propertiesOf(table).get(CdfProperty).contains("true")
+  private def cdfEnabled(table: String, asOf: Option[Long] = None): Boolean =
+    propertiesOf(table, asOf).get(CdfProperty).contains("true")
 
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -3248,8 +3345,14 @@ object TxLog {
     * have removed by the time a crashed batch replays), so streaming CDF
     * requires the table property — the Delta posture, and the retirement
     * of skipChangeCommits-or-throw as the ONLY choice (round-14, VERDICT
-    * r13 #5). Driver-side metadata, O(versions in range). */
-  def cdfPlan(table: String, fromV: Long, toV: Long): Seq[(String, String, Long)] =
+    * r13 #5). `skipChangeCommits` (round-15, ADVICE r14 #2) is the
+    * stream's explicit escape for CDC-less change commits that predate
+    * the property: opted-in, those versions deliver NOTHING (the Delta
+    * option's contract — the consumer accepts the gap) instead of
+    * wedging the stream forever. Driver-side metadata, O(versions in
+    * range). */
+  def cdfPlan(table: String, fromV: Long, toV: Long,
+              skipChangeCommits: Boolean = false): Seq[(String, String, Long)] =
     versions(table).filter(v => v > fromV && v <= toV).flatMap { v =>
       val acts = readActions(table, v)
       def abs(p: String) = Paths.get(table, p).toAbsolutePath.toString
@@ -3260,11 +3363,24 @@ object TxLog {
           (a.op == "remove" && a.dataChange) || a.op == "dv")
         if (!isChange)
           acts.collect { case Action("add", p, _, true, _) => ("insert", abs(p), v) }
+        else if (skipChangeCommits) Nil
+        // the two failure shapes are different user errors and get
+        // different messages (round-15, ADVICE r14 #2): property off =
+        // fix the table; property ON but no record = history predates it
+        else if (cdfEnabled(table, Some(v))) throw new IllegalStateException(
+          s"version $v of $table is a change commit without a CDC record " +
+            s"even though $CdfProperty=true — it was written before the " +
+            "property was set (or by a writer without row-level capture); " +
+            "start the stream from a later startingVersion, set " +
+            ".option(\"skipChangeCommits\", true) to skip such commits, " +
+            "or batch-read TxLog.changeFeed (which derives a coarse record)")
         else throw new IllegalStateException(
           s"version $v of $table is a change commit without a CDC " +
             s"record; SET TBLPROPERTIES ('$CdfProperty'='true') before " +
-            "row-level DML to stream its changes, or batch-read " +
-            "TxLog.changeFeed (which accepts the coarse derived record)")
+            "row-level DML to stream its changes, set " +
+            ".option(\"skipChangeCommits\", true) to skip such commits, " +
+            "or batch-read TxLog.changeFeed (which accepts the coarse " +
+            "derived record)")
       }
     }
 
@@ -3338,23 +3454,40 @@ object TxLog {
                 boundRead(spark, table, absOf(removes), Some(v - 1)), priorDvs),
                 Some("delete"), v))
             }
-          val dvDels = dvNew.map { case (f, (rel, _)) =>
-            // positions newly dead at v: the fresh sidecar minus the
-            // file's prior vector (cumulative-DV rule)
-            val prior = dvsAt(table, Some(v - 1)).get(f)
-              .map { case (r, _) => readDvPositions(table, r).toSet }
-              .getOrElse(Set.empty[Long])
-            val fresh = readDvPositions(table, rel).filterNot(prior)
-            val sess = spark
-            import sess.implicits._
-            val posDf = fresh.toDF("_graft_pos")
-            shape(boundRead(spark, table, absOf(Seq(f)), Some(v - 1))
-              .withColumn("_graft_pos", expr("_metadata.row_index"))
-              .join(org.apache.spark.sql.functions.broadcast(posDf),
-                Seq("_graft_pos"), "left_semi")
-              .drop("_graft_pos"),
-              Some("delete"), v)
-          }
+          // positions newly dead at v: fresh sidecars MINUS each file's
+          // prior vector (cumulative-DV rule), computed DISTRIBUTIVELY
+          // (round-15, VERDICT r14 #1): both vectors load through
+          // [[dvFrame]] (executor-side sidecar reads past
+          // DvDistributedThreshold), the delta is their anti-join, and
+          // ONE scan of the affected files semi-joins (file, row_index)
+          // against it — the driver never materializes a position set,
+          // matching the shape of the DV write path and [[applyDvs]].
+          val dvDels =
+            if (dvNew.isEmpty) Nil
+            else {
+              val freshMap = dvNew.toMap
+              val priorMap = dvsAt(table, Some(v - 1))
+                .filter { case (f, _) => freshMap.contains(f) }
+              // past the threshold the hints are load-bearing, exactly as
+              // in applyDvs: an unhinted join would size-estimate the
+              // flatMap'd position frames back into driver broadcasts
+              val small = freshMap.values.map(_._2).sum <= DvDistributedThreshold
+              def hinted(df: DataFrame): DataFrame =
+                if (small) df else df.hint("merge")
+              val fresh = dvFrame(spark, table, freshMap)
+              val delta =
+                if (priorMap.isEmpty) fresh
+                else fresh.join(hinted(dvFrame(spark, table, priorMap)),
+                  Seq("_graft_key", "_graft_pos"), "left_anti")
+              val right =
+                if (small) org.apache.spark.sql.functions.broadcast(delta)
+                else hinted(delta)
+              Seq(shape(withDvKey(
+                boundRead(spark, table, absOf(freshMap.keys.toSeq), Some(v - 1)))
+                .join(right, Seq("_graft_key", "_graft_pos"), "left_semi")
+                .drop("_graft_key", "_graft_pos"),
+                Some("delete"), v))
+            }
           ins ++ dels ++ dvDels
         }
       }

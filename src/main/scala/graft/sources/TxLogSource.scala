@@ -269,12 +269,27 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    if (cdf)
+    if (cdf) {
       // batch CDF: (startingVersion-1, asOf-or-latest] through the exact/
       // derived changeFeed — the coarse record is acceptable in batch
-      // (see TxLog.cdfPlan for why streams are stricter)
-      new TxLogCdfRelation(context, path, declared,
-        startingVersion.map(_.toLong - 1).getOrElse(0L), asOf).asInstanceOf[T]
+      // (see TxLog.cdfPlan for why streams are stricter). Same option
+      // validation as the streaming branch (round-15, ADVICE r14 #4):
+      // 'latest' is a STREAM anchor ("only changes after start") with no
+      // batch meaning — a bounded batch from "latest" is always empty —
+      // so it is refused by name, not with a bare NumberFormatException.
+      val from = startingVersion.map {
+        case s if s.equalsIgnoreCase("latest") =>
+          throw new IllegalArgumentException(
+            "startingVersion='latest' applies to streaming readChangeFeed " +
+              "only (deliver changes after stream start); a batch read " +
+              "needs a concrete version >= 1")
+        case s =>
+          val v = s.toLong
+          require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $v")
+          v - 1
+      }.getOrElse(0L)
+      new TxLogCdfRelation(context, path, declared, from, asOf).asInstanceOf[T]
+    }
     else new TxLogV1Relation(context, path, declared, asOf).asInstanceOf[T]
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream = {
@@ -301,7 +316,7 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
         require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $v")
         v - 1
     }.getOrElse(0L)
-    if (cdf) new TxLogCdfMicroBatchStream(path, declared, init)
+    if (cdf) new TxLogCdfMicroBatchStream(path, declared, init, skipChangeCommits)
     else new TxLogMicroBatchStream(path, declared, skipChangeCommits, init)
   }
 }
@@ -390,7 +405,8 @@ private[sources] case class TxLogFilePartition(abs: String, len: Long)
   * plain stream: offset ranges map to immutable published files. */
 private[sources] class TxLogCdfMicroBatchStream(path: String,
                                                 outSchema: StructType,
-                                                initOffset: Long = 0L)
+                                                initOffset: Long = 0L,
+                                                skipChangeCommits: Boolean = false)
     extends streaming.MicroBatchStream {
 
   private val dataSchema = TxLogSource.dataSchemaOf(outSchema)
@@ -415,7 +431,7 @@ private[sources] class TxLogCdfMicroBatchStream(path: String,
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val lo = start.asInstanceOf[VOffset].v
     val hi = end.asInstanceOf[VOffset].v
-    TxLog.cdfPlan(path, lo, hi).map { case (kind, abs, v) =>
+    TxLog.cdfPlan(path, lo, hi, skipChangeCommits).map { case (kind, abs, v) =>
       TxLogCdfFilePartition(kind, abs,
         java.nio.file.Files.size(java.nio.file.Paths.get(abs)), v)
         : org.apache.spark.sql.connector.read.InputPartition
