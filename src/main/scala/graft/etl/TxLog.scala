@@ -2535,12 +2535,27 @@ object TxLog {
     * (restart re-reads the snapshot); otherwise only key-carrying new
     * files do (the [[merge]] probe). A claim-time CHECK-constraint change
     * also restarts (the staged rows must re-validate against the new
-    * set). Returns the committed version, or None when no row changed. */
+    * set). Returns the committed version, or None when no row changed.
+    *
+    * `residual` (round-15, VERDICT r14 #3) is the non-equality remainder
+    * of a production `ON` clause — `ON t.k = s.k AND <residual>` (key
+    * equality plus range/state guards, the common CDC idiom). Standard
+    * SQL MERGE semantics: a (target, source) pair MATCHES only when the
+    * keys are equal AND the residual is TRUE (NULL = false), so a
+    * key-equal pair failing the residual is "not matched" on BOTH sides —
+    * the target row falls to the BY SOURCE clauses, the source row to
+    * the INSERT clauses. The residual is a Column over the `t`/`s` join
+    * aliases like clause conditions. Key equalities stay mandatory
+    * (they drive file pruning and the OCC conflict probe — a pure-theta
+    * MERGE would be a full cartesian validate, which this engine
+    * refuses by construction). */
   def mergeClauses(spark: SparkSession, table: String, source: DataFrame,
                    keyCols: Seq[String],
                    matched: Seq[MergeClause],
                    notMatched: Seq[MergeClause],
                    notMatchedBySource: Seq[MergeClause] = Nil,
+                   residual: Option[Column] = None,
+                   mergeSchema: Boolean = false,
                    commitTs: Option[Long] = None): Option[Long] = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     matched.foreach(c => require(c.kind == "update" || c.kind == "delete",
@@ -2551,16 +2566,53 @@ object TxLog {
       s"WHEN NOT MATCHED BY SOURCE clause must be update/delete, got ${c.kind}"))
     require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
       "MERGE requires at least one WHEN clause")
-    val declared = schemaOf(table).getOrElse(throw new IllegalStateException(
+    val declared0 = schemaOf(table).getOrElse(throw new IllegalStateException(
       s"$table has no declared schema — general MERGE needs one"))
     val gens = generatedColsOf(table)
-    (matched ++ notMatched ++ notMatchedBySource).foreach(_.assigns.keys.foreach { k =>
-      require(declared.fieldNames.contains(k),
-        s"MERGE assigns unknown column $k (have ${declared.fieldNames.mkString(", ")})")
+    val allClauses = matched ++ notMatched ++ notMatchedBySource
+    allClauses.foreach(_.assigns.keys.foreach { k =>
+      require(mergeSchema || declared0.fieldNames.contains(k),
+        s"MERGE assigns unknown column $k (have " +
+          s"${declared0.fieldNames.mkString(", ")}); pass mergeSchema = " +
+          "true (SQL: WITH SCHEMA EVOLUTION) to widen the declaration, " +
+          "or ALTER TABLE ... ADD COLUMNS first")
       require(!gens.contains(k),
         s"MERGE must not assign generated column $k — it is recomputed " +
           "from the post-clause row (list the stored columns instead)")
     })
+    // clause-form SCHEMA EVOLUTION (round-15, VERDICT r14 #2): columns
+    // assigned by UPDATE SET / INSERT but absent from the declaration
+    // widen it IN the merge commit — append/merge-star's evolution rule.
+    // Each new column's type resolves from its assignment expressions
+    // against a zero-row t×s probe (driver-only analysis); pre-evolution
+    // rows and unrewritten files read the column as null.
+    val newColNames = allClauses.flatMap(_.assigns.keys)
+      .distinct.filterNot(declared0.fieldNames.contains)
+    val newColSet = newColNames.toSet
+    val (declared, decl) =
+      if (newColNames.isEmpty) (declared0, None)
+      else {
+        val empty = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        val probe = spark.createDataFrame(empty, declared0).alias("t")
+          .join(spark.createDataFrame(empty, source.schema).alias("s"),
+            lit(true), "left_outer")
+        def typeOf(c: Column) = probe.select(c).schema.head.dataType
+        val newFields = newColNames.map { n =>
+          val ts = allClauses.flatMap(_.assigns.get(n)).map(typeOf).distinct
+          require(ts.size == 1,
+            s"MERGE schema evolution: new column $n is assigned " +
+              s"conflicting types ${ts.map(_.simpleString).mkString(", ")} " +
+              "across clauses — cast the assignments to one type")
+          org.apache.spark.sql.types.StructField(n, ts.head, nullable = true)
+        }
+        val evolved = org.apache.spark.sql.types.StructType(
+          declared0.fields ++ newFields)
+        // reuse the append-path widening gate: rename/tombstone collision
+        // checks + the schema action, via a zero-row frame of the union
+        val act = enforceSchema(table,
+          spark.createDataFrame(empty, evolved), mergeSchema = true)
+        (evolved, act)
+      }
     val dupKeys = source.groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0L,
@@ -2583,15 +2635,20 @@ object TxLog {
         g
       }
     }
+    // the target-side value of column f: evolution-new columns have no
+    // target bytes anywhere yet, so their "current" value is null
+    def tBase(f: org.apache.spark.sql.types.StructField): Column =
+      if (newColSet(f.name)) lit(null).cast(f.dataType)
+      else col(s"t.${f.name}")
     // post-clause value of target column f under (guard, clause) pairs:
     // first firing update-clause's assignment (or t.f when that clause
     // leaves f alone), else t.f
     def survivorCol(f: org.apache.spark.sql.types.StructField,
                     gcs: Seq[(Column, MergeClause)]): Column = {
       val branches = gcs.collect { case (g, c) if c.kind == "update" =>
-        (g, c.assigns.getOrElse(f.name, col(s"t.${f.name}")))
+        (g, c.assigns.getOrElse(f.name, tBase(f)))
       }
-      branches.foldRight(col(s"t.${f.name}")) { case ((g, v), e) =>
+      branches.foldRight(tBase(f)) { case ((g, v), e) =>
         org.apache.spark.sql.functions.when(g, v).otherwise(e)
       }.cast(f.dataType).as(f.name)
     }
@@ -2623,15 +2680,31 @@ object TxLog {
         .collect { case (g, c) if c.kind == "delete" => g }
         .reduceOption(_ || _).getOrElse(lit(false))
 
-      // ---- inserts: source rows matching NO live target key, through the
-      // insert clauses (computed against the read snapshot; the claim loop
-      // below restarts if new keys land meanwhile)
+      // join CONDITION (not USING): USING coalesces the key columns
+      // away, which would break `s.<key>` / `t.<key>` references in
+      // clause conditions and assignments. A residual ON remainder folds
+      // into the match itself (NULL = false, the SQL MERGE rule).
+      val onKeys = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+        .reduce(_ && _)
+      val onCond = residual
+        .map(r => onKeys && coalesce(r, lit(false))).getOrElse(onKeys)
+
+      // ---- inserts: source rows matching NO live target row (key equal
+      // AND residual true), through the insert clauses (computed against
+      // the read snapshot; the claim loop below restarts if new keys land
+      // meanwhile). Without a residual the anti-join needs only the
+      // distinct target keys; with one it must see the target columns the
+      // residual reads — still one broadcastable-source join shape.
       val unmatchedSrc =
         if (read0.isEmpty) srcAliased
-        else srcAliased.join(
+        else if (residual.isEmpty) srcAliased.join(
           applyDvs(spark, table, boundRead(spark, table, absOf(read0), None), dv0)
             .select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
+        else srcAliased.join(
+          applyDvs(spark, table, boundRead(spark, table, absOf(read0), None), dv0)
+            .alias("t"),
+          onCond, "left_anti")
       val inserts: Option[DataFrame] =
         if (notMatched.isEmpty) None
         else Some(unmatchedSrc
@@ -2645,15 +2718,10 @@ object TxLog {
         if (read0.isEmpty || (matched.isEmpty && notMatchedBySource.isEmpty))
           (Seq.empty[String], None: Option[DataFrame], None: Option[DataFrame])
         else {
-          // join CONDITION (not USING): USING coalesces the key columns
-          // away, which would break `s.<key>` / `t.<key>` references in
-          // clause conditions and assignments
-          val onKeys = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
-            .reduce(_ && _)
           val scanAll = applyDvs(spark, table,
             boundRead(spark, table, absOf(read0), None), dv0)
             .withColumn("_graft_file", input_file_name()).alias("t")
-          val hits = scanAll.join(srcAliased, onKeys, "left_outer")
+          val hits = scanAll.join(srcAliased, onCond, "left_outer")
             .filter(anyChange)
             .select(col("_graft_file")).distinct()
             .collect().map(_.getString(0))
@@ -2663,7 +2731,7 @@ object TxLog {
             val affDvs = dv0.filter { case (f, _) => aff.contains(f) }
             val scanAff = applyDvs(spark, table,
               boundRead(spark, table, absOf(aff), None), affDvs).alias("t")
-            val joined = scanAff.join(srcAliased, onKeys, "left_outer")
+            val joined = scanAff.join(srcAliased, onCond, "left_outer")
             val surv = joined.filter(not(deleted))
               .select(declared.fields.map(f => survivorCol(f,
                 mGuards.zip(matched) ++ sGuards.zip(notMatchedBySource)))
@@ -2693,7 +2761,7 @@ object TxLog {
           val joined = joinedOpt.get
           val allGcs = mGuards.zip(matched) ++ sGuards.zip(notMatchedBySource)
           val tCols = declared.fields.map(f =>
-            col(s"t.${f.name}").cast(f.dataType).as(f.name)).toIndexedSeq
+            tBase(f).cast(f.dataType).as(f.name)).toIndexedSeq
           val updateAny = allGcs
             .collect { case (g, c) if c.kind == "update" => g }
             .reduceOption(_ || _).getOrElse(lit(false))
@@ -2710,7 +2778,7 @@ object TxLog {
             .reduce(_ unionByName _)
         })
       val adds = (stagedFrame.map(stage(spark, table, _)).getOrElse(Nil) ++
-        cdcActs) :+ tsAction(commitTs, "MERGE")
+        cdcActs ++ decl) :+ tsAction(commitTs, "MERGE")
       val removes = affected.map(Action("remove", _))
       val read0Set = read0.toSet
 

@@ -2046,7 +2046,87 @@ object Lakehouse {
       .orderBy(col("lang"))
   }
 
+  // --------------- q318 clause-form MERGE schema evolution (round 15)
+
+  /** q318 — EXPLICIT-CLAUSE schema-evolving MERGE (VERDICT r14 #2): the
+    * target lands as (doc_id, lang); a conditional UPDATE SET and an
+    * explicit-column INSERT both assign a column that does not exist —
+    * `mergeSchema = true` (SQL: WITH SCHEMA EVOLUTION) widens the
+    * declaration INSIDE the same OCC commit, typed from the assignment
+    * expressions. Matched rows get the value, unmatched targets read
+    * null (their files are never rewritten), unmatched source rows
+    * insert with it. The oracle recomputes the post-merge table as set
+    * algebra with a NULL branch for unfired rows, and pins the
+    * versioned-schema probe (2 columns before, 3 after). Scale shape:
+    * evolution is one metadata declaration; the merge itself rewrites
+    * only files where a clause FIRES — old files are untouched at any
+    * table size. */
+  def q318TxLogClauseEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q318")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang")).coalesce(4))
+    val v0 = graft.etl.TxLog.versions(table).last
+    val source = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars"))
+    graft.etl.TxLog.mergeClauses(s, table, source, Seq("doc_id"),
+      matched = Seq(graft.etl.TxLog.MergeClause("update", None,
+        Map("chars" -> expr("s.n_chars")))),
+      notMatched = Seq(graft.etl.TxLog.MergeClause("insert", None,
+        Map("doc_id" -> expr("s.doc_id"), "lang" -> lit("ins"),
+          "chars" -> expr("s.n_chars")))),
+      mergeSchema = true)
+    val thenCols = graft.etl.TxLog.read(s, table, Some(v0)).columns.length
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("chars"), lit(0L))).as("sum_chars"),
+        count(col("chars")).as("n_with_chars"))
+      .withColumn("cols_before", lit(thenCols.toLong))
+      .withColumn("cols_after",
+        lit(graft.etl.TxLog.schemaOf(table).get.fields.length.toLong))
+      .orderBy(col("lang"))
+  }
+
+  // --------------- q319 non-equality MERGE ON predicate (round 15)
+
+  /** q319 — MERGE with a RANGE-GUARDED ON clause (VERDICT r14 #3):
+    * `ON t.doc_id = s.doc_id AND t.n < 60` — standard SQL MERGE
+    * semantics fold the residual into the match, so a key-equal pair
+    * failing it is not-matched BOTH ways: the target row survives
+    * untouched AND the source row INSERTS (producing a second row per
+    * key — exactly what the oracle's set algebra pins; an engine that
+    * treated the residual as a clause guard would drop those inserts).
+    * Scale shape: the residual rides the same one-scan broadcastable-
+    * source join as the key equalities — no extra pass, and file
+    * pruning still keys off the equality columns. */
+  def q319TxLogMergeOnResidual(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q319")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 100).as("n"))
+        .coalesce(4))
+    val source = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), (col("doc_id") % 50).as("delta"))
+    graft.etl.TxLog.mergeClauses(s, table, source, Seq("doc_id"),
+      matched = Seq(graft.etl.TxLog.MergeClause("update", None,
+        Map("n" -> expr("t.n + s.delta")))),
+      notMatched = Seq(graft.etl.TxLog.MergeClause("insert", None,
+        Map("doc_id" -> expr("s.doc_id"), "lang" -> lit("ins"),
+          "n" -> expr("s.delta")))),
+      residual = Some(expr("t.n < 60")))
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("sum_n"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_txlog_merge_on_residual" -> (q319TxLogMergeOnResidual _),
+    "q318_txlog_clause_evolution" -> (q318TxLogClauseEvolution _),
     "q317_txlog_merge_evolution" -> (q317TxLogMergeEvolution _),
     "q316_txlog_incremental_view" -> (q316TxLogIncrementalView _),
     "q315_txlog_change_feed" -> (q315TxLogChangeFeed _),
@@ -2103,6 +2183,45 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // post-merge table recomputed as set algebra: matched rows carry
+    // source n_chars into the NEW column, unfired target rows read NULL,
+    // unmatched source rows insert; the cols_before/after probe pins the
+    // versioned declaration
+    "q318_txlog_clause_evolution" ->
+      """WITH t AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |fin AS (
+        |  SELECT t.doc_id, t.lang, s.n_chars AS chars
+        |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |  UNION ALL
+        |  SELECT s.doc_id, 'ins' AS lang, s.n_chars AS chars
+        |  FROM s LEFT JOIN t ON s.doc_id = t.doc_id WHERE t.doc_id IS NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(COALESCE(chars, 0)) AS BIGINT) AS sum_chars,
+        |  CAST(count(chars) AS BIGINT) AS n_with_chars,
+        |  CAST(2 AS BIGINT) AS cols_before, CAST(3 AS BIGINT) AS cols_after
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+    // the residual folds into the MATCH: a key-equal pair with n >= 60
+    // leaves the target row unchanged AND inserts the source row — the
+    // left joins below carry the residual in their ON conditions
+    "q319_txlog_merge_on_residual" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 100 AS n
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, doc_id % 50 AS delta
+        |      FROM documents WHERE doc_id % 3 = 0),
+        |m AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CASE WHEN s.doc_id IS NOT NULL THEN t.n + s.delta ELSE t.n END AS n
+        |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id AND t.n < 60),
+        |i AS (
+        |  SELECT s.doc_id, 'ins' AS lang, s.delta AS n
+        |  FROM s LEFT JOIN t ON s.doc_id = t.doc_id AND t.n < 60
+        |  WHERE t.doc_id IS NULL),
+        |allr AS (SELECT * FROM m UNION ALL SELECT * FROM i)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
     // post-merge table recomputed as set algebra: first-match-wins CASE
     // over the left join (delete guard shadows update guard), anti-join
     // union for the guarded inserts

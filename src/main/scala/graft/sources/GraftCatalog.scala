@@ -104,11 +104,35 @@ class GraftCatalog extends TableCatalog {
     new TxLogDsv2Table(p, schema, None, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through the graft catalog is not supported — use the TxLog " +
-        "DDL statements (ALTER TABLE ADD COLUMNS / RENAME COLUMN via the " +
-        "session-catalog table, or the TxLog API)")
+  /** ADD-COLUMN changes only — the shape the analyzer's
+    * ResolveMergeIntoSchemaEvolution rule emits for
+    * `MERGE ... WITH SCHEMA EVOLUTION` over a catalog-identified target
+    * (round-15, VERDICT r14 #2): Spark evolves the declaration through
+    * the catalog at analysis time, then replans against the reloaded
+    * table, so explicit-clause evolution works through plain SQL. Each
+    * AddColumn maps to [[TxLog.addColumns]] (one metadata commit — the
+    * SQL path's evolution is a separate commit from the merge, unlike
+    * the API path's same-commit widening). Everything else stays
+    * refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    val adds = changes.collect {
+      case a: org.apache.spark.sql.connector.catalog.TableChange.AddColumn => a
+    }
+    if (adds.size != changes.size || adds.isEmpty)
+      throw new UnsupportedOperationException(
+        "ALTER through the graft catalog supports ADD COLUMNS only — use " +
+          "the TxLog DDL statements (RENAME/DROP/TYPE via the session-" +
+          "catalog table, or the TxLog API)")
+    val cols = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"txlog columns are top-level; got ${a.fieldNames().mkString(".")}")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames().head, a.dataType(), nullable = true)
+    }
+    TxLog.addColumns(p, StructType(cols.toArray))
+    new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
