@@ -135,6 +135,18 @@ object Bench {
     * behavior instead of overshooting the harness envelope. */
   private val FloorThresholdS = 3.0
 
+  /** Protocol-bound exemption from floor doubling (round-15, VERDICT r14
+    * #6): a sub-second TxLog query's wall is commit-protocol work
+    * (staging writes, CAS loops, log replay over a fixture table), not
+    * codegen warmup — a second execution re-runs the WHOLE protocol
+    * to shave ~0.2 s of code warmth, the inverse of the floor trade.
+    * These stay single-timed; the suspect sweep still covers their
+    * noise. Data-independent by construction (each builds its own
+    * fixture), which is exactly why their numbers don't benefit. */
+  private val ProtocolExemptS = 1.0
+  private def protocolExempt(name: String, best: Double): Boolean =
+    name.contains("txlog") && best < ProtocolExemptS
+
   private def runPass(spark: SparkSession, dir: String,
                       deadlineNs: Option[Long],
                       order: Option[Map[String, Double]] = None,
@@ -208,8 +220,11 @@ object Bench {
           // AND observed cheap (a new heavyweight must not be doubled on
           // the strength of having no record yet)
           val floorBound = doubleFloor.exists { h =>
-            h.get(name).map(_ < FloorThresholdS)
+            val cheap = h.get(name).map(_ < FloorThresholdS)
               .getOrElse(t1 >= 0 && t1 < FloorThresholdS)
+            val exempt = protocolExempt(name,
+              h.get(name).getOrElse(if (t1 >= 0) t1 else Double.MaxValue))
+            cheap && !exempt
           }
           if (floorBound && t1 >= 0 && !cut &&
               doubleUntilNs.forall(System.nanoTime() < _) &&

@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // delegating parser: OPTIMIZE / VACUUM maintenance statements for
     // TxLog tables (not Spark grammar; everything else passes through)
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    // table-valued function: SELECT * FROM table_changes('path', from[, to])
+    // — the SQL-visible batch change feed (see TableChanges scaladoc)
+    ext.injectTableFunction((graft.sources.TableChanges.ident,
+      graft.sources.TableChanges.info,
+      (exprs: Seq[Expression]) => graft.sources.TableChanges.plan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

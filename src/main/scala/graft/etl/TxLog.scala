@@ -199,6 +199,8 @@ object TxLog {
       case Action("rename", _, _, _, _) => () // column-mapping DDL, no file effect
       case Action("partcols", _, _, _, _) => () // partitioning DDL, no file effect
       case Action("gencol", _, _, _, _)   => () // generated-column DDL, no file effect
+      case Action("default", _, _, _, _)   => () // DEFAULT declaration, no file effect
+      case Action("undefault", _, _, _, _) => () // DEFAULT drop, no file effect
       case Action("drop", _, _, _, _)     => () // column tombstone, no file effect
       case Action("property", _, _, _, _)   => () // table property, no file effect
       case Action("unproperty", _, _, _, _) => () // property unset, no file effect
@@ -346,6 +348,23 @@ object TxLog {
     versions(table).foreach { v =>
       timestampOf(table, v).foreach(t => eff = math.max(eff, t))
       if (eff <= ts) best = Some(v)
+    }
+    best
+  }
+
+  /** First committed version whose MONOTONIZED commit timestamp is at or
+    * after `ts` — the `startingTimestamp` resolution rule of CDC readers
+    * (Delta CDF: "deliver changes committed at or after this time"),
+    * the forward-looking twin of [[versionAsOf]] and sharing its
+    * monotonization (a replayed clock can never hide a commit). None
+    * when every commit predates ts — a stream then starts at the head
+    * (future changes only); a batch read fails loudly. */
+  def versionAtOrAfter(table: String, ts: Long): Option[Long] = {
+    var eff = 0L
+    var best: Option[Long] = None
+    versions(table).foreach { v =>
+      timestampOf(table, v).foreach(t => eff = math.max(eff, t))
+      if (eff >= ts && best.isEmpty) best = Some(v)
     }
     best
   }
@@ -903,7 +922,13 @@ object TxLog {
         s"RENAME COLUMN: $newName already exists")
       val renamed = org.apache.spark.sql.types.StructType(declared.fields.map(
         f => if (f.name == oldName) f.copy(name = newName) else f))
-      val acts = protocolAction(table, "column-mapping").toSeq ++
+      // a DEFAULT declaration is keyed by logical name — re-key it in the
+      // same commit or it would silently stop applying after the rename
+      val rekeyDefault = defaultsOf(table, Some(base)).get(oldName).toSeq
+        .flatMap { e => Seq(Action("undefault", oldName),
+          Action("default", newName, Some(java.util.Base64.getEncoder
+            .encodeToString(e.getBytes(StandardCharsets.UTF_8))))) }
+      val acts = protocolAction(table, "column-mapping").toSeq ++ rekeyDefault ++
         Seq(Action("rename", s"$oldName>$newName"),
           schemaAction(renamed), tsAction(commitTs, "RENAME COLUMN"))
       if (tryCommit(table, base + 1, acts)) committed = base + 1
@@ -992,8 +1017,13 @@ object TxLog {
       // still sees the historical mapping.
       val unmap =
         if (phys != name) Seq(Action("rename", s"$name>$phys")) else Nil
-      val acts = unmap ++ Seq(Action("drop", phys), schemaAction(narrowed),
-        tsAction(commitTs, "DROP COLUMN"))
+      // a dropped column's DEFAULT dies with it (applyDefaults would
+      // ignore the stale entry, but the log should not carry lies)
+      val undef =
+        if (defaultsOf(table, Some(base)).contains(name))
+          Seq(Action("undefault", name)) else Nil
+      val acts = unmap ++ undef ++ Seq(Action("drop", phys),
+        schemaAction(narrowed), tsAction(commitTs, "DROP COLUMN"))
       if (tryCommit(table, base + 1, acts)) committed = base + 1
     }
     committed
@@ -1133,6 +1163,112 @@ object TxLog {
     }
     absent.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
   }
+
+  // ------------------------------------------- DEFAULT column values
+
+  /** Live DEFAULT declarations at `asOf`: name → SQL expression
+    * ("default"/"undefault" actions, latest wins — the constraintsOf
+    * replay shape; round-15, VERDICT r14 #4). WRITE-time semantics (the
+    * SQL-standard / Delta `SET DEFAULT` rule): a writer that OMITS the
+    * column gets the default MATERIALIZED; rows written before the
+    * declaration keep null — reads never backfill history, so the
+    * declaration is versioned like schema and costs nothing at read
+    * time at any table size. */
+  def defaultsOf(table: String, asOf: Option[Long] = None): Map[String, String] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("default", name, Some(enc), _, _) =>
+          live(name) = new String(java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8)
+        case Action("undefault", name, _, _, _) => live -= name
+        case _ => ()
+      }
+    }
+    live.toMap
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN name SET DEFAULT sqlExpr` — a
+    * metadata-only commit. The expression must be CONSTANT (analyzed
+    * against a zero-column row; per-row defaults are what GENERATED
+    * ALWAYS AS is for — the production-format constant-default rule)
+    * and yield the declared type exactly (cast inside the expression).
+    * Refused for generated columns (always computed, a default could
+    * never apply) and undeclared columns. Validate-then-claim like the
+    * other DDL verbs. */
+  def setColumnDefault(spark: SparkSession, table: String, name: String,
+                       sqlExpr: String, commitTs: Option[Long] = None): Long = {
+    safeField(name, "column name")
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption.getOrElse(0L)
+      val declared = schemaOf(table, Some(base)).getOrElse(
+        throw new IllegalStateException(
+          s"$table has no declared schema — CREATE or write first"))
+      require(declared.fieldNames.contains(name),
+        s"SET DEFAULT: no column $name (have ${declared.fieldNames.mkString(", ")})")
+      require(!generatedColsOf(table, Some(base)).contains(name),
+        s"SET DEFAULT: $name is GENERATED ALWAYS AS — it is always " +
+          "computed, a default could never apply")
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Nil))
+      val resolved =
+        try probe.select(expr(sqlExpr)).schema.head.dataType
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"DEFAULT for $name must be a constant expression (no column " +
+              s"references): ${e.getMessage}")
+        }
+      val declaredType = declared(declared.fieldIndex(name)).dataType
+      require(resolved == declaredType,
+        s"DEFAULT for $name yields ${resolved.simpleString} but the column " +
+          s"is declared ${declaredType.simpleString} — cast inside the " +
+          "expression")
+      val enc = java.util.Base64.getEncoder.encodeToString(
+        sqlExpr.getBytes(StandardCharsets.UTF_8))
+      val acts = Seq(Action("default", name, Some(enc)),
+        tsAction(commitTs, "SET DEFAULT"))
+      if (tryCommit(table, base + 1, acts)) committed = base + 1
+    }
+    committed
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN name DROP DEFAULT` (absent declaration
+    * is a no-op commit — idempotent DDL, the dropConstraint shape). */
+  def dropColumnDefault(table: String, name: String,
+                        commitTs: Option[Long] = None): Long = {
+    safeField(name, "column name")
+    val acts = Seq(Action("undefault", name), tsAction(commitTs, "DROP DEFAULT"))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, acts)) v = versions(table).last + 1
+    v
+  }
+
+  /** Fill declared DEFAULTs into an incoming frame: absent defaulted
+    * columns MATERIALIZE; supplied columns are never touched (a DEFAULT
+    * is a fallback, not an invariant — unlike generated columns there is
+    * no lie to validate). Scan-local withColumn of a constant — zero
+    * shuffle, codegen-folded. */
+  private def applyDefaults(table: String, df: DataFrame): DataFrame = {
+    val ds = defaultsOf(table)
+    if (ds.isEmpty) return df
+    val declared = schemaOf(table).getOrElse(return df)
+    val have = df.columns.toSet
+    ds.filterNot { case (n, _) => have(n) }.foldLeft(df) { case (d, (n, e)) =>
+      declared.fields.find(_.name == n)
+        .map(f => d.withColumn(n, expr(e).cast(f.dataType)))
+        .getOrElse(d)
+    }
+  }
+
+  /** The per-writer column-policy gate, in dependency order: DEFAULTs
+    * fill first (so generation expressions see defaulted values), then
+    * generated columns materialize/validate. Every user-facing writer
+    * routes its incoming frame through here. */
+  private def applyColumnPolicies(table: String, df: DataFrame): DataFrame =
+    applyGenerated(table, applyDefaults(table, df))
 
   // ------------------------------------- partitioning (PARTITIONED BY)
 
@@ -1421,7 +1557,7 @@ object TxLog {
     * committed version. */
   def replaceWhere(spark: SparkSession, table: String, df0: DataFrame,
                    cond: Column, commitTs: Option[Long] = None): Long = {
-    val df = applyGenerated(table, df0)
+    val df = applyColumnPolicies(table, df0)
     val partCols = partColsOf(table)
     require(partCols.nonEmpty,
       s"replaceWhere requires a partitioned table; $table is unpartitioned")
@@ -1546,7 +1682,7 @@ object TxLog {
     * read or touched. Returns the committed version. */
   def overwritePartitions(spark: SparkSession, table: String, df0: DataFrame,
                           commitTs: Option[Long] = None): Long = {
-    val df = applyGenerated(table, df0)
+    val df = applyColumnPolicies(table, df0)
     val partCols = partColsOf(table)
     require(partCols.nonEmpty,
       s"overwritePartitions requires a partitioned table; $table is " +
@@ -1627,7 +1763,7 @@ object TxLog {
              mergeSchema: Boolean = false,
              commitTs: Option[Long] = None,
              partitionBy: Seq[String] = Nil): Long = {
-    val df = applyGenerated(table, df0)
+    val df = applyColumnPolicies(table, df0)
     val decl = enforceSchema(table, df, mergeSchema)
     val (partCols, partActs) = partDecl(table, df, partitionBy)
     var cs0 = constraintsOf(table)
@@ -1660,7 +1796,7 @@ object TxLog {
                  partitionBy: Seq[String] = Nil): Option[Long] = {
     safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
-    val df = applyGenerated(table, df0)
+    val df = applyColumnPolicies(table, df0)
     val decl = enforceSchema(table, df, mergeSchema = false)
     val (partCols, partActs) = partDecl(table, df, partitionBy)
     var cs0 = constraintsOf(table)
@@ -1749,7 +1885,7 @@ object TxLog {
   def overwrite(spark: SparkSession, table: String, df0: DataFrame,
                 commitTs: Option[Long] = None,
                 partitionBy: Seq[String] = Nil): Long = {
-    val df = applyGenerated(table, df0)
+    val df = applyColumnPolicies(table, df0)
     // a full content replace REDEFINES the schema (no merge flag needed);
     // time travel before it binds the contemporary declaration, so old
     // snapshots keep reading with their own columns/types
@@ -2339,7 +2475,7 @@ object TxLog {
     // the same applyGenerated gate every append-family writer runs
     // (round 14: merge previously accepted a source whose generated
     // values LIED, where append refused)
-    val source = applyGenerated(table, source0)
+    val source = applyColumnPolicies(table, source0)
     val dupKeys = source.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
     require(dupKeys == 0L,
@@ -2652,11 +2788,17 @@ object TxLog {
         org.apache.spark.sql.functions.when(g, v).otherwise(e)
       }.cast(f.dataType).as(f.name)
     }
+    // an insert clause's unassigned column takes its declared DEFAULT
+    // (round-15, VERDICT r14 #4 — the SQL INSERT (cols) rule), else null
+    val dflts = defaultsOf(table)
+    def insertFallback(f: org.apache.spark.sql.types.StructField): Column =
+      dflts.get(f.name).map(expr).getOrElse(lit(null)).cast(f.dataType)
     def insertCol(f: org.apache.spark.sql.types.StructField,
                   gcs: Seq[(Column, MergeClause)]): Column =
-      gcs.foldRight(lit(null).cast(f.dataType): Column) { case ((g, c), e) =>
+      gcs.foldRight(insertFallback(f): Column) { case ((g, c), e) =>
         org.apache.spark.sql.functions.when(g,
-          c.assigns.getOrElse(f.name, lit(null)).cast(f.dataType)).otherwise(e)
+          c.assigns.getOrElse(f.name, insertFallback(f)).cast(f.dataType))
+          .otherwise(e)
       }.cast(f.dataType).as(f.name)
     // recompute generated columns from the post-clause row (Delta's
     // generated-column MERGE semantics)

@@ -2124,7 +2124,73 @@ object Lakehouse {
       .orderBy(col("lang"))
   }
 
+  // --------------- q320 DEFAULT column values (round 15)
+
+  /** q320 — `ALTER COLUMN … SET DEFAULT` under the oracle (VERDICT r14
+    * #4): the table lands as (doc_id, lang), ADD COLUMNS declares
+    * `score`, SET DEFAULT 7 declares the write-time fill, and a second
+    * append that OMITS the column materializes it — while every
+    * pre-ALTER row stays null (reads never backfill history; the
+    * declaration is versioned like schema). The oracle recomputes both
+    * populations with an explicit NULL/7 branch. Scale shape: the
+    * declaration is one metadata commit; the fill is a scan-local
+    * constant withColumn on the write path — no data file is ever
+    * touched retroactively. */
+  def q320TxLogDefaults(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q320")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang")).coalesce(4))
+    graft.etl.TxLog.addColumns(table,
+      org.apache.spark.sql.types.StructType.fromDDL("score BIGINT"))
+    graft.etl.TxLog.setColumnDefault(s, table, "score", "CAST(7 AS BIGINT)")
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"))
+        .coalesce(2))
+    graft.etl.TxLog.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("score"), lit(0L))).as("sum_score"),
+        count(col("score")).as("n_with_score"))
+      .orderBy(col("lang"))
+  }
+
+  // --------------- q321 table_changes TVF + startingTimestamp (round 15)
+
+  /** q321 — the SQL-visible batch CDF surface (VERDICT r14 #5): the
+    * change feed read through `SELECT … FROM table_changes('<path>',
+    * '<tsMillis>')` — the TIMESTAMP form, resolved through the
+    * commit-timestamp monotonization ("changes committed at or after"),
+    * so the hash pins both the TVF plumbing (a real relation: the
+    * GROUP BY composes over it) and the boundary rule (ts 2500 lands
+    * between the property commit and the update — exactly the update +
+    * delete deliver, with delete images carrying post-update values).
+    * Scale shape: analysis-time driver metadata picks the version range;
+    * execution is bounded scans of each version's cdc files. */
+  def q321TxLogTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q321")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.append(s, table,
+      docs.select(col("doc_id"), col("lang"), (col("doc_id") % 100).as("n"))
+        .coalesce(4), commitTs = Some(1000L))
+    graft.etl.TxLog.setProperties(table,
+      Map(graft.etl.TxLog.CdfProperty -> "true"), commitTs = Some(2000L))
+    graft.etl.TxLog.updateWhere(s, table, col("doc_id") % 5 === 0,
+      Map("n" -> (col("n") + 1000)), commitTs = Some(3000L))
+    graft.etl.TxLog.deleteWhere(s, table, col("doc_id") % 7 === 0,
+      commitTs = Some(4000L))
+    graft.sources.TxLogSqlDml.install(s)
+    s.sql(s"SELECT ${graft.etl.TxLog.ChangeTypeCol} AS change_type, " +
+      "count(*) AS n_rows, sum(n) AS sum_n, sum(doc_id) AS sum_id " +
+      s"FROM table_changes('$table', '2500') " +
+      "GROUP BY 1 ORDER BY 1")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_txlog_table_changes" -> (q321TxLogTableChanges _),
+    "q320_txlog_defaults" -> (q320TxLogDefaults _),
     "q319_txlog_merge_on_residual" -> (q319TxLogMergeOnResidual _),
     "q318_txlog_clause_evolution" -> (q318TxLogClauseEvolution _),
     "q317_txlog_merge_evolution" -> (q317TxLogMergeEvolution _),
@@ -2183,6 +2249,40 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // the expected at-or-after-2500 feed: the update's pre/post pairs and
+    // the delete's images (carrying POST-update values — sequencing), the
+    // append's inserts excluded by the timestamp bound
+    "q321_txlog_table_changes" ->
+      """WITH base AS (SELECT doc_id, doc_id % 100 AS n FROM documents),
+        |pre AS (SELECT 'update_preimage' AS change_type, doc_id, n
+        |        FROM base WHERE doc_id % 5 = 0),
+        |post AS (SELECT 'update_postimage' AS change_type, doc_id,
+        |           n + 1000 AS n
+        |         FROM base WHERE doc_id % 5 = 0),
+        |st1 AS (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 = 0 THEN n + 1000 ELSE n END AS n
+        |        FROM base),
+        |del AS (SELECT 'delete' AS change_type, doc_id, n
+        |        FROM st1 WHERE doc_id % 7 = 0),
+        |feed AS (SELECT * FROM pre UNION ALL SELECT * FROM post
+        |         UNION ALL SELECT * FROM del)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // the two write eras recomputed with an explicit NULL/7 branch:
+    // pre-ALTER rows read null, post-SET-DEFAULT omitted columns fill
+    "q320_txlog_defaults" ->
+      """WITH t1 AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) AS score
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |t2 AS (SELECT doc_id + 1000000 AS doc_id, lang,
+        |         CAST(7 AS BIGINT) AS score
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |fin AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(COALESCE(score, 0)) AS BIGINT) AS sum_score,
+        |  CAST(count(score) AS BIGINT) AS n_with_score
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // post-merge table recomputed as set algebra: matched rows carry
     // source n_chars into the NEW column, unfired target rows read NULL,
     // unmatched source rows insert; the cols_before/after probe pins the

@@ -89,6 +89,10 @@ object GraftSqlParser {
   // to Spark's parser with an opaque error (round-14, ADVICE r13)
   private val WidenColRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|\w+\.`[^`]+`|[\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(),\s]+?)\s*;?\s*""".r
+  private val SetDefaultRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|\w+\.`[^`]+`|[\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+  private val DropDefaultRe =
+    """(?is)\s*ALTER\s+TABLE\s+('[^']+'|\w+\.`[^`]+`|[\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*""".r
   private val SetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+('[^']+'|\w+\.`[^`]+`|[\w.]+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsRe =
@@ -197,6 +201,10 @@ object GraftSqlParser {
         Some(AlterTxLogRenameColumn(ident, o, n))
       case DropColRe(ident, c) if txLogIdent(ident) =>
         Some(AlterTxLogDropColumn(ident, c))
+      case SetDefaultRe(ident, c, e) if txLogIdent(ident) =>
+        Some(AlterTxLogSetDefault(ident, c, e.trim))
+      case DropDefaultRe(ident, c) if txLogIdent(ident) =>
+        Some(AlterTxLogDropDefault(ident, c))
       case WidenColRe(ident, c, tpe) if txLogIdent(ident) =>
         Some(AlterTxLogWidenColumn(ident, c, tpe))
       case TruncateRe(ident) if txLogIdent(ident) =>
@@ -348,6 +356,22 @@ case class AlterTxLogDropColumn(ident: String, colName: String)
   * StructType.fromDDL at execution. */
 case class AlterTxLogWidenColumn(ident: String, colName: String,
                                  typeDdl: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr`: a metadata-only
+  * commit declaring the WRITE-time fill for writers that omit the
+  * column ([[graft.etl.TxLog.setColumnDefault]]); the expression stays
+  * raw SQL text, validated (constant-only, declared type) at execution. */
+case class AlterTxLogSetDefault(ident: String, colName: String,
+                                exprSql: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE t ALTER COLUMN c DROP DEFAULT` (idempotent). */
+case class AlterTxLogDropDefault(ident: String, colName: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

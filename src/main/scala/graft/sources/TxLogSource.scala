@@ -240,6 +240,14 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     // ("latest" = only commits after stream start), the Delta-source
     // option by the same name; absent = full backlog from version 1
     val startingV = Option(options.get("startingVersion")).map(_.trim)
+    // startingTimestamp (round-15, VERDICT r14 #5): the timestamp twin,
+    // resolved through the commit-timestamp monotonization
+    // (TxLog.versionAtOrAfter) — batch and stream resolve it themselves
+    // because their no-such-version postures differ (fail vs head)
+    val startingTs = Option(options.get("startingTimestamp"))
+      .map(_.trim.toLong)
+    require(startingV.isEmpty || startingTs.isEmpty,
+      "set at most one of startingVersion / startingTimestamp")
     // CDF mode (round-14): rows arrive as data columns + _change_type +
     // _commit_version; normalize via dataSchemaOf so the flag composes
     // whether the table was built with or without the option
@@ -247,7 +255,8 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     val outSchema =
       if (cdf) TxLogSource.cdfSchema(TxLogSource.dataSchemaOf(schema()))
       else schema()
-    () => new TxLogV1Scan(path, outSchema, asOf, skipChanges, startingV, cdf)
+    () => new TxLogV1Scan(path, outSchema, asOf, skipChanges, startingV, cdf,
+      startingTs)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -270,7 +279,8 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
                                    asOf: Option[Long] = None,
                                    skipChangeCommits: Boolean = false,
                                    startingVersion: Option[String] = None,
-                                   cdf: Boolean = false)
+                                   cdf: Boolean = false,
+                                   startingTimestamp: Option[Long] = None)
     extends V1Scan {
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -293,7 +303,16 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
           val v = s.toLong
           require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $v")
           v - 1
-      }.getOrElse(0L)
+      }.orElse(startingTimestamp.map { ts =>
+        // the timestamp twin (round-15, VERDICT r14 #5): first commit at
+        // or after ts, through the same monotonization as timestampAsOf.
+        // A timestamp past the whole history fails loudly in batch (a
+        // bounded read of nothing is a user error; streams start at head)
+        TxLog.versionAtOrAfter(path, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version of $path at or after timestamp $ts — " +
+              "startingTimestamp is past the table's history")) - 1
+      }).getOrElse(0L)
       new TxLogCdfRelation(context, path, declared, from, asOf).asInstanceOf[T]
     }
     else new TxLogV1Relation(context, path, declared, asOf).asInstanceOf[T]
@@ -321,7 +340,13 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
         val v = s.toLong
         require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $v")
         v - 1
-    }.getOrElse(0L)
+    }.orElse(startingTimestamp.map { ts =>
+      // first commit at or after ts; every commit predating ts = start at
+      // head, future changes only (the 'latest' posture — a stream has no
+      // bounded range to be empty over)
+      TxLog.versionAtOrAfter(path, ts).map(_ - 1)
+        .getOrElse(TxLog.versions(path).lastOption.getOrElse(0L))
+    }).getOrElse(0L)
     if (cdf) new TxLogCdfMicroBatchStream(path, declared, init, skipChangeCommits)
     else new TxLogMicroBatchStream(path, declared, skipChangeCommits, init)
   }

@@ -74,6 +74,13 @@ object TxLogSqlDml {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TxLogDmlStrategy))
       spark.experimental.extraStrategies = cur :+ TxLogDmlStrategy
+    // the table_changes TVF is analysis-time, so it registers in the
+    // session's table-function registry (idempotent re-register), not
+    // the planner — the imperative twin of injectTableFunction
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      TableChanges.ident, TableChanges.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TableChanges.plan(exprs))
   }
 }
 
@@ -256,6 +263,19 @@ object TxLogDmlStrategy extends SparkStrategy {
       TxLogDmlExec("ALTER", d.ident, spark => {
         TxLog.dropColumn(GraftSqlParser.resolvePath(spark, d.ident),
           d.colName); ()
+      }) :: Nil
+
+    case sd: AlterTxLogSetDefault =>
+      TxLogDmlExec("ALTER", sd.ident, spark => {
+        TxLog.setColumnDefault(spark,
+          GraftSqlParser.resolvePath(spark, sd.ident), sd.colName,
+          sd.exprSql); ()
+      }) :: Nil
+
+    case dd: AlterTxLogDropDefault =>
+      TxLogDmlExec("ALTER", dd.ident, spark => {
+        TxLog.dropColumnDefault(
+          GraftSqlParser.resolvePath(spark, dd.ident), dd.colName); ()
       }) :: Nil
 
     case w: AlterTxLogWidenColumn =>

@@ -31,6 +31,13 @@ object GraftSqlBridge {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** The inverse of [[ofRows]]: a DataFrame's analyzed logical plan —
+    * what a table-valued-function builder must return (the table_changes
+    * TVF builds its result as a DataFrame and hands the analyzer the
+    * plan). */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** A serializable `path => InputStream` bound to this session's Hadoop
     * configuration (broadcast once; the closure ships with tasks). */
   def serializableHadoopOpen(spark: SparkSession): String => java.io.InputStream = {

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.etl.TxLog
+
+/** Round 15: CDF read-surface parity (VERDICT r14 #5) — the
+  * startingTimestamp option on batch and streaming readChangeFeed, and
+  * the SQL-visible `table_changes(...)` TVF, with the q273-style
+  * boundary probes on the CDF channel. */
+class Round15CdfSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local("round15-cdfsurface", cores = 4)
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-r15s").resolve("t").toString
+
+  /** v1 append@1000, v2 (property), v3 update@3000, v4 delete@4000. */
+  private def seed(): String = {
+    import spark.implicits._
+    val t = tmp()
+    TxLog.append(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "n").coalesce(1),
+      commitTs = Some(1000L))
+    TxLog.setProperties(t, Map(TxLog.CdfProperty -> "true"),
+      commitTs = Some(2000L))
+    TxLog.updateWhere(spark, t, col("id") === 1L, Map("n" -> lit(11L)),
+      commitTs = Some(3000L))
+    TxLog.deleteWhere(spark, t, col("id") === 2L, commitTs = Some(4000L))
+    t
+  }
+
+  private def types(df: DataFrame): Seq[(String, Long)] =
+    df.select(col(TxLog.ChangeTypeCol), col(TxLog.CommitVersionCol))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+  test("batch readChangeFeed startingTimestamp: monotonized boundaries") {
+    val t = seed()
+    def batch(ts: Long): Seq[(String, Long)] = types(
+      spark.read.format("graft.sources.TxLogSource")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", ts.toString).load(t))
+    // ts between append and update -> update (v3) + delete (v4) only
+    assert(batch(1500L) == Seq(("delete", 4L),
+      ("update_postimage", 3L), ("update_preimage", 3L)))
+    // boundary: exactly the update's commit time INCLUDES it (at-or-after)
+    assert(batch(3000L) == Seq(("delete", 4L),
+      ("update_postimage", 3L), ("update_preimage", 3L)))
+    assert(batch(3001L) == Seq(("delete", 4L)))
+    // from the very beginning: the append's inserts too
+    assert(batch(1000L).size == 6)
+    // past the whole history: loud batch error
+    val e = intercept[Exception] { batch(9999L) }
+    assert(e.getMessage.contains("at or after"), e.getMessage)
+    // startingVersion and startingTimestamp are mutually exclusive
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.TxLogSource")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "1000").load(t).count()
+    }
+    assert(e2.getMessage.contains("at most one"), e2.getMessage)
+  }
+
+  test("streaming CDF startingTimestamp: resolved at stream build") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = seed()
+    def drain(ts: Long): Seq[(String, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      spark.readStream.format("graft.sources.TxLogSource")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", ts.toString).load(t)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col(TxLog.ChangeTypeCol), col(TxLog.CommitVersionCol))
+            .collect().foreach(r => got.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-r15s-ck").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      got.toArray(Array.empty[(String, Long)]).toSeq.sorted
+    }
+    assert(drain(3500L) == Seq(("delete", 4L)))
+    // past the whole history: a stream starts at head (no backlog, no error)
+    assert(drain(9999L) == Nil)
+  }
+
+  test("table_changes TVF: inclusive version bounds and timestamp form") {
+    val t = seed()
+    graft.sources.TxLogSqlDml.install(spark)
+    def q(sql: String): Seq[(String, Long)] = types(spark.sql(sql))
+    // inclusive both ends: [3, 3] = just the update
+    assert(q(s"SELECT * FROM table_changes('$t', 3, 3)") ==
+      Seq(("update_postimage", 3L), ("update_preimage", 3L)))
+    // open end: [3, latest]
+    assert(q(s"SELECT * FROM table_changes('$t', 3)") ==
+      Seq(("delete", 4L), ("update_postimage", 3L), ("update_preimage", 3L)))
+    // timestamp form: string second arg = epoch millis, at-or-after
+    assert(q(s"SELECT * FROM table_changes('$t', '3001')") ==
+      Seq(("delete", 4L)))
+    // it is a real relation: filters/aggregates compose
+    assert(spark.sql(s"SELECT count(*) AS c FROM table_changes('$t', 1) " +
+      s"WHERE ${TxLog.ChangeTypeCol} = 'insert'").head().getLong(0) == 3L)
+    // startVersion 0 refused like the reader option
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$t', 0)").collect()
+    }
+    assert(e.getMessage.contains(">= 1"), e.getMessage)
+  }
+}

@@ -173,7 +173,16 @@ object ScaleRehearsal {
     // fixture appends, a clause-guarded CoW rewrite with cdc sidecar
     // writes, and the feed read-back. The other round-14 additions are
     // commit-log protocol queries on bounded tables (q249 class).
-    "q314_txlog_merge_grammar", "q315_txlog_change_feed")
+    "q314_txlog_merge_grammar", "q315_txlog_change_feed",
+    // round-15 wave (VERDICT r14 #7): the incremental view folds a
+    // documents-sized feed; the evolution/residual merges CoW-rewrite
+    // clause-fired files of the documents corpus; defaults and
+    // table_changes move the corpus through fixture appends + the feed
+    // read-back. (Re-run q315 with -Dgraft.txlog.dv.distributed lowered
+    // to force the DISTRIBUTED DV-delta fold onto the record.)
+    "q316_txlog_incremental_view", "q317_txlog_merge_evolution",
+    "q318_txlog_clause_evolution", "q319_txlog_merge_on_residual",
+    "q320_txlog_defaults", "q321_txlog_table_changes")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
