@@ -119,9 +119,51 @@ object TxLog {
       dataChange = !line.contains("\"dataChange\":false"), part = part)
   }
 
-  private def readActions(table: String, v: Long): Seq[Action] =
-    CommitStore.of(table).read(table, f"$v%020d.json")
-      .filter(_.nonEmpty).map(parseLine)
+  /** Parsed-version-file cache (round 15): a version file is IMMUTABLE
+    * once published — the CAS admits a single writer per version, the
+    * file is fully written BEFORE its atomic publish, it is never
+    * rewritten, and even vacuum retains it — so (table, v) → actions is
+    * a pure function of the key. Every metadata replay (schemaOf /
+    * constraintsOf / propertiesOf / generatedColsOf / defaultsOf /
+    * partColsOf / renameMap / bloomColsOf / dvsAt / replayState) walks
+    * the whole log, and every WRITER runs several such replays per
+    * commit (policy gates + the CAS loop) — without the cache an append
+    * to a 10⁴-commit table re-reads tens of thousands of small files;
+    * with it, replay cost is in-memory traversal and the store is read
+    * once per version per JVM. Bounded access-order LRU so a long
+    * test/bench session over thousands of throwaway tables cannot grow
+    * without limit; eviction only costs a re-read. (External deletion
+    * and re-creation of a table AT THE SAME PATH is outside the format's
+    * contract, as in the production formats.) */
+  private val ActionCacheMax = 16384
+  private val actionCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Seq[Action]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Seq[Action]]): Boolean =
+          size() > ActionCacheMax
+      })
+
+  private def readActions(table: String, v: Long): Seq[Action] = {
+    val key = (table, v)
+    val hit = actionCache.get(key)
+    if (hit != null) hit
+    else {
+      val acts = CommitStore.of(table).read(table, f"$v%020d.json")
+        .filter(_.nonEmpty).map(parseLine)
+      actionCache.put(key, acts)
+      acts
+    }
+  }
+
+  /** Test seam: drop a table's cached version actions. ONLY for specs
+    * that hand-mutate published version files to simulate other-format
+    * eras (old stats-less logs) — a mutation the format's contract, and
+    * therefore the cache, excludes. */
+  private[graft] def invalidateActionCache(table: String): Unit =
+    actionCache.synchronized {
+      actionCache.keySet.removeIf(_._1 == table)
+    }
 
   /** The log's line codec is a fixed flat shape with NO escaping, so any
     * quote, backslash, or control char in a field would write a line
@@ -3514,6 +3556,10 @@ object TxLog {
 
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  /** The commit's in-log timestamp as a TIMESTAMP column (round 15 —
+    * the third Delta-CDF metadata column next to type and version);
+    * null for versions written before commit timestamps landed. */
+  val CommitTimestampCol = "_commit_timestamp"
 
   /** Stage a CDC frame (data columns + `_change_type`) under `cdc/` and
     * return the "cdc" actions naming its part files. Like data staging,
@@ -3597,7 +3643,9 @@ object TxLog {
   /** Row-level CHANGE FEED for `(fromV, toV]` — Delta CDF semantics
     * (round-14, VERDICT r13 #5): every row change, as the declared
     * columns AS OF toV plus `_change_type` ∈ insert | delete |
-    * update_preimage | update_postimage and `_commit_version`. Folding
+    * update_preimage | update_postimage, `_commit_version`, and
+    * `_commit_timestamp` (the commit's in-log timestamp; null for
+    * pre-timestamp logs — the Delta CDF column triple). Folding
     * the feed onto the snapshot at fromV reproduces the snapshot at toV
     * (the oracle contract: apply deletes+update_preimages as removals,
     * inserts+update_postimages as additions, as multisets).
@@ -3638,7 +3686,11 @@ object TxLog {
          else lit(null).cast(f.dataType)).as(f.name)).toSeq
       val ctCol = ct.map(lit(_)).getOrElse(col(ChangeTypeCol))
         .cast("string").as(ChangeTypeCol)
-      df.select(dataCols ++ Seq(ctCol, lit(v).as(CommitVersionCol)): _*)
+      val tsCol = timestampOf(table, v)
+        .map(ms => org.apache.spark.sql.functions.timestamp_millis(lit(ms)))
+        .getOrElse(lit(null).cast("timestamp")).as(CommitTimestampCol)
+      df.select(dataCols ++ Seq(ctCol, lit(v).as(CommitVersionCol),
+        tsCol): _*)
     }
     val frames: Seq[DataFrame] =
       versions(table).filter(v => v > fromV && v <= hi).flatMap { v =>
@@ -3706,7 +3758,9 @@ object TxLog {
         org.apache.spark.sql.types.StructField(ChangeTypeCol,
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField(CommitVersionCol,
-          org.apache.spark.sql.types.LongType, nullable = false)))
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(CommitTimestampCol,
+          org.apache.spark.sql.types.TimestampType)))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }

@@ -161,13 +161,16 @@ object TxLogSource {
       org.apache.spark.sql.types.StructField(TxLog.ChangeTypeCol,
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField(TxLog.CommitVersionCol,
-        org.apache.spark.sql.types.LongType, nullable = false)))
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(TxLog.CommitTimestampCol,
+        org.apache.spark.sql.types.TimestampType)))
 
-  /** Strip the CDF metadata pair back off (the data schema a CDF scan
+  /** Strip the CDF metadata columns back off (the data schema a CDF scan
     * reads files with). */
   private[sources] def dataSchemaOf(out: StructType): StructType =
     StructType(out.fields.filterNot(f =>
-      f.name == TxLog.ChangeTypeCol || f.name == TxLog.CommitVersionCol))
+      f.name == TxLog.ChangeTypeCol || f.name == TxLog.CommitVersionCol ||
+        f.name == TxLog.CommitTimestampCol))
 
   private[sources] def declaredOrInferred(path: String,
                                           asOf: Option[Long] = None): StructType =
@@ -464,7 +467,8 @@ private[sources] class TxLogCdfMicroBatchStream(path: String,
     val hi = end.asInstanceOf[VOffset].v
     TxLog.cdfPlan(path, lo, hi, skipChangeCommits).map { case (kind, abs, v) =>
       TxLogCdfFilePartition(kind, abs,
-        java.nio.file.Files.size(java.nio.file.Paths.get(abs)), v)
+        java.nio.file.Files.size(java.nio.file.Paths.get(abs)), v,
+        TxLog.timestampOf(path, v))
         : org.apache.spark.sql.connector.read.InputPartition
     }.toArray
   }
@@ -486,13 +490,16 @@ private[sources] class TxLogCdfMicroBatchStream(path: String,
 }
 
 private[sources] case class TxLogCdfFilePartition(kind: String, abs: String,
-                                                  len: Long, version: Long)
+                                                  len: Long, version: Long,
+                                                  tsMillis: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Per-partition reader: cdc files already carry `_change_type` (last
-  * column), so only `_commit_version` is appended; add-only files get the
-  * constant ("insert", version) pair. Appending rides a catalyst
-  * JoinedRow — no per-field type dispatch. */
+  * column), so only `_commit_version` + `_commit_timestamp` are
+  * appended; add-only files get the constant ("insert", version, ts)
+  * triple. Appending rides a catalyst JoinedRow — no per-field type
+  * dispatch. Timestamps land as InternalRow MICROseconds (Spark's
+  * TimestampType physical form), null for pre-timestamp logs. */
 private[sources] class TxLogCdfReaderFactory(
     cdcRead: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow],
@@ -507,14 +514,15 @@ private[sources] class TxLogCdfReaderFactory(
     val file = org.apache.spark.sql.execution.datasources.PartitionedFile(
       org.apache.spark.sql.catalyst.InternalRow.empty,
       org.apache.spark.paths.SparkPath.fromPathString(fp.abs), 0L, fp.len)
+    val tsMicros: Any = fp.tsMillis.map(ms => ms * 1000L: Any).orNull
     val extra: org.apache.spark.sql.catalyst.InternalRow = fp.kind match {
       case "cdc" =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](fp.version))
+          Array[Any](fp.version, tsMicros))
       case _ =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](org.apache.spark.unsafe.types.UTF8String
-            .fromString("insert"), fp.version))
+            .fromString("insert"), fp.version, tsMicros))
     }
     val base = (if (fp.kind == "cdc") cdcRead else dataRead)(file)
       .flatMap {

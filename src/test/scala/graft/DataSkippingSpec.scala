@@ -182,6 +182,9 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
           .map(_.replaceAll(""","stats":"[^"]*"""", "")).mkString("\n")
         Files.write(f, stripped.getBytes(StandardCharsets.UTF_8))
       }
+    // hand-mutating published version files is outside the format's
+    // immutability contract — drop the parsed-action cache explicitly
+    TxLog.invalidateActionCache(t)
     assert(TxLog.snapshotAdds(t).forall(_.stats.isEmpty))
     check(t, col("id") === 150L, expectSkipped = Some(0))
     check(t, col("id") < 0L, expectSkipped = Some(0)) // nothing provable
@@ -328,6 +331,7 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
           .map(_.replaceAll(""","stats":"[^"]*"""", "")).mkString("\n")
         Files.write(f, stripped.getBytes(StandardCharsets.UTF_8))
       }
+    TxLog.invalidateActionCache(t) // hand-mutation is outside the contract
     assert(TxLog.describe(t).isEmpty)
   }
 

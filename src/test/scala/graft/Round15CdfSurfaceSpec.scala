@@ -115,4 +115,33 @@ class Round15CdfSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains(">= 1"), e.getMessage)
   }
+
+  test("_commit_timestamp rides every CDF channel (batch, TVF, stream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = seed()
+    def tsOf(df: DataFrame): Map[Long, Long] =
+      df.select(col(TxLog.CommitVersionCol), col(TxLog.CommitTimestampCol))
+        .distinct().collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val expect = Map(1L -> 1000L, 3L -> 3000L, 4L -> 4000L)
+    // batch reader option channel
+    assert(tsOf(spark.read.format("graft.sources.TxLogSource")
+      .option("readChangeFeed", "true").load(t)) == expect)
+    // TVF channel
+    graft.sources.TxLogSqlDml.install(spark)
+    assert(tsOf(spark.sql(s"SELECT * FROM table_changes('$t', 1)")) == expect)
+    // streaming channel
+    val got = scala.collection.mutable.Map[Long, Long]()
+    spark.readStream.format("graft.sources.TxLogSource")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        tsOf(b).foreach { case (k, v) => got.synchronized { got(k) = v } }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-r15s-ts").toString)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(got.toMap == expect, s"got $got")
+  }
 }

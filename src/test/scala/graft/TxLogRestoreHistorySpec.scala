@@ -79,6 +79,7 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
         l.replaceAll(""","stats":"[^"]*"""", "") else l
     }.mkString("\n")
     Files.write(vf, stripped.getBytes)
+    TxLog.invalidateActionCache(legacy) // hand-mutation: outside the contract
     assert(TxLog.history(legacy).head.operation == "UNKNOWN")
   }
 
@@ -384,6 +385,9 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
         l.replaceAll(""","stats":"[^"]*"""", "") else l
     }.mkString("\n")
     Files.write(vf, stripped.getBytes)
+    // hand-mutating a published version file is outside the format's
+    // immutability contract — drop the parsed-action cache explicitly
+    TxLog.invalidateActionCache(t)
     assert(TxLog.detail(t).numRows.isEmpty)
   }
 
