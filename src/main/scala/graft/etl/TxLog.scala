@@ -1264,12 +1264,21 @@ object TxLog {
               s"references): ${e.getMessage}")
         }
       val declaredType = declared(declared.fieldIndex(name)).dataType
-      require(resolved == declaredType,
-        s"DEFAULT for $name yields ${resolved.simpleString} but the column " +
-          s"is declared ${declaredType.simpleString} — cast inside the " +
-          "expression")
+      // a value-preserving upcast is wrapped automatically (DEFAULT 7 on
+      // a BIGINT column is the SQL-standard spelling — requiring the
+      // user to cast an integer literal would be pedantry); anything
+      // lossy is refused
+      val stored =
+        if (resolved == declaredType) sqlExpr
+        else if (org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(resolved, declaredType))
+          s"CAST(($sqlExpr) AS ${declaredType.sql})"
+        else throw new IllegalArgumentException(
+          s"DEFAULT for $name yields ${resolved.simpleString} but the " +
+            s"column is declared ${declaredType.simpleString} — cast " +
+            "inside the expression")
       val enc = java.util.Base64.getEncoder.encodeToString(
-        sqlExpr.getBytes(StandardCharsets.UTF_8))
+        stored.getBytes(StandardCharsets.UTF_8))
       val acts = Seq(Action("default", name, Some(enc)),
         tsAction(commitTs, "SET DEFAULT"))
       if (tryCommit(table, base + 1, acts)) committed = base + 1

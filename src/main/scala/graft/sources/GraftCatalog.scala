@@ -88,6 +88,15 @@ class GraftCatalog extends TableCatalog {
     new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p, Some(v)), Some(v))
   }
 
+  /** `CREATE TABLE … (c T DEFAULT expr, …)` support (round 15): with
+    * this capability the analyzer accepts DEFAULT clauses and ships each
+    * one in the column's metadata (CURRENT_DEFAULT); [[createTable]]
+    * converts them to the log's own `default` declarations. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -100,8 +109,23 @@ class GraftCatalog extends TableCatalog {
         s"txlog supports PARTITIONED BY plain columns only, got $t")
       refs.head.fieldNames().head
     }
-    TxLog.create(p, schema, partCols)
-    new TxLogDsv2Table(p, schema, None, partCols)
+    // DEFAULT clauses arrive as column metadata; the LOG is the source
+    // of truth for declarations, so convert them to `default` actions
+    // and strip the carrier metadata from the declared schema
+    val curKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val defaults = schema.fields.collect {
+      case f if f.metadata.contains(curKey) =>
+        f.name -> f.metadata.getString(curKey)
+    }
+    val clean = StructType(schema.fields.map(
+      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    TxLog.create(p, clean, partCols)
+    defaults.foreach { case (n, sql) =>
+      TxLog.setColumnDefault(
+        org.apache.spark.sql.SparkSession.active, p, n, sql)
+    }
+    new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p), None, partCols)
   }
 
   /** ADD-COLUMN changes only — the shape the analyzer's

@@ -173,12 +173,31 @@ object TxLogSource {
         f.name == TxLog.CommitTimestampCol))
 
   private[sources] def declaredOrInferred(path: String,
-                                          asOf: Option[Long] = None): StructType =
-    TxLog.schemaOf(path, asOf).getOrElse {
+                                          asOf: Option[Long] = None): StructType = {
+    val base = TxLog.schemaOf(path, asOf).getOrElse {
       val files = TxLog.snapshot(path, asOf).map(p => s"$path/$p")
       if (files.isEmpty) new StructType()
       else SparkSession.active.read.parquet(files: _*).schema
     }
+    // surface live DEFAULT declarations as Spark's column metadata
+    // (round 15): the analyzer fills `INSERT INTO t (subset…)`'s missing
+    // columns from CURRENT_DEFAULT at analysis time — without this, SQL
+    // inserts would land explicit NULLs and the engine-side write fill
+    // (which only fills ABSENT columns) would never see them. Reads are
+    // untouched: EXISTS_DEFAULT is deliberately NOT set — pre-declaration
+    // rows stay null (the write-time-fill contract).
+    val dflts = TxLog.defaultsOf(path, asOf)
+    if (dflts.isEmpty) base
+    else StructType(base.fields.map { f =>
+      dflts.get(f.name).map { sql =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+          .build())
+      }.getOrElse(f)
+    })
+  }
 
   /** SQL time travel via read options (round-12 VERDICT #4):
     * `.option("versionAsOf", 3)` pins a version, `.option("timestampAsOf",

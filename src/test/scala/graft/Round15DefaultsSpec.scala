@@ -120,6 +120,30 @@ class Round15DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TxLog.defaultsOf(t).isEmpty)
   }
 
+  test("CREATE TABLE … DEFAULT through the catalog; INSERT column-list fills") {
+    val t = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, s STRING, " +
+      "score BIGINT DEFAULT 7)")
+    // the DEFAULT clause became a log declaration (upcast-wrapped: the
+    // literal 7 is an INT, the column a BIGINT)
+    assert(TxLog.defaultsOf(t).keySet == Set("score"))
+    // subset-column INSERT: the analyzer fills score from the default
+    spark.sql(s"INSERT INTO graft.`$t` (id, s) VALUES (1, 'a')")
+    // full-row INSERT: explicit value wins
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (2, 'b', 20)")
+    // the DEFAULT keyword resolves too
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (3, 'c', DEFAULT)")
+    assert(scores(t) == Seq((1L, 7L), (2L, 20L), (3L, 7L)))
+    // upcast wrapping also rides the API verb
+    val t2 = tmp()
+    import spark.implicits._
+    TxLog.append(spark, t2, Seq((1L, 0L)).toDF("id", "score").coalesce(1))
+    TxLog.setColumnDefault(spark, t2, "score", "7") // int literal, bigint col
+    TxLog.append(spark, t2, Seq(Tuple1(2L)).toDF("id").coalesce(1))
+    assert(scores(t2) == Seq((1L, 0L), (2L, 7L)))
+  }
+
   test("SQL: ALTER COLUMN SET DEFAULT / DROP DEFAULT verbs") {
     import spark.implicits._
     val t = tmp()
