@@ -1166,11 +1166,19 @@ object TxLog {
       new java.util.ArrayList[org.apache.spark.sql.Row](), others)
     val resolved = probe.select(expr(sqlExpr)).schema.head.dataType
     val declaredType = declared(declared.fieldIndex(name)).dataType
-    require(resolved == declaredType,
-      s"generation expression for $name yields $resolved but the column " +
-        s"is declared $declaredType — cast inside the expression")
+    // value-preserving upcasts wrap automatically (the setColumnDefault
+    // rule — `id * 2` on a BIGINT column where the literal math resolves
+    // narrower); lossy mismatches still refuse
+    val stored =
+      if (resolved == declaredType) sqlExpr
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(resolved, declaredType))
+        s"CAST(($sqlExpr) AS ${declaredType.sql})"
+      else throw new IllegalArgumentException(
+        s"generation expression for $name yields $resolved but the column " +
+          s"is declared $declaredType — cast inside the expression")
     val enc = java.util.Base64.getEncoder.encodeToString(
-      sqlExpr.getBytes(StandardCharsets.UTF_8))
+      stored.getBytes(StandardCharsets.UTF_8))
     val acts = Seq(Action("gencol", name, Some(enc)),
       tsAction(commitTs, "ADD GENERATED COLUMN"))
     var v = versions(table).lastOption.getOrElse(0L) + 1

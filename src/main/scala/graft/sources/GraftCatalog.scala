@@ -88,18 +88,60 @@ class GraftCatalog extends TableCatalog {
     new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p, Some(v)), Some(v))
   }
 
-  /** `CREATE TABLE … (c T DEFAULT expr, …)` support (round 15): with
-    * this capability the analyzer accepts DEFAULT clauses and ships each
-    * one in the column's metadata (CURRENT_DEFAULT); [[createTable]]
-    * converts them to the log's own `default` declarations. */
+  /** `CREATE TABLE … (c T DEFAULT expr, g T GENERATED ALWAYS AS (expr))`
+    * support (round 15): with these capabilities the analyzer accepts
+    * both clauses and ships each in the column's metadata
+    * (CURRENT_DEFAULT / generationExpression); [[createTable]] converts
+    * them to the log's own `default` / `gencol` declarations. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** The analyzer's CREATE path (Spark 4 Column form): DEFAULT clauses
+    * and GENERATED ALWAYS AS expressions arrive as FIRST-CLASS Column
+    * fields here (the deprecated StructType bridge drops generation
+    * expressions), converted to the log's own `default` / `gencol`
+    * declarations — the LOG stays the source of truth. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())
+    })
+    val defaults = columns.toSeq.collect {
+      case c if c.defaultValue() != null => c.name() -> c.defaultValue().getSql
+    }
+    val gens = columns.toSeq.collect {
+      case c if c.generationExpression() != null =>
+        c.name() -> c.generationExpression()
+    }
+    createImpl(ident, schema, partitions, defaults, gens)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
+    // deprecated bridge form: DEFAULTs may still arrive as column
+    // metadata (CURRENT_DEFAULT); generation expressions cannot
+    val curKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val defaults = schema.fields.toSeq.collect {
+      case f if f.metadata.contains(curKey) =>
+        f.name -> f.metadata.getString(curKey)
+    }
+    createImpl(ident, schema, partitions, defaults, Nil)
+  }
+
+  private def createImpl(ident: Identifier, schema: StructType,
+                         partitions: Array[Transform],
+                         defaults: Seq[(String, String)],
+                         gens: Seq[(String, String)]): Table = {
     val p = pathOf(ident)
     if (TxLog.versions(p).nonEmpty) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map { t =>
@@ -109,21 +151,17 @@ class GraftCatalog extends TableCatalog {
         s"txlog supports PARTITIONED BY plain columns only, got $t")
       refs.head.fieldNames().head
     }
-    // DEFAULT clauses arrive as column metadata; the LOG is the source
-    // of truth for declarations, so convert them to `default` actions
-    // and strip the carrier metadata from the declared schema
-    val curKey = org.apache.spark.sql.catalyst.util
-      .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
-    val defaults = schema.fields.collect {
-      case f if f.metadata.contains(curKey) =>
-        f.name -> f.metadata.getString(curKey)
-    }
     val clean = StructType(schema.fields.map(
       _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     TxLog.create(p, clean, partCols)
+    val spark = org.apache.spark.sql.SparkSession.active
     defaults.foreach { case (n, sql) =>
-      TxLog.setColumnDefault(
-        org.apache.spark.sql.SparkSession.active, p, n, sql)
+      TxLog.setColumnDefault(spark, p, n, sql)
+    }
+    // generated columns declare on the still-empty table (the
+    // creation-time rule addGeneratedColumn enforces)
+    gens.foreach { case (n, sql) =>
+      TxLog.addGeneratedColumn(spark, p, n, sql)
     }
     new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p), None, partCols)
   }

@@ -343,12 +343,6 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
     require(asOf.isEmpty,
       "versionAsOf / timestampAsOf do not apply to a stream (a stream " +
         "tails the live log); use batch read for historical snapshots")
-    // reader-capability gate: the stream binds the declared (logical)
-    // schema straight onto files that carry PHYSICAL names — a renamed
-    // column would silently read as null, which is corruption
-    require(TxLog.renameMap(path).isEmpty,
-      s"$path uses column mapping (RENAME COLUMN); the streaming reader " +
-        "lacks that capability — tail via TxLog.changes instead")
     // resolve startingVersion AT STREAM BUILD: "latest" pins to the head
     // version as of start, a number v delivers changes from v inclusive.
     // Offsets are version numbers, so "deliver from v" = initial offset
@@ -384,6 +378,14 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
   * row-group pruning — is the stock one, only file selection is ours.
   * Exactly-once: Spark's offset checkpoint replays a crashed batch with
   * the SAME version range, which maps to the same immutable files.
+  *
+  * Column mapping (round 15, the last reader-capability gate removed):
+  * data files carry PHYSICAL names (first-declaration names, stable
+  * across every later RENAME), so the reader binds the physical-named
+  * twin of the declared schema — same field order and types, so row
+  * positions line up with the stream's logical output schema; names
+  * only matter at planning, which uses the logical ones. A rename
+  * landing MID-stream changes nothing: physical names never change.
   *
   * Non-append histories (round-12 ADVICE #1): an optimize's rewrite adds
   * carry dataChange=false and are never delivered (a compaction is not
@@ -425,14 +427,22 @@ private[sources] class TxLogMicroBatchStream(path: String, declared: StructType,
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val spark = SparkSession.active
+    // bind the PHYSICAL-named twin of the declared schema (see class
+    // scaladoc — identical order/types, so positions match the logical
+    // output); identity for tables RENAME never touched
+    val m = TxLog.renameMap(path)
+    val phys =
+      if (m.isEmpty) declared
+      else StructType(declared.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
     // Spark's own parquet reader closure (vectorized, evolution-aware:
     // declared columns absent in an old file surface as null) — built on
     // the driver, designed to serialize to executors
     val readFunc = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, dataSchema = declared,
+        spark, dataSchema = phys,
         partitionSchema = new StructType(),
-        requiredSchema = declared, filters = Nil,
+        requiredSchema = phys, filters = Nil,
         // row-based output (Spark 4 requires the choice to be explicit):
         // the vectorized reader still decodes columnarly underneath, it
         // just hands back rows — which is what a PartitionReader emits
@@ -504,7 +514,17 @@ private[sources] class TxLogCdfMicroBatchStream(path: String,
           options = Map(org.apache.spark.sql.execution.datasources.FileFormat
             .OPTION_RETURNING_BATCH -> "false"),
           hadoopConf = spark.sessionState.newHadoopConf())
-    new TxLogCdfReaderFactory(reader(cdcFileSchema), reader(dataSchema))
+    // column mapping (round 15): add-only DATA files carry PHYSICAL
+    // names — bind the physical twin (order/types identical, positions
+    // line up). cdc files carry the LOGICAL names as of their commit;
+    // the evolution-aware reader nulls columns an older record wrote
+    // under a pre-rename name (the batch changeFeed caveat, unchanged).
+    val m = TxLog.renameMap(path)
+    val physData =
+      if (m.isEmpty) dataSchema
+      else StructType(dataSchema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+    new TxLogCdfReaderFactory(reader(cdcFileSchema), reader(physData))
   }
 }
 

@@ -116,6 +116,54 @@ class Round15CdfSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains(">= 1"), e.getMessage)
   }
 
+  test("streams tail column-mapped tables (physical-name binding)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmp()
+    TxLog.append(spark, t, Seq((1L, 10L)).toDF("id", "n").coalesce(1))
+    TxLog.renameColumn(t, "n", "m")
+    TxLog.append(spark, t, Seq((2L, 20L)).toDF("id", "m").coalesce(1))
+    // plain CDC stream: both eras' files deliver under the CURRENT
+    // logical name (old files carry the physical name `n`, new ones the
+    // same physical `n` via the write-seam translation)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.readStream.format("graft.sources.TxLogSource").load(t)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("id"), col("m")).collect()
+          .foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-r15s-rn").toString)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(got.toArray(Array.empty[(Long, Long)]).toSeq.sorted ==
+      Seq((1L, 10L), (2L, 20L)))
+    // CDF stream on a mapped table: post-rename DML delivers under the
+    // new logical name
+    val t2 = tmp()
+    TxLog.append(spark, t2, Seq((1L, 10L)).toDF("id", "n").coalesce(1))
+    TxLog.setProperties(t2, Map(TxLog.CdfProperty -> "true"))
+    TxLog.renameColumn(t2, "n", "m")
+    TxLog.updateWhere(spark, t2, col("id") === 1L, Map("m" -> lit(11L)))
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    spark.readStream.format("graft.sources.TxLogSource")
+      .option("readChangeFeed", "true").load(t2)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col(TxLog.ChangeTypeCol), col("m")).collect()
+          .foreach(r => got2.add((r.getString(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-r15s-rn2").toString)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val s2 = got2.toArray(Array.empty[(String, Long)]).toSeq.sorted
+    assert(s2 == Seq(("insert", 10L),
+      ("update_postimage", 11L), ("update_preimage", 10L)), s"got $s2")
+  }
+
   test("_commit_timestamp rides every CDF channel (batch, TVF, stream)") {
     import org.apache.spark.sql.streaming.Trigger
     val t = seed()

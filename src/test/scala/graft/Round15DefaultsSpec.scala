@@ -144,6 +144,23 @@ class Round15DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores(t2) == Seq((1L, 0L), (2L, 7L)))
   }
 
+  test("CREATE TABLE … GENERATED ALWAYS AS through the catalog") {
+    import spark.implicits._
+    val t = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (id * 2))")
+    assert(TxLog.generatedColsOf(t).keySet == Set("twice"))
+    // an INSERT omitting the generated column materializes it; one
+    // supplying a LYING value bounces (the applyGenerated gate)
+    TxLog.append(spark, t, Seq(Tuple1(3L)).toDF("id").coalesce(1))
+    val r = TxLog.read(spark, t).select(col("id"), col("twice")).head()
+    assert((r.getLong(0), r.getLong(1)) == (3L, 6L))
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq((4L, 9L)).toDF("id", "twice").coalesce(1))
+    }
+  }
+
   test("SQL: ALTER COLUMN SET DEFAULT / DROP DEFAULT verbs") {
     import spark.implicits._
     val t = tmp()

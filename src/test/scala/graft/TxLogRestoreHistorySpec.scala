@@ -301,14 +301,23 @@ class TxLogRestoreHistorySpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       graft.sources.TxLogTable(spark, t)
     }
-    // the streaming tail gates loudly
-    intercept[Exception] {
+    // the streaming tail WORKS on mapped tables (round 15 — the gate
+    // was retired: the reader binds the physical-named schema twin)
+    locally {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
       spark.readStream.format("graft.sources.TxLogSource").load(t)
-        .writeStream.format("noop")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("id"), col("label")).collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1))))
+          ()
+        }
         .option("checkpointLocation",
           Files.createTempDirectory("graft-rn-ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
+      assert(got.toArray(Array.empty[(Long, String)]).toSeq ==
+        Seq((1L, "a")))
     }
     // ADD COLUMNS may not collide with a renamed column's physical name
     intercept[IllegalArgumentException] {
