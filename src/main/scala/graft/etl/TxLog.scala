@@ -243,6 +243,8 @@ object TxLog {
       case Action("gencol", _, _, _, _)   => () // generated-column DDL, no file effect
       case Action("default", _, _, _, _)   => () // DEFAULT declaration, no file effect
       case Action("undefault", _, _, _, _) => () // DEFAULT drop, no file effect
+      case Action("identity", _, _, _, _) => () // IDENTITY declaration, no file effect
+      case Action("idwm", _, _, _, _)     => () // identity watermark, no file effect
       case Action("drop", _, _, _, _)     => () // column tombstone, no file effect
       case Action("property", _, _, _, _)   => () // table property, no file effect
       case Action("unproperty", _, _, _, _) => () // property unset, no file effect
@@ -1329,6 +1331,185 @@ object TxLog {
   private def applyColumnPolicies(table: String, df: DataFrame): DataFrame =
     applyGenerated(table, applyDefaults(table, df))
 
+  // ----------------------------------------------- IDENTITY columns
+
+  /** Live IDENTITY declarations at `asOf`: name → (start, step,
+    * allowExplicitInsert) — the GENERATED { ALWAYS | BY DEFAULT } AS
+    * IDENTITY pattern ("identity" actions; creation-time like gencol,
+    * no drop). */
+  def identityColsOf(table: String, asOf: Option[Long] = None)
+      : Map[String, (Long, Long, Boolean)] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    val live = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Boolean)]()
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("identity", name, Some(enc), _, _) =>
+          val Array(st, sp, ae) = new String(
+            java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8).split(' ')
+          live(name) = (st.toLong, sp.toLong, ae.toBoolean)
+        case _ => ()
+      }
+    }
+    live.toMap
+  }
+
+  /** Last ASSIGNED identity value for `name` at `asOf` ("idwm" actions,
+    * latest wins — each assigning commit's own OCC makes the sequence
+    * monotone along the committed history). None before any assignment. */
+  def identityWatermark(table: String, name: String,
+                        asOf: Option[Long] = None): Option[Long] = {
+    val hi = asOf.getOrElse(Long.MaxValue)
+    var wm: Option[Long] = None
+    versions(table).filter(_ <= hi).foreach { v =>
+      readActions(table, v).foreach {
+        case Action("idwm", n, Some(enc), _, _) if n == name =>
+          wm = Some(new String(java.util.Base64.getDecoder.decode(enc),
+            StandardCharsets.UTF_8).toLong)
+        case _ => ()
+      }
+    }
+    wm
+  }
+
+  private def idwmAction(name: String, value: Long): Action =
+    Action("idwm", name, Some(java.util.Base64.getEncoder.encodeToString(
+      value.toString.getBytes(StandardCharsets.UTF_8))))
+
+  /** Declare `name` GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY
+    * (START WITH `start` INCREMENT BY `step`). Creation-time like
+    * generated columns (empty table; the column must be declared BIGINT
+    * — identity is a counter, not arithmetic). Writers that omit the
+    * column get MONOTONE UNIQUE values assigned distributively; with
+    * `allowExplicitInsert` (BY DEFAULT) a writer may supply values and
+    * the watermark advances past them; without it (ALWAYS), supplying
+    * the column refuses. Values may have GAPS (the production-identity
+    * contract — Delta/SQL identity documents the same): assignment is
+    * `watermark + step·monotonically_increasing_id()`, scan-local on
+    * executors with zero shuffle, so uniqueness needs no coordination
+    * beyond the per-commit watermark CAS. */
+  def addIdentityColumn(table: String, name: String, start: Long = 1L,
+                        step: Long = 1L, allowExplicitInsert: Boolean = false,
+                        commitTs: Option[Long] = None): Long = {
+    safeField(name, "identity column name")
+    require(step != 0L, "IDENTITY step must be non-zero")
+    require(snapshot(table).isEmpty,
+      s"$table has live data; identity columns are declared before any " +
+        "write (CREATE the table, declare, then load)")
+    val declared = schemaOf(table).getOrElse(throw new IllegalStateException(
+      s"$table has no declared schema — CREATE it first"))
+    require(declared.fieldNames.contains(name),
+      s"identity column $name is not in the declared schema " +
+        s"(${declared.fieldNames.mkString(", ")})")
+    require(declared(declared.fieldIndex(name)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"identity column $name must be declared BIGINT")
+    require(!generatedColsOf(table).contains(name) &&
+      !defaultsOf(table).contains(name),
+      s"$name already carries a generated/default declaration")
+    require(!identityColsOf(table).contains(name),
+      s"$name is already an identity column")
+    val enc = java.util.Base64.getEncoder.encodeToString(
+      s"$start $step $allowExplicitInsert".getBytes(StandardCharsets.UTF_8))
+    val acts = Seq(Action("identity", name, Some(enc)),
+      tsAction(commitTs, "ADD IDENTITY"))
+    var v = versions(table).lastOption.getOrElse(0L) + 1
+    while (!tryCommit(table, v, acts)) v = versions(table).last + 1
+    v
+  }
+
+  /** Assign identity values into `df` for every declared identity column
+    * it omits (and validate explicit supply against the ALWAYS rule).
+    * Returns the frame plus the NEXT-unassigned base per column — the
+    * caller's CAS loop re-checks the watermark at the claim target and
+    * restarts (re-assign + re-stage) if a racer advanced it, which is
+    * what makes the assigned ranges collision-free without any global
+    * coordination. Assignment is `base + step·monotonically_increasing_id()`
+    * — scan-local, zero shuffle; sparse (gappy) but monotone per commit. */
+  private def assignIdentity(table: String, df: DataFrame,
+                             wmSnap: Map[String, Option[Long]])
+      : (DataFrame, Map[String, Long]) = {
+    val ids = identityColsOf(table)
+    if (ids.isEmpty) return (df, Map.empty)
+    val have = df.columns.toSet
+    var out = df
+    val bases = scala.collection.mutable.Map.empty[String, Long]
+    ids.foreach { case (name, (start, step, allowExplicit)) =>
+      if (have(name)) {
+        require(allowExplicit,
+          s"column $name is GENERATED ALWAYS AS IDENTITY — writers must " +
+            "not supply it (declare BY DEFAULT to allow explicit values)")
+        // nulls are not identity values — and a SQL INSERT column-list
+        // omitting the column arrives as an explicit null fill, which
+        // must refuse loudly, never store null ids
+        require(df.filter(col(name).isNull).limit(1).count() == 0L,
+          s"explicit values for identity column $name must be non-null")
+      } else {
+        val base = wmSnap.getOrElse(name, None)
+          .map(_ + step).getOrElse(start)
+        bases(name) = base
+        out = out.withColumn(name,
+          lit(base) + lit(step) *
+            org.apache.spark.sql.functions.monotonically_increasing_id())
+      }
+    }
+    (out, bases.toMap)
+  }
+
+  /** The watermark actions for a commit that assigned identities: the
+    * new last-assigned value per column, read from the STAGED FILES'
+    * footer stats (zero extra scan — stage() already harvests max); a
+    * stats-less staging falls back to one bounded scan of just those
+    * files. For an explicitly-supplied BY DEFAULT column, advances the
+    * watermark past the supplied max the same way. */
+  private def identityWmActions(spark: SparkSession, table: String,
+                                adds: Seq[Action],
+                                assignedBases: Map[String, Long],
+                                suppliedCols: Seq[String],
+                                wmSnap: Map[String, Option[Long]]): Seq[Action] = {
+    val ids = identityColsOf(table)
+    val watch = (assignedBases.keySet ++
+      suppliedCols.filter(ids.contains)).toSeq
+    if (watch.isEmpty) return Nil
+    // the FURTHEST assigned value along the step direction (max for
+    // ascending identities, min for descending)
+    def statExtremum(name: String, step: Long): Option[Long] = {
+      val per = adds.filter(_.op == "add").map(_.stats.flatMap(
+        TxStats.decode(_).flatMap(_.cols.get(name)
+          .flatMap(c => if (step > 0) c.max else c.min))))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else {
+        val vs = per.flatten.map(_.toLong)
+        Some(if (step > 0) vs.max else vs.min)
+      }
+    }
+    lazy val scanned: Map[String, Long] = {
+      val files = adds.filter(_.op == "add")
+        .map(a => Paths.get(table, a.path).toAbsolutePath.toString)
+      if (files.isEmpty) Map.empty
+      else {
+        val aggs = watch.map { n =>
+          val (_, step, _) = ids(n)
+          (if (step > 0) org.apache.spark.sql.functions.max(col(n))
+           else org.apache.spark.sql.functions.min(col(n))).as(n)
+        }
+        val row = spark.read.parquet(files: _*).agg(aggs.head, aggs.tail: _*)
+          .head()
+        watch.zipWithIndex.flatMap { case (n, i) =>
+          if (row.isNullAt(i)) None else Some(n -> row.getLong(i))
+        }.toMap
+      }
+    }
+    watch.flatMap { name =>
+      val (_, step, _) = ids(name)
+      statExtremum(name, step).orElse(scanned.get(name)).map { mx =>
+        val next = wmSnap.getOrElse(name, None).map(p =>
+          if (step > 0) math.max(p, mx) else math.min(p, mx)).getOrElse(mx)
+        idwmAction(name, next)
+      }
+    }
+  }
+
   // ------------------------------------- partitioning (PARTITIONED BY)
 
   /** Hive's null-partition directory sentinel (public convention). */
@@ -1822,20 +2003,39 @@ object TxLog {
              mergeSchema: Boolean = false,
              commitTs: Option[Long] = None,
              partitionBy: Seq[String] = Nil): Long = {
-    val df = applyColumnPolicies(table, df0)
-    val decl = enforceSchema(table, df, mergeSchema)
-    val (partCols, partActs) = partDecl(table, df, partitionBy)
-    var cs0 = constraintsOf(table)
-    enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df, partCols) ++ decl ++ partActs) :+
-      tsAction(commitTs, "WRITE")
+    val df1 = applyColumnPolicies(table, df0)
     var committed = -1L
     while (committed < 0) {
-      val base = versions(table).lastOption.getOrElse(0L)
-      // a DDL commit racing this write re-validates at the claim target
-      val csB = constraintsOf(table, Some(base))
-      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
-      if (tryCommit(table, base + 1, adds)) committed = base + 1
+      // identity assignment pins the ranges this STAGING uses (one
+      // watermark snapshot feeds assignment, the committed idwm, and the
+      // claim-time conflict check); a racer advancing any watched
+      // watermark forces a RESTAGE — assigned ranges would collide, and
+      // a supplied-column idwm would regress the sequence. Identity-free
+      // tables take this outer loop exactly once.
+      val wmSnap = identityColsOf(table).keys
+        .map(n => n -> identityWatermark(table, n)).toMap
+      val (df, idBases) = assignIdentity(table, df1, wmSnap)
+      val decl = enforceSchema(table, df, mergeSchema)
+      val (partCols, partActs) = partDecl(table, df, partitionBy)
+      var cs0 = constraintsOf(table)
+      enforceConstraints(table, df, cs0)
+      val staged = stage(spark, table, df, partCols)
+      val idActs = identityWmActions(spark, table, staged, idBases,
+        df1.columns.toSeq, wmSnap)
+      val adds = (staged ++ decl ++ partActs ++ idActs) :+
+        tsAction(commitTs, "WRITE")
+      val watched = idBases.keySet ++ idActs.map(_.path)
+      var restage = false
+      while (committed < 0 && !restage) {
+        val base = versions(table).lastOption.getOrElse(0L)
+        // a DDL commit racing this write re-validates at the claim target
+        val csB = constraintsOf(table, Some(base))
+        if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+        if (watched.exists(n =>
+          identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None)))
+          restage = true
+        else if (tryCommit(table, base + 1, adds)) committed = base + 1
+      }
     }
     committed
   }
@@ -1855,25 +2055,39 @@ object TxLog {
                  partitionBy: Seq[String] = Nil): Option[Long] = {
     safeField(txn, "txn marker") // fail BEFORE staging, not at commit render
     if (txnSeen(table, txn)) return None
-    val df = applyColumnPolicies(table, df0)
-    val decl = enforceSchema(table, df, mergeSchema = false)
-    val (partCols, partActs) = partDecl(table, df, partitionBy)
-    var cs0 = constraintsOf(table)
-    enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df, partCols) ++ decl ++ partActs) :+
-      Action("txn", txn) :+ tsAction(commitTs, "STREAMING WRITE")
-    // check-then-CAS with the claim target read FIRST: if the same
-    // txn's replay lands between the marker check and the commit,
-    // base+1 is taken, the CAS fails, and the loop re-checks — the
-    // marker can never slip through the gap (same TOCTOU class as the
-    // deleteWhere/optimize validation ordering)
+    val df1 = applyColumnPolicies(table, df0)
     var committed = -1L
     while (committed < 0) {
-      val base = versions(table).lastOption.getOrElse(0L)
-      if (txnSeen(table, txn)) return None
-      val csB = constraintsOf(table, Some(base))
-      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
-      if (tryCommit(table, base + 1, adds)) committed = base + 1
+      // identity: same snapshot-assign-restage discipline as append
+      val wmSnap = identityColsOf(table).keys
+        .map(n => n -> identityWatermark(table, n)).toMap
+      val (df, idBases) = assignIdentity(table, df1, wmSnap)
+      val decl = enforceSchema(table, df, mergeSchema = false)
+      val (partCols, partActs) = partDecl(table, df, partitionBy)
+      var cs0 = constraintsOf(table)
+      enforceConstraints(table, df, cs0)
+      val staged = stage(spark, table, df, partCols)
+      val idActs = identityWmActions(spark, table, staged, idBases,
+        df1.columns.toSeq, wmSnap)
+      val adds = (staged ++ decl ++ partActs ++ idActs) :+
+        Action("txn", txn) :+ tsAction(commitTs, "STREAMING WRITE")
+      val watched = idBases.keySet ++ idActs.map(_.path)
+      // check-then-CAS with the claim target read FIRST: if the same
+      // txn's replay lands between the marker check and the commit,
+      // base+1 is taken, the CAS fails, and the loop re-checks — the
+      // marker can never slip through the gap (same TOCTOU class as the
+      // deleteWhere/optimize validation ordering)
+      var restage = false
+      while (committed < 0 && !restage) {
+        val base = versions(table).lastOption.getOrElse(0L)
+        if (txnSeen(table, txn)) return None
+        val csB = constraintsOf(table, Some(base))
+        if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+        if (watched.exists(n =>
+          identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None)))
+          restage = true
+        else if (tryCommit(table, base + 1, adds)) committed = base + 1
+      }
     }
     Some(committed)
   }
@@ -1944,7 +2158,15 @@ object TxLog {
   def overwrite(spark: SparkSession, table: String, df0: DataFrame,
                 commitTs: Option[Long] = None,
                 partitionBy: Seq[String] = Nil): Long = {
-    val df = applyColumnPolicies(table, df0)
+    val df1 = applyColumnPolicies(table, df0)
+    // identity CONTINUES across an overwrite (a content replace resets
+    // rows, never the counter — the SQL sequence rule); same
+    // snapshot-assign discipline as append. Restage-on-conflict is
+    // subsumed here: the CAS loop below recomputes removes per attempt,
+    // and identity conflicts restart via the same watched check.
+    val wmSnap = identityColsOf(table).keys
+      .map(n => n -> identityWatermark(table, n)).toMap
+    val (df, idBases) = assignIdentity(table, df1, wmSnap)
     // a full content replace REDEFINES the schema (no merge flag needed);
     // time travel before it binds the contemporary declaration, so old
     // snapshots keep reading with their own columns/types
@@ -1956,10 +2178,19 @@ object TxLog {
       replacesAll = true)
     var cs0 = constraintsOf(table)
     enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df, partCols) ++ decl ++ partActs) :+
+    val staged = stage(spark, table, df, partCols)
+    val idActs = identityWmActions(spark, table, staged, idBases,
+      df1.columns.toSeq, wmSnap)
+    val adds = (staged ++ decl ++ partActs ++ idActs) :+
       tsAction(commitTs, "OVERWRITE")
+    val watched = idBases.keySet ++ idActs.map(_.path)
     var committed = -1L
     while (committed < 0) {
+      if (watched.exists(n =>
+        identityWatermark(table, n) != wmSnap.getOrElse(n, None)))
+        // a racer advanced an identity watermark since staging: restart
+        // the whole overwrite against the new sequence state
+        return overwrite(spark, table, df0, commitTs, partitionBy)
       val base = versions(table).lastOption.getOrElse(0L)
       val csB = constraintsOf(table, Some(base))
       if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }

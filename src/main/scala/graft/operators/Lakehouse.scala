@@ -2188,7 +2188,44 @@ object Lakehouse {
       "GROUP BY 1 ORDER BY 1")
   }
 
+  // --------------- q322 IDENTITY columns (round 15)
+
+  /** q322 — GENERATED ALWAYS AS IDENTITY under the oracle: two appends
+    * that OMIT the column get monotone unique ids assigned
+    * distributively (`watermark + step·monotonically_increasing_id()` —
+    * scan-local, zero shuffle, gaps allowed, the production-identity
+    * contract). Identity values are gap-nondeterministic BY DESIGN, so
+    * the oracle pins the DETERMINISTIC properties: row count, id
+    * UNIQUENESS across both commits (count distinct == count — the
+    * watermark OCC guarantee), the start value (partition 0, row 0),
+    * step ALIGNMENT of every id, and the payload sum. Scale shape: no
+    * coordination beyond one watermark action per commit; assignment
+    * never shuffles or counts the frame. */
+  def q322TxLogIdentity(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q322")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.create(table,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_seq BIGINT, lang STRING, n_chars BIGINT"))
+    graft.etl.TxLog.addIdentityColumn(table, "doc_seq",
+      start = 1000L, step = 5L)
+    graft.etl.TxLog.append(s, table,
+      docs.select(col("lang"), col("n_chars")).coalesce(4))
+    graft.etl.TxLog.append(s, table,
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("lang"), col("n_chars")).coalesce(2))
+    graft.etl.TxLog.read(s, table).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_seq")).as("n_ids"),
+      min(col("doc_seq")).as("min_id"),
+      sum(org.apache.spark.sql.functions
+        .when((col("doc_seq") - 1000L) % 5L === 0, 0L).otherwise(1L))
+        .as("misaligned"),
+      sum(col("n_chars")).as("sum_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_txlog_identity" -> (q322TxLogIdentity _),
     "q321_txlog_table_changes" -> (q321TxLogTableChanges _),
     "q320_txlog_defaults" -> (q320TxLogDefaults _),
     "q319_txlog_merge_on_residual" -> (q319TxLogMergeOnResidual _),
@@ -2249,6 +2286,19 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // identity values are gap-nondeterministic by design; the oracle
+    // pins the deterministic properties (count, uniqueness, start,
+    // alignment, payload)
+    "q322_txlog_identity" ->
+      """WITH t1 AS (SELECT lang, n_chars FROM documents),
+        |t2 AS (SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |fin AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(1000 AS BIGINT) AS min_id,
+        |  CAST(0 AS BIGINT) AS misaligned,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin""".stripMargin,
     // the expected at-or-after-2500 feed: the update's pre/post pairs and
     // the delete's images (carrying POST-update values — sequencing), the
     // append's inserts excluded by the timestamp bound

@@ -99,7 +99,9 @@ class GraftCatalog extends TableCatalog {
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** The analyzer's CREATE path (Spark 4 Column form): DEFAULT clauses
     * and GENERATED ALWAYS AS expressions arrive as FIRST-CLASS Column
@@ -121,7 +123,12 @@ class GraftCatalog extends TableCatalog {
       case c if c.generationExpression() != null =>
         c.name() -> c.generationExpression()
     }
-    createImpl(ident, schema, partitions, defaults, gens)
+    val idents = columns.toSeq.collect {
+      case c if c.identityColumnSpec() != null =>
+        val s = c.identityColumnSpec()
+        (c.name(), s.getStart, s.getStep, s.isAllowExplicitInsert)
+    }
+    createImpl(ident, schema, partitions, defaults, gens, idents)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -135,13 +142,14 @@ class GraftCatalog extends TableCatalog {
       case f if f.metadata.contains(curKey) =>
         f.name -> f.metadata.getString(curKey)
     }
-    createImpl(ident, schema, partitions, defaults, Nil)
+    createImpl(ident, schema, partitions, defaults, Nil, Nil)
   }
 
   private def createImpl(ident: Identifier, schema: StructType,
                          partitions: Array[Transform],
                          defaults: Seq[(String, String)],
-                         gens: Seq[(String, String)]): Table = {
+                         gens: Seq[(String, String)],
+                         idents: Seq[(String, Long, Long, Boolean)] = Nil): Table = {
     val p = pathOf(ident)
     if (TxLog.versions(p).nonEmpty) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map { t =>
@@ -158,10 +166,13 @@ class GraftCatalog extends TableCatalog {
     defaults.foreach { case (n, sql) =>
       TxLog.setColumnDefault(spark, p, n, sql)
     }
-    // generated columns declare on the still-empty table (the
-    // creation-time rule addGeneratedColumn enforces)
+    // generated and identity columns declare on the still-empty table
+    // (the creation-time rule both verbs enforce)
     gens.foreach { case (n, sql) =>
       TxLog.addGeneratedColumn(spark, p, n, sql)
+    }
+    idents.foreach { case (n, start, step, allowExplicit) =>
+      TxLog.addIdentityColumn(p, n, start, step, allowExplicit)
     }
     new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p), None, partCols)
   }
