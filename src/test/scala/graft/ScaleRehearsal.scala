@@ -182,7 +182,10 @@ object ScaleRehearsal {
     // to force the DISTRIBUTED DV-delta fold onto the record.)
     "q316_txlog_incremental_view", "q317_txlog_merge_evolution",
     "q318_txlog_clause_evolution", "q319_txlog_merge_on_residual",
-    "q320_txlog_defaults", "q321_txlog_table_changes")
+    "q320_txlog_defaults", "q321_txlog_table_changes",
+    // identity assignment is scan-local (watermark + step * monotonic
+    // id, no shuffle, no count); the fixture appends are data-sized
+    "q322_txlog_identity")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
