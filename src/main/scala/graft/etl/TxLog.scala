@@ -430,9 +430,24 @@ object TxLog {
 
   /** Attempt to publish `actions` as version `v`; true iff this writer
     * won the race for that version number. */
-  private def tryCommit(table: String, v: Long, actions: Seq[Action]): Boolean =
-    CommitStore.of(table).tryPut(table, f"$v%020d.json",
+  /** Automatic checkpoint cadence (round 15 — the Delta every-10-commits
+    * pattern): each Nth committed version publishes a checkpoint so
+    * snapshot replay stays O(N + files), not O(table age), without any
+    * caller ever thinking about it. Best-effort and idempotent: a failed
+    * or raced checkpoint write costs nothing (replay falls back to the
+    * previous one), and [[checkpoint]] remains callable manually. 0
+    * disables (tests that pin exact log layouts). */
+  private def CheckpointEvery: Long =
+    sys.props.get("graft.txlog.checkpoint.every").map(_.toLong).getOrElse(10L)
+
+  private def tryCommit(table: String, v: Long, actions: Seq[Action]): Boolean = {
+    val ok = CommitStore.of(table).tryPut(table, f"$v%020d.json",
       actions.map(render).mkString("\n"))
+    if (ok && CheckpointEvery > 0 && v % CheckpointEvery == 0)
+      try checkpoint(table)
+      catch { case _: Throwable => () } // best-effort; replay needs no cp
+    ok
+  }
 
   /** Parquet staging writes go through a per-session clone (shared
     * SparkContext, own SQLConf) pinned to INT64 TIMESTAMP_MICROS: the

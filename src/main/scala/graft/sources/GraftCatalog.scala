@@ -128,7 +128,7 @@ class GraftCatalog extends TableCatalog {
         val s = c.identityColumnSpec()
         (c.name(), s.getStart, s.getStep, s.isAllowExplicitInsert)
     }
-    createImpl(ident, schema, partitions, defaults, gens, idents)
+    createImpl(ident, schema, partitions, defaults, gens, idents, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -142,14 +142,22 @@ class GraftCatalog extends TableCatalog {
       case f if f.metadata.contains(curKey) =>
         f.name -> f.metadata.getString(curKey)
     }
-    createImpl(ident, schema, partitions, defaults, Nil, Nil)
+    createImpl(ident, schema, partitions, defaults, Nil, Nil, properties)
   }
+
+  /** Engine-reserved property keys Spark injects into every CREATE —
+    * never user intent, never persisted. */
+  private val ReservedProps =
+    Set("provider", "location", "owner", "external", "is_managed_location",
+      "path")
 
   private def createImpl(ident: Identifier, schema: StructType,
                          partitions: Array[Transform],
                          defaults: Seq[(String, String)],
                          gens: Seq[(String, String)],
-                         idents: Seq[(String, Long, Long, Boolean)] = Nil): Table = {
+                         idents: Seq[(String, Long, Long, Boolean)] = Nil,
+                         properties: java.util.Map[String, String] =
+                           java.util.Collections.emptyMap()): Table = {
     val p = pathOf(ident)
     if (TxLog.versions(p).nonEmpty) throw new TableAlreadyExistsException(ident)
     val partCols = partitions.toSeq.map { t =>
@@ -174,6 +182,16 @@ class GraftCatalog extends TableCatalog {
     idents.foreach { case (n, start, step, allowExplicit) =>
       TxLog.addIdentityColumn(p, n, start, step, allowExplicit)
     }
+    // TBLPROPERTIES persist at create (round 15 — previously dropped):
+    // the table property is how CDF and friends are enabled, so
+    // `CREATE TABLE … TBLPROPERTIES ('graft.changeDataFeed'='true')`
+    // must work through plain SQL. Spark-injected engine keys and
+    // `option.`-prefixed reader options are never user intent.
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      ReservedProps(k) || k.startsWith("option.")
+    }
+    if (userProps.nonEmpty) TxLog.setProperties(p, userProps)
     new TxLogDsv2Table(p, TxLogSource.declaredOrInferred(p), None, partCols)
   }
 

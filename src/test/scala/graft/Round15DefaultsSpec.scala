@@ -161,6 +161,41 @@ class Round15DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CREATE TABLE TBLPROPERTIES persist (CDF active from birth)") {
+    import spark.implicits._
+    val t = tmp()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.changeDataFeed'='true', 'team'='ml')")
+    val props = TxLog.propertiesOf(t)
+    assert(props == Map("graft.changeDataFeed" -> "true", "team" -> "ml"),
+      s"reserved keys must not persist: $props")
+    // CDF is live from the first DML — the delete stages an exact record
+    TxLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1))
+    val v0 = TxLog.versions(t).last
+    TxLog.deleteWhere(spark, t, col("id") === 1L)
+    val feed = TxLog.changeFeed(spark, t, v0)
+    assert(feed.select(col(TxLog.ChangeTypeCol), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("delete", 1L)))
+  }
+
+  test("automatic checkpoints every N commits shortcut replay") {
+    import spark.implicits._
+    val t = tmp()
+    (1 to 12).foreach { i =>
+      TxLog.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .coalesce(1))
+    }
+    // the 10th commit auto-published a checkpoint
+    assert(TxLog.checkpoints(t).nonEmpty,
+      s"expected an auto-checkpoint, have ${TxLog.checkpoints(t)}")
+    // replay (through the checkpoint) and pre-checkpoint time travel
+    // both stay exact
+    assert(TxLog.read(spark, t).count() == 12L)
+    assert(TxLog.read(spark, t, Some(5L)).count() == 5L)
+  }
+
   test("SQL: ALTER COLUMN SET DEFAULT / DROP DEFAULT verbs") {
     import spark.implicits._
     val t = tmp()
