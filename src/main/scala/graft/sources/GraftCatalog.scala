@@ -169,8 +169,64 @@ class GraftCatalog extends TableCatalog {
     }
     val clean = StructType(schema.fields.map(
       _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    TxLog.create(p, clean, partCols)
     val spark = org.apache.spark.sql.SparkSession.active
+    // validate EVERY declaration BEFORE the create commit (round-16,
+    // ADVICE r15 #5): the per-verb DDL calls below run after TxLog.create
+    // has already published version 1, so a declaration they would
+    // refuse (IDENTITY on a non-BIGINT column, a non-constant DEFAULT,
+    // a generation expression of the wrong type) must fail HERE — a
+    // mid-way failure would otherwise leave a half-created table whose
+    // corrected CREATE retry hits TableAlreadyExistsException. The
+    // checks mirror setColumnDefault / addGeneratedColumn /
+    // addIdentityColumn against the in-memory schema.
+    locally {
+      import org.apache.spark.sql.functions.expr
+      val byName = clean.fields.map(f => f.name -> f).toMap
+      val genNames = gens.map(_._1).toSet
+      val defNames = defaults.map(_._1).toSet
+      def emptyProbe(s: StructType) = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      def typeOk(resolved: org.apache.spark.sql.types.DataType,
+                 declared: org.apache.spark.sql.types.DataType): Boolean =
+        resolved == declared ||
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(resolved, declared)
+      defaults.foreach { case (n, sql) =>
+        val f = byName.getOrElse(n, throw new IllegalArgumentException(
+          s"DEFAULT on unknown column $n"))
+        val resolved =
+          try emptyProbe(StructType(Nil)).select(expr(sql)).schema.head.dataType
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"DEFAULT for $n must be a constant expression: ${e.getMessage}")
+          }
+        require(typeOk(resolved, f.dataType),
+          s"DEFAULT for $n yields ${resolved.simpleString} but the column " +
+            s"is declared ${f.dataType.simpleString} — cast inside the " +
+            "expression")
+      }
+      gens.foreach { case (n, sql) =>
+        val f = byName.getOrElse(n, throw new IllegalArgumentException(
+          s"GENERATED column $n is not in the declared schema"))
+        val others = StructType(clean.fields.filterNot(x =>
+          x.name == n || genNames(x.name)))
+        val resolved = emptyProbe(others).select(expr(sql)).schema.head.dataType
+        require(typeOk(resolved, f.dataType),
+          s"generation expression for $n yields ${resolved.simpleString} " +
+            s"but the column is declared ${f.dataType.simpleString} — cast " +
+            "inside the expression")
+      }
+      idents.foreach { case (n, _, step, _) =>
+        require(step != 0L, "IDENTITY step must be non-zero")
+        val f = byName.getOrElse(n, throw new IllegalArgumentException(
+          s"IDENTITY column $n is not in the declared schema"))
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column $n must be declared BIGINT")
+        require(!genNames(n) && !defNames(n),
+          s"$n already carries a generated/default declaration")
+      }
+    }
+    TxLog.create(p, clean, partCols)
     defaults.foreach { case (n, sql) =>
       TxLog.setColumnDefault(spark, p, n, sql)
     }

@@ -274,11 +274,19 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     // _commit_version; normalize via dataSchemaOf so the flag composes
     // whether the table was built with or without the option
     val cdf = options.getBoolean("readChangeFeed", false)
+    // streaming admission control (round-16): bounded backlog draining —
+    // batch reads ignore both (a snapshot has no trigger)
+    val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+    maxV.foreach(n => require(n >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $n"))
+    val maxB = Option(options.get("maxBytesPerTrigger")).map(_.trim.toLong)
+    maxB.foreach(n => require(n >= 1L,
+      s"maxBytesPerTrigger must be >= 1, got $n"))
     val outSchema =
       if (cdf) TxLogSource.cdfSchema(TxLogSource.dataSchemaOf(schema()))
       else schema()
     () => new TxLogV1Scan(path, outSchema, asOf, skipChanges, startingV, cdf,
-      startingTs)
+      startingTs, maxV, maxB)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -302,7 +310,9 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
                                    skipChangeCommits: Boolean = false,
                                    startingVersion: Option[String] = None,
                                    cdf: Boolean = false,
-                                   startingTimestamp: Option[Long] = None)
+                                   startingTimestamp: Option[Long] = None,
+                                   maxVersions: Option[Int] = None,
+                                   maxBytes: Option[Long] = None)
     extends V1Scan {
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -363,8 +373,10 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
       TxLog.versionAtOrAfter(path, ts).map(_ - 1)
         .getOrElse(TxLog.versions(path).lastOption.getOrElse(0L))
     }).getOrElse(0L)
-    if (cdf) new TxLogCdfMicroBatchStream(path, declared, init, skipChangeCommits)
-    else new TxLogMicroBatchStream(path, declared, skipChangeCommits, init)
+    if (cdf) new TxLogCdfMicroBatchStream(path, declared, init,
+      skipChangeCommits, maxVersions, maxBytes)
+    else new TxLogMicroBatchStream(path, declared, skipChangeCommits, init,
+      maxVersions, maxBytes)
   }
 }
 
@@ -396,12 +408,23 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
   * downstream, so the consumer must opt in to skipping. */
 private[sources] class TxLogMicroBatchStream(path: String, declared: StructType,
                                              skipChangeCommits: Boolean = false,
-                                             initOffset: Long = 0L)
-    extends streaming.MicroBatchStream {
+                                             initOffset: Long = 0L,
+                                             maxVersions: Option[Int] = None,
+                                             maxBytes: Option[Long] = None)
+    extends streaming.MicroBatchStream with TxLogAdmission {
 
   private case class VOffset(v: Long) extends streaming.Offset {
     override def json(): String = v.toString
   }
+
+  override protected def admissionPath: String = path
+  override protected def maxVersionsPerTrigger: Option[Int] = maxVersions
+  override protected def maxBytesPerTrigger: Option[Long] = maxBytes
+  override protected def mkOffset(v: Long): streaming.Offset = VOffset(v)
+  override protected def versionBytes(v: Long): Long =
+    TxLog.cdcAddedBetween(path, v - 1, v, skipChangeCommits)
+      .map(rel => java.nio.file.Files.size(java.nio.file.Paths.get(path, rel)))
+      .sum
 
   override def initialOffset(): streaming.Offset =
     VOffset(initOffset) // 0 = full backlog; startingVersion shifts it
@@ -456,6 +479,84 @@ private[sources] class TxLogMicroBatchStream(path: String, declared: StructType,
 private[sources] case class TxLogFilePartition(abs: String, len: Long)
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** Streaming ADMISSION CONTROL for the version-offset log sources
+  * (round-16, VERDICT r15 "what's missing" #2): without it,
+  * `latestOffset` always answers the head version, so a stream starting
+  * against a large backlog plans ONE micro-batch over every accumulated
+  * commit — unbounded at 100 TB. The Delta-reader options translated to
+  * a version-offset log:
+  *
+  *  - `maxVersionsPerTrigger` (the `maxFilesPerTrigger` twin — a commit
+  *    is this log's atomic delivery unit): at most N versions per batch.
+  *  - `maxBytesPerTrigger`: admit versions while the accumulated
+  *    added-file bytes stay within the budget, always at least one
+  *    version per batch (a single oversized commit must still make
+  *    progress — the Delta soft-max posture).
+  *
+  * Admission cost: `maxVersionsPerTrigger` is O(1) arithmetic on the
+  * version list the trigger already reads; `maxBytesPerTrigger` sizes
+  * only the versions it ADMITS (same metadata the subsequent
+  * `planInputPartitions` stats anyway) — never the whole backlog.
+  * Trigger.AvailableNow pins the head at prepare time, so the bounded
+  * batches drain exactly the prepared backlog and the stream finishes
+  * (SupportsTriggerAvailableNow, not the engine-side wrapper). */
+private[sources] trait TxLogAdmission
+    extends streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow {
+
+  protected def admissionPath: String
+  protected def maxVersionsPerTrigger: Option[Int]
+  protected def maxBytesPerTrigger: Option[Long]
+  /** Added bytes of ONE version (admission metadata only). */
+  protected def versionBytes(v: Long): Long
+  protected def mkOffset(v: Long): streaming.Offset
+
+  @volatile private var availableNowCap: Option[Long] = None
+  private def head: Long =
+    TxLog.versions(admissionPath).lastOption.getOrElse(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head)
+
+  override def getDefaultReadLimit: streaming.ReadLimit = {
+    val limits = maxVersionsPerTrigger.map(n =>
+        streaming.ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(b => streaming.ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq()  => streaming.ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => streaming.ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val lo = start.json().trim.toLong
+    val hd = availableNowCap.fold(head)(math.min(head, _))
+    if (hd <= lo) return mkOffset(lo)
+    def apply(l: streaming.ReadLimit): Long = l match {
+      case f: streaming.ReadMaxFiles =>
+        math.min(hd, lo + math.max(1, f.maxFiles()).toLong)
+      case b: streaming.ReadMaxBytes =>
+        var v = lo
+        var acc = 0L
+        var stop = false
+        while (v < hd && !stop) {
+          val nb = versionBytes(v + 1)
+          if (v > lo && acc + nb > b.maxBytes()) stop = true
+          else { v += 1; acc += nb }
+        }
+        v
+      case c: streaming.CompositeReadLimit =>
+        c.getReadLimits.map(apply).min
+      case _ => hd // ReadAllAvailable (and anything future) = no cap
+    }
+    mkOffset(apply(limit))
+  }
+
+  override def reportLatestOffset(): streaming.Offset = mkOffset(head)
+}
+
 /** CHANGE-FEED micro-batch source (round-14, VERDICT r13 #5): offsets are
   * version numbers like [[TxLogMicroBatchStream]], but batch (start, end]
   * delivers ROW-LEVEL CHANGES — each version's exact CDC sidecars (rows
@@ -469,8 +570,10 @@ private[sources] case class TxLogFilePartition(abs: String, len: Long)
 private[sources] class TxLogCdfMicroBatchStream(path: String,
                                                 outSchema: StructType,
                                                 initOffset: Long = 0L,
-                                                skipChangeCommits: Boolean = false)
-    extends streaming.MicroBatchStream {
+                                                skipChangeCommits: Boolean = false,
+                                                maxVersions: Option[Int] = None,
+                                                maxBytes: Option[Long] = None)
+    extends streaming.MicroBatchStream with TxLogAdmission {
 
   private val dataSchema = TxLogSource.dataSchemaOf(outSchema)
   private val cdcFileSchema = StructType(dataSchema.fields :+
@@ -480,6 +583,16 @@ private[sources] class TxLogCdfMicroBatchStream(path: String,
   private case class VOffset(v: Long) extends streaming.Offset {
     override def json(): String = v.toString
   }
+
+  override protected def admissionPath: String = path
+  override protected def maxVersionsPerTrigger: Option[Int] = maxVersions
+  override protected def maxBytesPerTrigger: Option[Long] = maxBytes
+  override protected def mkOffset(v: Long): streaming.Offset = VOffset(v)
+  override protected def versionBytes(v: Long): Long =
+    TxLog.cdfPlan(path, v - 1, v, skipChangeCommits)
+      .map { case (_, abs, _) =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(abs)) }
+      .sum
 
   override def initialOffset(): streaming.Offset = VOffset(initOffset)
   override def latestOffset(): streaming.Offset =

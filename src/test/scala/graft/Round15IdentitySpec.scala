@@ -65,10 +65,19 @@ class Round15IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
     TxLog.append(spark, t2, Seq("y").toDF("s").coalesce(1))
     val got = ids(t2)
     assert(got.head == 500L && got(1) > 500L, s"got $got")
-    // explicit nulls refuse (the SQL column-list fill shape)
+    // an ALL-NULL supplied column is OMITTED (round-16, ADVICE r15 #3:
+    // SQL INSERT's analyzer null-fill must assign, not refuse) …
+    TxLog.append(spark, t2,
+      Seq((null.asInstanceOf[java.lang.Long], "z"))
+        .toDF("id", "s").coalesce(1))
+    val after = ids(t2)
+    assert(after.size == 3 && after.distinct.size == 3 &&
+      after.max > 500L, s"all-null supply must assign: $after")
+    // … while a MIXED null/non-null supply still refuses loudly
     intercept[IllegalArgumentException] {
       TxLog.append(spark, t2,
-        Seq((null.asInstanceOf[java.lang.Long], "z"))
+        Seq((java.lang.Long.valueOf(9000L), "p"),
+            (null.asInstanceOf[java.lang.Long], "q"))
           .toDF("id", "s").coalesce(1))
     }
   }
