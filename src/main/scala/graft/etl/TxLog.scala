@@ -4349,9 +4349,15 @@ object TxLog {
     * empty parquet read would — callers check `versions` first. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val (adds, dvs) = replayState(table, asOf)
-    val files = adds.map(a => s"$table/${a.path}")
-    require(files.nonEmpty, s"empty snapshot for $table asOf=$asOf")
-    applyDvs(spark, table, boundRead(spark, table, files, asOf), dvs)
+    require(adds.nonEmpty, s"empty snapshot for $table asOf=$asOf")
+    // round-16: the snapshot lists through [[StatsFileIndex]] (same
+    // bound-schema semantics as boundRead — see [[prunedBoundRead]]),
+    // so WHATEVER filters a query later pushes prune whole files at
+    // planning — including on DV-carrying and column-mapped tables,
+    // which the TxLogTable file-index relation refuses. Data-column
+    // predicates push below the DV anti-join into the scan, so the
+    // skipping composes with merge-on-read deletes.
+    applyDvs(spark, table, prunedBoundRead(spark, table, adds, asOf), dvs)
   }
 
   /** Metadata-only table profile: exact row count and per-column

@@ -185,7 +185,15 @@ object ScaleRehearsal {
     "q320_txlog_defaults", "q321_txlog_table_changes",
     // identity assignment is scan-local (watermark + step * monotonic
     // id, no shuffle, no count); the fixture appends are data-sized
-    "q322_txlog_identity")
+    "q322_txlog_identity",
+    // round-16: admission-controlled drain (per-version micro-batches
+    // scale with data, admission arithmetic with versions), MERGE
+    // identity inherit (affected-files aggregate + broadcast join),
+    // pruned CDF read (file skipping should keep the filtered read
+    // sublinear), SQL identity insert (two single-partition writes —
+    // the deliberate determinism fixture, expected ~linear)
+    "q323_txlog_admission", "q324_txlog_merge_identity",
+    "q325_txlog_cdf_filtered", "q326_txlog_sql_identity")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.tune(
