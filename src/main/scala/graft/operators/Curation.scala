@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -845,7 +847,53 @@ object Curation {
        |FROM sel ORDER BY round""".stripMargin
   }
 
+  /** q328's blocklist: two whole-source zones (every subdomain blocked)
+    * plus one exact host — the three match KINDS a real decontamination
+    * blocklist mixes. Shared by the engine and the generated oracle. */
+  private[operators] val BlockedDomains =
+    Seq("src1.org", "src3.org", "d0.src5.org")
+
+  /** q328 — DOMAIN-SUFFIX decontamination (URL/domain blocklists are
+    * the first screen of every web-corpus pipeline; a blocked domain
+    * must also block its subdomains). Each document's host explodes
+    * into its SUFFIX CHAIN (`a.b.c → [a.b.c, b.c, c]` via
+    * transform/sequence — depth-generic, scan-local) and the chain
+    * equi-joins the blocklist: O(docs·depth) rows through a hash join,
+    * so a MILLION-entry blocklist costs the same plan — no LIKE scan,
+    * no cartesian, broadcast while the list is small and an ordinary
+    * shuffle join when it is not. The host is derived deterministically
+    * from the corpus (`d<doc_id%7>.<source>.org`) so the query is
+    * self-contained at every SF. */
+  def q328DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bl = s.createDataFrame(
+      BlockedDomains.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sfx",
+          org.apache.spark.sql.types.StringType))))
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      concat(lit("d"), (col("doc_id") % 7).cast("string"), lit("."),
+        col("source"), lit(".org")).as("domain"))
+    val sfx = d
+      .withColumn("parts", split(col("domain"), "\\."))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(parts)), " +
+          "i -> array_join(slice(parts, i, size(parts) - i + 1), '.'))"))
+        .as("sfx"))
+    val blocked = sfx.join(broadcast(bl), Seq("sfx"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    d.join(blocked, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_blocked"),
+        sum(when(col("hit").isNotNull, col("n_chars")).otherwise(0L))
+          .as("blocked_chars"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_domain_blocklist" -> (q328DomainBlocklist _),
     "q257_max_coverage" -> ((s, d) => maxCoverage(Tables.documents(s, d))),
     "q235_holdout_ppl" -> ((s, d) => holdoutPerplexity(s, Tables.documents(s, d))),
     "q205_shuffle_quality" -> ((s, d) => shuffleQuality(Tables.documents(s, d))),
@@ -867,6 +915,31 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    // generated from the SAME BlockedDomains list as the engine; the
+    // synthesized host has exactly three labels, so the suffix chain
+    // closes to three UNION ALL arms
+    "q328_domain_blocklist" -> {
+      val values = BlockedDomains.map(b => s"('$b')").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    'd' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org'
+         |      AS domain
+         |  FROM documents),
+         |sfx AS (
+         |  SELECT doc_id, domain AS sfx FROM d
+         |  UNION ALL SELECT doc_id, source || '.org' FROM d
+         |  UNION ALL SELECT doc_id, 'org' FROM d),
+         |bl(b) AS (SELECT * FROM (VALUES $values)),
+         |blocked AS (
+         |  SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.sfx = bl.b)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_blocked,
+         |  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS blocked_chars
+         |FROM d LEFT JOIN blocked b USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "q257_max_coverage" -> maxCoverageOracle(CoverK),
     "q235_holdout_ppl" ->
       s"""WITH sp AS (

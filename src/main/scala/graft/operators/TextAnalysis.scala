@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{Pin, TextFunctions, VectorFunctions}
 
 /** Per-document text analysis for a training-data pipeline (north-star
   * extension): language id, quality scoring, token counting, fingerprinting.
@@ -536,7 +536,60 @@ object TextAnalysis {
       .limit(HapaxTopN)
   }
 
+  /** q327 — per-document TOKEN-ENTROPY quality filter (the classic
+    * repetitiveness signal of the C4/Gopher quality screens: templated
+    * and looping documents have low token-distribution entropy). Per
+    * doc, `H = ln L − (1/L)·Σ_w c_w·ln c_w` over the token histogram;
+    * a doc is flagged LOW-ENTROPY when its entropy falls below the
+    * corpus mean — and that comparison is EXACT integer arithmetic
+    * (per-doc scaled-long entropy × corpus count vs the corpus sum over
+    * a common denominator), so the flag is bit-stable cross-engine.
+    * Every `ln` is grid-pinned at the transcendental (the round-11
+    * rule); per-doc terms are floor-scaled longs, so every sum is
+    * order-free. Outputs stay INTEGER (scaled sums), never dividing a
+    * >2^53 integer into a double.
+    *
+    * Scale shape: token explode → two partial-aggregated shuffles
+    * (doc×token, then doc) → a 1-row global broadcast → one tiny lang
+    * rollup. No window, no cross-join beyond the 1-row mean; 100 TB
+    * cost is the token explode every corpus statistic here pays. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val cs = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    // Σ c·pin(ln c) as floor-scaled longs (inner 1e9 scale matches the
+    // pin grid); len = L
+    val perDoc = cs.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("len"),
+        sum(floor(col("c").cast("double") *
+            Pin.grid9(log(col("c").cast("double"))) * lit(1.0e9))
+          .cast("decimal(38,0)")).as("t"))
+      // e = floor(H · 1e12): the per-doc integer entropy
+      .withColumn("e",
+        floor((Pin.grid9(log(col("len").cast("double"))) -
+          (col("t").cast("double") / lit(1.0e9)) /
+            col("len").cast("double")) * lit(1.0e12)).cast("long"))
+    val global = perDoc.agg(
+      sum(col("e").cast("decimal(38,0)")).as("se"),
+      count(lit(1)).as("n"))
+    perDoc.crossJoin(broadcast(global))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e").cast("decimal(38,0)") *
+            col("n").cast("decimal(38,0)") < col("se"), 1L)
+          .otherwise(0L)).as("n_low"),
+        // integer-divided to a 1e6 grid before the per-lang sum, so the
+        // output stays a plain BIGINT at any SF (the internal flag math
+        // keeps full e12 precision above)
+        sum(expr("e DIV 1000000")).as("sum_e6"),
+        min(col("e")).as("min_e"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_token_entropy" -> ((s, d) => tokenEntropy(Tables.documents(s, d))),
     "q238_hapax_docs" -> ((s, d) => hapaxDocs(s, Tables.documents(s, d))),
     "q237_burstiness" -> ((s, d) => burstiness(Tables.documents(s, d))),
     "q166_len_histogram" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
@@ -662,6 +715,37 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    // identical term structure and fold order as the engine: pinned ln
+    // at each transcendental, floor-scaled integer sums, exact integer
+    // mean comparison — outputs stay integer (never HUGEINT->DOUBLE)
+    "q327_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, tk.w AS w
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) tk(w)),
+        |cs AS (
+        |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, lang, w),
+        |pd AS (
+        |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS len,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) *
+        |      (floor(ln(CAST(c AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9)
+        |      * 1.0e9) AS HUGEINT)) AS HUGEINT) AS t
+        |  FROM cs GROUP BY doc_id, lang),
+        |pe AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor((floor(ln(CAST(len AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9
+        |      - (CAST(t AS DOUBLE) / 1.0e9) / CAST(len AS DOUBLE))
+        |      * 1.0e12) AS BIGINT) AS e
+        |  FROM pd),
+        |g AS (SELECT CAST(sum(e) AS HUGEINT) AS se,
+        |        CAST(count(*) AS HUGEINT) AS n FROM pe)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN CAST(e AS HUGEINT) * (SELECT n FROM g)
+        |    < (SELECT se FROM g) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(e // 1000000) AS BIGINT) AS sum_e6,
+        |  CAST(min(e) AS BIGINT) AS min_e
+        |FROM pe GROUP BY lang ORDER BY lang""".stripMargin,
     "q238_hapax_docs" ->
       s"""WITH w AS (
          |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws
