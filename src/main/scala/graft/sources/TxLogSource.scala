@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
@@ -285,7 +285,7 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     val outSchema =
       if (cdf) TxLogSource.cdfSchema(TxLogSource.dataSchemaOf(schema()))
       else schema()
-    () => new TxLogV1Scan(path, outSchema, asOf, skipChanges, startingV, cdf,
+    new TxLogScanBuilder(path, outSchema, asOf, skipChanges, startingV, cdf,
       startingTs, maxV, maxB)
   }
 
@@ -293,6 +293,81 @@ private[sources] class TxLogDsv2Table(path: String, declared: StructType,
     require(tableAsOf.isEmpty, "cannot write to a time-travel snapshot")
     new TxLogWriteBuilder(path, overwrite = false, createPartCols)
   }
+}
+
+/** Scan builder with FILTER and COLUMN pushdown (round-16): before
+  * this, the builder was a bare lambda and the V1 relation a plain
+  * `TableScan`, so a catalog-table `SELECT k FROM t WHERE k = 5` read
+  * EVERY file with EVERY column and filtered above the scan — at
+  * 100 TB, the difference between a full-table pass and opening the
+  * stats-admitted files. Pushed filters are translated to Column
+  * predicates (the translatable subset; the rest stay residual) and
+  * applied INSIDE the bridged relation, where they reach the stats
+  * file index (file skipping), the parquet reader (row-group skipping)
+  * and the DV anti-join's scan side; `pushedFilters` reports them so
+  * EXPLAIN shows the decision. Spark re-applies every filter above the
+  * scan (all filters are returned as residual), so correctness never
+  * depends on the translation. Column pruning narrows the relation
+  * schema itself. CDF scans keep the full change-record shape (their
+  * file-level pruning happens inside changeFeed). */
+private[sources] class TxLogScanBuilder(path: String, outSchema: StructType,
+                                        asOf: Option[Long],
+                                        skipChanges: Boolean,
+                                        startingV: Option[String],
+                                        cdf: Boolean,
+                                        startingTs: Option[Long],
+                                        maxV: Option[Int],
+                                        maxB: Option[Long])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.sources
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  /** The conservatively-translatable filter subset. A `None` leaves the
+    * filter to Spark's re-application above the scan. */
+  private def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(org.apache.spark.sql.functions.not)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    if (!cdf) pushed = filters.filter(f => toColumn(f).isDefined)
+    filters // everything stays residual: Spark re-applies above the scan
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // CDF keeps the full record; a pruned-to-nothing projection (e.g.
+    // count(*)) keeps one column so the bridged RDD stays row-shaped
+    if (!cdf) required = Some(
+      if (requiredSchema.isEmpty) StructType(outSchema.fields.take(1))
+      else requiredSchema)
+
+  override def build(): Scan =
+    new TxLogV1Scan(path, required.getOrElse(outSchema), asOf, skipChanges,
+      startingV, cdf, startingTs, maxV, maxB,
+      pushed.toIndexedSeq.flatMap(toColumn))
 }
 
 /** V1Scan bridge: materializes the scan through [[TxLogTable]]'s
@@ -312,7 +387,8 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
                                    cdf: Boolean = false,
                                    startingTimestamp: Option[Long] = None,
                                    maxVersions: Option[Int] = None,
-                                   maxBytes: Option[Long] = None)
+                                   maxBytes: Option[Long] = None,
+                                   preds: Seq[Column] = Nil)
     extends V1Scan {
   override def readSchema(): StructType = declared
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -347,7 +423,8 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
       }).getOrElse(0L)
       new TxLogCdfRelation(context, path, declared, from, asOf).asInstanceOf[T]
     }
-    else new TxLogV1Relation(context, path, declared, asOf).asInstanceOf[T]
+    else new TxLogV1Relation(context, path, declared, asOf, preds)
+      .asInstanceOf[T]
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream = {
     require(asOf.isEmpty,
@@ -745,7 +822,7 @@ private[sources] class TxLogCdcReaderFactory(
 
 private[sources] class TxLogV1Relation(
     context: SQLContext, path: String, declared: StructType,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, preds: Seq[Column] = Nil)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = declared
@@ -753,13 +830,23 @@ private[sources] class TxLogV1Relation(
     val spark = context.sparkSession
     if (TxLog.snapshot(path, asOf).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared).rdd
-    // a DV-carrying or column-mapped table must route through the
-    // capability-aware reader (no file skipping there); plain tables
-    // keep the pruning FileIndex
-    else if (TxLog.dvsAt(path, asOf).nonEmpty ||
-             TxLog.renameMap(path, asOf).nonEmpty)
-      TxLog.read(spark, path, asOf).rdd
-    else TxLogTable(spark, path, asOf).rdd
+    else {
+      // a DV-carrying or column-mapped table routes through the
+      // capability-aware reader (which, since round 16, ALSO lists
+      // through the stats index); plain tables keep the pruning
+      // FileIndex relation. The pushed-down predicates and the pruned
+      // projection apply INSIDE this plan, so skipping happens during
+      // the inner planning — Spark re-applies the filters above, so a
+      // lossy translation can only cost performance, never rows.
+      val base =
+        if (TxLog.dvsAt(path, asOf).nonEmpty ||
+            TxLog.renameMap(path, asOf).nonEmpty)
+          TxLog.read(spark, path, asOf)
+        else TxLogTable(spark, path, asOf)
+      val filtered = preds.foldLeft(base)(_ filter _)
+      filtered.select(declared.fieldNames.toIndexedSeq.map(
+        org.apache.spark.sql.functions.col): _*).rdd
+    }
   }
 }
 
