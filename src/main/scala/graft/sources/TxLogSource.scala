@@ -320,13 +320,100 @@ private[sources] class TxLogScanBuilder(path: String, outSchema: StructType,
                                         maxB: Option[Long])
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources
   import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.connector.expressions.{aggregate => vagg, NamedReference}
+  import org.apache.spark.sql.types._
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: Option[StructType] = None
+  private var aggOut: Option[(StructType, Row)] = None
+
+  /** METADATA-ONLY aggregates (round-16): a bare `SELECT count(*) /
+    * min(c) / max(c) / count(c) FROM t` is answered from the commit
+    * log's footer-stats fold ([[TxLog.describe]]) without opening ONE
+    * data file — at 100 TB, zero data I/O instead of a full pass. The
+    * pushdown REFUSES (normal scan) whenever exactness cannot be
+    * proven: any residual filter or grouping, CDF mode, deletion
+    * vectors, a stats-less file, a distinct count, string min/max
+    * (parquet writers may truncate binary stats), or a token that does
+    * not convert to the declared type. Spark's planner only offers the
+    * aggregate when no other plan node needs the raw rows, and
+    * complete-pushdown means the single returned row IS the answer. */
+  private def describeAgg(agg: vagg.Aggregation): Option[(StructType, Row)] = {
+    if (cdf || pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val ta = TxLog.describe(path, asOf).getOrElse(return None)
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def declaredType(n: String): Option[DataType] =
+      outSchema.fields.find(_.name == n).map(_.dataType)
+    // stats token -> EXTERNAL row value of the declared type; None
+    // refuses the whole pushdown (never guess)
+    def tokenValue(token: String, dt: DataType): Option[Any] =
+      scala.util.Try[Any] {
+        dt match {
+          case LongType    => token.toLong
+          case IntegerType => token.toInt
+          case ShortType   => token.toShort
+          case ByteType    => token.toByte
+          case DoubleType  =>
+            val d = token.toDouble; require(!d.isNaN); d
+          case FloatType   =>
+            val f = token.toFloat; require(!f.isNaN); f
+          case BooleanType => token == "true"
+          case DateType    =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(token.toLong))
+          case TimestampType | TimestampNTZType =>
+            val micros = token.toLong
+            val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+            ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+            ts
+          case d: DecimalType =>
+            new java.math.BigDecimal(new java.math.BigInteger(token), d.scale)
+          case _ => return None // strings: truncation hazard; others: no
+        }
+      }.toOption
+    def extremum(e: org.apache.spark.sql.connector.expressions.Expression,
+                 isMin: Boolean): Option[(DataType, Any)] =
+      for {
+        n <- nameOf(e)
+        dt <- declaredType(n)
+        c <- ta.cols.get(n)
+        tok <- if (isMin) c.min else c.max
+        v <- tokenValue(tok, dt)
+      } yield (dt, v)
+    val resolved = agg.aggregateExpressions.toIndexedSeq.map {
+      case _: vagg.CountStar => Some((LongType: DataType, ta.rows: Any))
+      case c: vagg.Count if !c.isDistinct =>
+        for {n <- nameOf(c.column); ca <- ta.cols.get(n)}
+          yield (LongType: DataType, (ta.rows - ca.nulls): Any)
+      case m: vagg.Min => extremum(m.column, isMin = true)
+      case m: vagg.Max => extremum(m.column, isMin = false)
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val pairs = resolved.map(_.get)
+      val schema = StructType(pairs.zipWithIndex.map { case ((dt, _), i) =>
+        StructField(s"agg_$i", dt, nullable = true) })
+      Some((schema, Row(pairs.map(_._2): _*)))
+    }
+  }
+
+  override def supportCompletePushDown(agg: vagg.Aggregation): Boolean =
+    describeAgg(agg).isDefined
+
+  override def pushAggregation(agg: vagg.Aggregation): Boolean = {
+    aggOut = describeAgg(agg)
+    aggOut.isDefined
+  }
 
   /** The conservatively-translatable filter subset. A `None` leaves the
     * filter to Spark's re-application above the scan. */
@@ -367,7 +454,7 @@ private[sources] class TxLogScanBuilder(path: String, outSchema: StructType,
   override def build(): Scan =
     new TxLogV1Scan(path, required.getOrElse(outSchema), asOf, skipChanges,
       startingV, cdf, startingTs, maxV, maxB,
-      pushed.toIndexedSeq.flatMap(toColumn))
+      pushed.toIndexedSeq.flatMap(toColumn), aggOut)
 }
 
 /** V1Scan bridge: materializes the scan through [[TxLogTable]]'s
@@ -388,12 +475,18 @@ private[sources] class TxLogV1Scan(path: String, declared: StructType,
                                    startingTimestamp: Option[Long] = None,
                                    maxVersions: Option[Int] = None,
                                    maxBytes: Option[Long] = None,
-                                   preds: Seq[Column] = Nil)
+                                   preds: Seq[Column] = Nil,
+                                   aggOut: Option[(StructType, Row)] = None)
     extends V1Scan {
-  override def readSchema(): StructType = declared
+  override def readSchema(): StructType = aggOut.map(_._1).getOrElse(declared)
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    if (cdf) {
+    if (aggOut.isDefined) {
+      // metadata-only aggregate: the one-row answer computed from the
+      // commit log's stats fold at pushdown time — zero data I/O
+      val (schema, row) = aggOut.get
+      new TxLogAggRelation(context, schema, row).asInstanceOf[T]
+    } else if (cdf) {
       // batch CDF: (startingVersion-1, asOf-or-latest] through the exact/
       // derived changeFeed — the coarse record is acceptable in batch
       // (see TxLog.cdfPlan for why streams are stricter). Same option
@@ -818,6 +911,19 @@ private[sources] class TxLogCdcReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+/** The one-row relation a pushed-down metadata-only aggregate returns
+  * (round-16): the row was computed from [[TxLog.describe]]'s stats
+  * fold on the driver; no executor ever opens a data file. */
+private[sources] class TxLogAggRelation(context: SQLContext,
+                                        aggSchema: StructType, row: Row)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = aggSchema
+  override def buildScan(): RDD[Row] =
+    context.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), aggSchema).rdd
 }
 
 private[sources] class TxLogV1Relation(

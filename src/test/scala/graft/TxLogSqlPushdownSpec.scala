@@ -95,6 +95,47 @@ class TxLogSqlPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"DV table with id<=50 should still skip non-matching files, got $n")
   }
 
+  test("metadata-only aggregates: count/min/max answered with ZERO data I/O") {
+    val t = mkTable()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val read = recordsRead {
+      val r = spark.sql(
+        s"SELECT count(*), min(id), max(id), count(s) FROM graft.`$t`")
+        .collect().head
+      assert(r.getLong(0) == 300L && r.getLong(1) == 0L &&
+        r.getLong(2) == 299L && r.getLong(3) == 300L, r.toString)
+    }
+    // the one-row answer comes from the driver's stats fold: the single
+    // local row read is the pushed-down result itself, never file data
+    assert(read <= 1L, s"metadata-only aggregate read $read input rows")
+    // a WHERE keeps the aggregate on the normal scan path (filters are
+    // residual) — result stays exact
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$t` WHERE id >= 100").collect()
+      .head.getLong(0) == 200L)
+    // grouped aggregates are never pushed
+    assert(spark.sql(
+      s"SELECT grp, count(*) FROM graft.`$t` GROUP BY grp").collect()
+      .map(_.getLong(1)).sum == 300L)
+  }
+
+  test("aggregate pushdown refuses on DV tables and distinct counts") {
+    import spark.implicits._
+    val t = mkTable()
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // distinct count: normal scan, exact
+    assert(spark.sql(s"SELECT count(DISTINCT grp) FROM graft.`$t`")
+      .collect().head.getLong(0) == 7L)
+    // a DV makes describe() refuse -> aggregate falls back to the scan
+    TxLog.deleteWhereMerge(spark, t, col("id") === 5L)
+    val read = recordsRead {
+      assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").collect()
+        .head.getLong(0) == 299L)
+    }
+    assert(read >= 299L,
+      s"DV table count must scan (stats overcount deleted rows), read $read")
+  }
+
   test("column pruning narrows the scan schema") {
     val t = mkTable()
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
