@@ -154,6 +154,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q138_burst_detect", // 1-row moment attach on the per-minute frame
       "q139_kmv_overlap", // |sources|-bounded sketch-pair theta join
       "q144_pps_sample", // 1-row corpus-total attach on the scan
+      "q327_token_entropy", // 1-row corpus-mean attach on the per-doc frame
       "q146_hits", // 1-row max-authority attach for the final normalization
       "q148_pmi", // 1-row unigram/bigram-total attaches
       "q150_quantile_norm", // 1-row N + score-cardinality-bounded [lo,hi] range join
