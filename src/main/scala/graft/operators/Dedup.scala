@@ -628,7 +628,15 @@ object Dedup {
       concat_ws(":", (lit(b) +: (b * r until (b + 1) * r)
         .map(i => col(s"h$i"))): _*)
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey"))
+    // cached (round-16 optimization): BOTH sides of the bucket self-join
+    // consume `banded`, and Catalyst has no DAG sharing — uncached, the
+    // before-plan showed the whole signature pipeline TWICE (two parquet
+    // scans, two explodes, two 60-column min aggregates: 2× the 60
+    // md5-per-posting-row hash work that dominates this query's compute).
+    // The frame is |docs|·bands rows of (doc_id, bkey) — corpus-bounded,
+    // the same class of intermediate jaccardPairs already caches.
+    val banded = CacheScope.cached(
+      sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bkey")))
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))

@@ -663,6 +663,13 @@ object Graph {
   /** q213's pinned result size. */
   private[operators] val AaTopN = 20
 
+  /** Target wedge rows generated per task (q213): sizes the wedge stage's
+    * partial-aggregate hash map below the spill threshold — ~1.5M map
+    * entries × ~48 B ≈ 72 MB, comfortably inside a task's execution-memory
+    * share at any sane executor sizing. Measured at sf0.1 (AaProbe3):
+    * 2.3M rows/task spills (15.1 s), 1.0–1.5M never does (8.6–9.4 s). */
+  private[operators] val WedgeRowsPerTask = 1.5e6
+
   /** q213 — Adamic–Adar link prediction over the co-purchase graph: for
     * every NON-adjacent part pair (u, v), score(u,v) = Σ_{w ∈ N(u)∩N(v)}
     * 1/ln(deg(w)) (Adamic & Adar 2003) — rare shared neighbors count
@@ -708,20 +715,9 @@ object Graph {
     val term = floor(lit(1e12) /
         graft.functions.Pin.grid9(log(size(col("dsts")).cast("double"))))
       .cast("long")
-    // wedges centered at w: unordered neighbor pairs u < v, generated
-    // SCAN-LOCALLY from the sorted adjacency array (posexplode + slice) —
-    // no self-join, no u>v half to discard; the deg² expansion feeds the
-    // (u,v) partial aggregate inside the same stage (measured 37 s → see
-    // PLANS.md vs the former adjacency self-join at sf0.1)
-    // degree-1 nodes center no wedge; filtering them FIRST also keeps the
-    // term's ln(deg) division away from ln(1) = 0 (ANSI divide-by-zero)
-    val wedges = nb.filter(size(col("dsts")) >= 2)
-      .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
-      .select(col("t"), col("u"),
-        explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
     // overflow guard (round-10, ADVICE): a pair's term count is bounded by
     // the max degree (common neighbors ⊆ N(u)), and long@1e12 holds ~6.4e6
-    // terms (2^63 / (1e12/ln 2)). The max-degree aggregate is the FIRST
+    // terms (2^63 / (1e12/ln 2)). The stats aggregate is the FIRST
     // action on the cached adjacency, so this single job doubles as the
     // cache materialization the wedge + exclusion stages need anyway — no
     // separate warm-up job exists. Falls back to an exact decimal(38,0)
@@ -729,8 +725,50 @@ object Graph {
     // HUGEINT oracle is exact either way, so both engines degrade
     // identically. coalesce: max over an EMPTY adjacency is null (round-11,
     // ADVICE) — an empty graph takes the long fast path, not an NPE.
-    val maxDeg = nb.agg(coalesce(max(size(col("dsts"))), lit(0)).as("m"))
-      .head().getInt(0)
+    // The SAME job also returns Σ C(deg, 2) — the exact wedge-row count —
+    // which sizes the wedge stage below (free: one more agg column on a
+    // job that must run anyway).
+    val degL = size(col("dsts")).cast("long")
+    // deg·(deg−1) summed as LONG (the `/` operator would widen to double);
+    // halved on the driver — the product is always even
+    val statsRow = nb.agg(
+      coalesce(max(size(col("dsts"))), lit(0)).as("m"),
+      coalesce(sum(degL * (degL - lit(1L))), lit(0L)).as("w2")).head()
+    val maxDeg = statsRow.getInt(0)
+    val wedgeRows = statsRow.getLong(1) / 2L
+    // wedges centered at w: unordered neighbor pairs u < v, generated
+    // SCAN-LOCALLY from the sorted adjacency array (posexplode + slice) —
+    // no self-join, no u>v half to discard; the deg² expansion feeds the
+    // (u,v) partial aggregate inside the same stage (measured 37 s → see
+    // PLANS.md vs the former adjacency self-join at sf0.1)
+    // degree-1 nodes center no wedge; filtering them FIRST also keeps the
+    // term's ln(deg) division away from ln(1) = 0 (ANSI divide-by-zero)
+    //
+    // Wedge-stage task sizing (round-16 optimization, guide §2.5/§5):
+    // the (u,v) partial aggregate is a NEAR-USELESS reducer on this shape
+    // — a center's C(deg,2) pairs are all distinct and different centers'
+    // pair sets barely overlap (measured at sf0.1: 147.8M wedge rows
+    // dedup to 140.5M partial-output rows, 1.05×) — so a partial map fed
+    // millions of rows only fills execution memory and spills (measured:
+    // 12.5 GB spill, 3594 task-seconds in the wedge stage when the stage
+    // inherited the session's 32 scan partitions; 2.3M rows/task still
+    // spilled, ≤1.5M rows/task never did). Repartitioning the TINY
+    // adjacency frame (|nodes| rows) so each wedge task generates
+    // ~WedgeRowsPerTask rows keeps every partial map comfortably
+    // in-memory: 9.4 s vs 36.0 s warm min-of-3 at sf0.1 for the
+    // aggregate core (AaProbe3 sweep: 96–256 tasks flat, 64 spills,
+    // 512 pays scheduling). Scale-adaptive by construction — the task
+    // count derives from the measured wedge count, not the local core
+    // count, and is capped at 4096 (a 100 TB graph with 10¹² wedges
+    // hits the cap and each task still carries a bounded ~2.4e8-row
+    // generate, far under the old per-core share).
+    val wedgeTasks = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096, math.ceil(wedgeRows / WedgeRowsPerTask).toInt))
+    val wedges = nb.repartition(wedgeTasks, col("src"))
+      .filter(size(col("dsts")) >= 2)
+      .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
+      .select(col("t"), col("u"),
+        explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
     val aaSum =
       if (maxDeg.toLong * 1443 < Long.MaxValue / 1000000000L) sum(col("t"))
       else sum(col("t").cast("decimal(38,0)"))
