@@ -764,11 +764,22 @@ object Graph {
     // generate, far under the old per-core share).
     val wedgeTasks = math.max(s.sparkContext.defaultParallelism,
       math.min(4096, math.ceil(wedgeRows / WedgeRowsPerTask).toInt))
+    // The explicit (u, v) repartition BELOW the groupBy is the second half
+    // of the same memory story: without it the planner-inserted exchange
+    // uses spark.sql.shuffle.partitions (cores here) and the FINAL
+    // aggregate builds |pairs|/cores-entry maps — measured 14.4 GB of
+    // reduce-side spill at the driver's -Xmx16g (101.1M pairs / 32 ⇒
+    // 3.2M-entry maps). With the repartition, partial+final both run
+    // post-exchange fully clustered and no aggregate map anywhere exceeds
+    // ~WedgeRowsPerTask entries: 31-42 s → 27 s min-of-3 at 16g
+    // (AaProbe4), identical plan shape otherwise. Same data-derived task
+    // count as the generate stage — pairs ≤ wedges bounds the map.
     val wedges = nb.repartition(wedgeTasks, col("src"))
       .filter(size(col("dsts")) >= 2)
       .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
       .select(col("t"), col("u"),
         explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
+      .repartition(wedgeTasks, col("u"), col("v"))
     val aaSum =
       if (maxDeg.toLong * 1443 < Long.MaxValue / 1000000000L) sum(col("t"))
       else sum(col("t").cast("decimal(38,0)"))
