@@ -114,6 +114,12 @@ object ScaleRehearsal {
     // round-11 close-out: K-round greedy cover over the shingle postings
     // (corpus-scan per round, covered set stays distributed)
     "q257_max_coverage",
+    // round-16: q213's restructured wedge aggregate (data-derived task
+    // count — Σ C(deg,2) at sf1 is ~10× sf0.1's 147.8M, so wedgeTasks
+    // grows 99 → ~986 and per-task aggregate maps stay ~1.5M entries;
+    // the rehearsal pins that the spill fix holds as data grows, not
+    // just at the tuned scale)
+    "q213_adamic_adar",
     // round-11 continuation: DSIR importance selection — token-explode
     // aggregates + B-bounded broadcast joins + TakeOrdered top-K
     "q262_dsir_selection",
