@@ -315,17 +315,76 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** suspect = > 2× best-known AND > 1 s absolute (round-11: tightened
-    * from 3×/excess-over-best per VERDICT r10 #5 + ADVICE, so the q248
-    * class — 2.2× its best with no touching commit — self-flags). The
-    * SAME predicate drives the artifact's suspect list, the targeted
-    * re-measure sweep, and the degraded flag — one definition of "this
-    * number is probably noise". */
-  private def suspectsOf(results: Map[String, Double],
-                         history: Map[String, Double]): Seq[String] =
+  /** suspect = > 2× best-known × the session HOST FACTOR, AND > 1 s
+    * absolute (round-11: tightened from 3×/excess-over-best per VERDICT
+    * r10 #5 + ADVICE, so the q248 class — 2.2× its best with no touching
+    * commit — self-flags). The SAME predicate drives the artifact's
+    * suspect list, the targeted re-measure sweep, and the degraded flag —
+    * one definition of "this number is probably noise".
+    *
+    * Host factor (round 17, VERDICT r16 #2 — carried from r15 #5): the
+    * r15/r16 artifacts self-flagged `degraded` two rounds running because
+    * this host session runs a uniform ~1.7× above the days that set the
+    * best-known mins — every comparison against raw `best` then flags
+    * half the surface, the sweep burns its grace window re-measuring the
+    * weather, and >2 residual suspects mark the artifact degraded even
+    * when nothing regressed. [[hostFactorOf]] measures that uniform band
+    * once per run (3 pinned mid-weight probes, min-of-2 each, against
+    * their own best-knowns; median ratio, clamped to [1, 3]) and the
+    * suspect bar becomes `2 × best × factor`: on a fast day factor ≈ 1
+    * and the predicate is unchanged; on a uniformly slow day only
+    * queries slow RELATIVE TO THE SESSION flag. A real plan regression
+    * moves one query against the session band and still flags (the
+    * probes are pinned, so a regression in an unrelated query cannot
+    * raise its own bar). */
+  private[graft] def suspectsOf(results: Map[String, Double],
+                         history: Map[String, Double],
+                         hostFactor: Double): Seq[String] =
     results.toSeq
-      .filter { case (k, v) => history.get(k).exists(b => v > 2 * b && v > 1.0) }
+      .filter { case (k, v) =>
+        history.get(k).exists(b => v > 2 * b * hostFactor && v > 1.0) }
       .map(_._1).sorted
+
+  /** Pinned host-factor probes: mid-weight (1.5-2.5 s best-known), shape-
+    * diverse (similarity join / NB scan+model join / dedup weight fold),
+    * long-stable queries. Pinned by NAME so a regression elsewhere can
+    * never inflate the factor; a probe missing from history or the map
+    * simply drops out, and < 2 usable probes falls back to factor 1
+    * (the pre-r17 behavior). */
+  private val HostProbeNames =
+    Seq("q196_item_sim", "q122_nb_classify", "q284_dup_weights")
+
+  /** Measure the session host factor: each pinned probe runs twice
+    * (min-of-2 — these are floor-bound shapes whose best-knowns came
+    * from warm second executions), ratio'd against its best-known;
+    * median over the probes, clamped to [1, 3]. Runs AFTER the untimed
+    * warm-up so it reads steady state, and the ~10 s it costs replaces
+    * judge archaeology about whether a slow artifact is host load. */
+  private def hostFactorOf(spark: SparkSession, sfDir: String,
+                           history: Map[String, Double]): Double = {
+    val cands = HostProbeNames.flatMap(n =>
+      selected.get(n).flatMap(fn => history.get(n).map(b => (n, fn, b))))
+    val ratios = cands.flatMap { case (n, fn, best) =>
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          Some(t)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] host probe $n failed: ${e.getMessage}")
+          None
+        }
+      val ts = Seq(once(), once()).flatten
+      if (ts.isEmpty) None else Some(ts.min / best)
+    }
+    if (ratios.size < 2) 1.0
+    else {
+      val f = ratios.sorted.apply(ratios.size / 2)
+      math.min(3.0, math.max(1.0, f))
+    }
+  }
 
   /** Full-name per-query timings go to a repo-side file: the harness keeps
     * only the last 2000 chars of stdout, which a 109-entry full-name map
@@ -334,10 +393,11 @@ object Bench {
                           elapsed: Double, results: Map[String, Double],
                           history: Map[String, Double],
                           loadStart: Double,
-                          suspectPasses: Int = 0): Unit = {
+                          suspectPasses: Int = 0,
+                          hostFactor: Double = 1.0): Unit = {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
-    val suspects = suspectsOf(results, history)
+    val suspects = suspectsOf(results, history, hostFactor)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // diagnostic only (NOT min-folded — the value is from the last pass
     // that timed the query): driver GC pause seconds absorbed inside the
@@ -346,7 +406,7 @@ object Bench {
       .map { case (k, v) => s""""$k": ${sec(v)}""" }.mkString("{", ", ", "}")
     try {
       val w = new java.io.PrintWriter(path)
-      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "suspect_passes": $suspectPasses, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
+      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "suspect_passes": $suspectPasses, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "host_factor": ${sec(hostFactor)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
   }
@@ -434,6 +494,10 @@ object Bench {
         }
       spark.catalog.clearCache()
     }
+    // session host-factor calibration (round 17 — see suspectsOf)
+    val hostFactor = hostFactorOf(spark, sfDir, history)
+    if (hostFactor > 1.0)
+      System.err.println(f"[bench] host factor $hostFactor%.2f — suspect bar scaled to 2x best x factor")
     // pass 1: unbudgeted — every query MUST get a number. Visit by
     // DESCENDING best-known cost (unknown-cost queries first), not map
     // order: the allocation-heavy tail queries meet the freshest heap
@@ -448,7 +512,8 @@ object Bench {
       doubleFloor = Some(history),
       doubleUntilNs = Some(mainT0 + (budgetS * 1e9).toLong))
     var passesDone = 1
-    writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history, loadStart)
+    writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
+      loadStart, hostFactor = hostFactor)
     var stop = passesDone >= passes
     while (!stop) {
       // a later pass is useful even TRUNCATED (expensive-first order +
@@ -470,7 +535,8 @@ object Bench {
         results = minByQuery(results,
           runPass(spark, sfDir, Some(deadline), Some(results), Some(pri)))
         passesDone += 1
-        writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history, loadStart)
+        writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
+          loadStart, hostFactor = hostFactor)
         stop = passesDone >= passes
       }
     }
@@ -492,7 +558,7 @@ object Bench {
     val graceS = sys.env.get("SPARK_GRAFT_SUSPECT_GRACE_S")
       .map(_.toDouble).getOrElse(150.0)
     var suspectPasses = 0
-    var residual = suspectsOf(results, history)
+    var residual = suspectsOf(results, history, hostFactor)
     // round-14: pass 1 ALONE can overrun budget+grace on a noisy host
     // (measured: the same tree read 420 s one run and 570 the next, with
     // the inflation concentrated in the FIRST-visited heavy tail and 57
@@ -520,14 +586,14 @@ object Bench {
       // queries and the last writeDetail still lands — bounded overshoot,
       // honest artifact.
       val sweepCost = results ++ residual.flatMap(n =>
-        history.get(n).map(b => n -> math.max(2.0 * b, 10.0)))
+        history.get(n).map(b => n -> math.max(2.0 * b * hostFactor, 10.0)))
       results = minByQuery(results,
         runPass(spark, sfDir, Some(deadline), Some(sweepCost), Some(pri),
           only = Some(residual.toSet)))
       suspectPasses += 1
       writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
-        loadStart, suspectPasses)
-      residual = suspectsOf(results, history)
+        loadStart, suspectPasses, hostFactor)
+      residual = suspectsOf(results, history, hostFactor)
     }
     // fold this run's mins into the cross-round best-known record (only
     // when the full surface ran — a SPARK_GRAFT_ONLY rerun must never
@@ -579,6 +645,7 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
       val ld = s""","passes":$passesDone,"suspect_passes":$suspectPasses""" +
         s""","resid_suspects":${residual.size},"load_1m_start":${sec2(loadStart)}""" +
+        s""","host_factor":${sec2(hostFactor)}""" +
         degradedReason.map(r => s""","degraded":"$r"""").getOrElse("")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"sf":"$sfName"$ld$om}"""
     }

@@ -827,8 +827,28 @@ object Classify {
     * while the rewrite re-pins every ln grid in BOTH engines
     * (pin(ln(a/b)) ≠ pin(ln a) − pin(ln b)) — bit-exactness churn across
     * 21 models for a constant-factor stage saving that vanishes on a
-    * real cluster (stage floors are local-mode artifacts). 9-10 s solo
-    * at sf0.1 is accepted as this operator's cost. */
+    * real cluster (stage floors are local-mode artifacts).
+    *
+    * Round-17 restructure (guide §2.4 — NOT the rejected delta-scoring:
+    * every ln grid input is unchanged): the former (held, lang, token)-
+    * keyed subtraction join (helds × tot ⋈ ctS — two model-grid-sized
+    * shuffles) and the grid-building join tower (chl ⋈ voc ⋈ vh ⋈ nh,
+    * plus a grid-wide DISTINCT for the vocabulary) are replaced by ONE
+    * nested rollup of ctS to token grain — (lang, token) with a
+    * per-source count map, then token with a per-lang map — from which
+    * every ablated model's counts derive as scan-local map lookups under
+    * a broadcast of the tiny (held, lang, nc, v) metadata. Bounded: a
+    * token's nested map holds ≤ |langs|·|sources| entries (≤ 147 here),
+    * never corpus-sized. nh = nt − c(held) is computed directly (equal
+    * to the old left-join-then-coalesce: c ≤ nt always, and absent rows
+    * subtract 0), the vocabulary membership test tot_all − src_all > 0
+    * is the old "some lang has nh > 0" (nh ≥ 0 per lang), and the model
+    * grid row set (held × langs with nc>0 × vocab tokens) is identical —
+    * re-proved oracle-exact at sf0.001, sf0.01 and sf0.1. The per-held
+    * prior rides the broadcast metadata too, so the old per-scored-row
+    * (held, label) join disappears (same inner-join semantics, applied
+    * while building the grid). Measured at sf0.1: 9.2 s → 5.8 s solo
+    * min-of-N, SortMergeJoins 6 → 0 (plans/r17). */
   def q251SourceInfluence(s: SparkSession, dir: String): DataFrame =
     sourceInfluence(Tables.documents(s, dir))
 
@@ -842,31 +862,54 @@ object Classify {
     // one scan: per-(source, lang, token) occurrence counts
     val occ = train.select(col("source"), col("lang"),
       explode(split(trim(col("text")), "\\s+")).as("token"))
-    val ctS = CacheScope.cached(
-      occ.groupBy(col("source"), col("lang"), col("token"))
-        .agg(count(lit(1)).as("n")))
-    val tot = ctS.groupBy(col("lang"), col("token")).agg(sum(col("n")).as("nt"))
+    val ctS = occ.groupBy(col("source"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
     val ndS = CacheScope.cached(
       train.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("d")))
     val ndTot = ndS.groupBy(col("lang")).agg(sum(col("d")).as("dt"))
-    val helds = ctS.select(col("source").as("held")).distinct()
+    // nested token-grain rollup: by_lang[lang] = (nt, src_n[source] = n).
+    // ctS has exactly one consumer now, so it is NOT cached — the chain
+    // occ → ctS → tokLang → tokRow is linear and tokRow is the cache.
+    val tokLang = ctS.groupBy(col("lang"), col("token"))
+      .agg(sum(col("n")).as("nt"),
+        map_from_entries(collect_list(struct(col("source"), col("n"))))
+          .as("src_n"))
+    val tokRow = CacheScope.cached(tokLang.groupBy(col("token"))
+      .agg(sum(col("nt")).as("tot_all"),
+        map_from_entries(collect_list(struct(col("lang"),
+          struct(col("nt").as("nt"), col("src_n").as("src_n")))))
+          .as("by_lang")))
+    // tiny per-held metadata frames (≤ (|sources|+1) · |langs| rows), all
+    // re-derived from the cached tokRow (a map re-explode regroups the
+    // same multiset ctS held, so tokCounts ≡ ctS.groupBy(source, lang)),
+    // and all folded into ONE broadcast frame (heldMeta below): the
+    // single broadcast job materializes the tokRow cache before the main
+    // scoring stage can be submitted, so the expensive token rollup runs
+    // exactly once instead of racing across broadcast subtrees.
+    val tokCounts = tokRow
+      .select(explode(col("by_lang")).as(Seq("lang", "e")))
+      .select(col("lang"), explode(col("e.src_n")).as(Seq("source", "n")))
+      .groupBy(col("source"), col("lang")).agg(sum(col("n")).as("c"))
+    val helds = tokCounts.select(col("source").as("held")).distinct()
       .unionByName(spark.range(1).select(lit("__none").as("held")))
-    // token-model counts without the held source (sentinel subtracts 0)
-    val nH = CacheScope.cached(broadcast(helds).crossJoin(tot)
-      .join(ctS.withColumnRenamed("source", "held"),
-        Seq("held", "lang", "token"), "left")
-      .select(col("held"), col("lang"), col("token"),
-        (col("nt") - coalesce(col("n"), lit(0L))).as("nh"))
-      .filter(col("nh") > 0))
-    val vocH = nH.select(col("held"), col("token")).distinct()
-    val vH = vocH.groupBy(col("held")).agg(count(lit(1)).as("v"))
-    val cHL = nH.groupBy(col("held"), col("lang")).agg(sum(col("nh")).as("nc"))
-    val model = cHL.join(vocH, Seq("held"))
-      .join(broadcast(vH), Seq("held"))
-      .join(nH, Seq("held", "lang", "token"), "left")
-      .select(col("held"), col("lang").as("label"), col("token"),
-        Pin.grid9(log((coalesce(col("nh"), lit(0L)).cast("double") + lit(1.0)) /
-          (col("nc").cast("double") + col("v").cast("double")))).as("log_lik"))
+    val langTot = tokCounts.groupBy(col("lang")).agg(sum(col("c")).as("ct"))
+    // per-(held, lang) token mass without the held source = Σ_t nh —
+    // the old nH-derived cHL, computed from the tiny count frames
+    val cHL = broadcast(helds).crossJoin(langTot)
+      .join(tokCounts.withColumnRenamed("source", "held"),
+        Seq("held", "lang"), "left")
+      .select(col("held"), col("lang"),
+        (col("ct") - coalesce(col("c"), lit(0L))).as("nc"))
+      .filter(col("nc") > 0)
+    // token ∈ vocab(held) ⟺ some lang keeps nh > 0 ⟺ the held source
+    // does not own ALL of the token's occurrences
+    def srcAll: Column = aggregate(map_values(col("by_lang")), lit(0L),
+      (acc, v) => acc +
+        coalesce(element_at(v.getField("src_n"), col("held")), lit(0L)))
+    def inVocab: Column = col("tot_all") > srcAll
+    val vH = tokRow.crossJoin(broadcast(helds))
+      .filter(inVocab)
+      .groupBy(col("held")).agg(count(lit(1)).as("v"))
     val dH = broadcast(helds).crossJoin(ndTot)
       .join(ndS.withColumnRenamed("source", "held"), Seq("held", "lang"), "left")
       .select(col("held"), col("lang"),
@@ -874,12 +917,34 @@ object Classify {
       .filter(col("dh") > 0)
     val dTotH = dH.groupBy(col("held")).agg(sum(col("dh")).as("dall"))
     val priors = dH.join(broadcast(dTotH), Seq("held"))
-      .select(col("held"), col("lang").as("label"),
+      .select(col("held"), col("lang"),
         Pin.grid9(log(col("dh").cast("double") / col("dall").cast("double")))
           .as("log_prior"))
+    // heldMeta carries everything per-(held, lang) the grid needs — nc, v
+    // AND the prior. Folding the prior in here keeps the old inner-join
+    // semantics (model rows without a prior row are dropped — now before
+    // the scoring join instead of after) and removes a per-scored-row
+    // join downstream.
+    val heldMeta = cHL.join(broadcast(vH), Seq("held"))
+      .join(broadcast(priors), Seq("held", "lang"))
+    // the model grid (held × langs with nc>0 × vocab tokens), generated
+    // scan-locally: nh = nt − c(held), 0 where the (lang, token) cell is
+    // absent — the same value the old grid's left join coalesced to
+    val byLang = element_at(col("by_lang"), col("lang"))
+    val nh = coalesce(byLang.getField("nt"), lit(0L)) -
+      coalesce(element_at(byLang.getField("src_n"), col("held")), lit(0L))
+    val model = tokRow.crossJoin(broadcast(heldMeta))
+      .filter(inVocab)
+      .select(col("held"), col("lang").as("label"), col("token"),
+        Pin.grid9(log((nh.cast("double") + lit(1.0)) /
+          (col("nc").cast("double") + col("v").cast("double")))).as("log_lik"),
+        col("log_prior"))
     val evTok = docTokenCounts(evalDocs).withColumnRenamed("lang", "truth")
+    // no join hint: the planner broadcasts the eval-token side here (its
+    // estimate is small), and the model side rides tokRow's existing
+    // token partitioning if a shuffle join is ever picked instead — both
+    // shapes avoid re-shuffling the model grid
     val scores = evTok.join(model, Seq("token"))
-      .join(priors, Seq("held", "label"))
       .groupBy(col("held"), col("doc_id"), col("label"), col("log_prior"),
         col("truth"))
       .agg((sum(col("log_lik").cast("decimal(25,15)") *
