@@ -481,7 +481,7 @@ object TxLog {
     stage(spark, table, df, partColsOf(table))
 
   private def stage(spark: SparkSession, table: String, df: DataFrame,
-                    partCols: Seq[String]): Seq[Action] = {
+                    partCols: Seq[String], sized: Boolean = true): Seq[Action] = {
     val rel = s"data/${UUID.randomUUID()}"
     // hand the frame to the stats-bearing writer session via a global
     // temp view (the cross-session channel the public API provides)
@@ -500,8 +500,39 @@ object TxLog {
     // ordinary data columns in every file (identity-partition model)
     partCols.foreach(c => require(physDf.columns.contains(c),
       s"write to partitioned table $table is missing partition column $c"))
-    val stagedDf = partCols.foldLeft(physDf)(
+    val stagedDf0 = partCols.foldLeft(physDf)(
       (d, c) => d.withColumn(PartDirPrefix + c, col(c)))
+    // Output file sizing (round 17, guide §6 "aim for 128 MB - 1 GB
+    // files"): the bench tables are deliberately re-spread to session
+    // parallelism for scan-side parallelism (Tables.spread), so a naive
+    // staged write of a few-MB frame produced 32 tiny part files per
+    // commit — and every later CoW verb, footer harvest, file listing
+    // and log replay paid O(files). COALESCE (merge-only, never a
+    // shuffle, applied AFTER identity assignment so assigned values are
+    // untouched) toward a byte target from the optimizer's size
+    // estimate — but never below MinStageParts: a caller staging ≤ that
+    // many partitions chose the layout deliberately (the fixtures'
+    // coalesce(1)/coalesce(2) determinism idiom), and OPTIMIZE (whose
+    // INTO n layout is the verb's whole point) opts out via `sized`.
+    // Unknown estimates are huge (8 EB default), so target ≥ current and
+    // nothing changes — estimation failure degrades to the old layout,
+    // never to a single giant file. Coalescing after a shuffle merges
+    // reduce partitions without reducing map parallelism; for
+    // shuffle-free frames the merged scan is exactly the small frame the
+    // estimate proved. Override via -Dgraft.txlog.stage.targetBytes /
+    // -Dgraft.txlog.stage.minParts (a production deployment on real
+    // file sizes would tune both).
+    val stagedDf = if (!sized) stagedDf0 else {
+      val targetBytes = sys.props.get("graft.txlog.stage.targetBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val minParts = sys.props.get("graft.txlog.stage.minParts")
+        .map(_.toInt).getOrElse(8)
+      val parts0 = stagedDf0.rdd.getNumPartitions
+      val est = stagedDf0.queryExecution.optimizedPlan.stats.sizeInBytes
+      val target = (est / targetBytes + 1)
+        .max(BigInt(minParts)).min(BigInt(parts0)).toInt
+      if (target < parts0) stagedDf0.coalesce(target) else stagedDf0
+    }
     stagedDf.createOrReplaceGlobalTempView(gv)
     // declared bloom columns (stored physical) ride as per-write parquet
     // options, so every staged file (append, overwrite, CoW rewrite,
@@ -2332,7 +2363,7 @@ object TxLog {
       // through the DVs so already-MoR-deleted rows neither match nor
       // get resurrected into the rewrite
       val hits = applyDvs(spark, table,
-          boundRead(spark, table, absOf(read0), None), dv0)
+          prunedBoundRead(spark, table, adds0, None), dv0)
         .withColumn("_graft_file", input_file_name())
         .filter(hit).select("_graft_file").distinct()
         .collect().map(_.getString(0))
@@ -2342,7 +2373,8 @@ object TxLog {
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val scanAff = applyDvs(spark, table,
-        boundRead(spark, table, absOf(affected), None), affectedDvs)
+        prunedBoundRead(spark, table,
+          adds0.filter(a => affected.contains(a.path)), None), affectedDvs)
       val survivors = scanAff.filter(not(hit))
       val adds =
         if (survivors.isEmpty) Seq.empty // whole files deleted: no rewrite
@@ -2408,7 +2440,7 @@ object TxLog {
       def absOf(rel: Seq[String]): Seq[String] =
         rel.map(p => Paths.get(table, p).toAbsolutePath.toString)
       val hits = applyDvs(spark, table,
-          boundRead(spark, table, absOf(read0), None), dv0)
+          prunedBoundRead(spark, table, adds0, None), dv0)
         .withColumn("_graft_file", input_file_name())
         .join(broadcast(keys), keyCols, "left_semi")
         .select("_graft_file").distinct()
@@ -2417,7 +2449,8 @@ object TxLog {
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val scanAff = applyDvs(spark, table,
-        boundRead(spark, table, absOf(affected), None), affectedDvs)
+        prunedBoundRead(spark, table,
+          adds0.filter(a => affected.contains(a.path)), None), affectedDvs)
       val survivors = scanAff.join(broadcast(keys), keyCols, "left_anti")
       val adds =
         if (survivors.isEmpty) Seq.empty
@@ -2494,7 +2527,7 @@ object TxLog {
         s"updateWhere must not assign IDENTITY column $k — identity " +
           "values are engine-assigned and immutable under UPDATE"))
       val hits = applyDvs(spark, table,
-          boundRead(spark, table, absOf(read0), None), dv0)
+          prunedBoundRead(spark, table, adds0, None), dv0)
         .withColumn("_graft_file", input_file_name())
         .filter(hit).select("_graft_file").distinct()
         .collect().map(_.getString(0))
@@ -2502,7 +2535,8 @@ object TxLog {
       if (affected.isEmpty) return None
       val affectedDvs = dv0.filter { case (f, _) => affected.contains(f) }
       val scan = applyDvs(spark, table,
-        boundRead(spark, table, absOf(affected), None), affectedDvs)
+        prunedBoundRead(spark, table,
+          adds0.filter(a => affected.contains(a.path)), None), affectedDvs)
       val assigned = scan.select(scan.schema.fields.map { f =>
         assignments.get(f.name) match {
           case Some(v) => org.apache.spark.sql.functions
@@ -3607,7 +3641,9 @@ object TxLog {
       // layout semantics for historical readers — but not table content;
       // the deleted rows were already invisible, so dataChange stays
       // false (Delta marks DV-materializing OPTIMIZE the same way).
-      val adds = stage(spark, table, compact)
+      // OPTIMIZE's layout (INTO n FILES / per-partition compaction) IS
+      // the caller's ask — the stage-side file sizing must not re-merge it
+      val adds = stage(spark, table, compact, partColsOf(table), sized = false)
         .map(_.copy(dataChange = false)) :+ tsAction(commitTs, "OPTIMIZE")
       val removes = read0.map(Action("remove", _, None, dataChange = false))
       // same validate-then-CAS ordering as deleteWhere: base first,
@@ -4294,21 +4330,33 @@ object TxLog {
     * footer it samples first (older files silently drop the new
     * columns); binding the log's declaration makes absent columns
     * surface as null — schema comes from the log, not the files, the
-    * production-format read rule. Pre-schema tables read as before. */
+    * production-format read rule. Pre-schema tables read as before.
+    *
+    * Round-17 (guide §6 "manifest metadata avoids listing"): the scan
+    * goes through a [[StatsFileIndex]] over the EXPLICIT file list
+    * (stats-less entries — no pruning semantics change) instead of
+    * `spark.read.parquet(files)`, whose InMemoryFileIndex launches a
+    * DISTRIBUTED "listing leaf files" JOB once the path count passes
+    * spark.sql.sources.parallelPartitionDiscovery.threshold (32) — the
+    * job-count probe showed every CoW verb on a ≥3-append fixture paying
+    * two such jobs per call to re-discover files the commit log already
+    * names. Driver-side Files.size over the known list replaces them. */
   private def boundRead(spark: SparkSession, table: String,
                         files: Seq[String],
                         asOf: Option[Long]): DataFrame = {
     val m = renameMap(table, asOf)
+    def entries: Seq[(String, Option[TxStats.FileStats])] =
+      files.map(f => (Paths.get(f).toAbsolutePath.toString, None))
     schemaOf(table, asOf) match {
       case Some(s) if m.nonEmpty =>
         // column mapping: files carry PHYSICAL names; bind the physical
         // schema at the scan, surface the logical one via aliases
         val phys = org.apache.spark.sql.types.StructType(
           s.fields.map(f => f.copy(name = physicalOf(m, f.name))))
-        spark.read.schema(phys).parquet(files: _*)
+        StatsFileIndex.scan(spark, entries, phys)
           .select(s.fieldNames.toSeq
             .map(ln => col(physicalOf(m, ln)).as(ln)): _*)
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case Some(s) => StatsFileIndex.scan(spark, entries, s)
       case None    => spark.read.parquet(files: _*)
     }
   }

@@ -670,6 +670,15 @@ object Graph {
     * 2.3M rows/task spills (15.1 s), 1.0–1.5M never does (8.6–9.4 s). */
   private[operators] val WedgeRowsPerTask = 1.5e6
 
+  /** Degree past which a single center's C(deg, 2) wedge fan-out alone
+    * exceeds [[WedgeRowsPerTask]] and its position range is split across
+    * tasks (round 17 — the smallest d with d(d−1)/2 > 1.5e6 ≈ 1733; see
+    * the hub-skew guard in [[adamicAdar]]). The sf0.1 co-purchase graph's
+    * max degree is 222, so the split path is exercised only by synthetic
+    * hubs (AaHubSplitSpec / AaHubProbe). */
+  private[operators] val AaHubDegree: Int =
+    math.ceil((1.0 + math.sqrt(1.0 + 8.0 * WedgeRowsPerTask)) / 2.0).toInt
+
   /** q213 — Adamic–Adar link prediction over the co-purchase graph: for
     * every NON-adjacent part pair (u, v), score(u,v) = Σ_{w ∈ N(u)∩N(v)}
     * 1/ln(deg(w)) (Adamic & Adar 2003) — rare shared neighbors count
@@ -693,7 +702,8 @@ object Graph {
     * witness). The existing-edge exclusion is a key-shuffled left-anti
     * join, and the top-N plans as TakeOrderedAndProject. */
   def adamicAdar(s: SparkSession, lineitem: DataFrame,
-                 topN: Int = AaTopN): DataFrame = {
+                 topN: Int = AaTopN,
+                 hubDegree: Int = AaHubDegree): DataFrame = {
     val baskets = lineitem.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
     // per-node SORTED neighbor set (one exchange, same shape as q109);
@@ -774,11 +784,45 @@ object Graph {
     // ~WedgeRowsPerTask entries: 31-42 s → 27 s min-of-3 at 16g
     // (AaProbe4), identical plan shape otherwise. Same data-derived task
     // count as the generate stage — pairs ≤ wedges bounds the map.
-    val wedges = nb.repartition(wedgeTasks, col("src"))
-      .filter(size(col("dsts")) >= 2)
+    // Hub-skew guard (round 17, VERDICT r16 #4 / guide §2.5): wedges are
+    // generated per CENTER, so before this split a single node of degree
+    // d emitted all C(d,2) rows from ONE task's row regardless of
+    // wedgeTasks — benign on the co-purchase graph (max degree 222 at
+    // sf0.1) but a guaranteed straggler/spill on a power-law hub. A
+    // center whose C(deg,2) exceeds WedgeRowsPerTask now splits its
+    // position range into n = ⌈C(deg,2)/WedgeRowsPerTask⌉ STRIDED chunks
+    // (chunk k enumerates positions i ≡ k mod n): position i emits
+    // deg−1−i pairs, so a strided chunk's total is C(deg,2)/n ± deg/2 —
+    // near-equal work per chunk, where contiguous ranges would be
+    // triangular (first chunk ~WedgeRowsPerTask rows, last ~0; measured
+    // 6× max/median straggle on a 20k-degree hub). Chunk rows go out
+    // ROUND-ROBIN (exact ⌈n/wedgeTasks⌉ chunks per task — hashing ~2×
+    // wedgeTasks distinct keys into wedgeTasks buckets re-created a
+    // 3-6× balls-in-bins straggle); each carries the full dsts array,
+    // O(deg³/WedgeRowsPerTask) shuffled elements per hub, small next to
+    // the C(deg,2) wedge rows those tasks then emit into the (u,v)
+    // exchange anyway. The (t, u, v) multiset is unchanged: strides
+    // partition the position range exactly (AaHubSplitSpec asserts
+    // equality against the unsplit path).
+    val nb2 = nb.filter(size(col("dsts")) >= 2)
+    val smallWedges = nb2.filter(size(col("dsts")) < hubDegree)
+      .repartition(wedgeTasks, col("src"))
       .select(term.as("t"), col("dsts"), posexplode(col("dsts")).as(Seq("i", "u")))
       .select(col("t"), col("u"),
         explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
+    val hubWedges = nb2.filter(size(col("dsts")) >= hubDegree)
+      .select(term.as("t"), col("dsts"),
+        expr(s"(size(dsts) * (cast(size(dsts) as bigint) - 1L) div 2L - 1L) " +
+          s"div ${WedgeRowsPerTask.toLong}L + 1L").as("n"))
+      .select(col("t"), col("dsts"), col("n"),
+        explode(sequence(lit(0L), col("n") - lit(1L))).as("k"))
+      .repartition(wedgeTasks)
+      .select(col("t"), col("dsts"), col("n"), col("k"),
+        posexplode(col("dsts")).as(Seq("i", "u")))
+      .filter(pmod(col("i").cast("long"), col("n")) === col("k"))
+      .select(col("t"), col("u"),
+        explode(expr("slice(dsts, i + 2, size(dsts))")).as("v"))
+    val wedges = smallWedges.unionByName(hubWedges)
       .repartition(wedgeTasks, col("u"), col("v"))
     val aaSum =
       if (maxDeg.toLong * 1443 < Long.MaxValue / 1000000000L) sum(col("t"))
