@@ -339,10 +339,12 @@ object Bench {
     * raise its own bar). */
   private[graft] def suspectsOf(results: Map[String, Double],
                          history: Map[String, Double],
-                         hostFactor: Double): Seq[String] =
+                         hostFactor: Double,
+                         floorBar: Double = 1.0): Seq[String] =
     results.toSeq
       .filter { case (k, v) =>
-        history.get(k).exists(b => v > 2 * b * hostFactor && v > 1.0) }
+        history.get(k).exists(b =>
+          v > 2 * b * hostFactor && v > math.max(1.0, floorBar)) }
       .map(_._1).sorted
 
   /** Pinned host-factor probes: mid-weight (1.5-2.5 s best-known), shape-
@@ -354,6 +356,21 @@ object Bench {
   private val HostProbeNames =
     Seq("q196_item_sim", "q122_nb_classify", "q284_dup_weights")
 
+  /** Pinned SESSION-FLOOR probes: stable queries whose best-known is a
+    * few hundred ms — their data work is negligible, so their current
+    * min-of-2 cost IS the session's per-fresh-plan floor (planning +
+    * first-execution codegen + scheduling). The floor is ADDITIVE, not
+    * multiplicative: on a slow session every sub-second query reads
+    * floor-bound at 3-8× its fast-day best (the r17 final-run residue —
+    * 23 "suspects", every one a 0.2-0.4 s-best query reading 1-2 s), and
+    * no best×factor bar can absorb that without destroying sensitivity
+    * for the data-bound tier. The absolute arm of the suspect predicate
+    * therefore scales to 2× the measured floor (never below the
+    * historical 1 s), which restores exactly the old predicate on a
+    * fast session. */
+  private val FloorProbeNames =
+    Seq("q148_pmi", "q42_text_chunks", "q181_embed_dispersion")
+
   /** Measure the session host factor: each pinned probe runs twice
     * (min-of-2 — these are floor-bound shapes whose best-knowns came
     * from warm second executions), ratio'd against its best-known;
@@ -361,10 +378,8 @@ object Bench {
     * warm-up so it reads steady state, and the ~10 s it costs replaces
     * judge archaeology about whether a slow artifact is host load. */
   private def hostFactorOf(spark: SparkSession, sfDir: String,
-                           history: Map[String, Double]): Double = {
-    val cands = HostProbeNames.flatMap(n =>
-      selected.get(n).flatMap(fn => history.get(n).map(b => (n, fn, b))))
-    val ratios = cands.flatMap { case (n, fn, best) =>
+                           history: Map[String, Double]): (Double, Double) = {
+    def minOf2(n: String): Option[Double] = selected.get(n).flatMap { fn =>
       def once(): Option[Double] =
         try {
           val t0 = System.nanoTime()
@@ -377,13 +392,21 @@ object Bench {
           None
         }
       val ts = Seq(once(), once()).flatten
-      if (ts.isEmpty) None else Some(ts.min / best)
+      if (ts.isEmpty) None else Some(ts.min)
     }
-    if (ratios.size < 2) 1.0
-    else {
-      val f = ratios.sorted.apply(ratios.size / 2)
-      math.min(3.0, math.max(1.0, f))
-    }
+    val ratios = HostProbeNames.flatMap(n =>
+      history.get(n).flatMap(b => minOf2(n).map(_ / b)))
+    val factor =
+      if (ratios.size < 2) 1.0
+      else {
+        val f = ratios.sorted.apply(ratios.size / 2)
+        math.min(3.0, math.max(1.0, f))
+      }
+    val floors = FloorProbeNames.flatMap(minOf2)
+    val floor =
+      if (floors.size < 2) 0.5 // bar stays at the historical 1 s
+      else math.min(2.0, floors.sorted.apply(floors.size / 2))
+    (factor, floor)
   }
 
   /** Full-name per-query timings go to a repo-side file: the harness keeps
@@ -394,10 +417,11 @@ object Bench {
                           history: Map[String, Double],
                           loadStart: Double,
                           suspectPasses: Int = 0,
-                          hostFactor: Double = 1.0): Unit = {
+                          hostFactor: Double = 1.0,
+                          floorBar: Double = 1.0): Unit = {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${sec(v)}""" }.mkString("{\n", ",\n", "\n  }")
-    val suspects = suspectsOf(results, history, hostFactor)
+    val suspects = suspectsOf(results, history, hostFactor, floorBar)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // diagnostic only (NOT min-folded — the value is from the last pass
     // that timed the query): driver GC pause seconds absorbed inside the
@@ -406,7 +430,7 @@ object Bench {
       .map { case (k, v) => s""""$k": ${sec(v)}""" }.mkString("{", ", ", "}")
     try {
       val w = new java.io.PrintWriter(path)
-      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "suspect_passes": $suspectPasses, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "host_factor": ${sec(hostFactor)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
+      try w.println(s"""{"sf": "$sfDir", "passes_done": $passesDone, "suspect_passes": $suspectPasses, "elapsed_sec": ${sec(elapsed)}, "total_sec": ${sec(results.values.sum)}, "load_1m_start": ${sec(loadStart)}, "load_1m_now": ${sec(loadavg1m)}, "host_factor": ${sec(hostFactor)}, "floor_bar": ${sec(floorBar)}, "suspect_vs_best": $suspects, "gc_sec": $gc, "queries_sec": $detail}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
   }
@@ -494,10 +518,10 @@ object Bench {
         }
       spark.catalog.clearCache()
     }
-    // session host-factor calibration (round 17 — see suspectsOf)
-    val hostFactor = hostFactorOf(spark, sfDir, history)
-    if (hostFactor > 1.0)
-      System.err.println(f"[bench] host factor $hostFactor%.2f — suspect bar scaled to 2x best x factor")
+    // session host-factor + floor calibration (round 17 — see suspectsOf)
+    val (hostFactor, sessionFloor) = hostFactorOf(spark, sfDir, history)
+    if (hostFactor > 1.0 || sessionFloor > 0.5)
+      System.err.println(f"[bench] host factor $hostFactor%.2f, session floor $sessionFloor%.2f s — suspect bar 2 x best x factor, absolute arm ${math.max(1.0, 2 * sessionFloor)}%.2f s")
     // pass 1: unbudgeted — every query MUST get a number. Visit by
     // DESCENDING best-known cost (unknown-cost queries first), not map
     // order: the allocation-heavy tail queries meet the freshest heap
@@ -513,7 +537,8 @@ object Bench {
       doubleUntilNs = Some(mainT0 + (budgetS * 1e9).toLong))
     var passesDone = 1
     writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
-      loadStart, hostFactor = hostFactor)
+      loadStart, hostFactor = hostFactor,
+      floorBar = math.max(1.0, 2 * sessionFloor))
     var stop = passesDone >= passes
     while (!stop) {
       // a later pass is useful even TRUNCATED (expensive-first order +
@@ -536,7 +561,8 @@ object Bench {
           runPass(spark, sfDir, Some(deadline), Some(results), Some(pri)))
         passesDone += 1
         writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
-          loadStart, hostFactor = hostFactor)
+          loadStart, hostFactor = hostFactor,
+      floorBar = math.max(1.0, 2 * sessionFloor))
         stop = passesDone >= passes
       }
     }
@@ -558,7 +584,8 @@ object Bench {
     val graceS = sys.env.get("SPARK_GRAFT_SUSPECT_GRACE_S")
       .map(_.toDouble).getOrElse(150.0)
     var suspectPasses = 0
-    var residual = suspectsOf(results, history, hostFactor)
+    val floorBar = math.max(1.0, 2 * sessionFloor)
+    var residual = suspectsOf(results, history, hostFactor, floorBar)
     // round-14: pass 1 ALONE can overrun budget+grace on a noisy host
     // (measured: the same tree read 420 s one run and 570 the next, with
     // the inflation concentrated in the FIRST-visited heavy tail and 57
@@ -592,8 +619,8 @@ object Bench {
           only = Some(residual.toSet)))
       suspectPasses += 1
       writeDetail(detailPath, sfDir, passesDone, elapsedS, results, history,
-        loadStart, suspectPasses, hostFactor)
-      residual = suspectsOf(results, history, hostFactor)
+        loadStart, suspectPasses, hostFactor, floorBar)
+      residual = suspectsOf(results, history, hostFactor, floorBar)
     }
     // fold this run's mins into the cross-round best-known record (only
     // when the full surface ran — a SPARK_GRAFT_ONLY rerun must never
@@ -645,7 +672,7 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
       val ld = s""","passes":$passesDone,"suspect_passes":$suspectPasses""" +
         s""","resid_suspects":${residual.size},"load_1m_start":${sec2(loadStart)}""" +
-        s""","host_factor":${sec2(hostFactor)}""" +
+        s""","host_factor":${sec2(hostFactor)},"floor_bar":${sec2(math.max(1.0, 2 * sessionFloor))}""" +
         degradedReason.map(r => s""","degraded":"$r"""").getOrElse("")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$m,"sf":"$sfName"$ld$om}"""
     }

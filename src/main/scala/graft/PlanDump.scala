@@ -11,11 +11,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Writes <outDir>/<name>_<suffix>.txt containing the formatted physical
   * plan of the query's noop-write build (the exact frame Bench times).
-  * Plans are built and explained only — nothing executes, so a dump of the
-  * full surface is driver-side work measured in seconds.
+  * Plans are built and explained, not executed AS QUERIES — but some
+  * builders run eager warm-up/fixture work at CONSTRUCTION time (q213's
+  * stats head(), q207's per-round localCheckpoints, every TxLog fixture's
+  * commits), so a dump of the full surface runs real cluster jobs for
+  * those queries, not just seconds of driver-side planning (ADVICE r16
+  * #1).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: graft.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...|all>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, sel) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.tune(
@@ -26,6 +35,12 @@ object PlanDump {
     val names =
       if (sel == "all") SparkEntry.queries.keys.toSeq.sorted
       else sel.split(",").map(_.trim).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")} — " +
+        "names must match SparkEntry.queries keys")
+      sys.exit(2)
+    }
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)

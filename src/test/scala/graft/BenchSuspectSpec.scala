@@ -32,4 +32,18 @@ class BenchSuspectSpec extends AnyFunSuite {
     val res = Map("qa" -> 20.0, "qb" -> 4.4)
     assert(Bench.suspectsOf(res, history, 1.7) == Seq("qa"))
   }
+
+  test("the session-floor bar absorbs additive floor inflation") {
+    // sub-second-best queries on a slow session: 0.3 s best reading
+    // 1.4 s is 4.7x — multiplicatively damning, additively just the
+    // session's per-query floor. With floorBar = 2x a measured 0.7 s
+    // floor they clear; a genuinely slow 3.1 s entry still flags.
+    val h = Map("qf" -> 0.3, "qg" -> 0.35, "qh" -> 0.3)
+    val res = Map("qf" -> 1.4, "qg" -> 1.3, "qh" -> 3.1)
+    assert(Bench.suspectsOf(res, h, 1.5).size == 3)            // old bar
+    assert(Bench.suspectsOf(res, h, 1.5, 1.4) == Seq("qh"))    // floor bar
+    // the floor bar never drops below the historical 1 s absolute arm
+    val tiny = Map("qf" -> 1.2)
+    assert(Bench.suspectsOf(tiny, h, 1.0, 0.4) == Seq("qf"))
+  }
 }
